@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.9 E16): opaque `binary`
+  * payloads with typed metadata structs, chunking, and a feature-extraction
+  * stage over `mapPartitions` with a STUBBED decoder (image/audio codecs are
+  * not in this container — the Spark-side schema, partitioning and batch
+  * shape are the real, tested part).
+  *
+  * The testdata has no true binary column, so the `documents.text` bytes
+  * stand in as the payload; the schema below is what a real image/audio
+  * table would carry at 100 TB (payload kept opaque so Parquet stores it
+  * column-separated and scans that don't touch `content` never read it).
+  */
+object MultimodalOps {
+
+  import Tables._
+
+  /** Canonical multimodal schema: opaque bytes + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("source", StringType, nullable = true)
+    )), nullable = false)
+  ))
+
+  /** Lift the documents table into the multimodal shape. */
+  def asMedia(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("text/plain").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        col("source").as("source")
+      ).as("meta")
+    )
+
+  /** STUB decoder: a real deployment would decode image/audio bytes here
+    * (e.g. JPEG → HxWxC tensor) inside `mapPartitions` so codec setup is
+    * amortized per partition. The container has no codec libs, so the
+    * "decode" is a deterministic fake derived from the md5 of the bytes —
+    * the partitioning, batch shape and output schema are the real contract.
+    */
+  final case class MediaFeatures(media_id: Long, width: Int, height: Int, featNorm: Double)
+
+  def extractFeaturesStub(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "codec" setup happens once here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val h = md.digest(bytes).map("%02x".format(_)).mkString
+          val w = java.lang.Long.parseLong(h.substring(0, 4), 16).toInt % 640
+          val hh = java.lang.Long.parseLong(h.substring(4, 8), 16).toInt % 480
+          MediaFeatures(id, w, hh, (w.toLong * hh).toDouble)
+        }
+      }
+  }
+
+  val queries: Seq[Q] = Seq(
+    // Binary metadata pass: byte length + content hash (columnar; the scan
+    // only reads the projected columns).
+    Q(
+      "q50_blob_meta",
+      (s, d) =>
+        asMedia(s, d)
+          .select(
+            col("media_id"),
+            col("meta.n_bytes").as("n_bytes"),
+            sha2(col("content"), 256).as("sha")
+          )
+          .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  sha256(text) AS sha
+             |FROM documents
+             |ORDER BY media_id""".stripMargin)
+    ),
+
+    // Chunking plumbing: fixed 64-byte chunks per blob, totals per source.
+    Q(
+      "q51_blob_chunks",
+      (s, d) =>
+        asMedia(s, d)
+          .select(
+            col("meta.source").as("source"),
+            col("meta.n_bytes").as("n_bytes"),
+            ceil(col("meta.n_bytes") / lit(64.0)).cast("long").as("n_chunks")
+          )
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("blobs"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("n_chunks")).as("total_chunks")
+          )
+          .orderBy(col("source")),
+      Some("""SELECT source, count(*) AS blobs,
+             |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |  CAST(sum(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS BIGINT) AS total_chunks
+             |FROM documents
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)
+    ),
+
+    // Stub feature extraction: deterministic fake decode (md5-derived
+    // dimensions), aggregated per source. The columnar twin of
+    // `extractFeaturesStub` so the oracle can check the same math.
+    Q(
+      "q52_stub_features",
+      (s, d) => {
+        val h = md5(col("text"))
+        documents(s, d)
+          .select(
+            col("source"),
+            (conv(substring(h, 1, 4), 16, 10).cast("long") % 640).cast("int").as("width"),
+            (conv(substring(h, 5, 4), 16, 10).cast("long") % 480).cast("int").as("height")
+          )
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("width")), 4).as("avg_w"),
+            round(avg(col("height")), 4).as("avg_h")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, count(*) AS n,
+              |  round(avg(width), 4) AS avg_w,
+              |  round(avg(height), 4) AS avg_h
+              |FROM (SELECT source,
+              |    CAST(${hexToIntSql("substr(md5(text), 1, 4)", 4)} % 640 AS INT) AS width,
+              |    CAST(${hexToIntSql("substr(md5(text), 5, 4)", 4)} % 480 AS INT) AS height
+              |  FROM documents) t
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    )
+  )
+
+  /** DuckDB hex→int without relying on hex casts. */
+  private def hexToIntSql(h: String, digits: Int): String =
+    (1 to digits)
+      .map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, digits - i).toLong}")
+      .mkString("(", " + ", ")")
+}

@@ -1,0 +1,390 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface (SURVEY.md §2.9 E1–E12): scan, project/filter,
+  * joins (broadcast / sort-merge / semi / anti), keyed aggregates, distinct,
+  * windows/top-k, event-time bucketing, sessionization.
+  *
+  * Broadway itself has no relational algebra (SURVEY §2.8) — these are the
+  * idiomatic Spark closure of its per-message transform (`handle_message`,
+  * reference lib/broadway.ex:949-999), routing (`put_batcher`,
+  * lib/broadway/message.ex:90-96) and batch-grouping
+  * (lib/broadway/topology/batcher_stage.ex:106-257) semantics over the
+  * driver's star-schema testdata.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dimension tables (region/nation/customer/supplier/part) are broadcast —
+  *    no shuffle of the fact table for star joins;
+  *  - fact-fact joins (orders⋈lineitem) are shuffle hash/sort-merge on the
+  *    join key, which is also the natural bucketing key at scale;
+  *  - aggregates are partial (map-side combine) by construction via groupBy;
+  *  - every filter is a deterministic Column expression so Catalyst pushes it
+  *    into the Parquet scan.
+  */
+object Relational {
+
+  import Tables._
+
+  // Deterministic rounding applied on BOTH sides (Spark + DuckDB oracle) so
+  // double accumulation order (which differs across engines/partitionings)
+  // cannot flip the driver's hash compare. Sums of ~1e6-magnitude doubles
+  // agree to ~1e-9 relative, so 2-4 decimals is far from the noise floor.
+
+  val queries: Seq[Q] = Seq(
+    // E1+E6: full-scan grouped aggregate (TPC-H Q1 pricing summary).
+    Q(
+      "q01_pricing_summary",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // E2+E3: projection + selective filter (predicate pushdown to Parquet).
+    Q(
+      "q02_filter_project",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(
+            col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24 &&
+              col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          )
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            round(col("l_extendedprice") * col("l_discount"), 4).as("disc_revenue")
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_extendedprice * l_discount, 4) AS disc_revenue
+             |FROM lineitem
+             |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // E11: broadcast dim join + fact-fact shuffle join, grouped revenue.
+    Q(
+      "q03_segment_revenue",
+      (s, d) =>
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("line_count")
+          )
+          .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS line_count
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // E11: 5-way star join through region→nation→customer (TPC-H Q5 shape).
+    Q(
+      "q04_region_nation_revenue",
+      (s, d) =>
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)
+    ),
+
+    // E12: global top-k by aggregate (sort + limit after shuffle agg).
+    Q(
+      "q05_top_customers",
+      (s, d) =>
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_custkey"))
+          .limit(10),
+      Some("""SELECT o_custkey,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_custkey
+             |ORDER BY revenue DESC, o_custkey
+             |LIMIT 10""".stripMargin)
+    ),
+
+    // E11: left-semi join (existence filter — dedup-style membership probe).
+    Q(
+      "q06_semi_join_big_spenders",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi"
+          )
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // E11: left-anti join (absence filter).
+    Q(
+      "q07_anti_join_no_urgent",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti"
+          )
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS cnt
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // E12: top-k per group via ranking window.
+    Q(
+      "q08_topk_per_segment",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        customer(s, d)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("c_mktsegment"), col("rk"))
+      },
+      Some("""SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+             |  SELECT c_mktsegment, c_custkey, c_acctbal,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+             |  FROM customer) t
+             |WHERE rk <= 3
+             |ORDER BY c_mktsegment, rk""".stripMargin)
+    ),
+
+    // E12: running-total window (ordered cumulative state per key).
+    Q(
+      "q09_running_order_total",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .filter(col("o_custkey") < 50)
+          .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             |FROM orders
+             |WHERE o_custkey < 50
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+
+    // E6: exact distinct aggregation (shuffle on distinct key).
+    Q(
+      "q10_distinct_parts",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("distinct_parts"),
+            countDistinct(col("l_suppkey")).as("distinct_supps")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS distinct_parts,
+             |  count(DISTINCT l_suppkey) AS distinct_supps
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // E5/E6: event-time bucketing (daily tumbling window over the stream table).
+    Q(
+      "q11_events_daily",
+      (s, d) =>
+        events(s, d)
+          .groupBy(
+            date_trunc("day", col("ts")).as("day"),
+            col("event_type")
+          )
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum(col("value")), 4).as("sum_value"),
+            round(avg(col("value")), 6).as("avg_value")
+          )
+          .orderBy(col("day"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             |  count(*) AS cnt,
+             |  round(sum(value), 4) AS sum_value,
+             |  round(avg(value), 6) AS avg_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY day, event_type""".stripMargin)
+    ),
+
+    // E7: sessionization — per-key event-time ordering with 30-min gap cut.
+    // Exact integer µs arithmetic on both engines (unix_micros / epoch_us).
+    Q(
+      "q12_sessions",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn(
+            "new_session",
+            when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1).otherwise(0)
+          )
+          .groupBy(col("user_id"))
+          .agg(
+            sum(col("new_session")).as("sessions"),
+            count(lit(1)).as("events")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS sessions, count(*) AS events
+             |FROM (
+             |  SELECT user_id,
+             |    CASE WHEN prev_us IS NULL
+             |              OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM (
+             |    SELECT user_id, ts,
+             |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+             |    FROM events) t1) t2
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
+    ),
+
+    // E2: semi-structured extraction from the JSON props column.
+    Q(
+      "q13_json_extract",
+      (s, d) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            round(avg(col("k")), 4).as("avg_k"),
+            max(col("k")).as("max_k"),
+            count(lit(1)).as("cnt")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  round(avg(k), 4) AS avg_k, max(k) AS max_k, count(*) AS cnt
+             |FROM (SELECT event_type,
+             |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |      FROM events) t
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)
+    ),
+
+    // E11+E6: correlated-existence aggregate (TPC-H Q4 shape).
+    Q(
+      "q14_priority_with_returns",
+      (s, d) =>
+        orders(s, d)
+          .join(
+            lineitem(s, d).filter(col("l_returnflag") === "R").select(col("l_orderkey")).distinct(),
+            col("o_orderkey") === col("l_orderkey"),
+            "left_semi"
+          )
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // E11+E6: fact⋈dim aggregate by part brand.
+    Q(
+      "q15_brand_revenue",
+      (s, d) =>
+        lineitem(s, d)
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            count(lit(1)).as("cnt")
+          )
+          .orderBy(col("p_brand")),
+      Some("""SELECT p_brand,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,219 @@
+package graft.ops
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.9 E14):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketing as the scale path (bucket equi-join
+  * instead of the O(n·m) cross join).
+  *
+  * Scale design: at 100 TB the query side is broadcast (queries ≪ corpus)
+  * so the brute-force scan is a map-only pass — no shuffle of the corpus;
+  * the LSH variant turns ANN into a shuffle-join keyed by bucket, trading
+  * recall for a ~2^bits reduction in compared pairs.
+  *
+  * All arithmetic is double-precision with deterministic left-to-right
+  * folds so the DuckDB oracle (sequential list_sum/list_dot_product over
+  * double lists) reproduces the values bit-for-bit before rounding.
+  */
+object SimilarityOps {
+
+  import Tables._
+
+  /** Element-wise dot product of two array<double> columns (left fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def emb(c: Column): Column = c.cast("array<double>")
+
+  // ---- Random-hyperplane LSH ------------------------------------------
+  // Plane coefficients are md5-derived so both engines can re-derive them:
+  // coef(p, j) = hex_to_int(md5("p,j")[0,8)) / 2^31 - 1  ∈ [-1, 1).
+  // The Spark side bakes them in as literal arrays (computed once on the
+  // driver — no per-row hashing at scale); the oracle recomputes per row.
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def planeCoef(p: Int, j: Int): Double =
+    java.lang.Long.parseLong(md5Hex(s"$p,$j").substring(0, 8), 16).toDouble / (1L << 31) - 1.0
+
+  def planes: Seq[Array[Double]] =
+    (0 until NumPlanes).map(p => Array.tabulate(Dim)(j => planeCoef(p, j)))
+
+  /** LSH bucket id: one sign bit per hyperplane, as a bit string. */
+  def bucketExpr(embedding: Column): Column =
+    concat(planes.map { plane =>
+      val planeLit = array(plane.map(lit(_)): _*)
+      when(dot(embedding, planeLit) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** DuckDB: hex→int via digit positions (no hex-cast dependence). */
+  private def sqlHexToInt(h: String): String =
+    (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
+
+  private val sqlEmbD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  private def sqlBucket(embCol: String): String =
+    (0 until NumPlanes).map { p =>
+      val coef = s"CAST(${sqlHexToInt(s"md5(CAST($p AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR))")} AS DOUBLE) / 2147483648.0 - 1.0"
+      s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+         |  i -> ($coef) * $embCol[i])) >= 0 THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" || ")
+
+  val queries: Seq[Q] = Seq(
+    // Brute-force cosine top-k (the exact baseline): 5 query vectors
+    // against the whole corpus; ranking on the rounded value keeps the
+    // ordering engine-independent.
+    Q(
+      "q40_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"), emb(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cosine")
+          )
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT query_id, e.vec_id AS neighbor_id,
+              |    round(list_dot_product(qv, v)
+              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+              |SELECT query_id, neighbor_id, cosine, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |             ORDER BY cosine DESC, neighbor_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // Vector norm statistics per label.
+    Q(
+      "q41_embedding_norms",
+      (s, d) =>
+        embeddings(s, d)
+          .select(col("label"), norm(emb(col("embedding"))).as("nrm"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(avg(col("nrm")), 4).as("avg_norm"),
+            round(min(col("nrm")), 4).as("min_norm"),
+            round(max(col("nrm")), 4).as("max_norm")
+          )
+          .orderBy(col("label")),
+      Some(s"""SELECT label, count(*) AS cnt,
+              |  round(avg(nrm), 4) AS avg_norm,
+              |  round(min(nrm), 4) AS min_norm,
+              |  round(max(nrm), 4) AS max_norm
+              |FROM (SELECT label, sqrt(list_dot_product($sqlEmbD, $sqlEmbD)) AS nrm
+              |      FROM embeddings) t
+              |GROUP BY label
+              |ORDER BY label""".stripMargin)
+    ),
+
+    // Embedding high-similarity pairs: cosine ≥ 0.45 across all pairs
+    // (exact; the LSH bucket below is the candidate-pruning scale path).
+    // 0.45 because the synthetic corpus has no planted vector dups — max
+    // pairwise cosine is ~0.51, so this keeps the result non-trivial.
+    Q(
+      "q42_embedding_neardup",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"), emb(col("embedding")).as("v"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        e.join(b, col("vec_id") < col("vec_b"))
+          .select(
+            col("vec_id").as("vec_a"),
+            col("vec_b"),
+            round(cosine(col("v"), col("vb")), 6).as("cosine")
+          )
+          .filter(col("cosine") >= 0.45)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings)
+              |SELECT vec_a, vec_b, cosine FROM (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    round(list_dot_product(a.v, b.v)
+              |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+              |WHERE cosine >= 0.45
+              |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+
+    // LSH bucket histogram: sign bits against 8 md5-derived hyperplanes.
+    Q(
+      "q43_lsh_buckets",
+      (s, d) =>
+        embeddings(s, d)
+          .select(bucketExpr(emb(col("embedding"))).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("bucket")),
+      Some(s"""SELECT bucket, count(*) AS cnt
+              |FROM (SELECT ${sqlBucket("v")} AS bucket
+              |      FROM (SELECT $sqlEmbD AS v FROM embeddings) e) t
+              |GROUP BY bucket
+              |ORDER BY bucket""".stripMargin)
+    ),
+
+    // Bucketed ANN: same top-k query restricted to the query's LSH bucket —
+    // the equi-join scale path (bucket key join instead of cross join).
+    Q(
+      "q44_ann_lsh_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("bucket", bucketExpr(col("v")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+        val scored = e.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cosine")
+          )
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, v, ${sqlBucket("v")} AS bucket
+              |          FROM (SELECT vec_id, $sqlEmbD AS v FROM embeddings) e0),
+              |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT query_id, e.vec_id AS neighbor_id,
+              |    round(list_dot_product(qv, e.v)
+              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+              |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+              |SELECT query_id, neighbor_id, cosine, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |             ORDER BY cosine DESC, neighbor_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (SURVEY.md §2.9 E15): token statistics, quality
+  * scoring, BPE-ish token counting, document fingerprinting, heuristic
+  * language-ID. All are pure Column expressions (no UDFs) so they stay
+  * inside whole-stage codegen and scale linearly with input — the property
+  * that matters at 100 TB of documents.
+  */
+object TextOps {
+
+  import Tables._
+
+  /** Whitespace tokens of the trimmed text — the shared tokenizer. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Stopword list used by the quality score (tiny, deterministic). */
+  val stopwords: Seq[String] = Seq("a", "the", "of", "and", "in", "to")
+  private val stopArray = array(stopwords.map(lit): _*)
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => array_contains(stopArray, t)))
+
+  /** Composite quality score in [0,1]: length component + non-stopword
+    * component (the length/punct/stopword-ratio family of heuristics).
+    */
+  def qualityScore(toks: Column, nChars: Column): Column = {
+    val nTok = size(toks)
+    val stopRatio = stopwordCount(toks).cast("double") / nTok
+    val lenScore = least(lit(1.0), nTok.cast("double") / lit(80.0))
+    // floor-truncation, not round: the score's small rational denominators
+    // can land exactly on round-half boundaries where Spark (HALF_UP) and
+    // DuckDB disagree; floor of the identical IEEE double is engine-stable.
+    floor((lit(0.5) * lenScore + lit(0.5) * (lit(1.0) - stopRatio)) * 10000) / 10000.0
+  }
+
+  /** Heuristic language-ID: vote by language-specific stopword hits, fall
+    * back to ASCII-ratio classes. Deterministic, codegen-friendly; on the
+    * synthetic corpus (shared English-ish vocabulary) it degenerates to the
+    * fallback — the operator shape (per-language token voting) is the point.
+    */
+  def langIdExpr(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(ws.map(lit): _*), t)))
+    val en = hits(Seq("the", "and", "of", "a", "is"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "et", "les", "est"))
+    val es = hits(Seq("el", "la", "los", "que", "es"))
+    when(de > en && de >= fr && de >= es, "de")
+      .when(fr > en && fr >= es, "fr")
+      .when(es > en, "es")
+      .otherwise("en")
+  }
+
+  val queries: Seq[Q] = Seq(
+    // Per-document token statistics.
+    Q(
+      "q20_text_stats",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("chars"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("uniq_tokens"),
+            round(
+              length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks),
+              4
+            ).as("avg_token_len")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  length(text) AS chars,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS uniq_tokens,
+             |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             |        / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Corpus profile per declared language.
+    Q(
+      "q21_lang_profile",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        documents(s, d)
+          .select(col("lang"), col("n_chars"), size(toks).as("n_tokens"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("docs"),
+            round(avg(col("n_chars")), 4).as("avg_chars"),
+            round(avg(col("n_tokens")), 4).as("avg_tokens")
+          )
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS docs,
+             |  round(avg(n_chars), 4) AS avg_chars,
+             |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+    ),
+
+    // Quality scoring: stopword ratio + length heuristic.
+    Q(
+      "q22_quality_score",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            stopwordCount(toks).cast("long").as("stop_hits"),
+            qualityScore(toks, col("n_chars")).as("quality")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |      t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS stop_hits,
+              |  floor((0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 80.0)
+              |    + 0.5 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |          t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+              |        / len(string_split_regex(trim(text), '\\s+')))) * 10000) / 10000.0 AS quality
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // BPE-ish token counting: words plus isolated non-word non-space marks.
+    Q(
+      "q23_token_count",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("source"),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))).as("n_bpeish")
+          )
+          .groupBy(col("source"))
+          .agg(
+            sum(col("n_bpeish")).as("total_tokens"),
+            round(avg(col("n_bpeish")), 4).as("avg_tokens"),
+            count(lit(1)).as("docs")
+          )
+          .orderBy(col("source")),
+      Some("""SELECT source,
+             |  CAST(sum(n_bpeish) AS BIGINT) AS total_tokens,
+             |  round(avg(n_bpeish), 4) AS avg_tokens,
+             |  count(*) AS docs
+             |FROM (SELECT source,
+             |        len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish
+             |      FROM documents) t
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)
+    ),
+
+    // Document fingerprinting: content hash of the normalized text.
+    Q(
+      "q24_fingerprint",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            md5(lower(trim(col("text")))).as("fingerprint")
+          )
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Heuristic language-ID votes (no SQL oracle: heuristic is engine-side;
+    // driver records the weaker rows-only check).
+    Q(
+      "q25_langid",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), col("lang").as("declared"), langIdExpr(col("text")).as("predicted"))
+          .orderBy(col("doc_id")),
+      None
+    )
+  )
+}
