@@ -1,0 +1,69 @@
+package graft.config
+
+import graft.model.{BatchInfo, Message}
+
+/** One named batcher (sink route) — defaults mirror the reference
+  * (/root/reference/lib/broadway/options.ex:233-283: batch_size 100,
+  * batch_timeout 1000 ms, concurrency 1).
+  *
+  * `batchSplitter`, when set, replaces the fixed `batchSize` with the
+  * dynamic boundary of the reference's tuple `batch_size`
+  * (options.ex:233-263): a fold over messages carrying a user accumulator;
+  * returning `emit = true` closes the batch containing the current message.
+  */
+final case class BatcherConfig[A](
+    name: String,
+    batchSize: Int = 100,
+    batchTimeoutMs: Long = 1000L,
+    concurrency: Int = 1,
+    batchSplitter: Option[BatchSplitter[A]] = None
+)
+
+/** Dynamic batch-boundary function: (message, acc) => (emit, newAcc). */
+final case class BatchSplitter[A](init: Long, step: (Message[A], Long) => (Boolean, Long))
+    extends Serializable
+
+/** Producer rate limiting — allowed messages per interval
+  * (/root/reference/lib/broadway/options.ex:98-128).
+  */
+final case class RateLimiting(allowedMessages: Int, intervalMs: Long)
+
+/** Full pipeline configuration — the Spark analog of the NimbleOptions
+  * schema the reference validates at start_link
+  * (/root/reference/lib/broadway/options.ex:4-334). Callbacks are plain
+  * serializable functions (the CustomHandlers idiom of the reference's own
+  * test suite, test/broadway_test.exs:83-133).
+  */
+final case class PipelineConfig[A](
+    name: String,
+    handleMessage: Message[A] => Message[A] = (m: Message[A]) => m,
+    prepareMessages: Seq[Message[A]] => Seq[Message[A]] = (ms: Seq[Message[A]]) => ms,
+    handleBatch: (String, Seq[Message[A]], BatchInfo) => Seq[Message[A]] =
+      (_: String, ms: Seq[Message[A]], _: BatchInfo) => ms,
+    handleFailed: Seq[Message[A]] => Seq[Message[A]] = (ms: Seq[Message[A]]) => ms,
+    batchers: Seq[BatcherConfig[A]] = Seq(BatcherConfig[A]("default")),
+    partitionBy: Option[A => Int] = None,
+    processorConcurrency: Int = Runtime.getRuntime.availableProcessors() * 2,
+    rateLimiting: Option[RateLimiting] = None,
+    shutdownBudgetMs: Long = 30000L
+) {
+
+  /** Mirror of the reference's config validation (broadway.ex:1141-1152):
+    * fail fast at build time, not when the stream is already running.
+    */
+  def validate(): Either[String, PipelineConfig[A]] = {
+    if (name.isEmpty) Left("pipeline name must be non-empty")
+    else if (batchers.isEmpty) Left("at least one batcher is required")
+    else if (batchers.map(_.name).distinct.size != batchers.size)
+      Left(s"duplicate batcher names: ${batchers.map(_.name).mkString(",")}")
+    else if (batchers.exists(b => b.batchSize <= 0 && b.batchSplitter.isEmpty))
+      Left("batch_size must be positive")
+    else if (batchers.exists(_.batchTimeoutMs <= 0)) Left("batch_timeout must be positive")
+    else if (processorConcurrency <= 0) Left("processor concurrency must be positive")
+    else if (rateLimiting.exists(r => r.allowedMessages <= 0 || r.intervalMs <= 0))
+      Left("rate_limiting requires positive allowed_messages and interval")
+    else Right(this)
+  }
+
+  def batcherNames: Set[String] = batchers.map(_.name).toSet
+}

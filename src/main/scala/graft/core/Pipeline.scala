@@ -1,0 +1,241 @@
+package graft.core
+
+import scala.util.control.NonFatal
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ack.Acknowledger
+import graft.config.{BatcherConfig, PipelineConfig}
+import graft.model.{BatchInfo, BatchMode, Message, MessageStatus}
+import graft.runtime.PipelineRegistry
+
+/** The pipeline engine: Broadway's producer → processor → batcher →
+  * batch-processor topology (/root/reference/guides/internals/architecture.md:
+  * 11-25) realized as a Structured Streaming lineage.
+  *
+  * Stage mapping (all per micro-batch, executor-side):
+  *  - processor stage: `prepareMessages` over partitions (amortized setup,
+  *    reference processor_stage.ex:122-147) then `handleMessage` per message
+  *    with crash containment (processor_stage.ex:149-211);
+  *  - batcher stage: shuffle on (batcher, batchKey) — the analog of the
+  *    partition dispatch in topology.ex:286-289 — then per-group chunking by
+  *    size / custom splitter with trigger labels size|timeout|flush
+  *    (batcher_stage.ex:106-257);
+  *  - batch-processor stage: `handleBatch` per chunk with crash containment
+  *    (batch_processor_stage.ex:110-127);
+  *  - ack: one `Acknowledger.ack` per ackRef group per micro-batch
+  *    (acknowledger.ex:64-85), failed messages passed to `handleFailed`
+  *    first (broadway.ex:1031-1056).
+  *
+  * Scale: nothing here collects to the driver. The only wide edges are the
+  * (batcher, batchKey) shuffle and the ackRef grouping; both keys are
+  * user-chosen and high-cardinality at scale. Deviation from the reference
+  * (documented, SURVEY §7.3): batch timeouts align to micro-batch
+  * boundaries — a partial batch flushes at the end of the micro-batch with
+  * trigger "timeout" instead of waiting a wall-clock timer.
+  */
+object Pipeline {
+
+  /** Process one micro-batch (or one batch DataFrame) through the full
+    * stage chain. Returns the messages with final statuses (post-batch).
+    */
+  def processBatch[A](
+      ds: Dataset[Message[A]],
+      config: PipelineConfig[A],
+      acknowledger: Acknowledger
+  )(implicit enc: Encoder[Message[A]]): Dataset[Message[A]] = {
+    implicit val keyEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+
+    val batcherNames = config.batcherNames
+    val hasBatchers = config.batchers.nonEmpty
+    val prepare = config.prepareMessages
+    val handle = config.handleMessage
+
+    // Processor stage: prepare (per partition) + handle (per message).
+    val handled: Dataset[Message[A]] = ds.mapPartitions { it =>
+      val prepared =
+        try prepare(it.toSeq)
+        catch { case NonFatal(e) => throw e } // prepare crash fails the task (reference: raises)
+      prepared.iterator.map { m =>
+        if (!m.isOk) m
+        else
+          try {
+            val out = handle(m)
+            if (hasBatchers && !batcherNames.contains(out.batcher))
+              // reference raises on unknown batcher (processor_stage.ex:213-224);
+              // we fail the message so the pipeline keeps running
+              out.failed(s"unknown batcher: ${out.batcher}")
+            else out
+          } catch { case NonFatal(e) => m.copy(status = MessageStatus.crashed(e)) }
+      }
+    }
+
+    val afterBatches: Dataset[Message[A]] =
+      if (!hasBatchers) handled // terminal processor: ack directly (broadway.ex:313-323)
+      else {
+        val ok = handled.filter((m: Message[A]) => m.isOk)
+        val failedAtProcessor = handled.filter((m: Message[A]) => !m.isOk)
+        val byBatcher = config.batchers.map(b => b.name -> b).toMap
+        val handleBatchF = config.handleBatch
+
+        val batched = ok
+          .groupByKey((m: Message[A]) => (m.batcher, m.batchKey))
+          .flatMapGroups { (key: (String, String), it: Iterator[Message[A]]) =>
+            val (batcherName, batchKey) = key
+            val bc = byBatcher(batcherName)
+            // Stable per-key order: arrival sequence stamped at ingest
+            // (the ordered-processing guarantee of partition_by,
+            // broadway.ex:524-607; same key ⇒ one group ⇒ serial here).
+            val msgs = it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L))
+            val chunks = splitBatches(msgs, bc)
+            chunks.iterator.flatMap { case (chunk, trigger) =>
+              val info = BatchInfo(batcherName, batchKey, TaskContext.getPartitionId(), chunk.size, trigger)
+              val result =
+                try {
+                  val out = handleBatchF(batcherName, chunk, info)
+                  require(out.size == chunk.size, s"handleBatch must return all ${chunk.size} messages")
+                  out
+                } catch {
+                  case NonFatal(e) => chunk.map(_.copy(status = MessageStatus.crashed(e)))
+                }
+              // ack_immediately messages keep their pre-batch status
+              // (message.ex:172-201: the ack is locked in before the batch).
+              chunk.lazyZip(result).map { (before, after) =>
+                if (before.isAckLocked) after.copy(status = before.status) else after
+              }
+            }
+          }
+        batched.union(failedAtProcessor)
+      }
+
+    // Ack stage: one ack per ackRef group; handleFailed before failure ack.
+    val handleFailedF = config.handleFailed
+    val acked = afterBatches
+      .groupByKey((m: Message[A]) => m.ackRef)
+      .mapGroups { (ref: String, it: Iterator[Message[A]]) =>
+        val msgs = it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L))
+        val (ok, failed) = msgs.partition(_.isOk)
+        val failedFinal =
+          if (failed.nonEmpty)
+            try handleFailedF(failed)
+            catch { case NonFatal(_) => failed } // handle_failed crash must not take down the ack (acknowledger.ex:93-151)
+          else failed
+        acknowledger.ack(ref, ok, failedFinal)
+        ref
+      }
+    acked.collect() // forces the ack action for this micro-batch
+    afterBatches
+  }
+
+  /** Chunk one (batcher, batchKey) group into batches with trigger labels.
+    * Fixed-size path: full chunks are "size"; a trailing partial chunk is
+    * "flush" if any member is flush-mode else "timeout" (micro-batch-aligned
+    * timeout). Splitter path mirrors the tuple batch_size semantics
+    * (options.ex:233-263): accumulator folds until the step says emit.
+    */
+  def splitBatches[A](
+      msgs: Seq[Message[A]],
+      bc: BatcherConfig[A]
+  ): Seq[(Seq[Message[A]], String)] =
+    bc.batchSplitter match {
+      case Some(sp) =>
+        val out = Vector.newBuilder[(Seq[Message[A]], String)]
+        var cur = Vector.empty[Message[A]]
+        var acc = sp.init
+        msgs.foreach { m =>
+          cur :+= m
+          val (emit, next) = sp.step(m, acc)
+          acc = next
+          if (emit) {
+            out += ((cur, "size"))
+            cur = Vector.empty
+            acc = sp.init
+          }
+        }
+        if (cur.nonEmpty)
+          out += ((cur, if (cur.exists(_.batchMode == BatchMode.Flush)) "flush" else "timeout"))
+        out.result()
+      case None =>
+        msgs.grouped(bc.batchSize).toVector.map { chunk =>
+          if (chunk.size == bc.batchSize) (chunk, "size")
+          else if (chunk.exists(_.batchMode == BatchMode.Flush)) (chunk, "flush")
+          else (chunk, "timeout")
+        }
+    }
+
+  /** Start a streaming pipeline over a source of already-wrapped messages.
+    * The analog of `Broadway.start_link/2` (broadway.ex:1123-1162):
+    * validates config, assembles the lineage, registers the running query.
+    */
+  def start[A](
+      spark: SparkSession,
+      source: Dataset[Message[A]],
+      config: PipelineConfig[A],
+      acknowledger: Acknowledger,
+      rateLimiter: Option[RateLimiter] = None
+  )(implicit enc: Encoder[Message[A]]): RunningPipeline[A] = {
+    config.validate() match {
+      case Left(err) => throw new IllegalArgumentException(s"invalid pipeline config: $err")
+      case Right(_)  => ()
+    }
+    val query: StreamingQuery = source.writeStream
+      .queryName(config.name)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (df: Dataset[Message[A]], _: Long) =>
+        processBatch(df, config, acknowledger)
+        ()
+      }
+      .start()
+    val running = new RunningPipeline[A](config, query, rateLimiter)
+    PipelineRegistry.register(running)
+    running
+  }
+}
+
+/** Handle on a started pipeline — introspection + lifecycle, the analog of
+  * `Broadway.topology/1|all_running/0|stop/3` (broadway.ex:1184-1276,
+  * 1525-1539) and the Terminator's graceful drain (topology/terminator.ex:
+  * 41-60): process everything in flight, then stop.
+  */
+final class RunningPipeline[A](
+    val config: PipelineConfig[A],
+    val query: StreamingQuery,
+    val rateLimiter: Option[RateLimiter]
+) {
+  def name: String = config.name
+
+  def processAllAvailable(): Unit = query.processAllAvailable()
+
+  /** Graceful drain + stop within the shutdown budget (default 30 s,
+    * options.ex:13-20).
+    */
+  def stop(): Unit = {
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      query.awaitTermination(config.shutdownBudgetMs)
+      rateLimiter.foreach(_.shutdown())
+      PipelineRegistry.unregister(name)
+    }
+  }
+
+  def topology: TopologyInfo =
+    TopologyInfo(
+      name = name,
+      processorConcurrency = config.processorConcurrency,
+      batchers = config.batchers.map(b => BatcherInfo(b.name, b.batchSize, b.batchTimeoutMs, b.concurrency))
+    )
+
+  def getRateLimiting: Option[graft.config.RateLimiting] = rateLimiter.map(_.get)
+
+  def updateRateLimiting(
+      allowedMessages: Option[Int] = None,
+      intervalMs: Option[Long] = None,
+      reset: Boolean = false
+  ): Unit = rateLimiter.foreach(_.update(allowedMessages, intervalMs, reset))
+}
+
+final case class BatcherInfo(name: String, batchSize: Int, batchTimeoutMs: Long, concurrency: Int)
+final case class TopologyInfo(name: String, processorConcurrency: Int, batchers: Seq[BatcherInfo])

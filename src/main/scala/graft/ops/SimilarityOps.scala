@@ -23,9 +23,13 @@ object SimilarityOps {
 
   import Tables._
 
-  /** Element-wise dot product of two array<double> columns (left fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Element-wise dot product — the native codegen expression
+    * (graft.functions.DotProduct). Same sequential fold as the
+    * `aggregate(zip_with(...))` HOF formulation and DuckDB's
+    * list_dot_product, so values are bit-identical; ~10× faster because it
+    * stays inside whole-stage codegen.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -80,13 +84,19 @@ object SimilarityOps {
     Q(
       "q40_cosine_topk",
       (s, d) => {
-        val e = embeddings(s, d).select(col("vec_id"), emb(col("embedding")).as("v"))
-        val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("v").as("qv"))
+        // Norms are computed once per row BEFORE the join (identical doubles
+        // to computing them per pair — same inputs, same fold — but O(n)
+        // instead of O(n·q) square roots).
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("nv", norm(col("v")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(
             col("query_id"),
             col("vec_id").as("neighbor_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cosine")
+            round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cosine")
           )
         val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
         scored
@@ -140,13 +150,15 @@ object SimilarityOps {
     Q(
       "q42_embedding_neardup",
       (s, d) => {
-        val e = embeddings(s, d).select(col("vec_id"), emb(col("embedding")).as("v"))
-        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-        e.join(b, col("vec_id") < col("vec_b"))
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("nv", norm(col("v")))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb"))
+        e.join(broadcast(b), col("vec_id") < col("vec_b"))
           .select(
             col("vec_id").as("vec_a"),
             col("vec_b"),
-            round(cosine(col("v"), col("vb")), 6).as("cosine")
+            round(dot(col("v"), col("vb")) / (col("nv") * col("nb")), 6).as("cosine")
           )
           .filter(col("cosine") >= 0.45)
           .orderBy(col("vec_a"), col("vec_b"))
@@ -185,14 +197,15 @@ object SimilarityOps {
         val e = embeddings(s, d)
           .select(col("vec_id"), emb(col("embedding")).as("v"))
           .withColumn("bucket", bucketExpr(col("v")))
+          .withColumn("nv", norm(col("v")))
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"), col("nv").as("nq"))
         val scored = e.join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(
             col("query_id"),
             col("vec_id").as("neighbor_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cosine")
+            round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cosine")
           )
         val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
         scored

@@ -1,0 +1,18 @@
+package graft.runtime
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Global registry of running pipelines — the analog of the reference's
+  * config storage (/root/reference/lib/broadway/config_storage.ex:1-44,
+  * `:persistent_term` backend) powering `Broadway.all_running/0`
+  * (broadway.ex:1259-1276).
+  */
+object PipelineRegistry {
+  private val running = new ConcurrentHashMap[String, graft.core.RunningPipeline[_]]()
+
+  def register(p: graft.core.RunningPipeline[_]): Unit = running.put(p.name, p)
+  def unregister(name: String): Unit = running.remove(name)
+  def get(name: String): Option[graft.core.RunningPipeline[_]] = Option(running.get(name))
+  def allRunning: Seq[String] = running.keySet().asScala.toSeq.sorted
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between custom Catalyst `Expression`s and the public `Column`
+  * API (Spark 4 wraps Columns in ColumnNodes; the converters live in
+  * `org.apache.spark.sql.classic` with private[sql] visibility, hence this
+  * one-file shim in the sql package — the standard extension-library
+  * pattern).
+  */
+object GraftColumns {
+  def lift(e: Expression): Column = ExpressionUtils.column(e)
+  def unlift(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.Message
+import graft.streaming.{EmittedBatch, KeyedBatcher}
+
+object EmitProbe {
+  val emitted = new ConcurrentLinkedQueue[(String, String, String, Seq[Int])]()
+  def drain(): Seq[(String, String, String, Seq[Int])] =
+    Iterator.continually(emitted.poll()).takeWhile(_ != null).toSeq
+  def clear(): Unit = emitted.clear()
+}
+
+/** Streaming-state batching: size batches within and across micro-batches,
+  * timeout flush of open batches (batcher_stage.ex:80-89,106-257).
+  *
+  * NOTE: queries with ProcessingTimeTimeout state always "require another
+  * batch" (the timer may fire), so `processAllAvailable()` never quiesces —
+  * these specs poll the probe with a deadline instead.
+  */
+class KeyedBatcherSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def awaitEmitted(
+      atLeast: Int,
+      timeoutMs: Long = 20000
+  ): Seq[(String, String, String, Seq[Int])] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var got = Seq.empty[(String, String, String, Seq[Int])]
+    while (got.size < atLeast && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      got = got ++ EmitProbe.drain()
+    }
+    got
+  }
+
+  test("size batches across micro-batches; timeout flushes the remainder") {
+    EmitProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Message[Int]]
+    val batches = KeyedBatcher(stream.toDS(), batchSize = 10, batchTimeoutMs = 300)
+    val query = batches.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[Int]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbe.emitted.add((b.batcher, b.batchKey, b.trigger, b.messages.map(_.data)))
+        }
+        ()
+      }
+      .start()
+    try {
+      // 15 messages: one full size-10 batch emits; 5 buffer until the
+      // processing-time timer fires, then flush with trigger "timeout".
+      stream.addData((1 to 15).map(i => Message(i, metadata = Map("seq" -> i.toString))))
+      val got = awaitEmitted(atLeast = 2)
+      assert(got.size == 2, s"expected size+timeout batches, got $got")
+      assert(got.head._3 == "size")
+      assert(got.head._4 == (1 to 10))
+      assert(got(1)._3 == "timeout")
+      assert(got(1)._4 == (11 to 15))
+    } finally query.stop()
+  }
+
+  test("flush-mode message flushes its open batch immediately") {
+    EmitProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Message[Int]]
+    val batches = KeyedBatcher(stream.toDS(), batchSize = 100, batchTimeoutMs = 600000)
+    val query = batches.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[Int]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbe.emitted.add((b.batcher, b.batchKey, b.trigger, b.messages.map(_.data)))
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(Seq(Message(1, metadata = Map("seq" -> "1")), Message(2, metadata = Map("seq" -> "2"))))
+      Thread.sleep(1000)
+      assert(EmitProbe.drain().isEmpty) // buffered: far from size, long timeout
+      stream.addData(Seq(Message(3, metadata = Map("seq" -> "3"), batchMode = "flush")))
+      val out = awaitEmitted(atLeast = 1)
+      assert(out.map(_._3) == Seq("flush"))
+      assert(out.head._4 == Seq(1, 2, 3))
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,361 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import graft.config.{BatcherConfig, BatchSplitter, PipelineConfig, RateLimiting}
+import graft.model.{BatchInfo, Message}
+import graft.runtime.PipelineRegistry
+import graft.testkit.TestPipeline
+
+/** Records what reaches handleBatch — executor-side static (same JVM in
+  * local mode), the CustomHandlers-via-context idiom of the reference's
+  * tests (test/broadway_test.exs:83-133).
+  */
+object BatchProbe {
+  val batches = new ConcurrentLinkedQueue[(BatchInfo, Seq[Int])]()
+  def record(info: BatchInfo, data: Seq[Int]): Unit = batches.add((info, data))
+  def drain(): Seq[(BatchInfo, Seq[Int])] =
+    Iterator.continually(batches.poll()).takeWhile(_ != null).toSeq
+  def clear(): Unit = batches.clear()
+}
+
+/** End-to-end pipeline scenarios mirroring /root/reference/test/
+  * broadway_test.exs (cites per test).
+  */
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def simpleConfig(name: String): PipelineConfig[Int] =
+    PipelineConfig[Int](name = name)
+
+  // dummy_producer_test.exs:12-28 — single message through, acked ok.
+  test("single message flows through and is acked") {
+    val tp = new TestPipeline(spark, simpleConfig("single"))
+    try {
+      tp.testMessage(42)
+      tp.processAllAvailable()
+      val acks = tp.acks()
+      assert(acks.nonEmpty)
+      val ok = acks.flatMap(_.successful).map(_.data)
+      assert(ok == Seq(42))
+      assert(acks.flatMap(_.failed).isEmpty)
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:799-806 — failed messages are not forwarded to batchers.
+  test("failed message skips batcher and acks failed") {
+    BatchProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "failing",
+      handleMessage = m => if (m.data % 2 == 1) m.failed("odd") else m,
+      handleBatch = (_, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      }
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(1, 2, 3, 4))
+      tp.processAllAvailable()
+      val acks = tp.acks()
+      assert(acks.flatMap(_.successful).map(_.data.asInstanceOf[Int]).sorted == Seq(2, 4))
+      val failed = acks.flatMap(_.failed)
+      assert(failed.map(_.data).map(_.asInstanceOf[Int]).sorted == Seq(1, 3))
+      assert(failed.forall(_.status.reason == "odd"))
+      val batched = BatchProbe.drain().flatMap(_._2)
+      assert(batched.sorted == Seq(2, 4)) // odd ones never reached handleBatch
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:808-817 — crash in handle_message marks {kind, reason},
+  // pipeline keeps running.
+  test("crash in handleMessage is contained with kind/reason") {
+    val cfg = PipelineConfig[Int](
+      name = "crashing",
+      handleMessage = m =>
+        if (m.data == 13) throw new IllegalStateException("boom") else m
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(12, 13, 14))
+      tp.processAllAvailable()
+      val acks = tp.acks()
+      assert(acks.flatMap(_.successful).map(_.data.asInstanceOf[Int]).sorted == Seq(12, 14))
+      val failed = acks.flatMap(_.failed)
+      assert(failed.size == 1)
+      assert(failed.head.status.kind == "java.lang.IllegalStateException")
+      assert(failed.head.status.reason == "boom")
+      // pipeline still alive: push more
+      tp.testMessage(99)
+      tp.processAllAvailable()
+      assert(tp.acks().flatMap(_.successful).map(_.data) == Seq(99))
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:1128-1170 — batches by size, remainder flushed with a
+  // non-size trigger at the micro-batch boundary.
+  test("batching by size with remainder trigger") {
+    BatchProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "sized",
+      handleBatch = (_, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      },
+      batchers = Seq(BatcherConfig[Int]("default", batchSize = 10, batchTimeoutMs = 100))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(1 to 25)
+      tp.processAllAvailable()
+      val batches = BatchProbe.drain()
+      val sizes = batches.map(_._2.size).sorted
+      assert(sizes == Seq(5, 10, 10))
+      val triggers = batches.map(_._1.trigger)
+      assert(triggers.count(_ == "size") == 2)
+      assert(triggers.count(t => t == "timeout" || t == "flush") == 1)
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:1205-1227 — batch_key sub-grouping.
+  test("batch_key groups batches per key") {
+    BatchProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "keyed",
+      handleMessage = m => m.putBatchKey(if (m.data % 2 == 0) "even" else "odd"),
+      handleBatch = (_, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      },
+      batchers = Seq(BatcherConfig[Int]("default", batchSize = 4))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(1 to 8)
+      tp.processAllAvailable()
+      val batches = BatchProbe.drain()
+      assert(batches.size == 2)
+      batches.foreach { case (info, data) =>
+        assert(Set("even", "odd").contains(info.batchKey))
+        assert(data.forall(d => (d % 2 == 0) == (info.batchKey == "even")))
+        assert(info.trigger == "size")
+      }
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:1229-1351 — custom batch splitter with accumulator.
+  test("custom batch splitter emits variable-size batches") {
+    BatchProbe.clear()
+    // emit a batch whenever cumulative weight (data value) reaches 10
+    val splitter = BatchSplitter[Int](0L, (m, acc) => {
+      val next = acc + m.data
+      (next >= 10, next)
+    })
+    val cfg = PipelineConfig[Int](
+      name = "split",
+      handleBatch = (_, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      },
+      batchers = Seq(BatcherConfig[Int]("default", batchSplitter = Some(splitter)))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(6, 6, 3, 3, 3, 3, 9, 1))
+      tp.processAllAvailable()
+      val batches = BatchProbe.drain().map(_._2)
+      // 6+6=12 → emit; 3+3+3+3=12 → emit; 9+1=10 → emit
+      assert(batches == Seq(Seq(6, 6), Seq(3, 3, 3, 3), Seq(9, 1)))
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:1433-1454 — same-key messages processed in order.
+  test("per-key ordering is preserved through the shuffle") {
+    BatchProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "ordered",
+      handleMessage = m => m.putBatchKey((m.data % 4).toString),
+      handleBatch = (_, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      },
+      batchers = Seq(BatcherConfig[Int]("default", batchSize = 100))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(1 to 40)
+      tp.processAllAvailable()
+      BatchProbe.drain().foreach { case (_, data) =>
+        assert(data == data.sorted, s"out-of-order within key: $data")
+      }
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:1746-1833 — handle_failed invoked before failure ack.
+  test("handleFailed transforms failed messages before ack") {
+    val cfg = PipelineConfig[Int](
+      name = "dlq",
+      handleMessage = m => if (m.data < 0) m.failed("negative") else m,
+      handleFailed = msgs => msgs.map(m => m.copy(metadata = m.metadata + ("dlq" -> "true")))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(-1, 5, -2))
+      tp.processAllAvailable()
+      val failed = tp.acks().flatMap(_.failed)
+      assert(failed.size == 2)
+      assert(failed.forall(_.metadata.get("dlq").contains("true")))
+    } finally tp.stop()
+  }
+
+  // processor_stage.ex:213-224 — unknown batcher is rejected (as a failure,
+  // keeping the pipeline alive).
+  test("routing to an unknown batcher fails the message") {
+    val cfg = PipelineConfig[Int](
+      name = "badroute",
+      handleMessage = m => m.putBatcher("nope")
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testMessage(1)
+      tp.processAllAvailable()
+      val failed = tp.acks().flatMap(_.failed)
+      assert(failed.size == 1)
+      assert(failed.head.status.reason.contains("unknown batcher"))
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:2388-2399 — acks grouped per ack_ref.
+  test("acks are grouped by ackRef") {
+    val cfg = simpleConfig("ackgroups")
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.pushMessages(Seq(
+        Message(1, ackRef = "a"),
+        Message(2, ackRef = "b"),
+        Message(3, ackRef = "a")
+      ))
+      tp.processAllAvailable()
+      val acks = tp.acks()
+      assert(acks.size == 2)
+      val byRef = acks.map(a => a.ackRef -> a.successful.map(_.data)).toMap
+      assert(byRef("a").toSet == Set(1, 3))
+      assert(byRef("b") == Seq(2))
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:2595-2643 — rate limiting buffers over-limit messages.
+  // (interval is long so the replenish can't race processAllAvailable; the
+  // time-based replenish itself is covered in RateLimiterSpec)
+  test("rate limiting admits up to the budget and buffers the rest") {
+    val cfg = PipelineConfig[Int](
+      name = "limited",
+      rateLimiting = Some(RateLimiting(allowedMessages = 2, intervalMs = 600000))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(1, 2, 3, 4, 5))
+      tp.processAllAvailable()
+      val first = tp.acks().flatMap(_.successful).map(_.data)
+      assert(first == Seq(1, 2), s"expected first 2 admitted, got $first")
+      assert(tp.pendingCount == 3)
+      // open the gate: buffered demand replays
+      tp.running.updateRateLimiting(allowedMessages = Some(100), reset = true)
+      tp.processAllAvailable()
+      val rest = tp.acks().flatMap(_.successful).map(_.data)
+      assert((first ++ rest).map(_.asInstanceOf[Int]).sorted == Seq(1, 2, 3, 4, 5))
+      assert(tp.pendingCount == 0)
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:2758-2812 — runtime rate-limit update with reset.
+  test("updateRateLimiting with reset opens the gate immediately") {
+    val cfg = PipelineConfig[Int](
+      name = "limited2",
+      rateLimiting = Some(RateLimiting(allowedMessages = 1, intervalMs = 60000))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(1, 2, 3))
+      tp.processAllAvailable()
+      assert(tp.acks().flatMap(_.successful).map(_.data) == Seq(1))
+      assert(tp.running.getRateLimiting.map(_.allowedMessages).contains(1))
+      tp.running.updateRateLimiting(allowedMessages = Some(100), reset = true)
+      tp.processAllAvailable()
+      val rest = tp.acks().flatMap(_.successful).map(_.data)
+      assert(rest.map(_.asInstanceOf[Int]).sorted == Seq(2, 3))
+      assert(tp.running.getRateLimiting.map(_.allowedMessages).contains(100))
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:2828-2943 — introspection.
+  test("topology and registry introspection") {
+    val cfg = PipelineConfig[Int](
+      name = "introspect",
+      batchers = Seq(BatcherConfig[Int]("default"), BatcherConfig[Int]("s3", batchSize = 50))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      assert(PipelineRegistry.allRunning.contains("introspect"))
+      val topo = tp.running.topology
+      assert(topo.batchers.map(_.name).toSet == Set("default", "s3"))
+      assert(topo.batchers.find(_.name == "s3").get.batchSize == 50)
+      assert(topo.processorConcurrency > 0)
+    } finally {
+      tp.stop()
+      assert(!PipelineRegistry.allRunning.contains("introspect"))
+    }
+  }
+
+  // message.ex:172-201 — ack_immediately locks the ack status before the batch.
+  test("ackImmediately survives a handleBatch crash with its locked status") {
+    val cfg = PipelineConfig[Int](
+      name = "acknow",
+      handleMessage = m => if (m.data == 7) m.ackImmediately else m,
+      handleBatch = (_, msgs, _) => throw new RuntimeException("batch boom")
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(6, 7, 8))
+      tp.processAllAvailable()
+      val acks = tp.acks()
+      // 7 was ack-locked as ok before the batch crashed; 6 and 8 fail
+      assert(acks.flatMap(_.successful).map(_.data) == Seq(7))
+      assert(acks.flatMap(_.failed).map(_.data.asInstanceOf[Int]).sorted == Seq(6, 8))
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:2514-2541 — drain on shutdown processes in-flight work.
+  test("stop drains in-flight messages before terminating") {
+    val tp = new TestPipeline(spark, simpleConfig("draining"))
+    tp.testBatch(1 to 20)
+    tp.stop() // no processAllAvailable first: stop() itself must drain
+    assert(!PipelineRegistry.allRunning.contains("draining"))
+    val delivered = tp.acks().flatMap(_.successful).map(_.data.asInstanceOf[Int]).sorted
+    assert(delivered == (1 to 20).toList, s"drain lost messages: $delivered")
+    tp.clearAcks()
+  }
+
+  // multi-batcher routing (put_batcher, message.ex:90-96).
+  test("messages route to their named batcher") {
+    BatchProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "routes",
+      handleMessage = m => m.putBatcher(if (m.data > 10) "big" else "small"),
+      handleBatch = (name, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      },
+      batchers = Seq(BatcherConfig[Int]("small"), BatcherConfig[Int]("big"))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(1, 20, 2, 30))
+      tp.processAllAvailable()
+      val byBatcher = BatchProbe.drain().groupBy(_._1.batcher)
+      assert(byBatcher("small").flatMap(_._2).sorted == Seq(1, 2))
+      assert(byBatcher("big").flatMap(_._2).sorted == Seq(20, 30))
+    } finally tp.stop()
+  }
+}
