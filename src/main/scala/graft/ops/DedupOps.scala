@@ -7,15 +7,20 @@ import org.apache.spark.sql.functions._
   * groupBy), MinHash+LSH near-dup (shingle → minhash → band → bucket join →
   * verify), SimHash signatures, and the end-to-end "kept documents" pass.
   *
-  * Scale design: the LSH path never computes O(n²) pairs — candidates come
-  * from an equi-join on (band, band-signature), which Spark executes as a
-  * shuffle hash join keyed by the bucket. At 100 TB the bucket join is the
-  * only wide edge and its key space grows with corpus size, so it stays
-  * balanced; the final verify join touches only candidate pairs.
+  * Scale design:
+  *  - the LSH path never computes O(n²) pairs — candidates come from an
+  *    equi-join on (band, band-signature), a shuffle join keyed by bucket
+  *    whose key space grows with the corpus, so it stays balanced at 100 TB;
+  *  - signatures are computed by EXPLODING shingles and aggregating scalar
+  *    md5 windows (whole-stage codegen + map-side partial min), not by
+  *    interpreted higher-order lambdas — one digest yields four 32-bit hash
+  *    functions (8-hex-char windows), so the md5 count is shingles × 2 for
+  *    8 hash functions;
+  *  - the verify join touches only candidate pairs.
   *
-  * All hashes are md5-derived so the DuckDB oracle can reproduce them
-  * bit-for-bit (minhash compares 16-hex-char prefixes lexicographically —
-  * order-isomorphic to comparing the numeric hash).
+  * All hashes are md5-derived so the DuckDB oracle reproduces them
+  * bit-for-bit (minhash compares 8-hex-char windows lexicographically —
+  * order-isomorphic to comparing the 32-bit numeric hash).
   */
 object DedupOps {
 
@@ -42,41 +47,67 @@ object DedupOps {
       )
     )
 
-  /** k-th minhash of a shingle set: lexicographic min of the first 16 hex
-    * chars of md5("<k>:" + shingle).
+  /** (doc_id, tok: array<string>) with the token array MATERIALIZED: the
+    * `repartition(doc_id)` is a deliberate barrier — without it,
+    * CollapseProject inlines the split() into every element_at of every
+    * shingle lambda (~3×shingles regex splits of the full text per doc).
+    * It also hash-pre-partitions on doc_id, which the downstream signature
+    * aggregation reuses (single shuffle total), and spreads the
+    * single-file parquet scan across cores.
     */
-  def minhash(sh: Column, k: Int): Column =
-    array_min(transform(sh, x => substring(md5(concat(lit(s"$k:"), x)), 1, 16)))
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), toks.as("tok"))
+      .repartition(col("doc_id"))
+
+  /** (doc_id, s: array<string>) — the shingle sets (for verification). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d).select(col("doc_id"), shingles(col("tok")).as("s"))
+
+  /** MinHash signatures mh0..mh{n-1} via explode + scalar md5 + min-agg.
+    * Hash k is the 8-hex-char window `1 + 8*(k%4) .. +8` of
+    * md5("<k/4>:" + shingle) — identical to the oracle's list formulation.
+    */
+  def minhashSignatures(s: SparkSession, d: String, numHashes: Int): DataFrame = {
+    val ex = shingleSets(s, d).select(col("doc_id"), explode_outer(col("s")).as("sh"))
+    val withDigests = ex.select(
+      col("doc_id") +:
+        (0 until (numHashes + 3) / 4).map(g => md5(concat(lit(s"$g:"), col("sh"))).as(s"h$g")): _*
+    )
+    withDigests
+      .groupBy(col("doc_id"))
+      .agg(
+        min(substring(col("h0"), 1, 8)).as("mh0"),
+        (1 until numHashes).map(k =>
+          min(substring(col(s"h${k / 4}"), 1 + 8 * (k % 4), 8)).as(s"mh$k")
+        ): _*
+      )
+  }
 
   /** DuckDB SQL fragments mirroring the Spark expressions above. */
   private val sqlTok = "string_split_regex(trim(text), '\\s+')"
   private val sqlShingles =
     "list_distinct(list_transform(range(1, len(tok)-1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))"
   private def sqlMinhash(k: Int) =
-    s"list_min(list_transform(s, x -> substr(md5('$k:' || x), 1, 16)))"
+    s"list_min(list_transform(s, x -> substr(md5('${k / 4}:' || x), ${1 + 8 * (k % 4)}, 8)))"
 
   /** Exact word-3gram Jaccard between two distinct shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
 
-  /** Spark side of the MinHash-LSH candidate-pair pipeline: returns
-    * (doc_a, doc_b, jaccard) for verified near-dup pairs.
+  /** MinHash-LSH candidate-pair pipeline: returns (doc_a, doc_b, jaccard)
+    * for verified near-dup pairs at the given threshold.
     */
   def lshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"), shingles(toks).as("s"))
-    val sigs = sh.select(
-      col("doc_id"),
-      col("s"),
-      array((0 until NumHashes).map(k => minhash(col("s"), k)): _*).as("sig")
-    )
+    val sh = shingleSets(s, d)
+    val sigs = minhashSignatures(s, d, NumHashes)
     val bands = sigs.select(
       col("doc_id"),
       explode(
         array((0 until NumBands).map { b =>
           struct(
             lit(b).as("band"),
-            concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)).as("bsig")
+            concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bsig")
           )
         }: _*)
       ).as("bk")
@@ -114,17 +145,27 @@ object DedupOps {
        |  WHERE jaccard >= $threshold)""".stripMargin
   }
 
-  /** 16-bit SimHash: bit p is the sign of the sum over tokens of ±1 by the
-    * parity of hex digit p of md5(token). Duplicate tokens weight naturally.
+  /** 16-bit SimHash via explode + one scalar md5 per token: bit p is the
+    * sign of the sum over tokens of ±1 by the parity of hex digit p of
+    * md5(token). Duplicate tokens weight naturally.
     */
-  def simhashExpr(tokens: Column): Column =
-    concat((1 to 16).map { p =>
-      val contrib = transform(
-        tokens,
-        t => lit(2) * (conv(substring(md5(t), p, 1), 16, 10).cast("int") % 2) - 1
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val ex = documents(s, d)
+      .select(col("doc_id"), explode_outer(toks).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    val sums = ex
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(lit(2) * (conv(substring(col("h"), 1, 1), 16, 10).cast("int") % 2) - 1).as("s1"),
+        (2 to 16).map(p =>
+          sum(lit(2) * (conv(substring(col("h"), p, 1), 16, 10).cast("int") % 2) - 1).as(s"s$p")
+        ): _*
       )
-      when(aggregate(contrib, lit(0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    sums.select(
+      col("doc_id"),
+      concat((1 to 16).map(p => when(col(s"s$p") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash")
+    )
+  }
 
   private val sqlSimhash: String =
     (1 to 16).map { p =>
@@ -152,14 +193,10 @@ object DedupOps {
     // MinHash signatures (first 4 hash functions).
     Q(
       "q31_minhash_sig",
-      (s, d) => {
-        val sh = shingles(toks)
-        documents(s, d)
-          .select(
-            col("doc_id") +: (0 until 4).map(k => minhash(sh, k).as(s"mh$k")): _*
-          )
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        minhashSignatures(s, d, 4)
+          .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+          .orderBy(col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
               |sh AS (SELECT doc_id, $sqlShingles AS s FROM t)
               |SELECT doc_id, ${(0 until 4).map(k => s"${sqlMinhash(k)} AS mh$k").mkString(", ")}
@@ -180,10 +217,7 @@ object DedupOps {
     // SimHash signatures.
     Q(
       "q33_simhash",
-      (s, d) =>
-        documents(s, d)
-          .select(col("doc_id"), simhashExpr(toks).as("simhash"))
-          .orderBy(col("doc_id")),
+      (s, d) => simhashSignatures(s, d).orderBy(col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents)
               |SELECT doc_id, $sqlSimhash AS simhash
               |FROM t
