@@ -45,7 +45,15 @@ final case class PipelineConfig[A](
     partitionBy: Option[A => Int] = None,
     processorConcurrency: Int = Runtime.getRuntime.availableProcessors() * 2,
     rateLimiting: Option[RateLimiting] = None,
-    shutdownBudgetMs: Long = 30000L
+    shutdownBudgetMs: Long = 30000L,
+    /** Analog of `prepare_for_start/2` (producer.ex:111-114): runs on the
+      * driver before the query starts (register pools, warm caches).
+      */
+    prepareForStart: () => Unit = () => (),
+    /** Analog of `prepare_for_draining/1` (producer.ex:116-133): runs on
+      * the driver at the start of graceful shutdown, before the drain.
+      */
+    prepareForDraining: () => Unit = () => ()
 ) {
 
   /** Mirror of the reference's config validation (broadway.ex:1141-1152):

@@ -133,6 +133,26 @@ object PipelineOps {
              |ORDER BY ack_ref""".stripMargin)
     ),
 
+    // E5: group-collect — the BatcherStage's collect-into-batch as a
+    // relational aggregate (collect_list per key, deterministically sorted).
+    Q(
+      "q66_group_collect",
+      (s, d) =>
+        events(s, d)
+          .filter(col("user_id") < 20)
+          .groupBy(col("user_id"))
+          .agg(
+            sort_array(collect_list(col("event_id"))).as("ids"),
+            count(lit(1)).as("cnt")
+          )
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id, list_sort(list(event_id)) AS ids, count(*) AS cnt
+             |FROM events
+             |WHERE user_id < 20
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
+    ),
+
     // E10: dead-letter flow — failed messages with reason, never forwarded
     // (reference handle_failed, lib/broadway.ex:1031-1056; failed messages
     // skip later stages, lib/broadway/message.ex:160-166).

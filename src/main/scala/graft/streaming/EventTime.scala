@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time processing — deliberately BEYOND the reference: Broadway has
+  * no event-time windows, watermarks, or late-data handling (SURVEY §2.8;
+  * its only timers are processing-time batch timeouts,
+  * batcher_stage.ex:240-243). On Spark these are native and essential for
+  * the 100 TB streaming-analytics surface, so the engine exposes them
+  * first-class.
+  */
+object EventTime {
+
+  /** Tumbling event-time window aggregation with a watermark: late rows
+    * beyond `watermarkDelay` are dropped; in append mode a window emits
+    * once, when the watermark passes its end — the exactly-once analog of a
+    * finalized batch.
+    */
+  def tumblingAgg(
+      events: DataFrame,
+      eventTimeCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]
+  ): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session windows keyed by arbitrary columns: gap-based grouping — the
+    * event-time generalization of the batch sessionization in
+    * q12_sessions.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      eventTimeCol: String,
+      gapDuration: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]
+  ): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(session_window(col(eventTimeCol), gapDuration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+}

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumns {
   def lift(e: Expression): Column = ExpressionUtils.column(e)
   def unlift(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Imperative SQL-function registration on an existing session (the
+    * extensions-config path is `graft.GraftExtensions`).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression
+  ): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "builtin")
 }

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventTime
+
+object WindowProbe {
+  val rows = new ConcurrentLinkedQueue[(Timestamp, String, Long)]()
+  def drain(): Seq[(Timestamp, String, Long)] =
+    Iterator.continually(rows.poll()).takeWhile(_ != null).toSeq
+  def clear(): Unit = rows.clear()
+}
+
+/** Event-time windows + watermark: finalized windows emit in append mode;
+  * data later than the watermark is dropped.
+  */
+class EventTimeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling windows finalize when the watermark passes and drop late data") {
+    WindowProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val windowed = EventTime.tumblingAgg(
+      stream.toDF().toDF("ts", "kind"),
+      eventTimeCol = "ts",
+      windowDuration = "5 minutes",
+      watermarkDelay = "1 minute",
+      keys = Seq(col("kind")),
+      aggs = Seq(count(lit(1)).as("cnt"))
+    )
+    val q = windowed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.select(col("window.start"), col("kind"), col("cnt")).collect().foreach { r =>
+          WindowProbe.rows.add((r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(Seq((ts(0), "a"), (ts(1), "a"), (ts(2), "b")))
+      q.processAllAvailable()
+      assert(WindowProbe.drain().isEmpty) // window [10:00,10:05) not finalized yet
+
+      // advance the watermark past 10:05 (+1 min delay) → window finalizes
+      stream.addData(Seq((ts(7), "a")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(8), "a"))) // one more batch so append emits
+      q.processAllAvailable()
+      val emitted = WindowProbe.drain()
+      val first = emitted.filter(_._1 == ts(0))
+      assert(first.map(t => t._2 -> t._3).toMap == Map("a" -> 2L, "b" -> 1L), s"got $emitted")
+
+      // a very late row for the finalized window is dropped
+      stream.addData(Seq((ts(1), "a")))
+      q.processAllAvailable()
+      assert(WindowProbe.drain().forall(_._1 != ts(0)))
+    } finally q.stop()
+  }
+}

@@ -11,6 +11,14 @@ import graft.testkit.TestPipeline
   * local mode), the CustomHandlers-via-context idiom of the reference's
   * tests (test/broadway_test.exs:83-133).
   */
+object ProcessorProbe {
+  val seen = new ConcurrentLinkedQueue[(Int, Int)]()
+  def record(key: Int, value: Int): Unit = seen.add((key, value))
+  def drain(): Seq[(Int, Int)] =
+    Iterator.continually(seen.poll()).takeWhile(_ != null).toSeq
+  def clear(): Unit = seen.clear()
+}
+
 object BatchProbe {
   val batches = new ConcurrentLinkedQueue[(BatchInfo, Seq[Int])]()
   def record(info: BatchInfo, data: Seq[Int]): Unit = batches.add((info, data))
@@ -306,6 +314,28 @@ class PipelineSpec extends SparkSpec {
       tp.stop()
       assert(!PipelineRegistry.allRunning.contains("introspect"))
     }
+  }
+
+  // broadway.ex:524-607 — partition_by: same key processed serially in
+  // arrival order at the PROCESSOR stage (not just inside batches).
+  test("partitionBy processes same-key messages in arrival order") {
+    ProcessorProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "partitioned",
+      partitionBy = Some((i: Int) => i % 3),
+      handleMessage = m => { ProcessorProbe.record(m.data % 3, m.data); m },
+      processorConcurrency = 4
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(1 to 30)
+      tp.processAllAvailable()
+      val seen = ProcessorProbe.drain().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      assert(seen.keySet == Set(0, 1, 2))
+      seen.foreach { case (k, vals) =>
+        assert(vals == vals.sorted, s"key $k processed out of order: $vals")
+      }
+    } finally tp.stop()
   }
 
   // message.ex:172-201 — ack_immediately locks the ack status before the batch.

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.QueryRegistry
+
+/** Physical-plan shape assertions — the properties that matter at 100 TB
+  * (filter pushdown to the scan, column pruning, broadcast dim joins,
+  * map-side partial aggregation) must not silently regress.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryRegistry.byName(name).fn(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02 pushes predicates into the parquet scan and prunes columns") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("l_discount"), "discount filter not pushed")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_returnflag"), "reads a column the query never touches")
+  }
+
+  test("q04 star join broadcasts every dimension") {
+    val p = plan("q04_region_nation_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, found $broadcasts")
+  }
+
+  test("q01 aggregates partially before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("q32 candidate generation is an equi-join on the band signature") {
+    val p = plan("q32_minhash_lsh_pairs")
+    assert(p.contains("bsig"), "band-signature join key missing from plan")
+    assert(
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "candidate join is not an equi-join"
+    )
+  }
+
+  test("q40 broadcasts the query side, not the corpus") {
+    val p = plan("q40_cosine_topk")
+    assert(p.contains("Broadcast"), "query side not broadcast")
+  }
+
+  test("q01 whole-stage codegen covers the aggregate") {
+    val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
+    df.collect() // AQE only materializes codegen stages in the final plan of THIS queryExecution
+    val codegen = df.queryExecution.executedPlan.toString
+    assert(
+      codegen.contains("*(") || codegen.contains("WholeStageCodegen"),
+      s"no WholeStageCodegen stage markers in final plan:\n$codegen"
+    )
+  }
+}

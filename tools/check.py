@@ -22,8 +22,14 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"ORACLE-ERR {name}: {e}"); fail += 1; continue
     sdf = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
-    o = odf.reindex(sorted(odf.columns), axis=1)
-    s = sdf.reindex(sorted(sdf.columns), axis=1)
+    def normalize(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(lambda v: str(list(v)) if hasattr(v, "__len__") and not isinstance(v, str) else v)
+        return df
+    o = normalize(odf)
+    s = normalize(sdf)
     if list(o.columns) != list(s.columns):
         print(f"SCHEMA {name}: oracle={list(o.columns)} spark={list(s.columns)}")
         fail += 1; continue
