@@ -69,12 +69,28 @@ final case class Message[A](
 
   def isAckLocked: Boolean = metadata.contains(Message.AckNowKey)
 
+  /** Analog of `Message.configure_ack/2` (message.ex:135-155): attach
+    * per-message ack options (e.g. retry/visibility hints) that the
+    * acknowledger can read back via `ackOptions`.
+    */
+  def configureAck(opts: Map[String, String]): Message[A] =
+    copy(metadata = metadata ++ opts.map { case (k, v) => s"${Message.AckOptPrefix}$k" -> v })
+
+  def ackOptions: Map[String, String] =
+    metadata.collect {
+      case (k, v) if k.startsWith(Message.AckOptPrefix) =>
+        k.stripPrefix(Message.AckOptPrefix) -> v
+    }
+
   def isOk: Boolean = status.ok
 }
 
 object Message {
   /** Metadata key marking an ack_immediately message. */
   val AckNowKey = "graft.ack_now"
+
+  /** Prefix for configure_ack options carried in metadata. */
+  val AckOptPrefix = "graft.ack_opt."
 }
 
 /** Batch envelope passed to `handleBatch` — the analog of

@@ -364,6 +364,35 @@ object Relational {
              |ORDER BY o_orderpriority""".stripMargin)
     ),
 
+    // E6 at scale: salted two-phase aggregation — the skew pattern. Phase 1
+    // aggregates on (key, salt) spreading a hot key over 8 reducers; phase 2
+    // combines partials. Result is identical to a plain groupBy (the oracle
+    // is the plain formulation), but the shuffle no longer funnels a hot key
+    // through one task — the shape that survives skewed 100 TB keys.
+    Q(
+      "q16_salted_agg",
+      (s, d) =>
+        lineitem(s, d)
+          .withColumn("salt", pmod(col("l_orderkey") * 2654435761L + col("l_linenumber"), lit(8)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(
+            sum(col("l_quantity")).as("part_qty"),
+            count(lit(1)).as("part_cnt")
+          )
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(sum(col("part_qty")), 2).as("sum_qty"),
+            sum(col("part_cnt")).as("cnt")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // E11+E6: fact⋈dim aggregate by part brand.
     Q(
       "q15_brand_revenue",
