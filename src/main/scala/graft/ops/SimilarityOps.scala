@@ -189,6 +189,43 @@ object SimilarityOps {
               |ORDER BY bucket""".stripMargin)
     ),
 
+    // Hybrid search: metadata/text filter + vector ranking in one plan —
+    // the retrieval shape of a training-data curation pipeline (filter by
+    // lang, rank by cosine to a query vector). doc_id joins vec_id 1:1.
+    Q(
+      "q45_hybrid_search",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("nv", norm(col("v")))
+        val docs = documents(s, d)
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), col("source"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nv").as("nq"))
+        docs
+          .join(e, col("doc_id") === col("vec_id"))
+          .join(broadcast(qv))
+          .filter(col("doc_id") =!= 0)
+          .select(
+            col("doc_id"),
+            col("source"),
+            round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cosine")
+          )
+          .orderBy(col("cosine").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+              |SELECT doc_id, source,
+              |  round(list_dot_product(qv, v)
+              |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+              |FROM documents JOIN e ON doc_id = vec_id CROSS JOIN q
+              |WHERE lang = 'en' AND doc_id <> 0
+              |ORDER BY cosine DESC, doc_id
+              |LIMIT 10""".stripMargin)
+    ),
+
     // Bucketed ANN: same top-k query restricted to the query's LSH bucket —
     // the equi-join scale path (bucket key join instead of cross join).
     Q(

@@ -16,6 +16,12 @@ object TextOps {
   /** Whitespace tokens of the trimmed text — the shared tokenizer. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** DuckDB: first 8 hex chars of an md5 expression as a BIGINT. */
+  def sqlHex8(h: String): String =
+    (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
+
   /** Stopword list used by the quality score (tiny, deterministic). */
   val stopwords: Seq[String] = Seq("a", "the", "of", "and", "in", "to")
   private val stopArray = array(stopwords.map(lit): _*)
@@ -171,6 +177,32 @@ object TextOps {
       Some("""SELECT doc_id, md5(lower(trim(text))) AS fingerprint
              |FROM documents
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Rolling-hash document fingerprint: Horner fold of md5-derived token
+    // ints mod 1e9+7 — an order-sensitive fingerprint (vs q24's md5 of the
+    // whole text) usable for shift-tolerant chunk matching. The fold starts
+    // at the first element (DuckDB list_reduce semantics), mirrored here by
+    // folding the tail with the head as the seed.
+    Q(
+      "q26_rolling_fingerprint",
+      (s, d) => {
+        val tokInts = transform(tokens(col("text")), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        val rh = aggregate(
+          slice(tokInts, lit(2), greatest(size(tokInts) - 1, lit(0))),
+          element_at(tokInts, 1),
+          (a, x) => (a * 31 + x) % 1000000007L
+        )
+        documents(s, d)
+          .select(col("doc_id"), rh.as("rh"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, list_reduce(
+              |  list_transform(string_split_regex(trim(text), '\\s+'),
+              |    t -> ${TextOps.sqlHex8("md5(t)")}),
+              |  (a, b) -> (a * 31 + b) % 1000000007) AS rh
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     // Heuristic language-ID votes (no SQL oracle: heuristic is engine-side;
