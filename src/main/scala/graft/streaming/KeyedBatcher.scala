@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.config.BatchSplitter
 import graft.model.{BatchMode, Message}
 
 /** One emitted batch with its trigger ("size" | "timeout" | "flush") —
@@ -25,8 +26,13 @@ final case class EmittedBatch[A](
   * later micro-batch runs (documented deviation: timer granularity is the
   * trigger interval, SURVEY §7.3).
   *
-  * Scale: state per open (batcher, batchKey) group is bounded by batchSize
-  * messages; the shuffle key is the group key, so hot keys can be salted by
+  * A custom `BatchSplitter` replaces the fixed size with the reference's
+  * tuple batch_size semantics (options.ex:233-263): the user accumulator
+  * rides in `GroupState` alongside the open buffer, so dynamic boundaries
+  * (e.g. cumulative bytes) also span micro-batches.
+  *
+  * Scale: state per open (batcher, batchKey) group is bounded by one open
+  * batch; the shuffle key is the group key, so hot keys can be salted by
   * the caller via batchKey suffixing.
   */
 object KeyedBatcher {
@@ -34,7 +40,8 @@ object KeyedBatcher {
   def apply[A](
       messages: Dataset[Message[A]],
       batchSize: Int = 100,
-      batchTimeoutMs: Long = 1000L
+      batchTimeoutMs: Long = 1000L,
+      splitter: Option[BatchSplitter[A]] = None
   )(implicit enc: Encoder[Message[A]], outEnc: Encoder[EmittedBatch[A]]): Dataset[EmittedBatch[A]] = {
     implicit val keyEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
@@ -47,29 +54,49 @@ object KeyedBatcher {
       ) { (key: (String, String), it: Iterator[Message[A]], state: GroupState[Array[Byte]]) =>
         val (batcher, batchKey) = key
         if (state.hasTimedOut) {
-          val buffered = state.getOption.map(deserialize[A]).getOrElse(Vector.empty)
+          val (buffered, _) = state.getOption.map(deserialize[A]).getOrElse((Vector.empty[Message[A]], 0L))
           state.remove()
           if (buffered.nonEmpty) Iterator.single(EmittedBatch(batcher, batchKey, "timeout", buffered))
           else Iterator.empty
         } else {
-          val buffered = state.getOption.map(deserialize[A]).getOrElse(Vector.empty)
+          val (buffered, acc0) = state.getOption.map(deserialize[A]).getOrElse((Vector.empty[Message[A]], initAcc(splitter)))
           val incoming = it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L))
-          val all = buffered ++ incoming
           val flushNow = incoming.exists(_.batchMode == BatchMode.Flush)
           val out = Vector.newBuilder[EmittedBatch[A]]
-          var rest = all
-          while (rest.size >= batchSize) {
-            val (chunk, tail) = rest.splitAt(batchSize)
-            out += EmittedBatch(batcher, batchKey, "size", chunk)
-            rest = tail
+
+          var rest = buffered
+          var acc = acc0
+          splitter match {
+            case Some(sp) =>
+              // dynamic boundary: fold the NEW messages through the user
+              // accumulator (buffered ones were folded in prior batches)
+              incoming.foreach { m =>
+                rest :+= m
+                val (emit, next) = sp.step(m, acc)
+                acc = next
+                if (emit) {
+                  out += EmittedBatch(batcher, batchKey, "size", rest)
+                  rest = Vector.empty
+                  acc = sp.init
+                }
+              }
+            case None =>
+              rest = buffered ++ incoming
+              while (rest.size >= batchSize) {
+                val (chunk, tail) = rest.splitAt(batchSize)
+                out += EmittedBatch(batcher, batchKey, "size", chunk)
+                rest = tail
+              }
           }
+
           if (flushNow && rest.nonEmpty) {
             out += EmittedBatch(batcher, batchKey, "flush", rest)
             rest = Vector.empty
+            acc = initAcc(splitter)
           }
           if (rest.isEmpty) state.remove()
           else {
-            state.update(serialize(rest))
+            state.update(serialize((rest, acc)))
             state.setTimeoutDuration(batchTimeoutMs)
           }
           out.result().iterator
@@ -77,19 +104,22 @@ object KeyedBatcher {
       }
   }
 
+  private def initAcc[A](splitter: Option[BatchSplitter[A]]): Long =
+    splitter.map(_.init).getOrElse(0L)
+
   // Open-batch state is serialized with plain Java serialization: the
   // payload type A is opaque to Spark here (arbitrary user type, like the
   // reference's `term` payloads), so a product encoder is not available.
-  private def serialize[A](msgs: Vector[Message[A]]): Array[Byte] = {
+  private def serialize[A](state: (Vector[Message[A]], Long)): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(msgs)
+    oos.writeObject(state)
     oos.close()
     bos.toByteArray
   }
 
-  private def deserialize[A](bytes: Array[Byte]): Vector[Message[A]] = {
+  private def deserialize[A](bytes: Array[Byte]): (Vector[Message[A]], Long) = {
     val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-    ois.readObject().asInstanceOf[Vector[Message[A]]]
+    ois.readObject().asInstanceOf[(Vector[Message[A]], Long)]
   }
 }

@@ -22,5 +22,5 @@ object GraftColumns {
       builder: Seq[Expression] => Expression
   ): Unit =
     spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "builtin")
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

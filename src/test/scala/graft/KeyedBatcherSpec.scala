@@ -65,6 +65,40 @@ class KeyedBatcherSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("custom splitter accumulator spans micro-batches") {
+    EmitProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Message[Int]]
+    // emit when cumulative weight reaches 10
+    val sp = graft.config.BatchSplitter[Int](0L, (m, acc) => {
+      val next = acc + m.data
+      (next >= 10, next)
+    })
+    val batches = KeyedBatcher(stream.toDS(), batchTimeoutMs = 600000, splitter = Some(sp))
+    val query = batches.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[Int]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbe.emitted.add((b.batcher, b.batchKey, b.trigger, b.messages.map(_.data)))
+        }
+        ()
+      }
+      .start()
+    try {
+      // 4+4=8 < 10: buffered across the micro-batch boundary with acc=8
+      // (poll, don't processAllAvailable: timeout-state queries never quiesce)
+      stream.addData(Seq(Message(4, metadata = Map("seq" -> "1")), Message(4, metadata = Map("seq" -> "2"))))
+      Thread.sleep(1500)
+      assert(EmitProbe.drain().isEmpty)
+      // +3 → 11 ≥ 10: the accumulated state (not just this batch) emits
+      stream.addData(Seq(Message(3, metadata = Map("seq" -> "3"))))
+      val out = awaitEmitted(atLeast = 1)
+      assert(out.map(_._3) == Seq("size"))
+      assert(out.head._4 == Seq(4, 4, 3))
+    } finally query.stop()
+  }
+
   test("flush-mode message flushes its open batch immediately") {
     EmitProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
