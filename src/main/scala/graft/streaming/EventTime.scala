@@ -30,6 +30,21 @@ object EventTime {
       .groupBy(window(col(eventTimeCol), windowDuration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Streaming exact dedup with bounded state: duplicates of `idCols`
+    * are dropped; the watermark lets Spark evict state for ids older than
+    * the delay — the streaming twin of q30_exact_dedup, with the state
+    * bound that makes it viable on an unbounded 100 TB stream.
+    */
+  def dedupStream(
+      events: DataFrame,
+      eventTimeCol: String,
+      watermarkDelay: String,
+      idCols: Seq[String]
+  ): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Session windows keyed by arbitrary columns: gap-based grouping — the
     * event-time generalization of the batch sessionization in
     * q12_sessions.

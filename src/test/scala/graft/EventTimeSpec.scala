@@ -23,6 +23,34 @@ class EventTimeSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("streaming dedup drops duplicate ids within the watermark horizon") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val out = new ConcurrentLinkedQueue[java.lang.Long]()
+    val deduped = EventTime.dedupStream(
+      stream.toDF().toDF("ts", "id"),
+      eventTimeCol = "ts",
+      watermarkDelay = "10 minutes",
+      idCols = Seq("id")
+    )
+    val q = deduped.writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach(r => out.add(r.getLong(1)))
+        ()
+      }
+      .start()
+    try {
+      stream.addData(Seq((ts(0), 1L), (ts(0), 2L), (ts(0), 1L)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(1), 2L), (ts(1), 3L))) // 2 is a dup across batches
+      q.processAllAvailable()
+      val got = Iterator.continually(out.poll()).takeWhile(_ != null).map(_.longValue).toSeq
+      // 1,2 from batch one; 3 from batch two; the cross-batch dup of 2 dropped
+      assert(got.sorted == Seq(1L, 2L, 3L), s"got $got")
+    } finally q.stop()
+  }
+
   test("tumbling windows finalize when the watermark passes and drop late data") {
     WindowProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
