@@ -117,6 +117,12 @@ object DedupOps {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Verification joins the shingle sets directly: the join itself only
+    // materializes candidate rows. (A semi-join prune of the shingle side
+    // by candidate ids helps when candidates ≪ corpus AND the candidate
+    // DAG is cached — without caching it recomputes the signature subtree
+    // and measures slower at this scale; revisit with a persisted
+    // candidate set if the corpus/candidate ratio grows.)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
