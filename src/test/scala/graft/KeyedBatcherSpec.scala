@@ -99,6 +99,42 @@ class KeyedBatcherSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("open-batch state survives a query restart via checkpoint") {
+    EmitProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val stream = MemoryStream[Message[Int]]
+
+    def startQuery() = KeyedBatcher(stream.toDS(), batchSize = 10, batchTimeoutMs = 600000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[Int]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbe.emitted.add((b.batcher, b.batchKey, b.trigger, b.messages.map(_.data)))
+        }
+        ()
+      }
+      .start()
+
+    val q1 = startQuery()
+    try {
+      stream.addData((1 to 7).map(i => Message(i, metadata = Map("seq" -> i.toString))))
+      Thread.sleep(2000) // let the micro-batch buffer the 7 into state
+      assert(EmitProbe.drain().isEmpty)
+    } finally q1.stop()
+
+    // crash/restart analog (topology.ex:506-557 → checkpoint recovery):
+    // the recovered state still holds 1..7
+    val q2 = startQuery()
+    try {
+      stream.addData((8 to 12).map(i => Message(i, metadata = Map("seq" -> i.toString))))
+      val out = awaitEmitted(atLeast = 1)
+      assert(out.map(_._3) == Seq("size"))
+      assert(out.head._4 == (1 to 10), s"state lost across restart: ${out.head._4}")
+    } finally q2.stop()
+  }
+
   test("flush-mode message flushes its open batch immediately") {
     EmitProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
