@@ -393,6 +393,44 @@ object Relational {
              |ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // E6: hierarchical rollup (subtotals + grand total in one pass —
+    // Spark expands grouping sets before the shuffle, partials included).
+    Q(
+      "q17_rollup",
+      (s, d) =>
+        orders(s, d)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("total")
+          )
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first
+          ),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // Set operations (beyond Broadway — SURVEY §2.8 — but part of the
+    // relational closure): segment members without any urgent order.
+    Q(
+      "q18_set_except",
+      (s, d) => {
+        val auto = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+        val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))
+        auto.except(urgent).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |EXCEPT
+             |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
     // E11+E6: fact⋈dim aggregate by part brand.
     Q(
       "q15_brand_revenue",
