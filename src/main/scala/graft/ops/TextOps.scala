@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators (SURVEY.md §2.9 E15): token statistics, quality
@@ -203,6 +204,35 @@ object TextOps {
               |  (a, b) -> (a * 31 + b) % 1000000007) AS rh
               |FROM documents
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Character-trigram profile: each document's most frequent char 3-gram
+    // (ties broken lexicographically) — the building block of n-gram
+    // language identification, via explode + count + ranking window.
+    Q(
+      "q27_top_trigram",
+      (s, d) => {
+        val grams = expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram"))
+        documents(s, d)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy(col("doc_id"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("gram"), col("cnt"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, gram, cnt FROM (
+             |  SELECT doc_id, gram, count(*) AS cnt,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rk
+             |  FROM (SELECT doc_id,
+             |          unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+             |                                i -> substr(text, i, 3))) AS gram
+             |        FROM documents) g
+             |  GROUP BY doc_id, gram) t
+             |WHERE rk = 1
+             |ORDER BY doc_id""".stripMargin)
     ),
 
     // Heuristic language-ID votes (no SQL oracle: heuristic is engine-side;
