@@ -135,6 +135,8 @@ object PipelineOps {
 
     // E5: group-collect — the BatcherStage's collect-into-batch as a
     // relational aggregate (collect_list per key, deterministically sorted).
+    // The list is serialized to a comma-joined string on both engines so the
+    // result is a flat scalar column (sortable/hashable by any comparator).
     Q(
       "q66_group_collect",
       (s, d) =>
@@ -142,11 +144,19 @@ object PipelineOps {
           .filter(col("user_id") < 20)
           .groupBy(col("user_id"))
           .agg(
-            sort_array(collect_list(col("event_id"))).as("ids"),
+            concat_ws(
+              ",",
+              transform(
+                sort_array(collect_list(col("event_id"))),
+                _.cast("string")
+              )
+            ).as("ids"),
             count(lit(1)).as("cnt")
           )
           .orderBy(col("user_id")),
-      Some("""SELECT user_id, list_sort(list(event_id)) AS ids, count(*) AS cnt
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list(event_id)), ',') AS ids,
+             |  count(*) AS cnt
              |FROM events
              |WHERE user_id < 20
              |GROUP BY user_id

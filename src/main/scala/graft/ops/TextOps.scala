@@ -235,15 +235,34 @@ object TextOps {
              |ORDER BY doc_id""".stripMargin)
     ),
 
-    // Heuristic language-ID votes (no SQL oracle: heuristic is engine-side;
-    // driver records the weaker rows-only check).
+    // Heuristic language-ID votes: per-language stopword hit counts feed the
+    // same CASE ladder on both engines (the heuristic is deterministic Column
+    // algebra, so it is fully SQL-expressible).
     Q(
       "q25_langid",
       (s, d) =>
         documents(s, d)
           .select(col("doc_id"), col("lang").as("declared"), langIdExpr(col("text")).as("predicted"))
           .orderBy(col("doc_id")),
-      None
+      Some("""SELECT doc_id, lang AS declared,
+             |  CASE
+             |    WHEN de > en AND de >= fr AND de >= es THEN 'de'
+             |    WHEN fr > en AND fr >= es THEN 'fr'
+             |    WHEN es > en THEN 'es'
+             |    ELSE 'en'
+             |  END AS predicted
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        t -> t IN ('the','and','of','a','is'))) AS en,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        t -> t IN ('der','die','das','und','ist'))) AS de,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        t -> t IN ('le','la','et','les','est'))) AS fr,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        t -> t IN ('el','la','los','que','es'))) AS es
+             |  FROM documents) v
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }
