@@ -41,6 +41,14 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("q42 near-dup has no nested-loop join and no corpus broadcast") {
+    val df = QueryRegistry.byName("q42_embedding_neardup").fn(spark, sfDir)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"quadratic nested-loop join in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+  }
+
   test("q40 broadcasts the query side, not the corpus") {
     val p = plan("q40_cosine_topk")
     assert(p.contains("Broadcast"), "query side not broadcast")
