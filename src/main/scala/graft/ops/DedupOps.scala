@@ -68,8 +68,15 @@ object DedupOps {
     * Hash k is the 8-hex-char window `1 + 8*(k%4) .. +8` of
     * md5("<k/4>:" + shingle) — identical to the oracle's list formulation.
     */
-  def minhashSignatures(s: SparkSession, d: String, numHashes: Int): DataFrame = {
-    val ex = shingleSets(s, d).select(col("doc_id"), explode_outer(col("s")).as("sh"))
+  def minhashSignatures(s: SparkSession, d: String, numHashes: Int): DataFrame =
+    minhashFromShingles(shingleSets(s, d), numHashes)
+
+  /** Signature aggregation over an existing (doc_id, s) shingle-set DF —
+    * separated so callers can compute signatures from a persisted shingle
+    * pass instead of re-deriving tokenize→shingle from the source scan.
+    */
+  def minhashFromShingles(shingleDf: DataFrame, numHashes: Int): DataFrame = {
+    val ex = shingleDf.select(col("doc_id"), explode_outer(col("s")).as("sh"))
     val withDigests = ex.select(
       col("doc_id") +:
         (0 until (numHashes + 3) / 4).map(g => md5(concat(lit(s"$g:"), col("sh"))).as(s"h$g")): _*
@@ -99,8 +106,17 @@ object DedupOps {
     * for verified near-dup pairs at the given threshold.
     */
   def lshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val sh = shingleSets(s, d)
-    val sigs = minhashSignatures(s, d, NumHashes)
+    // Both intermediate passes are persisted (memory-and-disk): the band
+    // self-join reads the signatures twice and the verification joins read
+    // the shingle sets twice — unpersisted, each leg re-derived the whole
+    // tokenize→shingle→md5 subtree, i.e. 4 parquet scans of `documents` and
+    // 4× the dominant md5 map work (measured in the round-1 executed plan).
+    // At 100 TB the materialization is corpus-sized but disk-backed, and one
+    // materialized pass beats four recomputed ones. Spark's CacheManager
+    // keys cache entries by canonicalized plan, so q32 and q34 (which
+    // rebuilds this DAG) share the same materialized data within a session.
+    val sh = shingleSets(s, d).persist()
+    val sigs = minhashFromShingles(sh, NumHashes).persist()
     val bands = sigs.select(
       col("doc_id"),
       explode(

@@ -55,9 +55,6 @@ object SimilarityOps {
   def planes: Seq[Array[Double]] =
     (0 until NumPlanes).map(p => Array.tabulate(Dim)(j => planeCoef(p, j)))
 
-  private def planeLit(p: Int): Column =
-    array(Array.tabulate(Dim)(j => planeCoef(p, j)).map(lit(_)): _*)
-
   // ---- Banded LSH for the near-dup candidate pass ----------------------
   // 32 bands × 4 sign bits (128 hyperplanes). Banding trades one long
   // signature (high precision, low recall) for many short ones: a pair is a
@@ -71,21 +68,27 @@ object SimilarityOps {
   val BandBits = 4
   val NumBands = 32
 
-  /** One join key per band: "<band>:<4 sign bits>", as an array column. */
-  def bandKeys(embedding: Column): Column =
+  /** One join key per band, sliced from a precomputed sign-bit string
+    * column: "<band>:<4 sign bits>". Slicing a materialized bits column
+    * keeps the 128 plane dots to ONE HyperplaneSigns evaluation per row.
+    */
+  def bandKeysFromBits(bits: Column): Column =
     array((0 until NumBands).map { b =>
-      val bits = (0 until BandBits).map { i =>
-        when(dot(embedding, planeLit(b * BandBits + i)) >= 0, lit("1")).otherwise(lit("0"))
-      }
-      concat(lit(s"$b:") +: bits: _*)
+      concat(lit(s"$b:"), substring(bits, b * BandBits + 1, BandBits))
     }: _*)
 
+  /** Flattened row-major plane matrix for the native signs expression. */
+  private def flatPlanes(numPlanes: Int): Seq[Double] =
+    (0 until numPlanes).flatMap(p => (0 until Dim).map(j => planeCoef(p, j)))
+
+  /** All sign bits against the first n hyperplanes as one '1'/'0' string —
+    * a single codegen'd expression (graft.functions.HyperplaneSigns).
+    */
+  def signBits(embedding: Column, numPlanes: Int): Column =
+    graft.functions.VectorFunctions.hyperplaneSigns(embedding, flatPlanes(numPlanes), Dim)
+
   /** LSH bucket id: one sign bit per hyperplane, as a bit string. */
-  def bucketExpr(embedding: Column): Column =
-    concat(planes.map { plane =>
-      val planeLit = array(plane.map(lit(_)): _*)
-      when(dot(embedding, planeLit) >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+  def bucketExpr(embedding: Column): Column = signBits(embedding, NumPlanes)
 
   /** DuckDB: hex→int via digit positions (no hex-cast dependence). */
   private def sqlHexToInt(h: String): String =
@@ -186,7 +189,9 @@ object SimilarityOps {
           .select(col("vec_id"), emb(col("embedding")).as("v"))
           .withColumn("nv", norm(col("v")))
           .persist()
-        val sigs = e.select(col("vec_id"), explode(bandKeys(col("v"))).as("bk"))
+        val sigs = e
+          .select(col("vec_id"), signBits(col("v"), NumBands * BandBits).as("bits"))
+          .select(col("vec_id"), explode(bandKeysFromBits(col("bits"))).as("bk"))
         val cand = sigs.as("a")
           .join(sigs.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

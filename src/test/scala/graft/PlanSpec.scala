@@ -41,6 +41,17 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("q32 materializes the shingle/signature pass instead of rescanning") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = QueryRegistry.byName("q32_minhash_lsh_pairs").fn(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val fileScans = opt.collect { case l: LogicalRelation => l }.size
+    val cacheScans = opt.collect { case m: InMemoryRelation => m }.size
+    assert(cacheScans >= 2, s"expected cached shingle+signature passes, found $cacheScans:\n$opt")
+    assert(fileScans == 0, s"documents still scanned $fileScans times outside the cached pass:\n$opt")
+  }
+
   test("q42 near-dup has no nested-loop join and no corpus broadcast") {
     val df = QueryRegistry.byName("q42_embedding_neardup").fn(spark, sfDir)
     df.collect() // finalize AQE so the asserted plan is the executed one
