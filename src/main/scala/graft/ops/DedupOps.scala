@@ -32,20 +32,28 @@ object DedupOps {
   /** Whitespace tokens (shared with TextOps). */
   private def toks: Column = split(trim(col("text")), "\\s+")
 
-  /** Distinct word-3gram shingles of the document text. */
+  /** Distinct word-3gram shingles of the document text. Documents with
+    * fewer than 3 tokens yield an empty set — a bare sequence(0, size-3)
+    * would DESCEND for short docs (e.g. sequence(0,-2) = [0,-1,-2]) and
+    * call element_at with index 0/negative, where the oracle's
+    * range(1, len-1) is simply empty.
+    */
   def shingles(tokens: Column): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), size(tokens) - lit(3)),
-        i =>
-          concat_ws(
-            " ",
-            element_at(tokens, i + 1),
-            element_at(tokens, i + 2),
-            element_at(tokens, i + 3)
-          )
+    when(
+      size(tokens) >= 3,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(tokens) - lit(3)),
+          i =>
+            concat_ws(
+              " ",
+              element_at(tokens, i + 1),
+              element_at(tokens, i + 2),
+              element_at(tokens, i + 3)
+            )
+        )
       )
-    )
+    ).otherwise(array().cast("array<string>"))
 
   /** (doc_id, tok: array<string>) with the token array MATERIALIZED: the
     * `repartition(doc_id)` is a deliberate barrier — without it,

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators (SURVEY.md §2.9 E15): token statistics, quality
@@ -208,19 +207,27 @@ object TextOps {
 
     // Character-trigram profile: each document's most frequent char 3-gram
     // (ties broken lexicographically) — the building block of n-gram
-    // language identification, via explode + count + ranking window.
+    // language identification. The per-doc winner is min_by over
+    // (-cnt, gram), equivalent to rank-1 of (cnt DESC, gram ASC) but fully
+    // aggregable: both groupBys combine map-side and the second shuffle
+    // carries one candidate row per doc per partition, where the ranking
+    // window needed a full sort+shuffle of every (doc, gram) count.
+    // Short-text guard: texts under 3 chars yield an empty gram array (a
+    // bare sequence(1, len-2) would DESCEND for len < 3 and emit bogus
+    // grams), matching the oracle's empty range.
     Q(
       "q27_top_trigram",
       (s, d) => {
-        val grams = expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram"))
+        val grams = expr(
+          "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) ELSE array() END"
+        )
         documents(s, d)
           .select(col("doc_id"), explode(grams).as("gram"))
           .groupBy(col("doc_id"), col("gram"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("doc_id"), col("gram"), col("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(min_by(struct(col("gram"), col("cnt")), struct((-col("cnt")).as("nc"), col("gram"))).as("top"))
+          .select(col("doc_id"), col("top.gram").as("gram"), col("top.cnt").as("cnt"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, gram, cnt FROM (

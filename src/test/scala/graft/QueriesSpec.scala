@@ -19,6 +19,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("shingles of short documents are empty, not bogus") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.DedupOps
+    val df = spark
+      .createDataFrame(Seq((1L, "one two"), (2L, ""), (3L, "a b c d")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), DedupOps.shingles(split(trim(col("text")), "\\s+")).as("s"))
+      .orderBy(col("doc_id"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(rows(0)._2.isEmpty, "2-token doc must have no shingles")
+    assert(rows(1)._2.isEmpty, "empty doc must have no shingles")
+    assert(rows(2)._2 == Seq("a b c", "b c d"))
+  }
+
   test("registry names are unique and every oracle key has a query") {
     val names = QueryRegistry.all.map(_.name)
     assert(names.distinct.size == names.size)
