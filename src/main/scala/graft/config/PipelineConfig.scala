@@ -28,6 +28,15 @@ final case class BatchSplitter[A](init: Long, step: (Message[A], Long) => (Boole
   */
 final case class RateLimiting(allowedMessages: Int, intervalMs: Long)
 
+/** Restart-on-failure budget — the supervision-tree analog
+  * (/root/reference/lib/broadway/topology.ex:506-557): a query that
+  * terminates with an exception is restarted from checkpoint, at most
+  * `maxRestarts` times within any sliding `withinSeconds` window (the
+  * reference's max_restarts/max_seconds defaults, options.ex:21-22).
+  * Exceeding the budget gives up permanently (the supervisor "dies").
+  */
+final case class RestartPolicy(maxRestarts: Int = 3, withinSeconds: Long = 5)
+
 /** Full pipeline configuration — the Spark analog of the NimbleOptions
   * schema the reference validates at start_link
   * (/root/reference/lib/broadway/options.ex:4-334). Callbacks are plain
@@ -53,7 +62,14 @@ final case class PipelineConfig[A](
     /** Analog of `prepare_for_draining/1` (producer.ex:116-133): runs on
       * the driver at the start of graceful shutdown, before the drain.
       */
-    prepareForDraining: () => Unit = () => ()
+    prepareForDraining: () => Unit = () => (),
+    /** Streaming checkpoint dir. Required for exactly-once resume across
+      * restarts (offset log + state store); without it a restarted query
+      * re-reads the source from its initial offset (at-least-once).
+      */
+    checkpointLocation: Option[String] = None,
+    /** When set, a crashed query is auto-restarted within this budget. */
+    restartPolicy: Option[RestartPolicy] = None
 ) {
 
   /** Mirror of the reference's config validation (broadway.ex:1141-1152):
@@ -70,6 +86,8 @@ final case class PipelineConfig[A](
     else if (processorConcurrency <= 0) Left("processor concurrency must be positive")
     else if (rateLimiting.exists(r => r.allowedMessages <= 0 || r.intervalMs <= 0))
       Left("rate_limiting requires positive allowed_messages and interval")
+    else if (restartPolicy.exists(p => p.maxRestarts < 0 || p.withinSeconds <= 0))
+      Left("restart_policy requires max_restarts >= 0 and within_seconds > 0")
     else Right(this)
   }
 
