@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ack.Acknowledger
 import graft.config.{BatcherConfig, PipelineConfig}
 import graft.model.{BatchInfo, BatchMode, Message, MessageStatus}
-import graft.runtime.PipelineRegistry
+import graft.runtime.{PipelineRegistry, StageCounters, StageMetrics}
 
 /** The pipeline engine: Broadway's producer → processor → batcher →
   * batch-processor topology (/root/reference/guides/internals/architecture.md:
@@ -42,7 +42,8 @@ object Pipeline {
   def processBatch[A](
       ds: Dataset[Message[A]],
       config: PipelineConfig[A],
-      acknowledger: Acknowledger
+      acknowledger: Acknowledger,
+      counters: Option[StageCounters] = None
   )(implicit enc: Encoder[Message[A]]): Dataset[Message[A]] = {
     implicit val keyEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val strEnc: Encoder[String] = Encoders.STRING
@@ -55,16 +56,20 @@ object Pipeline {
     def runProcessor(msgs: Seq[Message[A]]): Iterator[Message[A]] = {
       val prepared = prepare(msgs) // prepare crash fails the task (reference: raises)
       prepared.iterator.map { m =>
-        if (!m.isOk) m
-        else
-          try {
-            val out = handle(m)
-            if (hasBatchers && !batcherNames.contains(out.batcher))
-              // reference raises on unknown batcher (processor_stage.ex:213-224);
-              // we fail the message so the pipeline keeps running
-              out.failed(s"unknown batcher: ${out.batcher}")
-            else out
-          } catch { case NonFatal(e) => m.copy(status = MessageStatus.crashed(e)) }
+        val out =
+          if (!m.isOk) m
+          else
+            try {
+              val o = handle(m)
+              if (hasBatchers && !batcherNames.contains(o.batcher))
+                // reference raises on unknown batcher (processor_stage.ex:213-224);
+                // we fail the message so the pipeline keeps running
+                o.failed(s"unknown batcher: ${o.batcher}")
+              else o
+            } catch { case NonFatal(e) => m.copy(status = MessageStatus.crashed(e)) }
+        // per-stage span counts (broadway.ex:651-888 processor spans)
+        counters.foreach(c => if (out.isOk) c.processorProcessed.add(1L) else c.processorFailed.add(1L))
+        out
       }
     }
 
@@ -120,6 +125,12 @@ object Pipeline {
                   } catch {
                     case NonFatal(e) => chunk.map(_.copy(status = MessageStatus.crashed(e)))
                   }
+                // batcher/batch-processor span counts (batcher_stage.ex:55-77)
+                counters.foreach { c =>
+                  c.batcherBatches.get(batcherName).foreach(_.add(1L))
+                  c.batcherMessages.get(batcherName).foreach(_.add(chunk.size.toLong))
+                  c.batcherFailed.get(batcherName).foreach(_.add(result.count(!_.isOk).toLong))
+                }
                 // ack_immediately messages keep their pre-batch status
                 // (message.ex:172-201: the ack is locked in before the batch).
                 chunk.lazyZip(result).map { (before, after) =>
@@ -138,10 +149,15 @@ object Pipeline {
         val msgs = it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L))
         val (ok, failed) = msgs.partition(_.isOk)
         val failedFinal =
-          if (failed.nonEmpty)
+          if (failed.nonEmpty) {
+            counters.foreach(_.handleFailedInvocations.add(1L))
             try handleFailedF(failed)
             catch { case NonFatal(_) => failed } // handle_failed crash must not take down the ack (acknowledger.ex:93-151)
-          else failed
+          } else failed
+        counters.foreach { c =>
+          c.ackSuccessful.add(ok.size.toLong)
+          c.ackFailed.add(failedFinal.size.toLong)
+        }
         acknowledger.ack(ref, ok, failedFinal)
         ref
       }
@@ -201,13 +217,14 @@ object Pipeline {
       case Right(_)  => ()
     }
     config.prepareForStart()
+    val counters = StageCounters.create(spark.sparkContext, config.name, config.batchers.map(_.name))
     def build(): StreamingQuery = {
       val writer = source.writeStream
         .queryName(config.name)
         .outputMode("update")
         .trigger(Trigger.ProcessingTime(0L))
         .foreachBatch { (df: Dataset[Message[A]], _: Long) =>
-          processBatch(df, config, acknowledger)
+          processBatch(df, config, acknowledger, Some(counters))
           ()
         }
       config.checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -264,6 +281,9 @@ final class RunningPipeline[A](
       processorConcurrency = config.processorConcurrency,
       batchers = config.batchers.map(b => BatcherInfo(b.name, b.batchSize, b.batchTimeoutMs, b.concurrency))
     )
+
+  /** Per-stage counter snapshot (the telemetry-span analog). */
+  def stageMetrics: Option[StageMetrics] = StageCounters.metricsOf(name)
 
   def getRateLimiting: Option[graft.config.RateLimiting] = rateLimiter.map(_.get)
 

@@ -76,6 +76,33 @@ class PipelineSpec extends SparkSpec {
     } finally tp.stop()
   }
 
+  // broadway_test.exs:879-1032 — per-stage telemetry span counts for a
+  // mixed ok/failed run: processor processed/failed, per-batcher batches +
+  // messages, handle_failed invocations, ack totals.
+  test("per-stage counters track a mixed ok/failed run") {
+    val cfg = PipelineConfig[Int](
+      name = "counted",
+      handleMessage = m =>
+        if (m.data % 5 == 0) m.failed("div5")
+        else m.putBatcher(if (m.data % 2 == 0) "evens" else "odds"),
+      batchers = Seq(BatcherConfig[Int]("evens", batchSize = 3), BatcherConfig[Int]("odds", batchSize = 3))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(1 to 10) // 2 failed (5,10); 4 evens (2,4,6,8); 4 odds (1,3,7,9)
+      tp.processAllAvailable()
+      val m = tp.running.stageMetrics.getOrElse(fail("no stage metrics registered"))
+      assert(m.processorProcessed == 8, s"processed: $m")
+      assert(m.processorFailed == 2, s"failed: $m")
+      assert(m.batcherMessages == Map("evens" -> 4L, "odds" -> 4L), s"batcher messages: $m")
+      // batchSize 3 → evens chunks (3,1), odds chunks (3,1)
+      assert(m.batcherBatches == Map("evens" -> 2L, "odds" -> 2L), s"batcher batches: $m")
+      assert(m.batcherFailed == Map("evens" -> 0L, "odds" -> 0L), s"batcher failed: $m")
+      assert(m.handleFailedInvocations == 1, s"handleFailed invocations: $m")
+      assert(m.ackSuccessful == 8 && m.ackFailed == 2, s"ack totals: $m")
+    } finally tp.stop()
+  }
+
   // broadway_test.exs:808-817 — crash in handle_message marks {kind, reason},
   // pipeline keeps running.
   test("crash in handleMessage is contained with kind/reason") {
