@@ -11,6 +11,16 @@ import graft.model.Message
   */
 trait Acknowledger extends Serializable {
   def ack(ackRef: String, successful: Seq[Message[_]], failed: Seq[Message[_]]): Unit
+
+  /** Analog of `Acknowledger.configure/3` (acknowledger.ex:44-59): invoked
+    * when a message's ack is configured (`Message.configureAck`), with the
+    * options being attached — the acknowledger validates and/or normalizes
+    * them, and the returned map is what the message actually carries to
+    * `ack`. Raising here crashes the configuring message (contained by the
+    * processor stage), mirroring the reference's raise on unsupported
+    * options. Default: accept everything unchanged.
+    */
+  def configure(ackRef: String, options: Map[String, String]): Map[String, String] = options
 }
 
 /** Acks nothing (/root/reference/lib/broadway/noop_acknowledger.ex). */

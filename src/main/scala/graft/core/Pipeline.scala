@@ -61,11 +61,18 @@ object Pipeline {
           else
             try {
               val o = handle(m)
-              if (hasBatchers && !batcherNames.contains(o.batcher))
+              // configure_ack contract (acknowledger.ex:44-59 via
+              // message.ex:135-155): newly-attached ack options pass through
+              // the acknowledger, which validates/normalizes them; a raise
+              // here crashes the message like any handler crash.
+              val o2 =
+                if (o.ackOptions != m.ackOptions) o.withAckOptions(acknowledger.configure(o.ackRef, o.ackOptions))
+                else o
+              if (hasBatchers && !batcherNames.contains(o2.batcher))
                 // reference raises on unknown batcher (processor_stage.ex:213-224);
                 // we fail the message so the pipeline keeps running
-                o.failed(s"unknown batcher: ${o.batcher}")
-              else o
+                o2.failed(s"unknown batcher: ${o2.batcher}")
+              else o2
             } catch { case NonFatal(e) => m.copy(status = MessageStatus.crashed(e)) }
         // per-stage span counts (broadway.ex:651-888 processor spans)
         counters.foreach(c => if (out.isOk) c.processorProcessed.add(1L) else c.processorFailed.add(1L))

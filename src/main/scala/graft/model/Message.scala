@@ -82,6 +82,15 @@ final case class Message[A](
         k.stripPrefix(Message.AckOptPrefix) -> v
     }
 
+  /** Replace the full ack-option set (used by the pipeline to store the
+    * acknowledger-normalized options from `Acknowledger.configure`).
+    */
+  private[graft] def withAckOptions(opts: Map[String, String]): Message[A] =
+    copy(metadata =
+      metadata.filterNot(_._1.startsWith(Message.AckOptPrefix)) ++
+        opts.map { case (k, v) => s"${Message.AckOptPrefix}$k" -> v }
+    )
+
   def isOk: Boolean = status.ok
 }
 

@@ -107,6 +107,36 @@ final case class QueueOffset(offset: Long) extends Offset {
   override def json(): String = offset.toString
 }
 
+/** Acknowledger that completes the configure_ack round trip at the source
+  * (acknowledger.ex:44-59 + the SQS adapter's `on_failure: :retry` idiom):
+  * failed messages whose ack options request `requeue=true` are pushed back
+  * onto the queue for redelivery on a later trigger. `configure` rejects
+  * unsupported options — the raise surfaces as a crashed message in the
+  * configuring processor, mirroring the reference's validation raise.
+  */
+final case class QueueAcknowledger(queueName: String) extends graft.ack.Acknowledger {
+
+  override def configure(ackRef: String, options: Map[String, String]): Map[String, String] = {
+    val unknown = options.keySet -- QueueAcknowledger.SupportedOptions
+    require(unknown.isEmpty, s"unsupported ack options: ${unknown.mkString(", ")}")
+    options
+  }
+
+  override def ack(
+      ackRef: String,
+      successful: Seq[graft.model.Message[_]],
+      failed: Seq[graft.model.Message[_]]
+  ): Unit = {
+    val requeue = failed.filter(_.ackOptions.get("requeue").contains("true"))
+    if (requeue.nonEmpty)
+      QueueSource.get(queueName).push(requeue.map(m => String.valueOf(m.data)): _*)
+  }
+}
+
+object QueueAcknowledger {
+  val SupportedOptions: Set[String] = Set("requeue")
+}
+
 /** format("graft.sources.QueueSourceProvider") entry point. */
 class QueueSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = QueueSource.schema

@@ -11,6 +11,12 @@ object QueueProbe {
   def clear(): Unit = rows.clear()
 }
 
+/** Per-value attempt counter for the requeue test (executor-shared JVM). */
+object RequeueProbe {
+  val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def clear(): Unit = attempts.clear()
+}
+
 /** DSv2 queue source: rate-limited admission at latestOffset, ack on
   * commit — exact Broadway producer semantics at the Spark source boundary.
   */
@@ -57,6 +63,60 @@ class QueueSourceSpec extends SparkSpec {
       rl.shutdown()
       QueueSource.remove("spec-q1")
     }
+  }
+
+  // acknowledger.ex:44-59 — configure validates the options; the queue
+  // acknowledger honors requeue=true by pushing the failed value back.
+  test("configure_ack requeue: a transiently-failed message is redelivered") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.config.{BatcherConfig, PipelineConfig}
+    import graft.core.Pipeline
+    import graft.model.Message
+    import graft.sources.QueueAcknowledger
+    RequeueProbe.clear()
+    val q = QueueSource.create("spec-q3", None)
+    try {
+      q.push("good-1", "bad-2", "good-3")
+      val messages = spark.readStream
+        .format("graft.sources.QueueSourceProvider")
+        .option("queue", "spec-q3")
+        .load()
+        .select(col("offset"), col("value"))
+        .as[(Long, String)]
+        .map { case (off, v) => Message(v, metadata = Map("seq" -> off.toString)) }
+      val cfg = PipelineConfig[String](
+        name = "requeue",
+        handleMessage = m => {
+          val n = RequeueProbe.attempts.merge(m.data, 1, (a, b) => a + b).intValue()
+          // first attempt at a bad value fails transiently and asks for
+          // redelivery; the retried copy succeeds
+          if (m.data.startsWith("bad") && n == 1)
+            m.configureAck(Map("requeue" -> "true")).failed("transient")
+          else m
+        },
+        batchers = Seq(BatcherConfig[String]("default", batchSize = 10))
+      )
+      val running = Pipeline.start(spark, messages, cfg, QueueAcknowledger("spec-q3"))
+      try {
+        running.processAllAvailable()
+        // the requeued copy was pushed and a later trigger processed it
+        assert(RequeueProbe.attempts.get("bad-2") == 2, s"attempts=${RequeueProbe.attempts}")
+        assert(RequeueProbe.attempts.get("good-1") == 1)
+        assert(q.size == 4, s"queue should hold original 3 + 1 requeued copy, size=${q.size}")
+      } finally running.stop()
+    } finally {
+      QueueSource.remove("spec-q3")
+      RequeueProbe.clear()
+    }
+  }
+
+  test("configure rejects unsupported ack options") {
+    import graft.sources.QueueAcknowledger
+    val ex = intercept[IllegalArgumentException] {
+      QueueAcknowledger("any").configure("ref", Map("visibility_timeout" -> "30"))
+    }
+    assert(ex.getMessage.contains("visibility_timeout"))
   }
 
   test("onAck callback receives each committed range") {
