@@ -16,7 +16,14 @@ final case class BatcherConfig[A](
     batchSize: Int = 100,
     batchTimeoutMs: Long = 1000L,
     concurrency: Int = 1,
-    batchSplitter: Option[BatchSplitter[A]] = None
+    batchSplitter: Option[BatchSplitter[A]] = None,
+    /** Per-batcher partition_by override (options.ex:182-187, 284-288):
+      * messages with the same key land in the same batcher group (serial,
+      * arrival-ordered) independent of their batch_key, hashed over this
+      * batcher's `concurrency` slots. Unset: grouping is (batcher,
+      * batch_key) as before.
+      */
+    partitionBy: Option[A => Int] = None
 )
 
 /** Dynamic batch-boundary function: (message, acc) => (emit, newAcc). */

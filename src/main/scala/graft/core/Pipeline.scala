@@ -101,6 +101,13 @@ object Pipeline {
       else {
         val byBatcher = config.batchers.map(b => b.name -> b).toMap
         val handleBatchF = config.handleBatch
+        // Per-batcher partition_by override (options.ex:182-187): the third
+        // key component is the override's hash slot (0 when unset, which
+        // degenerates to the plain (batcher, batchKey) grouping).
+        val partOverride: Map[String, (A => Int, Int)] =
+          config.batchers.flatMap(b => b.partitionBy.map(pf => b.name -> (pf, b.concurrency))).toMap
+        implicit val key3Enc: Encoder[(String, Int, String)] =
+          Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.STRING)
 
         // Failed messages route to a pseudo-batcher that passes them
         // through untouched (they must SKIP handle_batch —
@@ -109,11 +116,18 @@ object Pipeline {
         // shuffle — no double evaluation of handleMessage side effects.
         val FailedRoute = "\u0000failed"
         handled
-          .groupByKey((m: Message[A]) =>
-            if (m.isOk) (m.batcher, m.batchKey) else (FailedRoute, m.batchKey)
-          )
-          .flatMapGroups { (key: (String, String), it: Iterator[Message[A]]) =>
-            val (batcherName, batchKey) = key
+          .groupByKey { (m: Message[A]) =>
+            if (!m.isOk) (FailedRoute, 0, m.batchKey)
+            else {
+              val slot = partOverride.get(m.batcher) match {
+                case Some((pf, conc)) => math.floorMod(pf(m.data), conc)
+                case None             => 0
+              }
+              (m.batcher, slot, m.batchKey)
+            }
+          }
+          .flatMapGroups { (key: (String, Int, String), it: Iterator[Message[A]]) =>
+            val (batcherName, _, batchKey) = key
             if (batcherName == FailedRoute) it
             else {
               val bc = byBatcher(batcherName)

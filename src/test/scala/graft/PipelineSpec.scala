@@ -76,6 +76,37 @@ class PipelineSpec extends SparkSpec {
     } finally tp.stop()
   }
 
+  // options.ex:182-187, 284-288 — a batcher-level partition_by groups the
+  // batch stage by its own key, independent of the processor partitioning
+  // and of batch_key.
+  test("per-batcher partition_by overrides the batch grouping") {
+    BatchProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "batcher-partitioned",
+      // processor stage partitioned one way (everything together)...
+      partitionBy = Some((_: Int) => 0),
+      handleBatch = (_, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      },
+      // ...batch stage partitioned another way (by parity), same batch_key
+      batchers = Seq(
+        BatcherConfig[Int]("default", batchSize = 10, concurrency = 2, partitionBy = Some((i: Int) => i))
+      )
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(1 to 6)
+      tp.processAllAvailable()
+      val batches = BatchProbe.drain().map(_._2)
+      assert(batches.size == 2, s"expected one batch per partition slot: $batches")
+      // same-parity messages batch together, in arrival order, despite the
+      // identical batch_key
+      assert(batches.map(_.toSet).toSet == Set(Set(1, 3, 5), Set(2, 4, 6)), s"batches=$batches")
+      batches.foreach(b => assert(b == b.sorted, s"out of order: $b"))
+    } finally tp.stop()
+  }
+
   // broadway_test.exs:879-1032 — per-stage telemetry span counts for a
   // mixed ok/failed run: processor processed/failed, per-batcher batches +
   // messages, handle_failed invocations, ack totals.
