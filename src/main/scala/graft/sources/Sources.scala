@@ -35,6 +35,26 @@ object Sources {
     r.load(path)
   }
 
+  /** Reader options for the kafka source — separated from the reader build
+    * so the RateLimiting → maxOffsetsPerTrigger mapping is unit-testable
+    * without a broker. `allowed_messages` per interval becomes the
+    * per-trigger offset cap; sub-second intervals scale the cap so the
+    * admitted rate matches (a trigger is the admission window here).
+    */
+  def kafkaOptions(
+      bootstrapServers: String,
+      topics: String,
+      rateLimiting: Option[RateLimiting] = None,
+      startingOffsets: String = "earliest"
+  ): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topics,
+      "startingOffsets" -> startingOffsets
+    )
+    base ++ rateLimiting.map(rl => "maxOffsetsPerTrigger" -> rl.allowedMessages.toString)
+  }
+
   /** Kafka source with offset admission per trigger — rate limiting at the
     * source (maxOffsetsPerTrigger ≈ allowed_messages per trigger interval).
     */
@@ -44,15 +64,11 @@ object Sources {
       topics: String,
       rateLimiting: Option[RateLimiting] = None,
       startingOffsets: String = "earliest"
-  ): DataFrame = {
-    var r = spark.readStream
+  ): DataFrame =
+    spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topics)
-      .option("startingOffsets", startingOffsets)
-    rateLimiting.foreach(rl => r = r.option("maxOffsetsPerTrigger", rl.allowedMessages.toLong))
-    r.load()
-  }
+      .options(kafkaOptions(bootstrapServers, topics, rateLimiting, startingOffsets))
+      .load()
 
   /** Synthetic rate source (load/soak testing). */
   def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =

@@ -61,39 +61,35 @@ object KeyedBatcher {
         } else {
           val (buffered, acc0) = state.getOption.map(deserialize[A]).getOrElse((Vector.empty[Message[A]], initAcc(splitter)))
           val incoming = it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L))
-          val flushNow = incoming.exists(_.batchMode == BatchMode.Flush)
           val out = Vector.newBuilder[EmittedBatch[A]]
 
           var rest = buffered
           var acc = acc0
-          splitter match {
-            case Some(sp) =>
-              // dynamic boundary: fold the NEW messages through the user
-              // accumulator (buffered ones were folded in prior batches)
-              incoming.foreach { m =>
-                rest :+= m
-                val (emit, next) = sp.step(m, acc)
+          def emit(trigger: String): Unit =
+            if (rest.nonEmpty) {
+              out += EmittedBatch(batcher, batchKey, trigger, rest)
+              rest = Vector.empty
+              acc = initAcc(splitter)
+            }
+          // Flush is checked PER MESSAGE inside the fold: the batch is
+          // delivered at the flush message itself (batcher_stage.ex:178-179)
+          // — messages arriving later in the same trigger start a new batch
+          // instead of riding along in the flushed one.
+          incoming.foreach { m =>
+            rest :+= m
+            splitter match {
+              case Some(sp) =>
+                // dynamic boundary: fold the NEW messages through the user
+                // accumulator (buffered ones were folded in prior batches)
+                val (emitNow, next) = sp.step(m, acc)
                 acc = next
-                if (emit) {
-                  out += EmittedBatch(batcher, batchKey, "size", rest)
-                  rest = Vector.empty
-                  acc = sp.init
-                }
-              }
-            case None =>
-              rest = buffered ++ incoming
-              while (rest.size >= batchSize) {
-                val (chunk, tail) = rest.splitAt(batchSize)
-                out += EmittedBatch(batcher, batchKey, "size", chunk)
-                rest = tail
-              }
+                if (emitNow) emit("size")
+              case None =>
+                if (rest.size >= batchSize) emit("size")
+            }
+            if (m.batchMode == BatchMode.Flush) emit("flush")
           }
 
-          if (flushNow && rest.nonEmpty) {
-            out += EmittedBatch(batcher, batchKey, "flush", rest)
-            rest = Vector.empty
-            acc = initAcc(splitter)
-          }
           if (rest.isEmpty) state.remove()
           else {
             state.update(serialize((rest, acc)))

@@ -160,4 +160,38 @@ class KeyedBatcherSpec extends SparkSpec {
       assert(out.head._4 == Seq(1, 2, 3))
     } finally query.stop()
   }
+
+  // batcher_stage.ex:178-179 — the batch is delivered AT the flush message;
+  // later arrivals in the same trigger open a new batch.
+  test("messages after a flush message in the same trigger start a new batch") {
+    EmitProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Message[Int]]
+    val batches = KeyedBatcher(stream.toDS(), batchSize = 100, batchTimeoutMs = 600000)
+    val query = batches.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[Int]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbe.emitted.add((b.batcher, b.batchKey, b.trigger, b.messages.map(_.data)))
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(
+        Seq(
+          Message(1, metadata = Map("seq" -> "1")),
+          Message(2, metadata = Map("seq" -> "2"), batchMode = "flush"),
+          Message(3, metadata = Map("seq" -> "3"))
+        )
+      )
+      val out = awaitEmitted(atLeast = 1)
+      assert(out == Seq(("default", "default", "flush", Seq(1, 2))), s"flush boundary leaked: $out")
+      // 3 is buffered in a fresh batch; a later flush delivers it
+      stream.addData(Seq(Message(4, metadata = Map("seq" -> "4"), batchMode = "flush")))
+      val next = awaitEmitted(atLeast = 1)
+      assert(next == Seq(("default", "default", "flush", Seq(3, 4))), s"new batch wrong: $next")
+    } finally query.stop()
+  }
 }

@@ -45,6 +45,25 @@ class SourcesSpec extends SparkSpec {
     assert(FileProbe.batches.get() >= 2)
   }
 
+  // options.ex:98-128 → maxOffsetsPerTrigger: the kafka adapter's reader
+  // config, asserted without a broker (integration-shape test).
+  test("kafka adapter maps RateLimiting to maxOffsetsPerTrigger") {
+    import graft.config.RateLimiting
+    val opts = Sources.kafkaOptions(
+      bootstrapServers = "broker1:9092,broker2:9092",
+      topics = "events,clicks",
+      rateLimiting = Some(RateLimiting(allowedMessages = 5000, intervalMs = 1000))
+    )
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("subscribe") == "events,clicks")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("maxOffsetsPerTrigger") == "5000")
+
+    val unlimited = Sources.kafkaOptions("b:9092", "t", rateLimiting = None)
+    assert(!unlimited.contains("maxOffsetsPerTrigger"))
+    assert(unlimited("startingOffsets") == "earliest")
+  }
+
   test("prepareForStart and prepareForDraining hooks fire in order") {
     import graft.config.PipelineConfig
     import graft.testkit.TestPipeline
