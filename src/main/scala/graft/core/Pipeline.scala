@@ -251,11 +251,23 @@ object Pipeline {
       config.checkpointLocation.foreach(writer.option("checkpointLocation", _))
       writer.start()
     }
-    val running = new RunningPipeline[A](config, build(), rateLimiter)
+    // Source descriptors — the producer_names/1 analog (broadway.ex:
+    // 1184-1197): one entry per source leaf in the streaming plan.
+    val producers = source.queryExecution.logical
+      .collectLeaves()
+      .map(l => l.toString.linesIterator.next().take(120))
+    val running = new RunningPipeline[A](config, build(), rateLimiter, producers)
     config.restartPolicy.foreach(p => graft.runtime.Supervisor.supervise(spark, running, p, () => build()))
     PipelineRegistry.register(running)
     running
   }
+
+  /** Analog of `Broadway.process_name/2` (broadway.ex:1058-1081): the
+    * canonical name for a pipeline component — used as accumulator / query
+    * naming convention so dashboards can address a stage deterministically.
+    */
+  def processName(pipelineName: String, component: String, index: Int = 0): String =
+    s"$pipelineName.graft.$component.$index"
 }
 
 /** Handle on a started pipeline — introspection + lifecycle, the analog of
@@ -266,7 +278,9 @@ object Pipeline {
 final class RunningPipeline[A](
     val config: PipelineConfig[A],
     initialQuery: StreamingQuery,
-    val rateLimiter: Option[RateLimiter]
+    val rateLimiter: Option[RateLimiter],
+    /** Source descriptors (the producer_names/1 analog). */
+    val producerNames: Seq[String] = Seq.empty
 ) {
   private val queryRef = new java.util.concurrent.atomic.AtomicReference[StreamingQuery](initialQuery)
 

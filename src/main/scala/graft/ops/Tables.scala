@@ -23,9 +23,13 @@ object Tables {
   /** The events table stores `ts` as Parquet TIMESTAMP(NANOS), which Spark
     * rejects by default; read nanos as long and truncate to microsecond
     * TimestampType (lossless here — the generator writes µs precision).
+    * The nanosAsLong flag belongs in the session build (Bench/Verify/Smoke
+    * set it there); the guarded set here only covers externally-built
+    * sessions, without re-mutating config on every call.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

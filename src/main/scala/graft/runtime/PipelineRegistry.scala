@@ -15,4 +15,9 @@ object PipelineRegistry {
   def unregister(name: String): Unit = running.remove(name)
   def get(name: String): Option[graft.core.RunningPipeline[_]] = Option(running.get(name))
   def allRunning: Seq[String] = running.keySet().asScala.toSeq.sorted
+
+  /** Source descriptors of a running pipeline — the `producer_names/1`
+    * analog (broadway.ex:1184-1197); None for unknown pipelines.
+    */
+  def producerNames(name: String): Option[Seq[String]] = get(name).map(_.producerNames)
 }

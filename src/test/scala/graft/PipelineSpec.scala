@@ -368,6 +368,12 @@ class PipelineSpec extends SparkSpec {
       assert(topo.batchers.map(_.name).toSet == Set("default", "s3"))
       assert(topo.batchers.find(_.name == "s3").get.batchSize == 50)
       assert(topo.processorConcurrency > 0)
+      // producer_names/1 analog: the MemoryStream source leaf is listed
+      val producers = PipelineRegistry.producerNames("introspect")
+      assert(producers.exists(_.nonEmpty), s"no producer names: $producers")
+      assert(producers.get.exists(_.toLowerCase.contains("memory")), s"unexpected: $producers")
+      // process_name/2 analog: deterministic component naming
+      assert(graft.core.Pipeline.processName("introspect", "processor", 3) == "introspect.graft.processor.3")
     } finally {
       tp.stop()
       assert(!PipelineRegistry.allRunning.contains("introspect"))
