@@ -110,6 +110,38 @@ object MultimodalOps {
              |ORDER BY source""".stripMargin)
     ),
 
+    // Frame sampling: every 4th fixed-size chunk of the payload (the video
+    // frame-sample shape: decode-free stride sampling over an opaque blob),
+    // per-media sampled-frame count + a fingerprint of the sampled bytes.
+    // Pure columnar expressions — at 100 TB this is a map-only pass.
+    Q(
+      "q53_frame_sample",
+      (s, d) => {
+        val nChunks = ceil(length(col("text")) / lit(64.0)).cast("int")
+        val chunks = when(
+          length(col("text")) > 0,
+          transform(sequence(lit(0), nChunks - 1), i => substring(col("text"), i * 64 + 1, lit(64)))
+        ).otherwise(array().cast("array<string>"))
+        val frames = filter(chunks, (_, i) => i % 4 === 0)
+        documents(s, d)
+          .select(
+            col("doc_id").as("media_id"),
+            size(frames).cast("long").as("n_frames"),
+            md5(concat_ws("", frames)).as("sample_fp")
+          )
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id, len(frames) AS n_frames,
+             |  md5(list_aggregate(frames, 'string_agg', '')) AS sample_fp
+             |FROM (SELECT doc_id,
+             |    list_filter(
+             |      list_transform(range(0, CAST(ceil(length(text) / 64.0) AS INT)),
+             |                     i -> substr(text, i * 64 + 1, 64)),
+             |      (c, i) -> (i - 1) % 4 = 0) AS frames
+             |  FROM documents) t
+             |ORDER BY media_id""".stripMargin)
+    ),
+
     // Stub feature extraction: deterministic fake decode (md5-derived
     // dimensions), aggregated per source. The columnar twin of
     // `extractFeaturesStub` so the oracle can check the same math.

@@ -266,6 +266,32 @@ object Relational {
 
     // E5/E6: event-time bucketing (daily tumbling window over the stream table).
     Q(
+      "q28_sliding_windows",
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(sum(col("value")), 4).as("sum_value")
+          )
+          .select(col("w.start").as("w_start"), col("cnt"), col("sum_value"))
+          .orderBy(col("w_start")),
+      // Sliding (hopping) event-time windows: width 6h, slide 3h — every
+      // event lands in exactly 2 windows. Oracle: epoch-anchored 3h buckets
+      // (matching Spark's epoch-aligned window origin), each event emitted
+      // into its bucket and the preceding one.
+      Some("""WITH b AS (SELECT time_bucket(INTERVAL 3 HOURS, ts, TIMESTAMP '1970-01-01') AS tb, value
+             |          FROM events),
+             |w AS (SELECT tb AS w_start, value FROM b
+             |      UNION ALL
+             |      SELECT tb - INTERVAL 3 HOURS, value FROM b)
+             |SELECT w_start, count(*) AS cnt, round(sum(value), 4) AS sum_value
+             |FROM w
+             |GROUP BY w_start
+             |ORDER BY w_start""".stripMargin)
+    ),
+
+    Q(
       "q11_events_daily",
       (s, d) =>
         events(s, d)

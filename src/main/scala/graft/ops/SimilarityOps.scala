@@ -270,6 +270,80 @@ object SimilarityOps {
               |LIMIT 10""".stripMargin)
     ),
 
+    // IVF-style ANN: the inverted-file scale path. Corpus vectors are
+    // assigned to their nearest centroid (min_by over a broadcast centroid
+    // list — the standard corpus×centroids assignment pass, map-side
+    // combinable); queries probe their nprobe=2 nearest centroids and rank
+    // only vectors in those cells. Centroids here are 8 deterministic seed
+    // vectors (vec_id < 8) — a production deployment would refine them with
+    // k-means iterations of exactly this assignment pass. At 100 TB: the
+    // centroid list stays driver-small, assignment is one linear pass, and
+    // the probe join is an equi-join on cent_id — no all-pairs anywhere.
+    Q(
+      "q46_ivf_ann",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("nv", norm(col("v")))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("ncv"))
+        val cellCos = dot(col("v"), col("cv")) / (col("nv") * col("ncv"))
+        // nearest-centroid assignment: highest cosine, centroid id tie-break
+        val assign = e.join(broadcast(cents))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cent_id"), struct((-cellCos).as("nc"), col("cent_id"))).as("cent_id"))
+        val q = e.filter(col("vec_id").isin(10L, 11L, 12L))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cent_id"))
+        val probes = q.join(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("nq"), col("cent_id"),
+            (dot(col("qv"), col("cv")) / (col("nq") * col("ncv"))).as("pcos"))
+          .withColumn("prk", row_number().over(wProbe))
+          .filter(col("prk") <= 2)
+          .select(col("query_id"), col("qv"), col("nq"), col("cent_id"))
+        val scored = assign.join(broadcast(probes), Seq("cent_id"))
+          .join(e, Seq("vec_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cosine")
+          )
+        val wRank = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              |asg AS (SELECT vec_id, cent_id FROM (
+              |  SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY list_dot_product(e.v, c.cv)
+              |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |      c.cent_id) AS rk
+              |  FROM e CROSS JOIN c) t WHERE rk = 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (10, 11, 12)),
+              |probes AS (SELECT query_id, qv, cent_id FROM (
+              |  SELECT q.query_id, q.qv, c.cent_id, row_number() OVER (PARTITION BY q.query_id
+              |    ORDER BY list_dot_product(q.qv, c.cv)
+              |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |      c.cent_id) AS prk
+              |  FROM q CROSS JOIN c) t WHERE prk <= 2),
+              |scored AS (
+              |  SELECT query_id, e.vec_id AS neighbor_id,
+              |    round(list_dot_product(qv, e.v)
+              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+              |  FROM probes JOIN asg USING (cent_id) JOIN e ON e.vec_id = asg.vec_id
+              |  WHERE e.vec_id <> query_id)
+              |SELECT query_id, neighbor_id, cosine, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |             ORDER BY cosine DESC, neighbor_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+
     // Bucketed ANN: same top-k query restricted to the query's LSH bucket —
     // the equi-join scale path (bucket key join instead of cross join).
     Q(
