@@ -189,9 +189,12 @@ object SimilarityOps {
           .select(col("vec_id"), emb(col("embedding")).as("v"))
           .withColumn("nv", norm(col("v")))
           .persist()
+        // persisted so the self-join's two legs share ONE evaluation of the
+        // 128-plane sign pass instead of recomputing it per leg
         val sigs = e
           .select(col("vec_id"), signBits(col("v"), NumBands * BandBits).as("bits"))
           .select(col("vec_id"), explode(bandKeysFromBits(col("bits"))).as("bk"))
+          .persist()
         val cand = sigs.as("a")
           .join(sigs.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
