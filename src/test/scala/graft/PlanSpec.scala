@@ -60,6 +60,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
   }
 
+  test("q35 inverted-index join reuses the persisted gram pass, no cartesian") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = QueryRegistry.byName("q35_ngram_jaccard").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case l: LogicalRelation => l }.isEmpty, "documents re-scanned outside the cached pass")
+    assert(opt.collect { case m: InMemoryRelation => m }.size >= 2, "gram pass not shared via cache")
+  }
+
+  test("q46 IVF probe join is equi on the centroid id with broadcast small sides") {
+    val df = QueryRegistry.byName("q46_ivf_ann").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian in plan:\n$p")
+    assert(p.contains("BroadcastExchange"), "centroid/probe side not broadcast")
+    assert(
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "cell-membership join is not an equi-join"
+    )
+  }
+
   test("q40 broadcasts the query side, not the corpus") {
     val p = plan("q40_cosine_topk")
     assert(p.contains("Broadcast"), "query side not broadcast")
