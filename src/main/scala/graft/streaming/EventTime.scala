@@ -30,6 +30,25 @@ object EventTime {
       .groupBy(window(col(eventTimeCol), windowDuration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Sliding (hopping) event-time windows: each event lands in
+    * windowDuration/slideDuration overlapping windows; with a watermark,
+    * each window still finalizes exactly once in append mode. The streaming
+    * twin of q28_sliding_windows.
+    */
+  def slidingAgg(
+      events: DataFrame,
+      eventTimeCol: String,
+      windowDuration: String,
+      slideDuration: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]
+  ): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration, slideDuration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** Streaming exact dedup with bounded state: duplicates of `idCols`
     * are dropped; the watermark lets Spark evict state for ids older than
     * the delay — the streaming twin of q30_exact_dedup, with the state

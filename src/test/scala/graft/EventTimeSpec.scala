@@ -93,4 +93,81 @@ class EventTimeSpec extends SparkSpec {
       assert(WindowProbe.drain().forall(_._1 != ts(0)))
     } finally q.stop()
   }
+
+  test("sliding windows count each event in every overlapping window") {
+    WindowProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val windowed = EventTime.slidingAgg(
+      stream.toDF().toDF("ts", "kind"),
+      eventTimeCol = "ts",
+      windowDuration = "10 minutes",
+      slideDuration = "5 minutes",
+      watermarkDelay = "1 minute",
+      keys = Seq(col("kind")),
+      aggs = Seq(count(lit(1)).as("cnt"))
+    )
+    val q = windowed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.select(col("window.start"), col("kind"), col("cnt")).collect().foreach { r =>
+          WindowProbe.rows.add((r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      // 10:02 belongs to [09:55,10:05) and [10:00,10:10)
+      stream.addData(Seq((ts(2), "a")))
+      q.processAllAvailable()
+      // advance the watermark past 10:10 + delay so both windows finalize
+      stream.addData(Seq((ts(12), "a")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(13), "a")))
+      q.processAllAvailable()
+      val emitted = WindowProbe.drain().filter(t => t._1 == Timestamp.valueOf("2024-01-01 09:55:00") || t._1 == ts(0))
+      assert(
+        emitted.map(t => t._1 -> t._3).toMap ==
+          Map(Timestamp.valueOf("2024-01-01 09:55:00") -> 1L, ts(0) -> 1L),
+        s"got $emitted"
+      )
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap and group by key") {
+    WindowProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val sessions = EventTime.sessionAgg(
+      stream.toDF().toDF("ts", "kind"),
+      eventTimeCol = "ts",
+      gapDuration = "5 minutes",
+      watermarkDelay = "1 minute",
+      keys = Seq(col("kind")),
+      aggs = Seq(count(lit(1)).as("cnt"))
+    )
+    val q = sessions.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.select(col("session_window.start"), col("kind"), col("cnt")).collect().foreach { r =>
+          WindowProbe.rows.add((r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      // two events 2 min apart (one session), then a 18-min gap (new session)
+      stream.addData(Seq((ts(0), "a"), (ts(2), "a")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(20), "a"))) // watermark jumps past session end
+      q.processAllAvailable()
+      stream.addData(Seq((ts(21), "a")))
+      q.processAllAvailable()
+      val emitted = WindowProbe.drain()
+      assert(emitted.contains((ts(0), "a", 2L)), s"first session missing: $emitted")
+      assert(!emitted.exists(_._1 == ts(20)), s"open session emitted early: $emitted")
+    } finally q.stop()
+  }
 }
