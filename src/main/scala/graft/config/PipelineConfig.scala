@@ -90,6 +90,7 @@ final case class PipelineConfig[A](
     else if (batchers.exists(b => b.batchSize <= 0 && b.batchSplitter.isEmpty))
       Left("batch_size must be positive")
     else if (batchers.exists(_.batchTimeoutMs <= 0)) Left("batch_timeout must be positive")
+    else if (batchers.exists(_.concurrency <= 0)) Left("batcher concurrency must be positive")
     else if (processorConcurrency <= 0) Left("processor concurrency must be positive")
     else if (rateLimiting.exists(r => r.allowedMessages <= 0 || r.intervalMs <= 0))
       Left("rate_limiting requires positive allowed_messages and interval")

@@ -187,40 +187,42 @@ object Pipeline {
   }
 
   /** Chunk one (batcher, batchKey) group into batches with trigger labels.
-    * Fixed-size path: full chunks are "size"; a trailing partial chunk is
-    * "flush" if any member is flush-mode else "timeout" (micro-batch-aligned
-    * timeout). Splitter path mirrors the tuple batch_size semantics
-    * (options.ex:233-263): accumulator folds until the step says emit.
+    * Full chunks (fixed size or splitter-emitted) are "size"; a flush-mode
+    * message delivers the open chunk AT that message (batcher_stage.ex:
+    * 178-179 — later messages in the group start a new chunk, same
+    * per-message semantics as KeyedBatcher); a trailing partial chunk is
+    * "timeout" (micro-batch-aligned timeout). Splitter path mirrors the
+    * tuple batch_size semantics (options.ex:233-263): accumulator folds
+    * until the step says emit.
     */
   def splitBatches[A](
       msgs: Seq[Message[A]],
       bc: BatcherConfig[A]
-  ): Seq[(Seq[Message[A]], String)] =
-    bc.batchSplitter match {
-      case Some(sp) =>
-        val out = Vector.newBuilder[(Seq[Message[A]], String)]
-        var cur = Vector.empty[Message[A]]
-        var acc = sp.init
-        msgs.foreach { m =>
-          cur :+= m
-          val (emit, next) = sp.step(m, acc)
+  ): Seq[(Seq[Message[A]], String)] = {
+    val out = Vector.newBuilder[(Seq[Message[A]], String)]
+    var cur = Vector.empty[Message[A]]
+    var acc = bc.batchSplitter.map(_.init).getOrElse(0L)
+    def emit(trigger: String): Unit =
+      if (cur.nonEmpty) {
+        out += ((cur, trigger))
+        cur = Vector.empty
+        acc = bc.batchSplitter.map(_.init).getOrElse(0L)
+      }
+    msgs.foreach { m =>
+      cur :+= m
+      bc.batchSplitter match {
+        case Some(sp) =>
+          val (emitNow, next) = sp.step(m, acc)
           acc = next
-          if (emit) {
-            out += ((cur, "size"))
-            cur = Vector.empty
-            acc = sp.init
-          }
-        }
-        if (cur.nonEmpty)
-          out += ((cur, if (cur.exists(_.batchMode == BatchMode.Flush)) "flush" else "timeout"))
-        out.result()
-      case None =>
-        msgs.grouped(bc.batchSize).toVector.map { chunk =>
-          if (chunk.size == bc.batchSize) (chunk, "size")
-          else if (chunk.exists(_.batchMode == BatchMode.Flush)) (chunk, "flush")
-          else (chunk, "timeout")
-        }
+          if (emitNow) emit("size")
+        case None =>
+          if (cur.size >= bc.batchSize) emit("size")
+      }
+      if (m.batchMode == BatchMode.Flush) emit("flush")
     }
+    emit("timeout")
+    out.result()
+  }
 
   /** Start a streaming pipeline over a source of already-wrapped messages.
     * The analog of `Broadway.start_link/2` (broadway.ex:1123-1162):
@@ -300,12 +302,13 @@ final class RunningPipeline[A](
   def stop(): Unit = {
     config.prepareForDraining()
     val q = query
-    graft.runtime.Supervisor.forget(q.runId)
+    graft.runtime.Supervisor.forget(name, q.runId)
     try q.processAllAvailable()
     finally {
       q.stop()
       q.awaitTermination(config.shutdownBudgetMs)
       rateLimiter.foreach(_.shutdown())
+      StageCounters.remove(name)
       PipelineRegistry.unregister(name)
     }
   }

@@ -120,6 +120,9 @@ object DedupOps {
     // materialized pass beats four recomputed ones. Spark's CacheManager
     // keys cache entries by canonicalized plan, so q32 and q34 (which
     // rebuilds this DAG) share the same materialized data within a session.
+    // Caches are session-scoped and LRU-evicted under memory pressure (no
+    // explicit unpersist hook exists on the query contract); a long-lived
+    // service would materialize signatures as a table instead.
     val sh = shingleSets(s, d).persist()
     val sigs = minhashFromShingles(sh, NumHashes).persist()
     val bands = sigs.select(

@@ -132,7 +132,7 @@ object MultimodalOps {
           .orderBy(col("media_id"))
       },
       Some("""SELECT doc_id AS media_id, len(frames) AS n_frames,
-             |  md5(list_aggregate(frames, 'string_agg', '')) AS sample_fp
+             |  md5(coalesce(list_aggregate(frames, 'string_agg', ''), '')) AS sample_fp
              |FROM (SELECT doc_id,
              |    list_filter(
              |      list_transform(range(0, CAST(ceil(length(text) / 64.0) AS INT)),

@@ -19,11 +19,19 @@ import graft.core.RunningPipeline
   * failed micro-batch replay, so an idempotent sink observes effectively-
   * once delivery. Restarts are budgeted by [[graft.config.RestartPolicy]]
   * (max_restarts within a sliding max_seconds window); exceeding the budget
-  * gives up permanently, like a supervisor exceeding its restart intensity.
+  * gives up permanently (the supervisor "dies"), tearing the pipeline's
+  * runtime resources down like a terminating supervisor would.
   *
   * The restart runs on a dedicated daemon thread, not the listener bus
   * thread — `DataStreamWriter.start` itself posts listener events and must
-  * not block the bus.
+  * not block the bus. Two races are handled explicitly:
+  *  - intentional `stop()` vs an in-flight restart: stop() cancels by
+  *    pipeline NAME, and the restart thread re-checks the cancel flag after
+  *    building (stopping the freshly-built query if it lost the race);
+  *  - a restarted query failing before its registry entry lands: after
+  *    every registration the query is re-checked for early termination and
+  *    the handler re-invoked (the entries map's atomic remove dedups
+  *    against the listener delivering the same event).
   */
 object Supervisor {
 
@@ -38,54 +46,82 @@ object Supervisor {
   /** Live supervised runs, keyed by runId (unique per physical run). */
   private val entries = new ConcurrentHashMap[UUID, State]()
 
+  /** Pipelines whose supervision was cancelled by an intentional stop. */
+  private val cancelledNames = ConcurrentHashMap.newKeySet[String]()
+
   /** Terminal outcomes + counters, keyed by pipeline name (for tests and
     * operator introspection — the `all_running/0` style surface).
     */
   private val restartCounts = new ConcurrentHashMap[String, Integer]()
   private val gaveUpSet = ConcurrentHashMap.newKeySet[String]()
 
-  @volatile private var installed = false
+  /** Sessions that already have the listener attached (addListener is
+    * per-SparkSession — one global flag would silently skip later sessions).
+    */
+  private val installedSessions = ConcurrentHashMap.newKeySet[SparkSession]()
 
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      val st = entries.remove(e.runId)
-      if (st != null && e.exception.isDefined) {
-        val t = new Thread(() => attemptRestart(st), s"graft-supervisor-${st.pipelineName}")
-        t.setDaemon(true)
-        t.start()
-      }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      if (e.exception.isDefined) handleFailure(e.runId)
+  }
+
+  /** Atomically claim the terminated run and restart it off-bus. */
+  private def handleFailure(runId: UUID): Unit = {
+    val st = entries.remove(runId)
+    if (st != null) {
+      val t = new Thread(() => attemptRestart(st), s"graft-supervisor-${st.pipelineName}")
+      t.setDaemon(true)
+      t.start()
     }
   }
 
+  /** A fast-failing query can terminate before its entry is registered (the
+    * listener event then finds nothing). Re-check after every registration
+    * and re-invoke the handler; entries.remove keeps it exactly-once.
+    */
+  private def recheckEarlyTermination(q: StreamingQuery): Unit =
+    if (!q.isActive && q.exception.isDefined) handleFailure(q.runId)
+
   private def attemptRestart(st: State): Unit = {
+    if (cancelledNames.contains(st.pipelineName)) return
     val now = System.currentTimeMillis()
     val windowStart = now - st.policy.withinSeconds * 1000L
     st.restartTimes.removeHeadWhile(_ < windowStart)
-    if (st.restartTimes.size >= st.policy.maxRestarts) {
-      gaveUpSet.add(st.pipelineName)
-      PipelineRegistry.unregister(st.pipelineName)
-      ()
-    } else {
+    if (st.restartTimes.size >= st.policy.maxRestarts) giveUp(st)
+    else {
       st.restartTimes.append(now)
       try {
         val q = st.build()
-        st.running.replaceQuery(q)
-        restartCounts.merge(st.pipelineName, 1, (a, b) => a + b)
-        entries.put(q.runId, st)
-        ()
-      } catch {
-        case NonFatal(_) =>
-          gaveUpSet.add(st.pipelineName)
-          PipelineRegistry.unregister(st.pipelineName)
+        if (cancelledNames.contains(st.pipelineName)) {
+          // lost the race against an intentional stop(): don't resurrect
+          q.stop()
           ()
+        } else {
+          st.running.replaceQuery(q)
+          restartCounts.merge(st.pipelineName, 1, (a, b) => a + b)
+          entries.put(q.runId, st)
+          recheckEarlyTermination(q)
+        }
+      } catch {
+        case NonFatal(_) => giveUp(st)
       }
     }
   }
 
+  /** Budget exhausted (or rebuild failed): terminal. Tear down the runtime
+    * resources a normal stop() would have released.
+    */
+  private def giveUp(st: State): Unit = {
+    gaveUpSet.add(st.pipelineName)
+    st.running.rateLimiter.foreach(_.shutdown())
+    StageCounters.remove(st.pipelineName)
+    PipelineRegistry.unregister(st.pipelineName)
+  }
+
   /** Put a running pipeline under supervision. Idempotently installs the
-    * session listener.
+    * listener on the pipeline's session.
     */
   def supervise(
       spark: SparkSession,
@@ -93,21 +129,22 @@ object Supervisor {
       policy: RestartPolicy,
       build: () => StreamingQuery
   ): Unit = {
-    synchronized {
-      if (!installed) {
-        spark.streams.addListener(listener)
-        installed = true
-      }
-    }
+    if (installedSessions.add(spark)) spark.streams.addListener(listener)
+    cancelledNames.remove(running.name) // fresh supervision clears stale cancels
     val st = new State(running.name, running, policy, build)
     entries.put(running.query.runId, st)
-    ()
+    recheckEarlyTermination(running.query)
   }
 
-  /** Drop supervision for a run (called on intentional stop, so a clean
-    * shutdown never races a restart).
+  /** Drop supervision (called on intentional stop): removes the live entry
+    * AND cancels any in-flight restart by name, so a clean shutdown never
+    * races a restart into a zombie query.
     */
-  def forget(runId: UUID): Unit = { entries.remove(runId); () }
+  def forget(pipelineName: String, runId: UUID): Unit = {
+    cancelledNames.add(pipelineName)
+    entries.remove(runId)
+    ()
+  }
 
   /** Completed restarts for a pipeline name. */
   def restartCount(pipelineName: String): Int =
@@ -120,6 +157,7 @@ object Supervisor {
   def reset(pipelineName: String): Unit = {
     restartCounts.remove(pipelineName)
     gaveUpSet.remove(pipelineName)
+    cancelledNames.remove(pipelineName)
     ()
   }
 }

@@ -62,6 +62,10 @@ object QueueSource {
     private[sources] def valuesInRange(from: Long, until: Long): Seq[(Long, String)] =
       data.synchronized((from until until).map(i => i -> data(i.toInt)))
 
+    /** The original payload at an offset (for redelivery). */
+    def originalValue(offset: Long): Option[String] =
+      data.synchronized(if (offset >= 0 && offset < data.size) Some(data(offset.toInt)) else None)
+
     /** Admission: grant up to the rate budget of the pending backlog. */
     private[sources] def admit(): Long = {
       val pending = size - admitted.get()
@@ -128,8 +132,22 @@ final case class QueueAcknowledger(queueName: String) extends graft.ack.Acknowle
       failed: Seq[graft.model.Message[_]]
   ): Unit = {
     val requeue = failed.filter(_.ackOptions.get("requeue").contains("true"))
-    if (requeue.nonEmpty)
-      QueueSource.get(queueName).push(requeue.map(m => String.valueOf(m.data)): _*)
+    if (requeue.nonEmpty) {
+      val h = QueueSource.get(queueName)
+      // Redeliver the ORIGINAL queue payload, not the possibly-transformed
+      // message data (the SQS retry idiom redelivers the consumed message):
+      // the "seq" metadata carries the source offset under the queue
+      // transformer convention; messages without provenance fall back to
+      // their current data.
+      val vals = requeue.map { m =>
+        m.metadata
+          .get("seq")
+          .flatMap(s => s.toLongOption)
+          .flatMap(h.originalValue)
+          .getOrElse(String.valueOf(m.data))
+      }
+      h.push(vals: _*)
+    }
   }
 }
 

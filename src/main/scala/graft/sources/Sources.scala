@@ -37,9 +37,12 @@ object Sources {
 
   /** Reader options for the kafka source — separated from the reader build
     * so the RateLimiting → maxOffsetsPerTrigger mapping is unit-testable
-    * without a broker. `allowed_messages` per interval becomes the
-    * per-trigger offset cap; sub-second intervals scale the cap so the
-    * admitted rate matches (a trigger is the admission window here).
+    * without a broker. `allowed_messages` becomes the per-trigger offset
+    * cap: the TRIGGER is the admission window here, so `intervalMs` is
+    * honored by pairing this with a matching processing-time trigger.
+    * Exact wall-clock interval enforcement independent of the trigger
+    * cadence needs the shared-RateLimiter admission path (see QueueSource's
+    * rate-limited latestOffset).
     */
   def kafkaOptions(
       bootstrapServers: String,

@@ -76,6 +76,28 @@ class PipelineSpec extends SparkSpec {
     } finally tp.stop()
   }
 
+  // batcher_stage.ex:178-179 — a flush-mode message mid-group delivers the
+  // open chunk at that message; later messages start a new chunk.
+  test("flush message cuts the batch boundary at the message") {
+    BatchProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "flush-boundary",
+      handleMessage = m => if (m.data == 2) m.putBatchMode(graft.model.BatchMode.Flush) else m,
+      handleBatch = (_, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      },
+      batchers = Seq(BatcherConfig[Int]("default", batchSize = 100))
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(1, 2, 3, 4))
+      tp.processAllAvailable()
+      val batches = BatchProbe.drain().map(b => (b._1.trigger, b._2))
+      assert(batches == Seq(("flush", Seq(1, 2)), ("timeout", Seq(3, 4))), s"got $batches")
+    } finally tp.stop()
+  }
+
   // options.ex:182-187, 284-288 — a batcher-level partition_by groups the
   // batch stage by its own key, independent of the processor partitioning
   // and of batch_key.

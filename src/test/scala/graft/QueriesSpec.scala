@@ -56,6 +56,12 @@ class QueriesSpec extends SparkSpec {
     assert(
       PipelineConfig[Int](name = "x", rateLimiting = Some(RateLimiting(0, 100))).validate().isLeft
     )
+    assert(
+      PipelineConfig[Int](
+        name = "x",
+        batchers = Seq(BatcherConfig[Int]("a", concurrency = 0))
+      ).validate().isLeft
+    )
     assert(PipelineConfig[Int](name = "ok").validate().isRight)
   }
 }

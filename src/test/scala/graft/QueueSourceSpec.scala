@@ -89,10 +89,11 @@ class QueueSourceSpec extends SparkSpec {
         name = "requeue",
         handleMessage = m => {
           val n = RequeueProbe.attempts.merge(m.data, 1, (a, b) => a + b).intValue()
-          // first attempt at a bad value fails transiently and asks for
-          // redelivery; the retried copy succeeds
+          // first attempt at a bad value TRANSFORMS the data, then fails
+          // transiently asking for redelivery — the requeued copy must be
+          // the original payload, not the transformed one
           if (m.data.startsWith("bad") && n == 1)
-            m.configureAck(Map("requeue" -> "true")).failed("transient")
+            m.updateData(_.toUpperCase).configureAck(Map("requeue" -> "true")).failed("transient")
           else m
         },
         batchers = Seq(BatcherConfig[String]("default", batchSize = 10))
@@ -104,6 +105,9 @@ class QueueSourceSpec extends SparkSpec {
         assert(RequeueProbe.attempts.get("bad-2") == 2, s"attempts=${RequeueProbe.attempts}")
         assert(RequeueProbe.attempts.get("good-1") == 1)
         assert(q.size == 4, s"queue should hold original 3 + 1 requeued copy, size=${q.size}")
+        // the redelivered payload is the ORIGINAL, not the uppercased data
+        assert(q.originalValue(3L).contains("bad-2"), s"requeued=${q.originalValue(3L)}")
+        assert(!RequeueProbe.attempts.containsKey("BAD-2"), "transformed data leaked into the queue")
       } finally running.stop()
     } finally {
       QueueSource.remove("spec-q3")
