@@ -204,6 +204,51 @@ object DedupOps {
          |THEN '1' ELSE '0' END""".stripMargin
     }.mkString(" || ")
 
+  /** 64-bit SimHash: bit p is the sign of the token-sum of ±1 by bit
+    * ((p−1) mod 4) of hex digit ((p−1)/4 + 1) of md5(token). 64 bits (vs
+    * the 16-bit profile of q33) so that random collisions vanish and a
+    * small hamming radius isolates true near-duplicates.
+    */
+  def simhash64(s: SparkSession, d: String): DataFrame = {
+    val ex = documents(s, d)
+      .select(col("doc_id"), explode_outer(toks).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    // Lane-packed counting: hex digit g's four bits ride as four 16-bit
+    // lanes of ONE long (bit b of the digit → lane b), so the aggregate
+    // carries 16 packed sums + a token count instead of 64 separate ±1
+    // sums. Lanes can't carry into each other (per-doc token counts ≪
+    // 2^16). This quarters the generated aggregate code — the naive 65-
+    // buffer version spent most of its wall-clock in codegen compilation.
+    // Bit p's sign: ±1-sum = 2·ones − n, so sign ⟺ 2·ones ≥ n.
+    val packed = ex.select(
+      col("doc_id") +:
+        (1 to 16).map { g =>
+          val dgt = conv(substring(col("h"), g, 1), 16, 10).cast("long")
+          ((dgt % 2)
+            + (shiftright(dgt, 1) % 2) * lit(1L << 16)
+            + (shiftright(dgt, 2) % 2) * lit(1L << 32)
+            + (shiftright(dgt, 3) % 2) * lit(1L << 48)).as(s"p$g")
+        }: _*
+    )
+    val agg = packed
+      .groupBy(col("doc_id"))
+      .agg(count(col("p1")).as("n"), (1 to 16).map(g => sum(col(s"p$g")).as(s"q$g")): _*)
+    val bits = (1 to 64).map { p =>
+      val g = (p - 1) / 4 + 1
+      val lane = (p - 1) % 4
+      val ones = shiftright(col(s"q$g"), lane * 16) % lit(1L << 16)
+      when(lit(2) * ones >= col("n"), lit("1")).otherwise(lit("0"))
+    }
+    agg.select(col("doc_id"), concat(bits: _*).as("sh"))
+  }
+
+  private val sqlSimhash64: String =
+    (1 to 64).map { p =>
+      s"""CASE WHEN list_sum(list_transform(tok,
+         |  t -> 2 * (((strpos('0123456789abcdef', substr(md5(t), ${(p - 1) / 4 + 1}, 1)) - 1) // ${1 << ((p - 1) % 4)}) % 2) - 1)) >= 0
+         |THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" || ")
+
   val queries: Seq[Q] = Seq(
     // Exact dedup: content-hash groups with kept (min) id.
     Q(
@@ -252,6 +297,56 @@ object DedupOps {
               |SELECT doc_id, $sqlSimhash AS simhash
               |FROM t
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // SimHash near-dup pairs: 64-bit signatures, candidates from a band
+    // equi-join on 4×16-bit slices, verified by exact hamming distance ≤ 3.
+    // The banding is EXACT here by pigeonhole: ≤3 differing bits can touch
+    // at most 3 of the 4 bands, so every qualifying pair shares at least
+    // one band verbatim — no recall loss, unlike probability-bounded
+    // MinHash/cosine banding. Candidate volume is real dups + ~2⁻¹⁶-rate
+    // random band collisions: negligible. The oracle stays the exact
+    // all-pairs formulation.
+    Q(
+      "q36_simhash_neardup",
+      (s, d) => {
+        // The 64-bit signature rides as four 16-bit INTS: band join keys
+        // are ints (not strings) and the hamming verify is xor+bit_count —
+        // all codegen, no per-character work, and the verify fuses into the
+        // candidate join with no join-back stages (unlike the text-LSH
+        // path, whose shingle sets are too wide to replicate per band).
+        val sims = simhash64(s, d).persist()
+        val words = (0 until 4).map(b => conv(substring(col("sh"), b * 16 + 1, 16), 2, 10).cast("int").as(s"w$b"))
+        val bands = sims
+          .select(col("doc_id") +: words: _*)
+          .select(
+            col("doc_id") +: (0 until 4).map(b => col(s"w$b")) :+
+              posexplode(array((0 until 4).map(b => col(s"w$b")): _*)).as(Seq("band", "bkey")): _*
+          )
+        val hamming = (0 until 4)
+          .map(b => bit_count(col(s"a.w$b").bitwiseXOR(col(s"b.w$b"))))
+          .reduce(_ + _)
+          .cast("long")
+        bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id")
+          )
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), hamming.as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+              |s AS (SELECT doc_id, $sqlSimhash64 AS sh FROM t)
+              |SELECT doc_a, doc_b, hamming FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(list_sum(list_transform(range(1, 65),
+              |      i -> CASE WHEN substr(a.sh, i, 1) <> substr(b.sh, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id) v
+              |WHERE hamming <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // n-gram Jaccard similarity join: EXACT set-similarity via an inverted
