@@ -105,6 +105,47 @@ object SimilarityOps {
          |  i -> ($coef) * $embCol[i])) >= 0 THEN '1' ELSE '0' END""".stripMargin
     }.mkString(" || ")
 
+  /** Verified high-similarity pairs (cosine ≥ 0.45), unordered — the
+    * banded-LSH candidate pipeline shared by q42 (pair listing) and q47
+    * (kept-set). The (vec, norm) projection and the exploded band-key
+    * postings are persisted: candidate generation and both verify legs read
+    * one materialized pass, and the plan cache shares it across queries.
+    */
+  def embeddingNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), emb(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .persist()
+    val sigs = e
+      .select(col("vec_id"), signBits(col("v"), NumBands * BandBits).as("bits"))
+      .select(col("vec_id"), explode(bandKeysFromBits(col("bits"))).as("bk"))
+      .persist()
+    val cand = sigs.as("a")
+      .join(sigs.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine")
+      )
+      .filter(col("cosine") >= 0.45)
+  }
+
+  /** Exact all-pairs oracle CTE ending in `pairs(vec_a, vec_b, cosine)`. */
+  private val sqlNeardupCte: String =
+    s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+       |pairs AS (
+       |  SELECT vec_a, vec_b, cosine FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      round(list_dot_product(a.v, b.v)
+       |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+       |    FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+       |  WHERE cosine >= 0.45)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // Brute-force cosine top-k (the exact baseline): 5 query vectors
     // against the whole corpus; ranking on the rounded value keeps the
@@ -184,40 +225,32 @@ object SimilarityOps {
     // pairwise cosine is ~0.51, so this keeps the result non-trivial.
     Q(
       "q42_embedding_neardup",
-      (s, d) => {
-        val e = embeddings(s, d)
-          .select(col("vec_id"), emb(col("embedding")).as("v"))
-          .withColumn("nv", norm(col("v")))
-          .persist()
-        // persisted so the self-join's two legs share ONE evaluation of the
-        // 128-plane sign pass instead of recomputing it per leg
-        val sigs = e
-          .select(col("vec_id"), signBits(col("v"), NumBands * BandBits).as("bits"))
-          .select(col("vec_id"), explode(bandKeysFromBits(col("bits"))).as("bk"))
-          .persist()
-        val cand = sigs.as("a")
-          .join(sigs.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .distinct()
-        cand
-          .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
-          .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
-          .select(
-            col("vec_a"),
-            col("vec_b"),
-            round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine")
-          )
-          .filter(col("cosine") >= 0.45)
-          .orderBy(col("vec_a"), col("vec_b"))
-      },
-      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings)
-              |SELECT vec_a, vec_b, cosine FROM (
-              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-              |    round(list_dot_product(a.v, b.v)
-              |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-              |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
-              |WHERE cosine >= 0.45
+      (s, d) => embeddingNeardupPairs(s, d).orderBy(col("vec_a"), col("vec_b")),
+      Some(s"""$sqlNeardupCte
+              |SELECT vec_a, vec_b, cosine FROM pairs
               |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+
+    // End-to-end embedding dedup: vectors surviving near-dup removal (drop
+    // the higher vec_id of every verified pair), per label — the vector-
+    // side twin of q34's document kept-set; shares q42's persisted
+    // candidate pipeline via the plan cache.
+    Q(
+      "q47_embedding_kept",
+      (s, d) => {
+        val dropIds = embeddingNeardupPairs(s, d).select(col("vec_b").as("vec_id")).distinct()
+        embeddings(s, d)
+          .join(dropIds, Seq("vec_id"), "left_anti")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("kept"))
+          .orderBy(col("label"))
+      },
+      Some(s"""$sqlNeardupCte
+              |SELECT label, count(*) AS kept
+              |FROM embeddings
+              |WHERE vec_id NOT IN (SELECT vec_b FROM pairs)
+              |GROUP BY label
+              |ORDER BY label""".stripMargin)
     ),
 
     // LSH bucket histogram: sign bits against 8 md5-derived hyperplanes.
