@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 import graft.functions.DotProduct
 
 /** SparkSessionExtensions module: makes the engine's native functions
@@ -23,6 +23,17 @@ object GraftExtensions {
       "graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ),
+    (
+      // cosine similarity composed from the native dot product — same
+      // sequential folds as the Column API, so SQL users get bit-identical
+      // values to DataFrame users
+      "graft_cosine",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        val (a, b) = (children(0), children(1))
+        Divide(DotProduct(a, b), Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      }
     )
   )
 

@@ -76,7 +76,12 @@ final case class PipelineConfig[A](
       */
     checkpointLocation: Option[String] = None,
     /** When set, a crashed query is auto-restarted within this budget. */
-    restartPolicy: Option[RestartPolicy] = None
+    restartPolicy: Option[RestartPolicy] = None,
+    /** Micro-batch trigger cadence (ms). 0 = as fast as possible. Pair with
+      * source-side per-trigger caps (maxOffsetsPerTrigger etc.) to realize a
+      * wall-clock rate: allowed_messages per triggerIntervalMs.
+      */
+    triggerIntervalMs: Long = 0L
 ) {
 
   /** Mirror of the reference's config validation (broadway.ex:1141-1152):
@@ -96,6 +101,7 @@ final case class PipelineConfig[A](
       Left("rate_limiting requires positive allowed_messages and interval")
     else if (restartPolicy.exists(p => p.maxRestarts < 0 || p.withinSeconds <= 0))
       Left("restart_policy requires max_restarts >= 0 and within_seconds > 0")
+    else if (triggerIntervalMs < 0) Left("trigger interval must be >= 0")
     else Right(this)
   }
 

@@ -245,7 +245,7 @@ object Pipeline {
       val writer = source.writeStream
         .queryName(config.name)
         .outputMode("update")
-        .trigger(Trigger.ProcessingTime(0L))
+        .trigger(Trigger.ProcessingTime(config.triggerIntervalMs))
         .foreachBatch { (df: Dataset[Message[A]], _: Long) =>
           processBatch(df, config, acknowledger, Some(counters))
           ()

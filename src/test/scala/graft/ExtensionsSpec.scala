@@ -14,6 +14,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("graft_cosine is callable from SQL and bounded") {
+    GraftExtensions.register(spark)
+    val r = spark
+      .sql("SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS o")
+      .first()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
   test("graft_dot agrees with the HOF formulation on real embeddings") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
