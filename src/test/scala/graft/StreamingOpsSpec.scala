@@ -1,0 +1,60 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** The LLM-data operators are pure Column expressions, so the same code
+  * runs over a stream unchanged — scoring/language-ID on documents as they
+  * arrive is the 100 TB ingestion-time shape (filter-at-ingest beats
+  * store-then-filter). This spec pins that composition: streaming results
+  * must be bit-identical to the batch computation on the same rows.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("quality scoring and language-ID run over a stream, matching batch") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "der hund und die katze das ist gut und schon"),
+      (3L, "le chat et la souris est dans les jardins"),
+      (4L, "short text")
+    )
+    val out = new ConcurrentLinkedQueue[(Long, Double, String)]()
+    val stream = MemoryStream[(Long, String)]
+
+    def score(df: org.apache.spark.sql.DataFrame) = {
+      val toks = TextOps.tokens(col("text"))
+      df.select(
+        col("doc_id"),
+        TextOps.qualityScore(toks, length(col("text"))).as("quality"),
+        TextOps.langIdExpr(col("text")).as("lang")
+      )
+    }
+
+    val q = score(stream.toDF().toDF("doc_id", "text")).writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach(r => out.add((r.getLong(0), r.getDouble(1), r.getString(2))))
+        ()
+      }
+      .start()
+    try {
+      stream.addData(docs.take(2))
+      q.processAllAvailable()
+      stream.addData(docs.drop(2))
+      q.processAllAvailable()
+      val streamed = Iterator.continually(out.poll()).takeWhile(_ != null).toSeq.sortBy(_._1)
+      val batch = score(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toSeq
+        .sortBy(_._1)
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch.map(_._3) == Seq("en", "de", "fr", "en"))
+    } finally q.stop()
+  }
+}
