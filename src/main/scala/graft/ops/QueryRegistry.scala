@@ -11,7 +11,8 @@ object QueryRegistry {
       TextOps.queries ++
       DedupOps.queries ++
       SimilarityOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++
+      CurationOps.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

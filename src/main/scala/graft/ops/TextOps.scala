@@ -32,14 +32,22 @@ object TextOps {
   /** Composite quality score in [0,1]: length component + non-stopword
     * component (the length/punct/stopword-ratio family of heuristics).
     */
-  def qualityScore(toks: Column, nChars: Column): Column = {
+  def qualityScore(toks: Column, nChars: Column): Column =
+    qualityScore10k(toks) / 10000.0
+
+  /** The quality score in integral 1e-4 units (a whole-valued double).
+    * floor-truncation, not round: the score's small rational denominators
+    * can land exactly on round-half boundaries where Spark (HALF_UP) and
+    * DuckDB disagree; floor of the identical IEEE double is engine-stable.
+    * Downstream aggregates over quality should sum THESE integer units —
+    * integer sums are order-independent, where averaging the 4-dp doubles
+    * re-introduces rounding-boundary drift between engines.
+    */
+  def qualityScore10k(toks: Column): Column = {
     val nTok = size(toks)
     val stopRatio = stopwordCount(toks).cast("double") / nTok
     val lenScore = least(lit(1.0), nTok.cast("double") / lit(80.0))
-    // floor-truncation, not round: the score's small rational denominators
-    // can land exactly on round-half boundaries where Spark (HALF_UP) and
-    // DuckDB disagree; floor of the identical IEEE double is engine-stable.
-    floor((lit(0.5) * lenScore + lit(0.5) * (lit(1.0) - stopRatio)) * 10000) / 10000.0
+    floor((lit(0.5) * lenScore + lit(0.5) * (lit(1.0) - stopRatio)) * 10000)
   }
 
   /** Heuristic language-ID: vote by language-specific stopword hits, fall
