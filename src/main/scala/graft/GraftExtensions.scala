@@ -18,11 +18,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity2(name: String)(f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(s"$name requires exactly 2 arguments, got ${children.length}")
+      f(children(0), children(1))
+    }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       "graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))
+      arity2("graft_dot")(DotProduct(_, _))
     ),
     (
       // cosine similarity composed from the native dot product — same
@@ -30,10 +37,9 @@ object GraftExtensions {
       // values to DataFrame users
       "graft_cosine",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        val (a, b) = (children(0), children(1))
+      arity2("graft_cosine")((a, b) =>
         Divide(DotProduct(a, b), Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
-      }
+      )
     )
   )
 

@@ -77,9 +77,13 @@ final case class PipelineConfig[A](
     checkpointLocation: Option[String] = None,
     /** When set, a crashed query is auto-restarted within this budget. */
     restartPolicy: Option[RestartPolicy] = None,
-    /** Micro-batch trigger cadence (ms). 0 = as fast as possible. Pair with
-      * source-side per-trigger caps (maxOffsetsPerTrigger etc.) to realize a
-      * wall-clock rate: allowed_messages per triggerIntervalMs.
+    /** Micro-batch trigger cadence (ms). 0 = as fast as possible. Note:
+      * `rateLimiting` via the shared RateLimiter (QueueSource/TestPipeline)
+      * enforces its wall-clock interval INDEPENDENTLY of this cadence —
+      * admission simply waits for the next replenish. Only sources whose
+      * rate limit is a bare per-trigger cap (kafka maxOffsetsPerTrigger)
+      * need this set to the rate interval for the cap to mean a wall-clock
+      * rate.
       */
     triggerIntervalMs: Long = 0L
 ) {

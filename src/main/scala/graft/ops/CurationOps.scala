@@ -18,7 +18,6 @@ object CurationOps {
   import Tables._
 
   private val sqlToks = "string_split_regex(trim(text), '\\s+')"
-  private val stopList = TextOps.stopwords.map("'" + _ + "'").mkString(",")
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -41,10 +40,15 @@ object CurationOps {
         val kept = scored
           .join(keep, Seq("fp"))
           .filter(col("doc_id") === col("keep_id"))
+        // norms also ride as integral 1e-4 units — averaging raw doubles is
+        // summation-order-dependent and can straddle a rounding boundary
+        // between engines (the exact drift class the q10k units avoid)
         val e = embeddings(s, d)
           .select(
             col("vec_id"),
-            graft.functions.VectorFunctions.norm(col("embedding").cast("array<double>")).as("vnorm")
+            floor(
+              graft.functions.VectorFunctions.norm(col("embedding").cast("array<double>")) * 10000
+            ).cast("long").as("n10k")
           )
         kept
           .filter(col("lang") === "en" && col("q10k") >= 5000L)
@@ -53,24 +57,23 @@ object CurationOps {
           .agg(
             count(lit(1)).as("docs"),
             (floor(sum(col("q10k")).cast("double") / count(lit(1))) / 10000.0).as("avg_quality"),
-            round(avg(col("vnorm")), 4).as("avg_norm")
+            (floor(sum(col("n10k")).cast("double") / count(lit(1))) / 10000.0).as("avg_norm")
           )
           .orderBy(col("source"))
       },
       Some(s"""WITH s AS (SELECT doc_id, source, lang,
-              |    CAST(floor((0.5 * least(1.0, len($sqlToks) / 80.0)
-              |      + 0.5 * (1.0 - CAST(len(list_filter($sqlToks, t -> t IN ($stopList))) AS DOUBLE)
-              |          / len($sqlToks))) * 10000) AS BIGINT) AS q10k,
+              |    CAST(${TextOps.sqlQuality10k(sqlToks)} AS BIGINT) AS q10k,
               |    md5(lower(trim(text))) AS fp
               |  FROM documents),
               |k AS (SELECT fp, min(doc_id) AS keep_id FROM s GROUP BY fp),
               |kept AS (SELECT s.* FROM s JOIN k ON s.fp = k.fp AND s.doc_id = k.keep_id),
-              |e AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS vnorm
+              |e AS (SELECT vec_id,
+              |        CAST(floor(sqrt(list_dot_product(v, v)) * 10000) AS BIGINT) AS n10k
               |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               |            FROM embeddings) z)
               |SELECT source, count(*) AS docs,
               |  floor(CAST(sum(q10k) AS DOUBLE) / count(*)) / 10000.0 AS avg_quality,
-              |  round(avg(vnorm), 4) AS avg_norm
+              |  floor(CAST(sum(n10k) AS DOUBLE) / count(*)) / 10000.0 AS avg_norm
               |FROM kept JOIN e ON doc_id = vec_id
               |WHERE lang = 'en' AND q10k >= 5000
               |GROUP BY source

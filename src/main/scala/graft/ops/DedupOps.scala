@@ -216,8 +216,10 @@ object DedupOps {
     // Lane-packed counting: hex digit g's four bits ride as four 16-bit
     // lanes of ONE long (bit b of the digit → lane b), so the aggregate
     // carries 16 packed sums + a token count instead of 64 separate ±1
-    // sums. Lanes can't carry into each other (per-doc token counts ≪
-    // 2^16). This quarters the generated aggregate code — the naive 65-
+    // sums. Lanes can't carry into each other for per-doc token counts
+    // < 2^16 (lane extraction below uses an UNSIGNED shift, so the top
+    // lane is correct even when its count ≥ 2^15 sets the long's sign
+    // bit). This quarters the generated aggregate code — the naive 65-
     // buffer version spent most of its wall-clock in codegen compilation.
     // Bit p's sign: ±1-sum = 2·ones − n, so sign ⟺ 2·ones ≥ n.
     val packed = ex.select(
@@ -236,7 +238,7 @@ object DedupOps {
     val bits = (1 to 64).map { p =>
       val g = (p - 1) / 4 + 1
       val lane = (p - 1) % 4
-      val ones = shiftright(col(s"q$g"), lane * 16) % lit(1L << 16)
+      val ones = shiftrightunsigned(col(s"q$g"), lane * 16) % lit(1L << 16)
       when(lit(2) * ones >= col("n"), lit("1")).otherwise(lit("0"))
     }
     agg.select(col("doc_id"), concat(bits: _*).as("sh"))

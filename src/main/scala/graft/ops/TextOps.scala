@@ -32,7 +32,7 @@ object TextOps {
   /** Composite quality score in [0,1]: length component + non-stopword
     * component (the length/punct/stopword-ratio family of heuristics).
     */
-  def qualityScore(toks: Column, nChars: Column): Column =
+  def qualityScore(toks: Column): Column =
     qualityScore10k(toks) / 10000.0
 
   /** The quality score in integral 1e-4 units (a whole-valued double).
@@ -49,6 +49,16 @@ object TextOps {
     val lenScore = least(lit(1.0), nTok.cast("double") / lit(80.0))
     floor((lit(0.5) * lenScore + lit(0.5) * (lit(1.0) - stopRatio)) * 10000)
   }
+
+  /** DuckDB twin of [[qualityScore10k]] over a token-list SQL expression —
+    * ONE definition of the score formula feeds both the q22 oracle and any
+    * composition (q70), so the engines can't drift formula-by-formula.
+    */
+  def sqlQuality10k(toksExpr: String): String =
+    s"""floor((0.5 * least(1.0, len($toksExpr) / 80.0)
+       |    + 0.5 * (1.0 - CAST(len(list_filter($toksExpr,
+       |          t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |        / len($toksExpr))) * 10000)""".stripMargin
 
   /** Heuristic language-ID: vote by language-specific stopword hits, fall
     * back to ASCII-ratio classes. Deterministic, codegen-friendly; on the
@@ -130,17 +140,14 @@ object TextOps {
           .select(
             col("doc_id"),
             stopwordCount(toks).cast("long").as("stop_hits"),
-            qualityScore(toks, col("n_chars")).as("quality")
+            qualityScore(toks).as("quality")
           )
           .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id,
               |  len(list_filter(string_split_regex(trim(text), '\\s+'),
               |      t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS stop_hits,
-              |  floor((0.5 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 80.0)
-              |    + 0.5 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-              |          t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-              |        / len(string_split_regex(trim(text), '\\s+')))) * 10000) / 10000.0 AS quality
+              |  ${sqlQuality10k("string_split_regex(trim(text), '\\s+')")} / 10000.0 AS quality
               |FROM documents
               |ORDER BY doc_id""".stripMargin)
     ),

@@ -23,6 +23,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("wrong arity is rejected with a named error, not an index crash") {
+    GraftExtensions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0d))").collect()
+    }
+    assert(ex.getMessage.contains("graft_cosine"), s"unhelpful error: ${ex.getMessage}")
+  }
+
   test("graft_dot agrees with the HOF formulation on real embeddings") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._

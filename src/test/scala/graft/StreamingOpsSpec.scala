@@ -30,7 +30,7 @@ class StreamingOpsSpec extends SparkSpec {
       val toks = TextOps.tokens(col("text"))
       df.select(
         col("doc_id"),
-        TextOps.qualityScore(toks, length(col("text"))).as("quality"),
+        TextOps.qualityScore(toks).as("quality"),
         TextOps.langIdExpr(col("text")).as("lang")
       )
     }
