@@ -152,6 +152,9 @@ object DedupOps {
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // verified pairs are tiny; persisting them lets the kept-set query
+      // (q34) skip the band join + verify instead of just their inputs
+      .persist()
   }
 
   /** Shared oracle CTE prefix: tokens → shingles → signatures → bands →

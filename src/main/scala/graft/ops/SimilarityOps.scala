@@ -133,6 +133,9 @@ object SimilarityOps {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine")
       )
       .filter(col("cosine") >= 0.45)
+      // the verified pairs are tiny; persisting them lets q47 skip the
+      // whole candidate join instead of just its cached inputs
+      .persist()
   }
 
   /** Exact all-pairs oracle CTE ending in `pairs(vec_a, vec_b, cosine)`. */
