@@ -92,6 +92,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), "query side not broadcast")
   }
 
+  test("q70 curation composition stays equi-join with pruned scans") {
+    val df = QueryRegistry.byName("q70_curation").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    assert(p.contains("ReadSchema"), "no scan schema section")
+    assert(!p.contains("props"), "reads an events/documents column the query never touches")
+  }
+
   test("q01 whole-stage codegen covers the aggregate") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE only materializes codegen stages in the final plan of THIS queryExecution
