@@ -20,4 +20,29 @@ object PipelineRegistry {
     * analog (broadway.ex:1184-1197); None for unknown pipelines.
     */
   def producerNames(name: String): Option[Seq[String]] = get(name).map(_.producerNames)
+
+  /** Gracefully drain and stop every running pipeline (each within its own
+    * shutdown budget) — the terminator's process-everything-then-stop pass
+    * (/root/reference/lib/broadway/topology/terminator.ex:41-60) applied
+    * registry-wide. Failures stopping one pipeline don't prevent draining
+    * the rest.
+    */
+  def drainAll(): Unit =
+    running.values().asScala.toSeq.foreach { p =>
+      try p.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  @volatile private var hookInstalled = false
+
+  /** Install a JVM shutdown hook that drains all pipelines — the analog of
+    * Broadway draining on application termination. Idempotent; opt-in
+    * because tests and short-lived drivers manage lifecycles explicitly.
+    */
+  def installShutdownDrain(): Unit = synchronized {
+    if (!hookInstalled) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => drainAll(), "graft-shutdown-drain"))
+      hookInstalled = true
+    }
+  }
 }

@@ -378,6 +378,32 @@ class PipelineSpec extends SparkSpec {
   }
 
   // broadway_test.exs:2828-2943 — introspection.
+  // terminator.ex:41-60 — drain everything in flight, then stop, for every
+  // registered pipeline (the shutdown-hook path calls exactly this).
+  test("drainAll drains and stops every registered pipeline") {
+    BatchProbe.clear()
+    val cfg = PipelineConfig[Int](
+      name = "drain-all",
+      handleBatch = (_, msgs, info) => {
+        BatchProbe.record(info, msgs.map(_.data))
+        msgs
+      }
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.push(1, 2, 3)
+      PipelineRegistry.drainAll()
+      // in-flight messages were processed before the stop
+      assert(BatchProbe.drain().flatMap(_._2).sorted == Seq(1, 2, 3))
+      assert(!PipelineRegistry.allRunning.contains("drain-all"))
+      assert(!tp.running.query.isActive)
+    } finally {
+      try tp.stop()
+      catch { case _: Throwable => () } // already stopped by drainAll
+      tp.clearAcks()
+    }
+  }
+
   test("topology and registry introspection") {
     val cfg = PipelineConfig[Int](
       name = "introspect",
