@@ -110,6 +110,13 @@ object SimilarityOps {
     * (kept-set). The (vec, norm) projection and the exploded band-key
     * postings are persisted: candidate generation and both verify legs read
     * one materialized pass, and the plan cache shares it across queries.
+    *
+    * Known refinement (not yet applied): candidates are currently deduped
+    * with a distinct(); emitting each pair only from its FIRST shared band
+    * (join predicate: no band with index < current matches, checkable via
+    * packed-nibble xor + SWAR zero-nibble masks like q36's word packing)
+    * removes that shuffle entirely — worthwhile at scale where true
+    * near-dups match many bands, at the cost of intricate bit algebra.
     */
   def embeddingNeardupPairs(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
