@@ -142,6 +142,42 @@ object MultimodalOps {
              |ORDER BY media_id""".stripMargin)
     ),
 
+    // Chunk-level dedup ratio: fixed 64-byte chunks hashed and counted per
+    // source — the content-dedup measurement a multimodal store runs before
+    // chunk-deduplicated storage. Map-only explode + one countDistinct
+    // shuffle keyed by source; linear at 100 TB. The ratio is floor-
+    // truncated from integer counts, so it is engine-stable.
+    Q(
+      "q54_chunk_dedup",
+      (s, d) => {
+        val nChunks = ceil(length(col("text")) / lit(64.0)).cast("int")
+        val chunks = when(
+          length(col("text")) > 0,
+          transform(sequence(lit(0), nChunks - 1), i => substring(col("text"), i * 64 + 1, lit(64)))
+        ).otherwise(array().cast("array<string>"))
+        documents(s, d)
+          .select(col("source"), explode(chunks).as("chunk"))
+          .select(col("source"), md5(col("chunk")).as("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("total_chunks"), countDistinct(col("h")).as("uniq_chunks"))
+          .withColumn(
+            "dup_ratio",
+            floor((lit(1.0) - col("uniq_chunks").cast("double") / col("total_chunks")) * 10000) / 10000.0
+          )
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS total_chunks,
+             |  count(DISTINCT h) AS uniq_chunks,
+             |  floor((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)) * 10000) / 10000.0 AS dup_ratio
+             |FROM (SELECT source, md5(c) AS h FROM (
+             |    SELECT source,
+             |      unnest(list_transform(range(0, CAST(ceil(length(text) / 64.0) AS INT)),
+             |                            i -> substr(text, i * 64 + 1, 64))) AS c
+             |    FROM documents) u) t
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)
+    ),
+
     // Stub feature extraction: deterministic fake decode (md5-derived
     // dimensions), aggregated per source. The columnar twin of
     // `extractFeaturesStub` so the oracle can check the same math.
