@@ -305,11 +305,18 @@ final class RunningPipeline[A](
     graft.runtime.Supervisor.forget(name, q.runId)
     try q.processAllAvailable()
     finally {
-      q.stop()
-      q.awaitTermination(config.shutdownBudgetMs)
-      rateLimiter.foreach(_.shutdown())
-      StageCounters.remove(name)
-      PipelineRegistry.unregister(name)
+      // On a query that already crashed, processAllAvailable/awaitTermination
+      // rethrow its StreamingQueryException — runtime resources must still be
+      // released (else every crashed pipeline leaks its registry entry and
+      // counters), so the releases get their own finally.
+      try {
+        q.stop()
+        q.awaitTermination(config.shutdownBudgetMs)
+      } finally {
+        rateLimiter.foreach(_.shutdown())
+        StageCounters.remove(name)
+        PipelineRegistry.unregister(name)
+      }
     }
   }
 

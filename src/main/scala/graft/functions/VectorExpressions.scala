@@ -4,8 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumns
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native dot product over two array<double> columns, with whole-stage
@@ -147,6 +147,222 @@ final case class HyperplaneSigns(child: Expression, planes: Seq[Double], dim: In
     copy(child = newChild)
 }
 
+/** [[HyperplaneSigns]] packed into an array<long>: word k holds the sign
+  * bits of planes [64k, 64k+64), MSB-first (plane 64k at bit 63). The
+  * banded-LSH candidate path ships this signature through the posting
+  * shuffle instead of a '1'/'0' string — 8× smaller rows on the shuffle
+  * that dominates candidate generation at scale, and the downstream
+  * band-key / first-equal-band algebra becomes integer ops instead of
+  * per-character work.
+  */
+final case class HyperplaneSignsPacked(child: Expression, planes: Seq[Double], dim: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_hyperplane_signs_packed"
+
+  private val numPlanes: Int = planes.length / dim
+  private val numWords: Int = (numPlanes + 63) / 64
+
+  @transient private lazy val flat: Array[Double] = planes.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val w = new Array[Long](numWords)
+    var p = 0
+    while (p < numPlanes) {
+      val off = p * dim
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        s += flat(off + j) * v.getDouble(j)
+        j += 1
+      }
+      if (s >= 0) w(p >>> 6) |= 1L << (63 - (p & 63))
+      p += 1
+    }
+    new GenericArrayData(w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val m = ctx.addReferenceObj("planes", flat, "double[]")
+        val p = ctx.freshName("p")
+        val j = ctx.freshName("j")
+        val s = ctx.freshName("s")
+        val n = ctx.freshName("n")
+        val w = ctx.freshName("w")
+        s"""
+           |int $n = java.lang.Math.min($dim, $a.numElements());
+           |long[] $w = new long[$numWords];
+           |for (int $p = 0; $p < $numPlanes; $p++) {
+           |  double $s = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $s += $m[$p * $dim + $j] * $a.getDouble($j);
+           |  }
+           |  if ($s >= 0.0) $w[$p >>> 6] |= 1L << (63 - ($p & 63));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($w);
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Band join keys from a packed sign signature: element b of the result is
+  * `(b << bandBits) | band_b`, where band_b is the b-th bandBits-wide bit
+  * group of the signature (MSB-first). Two vectors share band b iff their
+  * keys at index b are equal, so `explode` of this array feeds the LSH
+  * candidate equi-join with small int keys. `bandBits` must divide 64
+  * (bands never straddle words).
+  */
+final case class BandKeys(child: Expression, bandBits: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_band_keys"
+
+  private val perWord: Int = 64 / bandBits
+  private val mask: Long = (1L << bandBits) - 1
+
+  override def nullSafeEval(a: Any): Any = {
+    val sig = a.asInstanceOf[ArrayData]
+    val nWords = sig.numElements()
+    val out = new Array[Int](nWords * perWord)
+    var w = 0
+    while (w < nWords) {
+      val word = sig.getLong(w)
+      var k = 0
+      while (k < perWord) {
+        val b = w * perWord + k
+        val nib = (word >>> (64 - (k + 1) * bandBits)) & mask
+        out(b) = (b << bandBits) | nib.toInt
+        k += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val w = ctx.freshName("w")
+        val k = ctx.freshName("k")
+        val b = ctx.freshName("b")
+        val word = ctx.freshName("word")
+        val out = ctx.freshName("out")
+        val nW = ctx.freshName("nWords")
+        s"""
+           |int $nW = $a.numElements();
+           |int[] $out = new int[$nW * $perWord];
+           |for (int $w = 0; $w < $nW; $w++) {
+           |  long $word = $a.getLong($w);
+           |  for (int $k = 0; $k < $perWord; $k++) {
+           |    int $b = $w * $perWord + $k;
+           |    $out[$b] = ($b << $bandBits) | (int) (($word >>> (64 - ($k + 1) * $bandBits)) & ${mask}L);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Index of the first bandBits-wide bit group (MSB-first) on which the two
+  * packed signatures agree, or -1 if none. The LSH candidate self-join
+  * filters on `FirstEqualBand(sigA, sigB) === band`, which makes each
+  * candidate pair survive from exactly ONE of its shared bands — replacing
+  * the `distinct()` (a full shuffle of the candidate set, the widest
+  * intermediate in the whole pipeline) with a codegen'd filter evaluated
+  * inside the join.
+  */
+final case class FirstEqualBand(left: Expression, right: Expression, bandBits: Int)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+  require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_first_equal_band"
+
+  private val perWord: Int = 64 / bandBits
+  private val mask: Long = (1L << bandBits) - 1
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var w = 0
+    while (w < n) {
+      val diff = x.getLong(w) ^ y.getLong(w)
+      if (diff == 0L) return w * perWord
+      var k = 0
+      while (k < perWord) {
+        if (((diff >>> (64 - (k + 1) * bandBits)) & mask) == 0L) return w * perWord + k
+        k += 1
+      }
+      w += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val w = ctx.freshName("w")
+        val k = ctx.freshName("k")
+        val n = ctx.freshName("n")
+        val diff = ctx.freshName("diff")
+        val res = ctx.freshName("res")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $res = -1;
+           |outer:
+           |for (int $w = 0; $w < $n; $w++) {
+           |  long $diff = $a.getLong($w) ^ $b.getLong($w);
+           |  for (int $k = 0; $k < $perWord; $k++) {
+           |    if ((($diff >>> (64 - ($k + 1) * $bandBits)) & ${mask}L) == 0L) {
+           |      $res = $w * $perWord + $k;
+           |      break outer;
+           |    }
+           |  }
+           |}
+           |${ev.value} = $res;
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.functions.sqrt
@@ -156,6 +372,15 @@ object VectorFunctions {
 
   def hyperplaneSigns(emb: Column, planes: Seq[Double], dim: Int): Column =
     GraftColumns.lift(HyperplaneSigns(GraftColumns.unlift(emb), planes, dim))
+
+  def hyperplaneSignsPacked(emb: Column, planes: Seq[Double], dim: Int): Column =
+    GraftColumns.lift(HyperplaneSignsPacked(GraftColumns.unlift(emb), planes, dim))
+
+  def bandKeys(sig: Column, bandBits: Int): Column =
+    GraftColumns.lift(BandKeys(GraftColumns.unlift(sig), bandBits))
+
+  def firstEqualBand(a: Column, b: Column, bandBits: Int): Column =
+    GraftColumns.lift(FirstEqualBand(GraftColumns.unlift(a), GraftColumns.unlift(b), bandBits))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

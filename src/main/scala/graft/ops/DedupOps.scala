@@ -120,11 +120,11 @@ object DedupOps {
     // materialized pass beats four recomputed ones. Spark's CacheManager
     // keys cache entries by canonicalized plan, so q32 and q34 (which
     // rebuilds this DAG) share the same materialized data within a session.
-    // Caches are session-scoped and LRU-evicted under memory pressure (no
-    // explicit unpersist hook exists on the query contract); a long-lived
-    // service would materialize signatures as a table instead.
-    val sh = shingleSets(s, d).persist()
-    val sigs = minhashFromShingles(sh, NumHashes).persist()
+    // Caches are session-scoped; `Caches.invalidate()` releases them
+    // between workloads (a long-lived service would materialize signatures
+    // as a table instead).
+    val sh = Caches.persisted(shingleSets(s, d))
+    val sigs = Caches.persisted(minhashFromShingles(sh, NumHashes))
     val bands = sigs.select(
       col("doc_id"),
       explode(
@@ -154,7 +154,7 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       // verified pairs are tiny; persisting them lets the kept-set query
       // (q34) skip the band join + verify instead of just their inputs
-      .persist()
+      .transform(Caches.persisted)
   }
 
   /** Shared oracle CTE prefix: tokens → shingles → signatures → bands →
@@ -320,7 +320,7 @@ object DedupOps {
         // all codegen, no per-character work, and the verify fuses into the
         // candidate join with no join-back stages (unlike the text-LSH
         // path, whose shingle sets are too wide to replicate per band).
-        val sims = simhash64(s, d).persist()
+        val sims = Caches.persisted(simhash64(s, d))
         val words = (0 until 4).map(b => conv(substring(col("sh"), b * 16 + 1, 16), 2, 10).cast("int").as(s"w$b"))
         val bands = sims
           .select(col("doc_id") +: words: _*)
@@ -368,7 +368,7 @@ object DedupOps {
         val g5 = tokenized(s, d)
           .select(col("doc_id"), ngrams(col("tok"), 5).as("s"))
           .select(col("doc_id"), size(col("s")).as("n"), col("s"))
-          .persist() // postings + both size-lookup legs read one pass
+          .transform(Caches.persisted) // postings + both size-lookup legs read one pass
         val ex = g5.select(col("doc_id"), explode(col("s")).as("gram"))
         val shared = ex.as("a")
           .join(ex.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))

@@ -56,26 +56,25 @@ object SimilarityOps {
     (0 until NumPlanes).map(p => Array.tabulate(Dim)(j => planeCoef(p, j)))
 
   // ---- Banded LSH for the near-dup candidate pass ----------------------
-  // 32 bands × 4 sign bits (128 hyperplanes). Banding trades one long
+  // 96 bands × 4 sign bits (384 hyperplanes). Banding trades one long
   // signature (high precision, low recall) for many short ones: a pair is a
-  // candidate if it agrees on ALL bits of ANY band. At the q42 threshold
-  // (cosine ≥ 0.45, per-plane agreement p ≈ 0.65) the per-pair miss
-  // probability is (1 − p⁴)³² ≈ 2e-3; measured recall on the deterministic
-  // md5-derived planes is 100% at sf0.01 and sf0.1 (0 missed / 158
-  // qualifying pairs). At production near-dup thresholds (≥ 0.85, p ≥ 0.93)
-  // the same bands give both ≫ 99.9% recall AND strong bucket pruning.
+  // candidate if it agrees on ALL bits of ANY band.
+  //
+  // Recall margin (the divergence bound vs the exact all-pairs oracle): at
+  // the q42 gate threshold (cosine ≥ 0.45, per-plane agreement
+  // p = 1 − arccos(0.45)/π ≈ 0.6486) the per-pair miss probability is
+  // (1 − p⁴)⁹⁶ ≈ 7.5e-9 — a gate corpus would need ~10⁸ qualifying pairs
+  // before even ONE expected miss, versus ~2e-3/pair (≈1 miss per 500
+  // pairs) with the previous 32 bands. Measured recall on the
+  // deterministic md5-derived planes is 100% at sf0.01 and sf0.1, and the
+  // first 128 planes are unchanged, so the candidate set is a strict
+  // superset of the 32-band one. At production near-dup thresholds
+  // (≥ 0.85, p ≥ 0.93; per-band hit p⁴ ≈ 0.75) far fewer bands already
+  // saturate recall while pruning hard — 96 bands is sized for this
+  // corpus's unusually low threshold (its max pairwise cosine is ~0.51).
 
   val BandBits = 4
-  val NumBands = 32
-
-  /** One join key per band, sliced from a precomputed sign-bit string
-    * column: "<band>:<4 sign bits>". Slicing a materialized bits column
-    * keeps the 128 plane dots to ONE HyperplaneSigns evaluation per row.
-    */
-  def bandKeysFromBits(bits: Column): Column =
-    array((0 until NumBands).map { b =>
-      concat(lit(s"$b:"), substring(bits, b * BandBits + 1, BandBits))
-    }: _*)
+  val NumBands = 96
 
   /** Flattened row-major plane matrix for the native signs expression. */
   private def flatPlanes(numPlanes: Int): Seq[Double] =
@@ -105,32 +104,56 @@ object SimilarityOps {
          |  i -> ($coef) * $embCol[i])) >= 0 THEN '1' ELSE '0' END""".stripMargin
     }.mkString(" || ")
 
+  /** Packed sign signature (array<long>, 64 planes per word) for the
+    * banded candidate pass — one codegen'd evaluation of all
+    * NumBands×BandBits planes per row.
+    */
+  def packedSig(embedding: Column): Column =
+    graft.functions.VectorFunctions.hyperplaneSignsPacked(
+      embedding,
+      flatPlanes(NumBands * BandBits),
+      Dim
+    )
+
   /** Verified high-similarity pairs (cosine ≥ 0.45), unordered — the
     * banded-LSH candidate pipeline shared by q42 (pair listing) and q47
     * (kept-set). The (vec, norm) projection and the exploded band-key
     * postings are persisted: candidate generation and both verify legs read
     * one materialized pass, and the plan cache shares it across queries.
     *
-    * Known refinement (not yet applied): candidates are currently deduped
-    * with a distinct(); emitting each pair only from its FIRST shared band
-    * (join predicate: no band with index < current matches, checkable via
-    * packed-nibble xor + SWAR zero-nibble masks like q36's word packing)
-    * removes that shuffle entirely — worthwhile at scale where true
-    * near-dups match many bands, at the cost of intricate bit algebra.
+    * Candidate generation is an equi-join on small int band keys; each
+    * posting row carries the packed 6-long signature, and the join filters
+    * on `FirstEqualBand(sigA, sigB) === band`, so every candidate pair is
+    * emitted from exactly ONE of its shared bands. That replaces the
+    * previous `distinct()` — a full shuffle of the candidate set, the
+    * widest intermediate in the pipeline — with a codegen'd filter
+    * evaluated inside the join. No corpus broadcast and no nested-loop
+    * join anywhere in the plan.
     */
   def embeddingNeardupPairs(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), emb(col("embedding")).as("v"))
-      .withColumn("nv", norm(col("v")))
-      .persist()
-    val sigs = e
-      .select(col("vec_id"), signBits(col("v"), NumBands * BandBits).as("bits"))
-      .select(col("vec_id"), explode(bandKeysFromBits(col("bits"))).as("bk"))
-      .persist()
+    val e = Caches.persisted(
+      embeddings(s, d)
+        .select(col("vec_id"), emb(col("embedding")).as("v"))
+        .withColumn("nv", norm(col("v")))
+    )
+    val sigs = Caches.persisted(
+      e.select(col("vec_id"), packedSig(col("v")).as("sig"))
+        .select(
+          col("vec_id"),
+          col("sig"),
+          posexplode(graft.functions.VectorFunctions.bandKeys(col("sig"), BandBits))
+            .as(Seq("band", "bk"))
+        )
+    )
     val cand = sigs.as("a")
-      .join(sigs.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .join(
+        sigs.as("b"),
+        col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          graft.functions.VectorFunctions
+            .firstEqualBand(col("a.sig"), col("b.sig"), BandBits) === col("a.band")
+      )
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
@@ -142,7 +165,7 @@ object SimilarityOps {
       .filter(col("cosine") >= 0.45)
       // the verified pairs are tiny; persisting them lets q47 skip the
       // whole candidate join instead of just its cached inputs
-      .persist()
+      .transform(Caches.persisted)
   }
 
   /** Exact all-pairs oracle CTE ending in `pairs(vec_a, vec_b, cosine)`. */
@@ -223,14 +246,16 @@ object SimilarityOps {
     ),
 
     // Embedding high-similarity pairs: cosine ≥ 0.45, found by banded-LSH
-    // candidate generation (explode band keys → shuffle equi-join → distinct
-    // pairs) + exact cosine verification on the candidates. No corpus
-    // broadcast and no nested-loop join anywhere in the plan — the two ways
-    // the naive all-pairs form dies at 100 TB. The (vec, norm) projection is
+    // candidate generation (explode packed band keys → shuffle equi-join,
+    // exactly-once pair emission via FirstEqualBand) + exact cosine
+    // verification on the candidates. No corpus broadcast and no
+    // nested-loop join anywhere in the plan — the two ways the naive
+    // all-pairs form dies at 100 TB. The (vec, norm) projection is
     // persisted so candidate generation and both verify legs read one
     // materialized pass of the parquet scan instead of three.
-    // Recall: 100% measured at both gate SFs (see bandKeys); the oracle
-    // stays the exact all-pairs SQL, so any missed pair fails the gate.
+    // Recall: 100% measured at both gate SFs, with a ~7.5e-9 per-pair miss
+    // bound (see the banding constants above); the oracle stays the exact
+    // all-pairs SQL, so any missed pair fails the gate.
     // 0.45 because the synthetic corpus has no planted vector dups — max
     // pairwise cosine is ~0.51, so this keeps the result non-trivial.
     Q(

@@ -57,14 +57,28 @@ object Supervisor {
 
   /** Sessions that already have the listener attached (addListener is
     * per-SparkSession — one global flag would silently skip later sessions).
+    * Weakly referenced: the session's listener bus owns the listener, not
+    * the other way round, so a stopped/dropped session must be collectable
+    * rather than pinned here for the JVM lifetime.
     */
-  private val installedSessions = ConcurrentHashMap.newKeySet[SparkSession]()
+  private val installedSessions: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+    )
 
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
       if (e.exception.isDefined) handleFailure(e.runId)
+      else {
+        // Clean termination through any path stop() doesn't know about
+        // (direct query.stop(), source exhaustion) must still drop the
+        // supervision record, or the State — holding the RunningPipeline
+        // and build closure — lives forever.
+        entries.remove(e.runId)
+        ()
+      }
   }
 
   /** Atomically claim the terminated run and restart it off-bus. */
@@ -145,6 +159,11 @@ object Supervisor {
     entries.remove(runId)
     ()
   }
+
+  /** Number of live supervision records (tests assert no leak on clean
+    * termination paths stop() doesn't mediate).
+    */
+  private[graft] def supervisedCount: Int = entries.size
 
   /** Completed restarts for a pipeline name. */
   def restartCount(pipelineName: String): Int =

@@ -61,6 +61,10 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), s"quadratic nested-loop join in plan:\n$p")
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    // exactly-once pair emission via FirstEqualBand replaced the candidate
+    // distinct(): the plan must carry NO aggregate (a HashAggregate here
+    // means the widest intermediate is being shuffled again)
+    assert(!p.contains("HashAggregate"), s"candidate distinct crept back into the plan:\n$p")
   }
 
   test("q35 inverted-index join reuses the persisted gram pass, no cartesian") {

@@ -131,4 +131,70 @@ class SupervisorSpec extends SparkSpec {
       Supervisor.reset("sup-giveup")
     }
   }
+
+  test("clean termination outside stop() drops the supervision record") {
+    SupervisorProbe.reset()
+    Supervisor.reset("sup-clean")
+    val q = QueueSource.create("sup-q3", None)
+    val collectorId = "sup-collector-3"
+    try {
+      q.push("x")
+      val cfg = PipelineConfig[String](
+        name = "sup-clean",
+        batchers = Seq(BatcherConfig[String]("default", batchSize = 10)),
+        restartPolicy = Some(RestartPolicy(maxRestarts = 3, withinSeconds = 60))
+      )
+      val running = Pipeline.start(spark, queueMessages("sup-q3"), cfg, CallerAcknowledger(collectorId))
+      val before = Supervisor.supervisedCount
+      assert(before >= 1)
+      running.processAllAvailable()
+      // a path stop() doesn't mediate: direct query stop (the same event
+      // shape as source exhaustion) — the supervision record must not leak
+      running.query.stop()
+      assert(
+        awaitUntil(15000)(Supervisor.supervisedCount == before - 1),
+        "clean termination left the supervision record behind"
+      )
+      assert(Supervisor.restartCount("sup-clean") == 0 && !Supervisor.gaveUp("sup-clean"))
+    } finally {
+      QueueSource.remove("sup-q3")
+      AckCollector.clear(collectorId)
+      Supervisor.reset("sup-clean")
+      graft.runtime.PipelineRegistry.unregister("sup-clean")
+      graft.runtime.StageCounters.remove("sup-clean")
+    }
+  }
+
+  test("stop() on a crashed pipeline still releases runtime resources") {
+    SupervisorProbe.reset()
+    val q = QueueSource.create("sup-q4", None)
+    val collectorId = "sup-collector-4"
+    try {
+      q.push("boom")
+      val cfg = PipelineConfig[String](
+        name = "sup-crashed",
+        prepareMessages = ms => {
+          if (SupervisorProbe.alwaysCrash.get()) throw new RuntimeException("injected crash")
+          ms
+        },
+        batchers = Seq(BatcherConfig[String]("default", batchSize = 10)),
+        rateLimiting = Some(graft.config.RateLimiting(allowedMessages = 100, intervalMs = 1000L))
+        // no restartPolicy: the query stays dead, stop() must still clean up
+      )
+      SupervisorProbe.alwaysCrash.set(true)
+      val running = Pipeline.start(spark, queueMessages("sup-q4"), cfg, CallerAcknowledger(collectorId))
+      assert(awaitUntil(30000)(!running.query.isActive), "query never crashed")
+      // awaitTermination rethrows the crash — stop() must release the
+      // registry entry, counters, and rate limiter anyway (its own finally)
+      intercept[Exception](running.stop())
+      assert(!graft.runtime.PipelineRegistry.allRunning.contains("sup-crashed"), "registry entry leaked")
+      assert(running.stageMetrics.isEmpty, "stage counters leaked")
+    } finally {
+      SupervisorProbe.reset()
+      QueueSource.remove("sup-q4")
+      AckCollector.clear(collectorId)
+      graft.runtime.PipelineRegistry.unregister("sup-crashed")
+      graft.runtime.StageCounters.remove("sup-crashed")
+    }
+  }
 }

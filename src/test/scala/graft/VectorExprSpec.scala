@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.VectorFunctions
+import graft.ops.{Caches, SimilarityOps}
+
+/** Native packed-signature expressions backing the banded-LSH candidate
+  * path (HyperplaneSignsPacked / BandKeys / FirstEqualBand), plus the
+  * cache-registry release hook.
+  */
+class VectorExprSpec extends SparkSpec {
+
+  test("packed hyperplane signs agree bit-for-bit with the string formulation") {
+    val n = SimilarityOps.NumBands * SimilarityOps.BandBits
+    val rows = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(64)
+      .select(
+        SimilarityOps.signBits(col("v"), n).as("bits"),
+        SimilarityOps.packedSig(col("v")).as("sig")
+      )
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bits = r.getString(0)
+      val unpacked = r.getSeq[Long](1)
+        .map(w => ("0" * 64 + java.lang.Long.toBinaryString(w)).takeRight(64))
+        .mkString
+      assert(unpacked.length == n && unpacked == bits)
+    }
+  }
+
+  test("band keys encode (band << bits) | nibble, MSB-first") {
+    val keys = spark.range(1)
+      .select(VectorFunctions.bandKeys(array(lit(0x0123456789abcdefL)), 4).as("k"))
+      .first()
+      .getSeq[Int](0)
+    // nibbles of the word MSB-first are 0,1,2,...,15 so key b = b*16 + b
+    assert(keys == (0 until 16).map(b => 17 * b))
+  }
+
+  test("first-equal-band finds the lowest agreeing band across words") {
+    val a0 = 0xdeadbeefdeadbeefL
+    val r = spark.range(1).select(
+      // nibbles 0-3 and 15 flipped: first equal band is 4
+      VectorFunctions.firstEqualBand(
+        array(lit(a0)), array(lit(a0 ^ 0xffff00000000000fL)), 4).as("mid"),
+      // every nibble of word 0 differs; word 1 equal: first equal band is 16
+      VectorFunctions.firstEqualBand(
+        array(lit(a0), lit(5L)), array(lit(a0 ^ 0x1111111111111111L), lit(5L)), 4).as("w1"),
+      // identical signatures: band 0
+      VectorFunctions.firstEqualBand(array(lit(a0)), array(lit(a0)), 4).as("zero"),
+      // every nibble differs everywhere: -1
+      VectorFunctions.firstEqualBand(
+        array(lit(a0)), array(lit(a0 ^ 0x1111111111111111L)), 4).as("none")
+    ).first()
+    assert(r.getInt(0) == 4 && r.getInt(1) == 16 && r.getInt(2) == 0 && r.getInt(3) == -1)
+  }
+
+  test("exactly-once emission: candidate pairs carry no duplicates without a distinct") {
+    val pairs = SimilarityOps
+      .embeddingNeardupPairs(spark, "/root/testdata/sf0.001")
+      .select(col("vec_a"), col("vec_b"))
+    val total = pairs.count()
+    val unique = pairs.distinct().count()
+    assert(total == unique, s"$total emitted rows vs $unique unique pairs")
+  }
+
+  test("Caches.invalidate releases the library's persisted frames") {
+    val df = SimilarityOps.embeddingNeardupPairs(spark, "/root/testdata/sf0.001")
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE, "neardup result should be persisted")
+    Caches.invalidate()
+    assert(df.storageLevel == StorageLevel.NONE, "invalidate should unpersist tracked frames")
+  }
+}
