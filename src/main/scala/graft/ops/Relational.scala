@@ -478,6 +478,60 @@ object Relational {
              |JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand
              |ORDER BY p_brand""".stripMargin)
+    ),
+
+    // As-of join: each click matched to the latest view at-or-before it for
+    // the same user — the temporal-join operator Spark has no native form
+    // of. The scale-safe shape is NOT a range join (which explodes to
+    // clicks×views per user before picking the max): union both event
+    // roles, ONE shuffle on user_id, and a running `last(view attrs,
+    // ignoreNulls)` window — linear in events, no pair blowup, the same
+    // partition serving both roles. Ties: a view AT the click's timestamp
+    // counts as preceding (view sorts first at equal ts); equal-ts views
+    // resolve to the highest event_id (window order is ascending, `last`
+    // wins). The oracle is the classic row_number-over-range-join
+    // formulation — quadratic but exact, fine at oracle scale.
+    Q(
+      "q19_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, (col("event_type") === "view").desc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lastView = last(
+          when(
+            col("event_type") === "view",
+            struct(col("ts").as("vts"), col("event_id").as("vid"), col("value").as("vval"))
+          ),
+          ignoreNulls = true
+        ).over(w)
+        ev.withColumn("lv", lastView)
+          .filter(col("event_type") === "click" && col("lv").isNotNull)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("lv.vid").as("view_id"),
+            (unix_micros(col("ts")) - unix_micros(col("lv.vts"))).as("gap_us"),
+            col("lv.vval").as("view_value")
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, ts, user_id, event_type, value FROM events
+             |  WHERE event_type IN ('view', 'click'))
+             |SELECT event_id, user_id, view_id, gap_us, view_value FROM (
+             |  SELECT c.event_id, c.user_id, v.event_id AS view_id,
+             |    epoch_us(c.ts) - epoch_us(v.ts) AS gap_us, v.value AS view_value,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |                       ORDER BY v.ts DESC, v.event_id DESC) AS rk
+             |  FROM ev c JOIN ev v
+             |    ON v.user_id = c.user_id AND v.event_type = 'view'
+             |   AND v.ts <= c.ts AND c.event_type = 'click') t
+             |WHERE rk = 1
+             |ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -453,6 +453,120 @@ object SimilarityOps {
               |  FROM scored) t
               |WHERE rank <= 3
               |ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // K-means refinement of the IVF centroids (q46 seeds them with raw
+    // vectors; production IVF runs Lloyd iterations of exactly q46's
+    // assignment pass — this query IS those iterations). Two full
+    // assign→update rounds from the 8 seed vectors, then a final
+    // assignment, reporting cluster sizes and mean scaled distance.
+    //
+    // Determinism across engines is the hard part: centroid means are
+    // averages of doubles, whose summation order differs between engines.
+    // So the pipeline rides EXACT integer arithmetic up to the last step:
+    // embeddings quantize to floor(x·1000) (identical IEEE mult + floor on
+    // both engines), a centroid is its (per-dim integer sum, count) pair —
+    // never divided — and |cnt·x − sum|² is an exact int64 (magnitudes
+    // < 2^62: |q|≤~5e3, cnt≤corpus, 64 dims). The comparable distance to
+    // the MEAN is that integer divided by cnt² — one double division of
+    // two exact int64s, which IEEE-rounds identically on both engines, so
+    // the argmin (tie-broken by cent_id) is still deterministic. (Skipping
+    // the division would bias assignment toward small clusters: the cnt²
+    // factor differs per centroid.) DuckDB folds the int sum with
+    // list_reduce (BIGINT-preserving; list_sum widens to DOUBLE and would
+    // lose exactness past 2^53).
+    //
+    // Scale shape: each iteration is one broadcast of 8 (sum, cnt) pairs +
+    // a map-side min_by assignment + a (cent, dim)-keyed partial-agg sum —
+    // the textbook distributed Lloyd step; nothing is ever collected.
+    Q(
+      "q48_kmeans_refine",
+      (s, d) => {
+        val e = embeddings(s, d).select(
+          col("vec_id"),
+          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+            .as("qv")
+        )
+        val distExpr = expr(
+          "cast(aggregate(zip_with(qv, csum, (x, sm) -> (ccnt * x - sm) * (ccnt * x - sm)), " +
+            "cast(0 as bigint), (acc, y) -> acc + y) as double) / cast(ccnt * ccnt as double)"
+        )
+        var cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("qv").as("csum"), lit(1L).as("ccnt"))
+        for (_ <- 1 to 2) {
+          val assigned = e.join(broadcast(cents))
+            .withColumn("dist", distExpr)
+            .groupBy(col("vec_id"))
+            .agg(min_by(struct(col("cent_id"), col("qv")), struct(col("dist"), col("cent_id"))).as("m"))
+            .select(col("m.cent_id").as("cent_id"), col("m.qv").as("qv"))
+          cents = assigned
+            .select(col("cent_id"), posexplode(col("qv")).as(Seq("dim", "x")))
+            .groupBy(col("cent_id"), col("dim"))
+            .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+            .groupBy(col("cent_id"))
+            .agg(
+              expr("transform(array_sort(collect_list(struct(dim, sx))), p -> p.sx)").as("csum"),
+              max(col("c")).as("ccnt")
+            )
+        }
+        e.join(broadcast(cents))
+          .withColumn("dist", distExpr)
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("cent_id"), col("dist")), struct(col("dist"), col("cent_id"))).as("m"))
+          .select(col("m.cent_id").as("cent_id"), floor(col("m.dist")).cast("long").as("sd"))
+          .groupBy(col("cent_id"))
+          .agg(
+            count(lit(1)).as("csize"),
+            floor(sum(col("sd")).cast("double") / count(lit(1))).cast("long").as("avg_dist_scaled")
+          )
+          .orderBy(col("cent_id"))
+      },
+      Some(sqlKmeansRefine)
     )
   )
+
+  /** Oracle for q48: the same two unrolled Lloyd iterations in DuckDB.
+    * Generated so assignment/update CTEs stay textually identical per
+    * round.
+    */
+  private def sqlKmeansRefine: String = {
+    val dist =
+      s"(CAST(list_reduce(list_transform(range(1, ${Dim + 1}), " +
+        "i -> (c.ccnt * e.qv[i] - c.csum[i]) * (c.ccnt * e.qv[i] - c.csum[i])), (acc, y) -> acc + y) AS DOUBLE)" +
+        " / CAST(c.ccnt * c.ccnt AS DOUBLE))"
+    def assign(cin: String, aout: String): String =
+      s"""$aout AS (
+         |  SELECT vec_id, cent_id, qv FROM (
+         |    SELECT e.vec_id, c.cent_id, e.qv,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $dist, c.cent_id) AS rk
+         |    FROM e CROSS JOIN $cin c) t
+         |  WHERE rk = 1)""".stripMargin
+    def update(ain: String, cout: String): String =
+      s"""$cout AS (
+         |  SELECT cent_id, array_agg(sx ORDER BY dim) AS csum, max(c) AS ccnt FROM (
+         |    SELECT cent_id, i AS dim, CAST(sum(qv[i]) AS BIGINT) AS sx, count(*) AS c
+         |    FROM $ain, range(1, ${Dim + 1}) r(i)
+         |    GROUP BY 1, 2) t
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, qv AS csum, CAST(1 AS BIGINT) AS ccnt FROM e WHERE vec_id < 8),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |fin AS (
+       |  SELECT vec_id, cent_id, sd FROM (
+       |    SELECT e.vec_id, c.cent_id, CAST(floor($dist) AS BIGINT) AS sd,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $dist, c.cent_id) AS rk
+       |    FROM e CROSS JOIN c2 c) t
+       |  WHERE rk = 1)
+       |SELECT cent_id, count(*) AS csize,
+       |  CAST(floor(CAST(sum(sd) AS DOUBLE) / count(*)) AS BIGINT) AS avg_dist_scaled
+       |FROM fin
+       |GROUP BY cent_id
+       |ORDER BY cent_id""".stripMargin
+  }
 }

@@ -285,6 +285,79 @@ object TextOps {
              |        t -> t IN ('el','la','los','que','es'))) AS es
              |  FROM documents) v
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Repetition-based quality signals (the Gopher/C4 filter family): per
+    // doc, the duplicate-token fraction (1 − distinct/total) and the
+    // fraction of token bigrams taken by the single most frequent bigram —
+    // the two cheapest detectors of boilerplate/looping text — rolled up
+    // per language with a flag count at an 18% top-bigram threshold.
+    // Ratios ride as floor-truncated 1e4 units (ints survive cross-engine
+    // aggregation exactly; round() half-ties don't). Linear: one explode
+    // to bigrams, count-max per doc, one rollup — no joins wider than
+    // doc_id. The corpus' ~40-word vocabulary makes the signal strong.
+    Q(
+      "q29_repetition",
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("lang"), size(col("t")).cast("long").as("n"),
+            size(array_distinct(col("t"))).cast("long").as("u"), col("t"))
+        // Spark sequence(a,b) DESCENDS when b < a: guard 1-token docs.
+        val bigrams = base.select(
+          col("doc_id"),
+          explode(
+            when(size(col("t")) >= 2,
+              expr("transform(sequence(0, size(t) - 2), i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+              .otherwise(array().cast("array<string>"))
+          ).as("bg")
+        )
+        val topBigram = bigrams
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("m"))
+        val perDoc = base
+          .join(topBigram, Seq("doc_id"))
+          .select(
+            col("lang"),
+            floor((col("n") - col("u")) * lit(10000.0) / col("n")).cast("long").as("dup_units"),
+            floor(col("m") * lit(10000.0) / (col("n") - 1)).cast("long").as("big_units")
+          )
+        perDoc
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("docs"),
+            floor(sum(col("dup_units")).cast("double") / count(lit(1))).cast("long").as("avg_dup_units"),
+            floor(sum(col("big_units")).cast("double") / count(lit(1))).cast("long").as("avg_bigram_units"),
+            sum(when(col("big_units") > 1800, 1L).otherwise(0L)).as("flagged")
+          )
+          .orderBy(col("lang"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |b2 AS (
+             |  SELECT doc_id, lang, len(t) AS n, len(list_distinct(t)) AS u, t
+             |  FROM base),
+             |bg AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+             |  FROM base WHERE len(t) >= 2),
+             |top AS (
+             |  SELECT doc_id, max(c) AS m
+             |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) t
+             |  GROUP BY 1),
+             |perdoc AS (
+             |  SELECT lang,
+             |    CAST(floor((n - u) * 10000.0 / n) AS BIGINT) AS dup_units,
+             |    CAST(floor(m * 10000.0 / (n - 1)) AS BIGINT) AS big_units
+             |  FROM b2 JOIN top USING (doc_id))
+             |SELECT lang, count(*) AS docs,
+             |  CAST(floor(CAST(sum(dup_units) AS DOUBLE) / count(*)) AS BIGINT) AS avg_dup_units,
+             |  CAST(floor(CAST(sum(big_units) AS DOUBLE) / count(*)) AS BIGINT) AS avg_bigram_units,
+             |  CAST(sum(CASE WHEN big_units > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+             |FROM perdoc
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
     )
   )
 }
