@@ -19,22 +19,50 @@ object CurationOps {
 
   private val sqlToks = "string_split_regex(trim(text), '\\s+')"
 
+  /** Quality + fingerprint scoring over a documents-shaped frame (batch or
+    * streaming — pure Column algebra, no shuffle). Quality rides as
+    * integral 1e-4 units so the acceptance threshold is an integer compare
+    * and per-source averages are integer sums — order-independent, so
+    * bit-stable across engines and across batch/stream execution.
+    */
+  def scoreDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      col("source"),
+      col("lang"),
+      TextOps.qualityScore10k(toks).cast("long").as("q10k"),
+      md5(lower(trim(col("text")))).as("fp")
+    )
+  }
+
+  /** Embedding norms as integral 1e-4 units (see scoreDocs on why units). */
+  def embNorms10k(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(
+      col("vec_id"),
+      floor(
+        graft.functions.VectorFunctions.norm(col("embedding").cast("array<double>")) * 10000
+      ).cast("long").as("n10k")
+    )
+
+  /** The per-source acceptance rollup shared by batch q70 and the
+    * streaming pipeline: expects (source, q10k, n10k) rows of ACCEPTED
+    * canonical docs.
+    */
+  def acceptanceStats(accepted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    accepted
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        (floor(sum(col("q10k")).cast("double") / count(lit(1))) / 10000.0).as("avg_quality"),
+        (floor(sum(col("n10k")).cast("double") / count(lit(1))) / 10000.0).as("avg_norm")
+      )
+
   val queries: Seq[Q] = Seq(
     Q(
       "q70_curation",
       (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        // quality rides as integral 1e-4 units so the acceptance threshold
-        // is an integer compare and the per-source average is an integer
-        // sum — order-independent, so bit-stable across engines
-        val scored = documents(s, d)
-          .select(
-            col("doc_id"),
-            col("source"),
-            col("lang"),
-            TextOps.qualityScore10k(toks).cast("long").as("q10k"),
-            md5(lower(trim(col("text")))).as("fp")
-          )
+        val scored = scoreDocs(documents(s, d))
         // canonical doc per exact-dup group (keep the lowest doc_id)
         val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
         val kept = scored
@@ -43,23 +71,12 @@ object CurationOps {
         // norms also ride as integral 1e-4 units — averaging raw doubles is
         // summation-order-dependent and can straddle a rounding boundary
         // between engines (the exact drift class the q10k units avoid)
-        val e = embeddings(s, d)
-          .select(
-            col("vec_id"),
-            floor(
-              graft.functions.VectorFunctions.norm(col("embedding").cast("array<double>")) * 10000
-            ).cast("long").as("n10k")
-          )
-        kept
-          .filter(col("lang") === "en" && col("q10k") >= 5000L)
-          .join(e, col("doc_id") === col("vec_id"))
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("docs"),
-            (floor(sum(col("q10k")).cast("double") / count(lit(1))) / 10000.0).as("avg_quality"),
-            (floor(sum(col("n10k")).cast("double") / count(lit(1))) / 10000.0).as("avg_norm")
-          )
-          .orderBy(col("source"))
+        val e = embNorms10k(embeddings(s, d))
+        acceptanceStats(
+          kept
+            .filter(col("lang") === "en" && col("q10k") >= 5000L)
+            .join(e, col("doc_id") === col("vec_id"))
+        ).orderBy(col("source"))
       },
       Some(s"""WITH s AS (SELECT doc_id, source, lang,
               |    CAST(${TextOps.sqlQuality10k(sqlToks)} AS BIGINT) AS q10k,

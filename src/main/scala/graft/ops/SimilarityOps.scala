@@ -522,8 +522,163 @@ object SimilarityOps {
           .orderBy(col("cent_id"))
       },
       Some(sqlKmeansRefine)
+    ),
+
+    // MMR (maximal marginal relevance) diversity re-rank: for each query
+    // vector, take the top-10 cosine candidates, then greedily select 5
+    // maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected
+    // (λ = 0.7) — the standard diversity pass a retrieval/curation stack
+    // runs after ANN. Greedy selection is inherently sequential in k, so
+    // it unrolls as 4 tiny per-query join+argmax rounds over the ALREADY
+    // top-k-bounded candidate set — the O(N²) pair matrix is 10×10 per
+    // query, bounded by construction, and every step is an equi-join on
+    // query_id (thousands of concurrent queries would vectorize across
+    // the same plan). Cross-engine determinism: rel and sim are the same
+    // sequential-fold cosines both engines compute bit-identically, the
+    // λ-algebra is two IEEE mults and a subtract, and every argmax
+    // tie-breaks on cand_id.
+    Q(
+      "q49_mmr_rerank",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("nv", norm(col("v")))
+        val q = e.filter(col("vec_id").isin(10L, 11L, 12L))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+        val wTop = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("cand_id"))
+        val cands = Caches.persisted(
+          e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .select(
+              col("query_id"),
+              col("vec_id").as("cand_id"),
+              (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("rel"),
+              col("v"),
+              col("nv")
+            )
+            .withColumn("rk", row_number().over(wTop))
+            .filter(col("rk") <= 10)
+            .select(col("query_id"), col("cand_id"), col("rel"), col("v"), col("nv"))
+        )
+        val sims = Caches.persisted(
+          cands.as("x")
+            .join(cands.as("y"), Seq("query_id"))
+            .filter(col("x.cand_id") =!= col("y.cand_id"))
+            .select(
+              col("query_id"),
+              col("x.cand_id").as("a_id"),
+              col("y.cand_id").as("b_id"),
+              (dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv"))).as("sim")
+            )
+        )
+        // The greedy selection runs as ONE fold expression per query, not
+        // k unrolled DataFrame rounds: the candidate set is top-k-bounded
+        // (≤10 structs + a ≤90-entry sim map per query), so the sequential
+        // part of MMR collapses into an `aggregate` HOF whose accumulator
+        // is the selected array. A first cut unrolled 4 join+argmax rounds
+        // instead — the plan embedded each prior round 3×, and analysis +
+        // codegen compounded to 12 s at sf0.1 vs ~1.5 s for this shape
+        // (the data work is identical and trivial either way).
+        // Selection algebra (must mirror the oracle exactly): seed = max
+        // (rel, -cand_id); each round appends argmax over unselected c of
+        // 0.7·rel(c) − 0.3·max_{s∈selected} sim(c,s), ties to the lowest
+        // cand_id via the same (-cand_id) trick.
+        val clist = cands
+          .groupBy(col("query_id"))
+          .agg(collect_list(struct(col("cand_id"), col("rel"))).as("cl"))
+        val smap = sims
+          .groupBy(col("query_id"))
+          .agg(
+            map_from_entries(
+              collect_list(struct(concat(col("a_id"), lit(":"), col("b_id")), col("sim")))
+            ).as("sm")
+          )
+        clist
+          .join(smap, Seq("query_id"))
+          .select(
+            col("query_id"),
+            expr(
+              """aggregate(
+                |  sequence(2, 5),
+                |  array(array_max(transform(cl,
+                |    c -> struct(c.rel AS score, -c.cand_id AS tie, c.cand_id AS cand_id)))),
+                |  (sel, t) -> array_append(sel,
+                |    array_max(transform(
+                |      filter(cl, c -> NOT exists(sel, s -> s.cand_id = c.cand_id)),
+                |      c -> struct(
+                |        0.7d * c.rel - 0.3d * array_max(transform(sel,
+                |          s -> element_at(sm, concat(c.cand_id, ':', s.cand_id)))) AS score,
+                |        -c.cand_id AS tie,
+                |        c.cand_id AS cand_id)))))""".stripMargin
+            ).as("sel")
+          )
+          .select(col("query_id"), posexplode(col("sel")).as(Seq("pos", "p")))
+          .select(
+            col("query_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("p.cand_id").as("vec_id"),
+            round(col("p.score"), 6).as("score")
+          )
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(sqlMmrRerank)
     )
   )
+
+  /** Oracle for q49: the same unrolled greedy MMR in DuckDB. Generated so
+    * each selection round is textually identical.
+    */
+  private def sqlMmrRerank: String = {
+    def step(t: Int, selUnion: String): String =
+      s"""p$t AS (
+         |  SELECT query_id, cand_id AS sel_id, CAST($t AS BIGINT) AS step, score FROM (
+         |    SELECT m.query_id, m.cand_id, 0.7 * c.rel - 0.3 * m.ms AS score,
+         |      row_number() OVER (PARTITION BY m.query_id
+         |                         ORDER BY (0.7 * c.rel - 0.3 * m.ms) DESC, m.cand_id) AS rk
+         |    FROM (
+         |      SELECT si.query_id, si.a_id AS cand_id, max(si.sim) AS ms
+         |      FROM sims si
+         |      JOIN ($selUnion) s ON si.query_id = s.query_id AND si.b_id = s.sel_id
+         |      LEFT JOIN ($selUnion) z ON z.query_id = si.query_id AND z.sel_id = si.a_id
+         |      WHERE z.sel_id IS NULL
+         |      GROUP BY 1, 2) m
+         |    JOIN cands c ON c.query_id = m.query_id AND c.cand_id = m.cand_id) t
+         |  WHERE rk = 1)""".stripMargin
+    def selUpTo(t: Int): String =
+      (1 to t).map(i => s"SELECT query_id, sel_id FROM p$i").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (10, 11, 12)),
+       |cands AS (
+       |  SELECT query_id, cand_id, rel, v FROM (
+       |    SELECT query_id, e.vec_id AS cand_id,
+       |      list_dot_product(qv, v)
+       |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS rel,
+       |      e.v,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY
+       |        list_dot_product(qv, v)
+       |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+       |        e.vec_id) AS rk
+       |    FROM e CROSS JOIN qs WHERE e.vec_id <> qs.query_id) t
+       |  WHERE rk <= 10),
+       |sims AS (
+       |  SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id,
+       |    list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+       |  FROM cands x JOIN cands y ON x.query_id = y.query_id AND x.cand_id <> y.cand_id),
+       |p1 AS (
+       |  SELECT query_id, cand_id AS sel_id, CAST(1 AS BIGINT) AS step, rel AS score FROM (
+       |    SELECT query_id, cand_id, rel,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rk
+       |    FROM cands) t
+       |  WHERE rk = 1),
+       |${step(2, selUpTo(1))},
+       |${step(3, selUpTo(2))},
+       |${step(4, selUpTo(3))},
+       |${step(5, selUpTo(4))}
+       |SELECT query_id, step AS rank, sel_id AS vec_id, round(score, 6) AS score
+       |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+       |      UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5) u
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Oracle for q48: the same two unrolled Lloyd iterations in DuckDB.
     * Generated so assignment/update CTEs stay textually identical per
