@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation composition (the flagship training-data shape): one
@@ -95,6 +96,64 @@ object CurationOps {
               |WHERE lang = 'en' AND q10k >= 5000
               |GROUP BY source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Sequence-packing statistics: documents concatenated in doc_id order
+    // per source and chunked into 2048-token context windows (the
+    // concat-then-chunk packing every pre-training dataloader runs).
+    // Reports per source: total tokens, windows needed, and how many
+    // documents straddle a window boundary (the quantity packing
+    // strategies trade against padding). One window cumulative sum per
+    // source — integer end-to-end, single shuffle, no state beyond the
+    // running total; at 100 TB the partition key is (source, shard) and
+    // the same cumsum runs per shard.
+    Q(
+      "q72_seq_packing",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n")
+          )
+          .withColumn("cum", sum(col("n")).over(w))
+        cum
+          .select(
+            col("source"),
+            col("n"),
+            col("cum"),
+            expr("(cum - n) div 2048").as("sbin"),
+            expr("(cum - 1) div 2048").as("ebin")
+          )
+          .groupBy(col("source"))
+          .agg(
+            sum(col("n")).as("total_tokens"),
+            expr("(max(cum) + 2047) div 2048").as("windows"),
+            sum(when(col("sbin") =!= col("ebin"), 1L).otherwise(0L)).as("crossing_docs")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, n,
+             |    sum(n) OVER (PARTITION BY source ORDER BY doc_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM d)
+             |SELECT source,
+             |  CAST(sum(n) AS BIGINT) AS total_tokens,
+             |  CAST((max(cum) + 2047) // 2048 AS BIGINT) AS windows,
+             |  CAST(sum(CASE WHEN (cum - n) // 2048 <> (cum - 1) // 2048
+             |               THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs
+             |FROM c
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -422,6 +422,53 @@ object DedupOps {
               |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
               |GROUP BY source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Benchmark decontamination: flag corpus documents sharing any token
+    // 8-gram with a benchmark/eval set (here: doc_id < 20 stands in for
+    // the held-out benchmark). THE pre-training hygiene pass — train/test
+    // contamination is checked exactly this way (n-gram collision against
+    // eval suites). Scale shape: the benchmark gram set is always tiny
+    // relative to the corpus, so it broadcasts and the check is a map-side
+    // semi-join per gram — one linear corpus pass, no shuffle of corpus
+    // grams beyond the per-doc count aggregation.
+    Q(
+      "q37_contamination",
+      (s, d) => {
+        val g8 = tokenized(s, d).select(col("doc_id"), explode(ngrams(col("tok"), 8)).as("g"))
+        val bench = g8.filter(col("doc_id") < 20).select(col("g")).distinct()
+        val corpus = g8.filter(col("doc_id") >= 20)
+        val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val hits = corpus
+          .join(broadcast(bench), Seq("g"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("hit_grams"))
+        totals
+          .join(hits, Seq("doc_id"))
+          .select(
+            col("doc_id"),
+            col("n_grams"),
+            col("hit_grams"),
+            floor(col("hit_grams") * lit(10000.0) / col("n_grams")).cast("long").as("cont_units")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+              |g AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 8
+              |        THEN list_distinct(list_transform(
+              |          range(1, greatest(len(tok) - 6, 1)),
+              |          i -> list_aggregate(tok[i:i+7], 'string_agg', ' ')))
+              |        ELSE [] END) AS gram
+              |      FROM t),
+              |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+              |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20),
+              |totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+              |hits AS (SELECT doc_id, count(*) AS hit_grams
+              |         FROM corpus SEMI JOIN bench USING (gram) GROUP BY 1)
+              |SELECT doc_id, n_grams, hit_grams,
+              |  CAST(floor(hit_grams * 10000.0 / n_grams) AS BIGINT) AS cont_units
+              |FROM totals JOIN hits USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -358,6 +358,42 @@ object TextOps {
              |FROM perdoc
              |GROUP BY lang
              |ORDER BY lang""".stripMargin)
+    ),
+
+    // TF-IDF keyword extraction without logarithms: per document, the
+    // token maximizing tf/df (document frequency over the whole corpus) —
+    // log(n/df) is monotone in n/df so the argmax is identical, and
+    // skipping the log keeps ranking exactly comparable across engines
+    // (libm log implementations differ; an int64/int64 IEEE division does
+    // not). Ties break to the lexicographically smallest token. Scale
+    // shape: tf is a (doc, token) partial-agg, df a token-keyed rollup of
+    // tf, and the df lookup joins on token — vocabulary-sized, naturally
+    // skew-resistant because tf already collapsed per-doc repeats.
+    Q(
+      "q39_tfidf_keywords",
+      (s, d) => {
+        val tok = documents(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        tf.join(dfreq, Seq("t"))
+          .select(col("doc_id"), col("t"), col("tf"), col("df"),
+            (col("tf").cast("double") / col("df")).as("r"))
+          .groupBy(col("doc_id"))
+          .agg(min_by(struct(col("t"), col("tf"), col("df")), struct(-col("r"), col("t"))).as("m"))
+          .select(col("doc_id"), col("m.t").as("keyword"), col("m.tf").as("tf"), col("m.df").as("df"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |            FROM documents),
+             |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1)
+             |SELECT doc_id, keyword, tf, df FROM (
+             |  SELECT tf.doc_id, tf.t AS keyword, tf.tf, dfq.df,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |                       ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.t) AS rk
+             |  FROM tf JOIN dfq USING (t)) x
+             |WHERE rk = 1
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }
