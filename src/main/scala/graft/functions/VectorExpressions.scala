@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumns
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -363,6 +363,70 @@ final case class FirstEqualBand(left: Expression, right: Expression, bandBits: I
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Scaled squared distance to a running centroid for the integer-exact
+  * k-means path: given a quantized vector q, a centroid's per-dim integer
+  * sum `csum` and its count `ccnt`, returns Σ(ccnt·qᵢ − sumᵢ)² / ccnt² —
+  * the squared Euclidean distance to the centroid MEAN, with an exact
+  * int64 numerator and one IEEE double division (bit-identical across
+  * engines). Replaces an `aggregate(zip_with(...))` formulation: higher-
+  * order functions are CodegenFallback (interpreted per row per element),
+  * and this sits in the corpus×centroids assignment pass — the k-means
+  * hot path at scale.
+  */
+final case class ScaledSqDist(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), LongType)
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_scaled_sq_dist"
+
+  override def nullSafeEval(q: Any, s: Any, c: Any): Any = {
+    val x = q.asInstanceOf[ArrayData]
+    val y = s.asInstanceOf[ArrayData]
+    val cnt = c.asInstanceOf[Long]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = cnt * x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc.toDouble / (cnt * cnt).toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (q, s, c) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($q.numElements(), $s.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $c * $q.getLong($i) - $s.getLong($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = (double) $acc / (double) ($c * $c);
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): Expression = copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.functions.sqrt
@@ -381,6 +445,11 @@ object VectorFunctions {
 
   def firstEqualBand(a: Column, b: Column, bandBits: Int): Column =
     GraftColumns.lift(FirstEqualBand(GraftColumns.unlift(a), GraftColumns.unlift(b), bandBits))
+
+  def scaledSqDist(qv: Column, csum: Column, ccnt: Column): Column =
+    GraftColumns.lift(
+      ScaledSqDist(GraftColumns.unlift(qv), GraftColumns.unlift(csum), GraftColumns.unlift(ccnt))
+    )
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

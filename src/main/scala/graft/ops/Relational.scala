@@ -532,6 +532,34 @@ object Relational {
              |   AND v.ts <= c.ts AND c.event_type = 'click') t
              |WHERE rk = 1
              |ORDER BY event_id""".stripMargin)
+    ),
+
+    // Exact linear-interpolation percentiles per group (the OLAP quantile
+    // surface; Spark's `percentile` sorts within each group — at 100 TB
+    // you'd reach for approx_percentile's t-digest sketch, whose merge is
+    // implementation-specific and therefore not oracle-comparable; the
+    // exact form IS, and both engines interpolate lower + f·(upper−lower)).
+    // l_quantity is integer-valued with dense ties, so interpolated values
+    // land on representable doubles and round(…,4) is boundary-safe.
+    Q(
+      "q73_percentiles",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            round(expr("percentile(l_quantity, 0.25d)"), 4).as("p25_qty"),
+            round(expr("percentile(l_quantity, 0.5d)"), 4).as("p50_qty"),
+            round(expr("percentile(l_quantity, 0.95d)"), 4).as("p95_qty")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+             |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

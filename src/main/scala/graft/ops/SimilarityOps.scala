@@ -487,10 +487,10 @@ object SimilarityOps {
           expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
             .as("qv")
         )
-        val distExpr = expr(
-          "cast(aggregate(zip_with(qv, csum, (x, sm) -> (ccnt * x - sm) * (ccnt * x - sm)), " +
-            "cast(0 as bigint), (acc, y) -> acc + y) as double) / cast(ccnt * ccnt as double)"
-        )
+        // native codegen'd distance — HOFs are CodegenFallback and this is
+        // the corpus×centroids hot path (same exact int64/IEEE algebra)
+        val distExpr =
+          graft.functions.VectorFunctions.scaledSqDist(col("qv"), col("csum"), col("ccnt"))
         var cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("qv").as("csum"), lit(1L).as("ccnt"))
         for (_ <- 1 to 2) {

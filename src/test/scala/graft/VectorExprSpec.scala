@@ -67,6 +67,21 @@ class VectorExprSpec extends SparkSpec {
     assert(total == unique, s"$total emitted rows vs $unique unique pairs")
   }
 
+  test("scaled squared distance agrees with the HOF formulation") {
+    val rows = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint)) AS qv")
+      .limit(40)
+      .selectExpr("qv", "slice(qv, 1, 64) AS csum", "cast(7 as bigint) AS ccnt")
+      .select(
+        VectorFunctions.scaledSqDist(col("qv"), col("csum"), col("ccnt")).as("native"),
+        expr(
+          "cast(aggregate(zip_with(qv, csum, (x, sm) -> (ccnt * x - sm) * (ccnt * x - sm)), " +
+            "cast(0 as bigint), (acc, y) -> acc + y) as double) / cast(ccnt * ccnt as double)"
+        ).as("hof")
+      )
+    assert(rows.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("Caches.invalidate releases the library's persisted frames") {
     val df = SimilarityOps.embeddingNeardupPairs(spark, "/root/testdata/sf0.001")
     df.count()
