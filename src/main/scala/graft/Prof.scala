@@ -21,7 +21,24 @@ object Prof {
       val n = f
       println(f"[prof] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    if (name == "q42parts") {
+    if (name == "q27parts") {
+      val docs = ops.Tables.documents(spark, sfDir)
+      time("scan only") { docs.select(col("doc_id")).count() }
+      time("scan text") { docs.select(length(col("text")).as("len")).selectExpr("sum(len)").count() }
+      val top = docs.select(col("doc_id"), graft.functions.TextFunctions.topNGram(col("text"), 3).as("top"))
+      time("topNGram") { top.count() }
+      time("topNGram again") { top.count() }
+      val filt = top.filter(col("top").isNotNull)
+      time("top+filter") { filt.count() }
+      val proj = filt.select(col("doc_id"), col("top.gram").as("gram"), col("top.cnt").as("cnt"))
+      time("top+filter+proj") { proj.count() }
+      time("top+filter+proj+sort") { proj.orderBy(col("doc_id")).count() }
+      val full = ops.QueryRegistry.byName("q27_top_trigram").fn(spark, sfDir)
+      time("full q27") { full.count() }
+      time("full q27 again") { full.count() }
+      full.collect()
+      println(full.queryExecution.executedPlan.toString.take(1500))
+    } else if (name == "q42parts") {
       import ops.SimilarityOps._
       val e = ops.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

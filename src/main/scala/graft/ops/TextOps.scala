@@ -232,19 +232,21 @@ object TextOps {
     // grams), matching the oracle's empty range.
     Q(
       "q27_top_trigram",
-      (s, d) => {
-        val grams = expr(
-          "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) ELSE array() END"
-        )
+      // Top trigram is a function of ONE row, so it runs as a native
+      // map-only expression (graft.functions.TopNGram): zero shuffles.
+      // The previous explode → groupBy(doc, gram) → argmax formulation
+      // shuffled ~len(text) rows per doc twice for a per-document answer
+      // (measured ~2 s at sf0.1 vs ~0.3 s map-only; at 100 TB the gap is
+      // two corpus-sized shuffles).
+      (s, d) =>
         documents(s, d)
-          .select(col("doc_id"), explode(grams).as("gram"))
-          .groupBy(col("doc_id"), col("gram"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy(col("doc_id"))
-          .agg(min_by(struct(col("gram"), col("cnt")), struct((-col("cnt")).as("nc"), col("gram"))).as("top"))
+          // cheap length guard instead of filtering on the expression
+          // result — isnotnull(topNGram(...)) would re-evaluate the gram
+          // count in the filter AND the projection
+          .filter(length(col("text")) >= 3)
+          .select(col("doc_id"), graft.functions.TextFunctions.topNGram(col("text"), 3).as("top"))
           .select(col("doc_id"), col("top.gram").as("gram"), col("top.cnt").as("cnt"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       Some("""SELECT doc_id, gram, cnt FROM (
              |  SELECT doc_id, gram, count(*) AS cnt,
              |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rk
