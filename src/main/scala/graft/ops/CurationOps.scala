@@ -154,6 +154,62 @@ object CurationOps {
              |FROM c
              |GROUP BY source
              |ORDER BY source""".stripMargin)
+    ),
+
+    // Deterministic stratified sampling — the data-mixing primitive: each
+    // source gets a target rate (derived here from its index; production
+    // passes a weights table), and a document is kept iff a stable hash
+    // of its id lands under the rate. Hash-gated sampling is reproducible
+    // across runs/engines (unlike rand()), map-only, and composable: the
+    // same predicate applied on any subset yields consistent membership.
+    // Reports per source: population, sample size, achieved rate units.
+    Q(
+      "q38_stratified_sample",
+      (s, d) => {
+        val bucket =
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100")
+        val rate = (lit(10L) + (col("src_idx") * 7L) % 80L).as("rate")
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            substring(col("source"), 4, 10).cast("long").as("src_idx"),
+            bucket.as("bucket")
+          )
+          .select(col("source"), col("bucket"), rate)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("population"),
+            sum(when(col("bucket") < col("rate"), 1L).otherwise(0L)).as("sampled"),
+            max(col("rate")).as("rate_pct")
+          )
+          .withColumn(
+            "achieved_units",
+            floor(col("sampled") * lit(10000.0) / col("population")).cast("long")
+          )
+          .orderBy(col("source"))
+      },
+      Some {
+        val hex4 = (1 to 4)
+          .map(i =>
+            s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
+          )
+          .mkString("(", " + ", ")")
+        s"""WITH b AS (
+           |  SELECT source,
+           |    CAST($hex4 AS BIGINT) % 100 AS bucket,
+           |    10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 80 AS rate
+           |  FROM documents)
+           |SELECT source,
+           |  count(*) AS population,
+           |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+           |  CAST(max(rate) AS BIGINT) AS rate_pct,
+           |  CAST(floor(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT)
+           |    AS achieved_units
+           |FROM b
+           |GROUP BY source
+           |ORDER BY source""".stripMargin
+      }
     )
   )
 }

@@ -67,6 +67,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"candidate distinct crept back into the plan:\n$p")
   }
 
+  test("q27 top-trigram is map-only: no aggregate, no join, single sort exchange") {
+    val df = QueryRegistry.byName("q27_top_trigram").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), s"per-row op regressed to shuffling:\n$p")
+  }
+
+  test("q37 contamination checks the corpus against a BROADCAST benchmark gram set") {
+    val df = QueryRegistry.byName("q37_contamination").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark set not broadcast semi-joined:\n$p")
+  }
+
+  test("q19 as-of join is one user_id shuffle, no range join") {
+    val df = QueryRegistry.byName("q19_asof_join").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of should be union+window, found a join:\n$p")
+    // AQE prints the pre-adaptive plan again under "== Initial Plan ==" —
+    // count exchanges in the executed (final) section only
+    val finalPlan = p.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(shuffles == 1, s"expected exactly one hash shuffle (user_id), found $shuffles:\n$p")
+  }
+
   test("q35 inverted-index join reuses the persisted gram pass, no cartesian") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.datasources.LogicalRelation
