@@ -19,7 +19,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop-format write, NOT count(): count() lets Catalyst prune any
+        // output column the row count doesn't need, silently skipping the
+        // final (often most expensive) projections — a map-only expression
+        // query would bench as a bare scan. The noop sink materializes
+        // every output column and discards it.
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -34,8 +39,11 @@ object Bench {
     val total = results.map(_._2).sum
     // "failed" makes a broken query visible in the one-line report instead
     // of letting its ~0s timing masquerade as a speedup
+    // "action" documents the measurement method: noop-write materializes
+    // every output column (count() would let pruning skip final projections,
+    // understating map-heavy queries — rounds 1-2 measured with count()).
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"failed_queries":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop-write","failed":${failed.size},"failed_queries":$failedJson}"""
     )
     spark.stop()
   }

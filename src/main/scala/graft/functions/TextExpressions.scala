@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -99,8 +100,143 @@ final case class TopNGram(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-row worker for [[NGrams]]: distinct space-joined token n-grams in
+  * first-occurrence order — byte-for-byte what `array_distinct(transform(
+  * sequence(...), i -> concat_ws(" ", tokens[i..i+n-1])))` produces, which
+  * the DuckDB oracles mirror.
+  */
+final class NGramsHelper(n: Int) extends Serializable {
+  private val space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]((m - n + 1) * 2)
+    var i = 0
+    while (i + n <= m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = arr.getUTF8String(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Distinct token n-grams of an array<string>, joined with single spaces —
+  * the shingle/gram builder under MinHash, Jaccard and decontamination.
+  * The `transform(sequence(...), i -> concat_ws(...))` formulation runs as
+  * interpreted lambdas per element (HOFs are CodegenFallback), and gram
+  * construction is the dominant map work of every text-dedup pipeline.
+  */
+final case class NGrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(n >= 1, s"n must be positive, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_ngrams"
+
+  @transient private lazy val helper = new NGramsHelper(n)
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("nGramsHelper", helper, classOf[NGramsHelper].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row worker for [[RollingFingerprint]]: seed = first token's hash,
+  * then fold (acc·31 + hash) mod 1e9+7 left-to-right; the per-token hash
+  * is the first 8 hex chars of md5 as an unsigned int — identical algebra
+  * to the Column/oracle formulation. MessageDigest is not thread-safe and
+  * the helper is shared across codegen'd tasks, hence the ThreadLocal.
+  */
+final class RollingFingerprintHelper extends Serializable {
+  @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private def h8(t: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def compute(arr: ArrayData): java.lang.Long = {
+    val m = arr.numElements()
+    if (m == 0) return null
+    var a = h8(arr.getUTF8String(0))
+    var i = 1
+    while (i < m) {
+      a = (a * 31 + h8(arr.getUTF8String(i))) % 1000000007L
+      i += 1
+    }
+    java.lang.Long.valueOf(a)
+  }
+}
+
+/** Order-sensitive rolling fingerprint of a token array (the positional
+  * dedup signal exact content-hashing misses). Replaces an interpreted
+  * `transform` + `aggregate` HOF chain with one codegen'd loop.
+  */
+final case class RollingFingerprint(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_rolling_fingerprint"
+
+  @transient private lazy val helper = new RollingFingerprintHelper
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("rollingFpHelper", helper, classOf[RollingFingerprintHelper].getName)
+    val box = ctx.freshName("box")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+         |java.lang.Long $box = $h.compute($a);
+         |${ev.isNull} = $box == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $box.longValue();
+       """.stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native text expressions. */
 object TextFunctions {
   def topNGram(text: Column, n: Int): Column =
     GraftColumns.lift(TopNGram(GraftColumns.unlift(text), n))
+
+  def nGrams(tokens: Column, n: Int): Column =
+    GraftColumns.lift(NGrams(GraftColumns.unlift(tokens), n))
+
+  def rollingFingerprint(tokens: Column): Column =
+    GraftColumns.lift(RollingFingerprint(GraftColumns.unlift(tokens)))
 }

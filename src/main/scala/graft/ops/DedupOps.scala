@@ -39,15 +39,12 @@ object DedupOps {
     * simply empty.
     */
   def ngrams(tokens: Column, n: Int): Column =
-    when(
-      size(tokens) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(tokens) - lit(n)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)
-        )
-      )
-    ).otherwise(array().cast("array<string>"))
+    // native codegen'd gram builder (graft.functions.NGrams) — identical
+    // output to array_distinct(transform(sequence(...), concat_ws(...)))
+    // incl. first-occurrence order and the short-array guard, but one
+    // compiled loop instead of interpreted HOF lambdas; gram construction
+    // is the dominant map work of q31/q32/q35/q37
+    graft.functions.TextFunctions.nGrams(tokens, n)
 
   /** Word-3gram shingles (the MinHash/LSH unit). */
   def shingles(tokens: Column): Column = ngrams(tokens, 3)

@@ -201,17 +201,17 @@ object TextOps {
     // folding the tail with the head as the seed.
     Q(
       "q26_rolling_fingerprint",
-      (s, d) => {
-        val tokInts = transform(tokens(col("text")), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-        val rh = aggregate(
-          slice(tokInts, lit(2), greatest(size(tokInts) - 1, lit(0))),
-          element_at(tokInts, 1),
-          (a, x) => (a * 31 + x) % 1000000007L
-        )
+      // native codegen'd fold (graft.functions.RollingFingerprint): same
+      // seed-with-head / (a·31+x) mod 1e9+7 algebra as the HOF
+      // formulation, but one compiled loop with an incremental md5 per
+      // token instead of interpreted transform+aggregate lambdas
+      (s, d) =>
         documents(s, d)
-          .select(col("doc_id"), rh.as("rh"))
-          .orderBy(col("doc_id"))
-      },
+          .select(
+            col("doc_id"),
+            graft.functions.TextFunctions.rollingFingerprint(tokens(col("text"))).as("rh")
+          )
+          .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id, list_reduce(
               |  list_transform(string_split_regex(trim(text), '\\s+'),
               |    t -> ${TextOps.sqlHex8("md5(t)")}),
