@@ -229,6 +229,148 @@ final case class RollingFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row worker for [[TopTokenNGram]]: mode over space-joined token
+  * n-grams WITH multiplicity (unlike [[NGramsHelper]], which dedups), ties
+  * to the binary-smallest gram.
+  */
+final class TopTokenNGramHelper(n: Int) extends Serializable {
+  private val space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): InternalRow = {
+    val m = arr.numElements()
+    if (m < n) return null
+    val counts = new java.util.HashMap[UTF8String, Integer]((m - n + 1) * 2)
+    var i = 0
+    while (i + n <= m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = arr.getUTF8String(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      val g = UTF8String.concat(parts: _*)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var bestG: UTF8String = null
+    var bestC = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c: Int = e.getValue
+      if (c > bestC || (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+        bestG = e.getKey
+        bestC = c
+      }
+    }
+    new GenericInternalRow(Array[Any](bestG, bestC.toLong))
+  }
+}
+
+/** Most frequent token n-gram of an array<string> as struct(gram, cnt),
+  * null when shorter than n — the repetition-signal core (q29's top-bigram
+  * fraction), map-only instead of explode → two corpus shuffles.
+  */
+final case class TopTokenNGram(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(n >= 1, s"n must be positive, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType =
+    StructType(Seq(StructField("gram", StringType), StructField("cnt", LongType)))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_top_token_ngram"
+
+  @transient private lazy val helper = new TopTokenNGramHelper(n)
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("topTokenNGramHelper", helper, classOf[TopTokenNGramHelper].getName)
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+         |${ev.value} = $h.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row worker for [[KeywordHits]]: counts how many tokens land in each
+  * keyword set, all sets checked in ONE pass over the tokens.
+  */
+final class KeywordHitsHelper(sets: Seq[Seq[String]]) extends Serializable {
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    sets.zipWithIndex.foreach { case (ws, si) =>
+      ws.foreach { w =>
+        val k = UTF8String.fromString(w)
+        var ids = m.get(k)
+        if (ids == null) ids = Array.empty[Int]
+        m.put(k, ids :+ si)
+      }
+    }
+    m
+  }
+  private val nSets = sets.length
+
+  def compute(arr: ArrayData): ArrayData = {
+    val out = new Array[Int](nSets)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      val ids = lookup.get(arr.getUTF8String(i))
+      if (ids != null) {
+        var j = 0
+        while (j < ids.length) { out(ids(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-set keyword hit counts over a token array as array<int> — the
+  * stopword-voting core of language-ID. One hash probe per token replaces
+  * one interpreted filter-HOF scan PER SET.
+  */
+final case class KeywordHits(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_keyword_hits"
+
+  @transient private lazy val helper = new KeywordHitsHelper(sets)
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("keywordHitsHelper", helper, classOf[KeywordHitsHelper].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native text expressions. */
 object TextFunctions {
   def topNGram(text: Column, n: Int): Column =
@@ -239,4 +381,10 @@ object TextFunctions {
 
   def rollingFingerprint(tokens: Column): Column =
     GraftColumns.lift(RollingFingerprint(GraftColumns.unlift(tokens)))
+
+  def topTokenNGram(tokens: Column, n: Int): Column =
+    GraftColumns.lift(TopTokenNGram(GraftColumns.unlift(tokens), n))
+
+  def keywordHits(tokens: Column, sets: Seq[Seq[String]]): Column =
+    GraftColumns.lift(KeywordHits(GraftColumns.unlift(tokens), sets))
 }

@@ -66,13 +66,22 @@ object TextOps {
     * fallback — the operator shape (per-language token voting) is the point.
     */
   def langIdExpr(text: Column): Column = {
-    val toks = tokens(lower(text))
-    def hits(ws: Seq[String]): Column =
-      size(filter(toks, t => array_contains(array(ws.map(lit): _*), t)))
-    val en = hits(Seq("the", "and", "of", "a", "is"))
-    val de = hits(Seq("der", "die", "das", "und", "ist"))
-    val fr = hits(Seq("le", "la", "et", "les", "est"))
-    val es = hits(Seq("el", "la", "los", "que", "es"))
+    // one native pass over the tokens counting all four stopword sets
+    // (graft.functions.KeywordHits) — the filter-HOF-per-set form ran four
+    // interpreted lambda scans per document
+    val hitsArr = graft.functions.TextFunctions.keywordHits(
+      tokens(lower(text)),
+      Seq(
+        Seq("the", "and", "of", "a", "is"),
+        Seq("der", "die", "das", "und", "ist"),
+        Seq("le", "la", "et", "les", "est"),
+        Seq("el", "la", "los", "que", "es")
+      )
+    )
+    val en = element_at(hitsArr, 1)
+    val de = element_at(hitsArr, 2)
+    val fr = element_at(hitsArr, 3)
+    val es = element_at(hitsArr, 4)
     when(de > en && de >= fr && de >= es, "de")
       .when(fr > en && fr >= es, "fr")
       .when(es > en, "es")
@@ -301,24 +310,17 @@ object TextOps {
     Q(
       "q29_repetition",
       (s, d) => {
-        val base = documents(s, d)
+        // top-bigram count is a per-row native expression (TopTokenNGram):
+        // the explode → groupBy(doc, bigram) → max-per-doc form shuffled
+        // the corpus twice for a per-document answer. Docs with <2 tokens
+        // have no bigrams and drop out (the filter mirrors the oracle's
+        // inner join against bigram-derived counts).
+        val perDoc = documents(s, d)
           .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-          .select(col("doc_id"), col("lang"), size(col("t")).cast("long").as("n"),
-            size(array_distinct(col("t"))).cast("long").as("u"), col("t"))
-        // Spark sequence(a,b) DESCENDS when b < a: guard 1-token docs.
-        val bigrams = base.select(
-          col("doc_id"),
-          explode(
-            when(size(col("t")) >= 2,
-              expr("transform(sequence(0, size(t) - 2), i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
-              .otherwise(array().cast("array<string>"))
-          ).as("bg")
-        )
-        val topBigram = bigrams
-          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(max(col("c")).as("m"))
-        val perDoc = base
-          .join(topBigram, Seq("doc_id"))
+          .filter(size(col("t")) >= 2)
+          .select(col("lang"), size(col("t")).cast("long").as("n"),
+            size(array_distinct(col("t"))).cast("long").as("u"),
+            graft.functions.TextFunctions.topTokenNGram(col("t"), 2).getField("cnt").as("m"))
           .select(
             col("lang"),
             floor((col("n") - col("u")) * lit(10000.0) / col("n")).cast("long").as("dup_units"),
