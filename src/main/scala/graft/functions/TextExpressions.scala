@@ -371,6 +371,76 @@ final case class KeywordHits(child: Expression, sets: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Per-row worker for [[SimHashBits]]: md5 each token once, tally bit
+  * votes, emit the majority bit string. Bit p reads bit `p % lanes` of
+  * md5 hex-nibble `p / lanes` (lanes=1 → the 16-bit parity profile;
+  * lanes=4 → the full 64-bit signature), and bit p is '1' iff
+  * 2·ones ≥ n — identical to the ±1-sum ≥ 0 formulation the oracles use.
+  */
+final class SimHashBitsHelper(numNibbles: Int, lanes: Int) extends Serializable {
+  require(numNibbles >= 1 && numNibbles <= 32 && lanes >= 1 && lanes <= 4)
+  private val nBits = numNibbles * lanes
+
+  @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(arr: ArrayData): UTF8String = {
+    val m = arr.numElements()
+    val ones = new Array[Int](nBits)
+    val md = digests.get()
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var p = 0
+      while (p < nBits) {
+        val g = p / lanes
+        // hex char g ↔ byte g/2, high nibble when g is even
+        val nib = if ((g & 1) == 0) (d(g >> 1) >> 4) & 0xf else d(g >> 1) & 0xf
+        ones(p) += (nib >> (p % lanes)) & 1
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Char](nBits)
+    var p = 0
+    while (p < nBits) {
+      out(p) = if (2 * ones(p) >= m) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+}
+
+/** SimHash bit string of a token array — a per-document function, so it
+  * runs map-only; the explode → md5-per-row → wide-aggregate form paid a
+  * corpus shuffle plus (for 64 bits) the lane-packing gymnastics needed
+  * to keep 65 aggregate buffers inside codegen limits.
+  */
+final case class SimHashBits(child: Expression, numNibbles: Int, lanes: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_simhash_bits"
+
+  @transient private lazy val helper = new SimHashBitsHelper(numNibbles, lanes)
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("simHashBitsHelper", helper, classOf[SimHashBitsHelper].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native text expressions. */
 object TextFunctions {
   def topNGram(text: Column, n: Int): Column =
@@ -387,4 +457,7 @@ object TextFunctions {
 
   def keywordHits(tokens: Column, sets: Seq[Seq[String]]): Column =
     GraftColumns.lift(KeywordHits(GraftColumns.unlift(tokens), sets))
+
+  def simHashBits(tokens: Column, numNibbles: Int, lanes: Int): Column =
+    GraftColumns.lift(SimHashBits(GraftColumns.unlift(tokens), numNibbles, lanes))
 }

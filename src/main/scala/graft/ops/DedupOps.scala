@@ -179,23 +179,15 @@ object DedupOps {
     * sign of the sum over tokens of ±1 by the parity of hex digit p of
     * md5(token). Duplicate tokens weight naturally.
     */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val ex = documents(s, d)
-      .select(col("doc_id"), explode_outer(toks).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"))
-    val sums = ex
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(lit(2) * (conv(substring(col("h"), 1, 1), 16, 10).cast("int") % 2) - 1).as("s1"),
-        (2 to 16).map(p =>
-          sum(lit(2) * (conv(substring(col("h"), p, 1), 16, 10).cast("int") % 2) - 1).as(s"s$p")
-        ): _*
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    // per-document native expression (graft.functions.SimHashBits, 16
+    // nibble-parity bits): map-only, replacing explode → md5 per row →
+    // 16-sum aggregate — a corpus shuffle for a per-row answer
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        graft.functions.TextFunctions.simHashBits(toks, 16, 1).as("simhash")
       )
-    sums.select(
-      col("doc_id"),
-      concat((1 to 16).map(p => when(col(s"s$p") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash")
-    )
-  }
 
   private val sqlSimhash: String =
     (1 to 16).map { p =>
@@ -209,40 +201,19 @@ object DedupOps {
     * the 16-bit profile of q33) so that random collisions vanish and a
     * small hamming radius isolates true near-duplicates.
     */
-  def simhash64(s: SparkSession, d: String): DataFrame = {
-    val ex = documents(s, d)
-      .select(col("doc_id"), explode_outer(toks).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"))
-    // Lane-packed counting: hex digit g's four bits ride as four 16-bit
-    // lanes of ONE long (bit b of the digit → lane b), so the aggregate
-    // carries 16 packed sums + a token count instead of 64 separate ±1
-    // sums. Lanes can't carry into each other for per-doc token counts
-    // < 2^16 (lane extraction below uses an UNSIGNED shift, so the top
-    // lane is correct even when its count ≥ 2^15 sets the long's sign
-    // bit). This quarters the generated aggregate code — the naive 65-
-    // buffer version spent most of its wall-clock in codegen compilation.
-    // Bit p's sign: ±1-sum = 2·ones − n, so sign ⟺ 2·ones ≥ n.
-    val packed = ex.select(
-      col("doc_id") +:
-        (1 to 16).map { g =>
-          val dgt = conv(substring(col("h"), g, 1), 16, 10).cast("long")
-          ((dgt % 2)
-            + (shiftright(dgt, 1) % 2) * lit(1L << 16)
-            + (shiftright(dgt, 2) % 2) * lit(1L << 32)
-            + (shiftright(dgt, 3) % 2) * lit(1L << 48)).as(s"p$g")
-        }: _*
-    )
-    val agg = packed
-      .groupBy(col("doc_id"))
-      .agg(count(col("p1")).as("n"), (1 to 16).map(g => sum(col(s"p$g")).as(s"q$g")): _*)
-    val bits = (1 to 64).map { p =>
-      val g = (p - 1) / 4 + 1
-      val lane = (p - 1) % 4
-      val ones = shiftrightunsigned(col(s"q$g"), lane * 16) % lit(1L << 16)
-      when(lit(2) * ones >= col("n"), lit("1")).otherwise(lit("0"))
-    }
-    agg.select(col("doc_id"), concat(bits: _*).as("sh"))
-  }
+  def simhash64(s: SparkSession, d: String): DataFrame =
+    // per-document native expression (graft.functions.SimHashBits, 16
+    // nibbles × 4 bit-lanes = 64 bits): map-only. The previous
+    // explode + lane-packed wide aggregate (16 packed sums in 16-bit
+    // lanes of longs, to stay inside codegen buffer limits) paid a corpus
+    // shuffle and most of its wall-clock in generated-aggregate compile;
+    // a per-row loop needs neither. Bit p is '1' iff 2·ones ≥ n — the
+    // same majority algebra the oracle mirrors.
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        graft.functions.TextFunctions.simHashBits(toks, 16, 4).as("sh")
+      )
 
   private val sqlSimhash64: String =
     (1 to 64).map { p =>
