@@ -441,6 +441,100 @@ final case class SimHashBits(child: Expression, numNibbles: Int, lanes: Int)
     copy(child = newChild)
 }
 
+/** Per-row worker for [[MinHashSig]]: hash k of a shingle set is the
+  * minimum over shingles of the 8-hex-char window `k%4` of
+  * md5("{k/4}:" + shingle) — exactly the Column formulation's
+  * min(substring(md5(concat(...)))). Lexicographic hex-string min equals
+  * unsigned numeric min of the underlying 4 digest bytes, so the loop
+  * tracks unsigned ints and renders hex once at the end. Returns null for
+  * an empty shingle set (min over nothing), matching the aggregate's
+  * NULL.
+  */
+final class MinHashSigHelper(numHashes: Int) extends Serializable {
+  private val numGroups = (numHashes + 3) / 4
+
+  @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numGroups)(g => s"$g:".getBytes("UTF-8"))
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return null
+    val mins = Array.fill(numHashes)(-1) // 0xffffffff = unsigned max
+    val md = digests.get()
+    var i = 0
+    while (i < m) {
+      val sb = arr.getUTF8String(i).getBytes
+      var g = 0
+      while (g < numGroups) {
+        md.reset()
+        md.update(prefixes(g))
+        val d = md.digest(sb)
+        var w = 0
+        val kMax = math.min(4, numHashes - g * 4)
+        while (w < kMax) {
+          val v = ((d(4 * w) & 0xff) << 24) | ((d(4 * w + 1) & 0xff) << 16) |
+            ((d(4 * w + 2) & 0xff) << 8) | (d(4 * w + 3) & 0xff)
+          val k = g * 4 + w
+          if (java.lang.Integer.compareUnsigned(v, mins(k)) < 0) mins(k) = v
+          w += 1
+        }
+        g += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      out(k) = UTF8String.fromString(f"${mins(k) & 0xffffffffL}%08x")
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** MinHash signature of a shingle array as array<string> (8-hex-char
+  * values) — per-row, so signature computation is map-only; the
+  * explode → md5 → min-aggregate formulation shuffled every shingle row
+  * to aggregate what each document already holds locally.
+  */
+final case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+
+  override def inputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val helper = new MinHashSigHelper(numHashes)
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("minHashSigHelper", helper, classOf[MinHashSigHelper].getName)
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+         |${ev.value} = $h.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native text expressions. */
 object TextFunctions {
   def topNGram(text: Column, n: Int): Column =
@@ -460,4 +554,7 @@ object TextFunctions {
 
   def simHashBits(tokens: Column, numNibbles: Int, lanes: Int): Column =
     GraftColumns.lift(SimHashBits(GraftColumns.unlift(tokens), numNibbles, lanes))
+
+  def minHashSig(shingles: Column, numHashes: Int): Column =
+    GraftColumns.lift(MinHashSig(GraftColumns.unlift(shingles), numHashes))
 }

@@ -78,19 +78,14 @@ object DedupOps {
     * pass instead of re-deriving tokenize→shingle from the source scan.
     */
   def minhashFromShingles(shingleDf: DataFrame, numHashes: Int): DataFrame = {
-    val ex = shingleDf.select(col("doc_id"), explode_outer(col("s")).as("sh"))
-    val withDigests = ex.select(
-      col("doc_id") +:
-        (0 until (numHashes + 3) / 4).map(g => md5(concat(lit(s"$g:"), col("sh"))).as(s"h$g")): _*
+    // per-document native signature (graft.functions.MinHashSig): map-only;
+    // the explode → md5 → min-aggregate form shuffled every shingle row to
+    // aggregate what each document holds locally (identical 8-hex-window
+    // min, incl. NULL columns for shingle-less short docs)
+    val sig = graft.functions.TextFunctions.minHashSig(col("s"), numHashes)
+    shingleDf.select(
+      col("doc_id") +: (0 until numHashes).map(k => element_at(sig, k + 1).as(s"mh$k")): _*
     )
-    withDigests
-      .groupBy(col("doc_id"))
-      .agg(
-        min(substring(col("h0"), 1, 8)).as("mh0"),
-        (1 until numHashes).map(k =>
-          min(substring(col(s"h${k / 4}"), 1 + 8 * (k % 4), 8)).as(s"mh$k")
-        ): _*
-      )
   }
 
   /** DuckDB SQL fragments mirroring the Spark expressions above. */
