@@ -560,6 +560,85 @@ object Relational {
              |FROM lineitem
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Pivot: order counts per market segment × order priority — the
+    // cross-tab reshaping OLAP surface. Spark's pivot() compiles to one
+    // aggregation with a conditional-count per pivot value (no extra
+    // shuffle vs the plain groupBy); the oracle is the portable
+    // FILTER-aggregation spelling of the same thing. Pivot values are
+    // declared explicitly — at scale an unlisted-values pivot triggers a
+    // driver-side distinct pass first.
+    Q(
+      "q74_pivot",
+      (s, d) => {
+        val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .pivot("o_orderpriority", pr)
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(
+            col("c_mktsegment"),
+            col("1-URGENT").as("urgent"),
+            col("2-HIGH").as("high"),
+            col("3-MEDIUM").as("medium"),
+            col("4-NOT SPECIFIED").as("unspecified"),
+            col("5-LOW").as("low")
+          )
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+             |  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+             |  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+             |  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS unspecified,
+             |  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // Analytic-window suite: lag/lead deltas, ntile quartiles and
+    // percent_rank over each customer's order history — one shuffle on
+    // the partition key serves every window function (same spec). All
+    // outputs are exact: integer totals-in-cents, ntile ints, and
+    // percent_rank's (rank−1)/(n−1) division of small ints.
+    Q(
+      "q75_window_suite",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        // round-before-cast: DuckDB CAST(double AS BIGINT) rounds while
+        // Spark's cast truncates — an off-by-1e-9 product would diverge
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        orders(s, d)
+          .filter(col("o_custkey") < 200)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            cents.as("cents"),
+            (cents - lag(cents, 1, 0).over(w)).as("delta_prev"),
+            lead(col("o_orderkey"), 1, -1L).over(w).as("next_order"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank")
+          )
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |  CAST(round(o_totalprice * 100) AS BIGINT)
+             |    - lag(CAST(round(o_totalprice * 100) AS BIGINT), 1, 0)
+             |        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_prev,
+             |  lead(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |    AS next_order,
+             |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |    AS BIGINT) AS quartile,
+             |  round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)
+             |    AS pct_rank
+             |FROM orders
+             |WHERE o_custkey < 200
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
     )
   )
 }
