@@ -377,9 +377,14 @@ object TextOps {
       "q39_tfidf_keywords",
       (s, d) => {
         val tok = documents(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        // dfreq is vocabulary-sized (per-doc repeats already collapsed by
+        // tf) so it BROADCASTS — the corpus-side tf is never shuffled by
+        // the df lookup. tf's subtree runs twice (broadcast build + stream
+        // side); persisting it measured SLOWER here — cache encoding costs
+        // more than the recompute at these row widths.
         val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        tf.join(dfreq, Seq("t"))
+        tf.join(broadcast(dfreq), Seq("t"))
           .select(col("doc_id"), col("t"), col("tf"), col("df"),
             (col("tf").cast("double") / col("df")).as("r"))
           .groupBy(col("doc_id"))
