@@ -117,9 +117,9 @@ object SimilarityOps {
 
   /** Verified high-similarity pairs (cosine ≥ 0.45), unordered — the
     * banded-LSH candidate pipeline shared by q42 (pair listing) and q47
-    * (kept-set). The (vec, norm) projection and the exploded band-key
-    * postings are persisted: candidate generation and both verify legs read
-    * one materialized pass, and the plan cache shares it across queries.
+    * (kept-set). The (vec, norm) projection is persisted — candidate
+    * generation and both verify legs read one materialized pass of the
+    * parquet scan, and the plan cache shares it across queries.
     *
     * Candidate generation is an equi-join on small int band keys; each
     * posting row carries the packed 6-long signature, and the join filters
@@ -136,15 +136,16 @@ object SimilarityOps {
         .select(col("vec_id"), emb(col("embedding")).as("v"))
         .withColumn("nv", norm(col("v")))
     )
-    val sigs = Caches.persisted(
-      e.select(col("vec_id"), packedSig(col("v")).as("sig"))
-        .select(
-          col("vec_id"),
-          col("sig"),
-          posexplode(graft.functions.VectorFunctions.bandKeys(col("sig"), BandBits))
-            .as(Seq("band", "bk"))
-        )
-    )
+    // postings are NOT persisted: both join legs re-derive them from the
+    // cached (vec, norm) pass — the packed-sign eval is cheap relative to
+    // encoding 96 posting rows per vector into the cache (measured)
+    val sigs = e.select(col("vec_id"), packedSig(col("v")).as("sig"))
+      .select(
+        col("vec_id"),
+        col("sig"),
+        posexplode(graft.functions.VectorFunctions.bandKeys(col("sig"), BandBits))
+          .as(Seq("band", "bk"))
+      )
     val cand = sigs.as("a")
       .join(
         sigs.as("b"),
