@@ -11,11 +11,10 @@ import org.apache.spark.sql.functions._
   *  - the LSH path never computes O(n²) pairs — candidates come from an
   *    equi-join on (band, band-signature), a shuffle join keyed by bucket
   *    whose key space grows with the corpus, so it stays balanced at 100 TB;
-  *  - signatures are computed by EXPLODING shingles and aggregating scalar
-  *    md5 windows (whole-stage codegen + map-side partial min), not by
-  *    interpreted higher-order lambdas — one digest yields four 32-bit hash
-  *    functions (8-hex-char windows), so the md5 count is shingles × 2 for
-  *    8 hash functions;
+  *  - signatures are per-row native expressions (graft.functions.MinHashSig
+  *    / SimHashBits): map-only, no shuffle before the band join — one
+  *    digest yields four 32-bit hash functions (8-hex-char windows), so
+  *    the md5 count is shingles × 2 for 8 hash functions;
   *  - the verify join touches only candidate pairs.
   *
   * All hashes are md5-derived so the DuckDB oracle reproduces them
@@ -66,7 +65,7 @@ object DedupOps {
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     tokenized(s, d).select(col("doc_id"), shingles(col("tok")).as("s"))
 
-  /** MinHash signatures mh0..mh{n-1} via explode + scalar md5 + min-agg.
+  /** MinHash signatures mh0..mh{n-1} (per-row native MinHashSig).
     * Hash k is the 8-hex-char window `1 + 8*(k%4) .. +8` of
     * md5("<k/4>:" + shingle) — identical to the oracle's list formulation.
     */
@@ -103,12 +102,11 @@ object DedupOps {
     * for verified near-dup pairs at the given threshold.
     */
   def lshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    // Both intermediate passes are persisted (memory-and-disk): the band
-    // self-join reads the signatures twice and the verification joins read
-    // the shingle sets twice — unpersisted, each leg re-derived the whole
-    // tokenize→shingle→md5 subtree, i.e. 4 parquet scans of `documents` and
-    // 4× the dominant md5 map work (measured in the round-1 executed plan).
-    // At 100 TB the materialization is corpus-sized but disk-backed, and one
+    // The shingle pass is persisted (memory-and-disk): the band join's two
+    // legs and the verification joins all re-derive from it — unpersisted,
+    // each leg re-ran tokenize→shingle from the source scan (4 parquet
+    // scans of `documents` in the round-1 executed plan). At 100 TB the
+    // materialization is corpus-sized but disk-backed, and one
     // materialized pass beats four recomputed ones. Spark's CacheManager
     // keys cache entries by canonicalized plan, so q32 and q34 (which
     // rebuilds this DAG) share the same materialized data within a session.
@@ -116,7 +114,11 @@ object DedupOps {
     // between workloads (a long-lived service would materialize signatures
     // as a table instead).
     val sh = Caches.persisted(shingleSets(s, d))
-    val sigs = Caches.persisted(minhashFromShingles(sh, NumHashes))
+    // signatures are NOT persisted: since MinHashSig they are a cheap
+    // map-only projection of the cached shingle pass — re-deriving them
+    // for the band join's two legs beats encoding 16 hash columns into
+    // the cache (same persist-vs-recompute call as the LSH postings)
+    val sigs = minhashFromShingles(sh, NumHashes)
     val bands = sigs.select(
       col("doc_id"),
       explode(
