@@ -639,6 +639,36 @@ object Relational {
              |FROM orders
              |WHERE o_custkey < 200
              |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+
+    // Cube with grouping_id: all four (status × priority) grouping
+    // combinations in one pass, with the grouping id disambiguating the
+    // "all" marker NULLs from real nulls — the part of the grouping-sets
+    // surface plain rollup (q17) can't express. Spark expands the cube
+    // into one aggregate over a 4×-expanded input (map-side partial agg
+    // still applies); gid bit k set = column k aggregated away.
+    Q(
+      "q76_cube_grouping",
+      (s, d) =>
+        orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("total")
+          )
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"), col("cnt"), col("total"))
+          .orderBy(
+            col("gid"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first
+          ),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     )
   )
 }
