@@ -372,6 +372,12 @@ final case class FirstEqualBand(left: Expression, right: Expression, bandBits: I
   * order functions are CodegenFallback (interpreted per row per element),
   * and this sits in the corpus×centroids assignment pass — the k-means
   * hot path at scale.
+  *
+  * Overflow: the numerator is exact only while Σ(ccnt·qᵢ − sumᵢ)² fits in
+  * int64. All arithmetic uses `Math.*Exact` (JIT-intrinsified — stays a
+  * branch-on-overflow inside whole-stage codegen), so an out-of-range
+  * cluster raises `ArithmeticException` — the same fail-loud contract as
+  * DuckDB BIGINT — instead of silently wrapping to a wrong distance.
   */
 final case class ScaledSqDist(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression
@@ -392,11 +398,11 @@ final case class ScaledSqDist(first: Expression, second: Expression, third: Expr
     var acc = 0L
     var i = 0
     while (i < n) {
-      val d = cnt * x.getLong(i) - y.getLong(i)
-      acc += d * d
+      val d = Math.subtractExact(Math.multiplyExact(cnt, x.getLong(i)), y.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
       i += 1
     }
-    acc.toDouble / (cnt * cnt).toDouble
+    acc.toDouble / Math.multiplyExact(cnt, cnt).toDouble
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -412,10 +418,11 @@ final case class ScaledSqDist(first: Expression, second: Expression, third: Expr
            |int $n = java.lang.Math.min($q.numElements(), $s.numElements());
            |long $acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
-           |  long $d = $c * $q.getLong($i) - $s.getLong($i);
-           |  $acc += $d * $d;
+           |  long $d = java.lang.Math.subtractExact(
+           |    java.lang.Math.multiplyExact($c, $q.getLong($i)), $s.getLong($i));
+           |  $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
            |}
-           |${ev.value} = (double) $acc / (double) ($c * $c);
+           |${ev.value} = (double) $acc / (double) java.lang.Math.multiplyExact($c, $c);
          """.stripMargin
       }
     )

@@ -173,7 +173,10 @@ object CurationOps {
           .select(
             col("doc_id"),
             col("source"),
-            substring(col("source"), 4, 10).cast("long").as("src_idx"),
+            // uncapped suffix, matching the oracle's substr(source, 4):
+            // a length-capped variant would silently diverge for source
+            // names longer than 13 characters
+            expr("substring(source, 4)").cast("long").as("src_idx"),
             bucket.as("bucket")
           )
           .select(col("source"), col("bucket"), rate)

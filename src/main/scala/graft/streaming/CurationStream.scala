@@ -17,8 +17,13 @@ import graft.ops.CurationOps
   *    batch — `CurationOps.scoreDocs` is shared code);
   *  - `dropDuplicates(fp)` is state-backed first-wins dedup — the
   *    streaming analog of the batch keep-set (batch keeps min doc_id;
-  *    a stream keeps the first arrival, which also absorbs at-least-once
-  *    source redelivery). Unbounded corpora bound the state with
+  *    a stream keeps the first ARRIVAL, which also absorbs at-least-once
+  *    source redelivery). The two agree only when ingest order follows
+  *    doc_id — under out-of-order arrival the stream deliberately keeps
+  *    the earlier-arriving duplicate and its per-doc attributes (e.g.
+  *    embedding norm) diverge from the batch min-doc_id canonical row;
+  *    StreamingOpsSpec pins this first-wins contract explicitly.
+  *    Unbounded corpora bound the state with
   *    `dropDuplicatesWithinWatermark` on an ingest-time column;
   *  - the embedding join is a stream-static equi-join (no state);
   *  - the rollup is an incremental streaming aggregation (update/complete

@@ -95,4 +95,50 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
     } finally q.stop()
   }
+
+  test("curation dedup is first-wins: out-of-order duplicate arrival keeps the first arrival") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // identical text => identical fp; the higher doc_id arrives FIRST
+    // ≥80 mostly-non-stopword words so the length and stopword-ratio
+    // terms of qualityScore10k both clear the 5000 acceptance gate
+    val text = "the quick brown fox " + (1 to 80).map(i => s"token$i").mkString(" ")
+    // precondition: the text passes the lang/quality acceptance gate
+    val gateQ = graft.ops.CurationOps
+      .scoreDocs(Seq((1L, text, "en", "web")).toDF("doc_id", "text", "lang", "source"))
+      .select(col("q10k"))
+      .collect()
+      .head
+      .getLong(0)
+    val gateLang = Seq(Tuple1(text)).toDF("text")
+      .select(graft.ops.TextOps.langIdExpr(col("text")))
+      .collect()
+      .head
+      .getString(0)
+    assert(gateQ >= 5000L && gateLang == "en", s"gate text unsuitable: q=$gateQ lang=$gateLang")
+
+    // distinct norms make the kept duplicate observable: |(0.6,0.8)|=1, |(3,4)|=5
+    val emb = Seq(
+      (10L, Array(0.6f, 0.8f)),
+      (20L, Array(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+
+    val stream = MemoryStream[(Long, String, String, String)]
+    val docsDf = stream.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = graft.streaming.CurationStream
+      .acceptedDocs(docsDf, emb)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("curation_first_wins")
+      .start()
+    try {
+      stream.addData(Seq((20L, text, "en", "web"))) // later doc_id, earlier arrival
+      q.processAllAvailable()
+      stream.addData(Seq((10L, text, "en", "web"))) // batch's min-doc_id canonical row
+      q.processAllAvailable()
+      val rows = spark.table("curation_first_wins").collect().map(r => r.getLong(2)).toSeq
+      // first arrival (doc 20, n10k = 50000) wins; batch q70 would keep doc 10 (10000)
+      assert(rows == Seq(50000L), s"expected first-arrival norm only, got $rows")
+    } finally q.stop()
+  }
 }

@@ -82,11 +82,38 @@ class VectorExprSpec extends SparkSpec {
     assert(rows.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("scaled squared distance fails loud on int64 overflow instead of wrapping") {
+    import spark.implicits._
+    // cnt*q - sum ≈ 2^32 per dim; squared ≈ 2^64 — must raise, not wrap
+    val big = Seq((Array(1L << 31), Array(0L), 2L)).toDF("qv", "csum", "ccnt")
+    val ex = intercept[Exception] {
+      big.select(VectorFunctions.scaledSqDist(col("qv"), col("csum"), col("ccnt"))).collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(
+      causes(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $ex"
+    )
+  }
+
   test("Caches.invalidate releases the library's persisted frames") {
     val df = SimilarityOps.embeddingNeardupPairs(spark, "/root/testdata/sf0.001")
     df.count()
     assert(df.storageLevel != StorageLevel.NONE, "neardup result should be persisted")
     Caches.invalidate()
     assert(df.storageLevel == StorageLevel.NONE, "invalidate should unpersist tracked frames")
+  }
+
+  test("Caches dedups re-registrations of the same plan and stays bounded") {
+    Caches.invalidate()
+    val n0 = Caches.trackedCount
+    // building the same query repeatedly must not grow the registry
+    (1 to 5).foreach { _ =>
+      SimilarityOps.embeddingNeardupPairs(spark, "/root/testdata/sf0.001")
+    }
+    val n1 = Caches.trackedCount
+    assert(n1 - n0 <= 2, s"registry grew from $n0 to $n1 across identical rebuilds")
+    Caches.invalidate()
   }
 }
