@@ -152,11 +152,13 @@ object DedupOps {
   }
 
   /** Shared oracle CTE prefix: tokens → shingles → signatures → bands →
-    * verified pairs at the given threshold.
+    * verified pairs at the given threshold. `recursive = true` emits
+    * `WITH RECURSIVE` so callers can append a recursive CTE (DuckDB scopes
+    * the RECURSIVE keyword to the whole WITH clause).
     */
-  private def sqlPairsCte(threshold: Double): String = {
+  private def sqlPairsCte(threshold: Double, recursive: Boolean = false): String = {
     val sigList = (0 until NumHashes).map(sqlMinhash).mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
        |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
        |mh AS (SELECT doc_id, s, $sigList AS sig FROM sh),
        |bands AS (SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
@@ -171,6 +173,88 @@ object DedupOps {
        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b) v
        |  WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list: every node's label converges to the smallest
+    * node id reachable from it, i.e. clusters of transitively-connected
+    * near-duplicates (a verified pair (a,b) plus (b,c) must collapse to
+    * ONE canonical doc — the pairwise kept-set of q34 can't see the
+    * transitive link).
+    *
+    * Scale design: each round is one shuffle of the EDGE list (near-dup
+    * pairs — orders of magnitude smaller than the corpus) joined to the
+    * label table, and converges in O(component diameter) rounds. Near-dup
+    * components are band-join candidates verified at high Jaccard, so they
+    * are dense and shallow (diameter a handful of hops even when the
+    * corpus grows 1000×) — rounds stay single-digit at 100 TB. Labels are
+    * `localCheckpoint`ed each round: analysis/codegen cost compounds with
+    * plan depth on iterative DataFrames (see q48/q49 history), and the
+    * truncated lineage is rebuilt from the persisted edge list on
+    * executor loss. Convergence is detected by the label-sum fixpoint:
+    * labels only ever decrease, so an unchanged sum means no label moved.
+    * (For adversarial long-chain graphs, swap the propagation step for
+    * alternating large-star/small-star — same join shape, O(log n)
+    * rounds; not needed for the near-dup workload.)
+    *
+    * Input columns: (src, dst) directed both ways or either way — the
+    * routine symmetrizes. Output: (node, lbl) with lbl = min node id of
+    * the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .toDF("src", "dst")
+      .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
+      .distinct()
+      .transform(Caches.persisted)
+    var labels = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    if (!labels.isEmpty) {
+      var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxRounds) {
+        val byDst = labels.select(col("node").as("dst"), col("lbl").as("dlbl"))
+        val prop = edges
+          .join(byDst, "dst")
+          .groupBy(col("src").as("node"))
+          .agg(min(col("dlbl")).as("plbl"))
+        labels = labels
+          .join(prop, Seq("node"), "left")
+          .select(
+            col("node"),
+            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl")
+          )
+          .localCheckpoint()
+        val sumNow = labels.agg(sum(col("lbl"))).head.getLong(0)
+        converged = sumNow == prevSum
+        prevSum = sumNow
+        rounds += 1
+      }
+    }
+    labels
+  }
+
+  /** Near-dup cluster map for the corpus: (node, lbl) over the verified
+    * LSH pairs at the given threshold.
+    */
+  def dedupClusters(s: SparkSession, d: String, threshold: Double): DataFrame =
+    connectedComponents(lshPairs(s, d, threshold).select(col("doc_a"), col("doc_b")))
+
+  /** Oracle fragment: recursive min-reachable-label over the pairs CTE —
+    * `reach` enumerates every (node, reachable node) and the GROUP BY
+    * takes the min, the declarative twin of label propagation.
+    */
+  private val sqlComponentsCte: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node),
+      |lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)""".stripMargin
 
   /** 16-bit SimHash via explode + one scalar md5 per token: bit p is the
     * sign of the sum over tokens of ±1 by the parity of hex digit p of
@@ -434,6 +518,58 @@ object DedupOps {
               |  CAST(floor(hit_grams * 10000.0 / n_grams) AS BIGINT) AS cont_units
               |FROM totals JOIN hits USING (doc_id)
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Near-dup CLUSTERS: connected components over the verified pair
+    // graph — the transitive closure q34's pairwise drop can't express.
+    // One row per cluster: canonical (min) doc_id, size, sorted member
+    // list (serialized — array columns break the driver comparator).
+    Q(
+      "q69_dedup_clusters",
+      (s, d) =>
+        dedupClusters(s, d, 0.8)
+          .groupBy(col("lbl").as("cluster_rep"))
+          .agg(
+            count(lit(1)).as("sz"),
+            array_join(
+              transform(sort_array(collect_list(col("node"))), _.cast("string")),
+              ","
+            ).as("members")
+          )
+          .orderBy(col("cluster_rep")),
+      Some(s"""${sqlPairsCte(0.8, recursive = true)},
+              |$sqlComponentsCte
+              |SELECT lbl AS cluster_rep, CAST(count(*) AS BIGINT) AS sz,
+              |  list_aggr(list_transform(list_sort(list(node)), x -> CAST(x AS VARCHAR)),
+              |            'string_agg', ',') AS members
+              |FROM lab
+              |GROUP BY lbl
+              |ORDER BY cluster_rep""".stripMargin)
+    ),
+
+    // Cluster-canonical kept-set: keep ONE representative per near-dup
+    // component (its min doc_id) plus every unpaired document. Differs
+    // from q34 exactly when pairs chain (a–b, b–c: q34 keeps a and drops
+    // b,c only if both appear as doc_b; clusters always keep just a).
+    Q(
+      "q71_cluster_kept",
+      (s, d) => {
+        val dropped = dedupClusters(s, d, 0.8)
+          .filter(col("lbl") =!= col("node"))
+          .select(col("node").as("doc_id"))
+        documents(s, d)
+          .join(dropped, Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("kept_docs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""${sqlPairsCte(0.8, recursive = true)},
+              |$sqlComponentsCte
+              |SELECT source, count(*) AS kept_docs
+              |FROM documents
+              |WHERE doc_id NOT IN (SELECT node FROM lab WHERE lbl <> node)
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
     )
   )
 }

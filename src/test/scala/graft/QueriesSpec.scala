@@ -38,6 +38,30 @@ class QueriesSpec extends SparkSpec {
     assert(names.distinct.size == names.size)
   }
 
+  test("connected components collapse transitive chains and leave islands alone") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.DedupOps
+    // chain 1-2, 2-3, 3-4 (diameter 3 forces multiple propagation rounds);
+    // separate pair 10-11; edges given in one direction only
+    val pairs = spark
+      .createDataFrame(Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)))
+      .toDF("doc_a", "doc_b")
+    val labels = DedupOps
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    graft.ops.Caches.invalidate()
+  }
+
+  test("connected components of an empty pair set are empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.ops.DedupOps.connectedComponents(empty).isEmpty)
+    graft.ops.Caches.invalidate()
+  }
+
   test("config validation rejects bad configs") {
     import graft.config._
     assert(PipelineConfig[Int](name = "").validate().isLeft)
