@@ -188,13 +188,24 @@ object DedupOps {
     * are dense and shallow (diameter a handful of hops even when the
     * corpus grows 1000×) — rounds stay single-digit at 100 TB. Labels are
     * `localCheckpoint`ed each round: analysis/codegen cost compounds with
-    * plan depth on iterative DataFrames (see q48/q49 history), and the
-    * truncated lineage is rebuilt from the persisted edge list on
-    * executor loss. Convergence is detected by the label-sum fixpoint:
-    * labels only ever decrease, so an unchanged sum means no label moved.
-    * (For adversarial long-chain graphs, swap the propagation step for
-    * alternating large-star/small-star — same join shape, O(log n)
-    * rounds; not needed for the near-dup workload.)
+    * plan depth on iterative DataFrames (see q48/q49 history). NOTE
+    * localCheckpoint is NOT fault-tolerant — it truncates lineage, so
+    * losing an executor that holds checkpointed label blocks fails the
+    * job (Spark reruns it from the start; the persisted edge list makes
+    * the rerun cheap but does not resume the iteration). A run that
+    * cannot afford job-level retry should swap in reliable
+    * `checkpoint()` against a durable checkpoint dir — same call shape,
+    * one extra write per round. Superseded rounds' blocks are freed by
+    * the ContextCleaner once the prior Dataset is unreferenced, i.e.
+    * lazily; peak block footprint is ~2 rounds of the label table (tiny
+    * relative to the corpus). Convergence is detected by the label-sum
+    * fixpoint: labels only ever decrease, so an unchanged sum means no
+    * label moved. If `maxRounds` elapses before the fixpoint, the labels
+    * are only partially propagated — that is a WRONG answer, so the
+    * routine fails loud instead of returning it. (For adversarial
+    * long-chain graphs, swap the propagation step for alternating
+    * large-star/small-star — same join shape, O(log n) rounds; not
+    * needed for the near-dup workload.)
     *
     * Input columns: (src, dst) directed both ways or either way — the
     * routine symmetrizes. Output: (node, lbl) with lbl = min node id of
@@ -233,6 +244,12 @@ object DedupOps {
         prevSum = sumNow
         rounds += 1
       }
+      require(
+        converged,
+        s"connectedComponents did not converge after $maxRounds rounds - " +
+          "labels are partially propagated; raise maxRounds or use " +
+          "large-star/small-star for long-chain graphs"
+      )
     }
     labels
   }

@@ -55,6 +55,20 @@ class QueriesSpec extends SparkSpec {
     graft.ops.Caches.invalidate()
   }
 
+  test("connected components fail loud when maxRounds elapses before the fixpoint") {
+    import graft.ops.DedupOps
+    // chain of diameter 4 cannot converge in 1 round - partially-propagated
+    // labels must never be returned silently
+    val pairs = spark
+      .createDataFrame(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+      .toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(pairs, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    graft.ops.Caches.invalidate()
+  }
+
   test("connected components of an empty pair set are empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
