@@ -58,6 +58,58 @@ object Prof {
           graft.functions.VectorFunctions.firstEqualBand(col("a.sig"), col("b.sig"), BandBits) === col("a.band"))
       time("cand join (with firstband)") { cand.count() }
       time("cand join again (warm)") { cand.count() }
+    } else if (name == "q42fused") {
+      import ops.SimilarityOps._
+      val e = ops.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+        .persist()
+      e.count()
+      // current shape: candidates then two join-backs to fetch vectors
+      val sigsSlim = e.select(col("vec_id"), packedSig(col("v")).as("sig"))
+        .select(col("vec_id"), col("sig"),
+          posexplode(graft.functions.VectorFunctions.bandKeys(col("sig"), BandBits)).as(Seq("band", "bk")))
+      val cand = sigsSlim.as("a").join(sigsSlim.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
+          graft.functions.VectorFunctions.firstEqualBand(col("a.sig"), col("b.sig"), BandBits) === col("a.band"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      val joined = cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          round(graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.45)
+      time("joinback verify cold") { joined.count() }
+      time("joinback verify warm") { joined.count() }
+      // fused shape: postings carry (v, nv); verify inside the candidate join
+      val sigsWide = e.select(col("vec_id"), col("v"), col("nv"), packedSig(col("v")).as("sig"))
+        .select(col("vec_id"), col("v"), col("nv"), col("sig"),
+          posexplode(graft.functions.VectorFunctions.bandKeys(col("sig"), BandBits)).as(Seq("band", "bk")))
+      val fused = sigsWide.as("a").join(sigsWide.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
+          graft.functions.VectorFunctions.firstEqualBand(col("a.sig"), col("b.sig"), BandBits) === col("a.band"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.45)
+      time("fused verify cold") { fused.count() }
+      time("fused verify warm") { fused.count() }
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      println("[prof] joinback plan joins: " + "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).toList.mkString(","))
+      // dot-only: how much of verify is the arithmetic itself?
+      val dotsOnly = cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
+        .select((graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+        .agg(sum(col("c")))
+      time("joins+dot only (no round/filter)") { dotsOnly.count() }
+      val joinsOnly = cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
+        .agg(sum(col("na") * col("nb")))
+      time("joins only (no dot)") { joinsOnly.count() }
+      val candOnly = cand.agg(count(lit(1)))
+      time("cand only") { candOnly.count() }
     } else {
       val fn = ops.QueryRegistry.byName(name).fn
       for (i <- 1 to 3) {

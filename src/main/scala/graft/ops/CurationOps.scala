@@ -213,6 +213,65 @@ object CurationOps {
            |GROUP BY source
            |ORDER BY source""".stripMargin
       }
+    ),
+
+    // Per-source document cap — the repetition-control pass every corpus
+    // mix runs (cap any one domain/source at N docs so it can't dominate
+    // the mixture). Selection is deterministic: rank by md5(doc_id) with
+    // a doc_id tie-break, keep rank ≤ 15 — reproducible across runs and
+    // engines, unlike rand()-based subsampling. One shuffle on source.
+    // At 100 TB a hot source would skew its partition; the fix is the
+    // two-phase hash-threshold refinement (pre-filter by a hash prefix
+    // that overshoots the cap, then rank only the survivors) — same
+    // predicate algebra, bounded partition width.
+    Q(
+      "q79_source_cap",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 15)
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""SELECT doc_id, source, rk FROM (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 15
+             |ORDER BY source, rk""".stripMargin)
+    ),
+
+    // Token-length histogram + padding waste — the packing-prep profile:
+    // bucket documents by 64-token length classes and report how many
+    // pad tokens per-doc padding to the next 64 boundary would burn (the
+    // number sequence packing, q72, exists to avoid). Map-only expression
+    // work into one small aggregation; integer end-to-end.
+    Q(
+      "q80_token_histogram",
+      (s, d) =>
+        documents(s, d)
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+          .select(expr("n div 64").as("bucket"), col("n"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("n")).as("tokens"),
+            sum(expr("(n + 63) div 64 * 64 - n")).as("pad_waste")
+          )
+          .orderBy(col("bucket")),
+      Some("""WITH d AS (
+             |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT n // 64 AS bucket, count(*) AS docs,
+             |  CAST(sum(n) AS BIGINT) AS tokens,
+             |  CAST(sum((n + 63) // 64 * 64 - n) AS BIGINT) AS pad_waste
+             |FROM d
+             |GROUP BY bucket
+             |ORDER BY bucket""".stripMargin)
     )
   )
 }

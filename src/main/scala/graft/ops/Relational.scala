@@ -669,6 +669,71 @@ object Relational {
              |FROM orders
              |GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // Explicit grouping sets: exactly the (status-only), (priority-only)
+    // and grand-total groupings — the general form of which rollup (q17)
+    // and cube (q76) are special cases. Spark expands the sets into one
+    // aggregate over a set-count-replicated input, so map-side partial
+    // aggregation still applies and the shuffle carries one row per
+    // (set, key) — no per-set re-scan of the fact table.
+    Q(
+      "q77_grouping_sets",
+      (s, d) =>
+        orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
+            col("o_orderstatus"),
+            col("o_orderpriority")
+          )
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("total")
+          )
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"), col("cnt"), col("total"))
+          .orderBy(
+            col("gid"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first
+          ),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // Correlated scalar subqueries: parts priced >5% above their brand's
+    // average — Catalyst decorrelates both aggregating subqueries into
+    // one brand-keyed aggregate joined back to the probe side (verified:
+    // the plan is scan → partial/final agg on p_brand → broadcast join,
+    // not a per-row re-scan), which is exactly the shape that survives
+    // 100 TB. The comparison rides exact integer cents algebra
+    // (cents·count·100 > 105·sum_cents) so no double average can straddle
+    // a rounding boundary between engines.
+    Q(
+      "q78_brand_premium",
+      (s, d) => {
+        part(s, d).createOrReplaceTempView("graft_part")
+        s.sql("""SELECT p_partkey, p_brand,
+                |  CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+                |FROM graft_part p
+                |WHERE CAST(round(p_retailprice * 100) AS BIGINT)
+                |      * (SELECT count(*) FROM graft_part x WHERE x.p_brand = p.p_brand) * 100
+                |    > 105 * (SELECT sum(CAST(round(x.p_retailprice * 100) AS BIGINT))
+                |             FROM graft_part x WHERE x.p_brand = p.p_brand)
+                |ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_brand,
+             |  CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+             |FROM part p
+             |WHERE CAST(round(p_retailprice * 100) AS BIGINT)
+             |      * (SELECT count(*) FROM part x WHERE x.p_brand = p.p_brand) * 100
+             |    > 105 * (SELECT sum(CAST(round(x.p_retailprice * 100) AS BIGINT))
+             |             FROM part x WHERE x.p_brand = p.p_brand)
+             |ORDER BY p_partkey""".stripMargin)
     )
   )
 }

@@ -403,6 +403,40 @@ object TextOps {
              |  FROM tf JOIN dfq USING (t)) x
              |WHERE rk = 1
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Corpus-commonness score: mean corpus frequency of a document's
+    // tokens — the unigram-LM quality signal (a doc of only ubiquitous
+    // tokens scores high = low-information; rare-token docs score low).
+    // log-free and integer end-to-end (sum of BIGINT term frequencies,
+    // one floor division) so engines agree exactly; libm perplexity would
+    // diverge across implementations. The frequency lookup broadcasts —
+    // it is vocabulary-sized, and (like q39's df table) vocabulary grows
+    // sublinearly with the corpus (Heaps' law); the corpus-side token
+    // stream is never shuffled by the lookup. The per-doc aggregation is
+    // the one real shuffle.
+    Q(
+      "q81_commonness",
+      (s, d) => {
+        val tok = documents(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("tf"))
+        tok
+          .join(broadcast(freq), Seq("t"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_toks"),
+            expr("sum(tf) div count(1)").as("mean_tf")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |            FROM documents),
+             |f AS (SELECT t, count(*) AS tf FROM tok GROUP BY t)
+             |SELECT doc_id, count(*) AS n_toks,
+             |  CAST(sum(tf) // count(*) AS BIGINT) AS mean_tf
+             |FROM tok JOIN f USING (t)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }
