@@ -132,6 +132,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("props"), "reads an events/documents column the query never touches")
   }
 
+  /** AQE plan strings repeat the pre-adaptive plan under "== Initial
+    * Plan ==" — operator counts must only see the final section.
+    */
+  private def finalPlan(p: String): String = p.split("== Initial Plan ==")(0)
+
+  test("q78 correlated subqueries decorrelate into brand-keyed aggregates") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = QueryRegistry.byName("q78_brand_premium").fn(spark, sfDir)
+    df.collect()
+    // decorrelation must produce standalone aggregate subtrees joined back,
+    // never a per-probe-row re-scan (correlated execution) or a cartesian
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collectWithSubqueries { case a: Aggregate => a }.nonEmpty,
+      "no aggregate subtree - subquery not decorrelated")
+    assert(opt.collectWithSubqueries { case j: Join => j }.nonEmpty,
+      "no join-back of the decorrelated aggregate")
+    val scans = opt.collectWithSubqueries { case l: LogicalRelation => l }.size
+    assert(scans <= 3, s"expected <=3 part scans (probe + 2 decorrelated aggs), found $scans")
+  }
+
+  test("q77 grouping sets run as ONE expanded aggregate, not per-set scans") {
+    val df = QueryRegistry.byName("q77_grouping_sets").fn(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 orders scan for all grouping sets, found $scans")
+    assert(p.contains("Expand"), "grouping sets did not compile to an Expand")
+    assert(p.contains("partial_"), "no map-side partial aggregation after Expand")
+  }
+
+  test("q81 commonness broadcasts the vocabulary lookup") {
+    val df = QueryRegistry.byName("q81_commonness").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "vocabulary lookup is not a broadcast join")
+    assert(!p.contains("SortMergeJoin"), "corpus token stream shuffled by the frequency lookup")
+  }
+
   test("q01 whole-stage codegen covers the aggregate") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE only materializes codegen stages in the final plan of THIS queryExecution

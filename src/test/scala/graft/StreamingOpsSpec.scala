@@ -141,4 +141,45 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows == Seq(50000L), s"expected first-arrival norm only, got $rows")
     } finally q.stop()
   }
+
+  test("quota admission caps each source, dedups redelivery, and survives across triggers") {
+    import graft.streaming.{QuotaDoc, QuotaStream}
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[QuotaDoc]
+    val admitted = QuotaStream.admit(
+      stream.toDS().dropDuplicates("docId"), // redelivery dedup upstream of the quota
+      cap = 5
+    )
+    val q = admitted.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("quota_admitted")
+      .start()
+    try {
+      // trigger 1: 4 docs for A (shuffled ids), 2 for B
+      stream.addData(Seq(QuotaDoc(7, "A"), QuotaDoc(3, "A"), QuotaDoc(9, "A"), QuotaDoc(1, "A"), QuotaDoc(100, "B"), QuotaDoc(101, "B")))
+      q.processAllAvailable()
+      // trigger 2: redeliver two already-admitted A docs (must not burn
+      // quota or re-emit) + 3 fresh A docs — only 1 slot remains
+      stream.addData(Seq(QuotaDoc(3, "A"), QuotaDoc(7, "A"), QuotaDoc(2, "A"), QuotaDoc(8, "A"), QuotaDoc(4, "A")))
+      q.processAllAvailable()
+      val rows = spark.table("quota_admitted")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      val a = rows.filter(_._2 == "A").sortBy(_._3)
+      val b = rows.filter(_._2 == "B").sortBy(_._3)
+      // trigger 1 admits all 4 A docs in docId order; trigger 2 has one
+      // slot and admits the LOWEST fresh docId of that batch (2)
+      assert(a.map(_._1) == Seq(1L, 3L, 7L, 9L, 2L), s"A admissions: $a")
+      assert(a.map(_._3) == Seq(1L, 2L, 3L, 4L, 5L), s"A sequence: $a")
+      assert(b.map(_._1) == Seq(100L, 101L), s"B admissions: $b")
+      // trigger 3: A is exhausted — nothing more is ever admitted
+      stream.addData(Seq(QuotaDoc(50, "A"), QuotaDoc(102, "B")))
+      q.processAllAvailable()
+      val after = spark.table("quota_admitted").collect()
+      assert(after.count(_.getString(1) == "A") == 5, "A exceeded its cap")
+      assert(after.count(_.getString(1) == "B") == 3, "fresh B doc not admitted")
+    } finally q.stop()
+  }
 }
