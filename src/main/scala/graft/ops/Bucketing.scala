@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layout — the co-located-join idiom for fact-fact joins
+  * at scale (SURVEY §2.9 E11 scale note): write both sides bucketed and
+  * sorted by the join key and the sort-merge join needs NO Exchange and
+  * NO per-query Sort — the shuffle is paid once at write time and
+  * amortized over every subsequent join/aggregation on that key. At
+  * 100 TB this is the difference between re-shuffling the fact table per
+  * query and a scan-side merge join.
+  *
+  * Broadway's analog is the static partition dispatch that pins a key to
+  * a stage process for its lifetime (`partition_by`,
+  * /root/reference/lib/broadway.ex:524-607) — here the "pinning" is the
+  * on-disk bucket layout.
+  */
+object Bucketing {
+
+  /** Write `df` as an external Parquet table bucketed AND sorted by
+    * `key` into `buckets` files per partition, registered as `name` at
+    * `path`. Callers joining two tables bucketed with the SAME key and
+    * bucket count get an exchange-free sort-merge join (guarded by
+    * BucketingSpec).
+    */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, name: String, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(name)
+}
