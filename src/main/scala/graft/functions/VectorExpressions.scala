@@ -363,6 +363,56 @@ final case class FirstEqualBand(left: Expression, right: Expression, bandBits: I
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Per-row worker for [[ScaledSqDist]] (one virtual call from codegen, so
+  * the JIT compiles the loops once and can auto-vectorize them).
+  *
+  * `compute` proves exactness from element bounds before running the
+  * unchecked fused loop: with mq = max|qᵢ|, my = max|sumᵢ|, every term
+  * satisfies |ccnt·qᵢ − sumᵢ| ≤ |ccnt|·mq + my = dmax and the sum is
+  * ≤ n·dmax², so if n·dmax² fits in int64 no intermediate can wrap. The
+  * bounds pre-pass is branch-free min/max reductions (vectorizable); only
+  * rows whose bounds admit overflow take the per-element `Math.*Exact`
+  * path, which raises instead of wrapping.
+  */
+final class ScaledSqDistHelper extends Serializable {
+  def compute(x: ArrayData, y: ArrayData, cnt: Long): Double = {
+    val n = Math.min(x.numElements(), y.numElements())
+    var minQ = 0L; var maxQ = 0L; var minY = 0L; var maxY = 0L
+    var i = 0
+    while (i < n) {
+      val q = x.getLong(i); val s = y.getLong(i)
+      minQ = Math.min(minQ, q); maxQ = Math.max(maxQ, q)
+      minY = Math.min(minY, s); maxY = Math.max(maxY, s)
+      i += 1
+    }
+    val safe =
+      try {
+        val mq = Math.max(Math.absExact(minQ), Math.absExact(maxQ))
+        val my = Math.max(Math.absExact(minY), Math.absExact(maxY))
+        val dmax = Math.addExact(Math.multiplyExact(Math.absExact(cnt), mq), my)
+        Math.multiplyExact(Math.multiplyExact(dmax, dmax), n.toLong)
+        true
+      } catch { case _: ArithmeticException => false }
+    var acc = 0L
+    if (safe) {
+      var j = 0
+      while (j < n) {
+        val d = cnt * x.getLong(j) - y.getLong(j)
+        acc += d * d
+        j += 1
+      }
+    } else {
+      var j = 0
+      while (j < n) {
+        val d = Math.subtractExact(Math.multiplyExact(cnt, x.getLong(j)), y.getLong(j))
+        acc = Math.addExact(acc, Math.multiplyExact(d, d))
+        j += 1
+      }
+    }
+    acc.toDouble / Math.multiplyExact(cnt, cnt).toDouble
+  }
+}
+
 /** Scaled squared distance to a running centroid for the integer-exact
   * k-means path: given a quantized vector q, a centroid's per-dim integer
   * sum `csum` and its count `ccnt`, returns Σ(ccnt·qᵢ − sumᵢ)² / ccnt² —
@@ -374,10 +424,14 @@ final case class FirstEqualBand(left: Expression, right: Expression, bandBits: I
   * hot path at scale.
   *
   * Overflow: the numerator is exact only while Σ(ccnt·qᵢ − sumᵢ)² fits in
-  * int64. All arithmetic uses `Math.*Exact` (JIT-intrinsified — stays a
-  * branch-on-overflow inside whole-stage codegen), so an out-of-range
-  * cluster raises `ArithmeticException` — the same fail-loud contract as
-  * DuckDB BIGINT — instead of silently wrapping to a wrong distance.
+  * int64. Per-element `Math.*Exact` would keep that contract but defeats
+  * the JIT's auto-vectorization of the hot loop (the overflow branch is
+  * per SIMD lane), so the helper instead proves safety once per row from
+  * min/max element bounds (a branchless, vectorizable pre-pass) and runs
+  * the unchecked fused loop when the proof holds; only a row whose bounds
+  * admit overflow takes the per-element-checked path, which raises
+  * `ArithmeticException` — the same fail-loud contract as DuckDB BIGINT —
+  * instead of silently wrapping to a wrong distance.
   */
 final case class ScaledSqDist(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression
@@ -390,40 +444,18 @@ final case class ScaledSqDist(first: Expression, second: Expression, third: Expr
 
   override def prettyName: String = "graft_scaled_sq_dist"
 
-  override def nullSafeEval(q: Any, s: Any, c: Any): Any = {
-    val x = q.asInstanceOf[ArrayData]
-    val y = s.asInstanceOf[ArrayData]
-    val cnt = c.asInstanceOf[Long]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      val d = Math.subtractExact(Math.multiplyExact(cnt, x.getLong(i)), y.getLong(i))
-      acc = Math.addExact(acc, Math.multiplyExact(d, d))
-      i += 1
-    }
-    acc.toDouble / Math.multiplyExact(cnt, cnt).toDouble
-  }
+  @transient private lazy val helper = new ScaledSqDistHelper
+
+  override def nullSafeEval(q: Any, s: Any, c: Any): Any =
+    helper.compute(q.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData], c.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(
       ctx,
       ev,
       (q, s, c) => {
-        val i = ctx.freshName("i")
-        val n = ctx.freshName("n")
-        val acc = ctx.freshName("acc")
-        val d = ctx.freshName("d")
-        s"""
-           |int $n = java.lang.Math.min($q.numElements(), $s.numElements());
-           |long $acc = 0L;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  long $d = java.lang.Math.subtractExact(
-           |    java.lang.Math.multiplyExact($c, $q.getLong($i)), $s.getLong($i));
-           |  $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
-           |}
-           |${ev.value} = (double) $acc / (double) java.lang.Math.multiplyExact($c, $c);
-         """.stripMargin
+        val h = ctx.addReferenceObj("scaledSqDistHelper", helper, classOf[ScaledSqDistHelper].getName)
+        s"${ev.value} = $h.compute($q, $s, $c);"
       }
     )
 
