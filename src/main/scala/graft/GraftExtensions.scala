@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
-import graft.functions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
+import graft.functions._
 
 /** SparkSessionExtensions module: makes the engine's native functions
   * available to SQL users (`spark.sql.extensions=graft.GraftExtensions`).
@@ -18,28 +18,99 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def arity2(name: String)(f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression): Seq[Expression] => Expression =
     children => {
-      if (children.length != 2)
-        throw new IllegalArgumentException(s"$name requires exactly 2 arguments, got ${children.length}")
-      f(children(0), children(1))
+      if (children.length != n)
+        throw new IllegalArgumentException(s"$name requires exactly $n arguments, got ${children.length}")
+      f(children)
     }
 
+  private def arity2(name: String)(f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    arity(name, 2)(c => f(c(0), c(1)))
+
+  /** Constant-int parameters (n-gram width, band bits, hash count) must be
+    * literal in SQL — they parameterize codegen, not per-row data.
+    */
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(i: Int, _)  => i
+    case Literal(l: Long, _) => l.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$name expects a literal integer parameter, got $other")
+  }
+
+  private def entry(
+      name: String,
+      cls: Class[_],
+      builder: Seq[Expression] => Expression
+  ): (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo(cls.getName, name), builder)
+
+  /** The full native-expression surface, registered by the SQL names below
+    * so `spark.sql` users get the same codegen'd operators (and therefore
+    * bit-identical results) as the Column/DataFrame API. Expressions whose
+    * parameters are not SQL-literal-friendly (the hyperplane matrix of
+    * HyperplaneSigns, KeywordHits' keyword sets) stay Column-API-only.
+    */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (
-      "graft_dot",
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      arity2("graft_dot")(DotProduct(_, _))
-    ),
-    (
-      // cosine similarity composed from the native dot product — same
-      // sequential folds as the Column API, so SQL users get bit-identical
-      // values to DataFrame users
+    entry("graft_dot", classOf[DotProduct], arity2("graft_dot")(DotProduct(_, _))),
+    // cosine similarity composed from the native dot product — same
+    // sequential folds as the Column API, so SQL users get bit-identical
+    // values to DataFrame users
+    entry(
       "graft_cosine",
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      classOf[DotProduct],
       arity2("graft_cosine")((a, b) =>
         Divide(DotProduct(a, b), Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
       )
+    ),
+    entry(
+      "graft_top_ngram",
+      classOf[TopNGram],
+      arity("graft_top_ngram", 2)(c => TopNGram(c(0), intArg("graft_top_ngram", c(1))))
+    ),
+    entry(
+      "graft_ngrams",
+      classOf[NGrams],
+      arity("graft_ngrams", 2)(c => NGrams(c(0), intArg("graft_ngrams", c(1))))
+    ),
+    entry(
+      "graft_rolling_fingerprint",
+      classOf[RollingFingerprint],
+      arity("graft_rolling_fingerprint", 1)(c => RollingFingerprint(c(0)))
+    ),
+    entry(
+      "graft_top_token_ngram",
+      classOf[TopTokenNGram],
+      arity("graft_top_token_ngram", 2)(c => TopTokenNGram(c(0), intArg("graft_top_token_ngram", c(1))))
+    ),
+    entry(
+      "graft_simhash",
+      classOf[SimHashBits],
+      arity("graft_simhash", 3)(c =>
+        SimHashBits(c(0), intArg("graft_simhash", c(1)), intArg("graft_simhash", c(2)))
+      )
+    ),
+    entry(
+      "graft_minhash_sig",
+      classOf[MinHashSig],
+      arity("graft_minhash_sig", 2)(c => MinHashSig(c(0), intArg("graft_minhash_sig", c(1))))
+    ),
+    entry(
+      "graft_band_keys",
+      classOf[BandKeys],
+      arity("graft_band_keys", 2)(c => BandKeys(c(0), intArg("graft_band_keys", c(1))))
+    ),
+    entry(
+      "graft_first_equal_band",
+      classOf[FirstEqualBand],
+      arity("graft_first_equal_band", 3)(c =>
+        FirstEqualBand(c(0), c(1), intArg("graft_first_equal_band", c(2)))
+      )
+    ),
+    entry(
+      "graft_scaled_sq_dist",
+      classOf[ScaledSqDist],
+      arity("graft_scaled_sq_dist", 3)(c => ScaledSqDist(c(0), c(1), c(2)))
     )
   )
 

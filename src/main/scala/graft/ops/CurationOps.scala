@@ -272,6 +272,89 @@ object CurationOps {
              |FROM d
              |GROUP BY bucket
              |ORDER BY bucket""".stripMargin)
+    ),
+
+    // Epoch shard assignment — the deterministic global "shuffle" a
+    // training run performs per epoch: every document hashes to one of 16
+    // shards under an epoch-seeded md5, and the output is the per-shard
+    // balance profile (doc count, token mass) a job validates before
+    // launch. Map-only hashing plus one small aggregation; reseeding the
+    // epoch string re-deals every document without any stateful shuffle
+    // bookkeeping, and the hash is engine-portable (md5 hex → integer) so
+    // the same shards fall out of any runner. At 100 TB the write path
+    // would be `.partitionBy(shard)` on this exact frame.
+    Q(
+      "q88_epoch_shards",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n"),
+            expr(
+              "cast(conv(substring(md5(concat('epoch1:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 16"
+            ).as("shard")
+          )
+          .groupBy(col("shard"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("n")).as("tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc")
+          )
+          .orderBy(col("shard")),
+      Some {
+        val hex4 = (1 to 4)
+          .map(i =>
+            s"(strpos('0123456789abcdef', substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
+          )
+          .mkString("(", " + ", ")")
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+           |    $hex4 % 16 AS shard
+           |  FROM documents)
+           |SELECT shard, count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |FROM d
+           |GROUP BY shard
+           |ORDER BY shard""".stripMargin
+      }
+    ),
+
+    // Mixture interleave — the data-mixing pass that builds a training
+    // stream from per-source quotas: rank each source's documents under a
+    // deterministic md5 pseudo-shuffle, keep the top 10 per source, and
+    // lay them out round-robin (position = (rank−1)·20 + source index) so
+    // consecutive training examples cycle through all 20 sources instead
+    // of batching one domain. Everything is integer algebra over one
+    // source-partitioned window — no global sort until the final bounded
+    // 200-row output; at scale the position column IS the sort key a
+    // sharded writer range-partitions on.
+    Q(
+      "q89_mixture_interleave",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"), col("source"), expr("substring(source, 4)").cast("long").as("src_idx"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(
+            ((col("rk") - 1L) * 20L + col("src_idx")).as("position"),
+            col("doc_id"),
+            col("source")
+          )
+          .orderBy(col("position"))
+      },
+      Some("""SELECT (rk - 1) * 20 + CAST(substr(source, 4) AS BIGINT) AS position,
+             |       doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 10
+             |ORDER BY position""".stripMargin)
     )
   )
 }

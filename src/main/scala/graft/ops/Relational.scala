@@ -734,6 +734,248 @@ object Relational {
              |    > 105 * (SELECT sum(CAST(round(x.p_retailprice * 100) AS BIGINT))
              |             FROM part x WHERE x.p_brand = p.p_brand)
              |ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // Aggregating scalar subquery over the FACT table (the TPC-H Q17
+    // "small-lot" pattern): lineitems whose quantity is under 20% of their
+    // part's average order quantity, rolled up to brand revenue. Written
+    // pre-decorrelated — one partkey-keyed aggregate joined back to the
+    // probe — because that is the only shape that survives 100 TB (a
+    // correlated per-row re-scan of lineitem is quadratic). The aggregate
+    // side shuffles on l_partkey and the join-back reuses that exchange;
+    // the part dimension then joins on the same key. The 0.2·avg compare
+    // rides exact integers (qty·cnt·5 < sum_qty) and revenue is exact
+    // int64 cents — no double averaging anywhere.
+    Q(
+      "q82_small_lot_revenue",
+      (s, d) => {
+        val li = lineitem(s, d).select(
+          col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")
+        )
+        val stats = li.groupBy(col("l_partkey"))
+          .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+        li.join(stats, "l_partkey")
+          .filter(col("qty") * col("cq") * lit(5L) < col("sq"))
+          .join(
+            part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+            "l_partkey"
+          )
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("small_lots"), sum(col("cents")).as("rev_cents"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |st AS (
+             |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq, count(*) AS cq
+             |  FROM li GROUP BY 1)
+             |SELECT p_brand, count(*) AS small_lots,
+             |       CAST(sum(cents) AS BIGINT) AS rev_cents
+             |FROM li JOIN st USING (l_partkey)
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE qty * cq * 5 < sq
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Correlated EXISTS / NOT EXISTS (the TPC-H Q4/Q21 family): priority
+    // mix of orders that had a returned item but never an oversized lot.
+    // Catalyst decorrelates the two subqueries into a left-semi and a
+    // left-anti join on o_orderkey — each one pass over lineitem with the
+    // extra predicate pushed into the scan, no per-order re-scan. At scale
+    // both joins shuffle on the order key (the fact tables' natural
+    // bucketing key), and the semi/anti sides carry only (l_orderkey).
+    Q(
+      "q83_returned_no_bulk",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders")
+        lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS cnt
+                |FROM graft_orders o
+                |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+                |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+                |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l
+                |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // Point-in-interval range join, bucketed: for every error event, how
+    // many user sessions (30-min-gap sessionization, any user) were active
+    // at that instant. A naive interval join is an inequality-only join —
+    // BroadcastNestedLoopJoin, quadratic, dead at scale. The scale shape
+    // bucketizes time: each session interval explodes into the hours it
+    // covers (bounded by session length), each point event hashes to its
+    // hour, and the join becomes an EQUI-join on the hour bucket with the
+    // exact range predicate as a post-filter. Pair volume drops from
+    // |errors|·|sessions| to Σ per-bucket products — linear for bounded
+    // session lengths, and shuffle-partitioned by bucket (time-local skew
+    // salts naturally by widening the bucket key). A session never
+    // double-counts an event: the event lives in exactly one bucket.
+    Q(
+      "q84_session_range_join",
+      (s, d) => {
+        val hourUs = 3600L * 1000000L
+        val ev = events(s, d).select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts")).as("us")
+        )
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val sess = ev
+          .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+          .withColumn(
+            "new_s",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1L)
+              .otherwise(0L)
+          )
+          .withColumn("sid", sum(col("new_s")).over(byUser))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+        val sessByHour = sess.select(
+          col("s_start"),
+          col("s_end"),
+          explode(expr(s"sequence(s_start div $hourUs, s_end div $hourUs)")).as("bucket")
+        )
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("us"), (col("us") / hourUs).cast("long").as("bucket"))
+          .join(sessByHour, "bucket")
+          .filter(col("us") >= col("s_start") && col("us") <= col("s_end"))
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |sess AS (
+             |  SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+             |  FROM s3 GROUP BY 1, 2)
+             |SELECT e.event_id, count(*) AS n_active
+             |FROM e JOIN sess ON e.us >= sess.s_start AND e.us <= sess.s_end
+             |WHERE e.event_type = 'error'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Bloom-filter pre-join pruning: revenue of lineitems belonging to
+    // urgent half-million-dollar orders. The build side (filtered orders)
+    // folds into a bloom filter whose might_contain() prunes the probe
+    // scan BELOW the join's shuffle — ~96% of lineitem rows never leave
+    // the map stage — and the exact equi-join afterwards removes the false
+    // positives, so the result is byte-identical to the plain join (which
+    // is what the oracle runs). This is the explicit form of Spark's
+    // runtime-filter injection (spark.sql.optimizer.runtime.bloomFilter.*),
+    // spelled out so the pruning is guaranteed rather than cost-based; the
+    // one-row aggregate→driver materialization is the same subquery
+    // materialization the built-in rule performs (a scalar, not a data
+    // collect).
+    Q(
+      "q86_bloom_prejoin",
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumns
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val build = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val bloomAgg = GraftColumns.lift(
+          new BloomFilterAggregate(
+            new XxHash64(Seq(GraftColumns.unlift(col("o_orderkey")))),
+            Literal(100000L),
+            Literal(800000L)
+          ).toAggregateExpression()
+        )
+        val bloom = build.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+        val mightContain = GraftColumns.lift(
+          BloomFilterMightContain(
+            Literal(bloom),
+            new XxHash64(Seq(GraftColumns.unlift(col("l_orderkey"))))
+          )
+        )
+        lineitem(s, d)
+          .select(
+            col("l_orderkey"),
+            col("l_returnflag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")
+          )
+          .filter(mightContain)
+          .join(build.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("items"), sum(col("cents")).as("rev_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS items,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Salted skew join: events (fact, user-keyed and skewable) joined to a
+    // per-user dimension that is too big to broadcast at scale. A plain
+    // shuffle join lands each hot user on ONE task; salting replicates
+    // each dim row S=8 ways and splinters the fact side by a deterministic
+    // salt, so a hot key spreads over 8 tasks at the cost of an 8×
+    // replication of only the DIM side — the manual form of what AQE skew
+    // handling does cost-based, spelled out so the worst key's partition
+    // width is bounded by construction. The salt never reaches the result
+    // (it only widens the join key), so the oracle is the plain join.
+    // (At test SF the salted dim is tiny, so Catalyst rightly broadcasts
+    // it — adaptivity working as intended; past the broadcast threshold
+    // the identical plan degrades to the salted shuffle join, which is
+    // the case the salt exists for.)
+    Q(
+      "q87_salted_skew_join",
+      (s, d) => {
+        val S = 8L
+        val dim = customer(s, d)
+          .filter(col("c_custkey") <= 150)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+          .withColumn("salt", explode(expr(s"sequence(0L, ${S - 1}L)")))
+        val fact = events(s, d)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents")
+          )
+          .withColumn("salt", pmod(col("event_id"), lit(S)))
+        fact
+          .join(dim, Seq("user_id", "salt"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("events"), sum(col("cents")).as("value_cents"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events
+             |JOIN customer ON c_custkey = user_id
+             |WHERE c_custkey <= 150
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -437,6 +437,58 @@ object TextOps {
              |FROM tok JOIN f USING (t)
              |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Pairwise source-vocabulary Jaccard — the corpus-composition audit
+    // (which slices of a training mix share a lexicon, which are disjoint).
+    // Never compares sources all-pairs over their documents: the corpus
+    // reduces to the distinct (source, token) inverted index first, the
+    // self-join is an EQUI-join on token (pair work ∝ Σ_token df², i.e.
+    // postings volume, not corpus²), and vocabulary sizes join back from a
+    // broadcast-sized per-source rollup. Jaccard = |∩| / (|A|+|B|−|∩|) is
+    // one int64/int64 IEEE division — bit-identical across engines, no
+    // rounding needed. Sources with an empty intersection are absent by
+    // construction (Jaccard 0 rows carry no information at audit scale).
+    Q(
+      "q85_source_vocab_jaccard",
+      (s, d) => {
+        val vocab = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("t"))
+          .filter(length(col("t")) > 0)
+          .distinct()
+        val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
+        vocab
+          .as("a")
+          .join(vocab.as("b"), col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("vsize").as("va"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("vsize").as("vb"))), "src_b")
+          .select(
+            col("src_a"),
+            col("src_b"),
+            col("inter"),
+            (col("inter").cast("double") / (col("va") + col("vb") - col("inter")).cast("double"))
+              .as("jaccard")
+          )
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH vocab AS (
+             |  SELECT DISTINCT source, t FROM (
+             |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |    FROM documents)
+             |  WHERE len(t) > 0),
+             |sizes AS (SELECT source, count(*) AS vsize FROM vocab GROUP BY 1),
+             |inter AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+             |  FROM vocab a JOIN vocab b ON a.t = b.t AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, inter,
+             |  CAST(inter AS DOUBLE) / CAST(sa.vsize + sb.vsize - inter AS DOUBLE) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.source = src_a
+             |JOIN sizes sb ON sb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin)
     )
   )
 }

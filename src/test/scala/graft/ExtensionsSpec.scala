@@ -31,6 +31,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("graft_cosine"), s"unhelpful error: ${ex.getMessage}")
   }
 
+  test("every SQL-registered text function matches its Column-API twin on real docs") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), graft.ops.TextOps.tokens(col("text")).as("toks"))
+      .limit(100)
+    val cmp = docs.select(
+      (expr("graft_top_ngram(text, 3)") === TextFunctions.topNGram(col("text"), 3)).as("a"),
+      (expr("graft_ngrams(toks, 5)") === TextFunctions.nGrams(col("toks"), 5)).as("b"),
+      (expr("graft_rolling_fingerprint(toks)") === TextFunctions.rollingFingerprint(col("toks"))).as("c"),
+      (expr("graft_top_token_ngram(toks, 2)") === TextFunctions.topTokenNGram(col("toks"), 2)).as("d"),
+      (expr("graft_simhash(toks, 16, 1)") === TextFunctions.simHashBits(col("toks"), 16, 1)).as("e"),
+      (expr("graft_minhash_sig(graft_ngrams(toks, 5), 16)")
+        === TextFunctions.minHashSig(TextFunctions.nGrams(col("toks"), 5), 16)).as("f")
+    )
+    assert(cmp.filter(not(col("a") && col("b") && col("c") && col("d") && col("e") && col("f"))).count() == 0)
+  }
+
+  test("every SQL-registered vector function matches its Column-API twin") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+      .withColumn("sig", graft.ops.SimilarityOps.packedSig(col("v")))
+      .withColumn("qv", expr("transform(v, x -> cast(floor(x * 1000d) as bigint))"))
+    val bb = graft.ops.SimilarityOps.BandBits
+    val cmp = e.select(
+      (expr(s"graft_band_keys(sig, $bb)") === VectorFunctions.bandKeys(col("sig"), bb)).as("a"),
+      (expr(s"graft_first_equal_band(sig, sig, $bb)")
+        === VectorFunctions.firstEqualBand(col("sig"), col("sig"), bb)).as("b"),
+      (expr("graft_scaled_sq_dist(qv, qv, 1L)")
+        === VectorFunctions.scaledSqDist(col("qv"), col("qv"), lit(1L))).as("c")
+    )
+    assert(cmp.filter(not(col("a") && col("b") && col("c"))).count() == 0)
+  }
+
+  test("non-literal int parameter is rejected with a clear message") {
+    GraftExtensions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_ngrams(array('a','b'), cast(rand() * 3 as int))").collect()
+    }
+    assert(ex.getMessage.contains("literal integer"), s"unhelpful error: ${ex.getMessage}")
+  }
+
   test("graft_dot agrees with the HOF formulation on real embeddings") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._

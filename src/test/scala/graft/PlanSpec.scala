@@ -173,6 +173,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus token stream shuffled by the frequency lookup")
   }
 
+  test("q82 decorrelated small-lot filter reuses the partkey exchange") {
+    val df = QueryRegistry.byName("q82_small_lot_revenue").fn(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    // the per-part aggregate and the join-back shuffle on the same key —
+    // the build side must reuse the probe's exchange, not re-shuffle
+    assert(p.contains("ReusedExchange") || "Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).size <= 2,
+      s"stats join re-shuffles the fact table:\n$p")
+  }
+
+  test("q83 EXISTS/NOT EXISTS decorrelate to semi + anti joins on the order key") {
+    val df = QueryRegistry.byName("q83_returned_no_bulk").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+  }
+
+  test("q84 range join is bucketed equi, never a nested loop") {
+    val df = QueryRegistry.byName("q84_session_range_join").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to a quadratic plan:\n$p")
+    assert(p.contains("bucket"), "hour-bucket join key missing from plan")
+  }
+
+  test("q86 bloom filter prunes the probe scan below the join") {
+    val df = QueryRegistry.byName("q86_bloom_prejoin").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom pre-filter missing from the probe side:\n$p")
+    // the pre-filter must sit in the lineitem scan stage (before the join),
+    // not above it — i.e. a Filter containing might_contain below the join
+    val joinIdx = p.indexOf("Join")
+    val bloomIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      "bloom filter not below the join in the plan tree (plan prints top-down)")
+  }
+
   test("q01 whole-stage codegen covers the aggregate") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE only materializes codegen stages in the final plan of THIS queryExecution
