@@ -111,6 +111,13 @@ object GraftExtensions {
       "graft_scaled_sq_dist",
       classOf[ScaledSqDist],
       arity("graft_scaled_sq_dist", 3)(c => ScaledSqDist(c(0), c(1), c(2)))
+    ),
+    entry(
+      "graft_quantized_dot",
+      classOf[QuantizedDot],
+      arity("graft_quantized_dot", 3)(c =>
+        QuantizedDot(c(0), c(1), intArg("graft_quantized_dot", c(2)))
+      )
     )
   )
 

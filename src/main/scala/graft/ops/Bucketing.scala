@@ -31,4 +31,19 @@ object Bucketing {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(name)
+
+  /** Hive-style partitioned Parquet layout (`path/col=value/...`): an
+    * equality/IN filter on the partition column prunes whole directories
+    * at PLANNING time — zero I/O for excluded partitions, the first lever
+    * against a 100 TB scan when queries routinely slice on a low-
+    * cardinality column (source, date, lang). Complements bucketing:
+    * partition on the slice column, bucket within on the join key.
+    * PartitionPruningSpec guards that the pruned scan reads only matching
+    * partitions (`PartitionFilters` in the scan, partition count drop).
+    */
+  def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

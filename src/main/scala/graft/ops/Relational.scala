@@ -976,6 +976,129 @@ object Relational {
              |JOIN customer ON c_custkey = user_id
              |WHERE c_custkey <= 150
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Global row numbering WITHOUT a single-reducer window: the classic
+    // two-pass distributed rank. `row_number() OVER (ORDER BY ...)` with no
+    // PARTITION BY collapses the whole table onto ONE task — the canonical
+    // does-not-survive-100TB plan. Instead: (1) range-repartition + local
+    // sort (the same machinery as a global ORDER BY — boundary sampling,
+    // then each partition holds a contiguous key range); (2) per-partition
+    // row counts (32 rows of metadata) prefix-summed into offsets — the
+    // only single-partition step is over THAT metadata, not the data;
+    // (3) rank = partition offset + local position, recovered from
+    // monotonically_increasing_id (pid in the high bits, a per-partition
+    // sequential counter in the low 33). The id-stamped frame is persisted
+    // so the offset pass and the join-back see identical ids.
+    Q(
+      "q91_global_rank",
+      (s, d) => {
+        val sorted = orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(32, col("o_totalprice").desc, col("o_orderkey"))
+          .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey"))
+        val withMid = Caches.persisted(
+          sorted
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        )
+        val w = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = withMid
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .select(col("pid"), col("off"))
+        withMid
+          .join(broadcast(offsets), Seq("pid"))
+          .select(
+            col("o_orderkey"),
+            col("o_totalprice"),
+            (col("off") + col("loc") + 1).as("rank")
+          )
+          .orderBy(col("rank"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |FROM orders
+             |ORDER BY rank""".stripMargin)
+    ),
+
+    // INTERSECT set semantics (q18 covers EXCEPT): parts that appear both
+    // in urgent-priority orders and in returned lineitems, rolled up by
+    // brand. Both input sets are distinct projections of the fact table;
+    // the intersect itself is a shuffle on the (already-distinct) key, and
+    // the brand rollup joins the small part dimension broadcast.
+    Q(
+      "q92_part_intersect",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val urgent = li
+          .join(
+            orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey")
+          )
+          .select(col("l_partkey"))
+          .distinct()
+        val returned = li
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_partkey"))
+          .distinct()
+        urgent
+          .intersect(returned)
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("parts"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT l_partkey FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+             |b AS (SELECT l_partkey FROM u INTERSECT SELECT l_partkey FROM r)
+             |SELECT p_brand, count(*) AS parts
+             |FROM b JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // TPC-H Q11 shape: keep the groups whose aggregate exceeds a fraction
+    // of the GLOBAL aggregate — a HAVING against a scalar subquery. The
+    // fact table is scanned ONCE: per-part sums are persisted, the global
+    // total re-aggregates those groups (parts ≪ lineitems), and the
+    // 1-row total broadcasts back over the groups. Money rides exact
+    // integer cents (floor(price·(1−disc)·100) per row, int64 sums) so the
+    // threshold comparison is integer algebra — no double-sum-order
+    // boundary flips between engines.
+    Q(
+      "q93_important_parts",
+      (s, d) => {
+        val grouped = Caches.persisted(
+          lineitem(s, d)
+            .select(
+              col("l_partkey"),
+              expr("CAST(floor(l_extendedprice * (1d - l_discount) * 100d) AS BIGINT)")
+                .as("cents")
+            )
+            .groupBy(col("l_partkey"))
+            .agg(sum(col("cents")).as("value_cents"))
+        )
+        val total = grouped.agg(sum(col("value_cents")).as("total_cents"))
+        grouped
+          .join(broadcast(total))
+          .filter(col("value_cents") * 1500 > col("total_cents"))
+          .select(col("l_partkey"), col("value_cents"))
+          .orderBy(col("value_cents").desc, col("l_partkey"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             |      AS value_cents
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_partkey, value_cents
+             |FROM g CROSS JOIN (SELECT sum(value_cents) AS total_cents FROM g) t
+             |WHERE value_cents * 1500 > total_cents
+             |ORDER BY value_cents DESC, l_partkey""".stripMargin)
     )
   )
 }

@@ -622,6 +622,125 @@ object SimilarityOps {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(sqlMmrRerank)
+    ),
+
+    // Quantized top-k: brute-force search over floor(x·64)-quantized
+    // vectors (int8 range for unit-normalized embeddings) — the memory/
+    // bandwidth scale path: a quantized corpus is ~4× smaller than float32
+    // in scan, cache and shuffle, which is what makes a 100 TB brute-force
+    // rerank tier affordable. Scoring is EXACT int64 arithmetic (native
+    // expression graft.functions.QuantizedDot fuses quantization into the
+    // multiply-accumulate, so quantized arrays are never materialized) —
+    // no float-summation-order caveats anywhere, the ranking is
+    // bit-identical across engines by construction.
+    Q(
+      "q90_quantized_topk",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"), emb(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            graft.functions.VectorFunctions.quantizedDot(col("qv"), col("v"), 64).as("qscore")
+          )
+        val w = Window.partitionBy(col("query_id")).orderBy(col("qscore").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT query_id, e.vec_id AS neighbor_id,
+              |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+              |      i -> CAST(floor(qv[i] * 64) AS BIGINT)
+              |         * CAST(floor(v[i] * 64) AS BIGINT))) AS BIGINT) AS qscore
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+              |SELECT query_id, neighbor_id, qscore, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |             ORDER BY qscore DESC, neighbor_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // Supervised centroid evaluation: per-label mean embedding (the class
+    // centroid) + nearest-centroid assignment accuracy — the label-quality
+    // / cluster-coherence probe a curation pipeline runs over tagged
+    // embeddings. Rides q48's integer-exact centroid algebra: a centroid is
+    // its (per-dim int64 sum, count) pair, never divided; the comparable
+    // distance to the MEAN divides the exact int64 numerator by cnt² in
+    // one IEEE double division (bit-identical across engines); argmin
+    // tie-breaks on label. Scale shape: centroids are label-count-small
+    // (broadcast), assignment is one map pass over the corpus with a
+    // map-side-combinable min_by — no shuffle of the embedding payload.
+    Q(
+      "q95_label_centroids",
+      (s, d) => {
+        val e = embeddings(s, d).select(
+          col("vec_id"),
+          col("label"),
+          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+            .as("qv")
+        )
+        val cents = e
+          .select(col("label").as("cent_label"), posexplode(col("qv")).as(Seq("dim", "x")))
+          .groupBy(col("cent_label"), col("dim"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+          .groupBy(col("cent_label"))
+          .agg(
+            expr("transform(array_sort(collect_list(struct(dim, sx))), p -> p.sx)").as("csum"),
+            max(col("c")).as("ccnt")
+          )
+        val dist =
+          graft.functions.VectorFunctions.scaledSqDist(col("qv"), col("csum"), col("ccnt"))
+        e.join(broadcast(cents))
+          .withColumn("dist", dist)
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min_by(col("cent_label"), struct(col("dist"), col("cent_label"))).as("pred"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("label") === col("pred"), 1L).otherwise(0L)).as("correct")
+          )
+          .withColumn(
+            "acc_bp",
+            floor(col("correct").cast("double") * 10000 / col("n")).cast("long")
+          )
+          .orderBy(col("label"))
+      },
+      Some {
+        val dist =
+          s"(CAST(list_reduce(list_transform(range(1, ${Dim + 1}), " +
+            "i -> (c.ccnt * e.qv[i] - c.csum[i]) * (c.ccnt * e.qv[i] - c.csum[i])), (acc, y) -> acc + y) AS DOUBLE)" +
+            " / CAST(c.ccnt * c.ccnt AS DOUBLE))"
+        s"""WITH e AS (
+           |  SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |c AS (
+           |  SELECT cent_label, array_agg(sx ORDER BY dim) AS csum, max(cc) AS ccnt FROM (
+           |    SELECT label AS cent_label, i AS dim, CAST(sum(qv[i]) AS BIGINT) AS sx, count(*) AS cc
+           |    FROM e, range(1, ${Dim + 1}) r(i)
+           |    GROUP BY 1, 2) t
+           |  GROUP BY 1),
+           |asg AS (
+           |  SELECT vec_id, label, cent_label AS pred FROM (
+           |    SELECT e.vec_id, e.label, c.cent_label,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $dist, c.cent_label) AS rk
+           |    FROM e CROSS JOIN c) t
+           |  WHERE rk = 1)
+           |SELECT label, count(*) AS n,
+           |  CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+           |  CAST(floor(CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) * 10000.0
+           |    / count(*)) AS BIGINT) AS acc_bp
+           |FROM asg
+           |GROUP BY label
+           |ORDER BY label""".stripMargin
+      }
     )
   )
 

@@ -489,6 +489,75 @@ object TextOps {
              |JOIN sizes sa ON sa.source = src_a
              |JOIN sizes sb ON sb.source = src_b
              |ORDER BY src_a, src_b""".stripMargin)
+    ),
+
+    // Collocation mining: token bigrams that co-occur in documents far more
+    // often than their parts would independently predict — the association
+    // signal a corpus-analysis pass uses to find multi-word expressions.
+    // Counts are DOCUMENT frequencies (distinct grams/tokens per doc, the
+    // native NGrams expression dedups per row), and the lift statistic is
+    // log-free integer algebra (NOTES rule: no libm in ranking):
+    // lift_bp = ⌊df_xy · D · 10000 / (df_x · df_y)⌋, all int64.
+    // Scale shape: gram building is the codegen'd per-row expression, both
+    // frequency rollups are map-side-combinable shuffles keyed by
+    // gram/token, and the per-token df lookup broadcasts (a vocabulary is
+    // orders of magnitude smaller than its corpus); the int64 product
+    // bounds hold to D ≈ 3e4 docs per 10k-lift unit — a 100 TB run widens
+    // to DECIMAL or rescales.
+    Q(
+      "q94_collocations",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+        val dTotal = docs.agg(count(lit(1)).as("d_total"))
+        val big = docs
+          .select(explode(graft.functions.TextFunctions.nGrams(col("toks"), 2)).as("gram"))
+          .groupBy(col("gram"))
+          .agg(count(lit(1)).as("df_xy"))
+          .filter(col("df_xy") >= 5)
+        val tokdf = Caches.persisted(
+          docs
+            .select(explode(array_distinct(col("toks"))).as("tok"))
+            .groupBy(col("tok"))
+            .agg(count(lit(1)).as("df"))
+        )
+        val sp = split(col("gram"), " ")
+        big
+          .withColumn("tok_a", sp.getItem(0))
+          .withColumn("tok_b", sp.getItem(1))
+          .join(
+            broadcast(tokdf.select(col("tok").as("tok_a"), col("df").as("df_a"))),
+            Seq("tok_a")
+          )
+          .join(
+            broadcast(tokdf.select(col("tok").as("tok_b"), col("df").as("df_b"))),
+            Seq("tok_b")
+          )
+          .join(broadcast(dTotal))
+          .withColumn("lift_bp", expr("(df_xy * d_total * 10000) div (df_a * df_b)"))
+          .select(col("gram"), col("df_xy"), col("lift_bp"))
+          .orderBy(col("lift_bp").desc, col("gram"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |d AS (SELECT count(*) AS d_total FROM toks),
+             |big AS (
+             |  SELECT gram, count(*) AS df_xy FROM (
+             |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i+1]))) AS gram
+             |    FROM toks) t
+             |  GROUP BY 1 HAVING count(*) >= 5),
+             |tokdf AS (
+             |  SELECT tok, count(*) AS df FROM (
+             |    SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks) t
+             |  GROUP BY 1)
+             |SELECT gram, df_xy, (df_xy * d_total * 10000) // (a.df * b.df) AS lift_bp
+             |FROM big
+             |CROSS JOIN d
+             |JOIN tokdf a ON a.tok = string_split(gram, ' ')[1]
+             |JOIN tokdf b ON b.tok = string_split(gram, ' ')[2]
+             |ORDER BY lift_bp DESC, gram
+             |LIMIT 20""".stripMargin)
     )
   )
 }

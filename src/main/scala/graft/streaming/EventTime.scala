@@ -80,4 +80,31 @@ object EventTime {
       .withWatermark(eventTimeCol, watermarkDelay)
       .groupBy(session_window(col(eventTimeCol), gapDuration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Stream-stream inner equi-join bounded by an event-time interval:
+    * a right row matches a left row with the same key when
+    * rightTime ∈ [leftTime, leftTime + within]. BOTH the watermarks and
+    * the time-range condition are load-bearing at scale — they are what
+    * lets Spark evict buffered join state once the watermark passes a
+    * row's match window; an unconstrained stream-stream join buffers both
+    * streams forever (the unbounded-state killer on a 100 TB stream).
+    * Key columns must be named identically on both sides and are emitted
+    * once (`usingColumns` semantics via an explicit condition).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      leftTimeCol: String,
+      right: DataFrame,
+      rightTimeCol: String,
+      keys: Seq[String],
+      watermarkDelay: String,
+      within: String
+  ): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermarkDelay)
+    val r = right.withWatermark(rightTimeCol, watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTimeCol) >= l(leftTimeCol) &&
+      r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $within")
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
 }

@@ -59,4 +59,22 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_ord_bkt")
     }
   }
+
+  test("partitioned layout prunes non-matching partitions at planning time") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
+    Bucketing.writePartitioned(docs, "source", dir)
+    val read = spark.read.parquet(dir).filter(col("source") === "src3")
+    val rows = read.collect()
+    // semantic: exactly the src3 slice survives
+    val expected = docs.filter(col("source") === "src3").count()
+    assert(rows.length.toLong == expected && rows.forall(_.getAs[String]("source") == "src3"))
+    // plan: the source predicate is a PARTITION filter (directory pruning,
+    // zero I/O on other partitions), not a post-scan data filter
+    val p = read.queryExecution.executedPlan.toString
+    val pfIdx = p.indexOf("PartitionFilters:")
+    assert(pfIdx >= 0, s"no PartitionFilters section in scan:\n$p")
+    val pf = p.substring(pfIdx, p.indexOf(']', pfIdx) max (pfIdx + 1))
+    assert(pf.contains("src3"), s"source predicate not pushed to partition pruning:\n$p")
+  }
 }

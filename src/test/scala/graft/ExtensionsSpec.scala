@@ -65,9 +65,11 @@ class ExtensionsSpec extends SparkSpec {
       (expr(s"graft_first_equal_band(sig, sig, $bb)")
         === VectorFunctions.firstEqualBand(col("sig"), col("sig"), bb)).as("b"),
       (expr("graft_scaled_sq_dist(qv, qv, 1L)")
-        === VectorFunctions.scaledSqDist(col("qv"), col("qv"), lit(1L))).as("c")
+        === VectorFunctions.scaledSqDist(col("qv"), col("qv"), lit(1L))).as("c"),
+      (expr("graft_quantized_dot(v, v, 64)")
+        === VectorFunctions.quantizedDot(col("v"), col("v"), 64)).as("d")
     )
-    assert(cmp.filter(not(col("a") && col("b") && col("c"))).count() == 0)
+    assert(cmp.filter(not(col("a") && col("b") && col("c") && col("d"))).count() == 0)
   }
 
   test("non-literal int parameter is rejected with a clear message") {

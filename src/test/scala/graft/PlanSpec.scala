@@ -215,6 +215,43 @@ class PlanSpec extends SparkSpec {
       "bloom filter not below the join in the plan tree (plan prints top-down)")
   }
 
+  test("q91 global rank range-partitions the data; only metadata hits one task") {
+    val df = QueryRegistry.byName("q91_global_rank").fn(spark, sfDir)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"), s"no range partitioning in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offset join is not broadcast:\n$p")
+    // the single-partition window must see per-partition COUNTS (metadata),
+    // never the data itself: the window's input carries the cnt column
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("cnt"),
+      "offset window does not operate on the per-partition counts")
+    // semantic: ranks are exactly 1..n
+    val ranks = rows.map(_.getAs[Long]("rank")).sorted
+    assert(ranks.head == 1L && ranks.last == ranks.length.toLong,
+      s"ranks not contiguous: ${ranks.head}..${ranks.last} over ${ranks.length} rows")
+  }
+
+  test("q93 scans the fact table once: global total re-aggregates the cached groups") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = QueryRegistry.byName("q93_important_parts").fn(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val fileScans = opt.collectWithSubqueries { case l: LogicalRelation => l }.size
+    val cacheScans = opt.collectWithSubqueries { case m: InMemoryRelation => m }.size
+    assert(cacheScans >= 1, s"per-part groups not cached:\n$opt")
+    assert(fileScans == 0, s"lineitem scanned $fileScans times outside the cached groups:\n$opt")
+  }
+
+  test("q94 collocation lookups broadcast; corpus never re-shuffles for them") {
+    val df = QueryRegistry.byName("q94_collocations").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast df-lookup joins, found $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token-df lookup shuffled the gram stream:\n$p")
+  }
+
   test("q01 whole-stage codegen covers the aggregate") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE only materializes codegen stages in the final plan of THIS queryExecution

@@ -182,4 +182,63 @@ class StreamingOpsSpec extends SparkSpec {
       assert(after.count(_.getString(1) == "B") == 3, "fresh B doc not admitted")
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join across micro-batches") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // buys match a click by the same user within 10 minutes AFTER the click
+    val clicks = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(30)))
+    val buys = Seq(
+      (1L, ts(3), 10.0), // matches click@0
+      (1L, ts(20), 99.0), // outside the 10-minute window — no match
+      (2L, ts(6), 20.0), // matches click@5
+      (3L, ts(31), 30.0) // arrives in a LATER micro-batch than its click
+    )
+    val cs = MemoryStream[(Long, Timestamp)]
+    val bs = MemoryStream[(Long, Timestamp, Double)]
+    val joined = graft.streaming.EventTime.intervalJoin(
+      cs.toDF().toDF("user_id", "click_ts"),
+      "click_ts",
+      bs.toDF().toDF("user_id", "buy_ts", "amount"),
+      "buy_ts",
+      Seq("user_id"),
+      watermarkDelay = "10 minutes",
+      within = "10 minutes"
+    )
+    val out = new ConcurrentLinkedQueue[(Long, Timestamp, Timestamp, Double)]()
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach { r =>
+          out.add((r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+        }
+        ()
+      }
+      .start()
+    try {
+      cs.addData(clicks) // all clicks first; user-3's buy comes later
+      bs.addData(buys.take(3))
+      q.processAllAvailable()
+      bs.addData(buys.drop(3))
+      q.processAllAvailable()
+      val streamed = Iterator.continually(out.poll()).takeWhile(_ != null).toSeq.sorted
+      val batch = clicks
+        .toDF("user_id", "click_ts")
+        .as("l")
+        .join(
+          buys.toDF("user_id", "buy_ts", "amount").as("r"),
+          col("l.user_id") === col("r.user_id") &&
+            col("buy_ts") >= col("click_ts") &&
+            col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 minutes")
+        )
+        .select(col("l.user_id"), col("click_ts"), col("buy_ts"), col("amount"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+        .toSeq
+        .sorted
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.size == 3, s"expected 3 joined rows, got $streamed")
+    } finally q.stop()
+  }
 }

@@ -82,6 +82,23 @@ class VectorExprSpec extends SparkSpec {
     assert(rows.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("quantized dot agrees with the HOF formulation and is symmetric") {
+    val rows = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("cast(embedding as array<double>) AS v")
+      .limit(40)
+      .selectExpr("v", "reverse(v) AS w")
+      .select(
+        VectorFunctions.quantizedDot(col("v"), col("w"), 64).as("native"),
+        expr(
+          "aggregate(zip_with(v, w, (x, y) -> cast(floor(x * 64d) as bigint) * cast(floor(y * 64d) as bigint)), " +
+            "cast(0 as bigint), (acc, p) -> acc + p)"
+        ).as("hof"),
+        (VectorFunctions.quantizedDot(col("v"), col("w"), 64)
+          === VectorFunctions.quantizedDot(col("w"), col("v"), 64)).as("sym")
+      )
+    assert(rows.filter(col("native") =!= col("hof") || not(col("sym"))).count() == 0)
+  }
+
   test("scaled squared distance fails loud on int64 overflow instead of wrapping") {
     import spark.implicits._
     // cnt*q - sum ≈ 2^32 per dim; squared ≈ 2^64 — must raise, not wrap
