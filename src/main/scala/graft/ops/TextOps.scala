@@ -558,6 +558,45 @@ object TextOps {
              |JOIN tokdf b ON b.tok = string_split(gram, ' ')[2]
              |ORDER BY lift_bp DESC, gram
              |LIMIT 20""".stripMargin)
+    ),
+
+    // Context-window chunking with stride: split every document into
+    // 64-token windows starting every 32 tokens (50% overlap) — the
+    // standard chunker feeding embedding/retrieval indexes and fixed-
+    // context training runs. Pure per-row expression algebra (sequence →
+    // explode → slice), map-only until the presentation sort: each task
+    // chunks its own documents, nothing shuffles at 100 TB. The trailing
+    // partial window is kept (standard chunker behavior); `sequence`
+    // needs the n ≥ 1 guard because Spark's sequence DESCENDS when
+    // stop < start (the oracle's range() is simply empty).
+    Q(
+      "q96_chunk_windows",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .filter(col("n") >= 1)
+          .withColumn("start", explode(expr("sequence(1L, n, 32L)")))
+          .select(
+            col("doc_id"),
+            expr("(start - 1L) div 32L").as("chunk_idx"),
+            size(expr("slice(toks, start, 64)")).cast("long").as("n_tok"),
+            md5(concat_ws(" ", expr("slice(toks, start, 64)"))).as("fp")
+          )
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, toks, n, unnest(range(1, CAST(n AS INTEGER) + 1, 32)) AS start
+             |  FROM t WHERE n >= 1)
+             |SELECT doc_id,
+             |  (CAST(start AS BIGINT) - 1) // 32 AS chunk_idx,
+             |  CAST(len(list_slice(toks, start, start + 63)) AS BIGINT) AS n_tok,
+             |  md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS fp
+             |FROM st
+             |ORDER BY doc_id, chunk_idx""".stripMargin)
     )
   )
 }
