@@ -1099,6 +1099,95 @@ object Relational {
              |FROM g CROSS JOIN (SELECT sum(value_cents) AS total_cents FROM g) t
              |WHERE value_cents * 1500 > total_cents
              |ORDER BY value_cents DESC, l_partkey""".stripMargin)
+    ),
+
+    // FULL OUTER join — the reconciliation shape (which keys exist on only
+    // one side?). Both sides pre-aggregate BEFORE the join (counts per key,
+    // orders of magnitude smaller than the fact rows), then full-outer on
+    // the key. A full outer can't broadcast either side, so it's a shuffle
+    // join by construction — shrinking the inputs first is what keeps that
+    // shuffle cheap at 100 TB.
+    Q(
+      "q97_order_event_reconcile",
+      (s, d) => {
+        val o = orders(s, d)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(count(lit(1)).as("n_orders"))
+        val e = events(s, d)
+          .groupBy(col("user_id").as("cust"))
+          .agg(count(lit(1)).as("n_events"))
+        o.join(e, Seq("cust"), "full_outer")
+          .select(
+            col("cust"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            when(col("n_orders").isNotNull && col("n_events").isNotNull, "both")
+              .when(col("n_orders").isNotNull, "orders_only")
+              .otherwise("events_only")
+              .as("status")
+          )
+          .orderBy(col("cust"))
+      },
+      Some("""WITH o AS (SELECT o_custkey AS cust, count(*) AS n_orders FROM orders GROUP BY 1),
+             |e AS (SELECT user_id AS cust, count(*) AS n_events FROM events GROUP BY 1)
+             |SELECT coalesce(o.cust, e.cust) AS cust,
+             |  coalesce(n_orders, 0) AS n_orders,
+             |  coalesce(n_events, 0) AS n_events,
+             |  CASE WHEN o.cust IS NOT NULL AND e.cust IS NOT NULL THEN 'both'
+             |       WHEN o.cust IS NOT NULL THEN 'orders_only'
+             |       ELSE 'events_only' END AS status
+             |FROM o FULL OUTER JOIN e ON o.cust = e.cust
+             |ORDER BY cust""".stripMargin)
+    ),
+
+    // Ordered funnel analysis: users who did view → click → purchase IN
+    // ORDER (each stage strictly after the previous stage's first hit) —
+    // the product-analytics sequence-pattern query. Each stage is an
+    // equi-join on user_id against the shrinking survivor set + a min
+    // aggregate; never a per-user event sort or a cross of event pairs.
+    // At scale all three stage joins/aggs share the user_id key — bucket
+    // the events table by user_id and the whole funnel is exchange-free.
+    Q(
+      "q98_funnel",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev
+          .filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t1"))
+        val c = ev
+          .filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("t1"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t2"))
+        val p = ev
+          .filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t3"))
+        v.select(lit("1_view").as("stage"), col("user_id"))
+          .union(c.select(lit("2_click").as("stage"), col("user_id")))
+          .union(p.select(lit("3_purchase").as("stage"), col("user_id")))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+             |SELECT stage, users FROM (
+             |  SELECT '1_view' AS stage, count(*) AS users FROM v
+             |  UNION ALL SELECT '2_click', count(*) FROM c
+             |  UNION ALL SELECT '3_purchase', count(*) FROM p) u
+             |ORDER BY stage""".stripMargin)
     )
   )
 }

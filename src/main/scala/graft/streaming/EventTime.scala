@@ -98,13 +98,17 @@ object EventTime {
       rightTimeCol: String,
       keys: Seq[String],
       watermarkDelay: String,
-      within: String
+      within: String,
+      joinType: String = "inner"
   ): DataFrame = {
     val l = left.withWatermark(leftTimeCol, watermarkDelay)
     val r = right.withWatermark(rightTimeCol, watermarkDelay)
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rightTimeCol) >= l(leftTimeCol) &&
       r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $within")
-    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+    // outer variants emit the null-extended row once the watermark proves
+    // no match can still arrive — late emission, but exactly once; the
+    // right-side key copies are dropped (usingColumns semantics)
+    keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
   }
 }

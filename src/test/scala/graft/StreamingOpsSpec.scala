@@ -241,4 +241,48 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.size == 3, s"expected 3 joined rows, got $streamed")
     } finally q.stop()
   }
+
+  test("left-outer interval join emits unmatched rows once the watermark proves no match") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val cs = MemoryStream[(Long, Timestamp)]
+    val bs = MemoryStream[(Long, Timestamp, Double)]
+    val joined = graft.streaming.EventTime.intervalJoin(
+      cs.toDF().toDF("user_id", "click_ts"),
+      "click_ts",
+      bs.toDF().toDF("user_id", "buy_ts", "amount"),
+      "buy_ts",
+      Seq("user_id"),
+      watermarkDelay = "10 minutes",
+      within = "10 minutes",
+      joinType = "left_outer"
+    )
+    val out = new ConcurrentLinkedQueue[(Long, Boolean)]()
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach(r => out.add((r.getLong(0), !r.isNullAt(2))))
+        ()
+      }
+      .start()
+    try {
+      cs.addData(Seq((1L, ts(0)), (9L, ts(1)))) // user 9 never buys
+      bs.addData(Seq((1L, ts(3), 10.0)))
+      q.processAllAvailable() // inner match for user 1 emits
+      // advance BOTH watermarks far past click@1 + within + delay so the
+      // join state for user 9 is provably unmatched...
+      cs.addData(Seq((99L, ts(600))))
+      bs.addData(Seq((99L, ts(700), 1.0)))
+      q.processAllAvailable()
+      // ...and one more micro-batch applies the advanced watermark,
+      // evicting user-9's state as a null-extended row
+      cs.addData(Seq((98L, ts(601))))
+      bs.addData(Seq((98L, ts(701), 1.0)))
+      q.processAllAvailable()
+      val rows = Iterator.continually(out.poll()).takeWhile(_ != null).toSeq
+      assert(rows.contains((1L, true)), s"matched row missing: $rows")
+      assert(rows.contains((9L, false)), s"unmatched left row not emitted null-extended: $rows")
+    } finally q.stop()
+  }
 }
