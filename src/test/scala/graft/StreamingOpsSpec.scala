@@ -285,4 +285,49 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.contains((9L, false)), s"unmatched left row not emitted null-extended: $rows")
     } finally q.stop()
   }
+
+  test("streaming funnel matches batch q98 on real events under redelivery") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{FunnelEvent, FunnelStream, StageReached}
+    val sfDir = "/root/testdata/sf0.001"
+    // all events in event-time order (the in-order regime where the
+    // streaming machine provably equals the batch formulation)
+    val evs = graft.ops.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"))
+      .collect()
+      .map(r => FunnelEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val stream = MemoryStream[FunnelEvent]
+    val out = new ConcurrentLinkedQueue[StageReached]()
+    val q = FunnelStream
+      .track(stream.toDS(), Seq("view", "click", "purchase"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.Dataset[StageReached], _: Long) =>
+        d.collect().foreach(out.add)
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = evs.splitAt(evs.size / 2)
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(first.takeRight(200)) // at-least-once redelivery
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+      stream.addData(second.take(200)) // replay across the batch boundary
+      q.processAllAvailable()
+      val streamed = Iterator.continually(out.poll()).takeWhile(_ != null).toSeq
+      // exactly-once per (user, stage) despite redelivery
+      assert(streamed.map(s => (s.userId, s.stage)).distinct.size == streamed.size)
+      val stageCounts = streamed.groupBy(_.stage).view.mapValues(_.size.toLong).toMap
+      val batch = graft.ops.QueryRegistry.byName("q98_funnel").fn(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0).takeWhile(_ != '_').toInt, r.getLong(1)))
+        .toMap
+      assert(stageCounts == batch, s"stream=$stageCounts batch=$batch")
+    } finally q.stop()
+  }
 }
