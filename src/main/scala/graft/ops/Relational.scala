@@ -28,6 +28,32 @@ object Relational {
 
   import Tables._
 
+  /** Generic k-step ordered funnel over an event frame with columns
+    * (user_id, event_type, ts): stage k's survivors are the keys whose
+    * first `steps(k)` hit is strictly after their stage-(k-1) first hit.
+    * Returns one survivor frame per stage as (user_id, t). Every stage is
+    * an equi-join + min aggregate on user_id — bucket the event table by
+    * user_id and the whole chain is exchange-free at scale. Streaming
+    * twin: graft.streaming.FunnelStream (same first-hit semantics).
+    */
+  def funnelStages(ev: DataFrame, steps: Seq[String]): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    steps.foldLeft(Vector.empty[DataFrame]) { (acc, step) =>
+      val hits = ev.filter(col("event_type") === step)
+      val stage = acc.lastOption match {
+        case None =>
+          hits.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        case Some(prev) =>
+          hits
+            .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+            .filter(col("ts") > col("t_prev"))
+            .groupBy(col("user_id"))
+            .agg(min(col("ts")).as("t"))
+      }
+      acc :+ stage
+    }
+  }
+
   // Deterministic rounding applied on BOTH sides (Spark + DuckDB oracle) so
   // double accumulation order (which differs across engines/partitionings)
   // cannot flip the driver's hash compare. Sums of ~1e6-magnitude doubles
@@ -1142,34 +1168,22 @@ object Relational {
 
     // Ordered funnel analysis: users who did view → click → purchase IN
     // ORDER (each stage strictly after the previous stage's first hit) —
-    // the product-analytics sequence-pattern query. Each stage is an
-    // equi-join on user_id against the shrinking survivor set + a min
-    // aggregate; never a per-user event sort or a cross of event pairs.
-    // At scale all three stage joins/aggs share the user_id key — bucket
-    // the events table by user_id and the whole funnel is exchange-free.
+    // the product-analytics sequence-pattern query, built on the generic
+    // k-step `funnelStages`. Each stage is an equi-join on user_id against
+    // the shrinking survivor set + a min aggregate; never a per-user event
+    // sort or a cross of event pairs. At scale all stage joins/aggs share
+    // the user_id key — bucket the events table by user_id and the whole
+    // funnel is exchange-free. Streaming twin: streaming/FunnelStream.scala.
     Q(
       "q98_funnel",
       (s, d) => {
         val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-        val v = ev
-          .filter(col("event_type") === "view")
-          .groupBy(col("user_id"))
-          .agg(min(col("ts")).as("t1"))
-        val c = ev
-          .filter(col("event_type") === "click")
-          .join(v, Seq("user_id"))
-          .filter(col("ts") > col("t1"))
-          .groupBy(col("user_id"))
-          .agg(min(col("ts")).as("t2"))
-        val p = ev
-          .filter(col("event_type") === "purchase")
-          .join(c, Seq("user_id"))
-          .filter(col("ts") > col("t2"))
-          .groupBy(col("user_id"))
-          .agg(min(col("ts")).as("t3"))
-        v.select(lit("1_view").as("stage"), col("user_id"))
-          .union(c.select(lit("2_click").as("stage"), col("user_id")))
-          .union(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        val stages = funnelStages(ev, Seq("view", "click", "purchase"))
+        stages.zipWithIndex
+          .map { case (df, i) =>
+            df.select(lit(s"${i + 1}_${Seq("view", "click", "purchase")(i)}").as("stage"), col("user_id"))
+          }
+          .reduce(_.union(_))
           .groupBy(col("stage"))
           .agg(count(lit(1)).as("users"))
           .orderBy(col("stage"))
