@@ -1202,6 +1202,38 @@ object Relational {
              |  UNION ALL SELECT '2_click', count(*) FROM c
              |  UNION ALL SELECT '3_purchase', count(*) FROM p) u
              |ORDER BY stage""".stripMargin)
+    ),
+
+    // HLL++ sketch distinct-count with a driver-visible accuracy contract.
+    // A sketch VALUE is engine-specific by construction (DuckDB's HLL uses
+    // different parameters), so the cross-engine gate is the ERROR BOUND:
+    // the Spark side computes both the exact distinct and the sketch and
+    // emits whether the sketch landed within 3σ of its configured 5% rsd;
+    // the oracle asserts that bound unconditionally — if Spark's estimate
+    // ever drifts out of contract, the hash check goes red. At 100 TB the
+    // sketch column is the one you can afford: fixed-size mergeable state,
+    // no shuffle of the key set (the exact column here is the auditor).
+    Q(
+      "q99_hll_profile",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_d"),
+            approx_count_distinct(col("l_partkey"), 0.05).as("approx_d")
+          )
+          .select(
+            col("l_returnflag"),
+            col("exact_d"),
+            (abs(col("approx_d") - col("exact_d")).cast("double") / col("exact_d") < 0.15)
+              .as("within_bound")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_d,
+             |  TRUE AS within_bound
+             |FROM lineitem
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
