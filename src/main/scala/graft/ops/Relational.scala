@@ -1234,6 +1234,48 @@ object Relational {
              |  TRUE AS within_bound
              |FROM lineitem
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Mergeable-sketch rollup (DataSketches HLL): sketch each
+    // (event_type, day) slice ONCE, then answer the per-type distinct
+    // question by MERGING the slice sketches — never re-scanning the fact
+    // table. This is the property q99's plain estimate doesn't show and
+    // the reason sketches are the 100 TB distinct-count architecture: a
+    // daily job materializes fixed-size slice sketches, and any later
+    // rollup (per type, per week, global) is a union over kilobytes.
+    // Distincts do NOT sum across slices (users repeat daily) — the merge
+    // handles overlap correctly, which is what the bound check proves.
+    // Same oracle convention as q99: the VALUE is engine-specific, the
+    // 3σ error bound is the cross-engine contract.
+    Q(
+      "q100_sketch_rollup",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        val slices = ev
+          .groupBy(col("event_type"), col("day"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val merged = slices
+          .groupBy(col("event_type"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_d"))
+        val exact = ev
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_d"))
+        merged
+          .join(exact, Seq("event_type"))
+          .select(
+            col("event_type"),
+            col("exact_d"),
+            (abs(col("approx_d") - col("exact_d")).cast("double") / col("exact_d") < 0.15)
+              .as("within_bound")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_d,
+             |  TRUE AS within_bound
+             |FROM events
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

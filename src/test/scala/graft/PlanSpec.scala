@@ -252,6 +252,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"token-df lookup shuffled the gram stream:\n$p")
   }
 
+  test("registry-wide: no cartesian products; nested-loop joins only for scalar broadcasts") {
+    // BNLJ is legitimate ONLY as "broadcast a literally-tiny side (≤10
+    // query vectors / centroids / a 1-row global total) against the
+    // corpus" — a map-side loop, linear in the corpus. Any OTHER nested
+    // loop (or any cartesian) is quadratic-at-scale and fails here.
+    val scalarBroadcastCross = Set(
+      "q40_cosine_topk", // 5 query vectors
+      "q45_hybrid_search", // 1 query vector
+      "q46_ivf_ann", // 8 centroids / 3 probes
+      "q48_kmeans_refine", // 8 centroid (sum, cnt) pairs
+      "q49_mmr_rerank", // 3 query vectors
+      "q90_quantized_topk", // 5 query vectors
+      "q93_important_parts", // 1-row global total
+      "q94_collocations", // 1-row doc-count total
+      "q95_label_centroids" // ≤10 label centroids
+    )
+    QueryRegistry.all.foreach { q =>
+      val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+      if (!scalarBroadcastCross(q.name))
+        assert(
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a BroadcastNestedLoopJoin outside the scalar-broadcast whitelist"
+        )
+    }
+  }
+
   test("q01 whole-stage codegen covers the aggregate") {
     val df = QueryRegistry.byName("q01_pricing_summary").fn(spark, sfDir)
     df.collect() // AQE only materializes codegen stages in the final plan of THIS queryExecution
