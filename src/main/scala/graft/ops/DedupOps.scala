@@ -223,7 +223,7 @@ object DedupOps {
       .withColumn("lbl", col("node"))
       .localCheckpoint()
     if (!labels.isEmpty) {
-      var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+      var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
       var rounds = 0
       var converged = false
       while (!converged && rounds < maxRounds) {
@@ -239,7 +239,7 @@ object DedupOps {
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl")
           )
           .localCheckpoint()
-        val sumNow = labels.agg(sum(col("lbl"))).head.getLong(0)
+        val sumNow = labels.agg(sum(col("lbl"))).head().getLong(0)
         converged = sumNow == prevSum
         prevSum = sumNow
         rounds += 1
