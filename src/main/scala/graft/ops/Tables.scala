@@ -40,6 +40,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings"
+  )
+
+  /** Register every testdata table as a temp view so users can drive the
+    * engine through `spark.sql(...)` — combined with the
+    * `GraftExtensions`-registered native functions this is the full
+    * SQL-first entry point (QueriesSpec pins spark.sql == DataFrame API).
+    * `events` registers through the nanos-normalizing loader above.
+    */
+  def registerViews(s: SparkSession, d: String): Unit =
+    names.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case n        => table(s, d, n).createOrReplaceTempView(n)
+    }
 }
 
 /** One registered engine operator/query: a Spark implementation plus (when

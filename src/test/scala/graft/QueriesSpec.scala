@@ -33,6 +33,35 @@ class QueriesSpec extends SparkSpec {
     assert(rows(2)._2 == Seq("a b c", "b c d"))
   }
 
+  test("spark.sql over registered views matches the DataFrame API") {
+    import graft.ops.Tables
+    Tables.registerViews(spark, sfDir)
+    GraftExtensions.register(spark)
+    // a star join and a native-function query, both as literal SQL text —
+    // the SQL-first entry point a reference user would reach for
+    val sqlStar = spark.sql(
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    ).collect().toSeq
+    val dfStar = {
+      import org.apache.spark.sql.functions._
+      Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+        .collect().toSeq
+    }
+    assert(sqlStar == dfStar)
+    val sqlVec = spark.sql(
+      """SELECT vec_id, graft_quantized_dot(cast(embedding AS array<double>),
+        |                                   cast(embedding AS array<double>), 64) AS qnorm
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin
+    ).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlVec.size == 5 && sqlVec.forall(_._2 >= 0L))
+  }
+
   test("registry names are unique and every oracle key has a query") {
     val names = QueryRegistry.all.map(_.name)
     assert(names.distinct.size == names.size)
