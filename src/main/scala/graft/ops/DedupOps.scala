@@ -587,6 +587,56 @@ object DedupOps {
               |WHERE doc_id NOT IN (SELECT node FROM lab WHERE lbl <> node)
               |GROUP BY source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Train/validation split leakage audit: assign every document to a
+    // deterministic md5-hash 90/10 split, then bucket the verified
+    // near-dup pairs by whether they CROSS the split — a near-duplicate
+    // of a training document sitting in the validation set is evaluation
+    // leakage (the eval-set cousin of q37's benchmark decontamination).
+    // Reuses the persisted lshPairs pipeline (same threshold as q32 →
+    // CacheManager shares the materialization); the split assignment is a
+    // map-only hash, and the bucket rollup joins the tiny pair list to a
+    // two-column split table — nothing new shuffles at scale.
+    Q(
+      "q101_split_leakage",
+      (s, d) => {
+        val split = when(
+          expr(
+            "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 10 < 9"
+          ),
+          "train"
+        ).otherwise("val")
+        val splits = documents(s, d).select(col("doc_id"), split.as("split"))
+        lshPairs(s, d, 0.8)
+          .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+          .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+          .select(
+            when(col("split_a") === col("split_b"), col("split_a"))
+              .otherwise(lit("cross"))
+              .as("bucket")
+          )
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("pairs"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val h = "md5('split:' || CAST(doc_id AS VARCHAR))"
+        val hex4 = (1 to 4)
+          .map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+          .mkString("(", " + ", ")")
+        s"""${sqlPairsCte(0.8)},
+           |sp AS (
+           |  SELECT doc_id,
+           |    CASE WHEN $hex4 % 10 < 9 THEN 'train' ELSE 'val' END AS split
+           |  FROM documents)
+           |SELECT CASE WHEN a.split = b.split THEN a.split ELSE 'cross' END AS bucket,
+           |  count(*) AS pairs
+           |FROM pairs
+           |JOIN sp a ON a.doc_id = doc_a
+           |JOIN sp b ON b.doc_id = doc_b
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }
     )
   )
 }

@@ -35,4 +35,37 @@ object Sinks {
   /** Dead-letter writer: failure rows with reason, for replay/audit. */
   def deadLetterParquet(failed: DataFrame, root: String, batchId: Long): Unit =
     idempotentParquet(failed, root, batchId)
+
+  /** Compact a parquet directory toward `targetBytes` per output file —
+    * the small-file housekeeping pass every micro-batch sink eventually
+    * needs: thousands of trigger-sized files turn the NEXT reader's scan
+    * into a metadata storm (one footer read + task per tiny file). Sizing
+    * reads the actual on-disk bytes from the file index (no data pass),
+    * then one shuffle-free coalesce rewrites the data. Returns the output
+    * file count. Note coalesce (not repartition): compaction must not pay
+    * a full shuffle; the trade-off is partition-count reduction only,
+    * which is exactly what compaction is.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    // size from the file index — no data pass
+    val bytes = hfs.getContentSummary(dst).getLength
+    val parts = (bytes.toDouble / targetBytes).ceil.toInt.max(1)
+    val tmp = s"$dir.compacting"
+    spark.read.parquet(dir).coalesce(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: the rewrite is atomic-per-directory (rename), so a crashed
+    // compaction leaves the original intact
+    hfs.delete(dst, true)
+    hfs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    parts
+  }
 }
