@@ -1276,6 +1276,129 @@ object Relational {
              |  TRUE AS within_bound
              |FROM events
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Funnel conversion latency: exact percentiles of the time between
+    // consecutive funnel stages (first view → first qualifying click →
+    // first qualifying purchase) — the "how long does conversion take"
+    // companion to q98's "how many convert". Built on the same
+    // funnelStages survivor frames; latencies are exact integer SECONDS
+    // (µs diff via unix_micros/epoch_us — q12's idiom — floor-divided to
+    // seconds) so percentile interpolation is cross-engine comparable.
+    // Seconds, not µs: q73's integer-input rule is necessary but not
+    // sufficient — at ~1e11-µs magnitudes the interpolation multiply's
+    // engine-specific rounding surfaces in the 4th decimal (observed at
+    // sf0.1); second-scale values keep the noise ~1e-11, far under the
+    // round(4).
+    Q(
+      "q102_funnel_latency",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val Seq(v, c, p) = funnelStages(ev, Seq("view", "click", "purchase"))
+        val leg1 = c
+          .join(v.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+          .select(
+            lit("1_view_to_click").as("leg"),
+            expr("(unix_micros(t) - unix_micros(t_prev)) div 1000000").as("secs")
+          )
+        val leg2 = p
+          .join(c.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+          .select(
+            lit("2_click_to_purchase").as("leg"),
+            expr("(unix_micros(t) - unix_micros(t_prev)) div 1000000").as("secs")
+          )
+        leg1
+          .union(leg2)
+          .groupBy(col("leg"))
+          .agg(
+            count(lit(1)).as("conversions"),
+            round(expr("percentile(secs, 0.5d)"), 4).as("p50_s"),
+            round(expr("percentile(secs, 0.9d)"), 4).as("p90_s")
+          )
+          .orderBy(col("leg"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+             |legs AS (
+             |  SELECT '1_view_to_click' AS leg,
+             |    (epoch_us(t2) - epoch_us(t1)) // 1000000 AS secs
+             |  FROM c JOIN v USING (user_id)
+             |  UNION ALL
+             |  SELECT '2_click_to_purchase', (epoch_us(t3) - epoch_us(t2)) // 1000000
+             |  FROM p JOIN c USING (user_id))
+             |SELECT leg, count(*) AS conversions,
+             |  round(quantile_cont(secs, 0.5), 4) AS p50_s,
+             |  round(quantile_cont(secs, 0.9), 4) AS p90_s
+             |FROM legs
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Retention cohorts: users grouped by first-seen day, activity counted
+    // by day offset from that first day — the standard cohort/retention
+    // triangle. Two shuffles, both on user_id/day keys: a min-aggregate
+    // for the cohort assignment (map-side combinable) and the offset
+    // rollup; the cohort table joins back broadcast-small relative to the
+    // event stream. Day arithmetic is integer (datediff of date-truncated
+    // timestamps) — no timezone or interval ambiguity across engines
+    // (both sessions run UTC).
+    Q(
+      "q103_retention_cohorts",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        ev.join(cohorts, Seq("user_id"))
+          .select(
+            col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+            col("user_id")
+          )
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+             |SELECT cohort_day,
+             |  CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+             |FROM ev JOIN cohorts USING (user_id)
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Event-type transition matrix: counts of consecutive (prev → next)
+    // event-type pairs per user, ordered by time — the Markov-chain /
+    // session-flow profile. One shuffle: the lag window partitions by
+    // user_id (the same key every funnel/session op shuffles on), then a
+    // map-side-combinable pair rollup. Ordering ties break on event_id,
+    // the q12-sessions idiom, so the lag sequence is deterministic.
+    Q(
+      "q104_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("transitions"))
+          .orderBy(col("prev_type"), col("next_type"))
+      },
+      Some("""SELECT prev_type, event_type AS next_type, count(*) AS transitions
+             |FROM (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events) t
+             |WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)
     )
   )
 }

@@ -20,7 +20,11 @@ final case class FunnelState(reachedTs: Seq[Long])
   * funnel and the simplest CEP (sequence-pattern) operator: per key, a
   * state machine advances through `steps` where each stage's FIRST hit
   * must be strictly after the previous stage's first hit; a StageReached
-  * row is emitted exactly once per (key, stage).
+  * row is emitted exactly once per (key, stage). The per-key serial
+  * processing guarantee it builds on is the same one Broadway's
+  * `partition_by` pins a key to one process for
+  * (/root/reference/lib/broadway.ex:524-607) — here the "process" is the
+  * flatMapGroupsWithState group, single-threaded per key per micro-batch.
   *
   * Semantics / scale design:
   *  - state per key is ≤ steps.length longs — bounded by the pattern
