@@ -637,6 +637,45 @@ object DedupOps {
            |JOIN sp b ON b.doc_id = doc_b
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }
+    ),
+
+    // Edit-distance verification tier: exact Levenshtein over the LSH
+    // candidate pairs — the character-level confirmation pass a dedup
+    // pipeline runs when shingle Jaccard is ambiguous (near-identical
+    // token sets, different ordering/spacing). Levenshtein is O(len²)
+    // per pair, which is exactly why it sits BEHIND the candidate
+    // pruning: at 100 TB you run it on the verified-pair list (tiny),
+    // never the corpus. The metric is an integer on both engines, and
+    // the normalized similarity rides one int/int double division +
+    // floor (bit-identical cross-engine).
+    Q(
+      "q105_edit_distance",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        lshPairs(s, d, 0.8)
+          .select(col("doc_a"), col("doc_b"))
+          .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+            floor(
+              (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+                greatest(length(col("ta")), length(col("tb"))).cast("double")) * 10000
+            ).cast("long").as("sim_bp")
+          )
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""${sqlPairsCte(0.8)}
+              |SELECT doc_a, doc_b,
+              |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+              |  CAST(floor((1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+              |    / CAST(greatest(len(x.text), len(y.text)) AS DOUBLE)) * 10000) AS BIGINT) AS sim_bp
+              |FROM pairs
+              |JOIN documents x ON x.doc_id = doc_a
+              |JOIN documents y ON y.doc_id = doc_b
+              |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }
