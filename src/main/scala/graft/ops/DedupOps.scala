@@ -676,6 +676,63 @@ object DedupOps {
               |JOIN documents x ON x.doc_id = doc_a
               |JOIN documents y ON y.doc_id = doc_b
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // Exact substring (chunk-window) dedup profile — the Lee et al.
+    // "Deduplicating Training Data Makes Language Models Better" pass at
+    // window granularity: hash every 64-token stride-32 window (the q96
+    // chunker), attribute each window to its first-seen document
+    // (min doc_id over the window hash), and report per source how much
+    // window mass is a repeat of an earlier document. Catches partial /
+    // embedded duplication that whole-document fingerprints (q30) miss.
+    // Scale shape: one documents pass explodes to ~n_tokens/32 window
+    // rows, one shuffle on the window hash for the owner aggregate, one
+    // fp-keyed equi-join back — all linear; a viral boilerplate window
+    // concentrates its fp partition, which AQE skew-split handles because
+    // the owner side is pre-aggregated to one row per fp.
+    Q(
+      "q106_window_dedup",
+      (s, d) => {
+        val wins = Caches.persisted(
+          documents(s, d)
+            .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+            .withColumn("n", size(col("toks")).cast("long"))
+            .filter(col("n") >= 1)
+            .withColumn("start", explode(expr("sequence(1L, n, 32L)")))
+            .select(
+              col("doc_id"),
+              col("source"),
+              md5(concat_ws(" ", expr("slice(toks, start, 64)"))).as("fp")
+            )
+        )
+        val owner = wins.groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
+        wins
+          .join(owner, "fp")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("windows"),
+            sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("dup_windows"),
+            countDistinct(when(col("owner") < col("doc_id"), col("doc_id"))).as("dup_docs")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, source,
+             |    md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS fp
+             |  FROM (SELECT doc_id, source, toks,
+             |          unnest(range(1, CAST(n AS INTEGER) + 1, 32)) AS start
+             |        FROM t WHERE n >= 1) z),
+             |o AS (SELECT fp, min(doc_id) AS owner FROM w GROUP BY fp)
+             |SELECT source, count(*) AS windows,
+             |  CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+             |  count(DISTINCT CASE WHEN owner < doc_id THEN doc_id END) AS dup_docs
+             |FROM w JOIN o USING (fp)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -1399,6 +1399,66 @@ object Relational {
              |WHERE prev_type IS NOT NULL
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // CDC / MERGE INTO compaction: apply a changeset (updates + deletes)
+    // over a base snapshot with latest-version-wins semantics — the
+    // upsert pass every lakehouse table maintenance job runs. The
+    // changeset here is derived deterministically from the base (orderkey
+    // % 10 == 3 → repriced, % 10 == 7 → deleted) so the oracle sees the
+    // identical input. The merge itself is ONE aggregate: max_by(payload,
+    // version) per key — no window sort, map-side combinable, shuffling
+    // each key exactly once. At 100 TB base and changes are bucketed on
+    // the merge key so compaction runs exchange-free per bucket, and the
+    // money column rides integer cents end-to-end (floor of the same IEEE
+    // multiply both engines evaluate identically).
+    Q(
+      "q107_cdc_upsert",
+      (s, d) => {
+        val base = orders(s, d).select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"),
+          lit(1L).as("version"),
+          lit("U").as("op")
+        )
+        val upd = base
+          .filter(col("k") % 10 === 3)
+          .select(col("k"), col("status"), (col("cents") + 12345L).as("cents"), lit(2L).as("version"), lit("U").as("op"))
+        val del = base
+          .filter(col("k") % 10 === 7)
+          .select(col("k"), col("status"), col("cents"), lit(2L).as("version"), lit("D").as("op"))
+        base
+          .union(upd)
+          .union(del)
+          .groupBy(col("k"))
+          .agg(max_by(struct(col("status"), col("cents"), col("op")), col("version")).as("m"))
+          .filter(col("m.op") === "U")
+          .groupBy(col("m.status").as("status"))
+          .agg(count(lit(1)).as("live_orders"), sum(col("m.cents")).as("total_cents"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS status,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             |    1 AS version, 'U' AS op
+             |  FROM orders),
+             |changes AS (
+             |  SELECT k, status, cents + 12345 AS cents, 2 AS version, 'U' AS op
+             |  FROM base WHERE k % 10 = 3
+             |  UNION ALL
+             |  SELECT k, status, cents, 2 AS version, 'D' AS op
+             |  FROM base WHERE k % 10 = 7),
+             |merged AS (
+             |  SELECT k, status, cents, op,
+             |    row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rk
+             |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes) u)
+             |SELECT status, count(*) AS live_orders,
+             |  CAST(sum(cents) AS BIGINT) AS total_cents
+             |FROM merged
+             |WHERE rk = 1 AND op = 'U'
+             |GROUP BY status
+             |ORDER BY status""".stripMargin)
     )
   )
 }

@@ -741,8 +741,114 @@ object SimilarityOps {
            |GROUP BY label
            |ORDER BY label""".stripMargin
       }
+    ),
+
+    // Farthest-point (k-center) seeding for k-means — the deterministic
+    // alternative to random/k-means++ sampling when reproducibility is the
+    // contract: start from the lowest vec_id, then repeatedly pick the
+    // point whose distance to its nearest already-chosen seed is maximal
+    // (ties → lowest vec_id), k=4. Complements q48 (Lloyd refinement from
+    // a fixed seed set) with the seeding stage itself. Each round is one
+    // corpus×chosen broadcast pass (chosen is ≤ k rows) + a global argmax
+    // — a tree-reduced single-row aggregate, not a sort; the quantized
+    // vectors are persisted once so the k rounds re-read cache, not
+    // parquet. All distances are exact int64 (ScaledSqDist with ccnt=1),
+    // so seed selection is bit-identical across engines and cluster
+    // topologies — the reproducible-init property that matters when a
+    // 100 TB embedding partition job must be re-runnable.
+    Q(
+      "q108_kmeans_fp_init",
+      (s, d) => {
+        val e = Caches.persisted(
+          embeddings(s, d).select(
+            col("vec_id"),
+            expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+              .as("qv")
+          )
+        )
+        val dist = graft.functions.VectorFunctions.scaledSqDist(col("qv"), col("cqv"), lit(1L))
+        var chosen = e
+          .orderBy(col("vec_id"))
+          .limit(1)
+          .select(col("vec_id").as("cent_id"), col("qv").as("cqv"))
+        for (_ <- 1 to 3) {
+          val next = e
+            .join(broadcast(chosen.select(col("cent_id"))), col("vec_id") === col("cent_id"), "left_anti")
+            .join(broadcast(chosen))
+            .withColumn("dist", dist)
+            .groupBy(col("vec_id"))
+            .agg(min(col("dist")).as("md"), first(col("qv")).as("qv"))
+            .agg(
+              max_by(
+                struct(col("vec_id").as("cent_id"), col("qv").as("cqv")),
+                struct(col("md"), negate(col("vec_id")))
+              ).as("m")
+            )
+            .select(col("m.cent_id").as("cent_id"), col("m.cqv").as("cqv"))
+          chosen = chosen.union(next)
+        }
+        e.join(broadcast(chosen))
+          .withColumn("dist", dist)
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("cent_id"), col("dist")), struct(col("dist"), col("cent_id"))).as("m"))
+          .select(col("m.cent_id").as("cent_id"), floor(col("m.dist")).cast("long").as("sd"))
+          .groupBy(col("cent_id"))
+          .agg(
+            count(lit(1)).as("csize"),
+            floor(sum(col("sd")).cast("double") / count(lit(1))).cast("long").as("avg_dist_scaled")
+          )
+          .orderBy(col("cent_id"))
+      },
+      Some(sqlKmeansFpInit)
     )
   )
+
+  /** Oracle for q108: the same farthest-point rounds in DuckDB, generated
+    * so each pick round is textually identical. Distances are BIGINT
+    * (list_reduce over BIGINT preserves the type) — exactly the int64
+    * algebra ScaledSqDist computes with ccnt = 1.
+    */
+  private def sqlKmeansFpInit: String = {
+    val dist =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+        "i -> (e.qv[i] - c.cqv[i]) * (e.qv[i] - c.cqv[i])), (acc, y) -> acc + y)"
+    val distE2 = dist.replace("e.qv", "e2.qv")
+    def pick(cin: String, pout: String): String =
+      s"""$pout AS (
+         |  SELECT vec_id AS cent_id, qv AS cqv FROM (
+         |    SELECT m.vec_id, e3.qv,
+         |      row_number() OVER (ORDER BY m.md DESC, m.vec_id) AS rk
+         |    FROM (
+         |      SELECT e2.vec_id, min($distE2) AS md
+         |      FROM e e2 CROSS JOIN $cin c
+         |      WHERE e2.vec_id NOT IN (SELECT cent_id FROM $cin)
+         |      GROUP BY e2.vec_id) m
+         |    JOIN e e3 ON e3.vec_id = m.vec_id) t
+         |  WHERE rk = 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM e
+       |       WHERE vec_id = (SELECT min(vec_id) FROM e)),
+       |${pick("c0", "p1")},
+       |c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM p1),
+       |${pick("c1", "p2")},
+       |c2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM p2),
+       |${pick("c2", "p3")},
+       |c3 AS (SELECT * FROM c2 UNION ALL SELECT * FROM p3),
+       |fin AS (
+       |  SELECT vec_id, cent_id, sd FROM (
+       |    SELECT e.vec_id, c.cent_id, CAST($dist AS BIGINT) AS sd,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $dist, c.cent_id) AS rk
+       |    FROM e CROSS JOIN c3 c) t
+       |  WHERE rk = 1)
+       |SELECT cent_id, count(*) AS csize,
+       |  CAST(floor(CAST(sum(sd) AS DOUBLE) / count(*)) AS BIGINT) AS avg_dist_scaled
+       |FROM fin
+       |GROUP BY cent_id
+       |ORDER BY cent_id""".stripMargin
+  }
 
   /** Oracle for q49: the same unrolled greedy MMR in DuckDB. Generated so
     * each selection round is textually identical.

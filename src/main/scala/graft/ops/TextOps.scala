@@ -597,6 +597,57 @@ object TextOps {
              |  md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS fp
              |FROM st
              |ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    // Count-min-sketch heavy hitters: estimate the frequency of a fixed
+    // probe vocabulary from ONE mergeable fixed-size sketch instead of an
+    // exact per-token aggregate — the streaming/100 TB frequency
+    // architecture (per-partition sketches merge associatively; Spark's
+    // count_min_sketch aggregate does exactly that partial-merge). The
+    // driver reads back only the ~100 KB sketch, never token rows. Same
+    // oracle convention as q99/q100: the estimate is engine-specific, the
+    // CMS guarantee (exact ≤ est ≤ exact + ε·N at confidence 0.99) is the
+    // cross-engine contract emitted as a boolean. One corpus pass builds
+    // sketch + total; the probe-side exact counts are the verification
+    // tier, filtered before the aggregate.
+    Q(
+      "q109_cms_heavy_hitters",
+      (s, d) => {
+        val probeWords = Seq("spark", "data", "join", "filter", "window", "merge", "the", "hash")
+        val toks = documents(s, d).select(explode(tokens(col("text"))).as("tok"))
+        val row = toks
+          .agg(
+            expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"),
+            count(lit(1)).as("total")
+          )
+          .head()
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+        val bound = math.ceil(0.001 * row.getAs[Long]("total")).toLong
+        val est = s.createDataFrame(
+          probeWords.map(p => (p, cms.estimateCount(p)))
+        ).toDF("tok", "approx")
+        toks
+          .filter(col("tok").isin(probeWords: _*))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .join(broadcast(est), "tok")
+          .select(
+            col("tok"),
+            col("exact_cnt"),
+            (col("approx") >= col("exact_cnt") &&
+              col("approx") <= col("exact_cnt") + bound).as("within_bound")
+          )
+          .orderBy(col("tok"))
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents)
+             |SELECT tok, count(*) AS exact_cnt, TRUE AS within_bound
+             |FROM t
+             |WHERE tok IN ('spark','data','join','filter','window','merge','the','hash')
+             |GROUP BY tok
+             |ORDER BY tok""".stripMargin)
     )
   )
 }

@@ -43,7 +43,24 @@ final case class AsOfMatch(
   */
 object AsOfStream {
 
-  def asOfJoin(events: Dataset[AsOfEvent]): Dataset[AsOfMatch] = {
+  /** Sentinel view id for left-outer unmatched clicks (no preceding view). */
+  val NoView: Long = -1L
+
+  /** Inner as-of join (matched clicks only). */
+  def asOfJoin(events: Dataset[AsOfEvent]): Dataset[AsOfMatch] =
+    asOfJoin(events, emitUnmatched = false)
+
+  /** As-of enrich with optional left-outer semantics: when `emitUnmatched`
+    * is set, a click with no at-or-before view still emits — viewId/gapUs
+    * ride the [[NoView]] sentinel (flatMapGroupsWithState output encoders
+    * are product types, so a sentinel beats an Option column here: the
+    * downstream schema stays primitive and filter-able). Unlike a
+    * stream-stream outer join there is NO watermark wait: whether a click
+    * has a preceding view is decidable the moment the click is processed
+    * (state only ever grows), so unmatched rows emit in the same
+    * micro-batch — append-mode, exactly-once per click.
+    */
+  def asOfJoin(events: Dataset[AsOfEvent], emitUnmatched: Boolean): Dataset[AsOfMatch] = {
     implicit val stateEnc = Encoders.product[AsOfState]
     implicit val outEnc = Encoders.product[AsOfMatch]
     implicit val keyEnc = Encoders.scalaLong
@@ -59,8 +76,12 @@ object AsOfStream {
               if (st.forall(s => s.vts < e.tsUs || (s.vts == e.tsUs && s.vid < e.eventId)))
                 st = Some(AsOfState(e.tsUs, e.eventId, e.value))
             } else if (e.eventType == "click") {
-              st.filter(_.vts <= e.tsUs).foreach { s =>
-                out += AsOfMatch(e.eventId, userId, s.vid, e.tsUs - s.vts, s.vval)
+              st.filter(_.vts <= e.tsUs) match {
+                case Some(s) =>
+                  out += AsOfMatch(e.eventId, userId, s.vid, e.tsUs - s.vts, s.vval)
+                case None =>
+                  if (emitUnmatched)
+                    out += AsOfMatch(e.eventId, userId, NoView, NoView, 0.0)
               }
             }
           }

@@ -57,4 +57,42 @@ class AsOfStreamSpec extends SparkSpec {
       ), s"got $rows")
     } finally q.stop()
   }
+
+  test("left-outer enrich emits unmatched clicks with the NoView sentinel") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[AsOfEvent]
+    val q = AsOfStream.asOfJoin(stream.toDS(), emitUnmatched = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("asof_outer_stream")
+      .start()
+    try {
+      // user 2's click has no preceding view → sentinel row, SAME batch
+      // (no watermark wait: the decision is made at click time)
+      stream.addData(
+        AsOfEvent(1, 1000L, 1L, "view", 1.5),
+        AsOfEvent(2, 3000L, 1L, "click", 0.0),
+        AsOfEvent(3, 2000L, 2L, "click", 0.0)
+      )
+      q.processAllAvailable()
+      // a later view for user 2 must NOT retro-emit anything for click 3,
+      // and the next click joins normally
+      stream.addData(
+        AsOfEvent(4, 5000L, 2L, "view", 7.0),
+        AsOfEvent(5, 6000L, 2L, "click", 0.0)
+      )
+      q.processAllAvailable()
+      val rows = spark.table("asof_outer_stream")
+        .as[graft.streaming.AsOfMatch]
+        .collect()
+        .sortBy(_.eventId)
+        .toSeq
+      assert(rows.map(r => (r.eventId, r.viewId, r.gapUs, r.viewValue)) == Seq(
+        (2L, 1L, 2000L, 1.5),
+        (3L, AsOfStream.NoView, AsOfStream.NoView, 0.0), // unmatched, exactly once
+        (5L, 4L, 1000L, 7.0)
+      ), s"got $rows")
+    } finally q.stop()
+  }
 }

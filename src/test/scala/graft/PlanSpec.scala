@@ -266,7 +266,8 @@ class PlanSpec extends SparkSpec {
       "q90_quantized_topk", // 5 query vectors
       "q93_important_parts", // 1-row global total
       "q94_collocations", // 1-row doc-count total
-      "q95_label_centroids" // ≤10 label centroids
+      "q95_label_centroids", // ≤10 label centroids
+      "q108_kmeans_fp_init" // ≤4 chosen seeds
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
