@@ -355,6 +355,79 @@ object CurationOps {
              |  FROM documents) t
              |WHERE rk <= 10
              |ORDER BY position""".stripMargin)
+    ),
+
+    // Temperature-scaled mixture sampling (α = 0.5): each source's target
+    // rate is proportional to sqrt(its size) — the square-root temperature
+    // mix that up-weights small sources relative to proportional sampling
+    // (the GPT-3/Pile mixing recipe). Weights ride as floor(sqrt(n)·100)
+    // integers so the cross-source normalization is an integer sum (a
+    // 20-double sum would be summation-order-dependent across engines);
+    // membership is the same md5 hash gate as q38 — reproducible, map-only,
+    // composable. Plan shape: one tiny per-source aggregate (broadcast both
+    // ways), one documents pass for the gate — the weight table is O(
+    // sources), never a corpus shuffle.
+    Q(
+      "q110_temperature_mix",
+      (s, d) => {
+        val docs = documents(s, d).select(
+          col("doc_id"),
+          col("source"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 10000")
+            .as("gate")
+        )
+        val weights = docs
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("population"))
+          .withColumn("w", floor(sqrt(col("population")) * 100).cast("long"))
+        val total = weights.agg(sum(col("w")).as("tw"))
+        val rates = weights
+          .join(broadcast(total))
+          .select(
+            col("source"),
+            col("population"),
+            expr("w * 10000 div tw").as("rate_bp")
+          )
+        docs
+          .join(broadcast(rates), "source")
+          .groupBy(col("source"))
+          .agg(
+            max(col("population")).as("population"),
+            max(col("rate_bp")).as("rate_bp"),
+            sum(when(col("gate") < col("rate_bp"), 1L).otherwise(0L)).as("sampled")
+          )
+          .withColumn(
+            "achieved_bp",
+            expr("sampled * 10000 div population")
+          )
+          .orderBy(col("source"))
+      },
+      Some {
+        val hex4 = (1 to 4)
+          .map(i =>
+            s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
+          )
+          .mkString("(", " + ", ")")
+        s"""WITH docs AS (
+           |  SELECT doc_id, source, CAST($hex4 AS BIGINT) % 10000 AS gate
+           |  FROM documents),
+           |w AS (
+           |  SELECT source, count(*) AS population,
+           |    CAST(floor(sqrt(count(*)) * 100) AS BIGINT) AS w
+           |  FROM docs GROUP BY source),
+           |r AS (
+           |  SELECT source, population,
+           |    w * 10000 // (SELECT CAST(sum(w) AS BIGINT) FROM w) AS rate_bp
+           |  FROM w)
+           |SELECT d.source, max(r.population) AS population,
+           |  max(r.rate_bp) AS rate_bp,
+           |  CAST(sum(CASE WHEN d.gate < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+           |  CAST(sum(CASE WHEN d.gate < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) * 10000
+           |    // max(r.population) AS achieved_bp
+           |FROM docs d JOIN r ON d.source = r.source
+           |GROUP BY d.source
+           |ORDER BY d.source""".stripMargin
+      }
     )
   )
 }

@@ -749,16 +749,20 @@ object SimilarityOps {
     // point whose distance to its nearest already-chosen seed is maximal
     // (ties → lowest vec_id), k=4. Complements q48 (Lloyd refinement from
     // a fixed seed set) with the seeding stage itself. Each round is one
-    // corpus×chosen broadcast pass (chosen is ≤ k rows) + a global argmax
-    // — a tree-reduced single-row aggregate, not a sort; the quantized
-    // vectors are persisted once so the k rounds re-read cache, not
-    // parquet. All distances are exact int64 (ScaledSqDist with ccnt=1),
-    // so seed selection is bit-identical across engines and cluster
-    // topologies — the reproducible-init property that matters when a
-    // 100 TB embedding partition job must be re-runnable.
+    // corpus×seeds broadcast pass over the persisted quantized frame plus
+    // a global argmax — a tree-reduced SINGLE-ROW aggregate the driver
+    // reads back (k·Dim longs of metadata, the q91 offset idiom; NOT a
+    // data collect), so every round's plan stays flat instead of nesting
+    // the previous round's DAG — lazily chaining the rounds re-ran the
+    // whole prefix per round and tripled the runtime. All distances are
+    // exact int64 (ScaledSqDist with ccnt=1), so seed selection is
+    // bit-identical across engines and cluster topologies — the
+    // reproducible-init property that matters when a 100 TB embedding
+    // partition job must be re-runnable.
     Q(
       "q108_kmeans_fp_init",
       (s, d) => {
+        import s.implicits._
         val e = Caches.persisted(
           embeddings(s, d).select(
             col("vec_id"),
@@ -767,17 +771,16 @@ object SimilarityOps {
           )
         )
         val dist = graft.functions.VectorFunctions.scaledSqDist(col("qv"), col("cqv"), lit(1L))
-        var chosen = e
-          .orderBy(col("vec_id"))
-          .limit(1)
-          .select(col("vec_id").as("cent_id"), col("qv").as("cqv"))
+        val first = e.orderBy(col("vec_id")).limit(1).select(col("vec_id"), col("qv")).head()
+        var seeds = Vector((first.getLong(0), first.getSeq[Long](1)))
         for (_ <- 1 to 3) {
+          val chosen = seeds.toDF("cent_id", "cqv")
           val next = e
             .join(broadcast(chosen.select(col("cent_id"))), col("vec_id") === col("cent_id"), "left_anti")
             .join(broadcast(chosen))
             .withColumn("dist", dist)
             .groupBy(col("vec_id"))
-            .agg(min(col("dist")).as("md"), first(col("qv")).as("qv"))
+            .agg(min(col("dist")).as("md"), org.apache.spark.sql.functions.first(col("qv")).as("qv"))
             .agg(
               max_by(
                 struct(col("vec_id").as("cent_id"), col("qv").as("cqv")),
@@ -785,9 +788,10 @@ object SimilarityOps {
               ).as("m")
             )
             .select(col("m.cent_id").as("cent_id"), col("m.cqv").as("cqv"))
-          chosen = chosen.union(next)
+            .head()
+          seeds = seeds :+ ((next.getLong(0), next.getSeq[Long](1)))
         }
-        e.join(broadcast(chosen))
+        e.join(broadcast(seeds.toDF("cent_id", "cqv")))
           .withColumn("dist", dist)
           .groupBy(col("vec_id"))
           .agg(min_by(struct(col("cent_id"), col("dist")), struct(col("dist"), col("cent_id"))).as("m"))
@@ -800,6 +804,44 @@ object SimilarityOps {
           .orderBy(col("cent_id"))
       },
       Some(sqlKmeansFpInit)
+    ),
+
+    // Embedding dimension-health stats — the QA pass an embedding pipeline
+    // runs before indexing 100 TB of vectors: per dimension, the count,
+    // sum, and n·Σx²−(Σx)² variance numerator over the quantized values.
+    // Dead dimensions (var_num = 0) and mean drift surface immediately,
+    // and every number is exact int64 (quantized values are ≤1e3 in
+    // magnitude, squares ≤1e6, summed over ≤2^32 rows — no overflow, no
+    // float summation-order drift, so the oracle hash-matches without any
+    // rounding convention). Plan shape: one corpus pass, posexplode to
+    // (dim, x), then a 64-key aggregate — map-side partial combine
+    // collapses each task to 64 rows before the only shuffle.
+    Q(
+      "q111_embedding_dimstats",
+      (s, d) =>
+        embeddings(s, d)
+          .select(
+            posexplode(
+              expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+            ).as(Seq("dim0", "x"))
+          )
+          .select((col("dim0") + 1L).cast("long").as("dim"), col("x"))
+          .groupBy(col("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")))
+              .as("var_num")
+          )
+          .orderBy(col("dim")),
+      Some(s"""SELECT CAST(i AS BIGINT) AS dim, count(*) AS n,
+              |  CAST(sum(qv[i]) AS BIGINT) AS sx,
+              |  CAST(count(*) * sum(qv[i] * qv[i]) - sum(qv[i]) * sum(qv[i]) AS BIGINT) AS var_num
+              |FROM (
+              |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              |  FROM embeddings) e, range(1, ${Dim + 1}) r(i)
+              |GROUP BY i
+              |ORDER BY dim""".stripMargin)
     )
   )
 

@@ -267,7 +267,8 @@ class PlanSpec extends SparkSpec {
       "q93_important_parts", // 1-row global total
       "q94_collocations", // 1-row doc-count total
       "q95_label_centroids", // ≤10 label centroids
-      "q108_kmeans_fp_init" // ≤4 chosen seeds
+      "q108_kmeans_fp_init", // ≤4 chosen seeds
+      "q110_temperature_mix" // 1-row weight-normalization total
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
