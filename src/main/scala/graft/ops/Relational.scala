@@ -1415,13 +1415,18 @@ object Relational {
     Q(
       "q107_cdc_upsert",
       (s, d) => {
-        val base = orders(s, d).select(
+        // the changeset is DERIVED from the base for oracle parity, so the
+        // base projection is persisted — otherwise each derived branch
+        // re-scans orders (3 scans of the fact table for what is one pass
+        // of map work); in production base and changes are separate tables
+        // and no cache is needed
+        val base = Caches.persisted(orders(s, d).select(
           col("o_orderkey").as("k"),
           col("o_orderstatus").as("status"),
           expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"),
           lit(1L).as("version"),
           lit("U").as("op")
-        )
+        ))
         val upd = base
           .filter(col("k") % 10 === 3)
           .select(col("k"), col("status"), (col("cents") + 12345L).as("cents"), lit(2L).as("version"), lit("U").as("op"))

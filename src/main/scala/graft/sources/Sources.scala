@@ -77,6 +77,62 @@ object Sources {
   def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
     spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
 
+  /** JSONL (one JSON object per line — the training-data interchange
+    * format) with corrupt-line containment: a malformed line must not fail
+    * a 100 TB ingest NOR silently disappear, it routes to the dead-letter
+    * flow (E10) like any other failed message. Implemented as text-read +
+    * `from_json` rather than the json datasource's PERMISSIVE mode:
+    * `from_json` yields a null struct on parse failure, which filters
+    * cleanly (the datasource's `_corrupt_record` column can't be filtered
+    * without a cache since Spark 2.3), and the same expression works on
+    * `readStream.text` unchanged. Returns (parsed rows, dead letters with
+    * the offending raw line).
+    */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): (DataFrame, DataFrame) =
+    splitJsonl(spark.read.text(path))(schema)
+
+  /** Streaming twin over a text drop-directory. */
+  def jsonlStream(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None
+  ): (DataFrame, DataFrame) = {
+    var r = spark.readStream.format("text")
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+    splitJsonl(r.load(path))(schema)
+  }
+
+  /** Shared parse+route: works on any single-column text frame, batch or
+    * streaming. Blank lines are dropped (JSONL padding, not data loss).
+    * Corrupt detection uses `columnNameOfCorruptRecord` — a null struct is
+    * NOT a reliable signal (`from_json` yields a struct of nulls for
+    * partially-parseable lines), the corrupt column is.
+    */
+  def splitJsonl(lines: DataFrame)(schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json, length, trim}
+    val corruptCol = "_corrupt_record"
+    val withCorrupt = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    val parsed = lines
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        from_json(col("value"), withCorrupt, Map("columnNameOfCorruptRecord" -> corruptCol)).as("rec"),
+        col("value")
+      )
+    (
+      parsed
+        .filter(col("rec").isNotNull && col(s"rec.$corruptCol").isNull)
+        .select(schema.fieldNames.map(f => col(s"rec.$f")): _*),
+      parsed
+        .filter(col("rec").isNull || col(s"rec.$corruptCol").isNotNull)
+        .select(col("value").as("dead_letter"))
+    )
+  }
+
   /** The producer `:transformer` hook (options.ex:73-85,
     * producer_stage.ex:267-291): lift raw events into Message envelopes
     * right after the source.

@@ -135,6 +135,53 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed approx-distinct sketch equals the batch sketch") {
+    // HLL++ register-merge is a max — order-independent — so the streaming
+    // estimate over incremental micro-batches is IDENTICAL to the batch
+    // estimate over the same rows: the mergeable-sketch property (q99/q100)
+    // carried into Structured Streaming. State per (window, key) is one
+    // fixed-size sketch, never a distinct-values set — the unbounded-
+    // cardinality streaming distinct-count architecture.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val agg = stream
+      .toDF()
+      .toDF("ts", "kind", "uid")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "5 minutes"), col("kind"))
+      .agg(approx_count_distinct(col("uid"), 0.02).as("approx_users"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hll_stream")
+      .start()
+    try {
+      val batch1 = Seq((ts(0), "a", 1L), (ts(1), "a", 2L), (ts(2), "b", 1L), (ts(3), "a", 1L))
+      val batch2 = Seq((ts(4), "a", 3L), (ts(4), "b", 9L), (ts(6), "a", 1L))
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark
+        .table("hll_stream")
+        .select(col("window.start"), col("kind"), col("approx_users"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = (batch1 ++ batch2)
+        .toDF("ts", "kind", "uid")
+        .groupBy(window(col("ts"), "5 minutes"), col("kind"))
+        .agg(approx_count_distinct(col("uid"), 0.02).as("approx_users"))
+        .select(col("window.start"), col("kind"), col("approx_users"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // sanity: the [10:00,10:05) 'a' window saw uids {1,2,3}
+      assert(streamed.exists { case (w, k, n) => w == ts(0) && k == "a" && n == 3L })
+    } finally q.stop()
+  }
+
   test("session windows close after the gap and group by key") {
     WindowProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -64,6 +64,39 @@ class SourcesSpec extends SparkSpec {
     assert(unlimited("startingOffsets") == "earliest")
   }
 
+  test("jsonl reader parses good lines and routes malformed lines to the dead-letter frame") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.write(
+      dir.resolve("part-0.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+        """{"doc_id": 2, "text": "zweite zeile", "lang": "de"}""",
+        "", // blank padding line: dropped, NOT a dead letter
+        """{"doc_id": 3, "text": "truncated""", // malformed → dead letter
+        """not json at all""" // malformed → dead letter
+      )
+    )
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)
+    ))
+    val (good, dead) = Sources.jsonl(spark, dir.toString, schema)
+    val rows = good.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(rows == Seq((1L, "en"), (2L, "de")), s"got $rows")
+    val dlq = dead.collect().map(_.getString(0)).toSet
+    assert(dlq == Set("""{"doc_id": 3, "text": "truncated""", "not json at all"), s"got $dlq")
+
+    // streaming twin over the same drop directory: same split, same rows
+    val (goodS, deadS) = Sources.jsonlStream(spark, dir.toString, schema, maxFilesPerTrigger = Some(1))
+    val q1 = goodS.writeStream.format("memory").queryName("jsonl_good").trigger(Trigger.AvailableNow()).start()
+    val q2 = deadS.writeStream.format("memory").queryName("jsonl_dead").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000); q2.awaitTermination(60000)
+    assert(spark.table("jsonl_good").count() == 2)
+    assert(spark.table("jsonl_dead").count() == 2)
+  }
+
   test("prepareForStart and prepareForDraining hooks fire in order") {
     import graft.config.PipelineConfig
     import graft.testkit.TestPipeline
