@@ -46,4 +46,22 @@ object Bucketing {
       .mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Range-sorted Parquet layout for row-group skipping: globally sort by
+    * `sortCol` before writing so each row group's min/max statistics span
+    * a narrow key range, and a pushed-down range/equality predicate lets
+    * the Parquet reader skip whole row groups without decoding them —
+    * data skipping INSIDE files, one granularity below partition pruning
+    * (partition prune → row-group skip → page skip is the 100 TB read
+    * path; an unsorted layout leaves every row group spanning the full
+    * key range, so identical statistics machinery skips nothing).
+    * `rowGroupBytes` caps parquet.block.size so skipping granularity is
+    * testable at small scale; production leaves the 128 MB default.
+    */
+  def writeSorted(df: DataFrame, sortCol: String, path: String, rowGroupBytes: Long = 128L << 20): Unit =
+    df.orderBy(sortCol)
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
 }

@@ -65,6 +65,34 @@ object TextOps {
     * synthetic corpus (shared English-ish vocabulary) it degenerates to the
     * fallback — the operator shape (per-language token voting) is the point.
     */
+  /** PII redaction — the scrub pass a web-scale training corpus runs
+    * before anything else sees the text: emails, IPv4 addresses and
+    * phone-like digit runs are replaced with typed sentinels (typed, so
+    * downstream token statistics can still count "a redaction happened
+    * here" without learning the value). A regexp_replace chain is pure
+    * codegen'd map work — linear, no shuffle, composes with every other
+    * Column op. Patterns are deliberately conservative (precision over
+    * recall): a false positive destroys good text forever, a false
+    * negative is caught by the next filter tier.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+          "<EMAIL>"
+        ),
+        "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+        "<IP>"
+      ),
+      "(?<![\\d-])\\+?\\d{3}[\\s.-]\\d{3,4}[\\s.-]\\d{3,4}(?![\\d-])",
+      "<PHONE>"
+    )
+
+  /** True iff [[redactPii]] changed anything — the per-doc PII flag. */
+  def hasPii(text: Column): Column = redactPii(text) =!= text
+
   def langIdExpr(text: Column): Column = {
     // one native pass over the tokens counting all four stopword sets
     // (graft.functions.KeywordHits) — the filter-HOF-per-set form ran four

@@ -77,4 +77,50 @@ class BucketingSpec extends SparkSpec {
     val pf = p.substring(pfIdx, p.indexOf(']', pfIdx) max (pfIdx + 1))
     assert(pf.contains("src3"), s"source predicate not pushed to partition pruning:\n$p")
   }
+
+  test("range-sorted layout skips row groups a shuffled layout must read") {
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+        }
+        .getOrElse(fail("no FileSourceScanExec in plan"))
+    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "source", "text")
+    val total = docs.count()
+    val sortedDir = Files.createTempDirectory("graft_sorted").toString
+    val shuffledDir = Files.createTempDirectory("graft_shuffled").toString
+    // tiny row groups so skipping granularity exists at test scale
+    Bucketing.writeSorted(docs, "doc_id", sortedDir, rowGroupBytes = 64L << 10)
+    // control: SAME rows, scattered layout (hash-clustered on source, so
+    // every row group spans nearly the full doc_id range)
+    docs
+      .repartition(8, col("source"))
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", 64L << 10)
+      .parquet(shuffledDir)
+
+    val pred = col("doc_id") >= 100L && col("doc_id") < 200L
+    val sortedRead = spark.read.parquet(sortedDir).filter(pred)
+    // correctness is layout-independent
+    assert(sortedRead.count() == docs.filter(pred).count())
+    val rowsSorted = scanRows(sortedRead)
+    val rowsShuffled = scanRows(
+      spark.read.parquet(shuffledDir).filter(col("doc_id") >= 100L && col("doc_id") < 200L)
+    )
+    // the sorted layout's min/max statistics confine the range predicate to
+    // a few row groups; the same predicate over the value-shuffled layout
+    // (every row group spans the full key range) decodes nearly everything
+    assert(
+      rowsSorted < total / 4,
+      s"sorted layout skipped nothing: scan produced $rowsSorted of $total rows"
+    )
+    assert(
+      rowsSorted < rowsShuffled,
+      s"sorted ($rowsSorted) not better than shuffled ($rowsShuffled) of $total"
+    )
+  }
 }

@@ -61,4 +61,28 @@ class TextExprSpec extends SparkSpec {
     assert(r.getStruct(1).getString(0) == "aab" && r.getStruct(1).getLong(1) == 1L)
     assert(r.isNullAt(2))
   }
+
+  test("PII redaction replaces emails, IPs and phone runs with typed sentinels") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at alice.smith+x@example.co.uk please", "mail me at <EMAIL> please"),
+      ("server 192.168.001.1 and 10.0.0.255 down", "server <IP> and <IP> down"),
+      ("call 555-123-4567 or +555 9876 321", "call <PHONE> or <PHONE>"),
+      // precision over recall: bare digit runs, versions, order ids survive
+      ("order 1234567890 v1.2 shipped", "order 1234567890 v1.2 shipped"),
+      ("clean text stays clean", "clean text stays clean")
+    ).toDF("text", "expected")
+    val bad = rows
+      .select(TextOps.redactPii(col("text")).as("got"), col("expected"))
+      .filter(col("got") =!= col("expected"))
+      .collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+    val flags = rows
+      .select(TextOps.hasPii(col("text")).as("f"))
+      .collect()
+      .map(_.getBoolean(0))
+      .toSeq
+    assert(flags == Seq(true, true, true, false, false), s"got $flags")
+  }
 }
