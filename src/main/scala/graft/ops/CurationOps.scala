@@ -428,6 +428,44 @@ object CurationOps {
            |GROUP BY d.source
            |ORDER BY d.source""".stripMargin
       }
+    ),
+
+    // Right-to-be-forgotten purge: subtract a deletion list from the
+    // corpus and account for what was removed — the GDPR/takedown pass
+    // every stored corpus needs on a schedule. The deletion list is
+    // derived here (doc_id ≡ 0 mod 97) for oracle parity; in production
+    // it is a small table that BROADCASTS, making the purge a map-side
+    // anti join — one corpus pass, no shuffle of the big side (the plan
+    // this query demonstrates). Audit output counts both sides so the
+    // job can assert purged + kept == population before swapping the
+    // table pointer.
+    Q(
+      "q112_purge_audit",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("source"))
+        val deletions = docs
+          .filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), lit(1).as("hit"))
+        // ONE corpus pass: broadcast-left-join the marker, aggregate both
+        // counts conditionally (an anti-join for kept + a second scan for
+        // population would read the corpus twice)
+        docs
+          .join(broadcast(deletions), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("population"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("kept"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("purged")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH del AS (SELECT doc_id, 1 AS hit FROM documents WHERE doc_id % 97 = 0)
+             |SELECT source, count(*) AS population,
+             |  CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |  CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS purged
+             |FROM documents LEFT JOIN del USING (doc_id)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -97,6 +97,23 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("jsonl_dead").count() == 2)
   }
 
+  test("schema evolution: mergeSchema unifies generations, old files read new columns as null") {
+    // a corpus written over months gains columns; readers must see ONE
+    // unified schema without rewriting petabytes of old files — Parquet
+    // schema merge is that contract (additive evolution only; renames or
+    // type changes still require a rewrite pass)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evo").toString
+    Seq((1L, "alpha")).toDF("id", "text").write.parquet(s"$dir/gen=1")
+    Seq((2L, "beta", 0.9)).toDF("id", "text", "quality").write.parquet(s"$dir/gen=2")
+    val df = spark.read.option("mergeSchema", true).parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("gen", "id", "quality", "text"))
+    val byId = df.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("quality"))) // old gen: null-extended
+    assert(byId(2L).getAs[Double]("quality") == 0.9)
+    assert(byId(1L).getAs[Int]("gen") == 1 && byId(2L).getAs[Int]("gen") == 2)
+  }
+
   test("prepareForStart and prepareForDraining hooks fire in order") {
     import graft.config.PipelineConfig
     import graft.testkit.TestPipeline
