@@ -243,6 +243,41 @@ class PlanSpec extends SparkSpec {
     assert(fileScans == 0, s"lineitem scanned $fileScans times outside the cached groups:\n$opt")
   }
 
+  test("q106 window-dedup materializes the window frame once; owner join is an equi-join") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = QueryRegistry.byName("q106_window_dedup").fn(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val cacheScans = opt.collectWithSubqueries { case m: InMemoryRelation => m }.size
+    val fileScans = opt.collectWithSubqueries { case l: LogicalRelation => l }.size
+    // both the owner aggregate and the join probe read the cached window
+    // frame — documents itself is tokenized/exploded exactly once
+    assert(cacheScans >= 2, s"window frame not shared via cache:\n$opt")
+    assert(fileScans == 0, s"documents re-scanned $fileScans times outside the cache:\n$opt")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q107 cdc-upsert derives all changeset branches from one cached base scan") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = QueryRegistry.byName("q107_cdc_upsert").fn(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collectWithSubqueries { case m: InMemoryRelation => m }.size >= 3)
+    assert(
+      opt.collectWithSubqueries { case l: LogicalRelation => l }.isEmpty,
+      s"orders re-scanned outside the cached base:\n$opt"
+    )
+  }
+
+  test("q112 purge is a broadcast join: the corpus side never shuffles") {
+    val df = QueryRegistry.byName("q112_purge_audit").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"deletion list not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"purge join shuffled the corpus:\n$p")
+  }
+
   test("q94 collocation lookups broadcast; corpus never re-shuffles for them") {
     val df = QueryRegistry.byName("q94_collocations").fn(spark, sfDir)
     df.collect()
