@@ -97,6 +97,20 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("jsonl_dead").count() == 2)
   }
 
+  test("splitJsonl partitions an arbitrary line mix: good and dead are disjoint and exhaustive") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val valid = (1 to 40).map(i => s"""{"id": $i, "text": "${rnd.alphanumeric.take(8).mkString}"}""")
+    // trailing '{' keeps every garbage line unparseable regardless of prefix
+    val garbage = (1 to 17).map(_ => rnd.alphanumeric.take(rnd.nextInt(20)).mkString + "{")
+    val lines = rnd.shuffle(valid ++ garbage)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("text", StringType)))
+    val (good, dead) = Sources.splitJsonl(lines.toDF("value"))(schema)
+    assert(good.select("id").collect().map(_.getLong(0)).toSet == (1L to 40L).toSet)
+    assert(dead.collect().map(_.getString(0)).toSet == garbage.toSet)
+  }
+
   test("schema evolution: mergeSchema unifies generations, old files read new columns as null") {
     // a corpus written over months gains columns; readers must see ONE
     // unified schema without rewriting petabytes of old files — Parquet
