@@ -101,6 +101,30 @@ object DedupOps {
   /** MinHash-LSH candidate-pair pipeline: returns (doc_a, doc_b, jaccard)
     * for verified near-dup pairs at the given threshold.
     */
+  /** (doc_id, source, fp [, carry...]) for every 64-token stride-32 window
+    * of a documents-shaped frame — pure Column algebra (sequence → explode
+    * → slice → md5), so the SAME projection runs on a batch table (q106)
+    * or an unbounded stream (window-granular streaming dedup: follow with
+    * `EventTime.dedupStream` on `fp` and state stays watermark-bounded).
+    * `carry` names extra columns to thread through (e.g. the event-time
+    * column a streaming consumer watermarks on).
+    */
+  def windowFingerprints(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(col)
+    docs
+      .select(Seq(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks")) ++ carried: _*)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1)
+      .withColumn("start", explode(expr("sequence(1L, n, 32L)")))
+      .select(
+        Seq(
+          col("doc_id"),
+          col("source"),
+          md5(concat_ws(" ", expr("slice(toks, start, 64)"))).as("fp")
+        ) ++ carried: _*
+      )
+  }
+
   def lshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     // The shingle pass is persisted (memory-and-disk): the band join's two
     // legs and the verification joins all re-derive from it — unpersisted,
@@ -693,18 +717,7 @@ object DedupOps {
     Q(
       "q106_window_dedup",
       (s, d) => {
-        val wins = Caches.persisted(
-          documents(s, d)
-            .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
-            .withColumn("n", size(col("toks")).cast("long"))
-            .filter(col("n") >= 1)
-            .withColumn("start", explode(expr("sequence(1L, n, 32L)")))
-            .select(
-              col("doc_id"),
-              col("source"),
-              md5(concat_ws(" ", expr("slice(toks, start, 64)"))).as("fp")
-            )
-        )
+        val wins = Caches.persisted(windowFingerprints(documents(s, d)))
         val owner = wins.groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
         wins
           .join(owner, "fp")

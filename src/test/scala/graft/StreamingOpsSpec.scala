@@ -58,6 +58,56 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("window-granular streaming dedup matches batch distinct windows under redelivery") {
+    // q106's chunk-window fingerprint projection is pure Column algebra, so
+    // it runs on an unbounded stream unchanged; dropDuplicatesWithinWatermark
+    // on fp gives exactly-one-row-per-window with watermark-bounded state —
+    // the ingestion-time exact-substring dedup shape.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val docRows = graft.ops.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+      .limit(30)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), ts))
+      .toSeq
+    val out = new ConcurrentLinkedQueue[String]()
+    val stream = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val wins = graft.ops.DedupOps.windowFingerprints(
+      stream.toDF().toDF("doc_id", "source", "text", "ts"),
+      carry = Seq("ts")
+    )
+    val q = graft.streaming.EventTime
+      .dedupStream(wins, eventTimeCol = "ts", watermarkDelay = "10 minutes", idCols = Seq("fp"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.select("fp").collect().foreach(r => out.add(r.getString(0)))
+        ()
+      }
+      .start()
+    try {
+      stream.addData(docRows.take(15))
+      q.processAllAvailable()
+      stream.addData(docRows.drop(15))
+      q.processAllAvailable()
+      stream.addData(docRows.take(15)) // full redelivery of batch one
+      q.processAllAvailable()
+      val streamed = Iterator.continually(out.poll()).takeWhile(_ != null).toVector
+      val batchFps = graft.ops.DedupOps
+        .windowFingerprints(docRows.toDF("doc_id", "source", "text", "ts"))
+        .select("fp")
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .toSet
+      // exactly once per distinct window, redelivery emitted nothing new
+      assert(streamed.size == streamed.toSet.size, "duplicate window emitted")
+      assert(streamed.toSet == batchFps, s"stream=${streamed.size} batch=${batchFps.size}")
+    } finally q.stop()
+  }
+
   test("streaming curation pipeline matches batch q70 under at-least-once redelivery") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sfDir = "/root/testdata/sf0.001"
