@@ -118,6 +118,23 @@ object GraftExtensions {
       arity("graft_quantized_dot", 3)(c =>
         QuantizedDot(c(0), c(1), intArg("graft_quantized_dot", c(2)))
       )
+    ),
+    // composed (not a single native class): the PII scrub regexp chain —
+    // built from the SAME pattern list as the Column API (TextOps
+    // .piiPatterns), folded as catalyst RegExpReplace nodes directly
+    // (Column-node unlifting stays unresolved inside a function builder)
+    entry(
+      "graft_redact_pii",
+      classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace],
+      arity("graft_redact_pii", 1)(c =>
+        graft.ops.TextOps.piiPatterns.foldLeft(c(0)) { case (e, (re, rep)) =>
+          org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+            e,
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(re), org.apache.spark.sql.types.StringType),
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(rep), org.apache.spark.sql.types.StringType)
+          )
+        }
+      )
     )
   )
 

@@ -65,6 +65,65 @@ object MultimodalOps {
       }
   }
 
+  /** One content-defined chunk of a binary payload. */
+  final case class CdcChunk(media_id: Long, chunk_idx: Int, offset: Int, len: Int, hash: String)
+
+  /** Content-defined chunking (Rabin-style): a chunk boundary falls where
+    * the WINDOWED rolling hash of the last `Win` bytes matches a bit mask,
+    * subject to min/max chunk lengths. Because the boundary decision
+    * depends only on a sliding window — never on the chunk start — an
+    * insertion or edit desynchronizes chunking for at most ~one window
+    * past the edit, after which boundaries (and therefore chunk hashes)
+    * re-align with the original stream. That resync property is what makes
+    * chunk-hash dedup robust to edits, where fixed-stride chunking (q51)
+    * loses every chunk after the first shifted byte. This is the storage/
+    * multimodal dedup architecture (LBFS/restic/borg lineage, all public).
+    *
+    * Byte-level loops belong in partition-level imperative code, not
+    * Column algebra — same justification as the codec stub above; state is
+    * O(window) per row, the pass is map-only and linear at 100 TB.
+    */
+  def cdcChunks(
+      media: DataFrame,
+      maskBits: Int = 5,
+      minLen: Int = 16,
+      maxLen: Int = 128
+  ): Dataset[CdcChunk] = {
+    import media.sparkSession.implicits._
+    val mask = (1L << maskBits) - 1L
+    media
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val Win = 16
+        val P = 1000003L
+        // p^Win for the outgoing byte, precomputed once per partition
+        val pw = { var x = 1L; var i = 0; while (i < Win) { x *= P; i += 1 }; x }
+        it.flatMap { case (id, bytes) =>
+          val out = Vector.newBuilder[CdcChunk]
+          var start = 0
+          var h = 0L
+          var idx = 0
+          var i = 0
+          while (i < bytes.length) {
+            h = h * P + (bytes(i) & 0xffL)
+            if (i - start >= Win) h -= (bytes(i - Win) & 0xffL) * pw
+            val len = i - start + 1
+            if ((len >= minLen && (h & mask) == mask) || len == maxLen || i == bytes.length - 1) {
+              val chunk = java.util.Arrays.copyOfRange(bytes, start, i + 1)
+              out += CdcChunk(id, idx, start, len, md.digest(chunk).map("%02x".format(_)).mkString)
+              idx += 1
+              start = i + 1
+              h = 0L
+            }
+            i += 1
+          }
+          out.result()
+        }
+      }
+  }
+
   val queries: Seq[Q] = Seq(
     // Binary metadata pass: byte length + content hash (columnar; the scan
     // only reads the projected columns).

@@ -75,20 +75,17 @@ object TextOps {
     * recall): a false positive destroys good text forever, a false
     * negative is caught by the next filter tier.
     */
+  /** (pattern, replacement) pairs shared by the Column API and the SQL
+    * registration (`graft_redact_pii`) — ONE definition, both surfaces.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "(?<![\\d-])\\+?\\d{3}[\\s.-]\\d{3,4}[\\s.-]\\d{3,4}(?![\\d-])" -> "<PHONE>"
+  )
+
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          text,
-          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-          "<EMAIL>"
-        ),
-        "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
-        "<IP>"
-      ),
-      "(?<![\\d-])\\+?\\d{3}[\\s.-]\\d{3,4}[\\s.-]\\d{3,4}(?![\\d-])",
-      "<PHONE>"
-    )
+    piiPatterns.foldLeft(text) { case (c, (re, rep)) => regexp_replace(c, re, rep) }
 
   /** True iff [[redactPii]] changed anything — the per-doc PII flag. */
   def hasPii(text: Column): Column = redactPii(text) =!= text

@@ -72,6 +72,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(cmp.filter(not(col("a") && col("b") && col("c") && col("d"))).count() == 0)
   }
 
+  test("graft_redact_pii in SQL equals the Column-API scrub") {
+    GraftExtensions.register(spark)
+    val r = spark
+      .sql("SELECT graft_redact_pii('mail bob@x.io from 10.0.0.1') AS s")
+      .head()
+      .getString(0)
+    assert(r == "mail <EMAIL> from <IP>", s"got $r")
+    import org.apache.spark.sql.functions._
+    val both = spark
+      .sql("SELECT text FROM parquet.`/root/testdata/sf0.001/documents.parquet`")
+      .select(
+        (expr("graft_redact_pii(text)") === graft.ops.TextOps.redactPii(col("text"))).as("eq")
+      )
+    assert(both.filter(not(col("eq"))).count() == 0)
+  }
+
   test("non-literal int parameter is rejected with a clear message") {
     GraftExtensions.register(spark)
     val ex = intercept[Exception] {

@@ -37,4 +37,55 @@ class MultimodalSpec extends SparkSpec {
     val meta = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(meta.fieldNames.toSet == Set("mime", "n_bytes", "source"))
   }
+
+  test("content-defined chunking resyncs after an edit; fixed stride does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val text = graft.ops.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .orderBy(length(col("text")).desc, col("doc_id"))
+      .select("text")
+      .head()
+      .getString(0)
+    val original = text.getBytes("UTF-8")
+    assert(original.length > 400, "need a non-trivial payload")
+    // one byte inserted near the front: the worst case for fixed stride
+    val edited = (original.take(10) :+ 'X'.toByte) ++ original.drop(10)
+
+    val media = Seq((1L, original), (2L, edited)).toDF("media_id", "content")
+    val chunks = MultimodalOps
+      .cdcChunks(media)
+      .collect()
+      .groupBy(_.media_id)
+      .view
+      .mapValues(_.map(_.hash).toSeq)
+      .toMap
+    def sharedFrac(a: Seq[String], b: Seq[String]): Double = {
+      val bCount = b.groupBy(identity).view.mapValues(_.size).toMap
+      val shared = a
+        .groupBy(identity)
+        .map { case (h, xs) => math.min(xs.size, bCount.getOrElse(h, 0)) }
+        .sum
+      shared.toDouble / a.size
+    }
+    val cdcShared = sharedFrac(chunks(1L), chunks(2L))
+
+    // fixed-stride control over the same payloads
+    def fixed(bytes: Array[Byte]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      bytes.grouped(64).map(c => md.digest(c).map("%02x".format(_)).mkString).toSeq
+    }
+    val fixedShared = sharedFrac(fixed(original), fixed(edited))
+
+    // CDC loses only the chunks the edit touches; fixed stride loses
+    // everything after the insertion point
+    assert(cdcShared > 0.7, s"CDC resync failed: shared=$cdcShared")
+    assert(fixedShared < 0.2, s"fixed-stride control unexpectedly robust: $fixedShared")
+    assert(cdcShared > fixedShared)
+
+    // determinism + coverage: chunk lengths partition each payload exactly
+    val byId = MultimodalOps.cdcChunks(media).collect().groupBy(_.media_id)
+    assert(byId(1L).sortBy(_.chunk_idx).map(_.len).sum == original.length)
+    assert(byId(2L).sortBy(_.chunk_idx).map(_.len).sum == edited.length)
+  }
 }
