@@ -746,6 +746,78 @@ object DedupOps {
              |FROM w JOIN o USING (fp)
              |GROUP BY source
              |ORDER BY source""".stripMargin)
+    ),
+
+    // Incremental-ingest dedup admission: the daily-batch-vs-historical-
+    // corpus gate. History (doc_id < 400) never re-shuffles: its distinct
+    // 8-gram set folds into ONE ~KB bloom filter the driver materializes
+    // (the q86 runtime-filter idiom — a scalar aggregate, not a data
+    // collect), and only the incoming slice's bloom-POSITIVE grams enter
+    // the exact gram-keyed semi-join that removes false positives, so the
+    // result is byte-identical to the exact overlap the oracle computes.
+    // At 100 TB the history side is the whole corpus — the bloom is what
+    // keeps the increment's cost proportional to the increment, not the
+    // archive (grams that miss the bloom — the overwhelming majority of a
+    // genuinely-new document — never leave the map stage). A document is
+    // rejected when ≥50% of its distinct 8-grams already occur in history
+    // (hit*2 >= n), the q37 contamination algebra pointed at ingestion.
+    Q(
+      "q113_incremental_admission",
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumns
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val g8 = tokenized(s, d).select(col("doc_id"), explode(ngrams(col("tok"), 8)).as("g"))
+        val hist = g8.filter(col("doc_id") < 400).select(col("g")).distinct()
+        val bloomAgg = GraftColumns.lift(
+          new BloomFilterAggregate(
+            new XxHash64(Seq(GraftColumns.unlift(col("g")))),
+            Literal(200000L),
+            Literal(1600000L)
+          ).toAggregateExpression()
+        )
+        val bloom = hist.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+        val mightContain = GraftColumns.lift(
+          BloomFilterMightContain(
+            Literal(bloom),
+            new XxHash64(Seq(GraftColumns.unlift(col("g"))))
+          )
+        )
+        val inc = g8.filter(col("doc_id") >= 400)
+        val totals = inc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val hits = inc
+          .filter(mightContain)
+          .join(hist, Seq("g"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("hit_grams"))
+        totals
+          .join(hits, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_grams"),
+            coalesce(col("hit_grams"), lit(0L)).as("hit_grams")
+          )
+          .withColumn("admitted", col("hit_grams") * 2 < col("n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+              |gr AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 8
+              |        THEN list_distinct(list_transform(
+              |          range(1, greatest(len(tok) - 6, 1)),
+              |          i -> list_aggregate(tok[i:i+7], 'string_agg', ' ')))
+              |        ELSE [] END) AS g
+              |      FROM t),
+              |hist AS (SELECT DISTINCT g FROM gr WHERE doc_id < 400),
+              |inc AS (SELECT doc_id, g FROM gr WHERE doc_id >= 400),
+              |totals AS (SELECT doc_id, count(*) AS n_grams FROM inc GROUP BY 1),
+              |hits AS (SELECT doc_id, count(*) AS hit_grams
+              |         FROM inc SEMI JOIN hist USING (g) GROUP BY 1)
+              |SELECT t.doc_id, t.n_grams,
+              |  CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+              |  (CAST(coalesce(h.hit_grams, 0) AS BIGINT) * 2 < t.n_grams) AS admitted
+              |FROM totals t LEFT JOIN hits h USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -842,8 +842,116 @@ object SimilarityOps {
               |  FROM embeddings) e, range(1, ${Dim + 1}) r(i)
               |GROUP BY i
               |ORDER BY dim""".stripMargin)
+    ),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // partition the embedding space into clusters, then search for
+    // near-dups ONLY within each cluster — the pruning that makes
+    // embedding-level dedup feasible at 100 TB: the quadratic pair search
+    // shrinks from O(n²) over the corpus to Σ|cluster|², bounded by the
+    // largest cluster (a production run caps cluster width by splitting
+    // oversized cells — the same skew discipline as AQE skew-join). The
+    // pair stage is an EQUI-join on cluster id (PlanSpec holds it to
+    // that), so it shuffles once on a key both sides share. Deterministic
+    // contract: centroids are the 4 lowest vec_ids (the reproducible-seed
+    // convention of q48/q108 — production feeds q108's farthest-point
+    // seeds through q48's Lloyd refinement; the dedup semantics are
+    // unchanged). All scoring is exact int64 over floor(x·1000)
+    // quantization — QuantizedDot fuses the quantize into the
+    // multiply-accumulate, assignment distance is ‖a‖²−2a·c+‖c‖² in the
+    // same algebra, and the cosine≥0.45 gate is dot>0 ∧ 400·dot² ≥
+    // 81·‖a‖²·‖b‖² (0.45² = 81/400 exactly) — so cluster assignment and
+    // dup verdicts are bit-identical across engines. Keep-lowest-id: a
+    // vector is a dup if any same-cluster partner with smaller vec_id
+    // clears the gate.
+    Q(
+      "q114_semdedup",
+      (s, d) => {
+        def qd(a: Column, b: Column): Column =
+          graft.functions.VectorFunctions.quantizedDot(a, b, 1000)
+        val e = Caches.persisted(
+          embeddings(s, d)
+            .select(col("vec_id"), emb(col("embedding")).as("v"))
+            .withColumn("n2", qd(col("v"), col("v")))
+        )
+        val cents = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+        val asg = Caches.persisted(
+          e.join(broadcast(cents))
+            .withColumn("dist", col("n2") - lit(2L) * qd(col("v"), col("cv")) + col("cn2"))
+            .groupBy(col("vec_id"))
+            .agg(
+              min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cent_id"),
+              first(col("v")).as("v"),
+              first(col("n2")).as("n2")
+            )
+        )
+        val a = asg.select(col("cent_id"), col("vec_id").as("va"), col("v").as("xa"), col("n2").as("na2"))
+        val b = asg.select(col("cent_id"), col("vec_id").as("vb"), col("v").as("xb"), col("n2").as("nb2"))
+        val dupset = a
+          .join(b, Seq("cent_id"))
+          .filter(col("va") < col("vb"))
+          .withColumn("dp", qd(col("xa"), col("xb")))
+          .filter(
+            col("dp") > 0L &&
+              lit(400L) * col("dp") * col("dp") >= lit(81L) * col("na2") * col("nb2")
+          )
+          .select(col("cent_id"), col("vb"))
+          .distinct()
+        asg
+          .groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("csize"))
+          .join(dupset.groupBy(col("cent_id")).agg(count(lit(1)).as("dups")), Seq("cent_id"), "left")
+          .select(
+            col("cent_id"),
+            col("csize"),
+            coalesce(col("dups"), lit(0L)).as("dups"),
+            (col("csize") - coalesce(col("dups"), lit(0L))).as("kept")
+          )
+          .orderBy(col("cent_id"))
+      },
+      Some(sqlSemdedup)
     )
   )
+
+  /** Oracle for q114: the same quantized assignment + within-cluster gate
+    * in DuckDB — every distance/dot is BIGINT list algebra (list_reduce
+    * preserves BIGINT), matching QuantizedDot's int64 accumulator.
+    */
+  private def sqlSemdedup: String = {
+    def dotSql(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $x.qv[i] * $y.qv[i]), (acc, z) -> acc + z)"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, qv,
+       |    list_reduce(list_transform(range(1, ${Dim + 1}), i -> qv[i] * qv[i]), (acc, z) -> acc + z) AS n2
+       |  FROM e),
+       |c AS (SELECT vec_id AS cent_id, qv, n2 FROM n WHERE vec_id < 4),
+       |asg AS (
+       |  SELECT vec_id, cent_id, qv, n2 FROM (
+       |    SELECT n.vec_id, c.cent_id, n.qv, n.n2,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.n2 - 2 * ${dotSql("n", "c")} + c.n2, c.cent_id) AS rk
+       |    FROM n CROSS JOIN c) t
+       |  WHERE rk = 1),
+       |pairs AS (
+       |  SELECT a.cent_id, b.vec_id AS vb, ${dotSql("a", "b")} AS dp,
+       |    a.n2 AS na2, b.n2 AS nb2
+       |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+       |dupset AS (
+       |  SELECT DISTINCT cent_id, vb FROM pairs
+       |  WHERE dp > 0 AND 400 * dp * dp >= 81 * na2 * nb2),
+       |sizes AS (SELECT cent_id, count(*) AS csize FROM asg GROUP BY 1),
+       |dc AS (SELECT cent_id, count(*) AS dups FROM dupset GROUP BY 1)
+       |SELECT s.cent_id, s.csize,
+       |  CAST(coalesce(d.dups, 0) AS BIGINT) AS dups,
+       |  CAST(s.csize - coalesce(d.dups, 0) AS BIGINT) AS kept
+       |FROM sizes s LEFT JOIN dc d USING (cent_id)
+       |ORDER BY cent_id""".stripMargin
+  }
 
   /** Oracle for q108: the same farthest-point rounds in DuckDB, generated
     * so each pick round is textually identical. Distances are BIGINT

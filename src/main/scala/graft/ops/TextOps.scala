@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators (SURVEY.md §2.9 E15): token statistics, quality
   * scoring, BPE-ish token counting, document fingerprinting, heuristic
@@ -673,6 +674,59 @@ object TextOps {
              |WHERE tok IN ('spark','data','join','filter','window','merge','the','hash')
              |GROUP BY tok
              |ORDER BY tok""".stripMargin)
+    ),
+
+    // Vocabulary-growth (Heaps-law) profile: how many NEW token types each
+    // corpus slice (100-doc bucket) contributes, plus the cumulative
+    // vocabulary — the statistic that tells a curation pipeline when more
+    // raw data stops adding vocabulary (diminishing-returns detection for
+    // scaling decisions). Plan shape: each distinct token reduces to its
+    // FIRST-SEEN bucket via min(bucket) — a token-keyed aggregate with
+    // map-side partial min, the only corpus-sized shuffle; occurrence
+    // totals ride the same exploded pass as a bucket-keyed (tiny) second
+    // aggregate. The running sum runs over the handful of bucket rows —
+    // the single-partition window touches metadata, never the corpus
+    // (same first-seen skeleton as q106's window attribution).
+    Q(
+      "q115_vocab_growth",
+      (s, d) => {
+        val tok = documents(s, d)
+          .select(
+            expr("doc_id div 100").cast("long").as("bucket"),
+            explode(tokens(col("text"))).as("tok")
+          )
+        val occ = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+        val news = tok
+          .groupBy(col("tok"))
+          .agg(min(col("bucket")).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("new_types"))
+        val w = Window
+          .orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        occ
+          .join(news, Seq("bucket"), "left")
+          .select(
+            col("bucket"),
+            col("n_tokens"),
+            coalesce(col("new_types"), lit(0L)).as("new_types")
+          )
+          .withColumn("vocab_cum", sum(col("new_types")).over(w))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id // 100 AS bucket,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |occ AS (SELECT bucket, count(*) AS n_tokens FROM t GROUP BY 1),
+             |fs AS (SELECT tok, min(bucket) AS bucket FROM t GROUP BY 1),
+             |nw AS (SELECT bucket, count(*) AS new_types FROM fs GROUP BY 1)
+             |SELECT o.bucket, o.n_tokens,
+             |  CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+             |  CAST(sum(coalesce(n.new_types, 0))
+             |       OVER (ORDER BY o.bucket) AS BIGINT) AS vocab_cum
+             |FROM occ o LEFT JOIN nw n USING (bucket)
+             |ORDER BY bucket""".stripMargin)
     )
   )
 }

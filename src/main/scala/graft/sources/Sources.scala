@@ -133,6 +133,70 @@ object Sources {
     )
   }
 
+  /** CSV ingest with the same corrupt-line containment contract as
+    * `jsonl`: parse headerless CSV lines against an explicit schema,
+    * route unparseable lines (type mismatches, truncated rows) to a
+    * dead-letter frame instead of silently nulling them. Built on
+    * `from_csv` over a text scan — not the csv datasource — so ONE parse
+    * expression serves batch and streaming and the dead letters carry the
+    * raw offending line (the datasource's `_corrupt_record` needs a cache
+    * to be filterable since Spark 2.3).
+    */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): (DataFrame, DataFrame) =
+    splitCsv(spark.read.text(path))(schema)
+
+  /** Streaming twin over a text drop-directory. */
+  def csvStream(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None
+  ): (DataFrame, DataFrame) = {
+    var r = spark.readStream.format("text")
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+    splitCsv(r.load(path))(schema)
+  }
+
+  /** Shared CSV parse+route (batch or streaming). PERMISSIVE mode with
+    * `columnNameOfCorruptRecord` marks rows whose fields fail the schema's
+    * types; blank lines are dropped as padding.
+    */
+  def splitCsv(lines: DataFrame)(schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_csv, length, trim}
+    val corruptCol = "_corrupt_record"
+    val withCorrupt = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    val parsed = lines
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        from_csv(
+          col("value"),
+          withCorrupt,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)
+        ).as("rec"),
+        col("value")
+      )
+    (
+      parsed
+        .filter(col("rec").isNotNull && col(s"rec.$corruptCol").isNull)
+        .select(schema.fieldNames.map(f => col(s"rec.$f")): _*),
+      parsed
+        .filter(col("rec").isNull || col(s"rec.$corruptCol").isNotNull)
+        .select(col("value").as("dead_letter"))
+    )
+  }
+
+  /** ORC scan — the columnar alternative to parquet with the same
+    * pushdown/pruning contract (predicate pushdown + column pruning reach
+    * the ORC reader; SourcesSpec asserts the plan). Write side:
+    * `df.write.orc(path)` — no wrapper needed.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** The producer `:transformer` hook (options.ex:73-85,
     * producer_stage.ex:267-291): lift raw events into Message envelopes
     * right after the source.

@@ -287,6 +287,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"token-df lookup shuffled the gram stream:\n$p")
   }
 
+  test("q113 incremental admission: bloom prunes incoming grams below the exact semi-join") {
+    val df = QueryRegistry.byName("q113_incremental_admission").fn(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(p.contains("might_contain"), s"bloom pre-filter missing from the incoming side:\n$p")
+    // the bloom filter must sit BELOW the exact gram semi-join (plan prints
+    // top-down): grams that miss the bloom never enter the join shuffle
+    val semiIdx = p.indexOf("LeftSemi")
+    val bloomIdx = p.indexOf("might_contain")
+    assert(semiIdx >= 0, s"no semi join in plan:\n$p")
+    assert(bloomIdx > semiIdx, "bloom filter not below the semi join in the plan tree")
+  }
+
+  test("q114 semdedup: the pair search is an equi-join on the cluster id") {
+    val df = QueryRegistry.byName("q114_semdedup").fn(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // exactly ONE nested loop — the 4-centroid broadcast assignment pass;
+    // the quadratic-looking dup search must key on cent_id instead
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly 1 scalar-broadcast loop (centroids), found $bnlj:\n$p")
+    assert(
+      p.split("\n").exists(l => l.contains("Join") && !l.contains("NestedLoop") && l.contains("cent_id")),
+      s"dup-pair join is not keyed on cent_id:\n$p"
+    )
+  }
+
+  test("q115 vocab growth aggregates first-seen partially before the token shuffle") {
+    val p = finalPlan(plan("q115_vocab_growth"))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"no map-side partial min on the token aggregate:\n$p")
+    // the running-sum window must sit over the bucket rollup (metadata),
+    // never the exploded corpus: its input carries the new_types count
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("new_types"),
+      "cumulative window does not operate on the bucket rollup")
+  }
+
   test("registry-wide: no cartesian products; nested-loop joins only for scalar broadcasts") {
     // BNLJ is legitimate ONLY as "broadcast a literally-tiny side (≤10
     // query vectors / centroids / a 1-row global total) against the
@@ -303,7 +341,8 @@ class PlanSpec extends SparkSpec {
       "q94_collocations", // 1-row doc-count total
       "q95_label_centroids", // ≤10 label centroids
       "q108_kmeans_fp_init", // ≤4 chosen seeds
-      "q110_temperature_mix" // 1-row weight-normalization total
+      "q110_temperature_mix", // 1-row weight-normalization total
+      "q114_semdedup" // 4 broadcast centroids (assignment pass)
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -97,6 +97,52 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("jsonl_dead").count() == 2)
   }
 
+  test("csv reader parses good lines and routes malformed lines to the dead-letter frame") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.write(
+      dir.resolve("part-0.csv"),
+      java.util.Arrays.asList(
+        "1,hello world,en",
+        "2,zweite zeile,de",
+        "", // blank padding line: dropped, NOT a dead letter
+        "not-a-number,broken row,xx" // type mismatch → dead letter
+      )
+    )
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)
+    ))
+    val (good, dead) = Sources.csv(spark, dir.toString, schema)
+    val rows = good.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(rows == Seq((1L, "en"), (2L, "de")), s"got $rows")
+    val dlq = dead.collect().map(_.getString(0)).toSet
+    assert(dlq == Set("not-a-number,broken row,xx"), s"got $dlq")
+
+    // streaming twin over the same drop directory: same split, same rows
+    val (goodS, deadS) = Sources.csvStream(spark, dir.toString, schema, maxFilesPerTrigger = Some(1))
+    val q1 = goodS.writeStream.format("memory").queryName("csv_good").trigger(Trigger.AvailableNow()).start()
+    val q2 = deadS.writeStream.format("memory").queryName("csv_dead").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000); q2.awaitTermination(60000)
+    assert(spark.table("csv_good").count() == 2)
+    assert(spark.table("csv_dead").count() == 1)
+  }
+
+  test("orc round-trip preserves schema; predicates and pruning reach the ORC scan") {
+    val dir = Files.createTempDirectory("graft-orc").resolve("docs").toString
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").orc(dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.schema == docs.schema, s"schema drift: ${back.schema} vs ${docs.schema}")
+    assert(back.count() == docs.count())
+    val q = back.filter(org.apache.spark.sql.functions.col("lang") === "en").select("doc_id", "lang")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("lang"), s"filter not pushed to ORC scan:\n$p")
+    assert(!p.contains("text"), s"ORC scan reads a column the query never touches:\n$p")
+    assert(q.count() == docs.filter("lang = 'en'").count())
+  }
+
   test("splitJsonl partitions an arbitrary line mix: good and dead are disjoint and exhaustive") {
     import org.apache.spark.sql.types._
     import spark.implicits._
