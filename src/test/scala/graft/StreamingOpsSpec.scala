@@ -380,4 +380,81 @@ class StreamingOpsSpec extends SparkSpec {
       assert(stageCounts == batch, s"stream=$stageCounts batch=$batch")
     } finally q.stop()
   }
+
+  test("incremental admission: history grows across batches; later near-copy is rejected") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.AdmissionStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-admission")
+    val historyDir = dir.resolve("history").toString
+    val verdictDir = dir.resolve("verdicts").toString
+    val docs = graft.ops.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val archive = docs.filter(col("doc_id") < 400)
+    AdmissionStream.seedHistory(archive, historyDir)
+
+    // the batch-q113 gate against an explicit history frame — the oracle
+    // for each micro-batch's verdicts
+    def expectedVs(histDocs: org.apache.spark.sql.DataFrame, incoming: Seq[(Long, String)]): Map[Long, Boolean] = {
+      val inc = AdmissionStream.gramsOf(incoming.toDF("doc_id", "text"))
+      val hist = AdmissionStream.gramsOf(histDocs).select("g").distinct()
+      val totals = inc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hits = inc.join(hist, Seq("g"), "left_semi").groupBy("doc_id").agg(count(lit(1)).as("h"))
+      totals
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), (coalesce(col("h"), lit(0L)) * 2 < col("n")).as("adm"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1))
+        .toMap
+    }
+
+    val all = docs
+      .filter(col("doc_id") >= 400)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val batch0 = all.take(50).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = AdmissionStream.start(spark, stream.toDF().toDF("doc_id", "text"), historyDir, verdictDir)
+    try {
+      stream.addData(batch0)
+      q.processAllAvailable()
+      val v0 = spark.read
+        .parquet(verdictDir)
+        .filter(col("ingest_batch") === 0)
+        .select("doc_id", "admitted")
+        .collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1))
+        .toMap
+      assert(v0.size == batch0.size)
+      val exp0 = expectedVs(archive, batch0)
+      batch0.foreach { case (id, _) =>
+        assert(v0(id) == exp0.getOrElse(id, true), s"batch-0 verdict drift for doc $id")
+      }
+
+      // a verbatim copy of an ADMITTED batch-0 doc arrives in batch 1: it
+      // must be rejected by history that GREW at batch 0 — the seed
+      // archive alone admitted that text
+      val dupOf = batch0.find(d => v0(d._1)).get
+      val batch1 = all.drop(50).toSeq :+ ((9999L, dupOf._2))
+      stream.addData(batch1)
+      q.processAllAvailable()
+      val v1 = spark.read
+        .parquet(verdictDir)
+        .filter(col("ingest_batch") === 1)
+        .select("doc_id", "admitted")
+        .collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1))
+        .toMap
+      assert(!v1(9999L), "verbatim copy of a batch-0-admitted doc must be rejected in batch 1")
+      val admitted0Ids = batch0.collect { case (id, _) if v0(id) => id }.toSet
+      val grownHistory = archive.unionByName(
+        batch0.filter(d => admitted0Ids(d._1)).toDF("doc_id", "text")
+      )
+      val exp1 = expectedVs(grownHistory, batch1)
+      batch1.foreach { case (id, _) =>
+        assert(v1(id) == exp1.getOrElse(id, true), s"batch-1 verdict drift for doc $id")
+      }
+    } finally q.stop()
+  }
 }
