@@ -466,6 +466,68 @@ object CurationOps {
              |FROM documents LEFT JOIN del USING (doc_id)
              |GROUP BY source
              |ORDER BY source""".stripMargin)
+    ),
+
+    // Column-profile (data-sheet) pass: per string column of the corpus,
+    // null count, distinct cardinality, and min/max length — the schema-QA
+    // report a pipeline publishes alongside a dataset release. ONE corpus
+    // scan computes every column's stats in a single multi-distinct
+    // aggregate (Catalyst Expands the scan once per distinct column —
+    // still one file read); the per-column unpivot explodes a 1-row
+    // aggregate, so everything after the scan is metadata work. At 100 TB
+    // swap countDistinct for approx_count_distinct (E6's HLL) — the shape
+    // is unchanged.
+    Q(
+      "q116_column_profile",
+      (s, d) => {
+        val agg = documents(s, d).agg(
+          count(lit(1)).as("rows"),
+          sum(col("lang").isNull.cast("long")).as("lang_nulls"),
+          countDistinct(col("lang")).as("lang_distinct"),
+          min(length(col("lang"))).cast("long").as("lang_minl"),
+          max(length(col("lang"))).cast("long").as("lang_maxl"),
+          sum(col("source").isNull.cast("long")).as("source_nulls"),
+          countDistinct(col("source")).as("source_distinct"),
+          min(length(col("source"))).cast("long").as("source_minl"),
+          max(length(col("source"))).cast("long").as("source_maxl"),
+          sum(col("text").isNull.cast("long")).as("text_nulls"),
+          countDistinct(col("text")).as("text_distinct"),
+          min(length(col("text"))).cast("long").as("text_minl"),
+          max(length(col("text"))).cast("long").as("text_maxl")
+        )
+        agg
+          .select(
+            explode(
+              array(
+                Seq("lang", "source", "text").map(c =>
+                  struct(
+                    lit(c).as("col_name"),
+                    col(s"${c}_nulls").as("nulls"),
+                    col(s"${c}_distinct").as("n_distinct"),
+                    col(s"${c}_minl").as("min_len"),
+                    col(s"${c}_maxl").as("max_len")
+                  )
+                ): _*
+              )
+            ).as("p")
+          )
+          .select(col("p.*"))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'lang' AS col_name,
+             |  count(*) - count(lang) AS nulls, count(DISTINCT lang) AS n_distinct,
+             |  CAST(min(length(lang)) AS BIGINT) AS min_len,
+             |  CAST(max(length(lang)) AS BIGINT) AS max_len
+             |FROM documents
+             |UNION ALL
+             |SELECT 'source', count(*) - count(source), count(DISTINCT source),
+             |  CAST(min(length(source)) AS BIGINT), CAST(max(length(source)) AS BIGINT)
+             |FROM documents
+             |UNION ALL
+             |SELECT 'text', count(*) - count(text), count(DISTINCT text),
+             |  CAST(min(length(text)) AS BIGINT), CAST(max(length(text)) AS BIGINT)
+             |FROM documents
+             |ORDER BY col_name""".stripMargin)
     )
   )
 }

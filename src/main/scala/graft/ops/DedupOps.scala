@@ -748,6 +748,59 @@ object DedupOps {
              |ORDER BY source""".stripMargin)
     ),
 
+    // Policy-driven canonical selection: q71 keeps each cluster's MIN
+    // doc_id; a production corpus keeps the copy from the most-trusted
+    // SOURCE (curated > standard > web tiers; id only breaks ties) — the
+    // cross-source dedup policy that decides which near-duplicate survives
+    // when the same content arrives via multiple pipelines. Tier here is
+    // the deterministic src_num % 3. Rides q69's persisted cluster labels
+    // (CacheManager shares the materialization); everything added is a
+    // tiny member-keyed join + one aggregate per cluster — the policy swap
+    // costs nothing at scale, which is the point: canonical choice is a
+    // pluggable argmin over (tier, id), not a new pipeline.
+    Q(
+      "q118_canonical_policy",
+      (s, d) => {
+        val lab = dedupClusters(s, d, 0.8)
+        val docs = documents(s, d).select(
+          col("doc_id"),
+          col("source"),
+          expr("CAST(substring(source, 4, 10) AS INT) % 3").cast("long").as("tier")
+        )
+        val members = lab.join(docs, col("node") === col("doc_id"))
+        val canon = members
+          .groupBy(col("lbl"))
+          .agg(min_by(col("node"), struct(col("tier"), col("node"))).as("canon_id"))
+        members
+          .join(canon, Seq("lbl"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("members"),
+            sum(when(col("node") === col("canon_id"), 1L).otherwise(0L)).as("canonical"),
+            sum(when(col("node") =!= col("canon_id"), 1L).otherwise(0L)).as("demoted")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""${sqlPairsCte(0.8, recursive = true)},
+              |$sqlComponentsCte,
+              |mem AS (
+              |  SELECT lab.node, lab.lbl, d.source,
+              |    CAST(substr(d.source, 4) AS INT) % 3 AS tier
+              |  FROM lab JOIN documents d ON d.doc_id = lab.node),
+              |can AS (
+              |  SELECT lbl, node AS canon_id FROM (
+              |    SELECT lbl, node,
+              |      row_number() OVER (PARTITION BY lbl ORDER BY tier, node) AS rk
+              |    FROM mem) t
+              |  WHERE rk = 1)
+              |SELECT source, count(*) AS members,
+              |  CAST(sum(CASE WHEN node = canon_id THEN 1 ELSE 0 END) AS BIGINT) AS canonical,
+              |  CAST(sum(CASE WHEN node <> canon_id THEN 1 ELSE 0 END) AS BIGINT) AS demoted
+              |FROM mem JOIN can USING (lbl)
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    ),
+
     // Incremental-ingest dedup admission: the daily-batch-vs-historical-
     // corpus gate. History (doc_id < 400) never re-shuffles: its distinct
     // 8-gram set folds into ONE ~KB bloom filter the driver materializes

@@ -1464,6 +1464,63 @@ object Relational {
              |WHERE rk = 1 AND op = 'U'
              |GROUP BY status
              |ORDER BY status""".stripMargin)
+    ),
+
+    // Two-epoch distribution-drift profile: per event type, compare the
+    // value distribution of the first half-month against the second in
+    // ONE scan — conditional (pivot-style) aggregation instead of the
+    // naive two-scans-plus-self-join, the shape that matters when the
+    // fact table is 100 TB. All statistics are exact int64 (floor-cent
+    // quantization; per-epoch means as floor(sum/n) integer units), and
+    // the drift signal is the absolute mean gap in cents — the
+    // data-quality monitor a training pipeline runs between ingestion
+    // snapshots to catch upstream distribution shifts before they reach
+    // a training run.
+    Q(
+      "q117_epoch_drift",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_type"),
+            (col("ts") < lit("2024-01-16").cast("timestamp")).as("early"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents")
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(!col("early"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("early"), col("cents")).otherwise(0L)).as("sum_a"),
+            sum(when(!col("early"), col("cents")).otherwise(0L)).as("sum_b")
+          )
+          .select(
+            col("event_type"),
+            col("n_a"),
+            col("n_b"),
+            floor(col("sum_a").cast("double") / col("n_a")).cast("long").as("mean_a_cents"),
+            floor(col("sum_b").cast("double") / col("n_b")).cast("long").as("mean_b_cents"),
+            abs(
+              floor(col("sum_a").cast("double") / col("n_a")).cast("long") -
+                floor(col("sum_b").cast("double") / col("n_b")).cast("long")
+            ).as("gap_cents")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             |  CAST(floor(CAST(sum(CASE WHEN early THEN cents ELSE 0 END) AS DOUBLE)
+             |       / sum(CASE WHEN early THEN 1 ELSE 0 END)) AS BIGINT) AS mean_a_cents,
+             |  CAST(floor(CAST(sum(CASE WHEN early THEN 0 ELSE cents END) AS DOUBLE)
+             |       / sum(CASE WHEN early THEN 0 ELSE 1 END)) AS BIGINT) AS mean_b_cents,
+             |  abs(CAST(floor(CAST(sum(CASE WHEN early THEN cents ELSE 0 END) AS DOUBLE)
+             |       / sum(CASE WHEN early THEN 1 ELSE 0 END)) AS BIGINT)
+             |    - CAST(floor(CAST(sum(CASE WHEN early THEN 0 ELSE cents END) AS DOUBLE)
+             |       / sum(CASE WHEN early THEN 0 ELSE 1 END)) AS BIGINT)) AS gap_cents
+             |FROM (SELECT event_type,
+             |        ts < TIMESTAMP '2024-01-16' AS early,
+             |        CAST(floor(value * 100) AS BIGINT) AS cents
+             |      FROM events) t
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)
     )
   )
 }

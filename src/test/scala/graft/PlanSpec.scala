@@ -325,6 +325,23 @@ class PlanSpec extends SparkSpec {
       "cumulative window does not operate on the bucket rollup")
   }
 
+  test("q116 column profile reads the corpus once (multi-distinct via Expand, no join)") {
+    val p = finalPlan(plan("q116_column_profile"))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 file scan, found $scans:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct aggregate did not plan an Expand:\n$p")
+    assert(!p.contains("Join"), s"profile pass must not join:\n$p")
+  }
+
+  test("q117 epoch drift is one conditional-aggregation scan, no self-join") {
+    val p = finalPlan(plan("q117_epoch_drift"))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 file scan, found $scans:\n$p")
+    assert(!p.contains("Join"), s"drift compare must not self-join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("registry-wide: no cartesian products; nested-loop joins only for scalar broadcasts") {
     // BNLJ is legitimate ONLY as "broadcast a literally-tiny side (≤10
     // query vectors / centroids / a 1-row global total) against the
