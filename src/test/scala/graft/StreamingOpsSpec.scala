@@ -457,4 +457,63 @@ class StreamingOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming drift monitor reports each closed window against its predecessor, matching batch") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{DriftObs, DriftReport, DriftStream}
+    val dayMicros = 86400L * 1000000L
+    // real events, quantized exactly like q117, daily event-time windows
+    val obs = graft.ops.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select(
+        col("event_type"),
+        (unix_micros(col("ts")).cast("long") / dayMicros).cast("long").as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents")
+      )
+      .collect()
+      .map(r => DriftObs(r.getString(0), r.getLong(1) * dayMicros, r.getLong(2)))
+      .sortBy(_.windowStart) // global window order ⇒ per-key windows never regress across batches
+    val out = new ConcurrentLinkedQueue[DriftReport]()
+    val stream = MemoryStream[DriftObs]
+    val q = DriftStream
+      .track(stream.toDS())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.Dataset[DriftReport], _: Long) =>
+        d.collect().foreach(out.add)
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = obs.splitAt(obs.length / 2)
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = Iterator
+        .continually(out.poll())
+        .takeWhile(_ != null)
+        .toVector
+        .sortBy(r => (r.key, r.windowStart))
+
+      // driver-side ground truth: per key, consecutive closed-window means;
+      // the FIRST window has no predecessor and the LAST never closes
+      val expected = obs
+        .groupBy(_.key)
+        .toVector
+        .flatMap { case (k, os) =>
+          val wins = os.groupBy(_.windowStart).toVector.sortBy(_._1).map { case (w, xs) =>
+            (w, xs.length.toLong, math.floorDiv(xs.map(_.cents).sum, xs.length.toLong))
+          }
+          wins.dropRight(1).zipWithIndex.collect {
+            case ((w, n, m), i) if i > 0 =>
+              val prev = wins(i - 1)._3
+              DriftReport(k, w, n, m, prev, math.abs(m - prev))
+          }
+        }
+        .sortBy(r => (r.key, r.windowStart))
+      assert(streamed == expected, s"stream=${streamed.take(3)}… batch=${expected.take(3)}…")
+      assert(expected.size > 20, "corpus produced too few closed windows — test is vacuous")
+    } finally q.stop()
+  }
 }
