@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Data-quality / scale-diagnostics suite (with q116's column profile and
+  * q117's drift monitor): the audits a 100 TB ingest runs BEFORE committing
+  * to a layout or join strategy. Every statistic is exact int64 (rank-based
+  * discrete quantiles, floor-scaled ratios) so the DuckDB oracle
+  * hash-matches with no float caveats.
+  */
+object QualityOps {
+
+  import Tables._
+
+  def queries: Seq[Q] = Seq(
+
+    // Join-key skew report: the diagnostic that decides between a plain
+    // shuffle join, AQE skew splitting, and q87's explicit salting — per
+    // key frequencies of the fact table's join key reduced to their
+    // distribution headline (mean, p99, max, max/mean ratio). Plan shape:
+    // one fact pass → per-key counts (map-side partial), then ALL further
+    // work happens on key METADATA (one row per distinct key): the rank
+    // window sorts ~|keys| rows, never the corpus. The p99/quantile is
+    // rank-discrete (value at row ceil(q·n)) — deterministic integer, no
+    // interpolation drift. n_keys arrives via one scalar head() (the
+    // q86/q108 driver-scalar idiom, metadata not data).
+    Q(
+      "q119_skew_report",
+      (s, d) => {
+        val c = Caches.persisted(
+          events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        )
+        val head = c.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total"),
+          max(col("cnt")).as("max_cnt")
+        ).head()
+        val nKeys = head.getAs[Long]("n_keys")
+        val total = head.getAs[Long]("total")
+        val maxCnt = head.getAs[Long]("max_cnt")
+        val p99Idx = (99L * nKeys + 99L) / 100L
+        c.withColumn("rk", row_number().over(Window.orderBy(col("cnt"), col("user_id"))))
+          .filter(col("rk") === p99Idx)
+          .select(
+            lit(nKeys).as("n_keys"),
+            lit(total * 100L / nKeys).as("mean_cnt_centi"),
+            col("cnt").as("p99_cnt"),
+            lit(maxCnt).as("max_cnt"),
+            lit(maxCnt * 100L * nKeys / total).as("skew_centi")
+          )
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+             |s AS (SELECT count(*) AS n_keys, sum(cnt) AS total, max(cnt) AS max_cnt FROM c),
+             |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk FROM c)
+             |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+             |  CAST(total * 100 // n_keys AS BIGINT) AS mean_cnt_centi,
+             |  (SELECT CAST(cnt AS BIGINT) FROM r, s WHERE rk = (99 * n_keys + 99) // 100) AS p99_cnt,
+             |  CAST(max_cnt AS BIGINT) AS max_cnt,
+             |  CAST(max_cnt * 100 * n_keys // total AS BIGINT) AS skew_centi
+             |FROM s""".stripMargin)
+    ),
+
+    // Referential-integrity audit: orphaned facts (lineitems whose order
+    // is missing) and childless parents (orders with no lineitems) in ONE
+    // shuffle — both sides pre-aggregate to per-key counts before a
+    // full-outer join of the COUNTS (the q97 reconciliation shape), so
+    // neither anti-join pass re-shuffles the fact table. The audit a
+    // pipeline runs after every ingest batch before downstream joins
+    // assume the FK holds.
+    Q(
+      "q120_fk_audit",
+      (s, d) => {
+        val l = lineitem(s, d)
+          .groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("l_cnt"))
+        val o = orders(s, d)
+          .groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("o_cnt"))
+        l.join(o, Seq("k"), "full_outer")
+          .agg(
+            sum(coalesce(col("l_cnt"), lit(0L))).as("facts"),
+            sum(when(col("o_cnt").isNull, coalesce(col("l_cnt"), lit(0L))).otherwise(0L))
+              .as("orphan_facts"),
+            sum(when(col("o_cnt").isNotNull, 1L).otherwise(0L)).as("parents"),
+            sum(when(col("o_cnt").isNotNull && col("l_cnt").isNull, 1L).otherwise(0L))
+              .as("childless_parents")
+          )
+      },
+      Some("""WITH l AS (SELECT l_orderkey AS k, count(*) AS l_cnt FROM lineitem GROUP BY 1),
+             |o AS (SELECT o_orderkey AS k, count(*) AS o_cnt FROM orders GROUP BY 1)
+             |SELECT CAST(sum(coalesce(l_cnt, 0)) AS BIGINT) AS facts,
+             |  CAST(sum(CASE WHEN o_cnt IS NULL THEN coalesce(l_cnt, 0) ELSE 0 END) AS BIGINT) AS orphan_facts,
+             |  CAST(sum(CASE WHEN o_cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS parents,
+             |  CAST(sum(CASE WHEN o_cnt IS NOT NULL AND l_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless_parents
+             |FROM l FULL OUTER JOIN o USING (k)""".stripMargin)
+    ),
+
+    // IQR outlier audit: per return flag, rank-discrete quartiles of the
+    // integer-cent price and the count of rows outside the Tukey fences
+    // (q1 − 1.5·IQR, q3 + 1.5·IQR) — the numeric-column anomaly gate.
+    // Quartiles are values AT ranks ceil(n/4)/ceil(3n/4) (no
+    // interpolation → engine-exact); the fence comparison is ×2 integer
+    // algebra so the 1.5 factor never touches floats. Plan: one window
+    // pass ranks the persisted (flag, cents) projection; quartiles fall
+    // out of a conditional aggregate on the SAME ranked rows; only the
+    // tiny per-flag fence frame joins back (broadcast) for the outlier
+    // count — two passes over one cached 2-column projection, no
+    // fact-table re-scan.
+    Q(
+      "q121_price_outliers",
+      (s, d) => {
+        val base = Caches.persisted(
+          lineitem(s, d).select(
+            col("l_returnflag").as("flag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")
+          )
+        )
+        val wRank = Window.partitionBy(col("flag")).orderBy(col("cents"))
+        val wN = Window.partitionBy(col("flag"))
+        val ranked = base
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wN))
+        val quarts = ranked
+          .groupBy(col("flag"))
+          .agg(
+            max(col("n")).as("n"),
+            max(when(col("rk") === expr("(n + 3) div 4"), col("cents"))).as("q1_cents"),
+            max(when(col("rk") === expr("(3 * n + 3) div 4"), col("cents"))).as("q3_cents")
+          )
+        base
+          .join(broadcast(quarts), Seq("flag"))
+          .groupBy(col("flag"))
+          .agg(
+            max(col("n")).as("n"),
+            max(col("q1_cents")).as("q1_cents"),
+            max(col("q3_cents")).as("q3_cents"),
+            sum(
+              when(
+                lit(2L) * col("cents") < lit(5L) * col("q1_cents") - lit(3L) * col("q3_cents"),
+                1L
+              ).otherwise(0L)
+            ).as("outliers_lo"),
+            sum(
+              when(
+                lit(2L) * col("cents") > lit(5L) * col("q3_cents") - lit(3L) * col("q1_cents"),
+                1L
+              ).otherwise(0L)
+            ).as("outliers_hi")
+          )
+          .orderBy(col("flag"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |r AS (SELECT flag, cents,
+             |    row_number() OVER (PARTITION BY flag ORDER BY cents) AS rk,
+             |    count(*) OVER (PARTITION BY flag) AS n
+             |  FROM b),
+             |qt AS (SELECT flag, max(n) AS n,
+             |    max(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS q1_cents,
+             |    max(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+             |  FROM r GROUP BY flag)
+             |SELECT b.flag AS flag, CAST(max(qt.n) AS BIGINT) AS n,
+             |  CAST(max(q1_cents) AS BIGINT) AS q1_cents,
+             |  CAST(max(q3_cents) AS BIGINT) AS q3_cents,
+             |  CAST(sum(CASE WHEN 2 * cents < 5 * q1_cents - 3 * q3_cents THEN 1 ELSE 0 END) AS BIGINT) AS outliers_lo,
+             |  CAST(sum(CASE WHEN 2 * cents > 5 * q3_cents - 3 * q1_cents THEN 1 ELSE 0 END) AS BIGINT) AS outliers_hi
+             |FROM b JOIN qt ON b.flag = qt.flag
+             |GROUP BY b.flag
+             |ORDER BY flag""".stripMargin)
+    )
+  )
+}

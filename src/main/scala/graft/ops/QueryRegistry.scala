@@ -12,7 +12,8 @@ object QueryRegistry {
       DedupOps.queries ++
       SimilarityOps.queries ++
       MultimodalOps.queries ++
-      CurationOps.queries
+      CurationOps.queries ++
+      QualityOps.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

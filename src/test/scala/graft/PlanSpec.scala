@@ -342,6 +342,28 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("q119 skew report: the rank window sorts key metadata, never the corpus") {
+    val df = QueryRegistry.byName("q119_skew_report").fn(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // the window's input must be the per-key counts (carries cnt), not rows
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("cnt"),
+      s"rank window does not operate on per-key counts:\n$p")
+  }
+
+  test("q120 fk audit pre-aggregates both sides before ONE full-outer join") {
+    val p = finalPlan(plan("q120_fk_audit"))
+    assert(p.contains("FullOuter"), s"no full-outer join:\n$p")
+    // both join inputs are aggregates (per-key counts), so the join's
+    // width is |keys|, not |facts|
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge full outer:\n$p")
+    val below = p.substring(joinIdx)
+    assert("HashAggregate".r.findAllIn(below).size >= 2,
+      s"join inputs are not pre-aggregated:\n$p")
+  }
+
   test("registry-wide: no cartesian products; nested-loop joins only for scalar broadcasts") {
     // BNLJ is legitimate ONLY as "broadcast a literally-tiny side (≤10
     // query vectors / centroids / a 1-row global total) against the
