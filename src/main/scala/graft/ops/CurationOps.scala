@@ -528,6 +528,50 @@ object CurationOps {
              |  CAST(min(length(text)) AS BIGINT), CAST(max(length(text)) AS BIGINT)
              |FROM documents
              |ORDER BY col_name""".stripMargin)
+    ),
+
+    // Token-budget epoch planner — the step AFTER q110's temperature mix:
+    // given a target training budget B (10M tokens here), allocate it
+    // across sources by the α=0.5 sqrt-weights and report each source's
+    // REPEAT FACTOR (allocation / natural size, in 1e-4 units) — epochs
+    // >1.0 mean upsampling (the Pile ran Wikipedia 3×; web 1×), <1.0 mean
+    // subsampling. Everything is one per-source aggregate + a broadcast
+    // 1-row weight total (the q93/q110 scalar idiom) + integer division —
+    // floor-truncated so the plan is bit-identical across engines. The
+    // planner's output is exactly what q38's md5 gate and q88's epoch
+    // sharding consume downstream.
+    Q(
+      "q123_epoch_plan",
+      (s, d) => {
+        val budget = 10000000L
+        val n = documents(s, d)
+          .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+          .groupBy(col("source"))
+          .agg(sum(col("n")).as("n_tokens"))
+          .withColumn("w", floor(sqrt(col("n_tokens")) * 100).cast("long"))
+        val total = n.agg(sum(col("w")).as("tw"))
+        n.join(broadcast(total))
+          .select(
+            col("source"),
+            col("n_tokens"),
+            col("w").as("weight"),
+            expr(s"$budget * w div tw").as("alloc_tokens"),
+            expr(s"($budget * w div tw) * 10000 div n_tokens").as("epochs_e4")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH n AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n_tokens,
+             |        CAST(floor(sqrt(n_tokens) * 100) AS BIGINT) AS weight FROM n),
+             |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+             |SELECT source, n_tokens, weight,
+             |  10000000 * weight // tw AS alloc_tokens,
+             |  (10000000 * weight // tw) * 10000 // n_tokens AS epochs_e4
+             |FROM w, t
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -727,6 +727,63 @@ object TextOps {
              |       OVER (ORDER BY o.bucket) AS BIGINT) AS vocab_cum
              |FROM occ o LEFT JOIN nw n USING (bucket)
              |ORDER BY bucket""".stripMargin)
+    ),
+
+    // Vocabulary-coverage / OOV audit: fix a top-K frequency vocabulary
+    // (K=16 — half this corpus's 31 types; production uses the real
+    // tokenizer vocab) and report per source what fraction of its token
+    // MASS falls outside it — the pre-tokenizer diagnostic that predicts
+    // fragmentation rate before an expensive encode pass. Rank ties break
+    // lexicographically (deterministic vocab). Plan: one exploded pass is
+    // shared (persisted) by the vocab build and both per-source
+    // aggregates; the vocab ranking sorts TOKEN-TYPE metadata (31 rows —
+    // at 100 TB swap exact ranking for the q109 CMS/heavy-hitter sketch);
+    // membership is a broadcast semi-join, so the corpus never re-shuffles
+    // for the lookup (the q81 discipline). OOV rate in floor basis points.
+    Q(
+      "q122_oov_rate",
+      (s, d) => {
+        val tok = Caches.persisted(
+          documents(s, d).select(col("source"), explode(tokens(col("text"))).as("tok"))
+        )
+        val vocab = tok
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+          .filter(col("rk") <= 16)
+          .select(col("tok"))
+        val perSource = tok.groupBy(col("source")).agg(count(lit(1)).as("total_tokens"))
+        val inVocab = tok
+          .join(broadcast(vocab), Seq("tok"), "left_semi")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("in_vocab"))
+        perSource
+          .join(inVocab, Seq("source"), "left")
+          .select(
+            col("source"),
+            col("total_tokens"),
+            coalesce(col("in_vocab"), lit(0L)).as("in_vocab")
+          )
+          .withColumn("oov_bp", expr("(total_tokens - in_vocab) * 10000 div total_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |v AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+             |    FROM t GROUP BY tok) z
+             |  WHERE rk <= 16),
+             |ps AS (SELECT source, count(*) AS total_tokens FROM t GROUP BY 1),
+             |iv AS (SELECT source, count(*) AS in_vocab
+             |       FROM t SEMI JOIN v USING (tok) GROUP BY 1)
+             |SELECT ps.source, ps.total_tokens,
+             |  CAST(coalesce(iv.in_vocab, 0) AS BIGINT) AS in_vocab,
+             |  (ps.total_tokens - CAST(coalesce(iv.in_vocab, 0) AS BIGINT)) * 10000
+             |    // ps.total_tokens AS oov_bp
+             |FROM ps LEFT JOIN iv USING (source)
+             |ORDER BY source""".stripMargin)
     )
   )
 }

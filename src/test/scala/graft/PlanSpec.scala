@@ -381,7 +381,8 @@ class PlanSpec extends SparkSpec {
       "q95_label_centroids", // ≤10 label centroids
       "q108_kmeans_fp_init", // ≤4 chosen seeds
       "q110_temperature_mix", // 1-row weight-normalization total
-      "q114_semdedup" // 4 broadcast centroids (assignment pass)
+      "q114_semdedup", // 4 broadcast centroids (assignment pass)
+      "q123_epoch_plan" // 1-row weight-normalization total
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
