@@ -572,6 +572,73 @@ object CurationOps {
              |  (10000000 * weight // tw) * 10000 // n_tokens AS epochs_e4
              |FROM w, t
              |ORDER BY source""".stripMargin)
+    ),
+
+    // Dataset card: the per-source datasheet a corpus release ships —
+    // volume (docs, tokens), language share, mean quality, and near-dup
+    // rate, in one report. Composes the engine's cached passes instead of
+    // recomputing them: the near-dup drop set rides q32/q34's persisted
+    // lshPairs materialization (CacheManager-shared), the quality score is
+    // q70's integral-units algebra, and everything else is one corpus
+    // pass + a tiny broadcast left-join of the drop list. The card is the
+    // artifact the q110/q123 mixture planning reads as input. All ratios
+    // are floor basis points; mean quality is q70's floor(sum/count)
+    // convention — every value hash-exact cross-engine.
+    Q(
+      "q124_dataset_card",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val base = documents(s, d).select(
+          col("doc_id"),
+          col("source"),
+          col("lang"),
+          size(toks).cast("long").as("n"),
+          TextOps.qualityScore10k(toks).cast("long").as("q10k")
+        )
+        val dropIds = DedupOps
+          .lshPairs(s, d, 0.8)
+          .select(col("doc_b").as("doc_id"))
+          .distinct()
+          .withColumn("isdup", lit(1L))
+        base
+          .join(broadcast(dropIds), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("n")).as("total_tokens"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"),
+            floor(sum(col("q10k")).cast("double") / count(lit(1))).cast("long").as("avg_q10k"),
+            sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("dup_docs")
+          )
+          .select(
+            col("source"),
+            col("docs"),
+            col("total_tokens"),
+            expr("en_docs * 10000 div docs").as("en_share_bp"),
+            col("avg_q10k"),
+            col("dup_docs"),
+            expr("dup_docs * 10000 div docs").as("dup_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""${DedupOps.sqlPairsCte(0.8)},
+              |drop_ids AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+              |base AS (
+              |  SELECT doc_id, source, lang,
+              |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+              |    ${TextOps.sqlQuality10k("string_split_regex(trim(text), '\\s+')")} AS q10k
+              |  FROM documents)
+              |SELECT source, count(*) AS docs,
+              |  CAST(sum(n) AS BIGINT) AS total_tokens,
+              |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) * 10000
+              |    // count(*) AS en_share_bp,
+              |  CAST(floor(CAST(sum(q10k) AS DOUBLE) / count(*)) AS BIGINT) AS avg_q10k,
+              |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+              |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
+              |    // count(*) AS dup_bp
+              |FROM base LEFT JOIN drop_ids dr USING (doc_id)
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
     )
   )
 }

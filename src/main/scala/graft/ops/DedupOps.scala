@@ -180,7 +180,7 @@ object DedupOps {
     * `WITH RECURSIVE` so callers can append a recursive CTE (DuckDB scopes
     * the RECURSIVE keyword to the whole WITH clause).
     */
-  private def sqlPairsCte(threshold: Double, recursive: Boolean = false): String = {
+  private[ops] def sqlPairsCte(threshold: Double, recursive: Boolean = false): String = {
     val sigList = (0 until NumHashes).map(sqlMinhash).mkString("[", ", ", "]")
     s"""WITH ${if (recursive) "RECURSIVE " else ""}t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
        |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
