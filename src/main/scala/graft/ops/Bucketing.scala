@@ -64,4 +64,56 @@ object Bucketing {
       .mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
+
+  /** Z-order (Morton-interleaved) layout for TWO-dimensional row-group
+    * skipping: `writeSorted` gives narrow min/max statistics on ONE
+    * column and shreds every other; interleaving the bits of two 8-bit
+    * quantized keys and range-sorting by the interleave makes each row
+    * group cover a small RECTANGLE of the (a, b) value space, so a range
+    * predicate on EITHER column prunes most groups (the multi-dimensional
+    * clustering used by Delta/Iceberg OPTIMIZE ZORDER). Quantization is
+    * linear against a one-pass min/max (two driver-held scalars —
+    * metadata, not data); skewed columns would use rank quantiles
+    * instead, the interleave algebra is unchanged. The z-key is pure
+    * integer Column algebra (shift/or/and — codegen'd, map-only) and is
+    * dropped before the write: only the payload columns and their
+    * now-clustered statistics reach disk.
+    */
+  def writeZOrder(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      path: String,
+      rowGroupBytes: Long = 128L << 20
+  ): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val r = df
+      .agg(
+        min(col(colA).cast("double")).as("loA"),
+        max(col(colA).cast("double")).as("hiA"),
+        min(col(colB).cast("double")).as("loB"),
+        max(col(colB).cast("double")).as("hiB")
+      )
+      .head()
+    def q8(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0)
+      else
+        least(lit(255), floor((c.cast("double") - lit(lo)) * 256.0 / (hi - lo)).cast("int"))
+    // spread 8 bits to the even bit positions (standard Morton dilation)
+    def spread(c: Column): Column = {
+      val x1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0f0f))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 2)).bitwiseAND(lit(0x3333))
+      x2.bitwiseOR(shiftleft(x2, 1)).bitwiseAND(lit(0x5555))
+    }
+    val z = spread(q8(col(colA), r.getDouble(0), r.getDouble(1)))
+      .bitwiseOR(shiftleft(spread(q8(col(colB), r.getDouble(2), r.getDouble(3))), 1))
+    df.withColumn("__zorder", z)
+      .orderBy(col("__zorder"))
+      .drop("__zorder")
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
 }

@@ -911,8 +911,156 @@ object SimilarityOps {
           .orderBy(col("cent_id"))
       },
       Some(sqlSemdedup)
+    ),
+
+    // ANN-graph construction (the seed step of NN-descent / graph-based
+    // index builds): every vector's best neighbor among its LSH
+    // bucket-mates — bucket co-membership proposes, exact cosine decides.
+    // Plan shape: the (vec, bucket, norm) projection is computed once per
+    // side of a bucket equi-join (map work), pair volume is Σ|bucket|²
+    // instead of n² (the q114 cluster-scoping argument with hash buckets
+    // in place of centroids), and the per-vector argmax is ONE map-side-
+    // combinable max_by aggregate — no window sort over the pair stream.
+    // Vectors alone in their bucket get no edge (at scale: multi-probe
+    // neighboring buckets, or a second hash family, recovers them — the
+    // recall/cost dial). Tie-break on equal rounded cosine: lowest
+    // neighbor id (max_by on (cosine, -nn_id)).
+    Q(
+      "q127_ann_graph",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("bucket", bucketExpr(col("v")))
+          .withColumn("nv", norm(col("v")))
+        val a = e.select(
+          col("bucket"),
+          col("vec_id"),
+          col("v"),
+          col("nv")
+        )
+        val b = e.select(
+          col("bucket"),
+          col("vec_id").as("nn_id"),
+          col("v").as("vb"),
+          col("nv").as("nb")
+        )
+        a.join(b, Seq("bucket"))
+          .filter(col("vec_id") =!= col("nn_id"))
+          .select(
+            col("vec_id"),
+            col("nn_id"),
+            round(dot(col("v"), col("vb")) / (col("nv") * col("nb")), 6).as("cosine")
+          )
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(
+              struct(col("nn_id"), col("cosine")),
+              struct(col("cosine"), negate(col("nn_id")))
+            ).as("best")
+          )
+          .select(col("vec_id"), col("best.nn_id").as("nn_id"), col("best.cosine").as("cosine"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bucket,
+              |        sqrt(list_dot_product(v, v)) AS nv
+              |      FROM e),
+              |p AS (
+              |  SELECT a.vec_id AS vec_id, c.vec_id AS nn_id,
+              |    round(list_dot_product(a.v, c.v) / (a.nv * c.nv), 6) AS cosine
+              |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+              |SELECT vec_id, nn_id, cosine FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |            ORDER BY cosine DESC, nn_id) AS rk
+              |  FROM p) t
+              |WHERE rk = 1
+              |ORDER BY vec_id""".stripMargin)
+    ),
+
+    // Similarity-graph centrality (bounded PageRank): two damped power-
+    // iteration rounds over the co-bucket graph (edges = LSH bucket-mates,
+    // q127's candidate structure) — the "representativeness" signal a
+    // curation pipeline uses to pick canonical examples from dense
+    // similarity neighborhoods. All arithmetic is positive int64 in 1e-4
+    // units with floor division (Spark `div` == DuckDB `//` on positive
+    // BIGINTs), so both engines are bit-identical: pr0 = 10000,
+    // pr' = 1500 + 85·Σ_in (pr/deg) div 100. Iteration discipline: rounds
+    // are UNROLLED (2, the q48 convention) into one linear DAG — no
+    // driver loop, no growing lineage; the persisted edge list feeds both
+    // rounds and the degree table. Each round is one equi-join + one
+    // map-side-combinable sum per dst. The final top-20 is
+    // orderBy+limit — Spark plans TakeOrderedAndProject (distributed
+    // top-k, per-partition heaps + one 20-row merge), never a global
+    // sort; the rank window then orders 20 rows.
+    Q(
+      "q128_graph_rank",
+      (s, d) => {
+        val nodes = embeddings(s, d)
+          .select(col("vec_id"), bucketExpr(emb(col("embedding"))).as("bucket"))
+        val edges = Caches.persisted(
+          nodes.select(col("vec_id").as("src"), col("bucket"))
+            .join(nodes.select(col("vec_id").as("dst"), col("bucket")), Seq("bucket"))
+            .filter(col("src") =!= col("dst"))
+            .select(col("src"), col("dst"))
+        )
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val ids = nodes.select(col("vec_id"))
+        def iterate(pr: DataFrame): DataFrame = {
+          val contrib = edges
+            .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+            .join(deg, Seq("src"))
+            .select(col("dst"), expr("pr div deg").as("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("s"))
+          ids
+            .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+            .select(
+              col("vec_id"),
+              (lit(1500L) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr")
+            )
+        }
+        val p0 = ids.select(col("vec_id"), lit(10000L).as("pr"))
+        val p2 = iterate(iterate(p0))
+        val top = p2.orderBy(col("pr").desc, col("vec_id")).limit(20)
+        top
+          .withColumn(
+            "rank",
+            row_number().over(Window.orderBy(col("pr").desc, col("vec_id"))).cast("long")
+          )
+          .orderBy(col("rank"))
+      },
+      Some(sqlGraphRank)
     )
   )
+
+  /** Oracle for q128: the same two unrolled damped rounds in DuckDB —
+    * generated so both rounds stay textually identical.
+    */
+  private def sqlGraphRank: String = {
+    def round(pin: String, pout: String): String =
+      s"""s_$pout AS (
+         |  SELECT ed.dst, CAST(sum($pin.pr // dg.deg) AS BIGINT) AS s
+         |  FROM ed JOIN $pin ON $pin.vec_id = ed.src JOIN dg ON dg.src = ed.src
+         |  GROUP BY 1),
+         |$pout AS (
+         |  SELECT b.vec_id,
+         |    CAST(1500 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM b LEFT JOIN s_$pout s ON s.dst = b.vec_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+       |b AS (SELECT vec_id, ${sqlBucket("v")} AS bucket FROM e),
+       |ed AS (SELECT a.vec_id AS src, c.vec_id AS dst
+       |       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       |p0 AS (SELECT vec_id, CAST(10000 AS BIGINT) AS pr FROM b),
+       |${round("p0", "p1")},
+       |${round("p1", "p2")}
+       |SELECT vec_id, pr, rank FROM (
+       |  SELECT vec_id, pr,
+       |    row_number() OVER (ORDER BY pr DESC, vec_id) AS rank
+       |  FROM p2) t
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
 
   /** Oracle for q114: the same quantized assignment + within-cluster gate
     * in DuckDB — every distance/dot is BIGINT list algebra (list_reduce

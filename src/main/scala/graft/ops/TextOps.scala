@@ -114,6 +114,48 @@ object TextOps {
       .otherwise("en")
   }
 
+  // ---- BPE subword segmentation (rank-ordered merge application) -------
+  // The APPLY phase of byte-pair encoding (Sennrich et al. 2016): a fixed
+  // merge table processed in rank order, each merge exhaustively. Both
+  // engines run the SAME unrolled program — the text is char-delimited
+  // ("the" -> "|t|h|e|") and each merge (x,y)->xy is a literal
+  // replace("|x|y|" -> "|xy|") repeated BpePasses times. One replace pass
+  // merges every other occurrence of a back-to-back chain (the scan
+  // resumes after each replacement, consuming the shared delimiter), so
+  // fixpoint needs ceil(log2(chain+1)) passes; chains are bounded by the
+  // corpus's 8-char words, where 2 passes already reach fixpoint — 3
+  // leaves margin. The result is deterministic string algebra with no
+  // iteration state and no UDF: the whole segmentation is ONE codegen'd
+  // expression per row, map-only at 100 TB. Spaces are delimited units
+  // too ("| |") and no merge contains a space, so merges can never cross
+  // word boundaries — whole-document application needs no word explode.
+  // (This unrolled-fold construction is what makes the op cross-engine
+  // EXACT; a priority-queue BPE tokenizer would need a byte-identical
+  // reimplementation inside the oracle engine.)
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "t" -> "h", "a" -> "n", "o" -> "w", "s" -> "t", "i" -> "n",
+    "a" -> "t", "l" -> "u", "k" -> "e", "th" -> "e", "s" -> "c", "j" -> "o"
+  )
+  private val BpePasses = 3
+
+  /** Char-delimited text: "abc" -> "|a|b|c|". */
+  private def bpeDelimited(c: Column): Column =
+    concat(lit("|"), regexp_replace(c, "(.)", "$1|"))
+
+  /** Segmented text after all merges: "the window" -> "|the| |w|in|d|ow|". */
+  def bpeSegment(c: Column): Column =
+    bpeMerges.foldLeft(bpeDelimited(c)) { case (acc, (x, y)) =>
+      (1 to BpePasses).foldLeft(acc)((a, _) =>
+        replace(a, lit(s"|$x|$y|"), lit(s"|$x$y|")))
+    }
+
+  /** The identical unrolled program as DuckDB SQL over `text`. */
+  private val sqlBpeSegment: String =
+    bpeMerges.foldLeft("'|' || regexp_replace(text, '(.)', '\\1|', 'g')") {
+      case (acc, (x, y)) =>
+        (1 to BpePasses).foldLeft(acc)((a, _) => s"replace($a, '|$x|$y|', '|$x$y|')")
+    }
+
   val queries: Seq[Q] = Seq(
     // Per-document token statistics.
     Q(
@@ -784,6 +826,88 @@ object TextOps {
              |    // ps.total_tokens AS oov_bp
              |FROM ps LEFT JOIN iv USING (source)
              |ORDER BY source""".stripMargin)
+    ),
+
+    // BPE subword segmentation stats: apply the rank-ordered merge table
+    // (see bpeSegment above) and report per document how many subword
+    // units the text compresses into, plus chars-per-subword in floor
+    // centi units — the fertility/compression statistic that sizes token
+    // budgets before a full tokenizer encode. Counts are derived from the
+    // segmented string itself (delimiter count minus the per-char space
+    // units), so the whole query is ONE map-only codegen'd projection of
+    // the documents scan — no explode, no shuffle, linear at 100 TB.
+    Q(
+      "q125_bpe_segment",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars"),
+            (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))))
+              .cast("long")
+              .as("n_spaces"),
+            bpeSegment(col("text")).as("m")
+          )
+          .withColumn(
+            "n_subwords",
+            (length(col("m")) - length(replace(col("m"), lit("|"), lit(""))) - 1).cast("long")
+              - col("n_spaces")
+          )
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            col("n_subwords"),
+            expr("n_chars * 100 div n_subwords").as("chars_per_sub_centi")
+          )
+          .orderBy(col("doc_id")),
+      Some(s"""WITH m AS (
+              |  SELECT doc_id,
+              |    len(replace(text, ' ', '')) AS n_chars,
+              |    len(text) - len(replace(text, ' ', '')) AS n_spaces,
+              |    $sqlBpeSegment AS m
+              |  FROM documents),
+              |u AS (SELECT doc_id, n_chars,
+              |        len(m) - len(replace(m, '|', '')) - 1 - n_spaces AS n_subwords
+              |      FROM m)
+              |SELECT doc_id,
+              |  CAST(n_chars AS BIGINT) AS n_chars,
+              |  CAST(n_subwords AS BIGINT) AS n_subwords,
+              |  CAST(n_chars * 100 // n_subwords AS BIGINT) AS chars_per_sub_centi
+              |FROM u
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // BPE subword vocabulary profile: explode the segmented text into
+    // subword units and rank the top 20 by frequency — the post-merge
+    // vocabulary histogram that shows which merges actually pay for
+    // themselves on this corpus. Plan: the segmentation is the same
+    // map-only expression as q125; the explode shuffles only (subword,
+    // partial count) pairs with map-side combine, and the final ranking
+    // window sorts subword-TYPE metadata (~50 rows), never the corpus —
+    // the q122 discipline.
+    Q(
+      "q126_bpe_vocab",
+      (s, d) =>
+        documents(s, d)
+          .select(explode(split(bpeSegment(col("text")), "\\|")).as("subword"))
+          .filter(col("subword") =!= "" && col("subword") =!= " ")
+          .groupBy(col("subword"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn(
+            "rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("subword"))).cast("long")
+          )
+          .filter(col("rank") <= 20)
+          .orderBy(col("rank")),
+      Some(s"""WITH m AS (SELECT $sqlBpeSegment AS m FROM documents),
+              |u AS (SELECT unnest(string_split(m, '|')) AS subword FROM m),
+              |c AS (SELECT subword, count(*) AS cnt FROM u
+              |      WHERE subword <> '' AND subword <> ' ' GROUP BY 1)
+              |SELECT subword, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+              |FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, subword) AS rank
+              |      FROM c) t
+              |WHERE rank <= 20
+              |ORDER BY rank""".stripMargin)
     )
   )
 }

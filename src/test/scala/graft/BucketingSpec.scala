@@ -123,4 +123,49 @@ class BucketingSpec extends SparkSpec {
       s"sorted ($rowsSorted) not better than shuffled ($rowsShuffled) of $total"
     )
   }
+
+  test("z-order layout skips row groups on BOTH columns; single-sort only on one") {
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+        }
+        .getOrElse(fail("no FileSourceScanExec in plan"))
+    }
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val total = li.count()
+    val Array(maxOrd, maxPart) =
+      li.agg(max("l_orderkey"), max("l_partkey")).head().toSeq.map(_.toString.toLong).toArray
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    val aDir = Files.createTempDirectory("graft_asort").toString
+    Bucketing.writeZOrder(li, "l_orderkey", "l_partkey", zDir, rowGroupBytes = 64L << 10)
+    // control: one-dimensional sort on l_orderkey only
+    Bucketing.writeSorted(li, "l_orderkey", aDir, rowGroupBytes = 64L << 10)
+
+    // ~1/8th range predicates on each dimension
+    val predA = col("l_orderkey") >= 0L && col("l_orderkey") < maxOrd / 8
+    val predB = col("l_partkey") >= 0L && col("l_partkey") < maxPart / 8
+    val zReadA = spark.read.parquet(zDir).filter(predA)
+    val zReadB = spark.read.parquet(zDir).filter(predB)
+    // correctness is layout-independent
+    assert(zReadA.count() == li.filter(predA).count())
+    assert(zReadB.count() == li.filter(predB).count())
+    val zA = scanRows(zReadA)
+    val zB = scanRows(zReadB)
+    val aSortB = scanRows(spark.read.parquet(aDir).filter(predB))
+    // each row group covers a rectangle of (orderkey, partkey) space, so
+    // BOTH single-column range predicates confine the scan to a fraction
+    // of the groups...
+    assert(zA < total / 2, s"z-order skipped nothing on colA: $zA of $total")
+    assert(zB < total / 2, s"z-order skipped nothing on colB: $zB of $total")
+    // ...whereas the one-dimensional layout leaves every group spanning
+    // the full l_partkey range: the same predB decodes nearly everything
+    assert(
+      zB * 2 < aSortB,
+      s"z-order on colB ($zB) not clearly better than single-sorted layout ($aSortB)"
+    )
+  }
 }
