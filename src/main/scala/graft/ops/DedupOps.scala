@@ -65,6 +65,58 @@ object DedupOps {
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     tokenized(s, d).select(col("doc_id"), shingles(col("tok")).as("s"))
 
+  /** (doc_id, n, s) — distinct word-5gram sets, persisted. Shared by the
+    * inverted-index join (q35) and the prefix-filter join (q130): the two
+    * plans canonicalize to the same cache entry, so within a session the
+    * gram materialization is paid once.
+    */
+  private def gram5Sets(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .select(col("doc_id"), ngrams(col("tok"), 5).as("s"))
+      .select(col("doc_id"), size(col("s")).as("n"), col("s"))
+      .transform(Caches.persisted)
+
+  /** Prefix-filtering candidate pairs (Chaudhuri/Bayardo/Xiao AllPairs-
+    * PPJoin family) for Jaccard ≥ 0.5 over word-5gram sets — the EXACT
+    * set-similarity-join refinement of q35's share-any-gram inverted
+    * index. Under a global token order (here: document frequency
+    * ascending, rarest first, ties lexicographic), two sets with
+    * J(x,y) ≥ t must share a token within their first
+    * |x| − ⌈t·|x|⌉ + 1 tokens: J ≥ t implies |x∩y| ≥ ⌈t·|x|⌉ (from
+    * J = O/(|x|+|y|−O) ≥ t and |y| ≥ O), and omitting fewer than
+    * ⌈t·|x|⌉ − 1 + 1 elements cannot avoid every one of ≥⌈t·|x|⌉ shared
+    * elements. So the equi-join of PREFIXES recalls every qualifying
+    * pair (RecallSpec pins this against driver-side brute force) while
+    * proposing a fraction of q35's candidates: frequent grams — the
+    * Σ count² hot spots of the postings join — sort to the END of the
+    * global order and mostly fall OUT of prefixes. That is the knob q35's
+    * Scaladoc reserves for hot-gram corpora, worth one extra doc_id
+    * shuffle (the rank window) + a tiny gram-df aggregate.
+    * Returns (doc_a, doc_b) candidates, doc_a < doc_b.
+    */
+  def prefixCandidates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g5 = gram5Sets(s, d)
+    val post = g5.select(col("doc_id"), col("n"), explode(col("s")).as("gram"))
+    val gdf = post.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val prefixes = post
+      .join(gdf, Seq("gram"))
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("gram")))
+      )
+      // prefix length |x| − ⌈0.5·|x|⌉ + 1 in pure integer algebra
+      .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("gram"))
+      // both self-join legs read the prefix postings — persisted, the
+      // df-join + rank window run once instead of once per leg
+      .transform(Caches.persisted)
+    prefixes.as("a")
+      .join(prefixes.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash signatures mh0..mh{n-1} (per-row native MinHashSig).
     * Hash k is the 8-hex-char window `1 + 8*(k%4) .. +8` of
     * md5("<k/4>:" + shingle) — identical to the oracle's list formulation.
@@ -455,10 +507,7 @@ object DedupOps {
     Q(
       "q35_ngram_jaccard",
       (s, d) => {
-        val g5 = tokenized(s, d)
-          .select(col("doc_id"), ngrams(col("tok"), 5).as("s"))
-          .select(col("doc_id"), size(col("s")).as("n"), col("s"))
-          .transform(Caches.persisted) // postings + both size-lookup legs read one pass
+        val g5 = gram5Sets(s, d) // postings + both size-lookup legs read one pass
         val ex = g5.select(col("doc_id"), explode(col("s")).as("gram"))
         val shared = ex.as("a")
           .join(ex.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -476,22 +525,7 @@ object DedupOps {
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
-              |g AS (SELECT doc_id, len(s) AS n, s FROM (
-              |  SELECT doc_id, list_distinct(list_transform(
-              |    range(1, greatest(len(tok) - 3, 1)),
-              |    i -> list_aggregate(tok[i:i+4], 'string_agg', ' '))) AS s
-              |  FROM t) z),
-              |ex AS (SELECT doc_id, unnest(s) AS gram FROM g),
-              |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-              |       FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
-              |       GROUP BY 1, 2)
-              |SELECT doc_a, doc_b, jaccard FROM (
-              |  SELECT doc_a, doc_b,
-              |    round(CAST(shared AS DOUBLE) / (x.n + y.n - shared), 4) AS jaccard
-              |  FROM sh JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b) v
-              |WHERE jaccard >= 0.5
-              |ORDER BY doc_a, doc_b""".stripMargin)
+      Some(sqlJaccard5Oracle)
     ),
 
     // End-to-end dedup: documents surviving near-dup removal (keep the
@@ -871,6 +905,58 @@ object DedupOps {
               |  (CAST(coalesce(h.hit_grams, 0) AS BIGINT) * 2 < t.n_grams) AS admitted
               |FROM totals t LEFT JOIN hits h USING (doc_id)
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Prefix-filtering exact set-similarity join (see [[prefixCandidates]]
+    // for the theorem + scale argument): same logical operator as q35 —
+    // every pair with word-5gram Jaccard ≥ 0.5 — through a different
+    // physical algorithm, so the SAME definitional oracle grades both.
+    // q35 proposes every pair sharing ANY gram (Σ_gram count² work,
+    // hot-gram-quadratic in the worst case); here candidates must share a
+    // PREFIX gram under the rarest-first global order, which deflates
+    // exactly the hot-gram buckets. Verification computes exact Jaccard
+    // on candidate pairs only, from the same persisted gram materialization
+    // q35 uses (one cache entry serves both).
+    Q(
+      "q130_prefix_join",
+      (s, d) => {
+        val g5 = gram5Sets(s, d)
+        prefixCandidates(s, d)
+          .join(g5.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
+          .join(g5.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
+          .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4)
+              .as("jaccard")
+          )
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(sqlJaccard5Oracle)
     )
   )
+
+  /** Definitional oracle shared by q35 and q130 (two physical algorithms,
+    * one logical operator): every pair with word-5gram Jaccard ≥ 0.5,
+    * computed in DuckDB via the plain inverted-index join.
+    */
+  private def sqlJaccard5Oracle: String =
+    s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+       |g AS (SELECT doc_id, len(s) AS n, s FROM (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(tok) - 3, 1)),
+       |    i -> list_aggregate(tok[i:i+4], 'string_agg', ' '))) AS s
+       |  FROM t) z),
+       |ex AS (SELECT doc_id, unnest(s) AS gram FROM g),
+       |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |       FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(shared AS DOUBLE) / (x.n + y.n - shared), 4) AS jaccard
+       |  FROM sh JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b) v
+       |WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -169,6 +169,57 @@ object QualityOps {
              |FROM b JOIN qt ON b.flag = qt.flag
              |GROUP BY b.flag
              |ORDER BY flag""".stripMargin)
+    ),
+
+    // Skyline (2-D pareto frontier) selection: the documents not dominated
+    // on (token count, quality) — i.e. no other document is ≥ on both axes
+    // and > on at least one. The multi-objective data-selection primitive:
+    // "longest docs at every quality level" without collapsing the two
+    // signals into one weighted score (q70's gate) — the frontier IS the
+    // tradeoff curve. Scale shape: the corpus reduces to max-quality per
+    // distinct length (one map-side-combinable aggregate), the frontier
+    // is a running max over that LENGTH METADATA (single-partition window
+    // over ≤|distinct lengths| rows — the q115/q119 metadata-window
+    // discipline, never the corpus), and survivors come back via a
+    // broadcast equi-join on (length, max quality). The oracle is the
+    // DEFINITIONAL NOT EXISTS dominance test — quadratic in DuckDB at
+    // test scale, which is exactly why the engine side must be the
+    // aggregate+metadata algorithm instead. Quality rides its integral
+    // 1e-4 units (exact int64, the q22/q70 rule).
+    Q(
+      "q131_skyline",
+      (s, d) => {
+        val toksC = TextOps.tokens(col("text"))
+        val t = Caches.persisted(
+          documents(s, d).select(
+            col("doc_id"),
+            size(toksC).cast("long").as("n_tokens"),
+            TextOps.qualityScore10k(toksC).cast("long").as("q10k")
+          )
+        )
+        val byN = t.groupBy(col("n_tokens")).agg(max(col("q10k")).as("mq"))
+        val longerMax = Window
+          .orderBy(col("n_tokens").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = byN
+          .withColumn("m1", max(col("mq")).over(longerMax))
+          .filter(col("m1").isNull || col("mq") > col("m1"))
+          .select(col("n_tokens"), col("mq"))
+        t.join(broadcast(frontier), Seq("n_tokens"))
+          .filter(col("q10k") === col("mq"))
+          .select(col("doc_id"), col("n_tokens"), col("q10k"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH z AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              |          FROM documents),
+              |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+              |        CAST(${TextOps.sqlQuality10k("toks")} AS BIGINT) AS q10k
+              |      FROM z)
+              |SELECT doc_id, n_tokens, q10k FROM t a
+              |WHERE NOT EXISTS (SELECT 1 FROM t b
+              |  WHERE b.n_tokens >= a.n_tokens AND b.q10k >= a.q10k
+              |    AND (b.n_tokens > a.n_tokens OR b.q10k > a.q10k))
+              |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -908,6 +908,99 @@ object TextOps {
               |      FROM c) t
               |WHERE rank <= 20
               |ORDER BY rank""".stripMargin)
+    ),
+
+    // BM25 retrieval ranking (Robertson et al.) — the lexical search
+    // scorer a data pipeline uses to mine a corpus for query-relevant
+    // training examples. k1 = 1.2, b = 0.75; idf is the LOG-FREE rational
+    // (N − df + 0.5)/(df + 0.5) — a strictly monotone transform of the
+    // classic log-idf (log is libm, cross-engine unsafe — the q39
+    // convention). Cross-engine exactness: every per-term score is the
+    // SAME left-associated chain of IEEE-double ops on both engines
+    // (double division/multiplication are exact-per-op; only ORDER of a
+    // float SUM varies), floored into integral 1e-4 units — integer sums
+    // are order-independent, so the total hash-matches (the q70 rule).
+    // Plan shape: tf for all query terms comes from ONE native
+    // KeywordHits pass (map-only, no explode/shuffle of the corpus); the
+    // corpus-level stats (N, Σdl, df per term) are one tiny scalar
+    // aggregate read driver-side (the q119 metadata idiom) and re-enter
+    // as literals; the ranking is orderBy+limit → TakeOrderedAndProject
+    // (per-partition heaps, one 10-row merge — never a global sort). At
+    // 100 TB: one cached 3-column projection, two linear passes, no
+    // shuffle wider than 10 rows.
+    Q(
+      "q129_bm25",
+      (s, d) => {
+        val bmTerms = Seq("dup", "vector", "key")
+        val toksC = tokens(col("text"))
+        val base = Caches.persisted(
+          documents(s, d).select(
+            col("doc_id"),
+            size(toksC).cast("long").as("dl"),
+            graft.functions.TextFunctions.keywordHits(toksC, bmTerms.map(Seq(_))).as("tf")
+          )
+        )
+        val dfAggs = bmTerms.indices.map(i =>
+          sum(when(element_at(col("tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df$i"))
+        val st = base
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl") +: dfAggs: _*)
+          .head()
+        val nDocs = st.getAs[Long]("n_docs")
+        val avgdl = st.getAs[Long]("sum_dl").toDouble / nDocs
+        val score = bmTerms.indices.map { i =>
+          val dfI = st.getAs[Long](s"df$i")
+          val idf = (nDocs - dfI + 0.5) / (dfI + 0.5)
+          val tf = element_at(col("tf"), i + 1).cast("double")
+          floor(
+            lit(idf) * ((tf * lit(2.2)) /
+              (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))) * lit(10000.0)
+          ).cast("long")
+        }.reduce(_ + _)
+        base
+          .select(col("doc_id"), score.as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+          .withColumn(
+            "rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long")
+          )
+          .orderBy(col("rank"))
+      },
+      Some {
+        val terms = Seq("dup", "vector", "key")
+        val tfDefs = terms.zipWithIndex
+          .map { case (t, i) => s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }
+          .mkString(",\n|        ")
+        val dfDefs = terms.indices
+          .map(i => s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(",\n|        ")
+        // identical parenthesization to the Spark expression above: leaves
+        // cast to DOUBLE so DuckDB's DECIMAL literals promote instead of
+        // computing in decimal arithmetic
+        val scoreSum = terms.indices
+          .map(i =>
+            s"""CAST(floor(((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+               |      * ((CAST(tf$i AS DOUBLE) * 2.2)
+               |         / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+               |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) * 10000.0) AS BIGINT)""".stripMargin)
+          .mkString("\n|      + ")
+        s"""WITH z AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+           |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        $tfDefs
+           |      FROM z),
+           |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |        $dfDefs
+           |      FROM b),
+           |sc AS (SELECT doc_id,
+           |      $scoreSum AS score
+           |      FROM b, st)
+           |SELECT doc_id, score, rank FROM (
+           |  SELECT doc_id, score,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |  FROM sc) t
+           |WHERE rank <= 10
+           |ORDER BY rank""".stripMargin
+      }
     )
   )
 }

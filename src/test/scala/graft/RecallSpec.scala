@@ -52,6 +52,55 @@ class RecallSpec extends SparkSpec {
     assert(exact.nonEmpty, "corpus has no qualifying pairs — recall test is vacuous")
   }
 
+  test("q130 prefix-filter join is exhaustively exact and prunes vs share-any-gram (brute force)") {
+    // Unlike the LSH passes, prefix filtering is exact BY THEOREM (see
+    // DedupOps.prefixCandidates) — this pins the implementation of the
+    // theorem (global-order construction, integer prefix length) against
+    // an independent execution path, plus the pruning claim that justifies
+    // the extra shuffle.
+    val docs = graft.ops.Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), DedupOps.ngrams(TextOps.tokens(col("text")), 5).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val exact = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      (ida, sa) = docs(i)
+      (idb, sb) = docs(j)
+      inter = sa.intersect(sb).size.toDouble
+      union = sa.size + sb.size - inter
+      // mirror the pipeline's round-to-4-then-compare gate
+      if union > 0 &&
+        BigDecimal(inter / union).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.5")
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    val emitted = graft.ops.QueryRegistry
+      .byName("q130_prefix_join")
+      .fn(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact == emitted, s"missed=${exact -- emitted} spurious=${emitted -- exact}")
+    assert(exact.nonEmpty, "corpus has no qualifying pairs — exactness test is vacuous")
+
+    val prefixCand = DedupOps.prefixCandidates(spark, sfDir).count()
+    val anyGramCand = {
+      val ex = graft.ops.Tables
+        .documents(spark, sfDir)
+        .select(col("doc_id"), explode(DedupOps.ngrams(TextOps.tokens(col("text")), 5)).as("g"))
+      ex.as("a")
+        .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .distinct()
+        .count()
+    }
+    assert(
+      prefixCand < anyGramCand,
+      s"prefix filter proposed $prefixCand candidates vs $anyGramCand share-any-gram — no pruning"
+    )
+  }
+
   test("q42 hyperplane-LSH candidates recall every cosine>=0.45 embedding pair (brute force)") {
     val vecs = graft.ops.Tables
       .embeddings(spark, sfDir)
