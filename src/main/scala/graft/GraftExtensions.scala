@@ -119,6 +119,14 @@ object GraftExtensions {
         QuantizedDot(c(0), c(1), intArg("graft_quantized_dot", c(2)))
       )
     ),
+    // aggregate function: the analyzer wraps a bare AggregateFunction in
+    // an AggregateExpression during UnresolvedFunction resolution, so the
+    // builder returns the function itself
+    entry(
+      "graft_top_k",
+      classOf[GroupTopK],
+      arity("graft_top_k", 3)(c => GroupTopK(c(0), c(1), intArg("graft_top_k", c(2))))
+    ),
     // composed (not a single native class): the PII scrub regexp chain —
     // built from the SAME pattern list as the Column API (TextOps
     // .piiPatterns), folded as catalyst RegExpReplace nodes directly

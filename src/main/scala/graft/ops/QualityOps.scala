@@ -220,6 +220,63 @@ object QualityOps {
               |  WHERE b.n_tokens >= a.n_tokens AND b.q10k >= a.q10k
               |    AND (b.n_tokens > a.n_tokens OR b.q10k > a.q10k))
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Per-key trend detection: ordinary-least-squares slope of daily event
+    // volume against the day index, per event type — the drift probe that
+    // says WHICH direction a source is moving, where q117's two-epoch
+    // comparison only says it moved. The regression is an AGGREGATE, not
+    // an iteration: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over
+    // (x = day index, y = daily count), so the whole fit is one
+    // map-side-combinable groupBy over per-day counts (corpus → |days|
+    // rows per key → 5 sums per key). Division is NEVER taken: the slope
+    // can be negative and Spark's `div` truncates where DuckDB's `//`
+    // floors, so both engines emit the exact int64 NUMERATOR and
+    // DENOMINATOR raw (the q111 report-the-sums convention); the sign and
+    // magnitude comparisons a monitor needs are exact on the fraction.
+    Q(
+      "q132_trend",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(
+            col("event_type"),
+            datediff(date_trunc("day", col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long")
+              .as("x")
+          )
+          .agg(count(lit(1)).as("y"))
+        daily
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(col("x")).as("sum_x"),
+            sum(col("y")).as("sum_y"),
+            sum(col("x") * col("y")).as("sum_xy"),
+            sum(col("x") * col("x")).as("sum_xx")
+          )
+          .select(
+            col("event_type"),
+            col("n_days"),
+            col("sum_y").as("total_events"),
+            (col("n_days") * col("sum_xy") - col("sum_x") * col("sum_y")).as("slope_num"),
+            (col("n_days") * col("sum_xx") - col("sum_x") * col("sum_x")).as("slope_den")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS BIGINT) AS x,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |f AS (SELECT event_type, count(*) AS n_days,
+             |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+             |    CAST(sum(x * y) AS BIGINT) AS sum_xy, CAST(sum(x * x) AS BIGINT) AS sum_xx
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, sum_y AS total_events,
+             |  n_days * sum_xy - sum_x * sum_y AS slope_num,
+             |  n_days * sum_xx - sum_x * sum_x AS slope_den
+             |FROM f
+             |ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -1521,6 +1521,105 @@ object Relational {
              |      FROM events) t
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)
+    ),
+
+    // Grouped top-k WITHOUT a rank window: the native GroupTopK aggregate
+    // (graft.functions.GroupTopK, a TypedImperativeAggregate holding a
+    // k-element heap per group) reduces each map task's slice to ≤k pairs
+    // per group BEFORE the shuffle — only k-row partials move, where the
+    // row_number() formulation (q08) shuffles and sorts the whole fact
+    // table per partition. PlanSpec asserts the two-stage
+    // ObjectHashAggregate (partial + final). The top-3 array is formatted
+    // to one deterministic string per group ("id:score,…") — a ≤3-element
+    // HOF is post-aggregate metadata, and the driver comparator needs
+    // scalars (the q66 rule). Oracle: the definitional rank-window SQL.
+    Q(
+      "q133_agg_topk",
+      (s, d) => {
+        val perUser = events(s, d)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        perUser
+          .groupBy(col("event_type"))
+          .agg(graft.functions.AggFunctions.topK(col("cnt"), col("user_id"), 3).as("top"))
+          .select(
+            col("event_type"),
+            concat_ws(
+              ",",
+              transform(col("top"), x => concat(x.getField("id"), lit(":"), x.getField("score")))
+            ).as("top3")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+             |          FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, user_id, cnt,
+             |        row_number() OVER (PARTITION BY event_type
+             |                           ORDER BY cnt DESC, user_id) AS rk
+             |      FROM c)
+             |SELECT event_type,
+             |  string_agg(user_id || ':' || cnt, ',' ORDER BY rk) AS top3
+             |FROM r WHERE rk <= 3
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)
+    ),
+
+    // EXACT global order statistics (p50/p90/p99) WITHOUT a single-reducer
+    // sort — the q91 range-partition trick pointed at quantiles. A global
+    // `row_number() OVER (ORDER BY v)` plans one task holding the whole
+    // table; q73's per-group window only survives because groups are
+    // small, and q121's per-flag window still sorts the fact table inside
+    // 3 partitions. Here: repartitionByRange (sampled range boundaries →
+    // balanced partitions) + per-partition LOCAL sort, then
+    // monotonically_increasing_id = (partition << 33 | local index) turns
+    // per-partition OFFSETS (32 metadata rows) into exact global ranks —
+    // the only cross-partition step is a broadcast of 32 (pid, offset)
+    // rows. Values at ranks ⌈q·n⌉ are rank-discrete (no interpolation) so
+    // ties in the value column cannot make the answer nondeterministic:
+    // every row at a given rank position carries the same value. This is
+    // the exact-quantile architecture for 100 TB; q100/q73's
+    // percentile_approx sketch is the one-pass approximation beside it.
+    Q(
+      "q135_exact_quantiles",
+      (s, d) => {
+        val sorted = lineitem(s, d)
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+          .repartitionByRange(32, col("cents"))
+          .sortWithinPartitions(col("cents"))
+        val stamped = Caches.persisted(
+          sorted
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        )
+        val w = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = stamped
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        val n = offsets.agg(sum(col("cnt"))).head().getLong(0)
+        def idx(pct: Long): Long = (pct * n + 99L) / 100L // ceil(pct·n/100)
+        stamped
+          .join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
+          .withColumn("rk", col("off") + col("loc") + 1)
+          .filter(col("rk").isin(idx(50), idx(90), idx(99)))
+          .agg(
+            lit(n).as("n"),
+            max(when(col("rk") === idx(50), col("cents"))).as("p50_cents"),
+            max(when(col("rk") === idx(90), col("cents"))).as("p90_cents"),
+            max(when(col("rk") === idx(99), col("cents"))).as("p99_cents")
+          )
+      },
+      Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |          FROM lineitem),
+             |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk,
+             |        count(*) OVER () AS n
+             |      FROM v)
+             |SELECT CAST(max(n) AS BIGINT) AS n,
+             |  max(CASE WHEN rk = (50 * n + 99) // 100 THEN cents END) AS p50_cents,
+             |  max(CASE WHEN rk = (90 * n + 99) // 100 THEN cents END) AS p90_cents,
+             |  max(CASE WHEN rk = (99 * n + 99) // 100 THEN cents END) AS p99_cents
+             |FROM r""".stripMargin)
     )
   )
 }

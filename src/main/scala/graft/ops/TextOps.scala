@@ -1001,6 +1001,55 @@ object TextOps {
            |WHERE rank <= 10
            |ORDER BY rank""".stripMargin
       }
+    ),
+
+    // Per-source token diversity: type count + Gini–Simpson concentration
+    // 1 − Σp² (the log-free diversity index — Shannon entropy needs libm,
+    // cross-engine unsafe; Gini–Simpson is the standard rational
+    // substitute and ranks sources identically for the near-uniform vs
+    // concentrated distinction a mixture planner cares about). Computed
+    // ENTIRELY in int64: diversity_ppm = (total² − Σcnt²)·10⁶ // total²,
+    // positive throughout so Spark `div` == DuckDB `//`. Plan: one token
+    // explode → (source, token) counts with map-side combine → per-source
+    // sums over token-TYPE metadata. The int64 headroom bound: Σcnt²·10⁶
+    // must stay under 2⁶³ — fine to ~10⁹ tokens per source; beyond that
+    // ride the same formula in DOUBLE (monotone, just not hash-exact) or
+    // DECIMAL(38).
+    Q(
+      "q134_token_diversity",
+      (s, d) =>
+        documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("source"))
+          .agg(
+            sum(col("cnt")).as("total_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("cnt") * col("cnt")).as("sumsq")
+          )
+          .select(
+            col("source"),
+            col("total_tokens"),
+            col("n_types"),
+            expr("(total_tokens * total_tokens - sumsq) * 1000000L div (total_tokens * total_tokens)")
+              .as("diversity_ppm")
+          )
+          .orderBy(col("source")),
+      Some("""WITH c AS (
+             |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents) t
+             |  GROUP BY 1, 2),
+             |f AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total_tokens,
+             |        CAST(count(*) AS BIGINT) AS n_types,
+             |        CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+             |      FROM c GROUP BY 1)
+             |SELECT source, total_tokens, n_types,
+             |  (total_tokens * total_tokens - sumsq) * 1000000 // (total_tokens * total_tokens)
+             |    AS diversity_ppm
+             |FROM f
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -182,6 +182,57 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch merged per micro-batch equals the batch sketch") {
+    // CMS counters ADD under merge (mergeInPlace sums the counter matrix),
+    // so per-micro-batch sketches merged incrementally are BIT-IDENTICAL
+    // to one batch sketch over the union — q109's heavy-hitter
+    // architecture carried into streaming: the driver holds one ~100 KB
+    // sketch however long the stream runs, and every estimate it serves
+    // mid-stream is exactly what a batch rebuild would say. Same seed on
+    // both sides (hash functions must agree for counter-level equality).
+    import org.apache.spark.util.sketch.CountMinSketch
+    import java.io.ByteArrayInputStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val sketchOf = "count_min_sketch(tok, 0.001d, 0.99d, 42)"
+    @volatile var merged: CountMinSketch = null
+    val q = stream
+      .toDF()
+      .toDF("tok")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bytes = df.agg(expr(sketchOf)).head().getAs[Array[Byte]](0)
+        val sk = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+        if (merged == null) merged = sk else merged.mergeInPlace(sk)
+        (): Unit
+      }
+      .start()
+    try {
+      val batch1 = Seq("spark", "data", "spark", "join", "data", "spark")
+      val batch2 = Seq("data", "window", "spark", "window", "join")
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val batchBytes = (batch1 ++ batch2)
+        .toDF("tok")
+        .agg(expr(sketchOf))
+        .head()
+        .getAs[Array[Byte]](0)
+      val batchSk = CountMinSketch.readFrom(new ByteArrayInputStream(batchBytes))
+      assert(merged.totalCount() == batchSk.totalCount())
+      Seq("spark", "data", "join", "window", "absent").foreach { w =>
+        assert(
+          merged.estimateCount(w) == batchSk.estimateCount(w),
+          s"streaming and batch CMS disagree on '$w'"
+        )
+      }
+      // and the estimates are exact here (11 items, far under sketch width)
+      assert(merged.estimateCount("spark") == 4L && merged.estimateCount("absent") == 0L)
+    } finally q.stop()
+  }
+
   test("session windows close after the gap and group by key") {
     WindowProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

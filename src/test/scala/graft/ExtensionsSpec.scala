@@ -88,6 +88,54 @@ class ExtensionsSpec extends SparkSpec {
     assert(both.filter(not(col("eq"))).count() == 0)
   }
 
+  test("graft_top_k aggregate in SQL equals the Column-API twin and the rank window") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    ev.createOrReplaceTempView("per_user")
+    // canonical form: (−score, id) sorted ascending == (score DESC, id ASC);
+    // topK's emitted order must equal its own canonical sort (order pin)
+    def canon(top: org.apache.spark.sql.Column) =
+      to_json(sort_array(transform(top, x =>
+        struct((-x.getField("score")).as("ns"), x.getField("id").as("id")))))
+    val viaSql = spark
+      .sql("SELECT event_type, graft_top_k(cnt, user_id, 3) AS top FROM per_user GROUP BY event_type")
+      .select(col("event_type"), to_json(col("top")).as("raw"), canon(col("top")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    val viaCol = ev
+      .groupBy(col("event_type"))
+      .agg(graft.functions.AggFunctions.topK(col("cnt"), col("user_id"), 3).as("top"))
+      .select(col("event_type"), to_json(col("top")).as("raw"), canon(col("top")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(viaSql == viaCol)
+    // and both equal the definitional rank window (canonical form)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cnt").desc, col("user_id"))
+    val viaWindow = ev
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("ns"), col("user_id").as("id")))).as("c"))
+      .select(col("event_type"), to_json(col("c")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(viaCol.view.mapValues(_._2).toMap == viaWindow)
+    // the aggregate's emitted order is itself (score DESC, id ASC): the raw
+    // json must list scores non-increasing
+    viaCol.foreach { case (_, (raw, _)) =>
+      val scores = """"score":(-?\d+)""".r.findAllMatchIn(raw).map(_.group(1).toLong).toSeq
+      assert(scores == scores.sorted.reverse, s"unsorted topK output: $raw")
+    }
+  }
+
   test("non-literal int parameter is rejected with a clear message") {
     GraftExtensions.register(spark)
     val ex = intercept[Exception] {

@@ -55,6 +55,22 @@ class PlanSpec extends SparkSpec {
     assert(fileScans == 0, s"documents still scanned $fileScans times outside the cached pass:\n$opt")
   }
 
+  test("q133 GroupTopK aggregates partially: k-row partials shuffle, not the fact table") {
+    val df = QueryRegistry.byName("q133_agg_topk").fn(spark, sfDir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // (graft_top_k) stage must appear below the shuffle and the final
+    // above it — i.e. two stages naming the aggregate
+    val stages = "graft_top_k".r.findAllIn(p).size
+    assert(
+      p.contains("ObjectHashAggregate") && stages >= 2,
+      s"expected partial+final graft_top_k ObjectHashAggregate stages:\n$p"
+    )
+    // and no rank window anywhere — the point of the aggregate form
+    assert(!p.contains("Window"), s"rank window crept back into the top-k plan:\n$p")
+  }
+
   test("q42 near-dup has no nested-loop join and no corpus broadcast") {
     val df = QueryRegistry.byName("q42_embedding_neardup").fn(spark, sfDir)
     df.collect() // finalize AQE so the asserted plan is the executed one
