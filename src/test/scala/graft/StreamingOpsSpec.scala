@@ -15,6 +15,116 @@ class StreamingOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("streaming graft_top_k holds k-row state per group and matches batch") {
+    // GroupTopK's merge is associative and its buffer is k pairs, so it
+    // drops into a streaming aggregation with FIXED-size state per group
+    // — the unbounded-stream top-k architecture (a rank window cannot run
+    // on a stream at all; collect-everything state grows without bound).
+    // Parity with the batch aggregate over the union of the micro-batches
+    // is exact because the (score DESC, id ASC) order is tie-free.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Long)]
+    val agg = stream
+      .toDF()
+      .toDF("kind", "score", "id")
+      .groupBy(col("kind"))
+      .agg(graft.functions.AggFunctions.topK(col("score"), col("id"), 2).as("top"))
+      .select(col("kind"), to_json(col("top")).as("top"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("topk_stream")
+      .start()
+    try {
+      val batch1 = Seq(("a", 5L, 1L), ("a", 7L, 2L), ("b", 1L, 9L))
+      val batch2 = Seq(("a", 7L, 0L), ("a", 2L, 3L), ("b", 4L, 8L), ("b", 4L, 7L))
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark
+        .table("topk_stream")
+        .collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .toMap
+      val batch = (batch1 ++ batch2)
+        .toDF("kind", "score", "id")
+        .groupBy(col("kind"))
+        .agg(graft.functions.AggFunctions.topK(col("score"), col("id"), 2).as("top"))
+        .select(col("kind"), to_json(col("top")).as("top"))
+        .collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // spot: 'a' keeps (7,0),(7,2) — the id tiebreak evicted (5,1); 'b'
+      // keeps (4,7),(4,8)
+      assert(batch("a") == """[{"score":7,"id":0},{"score":7,"id":2}]""", batch("a"))
+      assert(batch("b") == """[{"score":4,"id":7},{"score":4,"id":8}]""", batch("b"))
+    } finally q.stop()
+  }
+
+  test("incremental skyline: streaming per-length max + metadata frontier equals batch q131") {
+    // Incremental maintenance of the q131 pareto frontier: the streamed
+    // state is ONE long per distinct token-length (groupBy(n).max(q) in
+    // complete mode — bounded by the length domain, never the corpus),
+    // and the frontier re-derives per trigger from that length METADATA
+    // exactly as the batch query does. Feeding the sf0.001 documents in
+    // two arbitrary halves must land on the identical frontier — max is
+    // order/partition-insensitive, and the frontier is a pure function
+    // of the per-length maxima.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docRows = graft.ops.Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val toksC = TextOps.tokens(col("text"))
+    val agg = stream
+      .toDF()
+      .toDF("doc_id", "text")
+      .select(
+        size(toksC).cast("long").as("n_tokens"),
+        TextOps.qualityScore10k(toksC).cast("long").as("q10k")
+      )
+      .groupBy(col("n_tokens"))
+      .agg(max(col("q10k")).as("mq"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("skyline_state")
+      .start()
+    try {
+      val (h1, h2) = docRows.splitAt(docRows.length / 2)
+      stream.addData(h1.toSeq)
+      q.processAllAvailable()
+      stream.addData(h2.toSeq)
+      q.processAllAvailable()
+      // frontier from the streamed per-length maxima (metadata-size)
+      val byN = spark.table("skyline_state")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_tokens").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val streamedFrontier = byN
+        .withColumn("m1", max(col("mq")).over(w))
+        .filter(col("m1").isNull || col("mq") > col("m1"))
+        .select(col("n_tokens"), col("mq"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val batchFrontier = graft.ops.QueryRegistry
+        .byName("q131_skyline")
+        .fn(spark, sfDir)
+        .select(col("n_tokens"), col("q10k"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(streamedFrontier == batchFrontier, s"stream=$streamedFrontier batch=$batchFrontier")
+      assert(batchFrontier.nonEmpty)
+    } finally q.stop()
+  }
+
   test("quality scoring and language-ID run over a stream, matching batch") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Seq(
