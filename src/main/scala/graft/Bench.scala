@@ -43,13 +43,25 @@ object Bench {
     val failed = results.filter(!_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // per-query wall-time budget: anything > 4× the suite median is
+    // flagged in the report, so a single regressed query fails loudly
+    // instead of hiding in the tail of a 100+-query total
+    val times = results.map(_._2).sorted
+    val median =
+      if (times.isEmpty) 0.0
+      else if (times.size % 2 == 1) times(times.size / 2)
+      else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+    val slow = results.filter { case (_, v, ok) => ok && median > 0 && v > 4.0 * median }
+    val slowJson = slow
+      .map { case (k, v, _) => s"""{"query":"$k","sec":$v,"x_median":${v / median}}""" }
+      .mkString("[", ",", "]")
     // "failed" makes a broken query visible in the one-line report instead
     // of letting its ~0s timing masquerade as a speedup
     // "action" documents the measurement method: noop-write materializes
     // every output column (count() would let pruning skip final projections,
     // understating map-heavy queries — rounds 1-2 measured with count()).
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop-write","failed":${failed.size},"failed_queries":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop-write","failed":${failed.size},"failed_queries":$failedJson,"median":$median,"slow_budget_x":4.0,"slow_queries":$slowJson}"""
     )
     spark.stop()
   }

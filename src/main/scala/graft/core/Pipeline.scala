@@ -56,6 +56,7 @@ object Pipeline {
     def runProcessor(msgs: Seq[Message[A]]): Iterator[Message[A]] = {
       val prepared = prepare(msgs) // prepare crash fails the task (reference: raises)
       prepared.iterator.map { m =>
+        val t0 = System.nanoTime()
         val out =
           if (!m.isOk) m
           else
@@ -74,8 +75,12 @@ object Pipeline {
                 o2.failed(s"unknown batcher: ${o2.batcher}")
               else o2
             } catch { case NonFatal(e) => m.copy(status = MessageStatus.crashed(e)) }
-        // per-stage span counts (broadway.ex:651-888 processor spans)
-        counters.foreach(c => if (out.isOk) c.processorProcessed.add(1L) else c.processorFailed.add(1L))
+        // per-stage span counts + duration (broadway.ex:651-888 processor
+        // spans measure time, not just throughput)
+        counters.foreach { c =>
+          if (out.isOk) c.processorProcessed.add(1L) else c.processorFailed.add(1L)
+          if (m.isOk) c.processorNanos.add(System.nanoTime() - t0)
+        }
         out
       }
     }
@@ -138,6 +143,7 @@ object Pipeline {
               val chunks = splitBatches(msgs, bc)
               chunks.iterator.flatMap { case (chunk, trigger) =>
                 val info = BatchInfo(batcherName, batchKey, TaskContext.getPartitionId(), chunk.size, trigger)
+                val t0 = System.nanoTime()
                 val result =
                   try {
                     val out = handleBatchF(batcherName, chunk, info)
@@ -146,11 +152,13 @@ object Pipeline {
                   } catch {
                     case NonFatal(e) => chunk.map(_.copy(status = MessageStatus.crashed(e)))
                   }
-                // batcher/batch-processor span counts (batcher_stage.ex:55-77)
+                // batcher/batch-processor span counts + handle_batch
+                // duration (batcher_stage.ex:55-77)
                 counters.foreach { c =>
                   c.batcherBatches.get(batcherName).foreach(_.add(1L))
                   c.batcherMessages.get(batcherName).foreach(_.add(chunk.size.toLong))
                   c.batcherFailed.get(batcherName).foreach(_.add(result.count(!_.isOk).toLong))
+                  c.batcherNanos.get(batcherName).foreach(_.add(System.nanoTime() - t0))
                 }
                 // ack_immediately messages keep their pre-batch status
                 // (message.ex:172-201: the ack is locked in before the batch).
@@ -172,8 +180,12 @@ object Pipeline {
         val failedFinal =
           if (failed.nonEmpty) {
             counters.foreach(_.handleFailedInvocations.add(1L))
-            try handleFailedF(failed)
-            catch { case NonFatal(_) => failed } // handle_failed crash must not take down the ack (acknowledger.ex:93-151)
+            val t0 = System.nanoTime()
+            val r =
+              try handleFailedF(failed)
+              catch { case NonFatal(_) => failed } // handle_failed crash must not take down the ack (acknowledger.ex:93-151)
+            counters.foreach(_.handleFailedNanos.add(System.nanoTime() - t0))
+            r
           } else failed
         counters.foreach { c =>
           c.ackSuccessful.add(ok.size.toLong)

@@ -102,11 +102,17 @@ final case class GroupTopK(
   }
 
   override def eval(buf: TopKBuffer): Any = {
-    val arr = new Array[Array[Long]](buf.heap.size)
-    var i = arr.length - 1
-    // polling the min-heap yields worst-first; fill back-to-front for
-    // (score DESC, id ASC)
-    while (i >= 0) { arr(i) = buf.heap.poll(); i -= 1 }
+    // eval must be READ-ONLY: Spark may evaluate a still-live buffer more
+    // than once (e.g. a window aggregate evaluates after every input row
+    // on the same running buffer), so draining the heap here would
+    // truncate every frame after the first. Copy, then sort the copy.
+    val arr = buf.heap.toArray(new Array[Array[Long]](buf.heap.size))
+    java.util.Arrays.sort(
+      arr,
+      (a: Array[Long], b: Array[Long]) =>
+        if (a(0) != b(0)) java.lang.Long.compare(b(0), a(0))
+        else java.lang.Long.compare(a(1), b(1))
+    )
     new GenericArrayData(arr.map(p => new GenericInternalRow(Array[Any](p(0), p(1)))))
   }
 

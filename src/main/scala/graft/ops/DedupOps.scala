@@ -819,7 +819,7 @@ object DedupOps {
               |$sqlComponentsCte,
               |mem AS (
               |  SELECT lab.node, lab.lbl, d.source,
-              |    CAST(substr(d.source, 4) AS INT) % 3 AS tier
+              |    CAST(substr(d.source, 4, 10) AS INT) % 3 AS tier
               |  FROM lab JOIN documents d ON d.doc_id = lab.node),
               |can AS (
               |  SELECT lbl, node AS canon_id FROM (

@@ -20,11 +20,17 @@ object QualityOps {
     // key frequencies of the fact table's join key reduced to their
     // distribution headline (mean, p99, max, max/mean ratio). Plan shape:
     // one fact pass → per-key counts (map-side partial), then ALL further
-    // work happens on key METADATA (one row per distinct key): the rank
-    // window sorts ~|keys| rows, never the corpus. The p99/quantile is
-    // rank-discrete (value at row ceil(q·n)) — deterministic integer, no
-    // interpolation drift. n_keys arrives via one scalar head() (the
-    // q86/q108 driver-scalar idiom, metadata not data).
+    // work happens on key METADATA (one row per distinct key). The key
+    // table itself is unbounded at 100 TB (10⁸–10⁹ users), so the p99
+    // rank uses the q135 range-partition trick instead of a global rank
+    // window: repartitionByRange + local sort, then per-partition row
+    // counts (32 metadata rows) prefix-summed into offsets recover the
+    // exact global rank — no single task ever holds the whole key table.
+    // The p99/quantile is rank-discrete (value at row ceil(q·n)) —
+    // deterministic integer, no interpolation drift. n_keys arrives via
+    // one scalar head() (the q86/q108 driver-scalar idiom, metadata not
+    // data); an empty input short-circuits to the oracle's aggregate row
+    // (n_keys=0, NULL distribution columns) instead of throwing.
     Q(
       "q119_skew_report",
       (s, d) => {
@@ -37,18 +43,45 @@ object QualityOps {
           max(col("cnt")).as("max_cnt")
         ).head()
         val nKeys = head.getAs[Long]("n_keys")
-        val total = head.getAs[Long]("total")
-        val maxCnt = head.getAs[Long]("max_cnt")
-        val p99Idx = (99L * nKeys + 99L) / 100L
-        c.withColumn("rk", row_number().over(Window.orderBy(col("cnt"), col("user_id"))))
-          .filter(col("rk") === p99Idx)
-          .select(
-            lit(nKeys).as("n_keys"),
-            lit(total * 100L / nKeys).as("mean_cnt_centi"),
-            col("cnt").as("p99_cnt"),
-            lit(maxCnt).as("max_cnt"),
-            lit(maxCnt * 100L * nKeys / total).as("skew_centi")
+        if (nKeys == 0L) {
+          val nul = lit(null).cast("long")
+          c.sparkSession
+            .range(1)
+            .select(
+              lit(0L).as("n_keys"),
+              nul.as("mean_cnt_centi"),
+              nul.as("p99_cnt"),
+              nul.as("max_cnt"),
+              nul.as("skew_centi")
+            )
+        } else {
+          val total = head.getAs[Long]("total")
+          val maxCnt = head.getAs[Long]("max_cnt")
+          val p99Idx = (99L * nKeys + 99L) / 100L
+          val stamped = Caches.persisted(
+            c.repartitionByRange(32, col("cnt"), col("user_id"))
+              .sortWithinPartitions(col("cnt"), col("user_id"))
+              .withColumn("mid", monotonically_increasing_id())
+              .withColumn("pid", shiftright(col("mid"), 33))
+              .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
           )
+          val ow = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = stamped
+            .groupBy(col("pid"))
+            .agg(count(lit(1)).as("pcnt"))
+            .withColumn("off", coalesce(sum(col("pcnt")).over(ow), lit(0L)))
+            .select(col("pid"), col("off"))
+          stamped
+            .join(broadcast(offsets), Seq("pid"))
+            .filter(col("off") + col("loc") + 1 === p99Idx)
+            .select(
+              lit(nKeys).as("n_keys"),
+              lit(total * 100L / nKeys).as("mean_cnt_centi"),
+              col("cnt").as("p99_cnt"),
+              lit(maxCnt).as("max_cnt"),
+              lit(maxCnt * 100L * nKeys / total).as("skew_centi")
+            )
+        }
       },
       Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
              |s AS (SELECT count(*) AS n_keys, sum(cnt) AS total, max(cnt) AS max_cnt FROM c),

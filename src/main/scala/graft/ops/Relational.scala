@@ -1597,18 +1597,27 @@ object Relational {
           .groupBy(col("pid"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
-        val n = offsets.agg(sum(col("cnt"))).head().getLong(0)
-        def idx(pct: Long): Long = (pct * n + 99L) / 100L // ceil(pct·n/100)
-        stamped
-          .join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
-          .withColumn("rk", col("off") + col("loc") + 1)
-          .filter(col("rk").isin(idx(50), idx(90), idx(99)))
-          .agg(
-            lit(n).as("n"),
-            max(when(col("rk") === idx(50), col("cents"))).as("p50_cents"),
-            max(when(col("rk") === idx(90), col("cents"))).as("p90_cents"),
-            max(when(col("rk") === idx(99), col("cents"))).as("p99_cents")
-          )
+        // an empty input leaves sum(cnt) NULL — mirror the oracle's
+        // aggregate-over-empty row (all NULLs) instead of throwing
+        val nRow = offsets.agg(sum(col("cnt"))).head()
+        if (nRow.isNullAt(0)) {
+          val nul = lit(null).cast("long")
+          s.range(1)
+            .select(nul.as("n"), nul.as("p50_cents"), nul.as("p90_cents"), nul.as("p99_cents"))
+        } else {
+          val n = nRow.getLong(0)
+          def idx(pct: Long): Long = (pct * n + 99L) / 100L // ceil(pct·n/100)
+          stamped
+            .join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
+            .withColumn("rk", col("off") + col("loc") + 1)
+            .filter(col("rk").isin(idx(50), idx(90), idx(99)))
+            .agg(
+              lit(n).as("n"),
+              max(when(col("rk") === idx(50), col("cents"))).as("p50_cents"),
+              max(when(col("rk") === idx(90), col("cents"))).as("p90_cents"),
+              max(when(col("rk") === idx(99), col("cents"))).as("p99_cents")
+            )
+        }
       },
       Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
              |          FROM lineitem),

@@ -56,29 +56,45 @@ object SimilarityOps {
     (0 until NumPlanes).map(p => Array.tabulate(Dim)(j => planeCoef(p, j)))
 
   // ---- Banded LSH for the near-dup candidate pass ----------------------
-  // 96 bands × 4 sign bits (384 hyperplanes). Banding trades one long
+  // 320 bands × 8 sign bits (2560 hyperplanes). Banding trades one long
   // signature (high precision, low recall) for many short ones: a pair is a
   // candidate if it agrees on ALL bits of ANY band.
   //
+  // Band WIDTH is the selectivity lever: 4-bit bands give only 16 buckets
+  // per band, so every band bucket holds ~n/16 vectors and the candidate
+  // multiset grows as bands·n²/32 — measured 12.4M collision rows at
+  // sf0.1 (n=2000) to verify just 144 true pairs. 8-bit bands (256
+  // buckets) cut that quadratic term 16× per band; with 320 bands the
+  // measured multiset is 3.0M (4.2× smaller) with MORE recall headroom.
+  //
   // Recall margin (the divergence bound vs the exact all-pairs oracle): at
   // the q42 gate threshold (cosine ≥ 0.45, per-plane agreement
-  // p = 1 − arccos(0.45)/π ≈ 0.6486) the per-pair miss probability is
-  // (1 − p⁴)⁹⁶ ≈ 7.5e-9 — a gate corpus would need ~10⁸ qualifying pairs
-  // before even ONE expected miss, versus ~2e-3/pair (≈1 miss per 500
-  // pairs) with the previous 32 bands. Measured recall on the
-  // deterministic md5-derived planes is 100% at sf0.01 and sf0.1, and the
-  // first 128 planes are unchanged, so the candidate set is a strict
-  // superset of the 32-band one. At production near-dup thresholds
-  // (≥ 0.85, p ≥ 0.93; per-band hit p⁴ ≈ 0.75) far fewer bands already
-  // saturate recall while pruning hard — 96 bands is sized for this
-  // corpus's unusually low threshold (its max pairwise cosine is ~0.51).
+  // p = 1 − arccos(0.45)/π ≈ 0.6486) the per-band hit rate is p⁸ ≈ 0.031
+  // and the per-pair miss probability (1 − p⁸)³²⁰ ≈ 3.7e-5 — and that is
+  // the worst case, for a pair sitting exactly ON the threshold; this
+  // corpus's qualifying pairs span cosine 0.45–0.60. Measured recall on
+  // the deterministic md5-derived planes is 100% at sf0.001, sf0.01 and
+  // sf0.1 (empirically re-verified for these exact parameters). At
+  // production near-dup thresholds (≥ 0.85, p ≥ 0.82; per-band hit
+  // p⁸ ≈ 0.21) a fraction of the bands already saturate recall while
+  // pruning far harder — the band count is sized for this corpus's
+  // unusually low 0.45 gate.
 
-  val BandBits = 4
-  val NumBands = 96
+  val BandBits = 8
+  val NumBands = 320
 
-  /** Flattened row-major plane matrix for the native signs expression. */
+  /** Flattened row-major plane matrix for the native signs expression.
+    * Memoized: planeCoef is an MD5 per coefficient, and the banded config
+    * needs NumBands×BandBits×Dim of them (~164k hashes ≈ 1 s of driver
+    * time) — paying that once per JVM instead of once per query build
+    * also means every expression instance shares ONE coefficient Seq.
+    */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Double]]()
   private def flatPlanes(numPlanes: Int): Seq[Double] =
-    (0 until numPlanes).flatMap(p => (0 until Dim).map(j => planeCoef(p, j)))
+    planeCache.computeIfAbsent(
+      numPlanes,
+      n => (0 until n).flatMap(p => (0 until Dim).map(j => planeCoef(p, j)))
+    )
 
   /** All sign bits against the first n hyperplanes as one '1'/'0' string —
     * a single codegen'd expression (graft.functions.HyperplaneSigns).
@@ -121,49 +137,86 @@ object SimilarityOps {
     * generation and both verify legs read one materialized pass of the
     * parquet scan, and the plan cache shares it across queries.
     *
-    * Candidate generation is an equi-join on small int band keys; each
-    * posting row carries the packed 6-long signature, and the join filters
-    * on `FirstEqualBand(sigA, sigB) === band`, so every candidate pair is
-    * emitted from exactly ONE of its shared bands. That replaces the
-    * previous `distinct()` — a full shuffle of the candidate set, the
-    * widest intermediate in the pipeline — with a codegen'd filter
-    * evaluated inside the join. No corpus broadcast and no nested-loop
-    * join anywhere in the plan.
+    * Candidate generation is an equi-join on small int band keys. Each
+    * `BandKeys` element already encodes its band index (`(band <<
+    * bandBits) | bits`), so posting rows are the narrowest possible —
+    * (vec_id, bk), 12 bytes — and nothing else travels through the
+    * posting shuffle. A pair colliding on k bands emits k join rows; the
+    * `distinct()` that collapses them shuffles only (vec_a, vec_b) long
+    * pairs WITH map-side partial aggregation, and it runs BEFORE the
+    * verify joins, so the exact-cosine legs each touch every unique
+    * candidate exactly once. (An earlier design instead carried the full
+    * packed signature on both posting legs and filtered
+    * `FirstEqualBand(sigA, sigB) === band` inside the join for
+    * exactly-once emission — measured slower: the signature payload per
+    * posting costs more than a narrow pair dedup, and the collision
+    * multiset, not the dedup, is the true scale term. The multiset is
+    * controlled by band WIDTH — see the BandBits comment above.) No
+    * corpus broadcast and no nested-loop join anywhere in the plan.
     */
   def embeddingNeardupPairs(s: SparkSession, d: String): DataFrame = {
-    val e = Caches.persisted(
+    // The narrow (id, vec, norm) projection is hash-repartitioned before
+    // caching: the 2560-plane signature evaluation downstream is the
+    // pipeline's compute-heavy map stage, and a small corpus can arrive
+    // as a single input split (one task = one core for the whole sign
+    // pass). The shuffle moves only this 3-column projection, once, into
+    // a cache that three consumers (candidate gen + both verify legs)
+    // read; at 100 TB the scan already has thousands of splits and the
+    // repartition simply keeps the cached layout balanced.
+    // Only the POSTINGS are persisted — 320 narrow (vec_id, bk) rows per
+    // vector is ~12 bytes each, so the cache costs a few MB per million
+    // vectors and buys the 2560-plane signature evaluation exactly ONCE
+    // (both collision-join legs read the materialized postings). The
+    // (vec, norm) projection deliberately is NOT cached: the verify legs
+    // below re-scan the 2-column parquet projection instead, because an
+    // extra cache means an extra materialization barrier (a whole
+    // scheduling + codegen round trip per query-stage dominates this
+    // pipeline's cold time — the per-row work is trivial), and the two
+    // verify legs are built STRUCTURALLY IDENTICAL so Catalyst's
+    // ReuseExchange collapses them into one shared broadcast build.
+    val posts = Caches.persisted(
       embeddings(s, d)
         .select(col("vec_id"), emb(col("embedding")).as("v"))
-        .withColumn("nv", norm(col("v")))
+        // a small corpus can arrive as ONE parquet split; spreading rows
+        // before the sign pass keeps the compute-heavy map stage on all
+        // cores (at 100 TB the scan already has thousands of splits and
+        // this keeps the cached layout balanced)
+        .repartition(col("vec_id"))
+        .select(
+          col("vec_id"),
+          explode(
+            graft.functions.VectorFunctions.bandKeys(packedSig(col("v")), BandBits)
+          ).as("bk")
+        )
     )
-    // postings are NOT persisted: both join legs re-derive them from the
-    // cached (vec, norm) pass — the packed-sign eval is cheap relative to
-    // encoding 96 posting rows per vector into the cache (measured)
-    val sigs = e.select(col("vec_id"), packedSig(col("v")).as("sig"))
-      .select(
-        col("vec_id"),
-        col("sig"),
-        posexplode(graft.functions.VectorFunctions.bandKeys(col("sig"), BandBits))
-          .as(Seq("band", "bk"))
-      )
-    val cand = sigs.as("a")
-      .join(
-        sigs.as("b"),
-        col("a.bk") === col("b.bk") &&
-          col("a.vec_id") < col("b.vec_id") &&
-          graft.functions.VectorFunctions
-            .firstEqualBand(col("a.sig"), col("b.sig"), BandBits) === col("a.band")
-      )
+    val cand = posts.as("a")
+      .join(posts.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // Verify the collision MULTISET directly and dedup only the
+    // survivors. A pair colliding on k bands is verified k times, but the
+    // verify legs are map-side lookups against the (tiny relative to the
+    // multiset) per-vector table — Catalyst broadcasts them here, AQE
+    // picks SMJ at scale — and the duplicate-pair distinct() this
+    // replaces was the pipeline's widest shuffle: at a low gate threshold
+    // the candidate set degenerates toward all-pairs (measured at sf0.1:
+    // 1.38M distinct candidates from a 3.0M multiset = 69% of ALL pairs),
+    // so deduping BEFORE verification shuffles ~half the pair space while
+    // deduping AFTER shuffles only verified survivors × band
+    // multiplicity (~10-20× smaller than the candidate set even at
+    // production thresholds, where collisions ≈ true pairs).
+    val ref = embeddings(s, d)
+      .select(col("vec_id"), emb(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
+      .join(ref.as("ea"), col("vec_a") === col("ea.vec_id"))
+      .join(ref.as("eb"), col("vec_b") === col("eb.vec_id"))
       .select(
         col("vec_a"),
         col("vec_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine")
+        round(dot(col("ea.v"), col("eb.v")) / (col("ea.nv") * col("eb.nv")), 6).as("cosine")
       )
       .filter(col("cosine") >= 0.45)
+      .distinct()
       // the verified pairs are tiny; persisting them lets q47 skip the
       // whole candidate join instead of just its cached inputs
       .transform(Caches.persisted)
@@ -247,16 +300,16 @@ object SimilarityOps {
     ),
 
     // Embedding high-similarity pairs: cosine ≥ 0.45, found by banded-LSH
-    // candidate generation (explode packed band keys → shuffle equi-join,
-    // exactly-once pair emission via FirstEqualBand) + exact cosine
+    // candidate generation (explode packed band keys → narrow-posting
+    // shuffle equi-join → map-side-combined pair dedup) + exact cosine
     // verification on the candidates. No corpus broadcast and no
     // nested-loop join anywhere in the plan — the two ways the naive
     // all-pairs form dies at 100 TB. The (vec, norm) projection is
     // persisted so candidate generation and both verify legs read one
     // materialized pass of the parquet scan instead of three.
-    // Recall: 100% measured at both gate SFs, with a ~7.5e-9 per-pair miss
-    // bound (see the banding constants above); the oracle stays the exact
-    // all-pairs SQL, so any missed pair fails the gate.
+    // Recall: 100% measured at all three SFs, with a ~3.7e-5 worst-case
+    // per-pair miss bound (see the banding constants above); the oracle
+    // stays the exact all-pairs SQL, so any missed pair fails the gate.
     // 0.45 because the synthetic corpus has no planted vector dups — max
     // pairwise cosine is ~0.51, so this keeps the result non-trivial.
     Q(

@@ -778,10 +778,12 @@ object TextOps {
     // fragmentation rate before an expensive encode pass. Rank ties break
     // lexicographically (deterministic vocab). Plan: one exploded pass is
     // shared (persisted) by the vocab build and both per-source
-    // aggregates; the vocab ranking sorts TOKEN-TYPE metadata (31 rows —
-    // at 100 TB swap exact ranking for the q109 CMS/heavy-hitter sketch);
-    // membership is a broadcast semi-join, so the corpus never re-shuffles
-    // for the lookup (the q81 discipline). OOV rate in floor basis points.
+    // aggregates; the vocab is a distributed top-K (orderBy+limit plans
+    // TakeOrderedAndProject — per-partition heaps, K rows to the driver)
+    // so the token-TYPE table, unbounded at 100 TB, is never sorted in
+    // one task; membership is a broadcast semi-join, so the corpus never
+    // re-shuffles for the lookup (the q81 discipline). OOV rate in floor
+    // basis points.
     Q(
       "q122_oov_rate",
       (s, d) => {
@@ -791,8 +793,8 @@ object TextOps {
         val vocab = tok
           .groupBy(col("tok"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
-          .filter(col("rk") <= 16)
+          .orderBy(col("cnt").desc, col("tok"))
+          .limit(16)
           .select(col("tok"))
         val perSource = tok.groupBy(col("source")).agg(count(lit(1)).as("total_tokens"))
         val inVocab = tok
@@ -857,7 +859,10 @@ object TextOps {
             col("doc_id"),
             col("n_chars"),
             col("n_subwords"),
-            expr("n_chars * 100 div n_subwords").as("chars_per_sub_centi")
+            // guard n_subwords = 0 (empty/whitespace-only doc): both
+            // engines emit NULL instead of engine-specific div-by-zero
+            expr("CASE WHEN n_subwords > 0 THEN n_chars * 100 div n_subwords END")
+              .as("chars_per_sub_centi")
           )
           .orderBy(col("doc_id")),
       Some(s"""WITH m AS (
@@ -872,7 +877,8 @@ object TextOps {
               |SELECT doc_id,
               |  CAST(n_chars AS BIGINT) AS n_chars,
               |  CAST(n_subwords AS BIGINT) AS n_subwords,
-              |  CAST(n_chars * 100 // n_subwords AS BIGINT) AS chars_per_sub_centi
+              |  CAST(CASE WHEN n_subwords > 0 THEN n_chars * 100 // n_subwords END AS BIGINT)
+              |    AS chars_per_sub_centi
               |FROM u
               |ORDER BY doc_id""".stripMargin)
     ),
@@ -882,9 +888,11 @@ object TextOps {
     // vocabulary histogram that shows which merges actually pay for
     // themselves on this corpus. Plan: the segmentation is the same
     // map-only expression as q125; the explode shuffles only (subword,
-    // partial count) pairs with map-side combine, and the final ranking
-    // window sorts subword-TYPE metadata (~50 rows), never the corpus —
-    // the q122 discipline.
+    // partial count) pairs with map-side combine; the top 20 come from a
+    // distributed orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps), and only THOSE 20 rows enter the rank window — the
+    // subword-TYPE table, unbounded at 100 TB, is never sorted in one
+    // task (the q128 discipline).
     Q(
       "q126_bpe_vocab",
       (s, d) =>
@@ -893,11 +901,12 @@ object TextOps {
           .filter(col("subword") =!= "" && col("subword") =!= " ")
           .groupBy(col("subword"))
           .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("subword"))
+          .limit(20)
           .withColumn(
             "rank",
             row_number().over(Window.orderBy(col("cnt").desc, col("subword"))).cast("long")
           )
-          .filter(col("rank") <= 20)
           .orderBy(col("rank")),
       Some(s"""WITH m AS (SELECT $sqlBpeSegment AS m FROM documents),
               |u AS (SELECT unnest(string_split(m, '|')) AS subword FROM m),

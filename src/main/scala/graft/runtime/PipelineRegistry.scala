@@ -1,20 +1,30 @@
 package graft.runtime
 
-import java.util.concurrent.ConcurrentHashMap
-import scala.jdk.CollectionConverters._
-
 /** Global registry of running pipelines — the analog of the reference's
-  * config storage (/root/reference/lib/broadway/config_storage.ex:1-44,
-  * `:persistent_term` backend) powering `Broadway.all_running/0`
-  * (broadway.ex:1259-1276).
+  * config storage (/root/reference/lib/broadway/config_storage.ex:1-44)
+  * powering `Broadway.all_running/0` (broadway.ex:1259-1276). The backing
+  * store is pluggable ([[ConfigStorage]]): in-memory by default, with a
+  * file-mirrored backend for cross-process introspection — install an
+  * alternative via [[configureStorage]] BEFORE starting pipelines, the
+  * same "choose the backend at boot" contract as the reference's
+  * `:config_storage` application env.
   */
 object PipelineRegistry {
-  private val running = new ConcurrentHashMap[String, graft.core.RunningPipeline[_]]()
+  @volatile private var storage: ConfigStorage = new InMemoryConfigStorage
 
-  def register(p: graft.core.RunningPipeline[_]): Unit = running.put(p.name, p)
-  def unregister(name: String): Unit = running.remove(name)
-  def get(name: String): Option[graft.core.RunningPipeline[_]] = Option(running.get(name))
-  def allRunning: Seq[String] = running.keySet().asScala.toSeq.sorted
+  /** Swap the storage backend (calls its `setup()`). Registrations made
+    * under the previous backend stay there — configure at boot, like the
+    * reference.
+    */
+  def configureStorage(s: ConfigStorage): Unit = synchronized {
+    s.setup()
+    storage = s
+  }
+
+  def register(p: graft.core.RunningPipeline[_]): Unit = storage.put(p.name, p)
+  def unregister(name: String): Unit = { storage.delete(name); () }
+  def get(name: String): Option[graft.core.RunningPipeline[_]] = storage.get(name)
+  def allRunning: Seq[String] = storage.list()
 
   /** Source descriptors of a running pipeline — the `producer_names/1`
     * analog (broadway.ex:1184-1197); None for unknown pipelines.
@@ -28,7 +38,7 @@ object PipelineRegistry {
     * the rest.
     */
   def drainAll(): Unit =
-    running.values().asScala.toSeq.foreach { p =>
+    storage.list().flatMap(storage.get).foreach { p =>
       try p.stop()
       catch { case scala.util.control.NonFatal(_) => () }
     }

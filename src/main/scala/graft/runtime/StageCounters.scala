@@ -22,14 +22,24 @@ final class StageCounters private[runtime] (
     val processorProcessed: LongAccumulator,
     /** Messages failed or crashed in the processor stage. */
     val processorFailed: LongAccumulator,
+    /** Wall nanos spent inside handle_message (the processor span
+      * DURATION — `:telemetry.span` start/stop, broadway.ex:651-888).
+      */
+    val processorNanos: LongAccumulator,
     /** Batches assembled per batcher (one per handle_batch call). */
     val batcherBatches: Map[String, LongAccumulator],
     /** Messages through each batcher's handle_batch. */
     val batcherMessages: Map[String, LongAccumulator],
     /** Messages failed/crashed by each batcher's handle_batch. */
     val batcherFailed: Map[String, LongAccumulator],
+    /** Wall nanos inside each batcher's handle_batch (batch-processor
+      * span duration, batcher_stage.ex:55-77).
+      */
+    val batcherNanos: Map[String, LongAccumulator],
     /** handle_failed invocations (one per ackRef group with failures). */
     val handleFailedInvocations: LongAccumulator,
+    /** Wall nanos inside handle_failed. */
+    val handleFailedNanos: LongAccumulator,
     /** Messages acked successful / failed. */
     val ackSuccessful: LongAccumulator,
     val ackFailed: LongAccumulator
@@ -39,23 +49,33 @@ final class StageCounters private[runtime] (
     StageMetrics(
       processorProcessed = processorProcessed.value,
       processorFailed = processorFailed.value,
+      processorNanos = processorNanos.value,
       batcherBatches = batcherBatches.map { case (k, v) => k -> v.value.longValue() },
       batcherMessages = batcherMessages.map { case (k, v) => k -> v.value.longValue() },
       batcherFailed = batcherFailed.map { case (k, v) => k -> v.value.longValue() },
+      batcherNanos = batcherNanos.map { case (k, v) => k -> v.value.longValue() },
       handleFailedInvocations = handleFailedInvocations.value,
+      handleFailedNanos = handleFailedNanos.value,
       ackSuccessful = ackSuccessful.value,
       ackFailed = ackFailed.value
     )
 }
 
-/** Immutable snapshot of a pipeline's per-stage counters. */
+/** Immutable snapshot of a pipeline's per-stage counters. Durations are
+  * summed wall nanos inside the user callback (span time, not queue
+  * time): throughput ÷ duration locates where latency lives per stage,
+  * the question the reference's telemetry spans answer.
+  */
 final case class StageMetrics(
     processorProcessed: Long,
     processorFailed: Long,
+    processorNanos: Long,
     batcherBatches: Map[String, Long],
     batcherMessages: Map[String, Long],
     batcherFailed: Map[String, Long],
+    batcherNanos: Map[String, Long],
     handleFailedInvocations: Long,
+    handleFailedNanos: Long,
     ackSuccessful: Long,
     ackFailed: Long
 )
@@ -72,10 +92,13 @@ object StageCounters {
     val c = new StageCounters(
       processorProcessed = acc("processor.processed"),
       processorFailed = acc("processor.failed"),
+      processorNanos = acc("processor.nanos"),
       batcherBatches = batcherNames.map(b => b -> acc(s"batcher.$b.batches")).toMap,
       batcherMessages = batcherNames.map(b => b -> acc(s"batcher.$b.messages")).toMap,
       batcherFailed = batcherNames.map(b => b -> acc(s"batcher.$b.failed")).toMap,
+      batcherNanos = batcherNames.map(b => b -> acc(s"batcher.$b.nanos")).toMap,
       handleFailedInvocations = acc("handleFailed.invocations"),
+      handleFailedNanos = acc("handleFailed.nanos"),
       ackSuccessful = acc("ack.successful"),
       ackFailed = acc("ack.failed")
     )

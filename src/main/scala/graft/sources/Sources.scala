@@ -164,6 +164,15 @@ object Sources {
   /** Shared CSV parse+route (batch or streaming). PERMISSIVE mode with
     * `columnNameOfCorruptRecord` marks rows whose fields fail the schema's
     * types; blank lines are dropped as padding.
+    *
+    * Records must be SINGLE-LINE: parsing is line-at-a-time (text scan +
+    * `from_csv`), so a quoted field containing an embedded newline is
+    * split across lines and each fragment lands in the dead-letter frame
+    * even though the multi-line record would be valid CSV to a
+    * whole-file parser. This is the price of splittable, offset-addressed
+    * ingestion (a 100 TB CSV can only be read in parallel if records
+    * never cross line boundaries); feeds with embedded newlines need the
+    * csv datasource with `multiLine=true` (one task per file) instead.
     */
   def splitCsv(lines: DataFrame)(schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.{col, from_csv, length, trim}

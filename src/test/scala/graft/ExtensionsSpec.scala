@@ -136,6 +136,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_top_k as a WINDOW aggregate: eval is non-destructive across frames") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a running-frame window evaluates the SAME live buffer after every
+    // row — a destructive eval (draining the heap) would return the full
+    // array for the first frame and empty/truncated arrays afterwards
+    Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 40L)).toDF("id", "s")
+      .createOrReplaceTempView("wtopk")
+    val rows = spark
+      .sql(
+        """SELECT id, graft_top_k(s, id, 2) OVER
+          |  (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top
+          |FROM wtopk ORDER BY id""".stripMargin
+      )
+      .select(col("id"), to_json(col("top")).as("top"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(rows(1L) == """[{"score":10,"id":1}]""")
+    assert(rows(2L) == """[{"score":30,"id":2},{"score":10,"id":1}]""")
+    assert(rows(3L) == """[{"score":30,"id":2},{"score":20,"id":3}]""")
+    assert(rows(4L) == """[{"score":40,"id":4},{"score":30,"id":2}]""")
+  }
+
   test("non-literal int parameter is rejected with a clear message") {
     GraftExtensions.register(spark)
     val ex = intercept[Exception] {

@@ -153,7 +153,32 @@ class PipelineSpec extends SparkSpec {
       assert(m.batcherFailed == Map("evens" -> 0L, "odds" -> 0L), s"batcher failed: $m")
       assert(m.handleFailedInvocations == 1, s"handleFailed invocations: $m")
       assert(m.ackSuccessful == 8 && m.ackFailed == 2, s"ack totals: $m")
+      // span DURATIONS (broadway.ex:651-888 measures time, not just
+      // counts): every exercised stage reports positive summed nanos
+      assert(m.processorNanos > 0, s"processor span duration missing: $m")
+      assert(m.batcherNanos.keySet == Set("evens", "odds") && m.batcherNanos.values.forall(_ > 0),
+        s"batcher span durations missing: $m")
+      assert(m.handleFailedNanos > 0, s"handle_failed span duration missing: $m")
     } finally tp.stop()
+  }
+
+  // Telemetry.install is per-SESSION: a second SparkSession's pipelines
+  // must report metrics too (a global install flag would bind only the
+  // first session's listener bus and silently zero the second).
+  test("telemetry binds every session, not just the first") {
+    val spark2 = spark.newSession()
+    val tp1 = new TestPipeline(spark, simpleConfig("tele-s1"))
+    val tp2 = new TestPipeline(spark2, simpleConfig("tele-s2"))
+    try {
+      tp1.testBatch(1 to 3)
+      tp2.testBatch(1 to 4)
+      tp1.processAllAvailable()
+      tp2.processAllAvailable()
+      val m1 = graft.runtime.Telemetry.of("tele-s1")
+      val m2 = graft.runtime.Telemetry.of("tele-s2")
+      assert(m1.batches > 0 && m1.inputRows == 3, s"first session metrics: $m1")
+      assert(m2.batches > 0 && m2.inputRows == 4, s"second session metrics (install skipped?): $m2")
+    } finally { tp1.stop(); tp2.stop() }
   }
 
   // broadway_test.exs:808-817 — crash in handle_message marks {kind, reason},

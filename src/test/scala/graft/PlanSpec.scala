@@ -71,16 +71,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"rank window crept back into the top-k plan:\n$p")
   }
 
-  test("q42 near-dup has no nested-loop join and no corpus broadcast") {
+  test("q42 near-dup has no nested-loop join, no corpus broadcast, narrow dedup") {
     val df = QueryRegistry.byName("q42_embedding_neardup").fn(spark, sfDir)
     df.collect() // finalize AQE so the asserted plan is the executed one
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), s"quadratic nested-loop join in plan:\n$p")
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
-    // exactly-once pair emission via FirstEqualBand replaced the candidate
-    // distinct(): the plan must carry NO aggregate (a HashAggregate here
-    // means the widest intermediate is being shuffled again)
-    assert(!p.contains("HashAggregate"), s"candidate distinct crept back into the plan:\n$p")
+    // dedup must run AFTER the cosine verification (survivors only, a
+    // map-side-combined HashAggregate on the verified rows) — a distinct
+    // BEFORE verification would shuffle the near-all-pairs candidate set,
+    // the pipeline's widest intermediate at a low gate threshold
+    val dedupStages = "HashAggregate\\(keys=\\[vec_a[#0-9L]*, vec_b[#0-9L]*".r.findAllIn(p).size
+    assert(dedupStages >= 2, s"expected partial+final survivor dedup:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val candJoinIdx = p.lastIndexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && candJoinIdx > aggIdx,
+      s"the dedup aggregate must sit ABOVE the joins (dedup after verify):\n$p")
+    assert(!p.contains("FirstEqualBand") && !p.contains("first_equal_band"),
+      s"signature payload crept back into the candidate join:\n$p")
   }
 
   test("q27 top-trigram is map-only: no aggregate, no join, single sort exchange") {
@@ -358,14 +366,19 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$p")
   }
 
-  test("q119 skew report: the rank window sorts key metadata, never the corpus") {
+  test("q119 skew report: p99 is range-partitioned; no global rank window") {
     val df = QueryRegistry.byName("q119_skew_report").fn(spark, sfDir)
     df.collect()
     val p = finalPlan(df.queryExecution.executedPlan.toString)
-    // the window's input must be the per-key counts (carries cnt), not rows
+    // the per-key count table is unbounded at scale: its global p99 rank
+    // must come from repartitionByRange + per-partition offsets (the q135
+    // trick), never a single-task `row_number() OVER (ORDER BY ...)`
+    assert(p.contains("rangepartitioning"),
+      s"expected range-partitioned rank recovery:\n$p")
+    // the only Window allowed is the 32-row pid-offset prefix sum
     val winIdx = p.indexOf("Window")
-    assert(winIdx >= 0 && p.substring(winIdx).contains("cnt"),
-      s"rank window does not operate on per-key counts:\n$p")
+    assert(winIdx < 0 || p.substring(winIdx).contains("pid"),
+      s"a global rank window over the key table crept back:\n$p")
   }
 
   test("q120 fk audit pre-aggregates both sides before ONE full-outer join") {

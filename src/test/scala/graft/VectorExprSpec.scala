@@ -58,7 +58,7 @@ class VectorExprSpec extends SparkSpec {
     assert(r.getInt(0) == 4 && r.getInt(1) == 16 && r.getInt(2) == 0 && r.getInt(3) == -1)
   }
 
-  test("exactly-once emission: candidate pairs carry no duplicates without a distinct") {
+  test("candidate pair dedup: the verified pair listing carries no duplicates") {
     val pairs = SimilarityOps
       .embeddingNeardupPairs(spark, "/root/testdata/sf0.001")
       .select(col("vec_a"), col("vec_b"))
