@@ -284,6 +284,18 @@ object Pipeline {
     s"$pipelineName.graft.$component.$index"
 }
 
+/** Termination reason for `RunningPipeline.stop` — the exit-reason
+  * argument of `Broadway.stop/3` (broadway.ex:1525-1539) reduced to the
+  * distinctions that change behavior off the BEAM: graceful (`Normal`,
+  * `Shutdown` — drain first) vs brutal (`Kill` — immediate teardown).
+  */
+sealed trait StopReason
+object StopReason {
+  case object Normal extends StopReason
+  case object Shutdown extends StopReason
+  case object Kill extends StopReason
+}
+
 /** Handle on a started pipeline — introspection + lifecycle, the analog of
   * `Broadway.topology/1|all_running/0|stop/3` (broadway.ex:1184-1276,
   * 1525-1539) and the Terminator's graceful drain (topology/terminator.ex:
@@ -311,11 +323,21 @@ final class RunningPipeline[A](
     * options.ex:13-20). Supervision is dropped first so an intentional
     * stop never races a restart.
     */
-  def stop(): Unit = {
-    config.prepareForDraining()
+  def stop(): Unit = stop(StopReason.Normal, config.shutdownBudgetMs)
+
+  /** `Broadway.stop/3` analog (broadway.ex:1525-1539): stop with an
+    * explicit reason and termination budget. `Normal`/`Shutdown` drain
+    * in-flight messages first (the graceful path); `Kill` is the brutal
+    * variant — no `prepare_for_draining`, no drain, the query is torn
+    * down immediately (still releasing runtime resources, which on the
+    * BEAM the process exit handles for free).
+    */
+  def stop(reason: StopReason, timeoutMs: Long): Unit = {
+    val graceful = reason != StopReason.Kill
+    if (graceful) config.prepareForDraining()
     val q = query
     graft.runtime.Supervisor.forget(name, q.runId)
-    try q.processAllAvailable()
+    try { if (graceful) q.processAllAvailable() }
     finally {
       // On a query that already crashed, processAllAvailable/awaitTermination
       // rethrow its StreamingQueryException — runtime resources must still be
@@ -323,7 +345,7 @@ final class RunningPipeline[A](
       // counters), so the releases get their own finally.
       try {
         q.stop()
-        q.awaitTermination(config.shutdownBudgetMs)
+        q.awaitTermination(timeoutMs)
       } finally {
         rateLimiter.foreach(_.shutdown())
         StageCounters.remove(name)

@@ -278,10 +278,10 @@ object DedupOps {
     * fixpoint: labels only ever decrease, so an unchanged sum means no
     * label moved. If `maxRounds` elapses before the fixpoint, the labels
     * are only partially propagated — that is a WRONG answer, so the
-    * routine fails loud instead of returning it. (For adversarial
-    * long-chain graphs, swap the propagation step for alternating
-    * large-star/small-star — same join shape, O(log n) rounds; not
-    * needed for the near-dup workload.)
+    * routine switches to [[starComponents]] (alternating large-star/
+    * small-star, O(log n) rounds) instead of returning it: adversarial
+    * long-chain graphs get the logarithmic algorithm, while the common
+    * near-dup workload keeps the cheaper one-join-per-round loop.
     *
     * Input columns: (src, dst) directed both ways or either way — the
     * routine symmetrizes. Output: (node, lbl) with lbl = min node id of
@@ -320,14 +320,119 @@ object DedupOps {
         prevSum = sumNow
         rounds += 1
       }
-      require(
-        converged,
-        s"connectedComponents did not converge after $maxRounds rounds - " +
-          "labels are partially propagated; raise maxRounds or use " +
-          "large-star/small-star for long-chain graphs"
-      )
+      if (!converged) {
+        // a long-chain graph exhausted the O(diameter) budget — rerun
+        // with the O(log n) star alternation rather than returning the
+        // partially-propagated (wrong) labels or failing a job the star
+        // algorithm can finish
+        labels = starComponents(edges)
+      }
     }
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * converges in O(log n) rounds on ANY graph — including paths and
+    * other long chains, where min-label propagation needs O(diameter)
+    * rounds — while touching only the edge list.
+    *
+    * Round shape: large-star connects every neighbor larger than u to
+    * u's minimum neighborhood label (one groupBy-min over the symmetric
+    * adjacency + one equi-join back); small-star does the same for the
+    * smaller neighbors over the resulting downward edges. Both halves
+    * are edge-list-only shuffles, same scale envelope as the propagation
+    * loop. Edges keep the (hi > lo) canonical orientation throughout;
+    * the fixpoint is a star forest rooted at each component's minimum,
+    * read off directly as the label table. Convergence is detected by an
+    * edge-set fingerprint (count + endpoint sums + xxhash64 sum — one
+    * tiny aggregate per round); `localCheckpoint` per round truncates
+    * the iterative lineage exactly like the propagation loop (same
+    * fault-tolerance caveat documented there).
+    *
+    * Input columns: (src, dst) in either orientation; self-loops are
+    * dropped but their nodes keep a singleton label. Output: (node, lbl)
+    * with lbl = min node id of the component.
+    */
+  def starComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val raw = pairs.toDF("u", "v")
+    val nodes = raw
+      .select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var edges = raw
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+
+    // edge-set fingerprint: count + two order-independent XOR folds of
+    // per-edge hashes (XOR, unlike sum, cannot overflow under ANSI
+    // arithmetic; two hash seeds make a coincidental collision
+    // negligible). Edges are distinct, so XOR cancellation of repeated
+    // rows cannot occur.
+    def fingerprint(e: DataFrame): Seq[Long] = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L))
+      ).head()
+      (0 until 3).map(r.getLong)
+    }
+
+    var prev = fingerprint(edges)
+    var rounds = 0
+    var converged = prev.head == 0L
+    while (!converged && rounds < maxRounds) {
+      // large-star: for each node a, m = min(N(a) ∪ {a}); every neighbor
+      // b > a re-attaches to m
+      val sym = edges
+        .select(col("hi").as("a"), col("lo").as("b"))
+        .union(edges.select(col("lo").as("a"), col("hi").as("b")))
+      val lmin = sym
+        .groupBy(col("a"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = sym
+        .join(lmin, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star: over downward edges (hi → lo), every lo re-attaches
+      // to min(N⁻(hi)), and hi itself attaches there too
+      val smin = ls.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+      edges = ls
+        .join(smin, "hi")
+        .select(col("lo").as("n"), col("mn"))
+        .union(smin.select(col("hi").as("n"), col("mn")))
+        .filter(col("n") =!= col("mn"))
+        .distinct()
+        .select(col("n").as("hi"), col("mn").as("lo"))
+        .localCheckpoint()
+      val now = fingerprint(edges)
+      converged = now == prev
+      prev = now
+      rounds += 1
+    }
+    require(
+      converged,
+      s"starComponents did not converge after $maxRounds rounds - " +
+        "O(log n) rounds should never exceed this budget; the edge list " +
+        "is changing every round (data issue or maxRounds set too low)"
+    )
+    // the star forest reads off as the label table; nodes that lost all
+    // edges (self-loop-only inputs) label themselves
+    val labeled = edges
+      .select(col("hi").as("node"), col("lo").as("lbl"))
+      .union(edges.select(col("lo").as("node"), col("lo").as("lbl")))
+      .distinct()
+    labeled.union(
+      nodes
+        .join(labeled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("lbl"))
+    )
   }
 
   /** Near-dup cluster map for the corpus: (node, lbl) over the verified

@@ -44,19 +44,52 @@ object Sources {
     * cadence needs the shared-RateLimiter admission path (see QueueSource's
     * rate-limited latestOffset).
     */
+  /** How the consumer attaches to Kafka — the three mutually exclusive
+    * subscription modes of the Spark Kafka source. `Subscribe` follows a
+    * comma-separated topic list (the common case), `SubscribePattern` a
+    * topic regex (new matching topics picked up at runtime), `Assign` an
+    * explicit partition map (`{"topic":[0,1]}`) for pipelines that pin
+    * partitions, e.g. to keep per-partition ordering aligned with an
+    * upstream `partition_by`.
+    */
+  sealed trait KafkaSubscription { def optionKey: String; def optionValue: String }
+  final case class Subscribe(topics: String) extends KafkaSubscription {
+    val optionKey = "subscribe"; val optionValue = topics
+  }
+  final case class SubscribePattern(pattern: String) extends KafkaSubscription {
+    val optionKey = "subscribePattern"; val optionValue = pattern
+  }
+  final case class Assign(partitionsJson: String) extends KafkaSubscription {
+    val optionKey = "assign"; val optionValue = partitionsJson
+  }
+
+  def kafkaOptions(
+      bootstrapServers: String,
+      subscription: KafkaSubscription,
+      rateLimiting: Option[RateLimiting],
+      startingOffsets: String,
+      failOnDataLoss: Boolean
+  ): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      subscription.optionKey -> subscription.optionValue,
+      "startingOffsets" -> startingOffsets,
+      // false by default: a retention-pruned offset should dead-letter /
+      // skip forward, not kill a long-running pipeline — the streaming
+      // analog of the restart-tolerant acknowledger contract
+      "failOnDataLoss" -> failOnDataLoss.toString
+    )
+    base ++ rateLimiting.map(rl => "maxOffsetsPerTrigger" -> rl.allowedMessages.toString)
+  }
+
+  /** Topic-list convenience overload (the historical signature). */
   def kafkaOptions(
       bootstrapServers: String,
       topics: String,
       rateLimiting: Option[RateLimiting] = None,
       startingOffsets: String = "earliest"
-  ): Map[String, String] = {
-    val base = Map(
-      "kafka.bootstrap.servers" -> bootstrapServers,
-      "subscribe" -> topics,
-      "startingOffsets" -> startingOffsets
-    )
-    base ++ rateLimiting.map(rl => "maxOffsetsPerTrigger" -> rl.allowedMessages.toString)
-  }
+  ): Map[String, String] =
+    kafkaOptions(bootstrapServers, Subscribe(topics), rateLimiting, startingOffsets, failOnDataLoss = false)
 
   /** Kafka source with offset admission per trigger — rate limiting at the
     * source (maxOffsetsPerTrigger ≈ allowed_messages per trigger interval).
@@ -64,14 +97,25 @@ object Sources {
   def kafka(
       spark: SparkSession,
       bootstrapServers: String,
-      topics: String,
+      subscription: KafkaSubscription,
       rateLimiting: Option[RateLimiting] = None,
-      startingOffsets: String = "earliest"
+      startingOffsets: String = "earliest",
+      failOnDataLoss: Boolean = false
   ): DataFrame =
     spark.readStream
       .format("kafka")
-      .options(kafkaOptions(bootstrapServers, topics, rateLimiting, startingOffsets))
+      .options(kafkaOptions(bootstrapServers, subscription, rateLimiting, startingOffsets, failOnDataLoss))
       .load()
+
+  /** Topic-list convenience overload. */
+  def kafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topics: String,
+      rateLimiting: Option[RateLimiting],
+      startingOffsets: String
+  ): DataFrame =
+    kafka(spark, bootstrapServers, Subscribe(topics), rateLimiting, startingOffsets)
 
   /** Synthetic rate source (load/soak testing). */
   def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =

@@ -429,6 +429,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  // broadway.ex:1525-1539 — stop/3 with an exit reason: Kill must tear
+  // down immediately (no prepare_for_draining, no drain) but still
+  // release runtime resources; Normal keeps the graceful contract.
+  test("stop with Kill skips the drain hook but still unregisters") {
+    val drained = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cfg = PipelineConfig[Int](
+      name = "stop-kill",
+      prepareForDraining = () => drained.set(true)
+    )
+    val tp = new TestPipeline(spark, cfg)
+    tp.push(1, 2)
+    tp.running.stop(graft.core.StopReason.Kill, 10000L)
+    assert(!drained.get(), "Kill must not invoke prepare_for_draining")
+    assert(!PipelineRegistry.allRunning.contains("stop-kill"), "resources not released")
+    assert(!tp.running.query.isActive)
+
+    val drained2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cfg2 = PipelineConfig[Int](
+      name = "stop-normal",
+      prepareForDraining = () => drained2.set(true)
+    )
+    val tp2 = new TestPipeline(spark, cfg2)
+    tp2.push(3)
+    tp2.running.stop(graft.core.StopReason.Normal, 10000L)
+    assert(drained2.get(), "Normal must invoke prepare_for_draining")
+    assert(!PipelineRegistry.allRunning.contains("stop-normal"))
+    tp.clearAcks(); tp2.clearAcks()
+  }
+
   test("topology and registry introspection") {
     val cfg = PipelineConfig[Int](
       name = "introspect",

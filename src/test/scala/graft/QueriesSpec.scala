@@ -84,17 +84,57 @@ class QueriesSpec extends SparkSpec {
     graft.ops.Caches.invalidate()
   }
 
-  test("connected components fail loud when maxRounds elapses before the fixpoint") {
+  test("connected components fall back to star rounds when propagation exhausts maxRounds") {
     import graft.ops.DedupOps
-    // chain of diameter 4 cannot converge in 1 round - partially-propagated
-    // labels must never be returned silently
+    // a diameter-4 chain cannot converge in 1 propagation round —
+    // partially-propagated labels must never be returned silently; the
+    // O(log n) star fallback must produce the CORRECT labels instead
     val pairs = spark
       .createDataFrame(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
       .toDF("doc_a", "doc_b")
-    val ex = intercept[IllegalArgumentException] {
-      DedupOps.connectedComponents(pairs, maxRounds = 1).collect()
-    }
-    assert(ex.getMessage.contains("did not converge"))
+    val labels = DedupOps
+      .connectedComponents(pairs, maxRounds = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(labels == (1L to 5L).map(_ -> 1L).toMap)
+    graft.ops.Caches.invalidate()
+  }
+
+  test("star components label a 1000-node path in O(log n) rounds") {
+    import graft.ops.DedupOps
+    // min-label propagation needs 999 rounds on this graph; the
+    // large-star/small-star alternation must finish within a logarithmic
+    // budget (2·log2(1000) ≈ 20 — give it 24 incl. the confirming round)
+    val pairs = spark
+      .createDataFrame((1L until 1000L).map(i => (i, i + 1L)))
+      .toDF("src", "dst")
+    val labels = DedupOps
+      .starComponents(pairs, maxRounds = 24)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(labels == (1L to 1000L).map(_ -> 1L).toMap)
+    graft.ops.Caches.invalidate()
+  }
+
+  test("star components agree with propagation on random graphs and keep singletons") {
+    import graft.ops.DedupOps
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val edges = Seq
+      .fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2) :+ (99L, 99L)
+    val pairs = spark.createDataFrame(edges).toDF("a", "b")
+    val star = DedupOps.starComponents(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = DedupOps
+      .connectedComponents(pairs.filter(col("a") =!= col("b")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // the self-loop-only node 99 keeps a singleton label in the star path
+    assert(star(99L) == 99L)
+    assert(star - 99L == prop, s"star=$star\nprop=$prop")
     graft.ops.Caches.invalidate()
   }
 

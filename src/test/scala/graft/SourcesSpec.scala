@@ -64,6 +64,57 @@ class SourcesSpec extends SparkSpec {
     assert(unlimited("startingOffsets") == "earliest")
   }
 
+  test("kafka adapter emits the full reader config for every subscription mode") {
+    import graft.config.RateLimiting
+    // subscribe (topic list): the complete option map, nothing extra
+    val sub = Sources.kafkaOptions(
+      "b1:9092",
+      Sources.Subscribe("events,clicks"),
+      Some(RateLimiting(allowedMessages = 250, intervalMs = 1000)),
+      startingOffsets = "latest",
+      failOnDataLoss = true
+    )
+    assert(
+      sub == Map(
+        "kafka.bootstrap.servers" -> "b1:9092",
+        "subscribe" -> "events,clicks",
+        "startingOffsets" -> "latest",
+        "failOnDataLoss" -> "true",
+        "maxOffsetsPerTrigger" -> "250"
+      )
+    )
+
+    // subscribePattern: regex subscription, no rate limit key when absent
+    val pat = Sources.kafkaOptions(
+      "b1:9092",
+      Sources.SubscribePattern("events-.*"),
+      None,
+      startingOffsets = "earliest",
+      failOnDataLoss = false
+    )
+    assert(pat("subscribePattern") == "events-.*")
+    assert(!pat.contains("subscribe") && !pat.contains("assign"))
+    assert(pat("failOnDataLoss") == "false")
+    assert(!pat.contains("maxOffsetsPerTrigger"))
+
+    // assign: pinned partitions (ordering aligned with partition_by)
+    val asg = Sources.kafkaOptions(
+      "b1:9092",
+      Sources.Assign("""{"events":[0,1,2]}"""),
+      None,
+      startingOffsets = """{"events":{"0":-2,"1":-2,"2":-2}}""",
+      failOnDataLoss = false
+    )
+    assert(asg("assign") == """{"events":[0,1,2]}""")
+    assert(asg("startingOffsets").contains("\"events\""))
+    assert(!asg.contains("subscribe") && !asg.contains("subscribePattern"))
+
+    // NOTE the spark-sql-kafka provider jar is not on this sandbox's
+    // classpath, so `Sources.kafka(...)` (readStream wiring) cannot be
+    // resolved here — the option map above IS the adapter's entire
+    // behavior; the wiring is a one-line `.format("kafka").options(...)`.
+  }
+
   test("jsonl reader parses good lines and routes malformed lines to the dead-letter frame") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-jsonl")
