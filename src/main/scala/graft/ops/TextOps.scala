@@ -1059,6 +1059,156 @@ object TextOps {
              |    AS diversity_ppm
              |FROM f
              |ORDER BY source""".stripMargin)
+    ),
+
+    // Bigram-LM quality score (the log-free analog of CCNet-style
+    // perplexity filtering): score each document by how LIKELY its token
+    // transitions are under a bigram model fit on the corpus itself —
+    // gibberish, shuffled text, and boilerplate-free OOD noise all score
+    // low because their transitions are rare given their prefixes. The
+    // per-bigram statistic is the conditional likelihood in per-mille,
+    // like_pm = ⌊1000·c(ab)/c(a·)⌋ (c = corpus occurrence counts), and a
+    // document's score is its occurrence-weighted mean — every sum is
+    // int64 (exact and order-independent, unlike summed doubles) and the
+    // two divisions are integral, so both engines agree bit-for-bit
+    // (NOTES rule: no libm in scoring).
+    // Scale shape: ONE exploded bigram pass with map-side combine keyed
+    // (doc, gram) — per-doc repeats collapse before anything joins — then
+    // a gram-keyed rollup (the LM), a prefix-keyed rollup of the LM
+    // (vocabulary-sized, NOT corpus-sized), and two equi-joins back;
+    // AQE handles hot-gram skew on the lookup joins. Nothing driver-side,
+    // no window, no broadcast required for correctness (Catalyst picks
+    // broadcast at small scale, SMJ at 100 TB).
+    Q(
+      "q136_bigram_likelihood",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        val perDoc = toks
+          .filter(size(col("toks")) >= 2)
+          .select(
+            col("doc_id"),
+            col("source"),
+            explode(
+              expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")
+            ).as("gram")
+          )
+          .groupBy(col("doc_id"), col("source"), col("gram"))
+          .agg(count(lit(1)).as("c_doc"))
+        val cAb = perDoc.groupBy(col("gram")).agg(sum(col("c_doc")).as("c_ab"))
+        val cA = cAb
+          .withColumn("pfx", split(col("gram"), " ").getItem(0))
+          .groupBy(col("pfx"))
+          .agg(sum(col("c_ab")).as("c_a"))
+        perDoc
+          .join(cAb, Seq("gram"))
+          .withColumn("pfx", split(col("gram"), " ").getItem(0))
+          .join(cA, Seq("pfx"))
+          .withColumn("like_pm", expr("(c_ab * 1000) div c_a"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(expr("sum(c_doc * like_pm) div sum(c_doc)").as("score_pm"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            expr("sum(score_pm) div count(*)").as("avg_like_pm"),
+            min(col("score_pm")).as("min_like_pm"),
+            max(col("score_pm")).as("max_like_pm")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |bigs AS (
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+             |  FROM toks WHERE len(toks) >= 2),
+             |perdoc AS (
+             |  SELECT doc_id, source, gram, CAST(count(*) AS BIGINT) AS c_doc
+             |  FROM bigs GROUP BY 1, 2, 3),
+             |cab AS (SELECT gram, CAST(sum(c_doc) AS BIGINT) AS c_ab FROM perdoc GROUP BY 1),
+             |ca AS (SELECT string_split(gram, ' ')[1] AS pfx, CAST(sum(c_ab) AS BIGINT) AS c_a
+             |       FROM cab GROUP BY 1),
+             |doc AS (
+             |  SELECT p.doc_id, p.source,
+             |    CAST(sum(p.c_doc * ((cab.c_ab * 1000) // ca.c_a)) // sum(p.c_doc) AS BIGINT)
+             |      AS score_pm
+             |  FROM perdoc p
+             |  JOIN cab USING (gram)
+             |  JOIN ca ON ca.pfx = string_split(p.gram, ' ')[1]
+             |  GROUP BY 1, 2)
+             |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             |  CAST(sum(score_pm) // count(*) AS BIGINT) AS avg_like_pm,
+             |  CAST(min(score_pm) AS BIGINT) AS min_like_pm,
+             |  CAST(max(score_pm) AS BIGINT) AS max_like_pm
+             |FROM doc
+             |GROUP BY 1
+             |ORDER BY source""".stripMargin)
+    ),
+
+    // Token-mass concentration (the log-free Zipf-head profile): what
+    // fraction of each source's token mass sits in its top-1 / top-10 /
+    // top-100 token types. Natural corpora concentrate hard (Zipf);
+    // boilerplate-heavy or template-generated sources concentrate even
+    // harder, and near-uniform token mass flags synthetic/shuffled text —
+    // the distributional health check a mixture designer reads before
+    // weighting sources. Plan shape: one (source, token) count with
+    // map-side combine, then the per-source top-100 comes from the native
+    // GroupTopK aggregate (fixed 100-pair state per source, partial+final
+    // merge) — the token-TYPE table, unbounded at 100 TB, is never sorted
+    // in one task and no rank window appears anywhere. Tie-break at the
+    // k-boundary cannot change the answer: only the count MULTISET of the
+    // kept k enters the sums, and that multiset is order-invariant, so
+    // the engine's (score, hash-id) order and the oracle's arbitrary
+    // row_number order agree exactly. All arithmetic is int64 + one
+    // integral division (basis points).
+    Q(
+      "q137_mass_concentration",
+      (s, d) => {
+        val cnt = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+        cnt
+          .groupBy(col("source"))
+          .agg(
+            sum(col("cnt")).as("total_tokens"),
+            graft.functions.AggFunctions.topK(col("cnt"), xxhash64(col("tok")), 100).as("top")
+          )
+          .select(
+            col("source"),
+            col("total_tokens"),
+            expr(
+              "aggregate(slice(top, 1, 1), CAST(0 AS BIGINT), (acc, x) -> acc + x.score) * 10000 div total_tokens"
+            ).as("top1_bp"),
+            expr(
+              "aggregate(slice(top, 1, 10), CAST(0 AS BIGINT), (acc, x) -> acc + x.score) * 10000 div total_tokens"
+            ).as("top10_bp"),
+            expr(
+              "aggregate(slice(top, 1, 100), CAST(0 AS BIGINT), (acc, x) -> acc + x.score) * 10000 div total_tokens"
+            ).as("top100_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (
+             |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents) t
+             |  GROUP BY 1, 2),
+             |r AS (SELECT source, cnt,
+             |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC) AS rk
+             |      FROM c),
+             |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c GROUP BY 1)
+             |SELECT r.source, t.total_tokens,
+             |  CAST(sum(CASE WHEN rk <= 1 THEN cnt ELSE 0 END) * 10000 // t.total_tokens AS BIGINT)
+             |    AS top1_bp,
+             |  CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) * 10000 // t.total_tokens AS BIGINT)
+             |    AS top10_bp,
+             |  CAST(sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) * 10000 // t.total_tokens AS BIGINT)
+             |    AS top100_bp
+             |FROM r JOIN t ON t.source = r.source
+             |GROUP BY 1, 2
+             |ORDER BY r.source""".stripMargin)
     )
   )
 }

@@ -71,6 +71,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"rank window crept back into the top-k plan:\n$p")
   }
 
+  test("q137 concentration profile: per-source top-100 via GroupTopK, no rank window") {
+    val df = QueryRegistry.byName("q137_mass_concentration").fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the token-TYPE table is unbounded at scale: its per-source head
+    // must come from the fixed-state aggregate (partial+final), never a
+    // partition-wide sort or rank window
+    val stages = "graft_top_k".r.findAllIn(p).size
+    assert(p.contains("ObjectHashAggregate") && stages >= 2,
+      s"expected partial+final graft_top_k stages:\n$p")
+    assert(!p.contains("Window"), s"rank window over the type table:\n$p")
+  }
+
   test("q42 near-dup has no nested-loop join, no corpus broadcast, narrow dedup") {
     val df = QueryRegistry.byName("q42_embedding_neardup").fn(spark, sfDir)
     df.collect() // finalize AQE so the asserted plan is the executed one
