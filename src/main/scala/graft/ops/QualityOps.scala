@@ -134,27 +134,52 @@ object QualityOps {
     // (q1 − 1.5·IQR, q3 + 1.5·IQR) — the numeric-column anomaly gate.
     // Quartiles are values AT ranks ceil(n/4)/ceil(3n/4) (no
     // interpolation → engine-exact); the fence comparison is ×2 integer
-    // algebra so the 1.5 factor never touches floats. Plan: one window
-    // pass ranks the persisted (flag, cents) projection; quartiles fall
-    // out of a conditional aggregate on the SAME ranked rows; only the
-    // tiny per-flag fence frame joins back (broadcast) for the outlier
-    // count — two passes over one cached 2-column projection, no
-    // fact-table re-scan.
+    // algebra so the 1.5 factor never touches floats. Plan: a
+    // `Window.partitionBy(flag)` rank would sort EACH FLAG'S whole slice
+    // of the fact table in one task (3 flags → 3 tasks own the corpus —
+    // LOW key cardinality is what makes a partitioned window a
+    // scale-killer here), so the per-flag global rank is recovered with
+    // the q135 range-partition trick instead: repartitionByRange(flag,
+    // cents) + local sort, then per-(partition, flag) counts and min
+    // positions (≤ 32×|flags| metadata rows) prefix-summed into offsets
+    // give the exact rank with no task ever holding more than 1/32 of
+    // the data. Quartiles fall out of a conditional aggregate on the
+    // rank-recovered rows; the tiny per-flag fence frame joins back
+    // (broadcast) for the outlier count — two passes over ONE cached
+    // projection, no fact-table re-scan.
     Q(
       "q121_price_outliers",
       (s, d) => {
         val base = Caches.persisted(
-          lineitem(s, d).select(
-            col("l_returnflag").as("flag"),
-            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")
-          )
+          lineitem(s, d)
+            .select(
+              col("l_returnflag").as("flag"),
+              expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")
+            )
+            .repartitionByRange(32, col("flag"), col("cents"))
+            .sortWithinPartitions(col("flag"), col("cents"))
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
         )
-        val wRank = Window.partitionBy(col("flag")).orderBy(col("cents"))
-        val wN = Window.partitionBy(col("flag"))
-        val ranked = base
-          .withColumn("rk", row_number().over(wRank))
-          .withColumn("n", count(lit(1)).over(wN))
-        val quarts = ranked
+        val meta = base
+          .groupBy(col("pid"), col("flag"))
+          .agg(count(lit(1)).as("cnt"), min(col("loc")).as("minloc"))
+        val wf = Window
+          .partitionBy(col("flag"))
+          .orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = meta
+          .withColumn("off", coalesce(sum(col("cnt")).over(wf), lit(0L)))
+          .select(col("pid"), col("flag"), col("minloc"), col("off"))
+        val nPer = meta.groupBy(col("flag")).agg(sum(col("cnt")).as("n"))
+        val quarts = base
+          .join(broadcast(offsets), Seq("pid", "flag"))
+          .join(broadcast(nPer), Seq("flag"))
+          .withColumn("rk", col("loc") - col("minloc") + col("off") + 1)
+          .filter(
+            col("rk") === expr("(n + 3) div 4") || col("rk") === expr("(3 * n + 3) div 4")
+          )
           .groupBy(col("flag"))
           .agg(
             max(col("n")).as("n"),

@@ -1209,6 +1209,116 @@ object TextOps {
              |FROM r JOIN t ON t.source = r.source
              |GROUP BY 1, 2
              |ORDER BY r.source""".stripMargin)
+    ),
+
+    // BPE merge TRAINING (q125/q126 only APPLY a fixed merge table; this
+    // learns one): the classic Sennrich et al. trainer — start from
+    // characters, repeatedly take the corpus's most frequent adjacent
+    // symbol pair and fuse it — unrolled for 3 merges. The round loop
+    // runs over the WORD-FREQUENCY table, not the corpus: the corpus is
+    // read once to build (word, freq), and every training round is a
+    // vocabulary-sized segmentation + pair count weighted by freq — the
+    // reason real BPE trainers scale, and the same unrolled-iteration
+    // discipline as q108 k-means / q128 PageRank. The per-round argmax
+    // (count DESC, pair ASC — deterministic tie-break) is a driver
+    // SCALAR on a TakeOrdered(1) over pair-type metadata (the q86/q108
+    // driver-scalar idiom); the learned pair re-enters the next round as
+    // a literal in the same repeated-replace program that q125 proved
+    // cross-engine exact. No UDF, no rank window, nothing corpus-sized
+    // after the first pass.
+    Q(
+      "q138_bpe_train",
+      (s, d) => {
+        val words = Caches.persisted(
+          documents(s, d)
+            .select(explode(tokens(col("text"))).as("w"))
+            .filter(col("w") =!= "")
+            .groupBy(col("w"))
+            .agg(count(lit(1)).as("freq"))
+            .withColumn("seg", concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")))
+        )
+        def topPair(segged: DataFrame): (String, String, Long) = {
+          val r = segged
+            .withColumn("syms", expr("filter(split(seg, '\\\\|'), x -> x <> '')"))
+            .select(
+              col("freq"),
+              explode(
+                expr(
+                  """CASE WHEN size(syms) >= 2
+                    |  THEN transform(sequence(0, size(syms)-2), i -> concat(syms[i], '|', syms[i+1]))
+                    |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+                )
+              ).as("pair")
+            )
+            .groupBy(col("pair"))
+            .agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair"))
+            .limit(1)
+            .head()
+          val xy = r.getString(0).split("\\|", 2)
+          (xy(0), xy(1), r.getLong(1))
+        }
+        var seg = words.select(col("freq"), col("seg"))
+        val learned = (1 to 3).map { round =>
+          val (x, y, cnt) = topPair(seg)
+          seg = seg.withColumn(
+            "seg",
+            (1 to 3).foldLeft(col("seg"))((a, _) => replace(a, lit(s"|$x|$y|"), lit(s"|$x$y|")))
+          )
+          (round.toLong, x, y, cnt)
+        }
+        learned
+          .map { case (round, x, y, cnt) =>
+            s.range(1)
+              .select(
+                lit(round).as("round"),
+                lit(x).as("x"),
+                lit(y).as("y"),
+                lit(cnt).as("pair_count")
+              )
+          }
+          .reduce(_ unionAll _)
+          .orderBy(col("round"))
+      },
+      Some("""WITH w AS (
+             |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents) t
+             |  WHERE tok <> '' GROUP BY 1),
+             |s0 AS (SELECT freq, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS seg FROM w),
+             |p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(list_transform(range(1, len(syms)), i -> syms[i] || '|' || syms[i+1])) AS pair
+             |    FROM (SELECT freq, list_filter(string_split(seg, '|'), x -> x <> '') AS syms FROM s0) u) v
+             |  GROUP BY 1),
+             |m1 AS (SELECT string_split(pair, '|')[1] AS x, string_split(pair, '|')[2] AS y, cnt
+             |       FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+             |s1 AS (SELECT freq,
+             |    replace(replace(replace(seg,
+             |      '|'||m1.x||'|'||m1.y||'|', '|'||m1.x||m1.y||'|'),
+             |      '|'||m1.x||'|'||m1.y||'|', '|'||m1.x||m1.y||'|'),
+             |      '|'||m1.x||'|'||m1.y||'|', '|'||m1.x||m1.y||'|') AS seg
+             |  FROM s0 CROSS JOIN m1),
+             |p2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(list_transform(range(1, len(syms)), i -> syms[i] || '|' || syms[i+1])) AS pair
+             |    FROM (SELECT freq, list_filter(string_split(seg, '|'), x -> x <> '') AS syms FROM s1) u) v
+             |  GROUP BY 1),
+             |m2 AS (SELECT string_split(pair, '|')[1] AS x, string_split(pair, '|')[2] AS y, cnt
+             |       FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+             |s2 AS (SELECT freq,
+             |    replace(replace(replace(seg,
+             |      '|'||m2.x||'|'||m2.y||'|', '|'||m2.x||m2.y||'|'),
+             |      '|'||m2.x||'|'||m2.y||'|', '|'||m2.x||m2.y||'|'),
+             |      '|'||m2.x||'|'||m2.y||'|', '|'||m2.x||m2.y||'|') AS seg
+             |  FROM s1 CROSS JOIN m2),
+             |p3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(list_transform(range(1, len(syms)), i -> syms[i] || '|' || syms[i+1])) AS pair
+             |    FROM (SELECT freq, list_filter(string_split(seg, '|'), x -> x <> '') AS syms FROM s2) u) v
+             |  GROUP BY 1),
+             |m3 AS (SELECT string_split(pair, '|')[1] AS x, string_split(pair, '|')[2] AS y, cnt
+             |       FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS round, x, y, cnt AS pair_count FROM m1
+             |UNION ALL SELECT 2, x, y, cnt FROM m2
+             |UNION ALL SELECT 3, x, y, cnt FROM m3
+             |ORDER BY round""".stripMargin)
     )
   )
 }

@@ -394,6 +394,20 @@ class PlanSpec extends SparkSpec {
       s"a global rank window over the key table crept back:\n$p")
   }
 
+  test("q121 outlier audit: per-flag ranks are range-partitioned, no corpus-sorting window") {
+    val df = QueryRegistry.byName("q121_price_outliers").fn(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // 3 return flags → a Window.partitionBy(flag) would sort the whole
+    // fact table in 3 tasks; the rank must instead be recovered from
+    // repartitionByRange + per-partition offsets
+    assert(p.contains("rangepartitioning"), s"expected range-partitioned rank recovery:\n$p")
+    // any Window present may only touch the (pid, flag) metadata frame
+    val winIdx = p.indexOf("Window")
+    assert(winIdx < 0 || p.substring(winIdx).contains("pid"),
+      s"a per-flag rank window over the fact table crept back:\n$p")
+  }
+
   test("q120 fk audit pre-aggregates both sides before ONE full-outer join") {
     val p = finalPlan(plan("q120_fk_audit"))
     assert(p.contains("FullOuter"), s"no full-outer join:\n$p")
