@@ -420,6 +420,55 @@ class PlanSpec extends SparkSpec {
       s"join inputs are not pre-aggregated:\n$p")
   }
 
+  test("registry-wide: unpartitioned windows only ever see metadata-sized input") {
+    // `WindowExec` with no partition spec moves its whole input to ONE
+    // task — acceptable ONLY for metadata frames (range-partition offset
+    // tables, TakeOrdered presentation ranks: tens of rows), never for
+    // anything corpus- or keyspace-sized. Walks every registered query's
+    // EXECUTED plan (through AQE query stages, reused exchanges, and
+    // cached subplans) and bounds each unpartitioned window's actual
+    // input row count.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val MaxMetadataRows = 1000
+    def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
+      val buf = scala.collection.mutable.ArrayBuffer[WindowExec]()
+      def walk(n: SparkPlan): Unit = {
+        n match {
+          case w: WindowExec if w.partitionSpec.isEmpty => buf += w
+          case _                                        => ()
+        }
+        n.children.foreach(walk)
+        n.subqueries.foreach(walk)
+        n match {
+          case a: AdaptiveSparkPlanExec  => walk(a.executedPlan)
+          case q: QueryStageExec         => walk(q.plan)
+          case r: ReusedExchangeExec     => walk(r.child)
+          case c: InMemoryTableScanExec  => walk(c.relation.cachedPlan)
+          case _                         => ()
+        }
+      }
+      walk(p)
+      buf.toSeq
+    }
+    QueryRegistry.all.foreach { q =>
+      val df = q.fn(spark, sfDir)
+      df.collect()
+      unpartitionedWindows(df.queryExecution.executedPlan).foreach { w =>
+        val rows = w.child.executeTake(MaxMetadataRows + 1).length
+        assert(
+          rows <= MaxMetadataRows,
+          s"${q.name}: an unpartitioned window reads >$MaxMetadataRows rows " +
+            s"(single-task sort of non-metadata input):\n$w"
+        )
+      }
+      graft.ops.Caches.invalidate()
+    }
+  }
+
   test("registry-wide: no cartesian products; nested-loop joins only for scalar broadcasts") {
     // BNLJ is legitimate ONLY as "broadcast a literally-tiny side (≤10
     // query vectors / centroids / a 1-row global total) against the
