@@ -1237,8 +1237,12 @@ object TextOps {
             .agg(count(lit(1)).as("freq"))
             .withColumn("seg", concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")))
         )
-        def topPair(segged: DataFrame): (String, String, Long) = {
-          val r = segged
+        // headOption, not head(): an empty corpus (or one whose words are
+        // all single symbols after earlier merges) has NO candidate pair,
+        // and the oracle's empty CTE contributes zero rows rather than
+        // throwing — training just stops early
+        def topPair(segged: DataFrame): Option[(String, String, Long)] =
+          segged
             .withColumn("syms", expr("filter(split(seg, '\\\\|'), x -> x <> '')"))
             .select(
               col("freq"),
@@ -1254,31 +1258,47 @@ object TextOps {
             .agg(sum(col("freq")).as("cnt"))
             .orderBy(col("cnt").desc, col("pair"))
             .limit(1)
-            .head()
-          val xy = r.getString(0).split("\\|", 2)
-          (xy(0), xy(1), r.getLong(1))
-        }
+            .collect()
+            .headOption
+            .map { r =>
+              val xy = r.getString(0).split("\\|", 2)
+              (xy(0), xy(1), r.getLong(1))
+            }
         var seg = words.select(col("freq"), col("seg"))
-        val learned = (1 to 3).map { round =>
-          val (x, y, cnt) = topPair(seg)
-          seg = seg.withColumn(
-            "seg",
-            (1 to 3).foldLeft(col("seg"))((a, _) => replace(a, lit(s"|$x|$y|"), lit(s"|$x$y|")))
-          )
-          (round.toLong, x, y, cnt)
-        }
-        learned
-          .map { case (round, x, y, cnt) =>
-            s.range(1)
-              .select(
-                lit(round).as("round"),
-                lit(x).as("x"),
-                lit(y).as("y"),
-                lit(cnt).as("pair_count")
+        val learned = Seq.newBuilder[(Long, String, String, Long)]
+        var round = 1
+        var exhausted = false
+        while (round <= 3 && !exhausted) {
+          topPair(seg) match {
+            case Some((x, y, cnt)) =>
+              learned += ((round.toLong, x, y, cnt))
+              seg = seg.withColumn(
+                "seg",
+                (1 to 3).foldLeft(col("seg"))((a, _) => replace(a, lit(s"|$x|$y|"), lit(s"|$x$y|")))
               )
+            case None => exhausted = true
           }
-          .reduce(_ unionAll _)
-          .orderBy(col("round"))
+          round += 1
+        }
+        val rows = learned.result().map { case (r, x, y, cnt) =>
+          s.range(1)
+            .select(
+              lit(r).as("round"),
+              lit(x).as("x"),
+              lit(y).as("y"),
+              lit(cnt).as("pair_count")
+            )
+        }
+        if (rows.isEmpty)
+          s.range(1)
+            .select(
+              lit(0L).as("round"),
+              lit("").as("x"),
+              lit("").as("y"),
+              lit(0L).as("pair_count")
+            )
+            .limit(0)
+        else rows.reduce(_ unionAll _).orderBy(col("round"))
       },
       Some("""WITH w AS (
              |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
