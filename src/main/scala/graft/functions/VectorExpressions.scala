@@ -531,6 +531,102 @@ final case class QuantizedDot(left: Expression, right: Expression, scale: Int)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoder: codes an int64-quantized vector against a
+  * per-subspace codebook. The input is split into `numSub` contiguous
+  * subvectors of `subDim` dims; element m of the result is the index of
+  * the centroid (0..numCent-1) minimizing the exact int64 squared
+  * distance to subvector m, ties to the SMALLEST index. `codebook` is
+  * flat, laid out `[(m·numCent + j)·subDim + i]`. One codegen'd loop per
+  * row — the unrolled Column-algebra formulation of the same argmin
+  * exceeds janino's method-size limit at 8×8×8 and drops the whole stage
+  * out of codegen (measured), which is exactly what a 100 TB map-only
+  * encode pass cannot afford.
+  */
+final case class PqEncode(
+    child: Expression,
+    codebook: Seq[Long],
+    numSub: Int,
+    numCent: Int,
+    subDim: Int
+) extends UnaryExpression
+    with ExpectsInputTypes {
+  require(
+    codebook.length == numSub * numCent * subDim,
+    s"codebook size ${codebook.length} != $numSub*$numCent*$subDim"
+  )
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val flat: Array[Long] = codebook.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](numSub)
+    var m = 0
+    while (m < numSub) {
+      var bestJ = 0L
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < numCent) {
+        val off = (m * numCent + j) * subDim
+        var s = 0L
+        var i = 0
+        while (i < subDim) {
+          val diff = v.getLong(m * subDim + i) - flat(off + i)
+          s += diff * diff
+          i += 1
+        }
+        if (s < bestD) { bestD = s; bestJ = j.toLong }
+        j += 1
+      }
+      out(m) = bestJ
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val cb = ctx.addReferenceObj("pqCodebook", flat, "long[]")
+        val m = ctx.freshName("m")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val diff = ctx.freshName("diff")
+        val bestJ = ctx.freshName("bestJ")
+        val bestD = ctx.freshName("bestD")
+        val out = ctx.freshName("out")
+        s"""
+           |long[] $out = new long[$numSub];
+           |for (int $m = 0; $m < $numSub; $m++) {
+           |  long $bestJ = 0L;
+           |  long $bestD = Long.MAX_VALUE;
+           |  for (int $j = 0; $j < $numCent; $j++) {
+           |    long $s = 0L;
+           |    for (int $i = 0; $i < $subDim; $i++) {
+           |      long $diff = $a.getLong($m * $subDim + $i) - $cb[($m * $numCent + $j) * $subDim + $i];
+           |      $s += $diff * $diff;
+           |    }
+           |    if ($s < $bestD) { $bestD = $s; $bestJ = (long) $j; }
+           |  }
+           |  $out[$m] = $bestJ;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.functions.sqrt
@@ -552,6 +648,9 @@ object VectorFunctions {
 
   def quantizedDot(a: Column, b: Column, scale: Int): Column =
     GraftColumns.lift(QuantizedDot(GraftColumns.unlift(a), GraftColumns.unlift(b), scale))
+
+  def pqEncode(qv: Column, codebook: Seq[Long], numSub: Int, numCent: Int, subDim: Int): Column =
+    GraftColumns.lift(PqEncode(GraftColumns.unlift(qv), codebook, numSub, numCent, subDim))
 
   def scaledSqDist(qv: Column, csum: Column, ccnt: Column): Column =
     GraftColumns.lift(

@@ -1083,6 +1083,125 @@ object SimilarityOps {
           .orderBy(col("rank"))
       },
       Some(sqlGraphRank)
+    ),
+
+    // Product quantization + asymmetric-distance scoring (Jégou et al.,
+    // "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    // the IVF-PQ building block: split each vector into 8 subvectors,
+    // code each against an 8-centroid per-subspace codebook, and rank
+    // neighbors by the sum of query-to-centroid lookup-table entries
+    // instead of full-vector distances. Deterministic contract: vectors
+    // are int64-quantized (floor(x·1000), the q108/q111 convention — all
+    // distances exact, no float summation drift), the codebook is the
+    // subvectors of the 8 lowest vec_ids (the reproducible-seed
+    // convention; production trains per-subspace k-means via q48/q108 and
+    // feeds the centroids here), queries are the 3 lowest, and ties break
+    // to the smallest centroid index / vec_id.
+    // Scale shape: the codebook and the 3×8×8 ADC tables are driver
+    // CONSTANTS baked into the expressions (64 rows read once — the
+    // q86/q108 driver-scalar idiom), so encode + scoring is ONE map-only
+    // pass over the corpus with no join and no shuffle at all; the only
+    // aggregation is the fixed-state graft_top_k (5-pair partials per
+    // query). That is the whole point of PQ at 100 TB: the corpus is
+    // scanned once, codes are 8 small ints per vector, and scoring is
+    // table lookups. The oracle recomputes codebook, codes, and tables
+    // relationally from scratch — nothing data-derived is embedded in it.
+    Q(
+      "q139_pq_adc",
+      (s, d) => {
+        val e = embeddings(s, d).select(
+          col("vec_id"),
+          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+            .as("qv")
+        )
+        val seeds: Array[(Long, Seq[Long])] =
+          e.orderBy(col("vec_id")).limit(8).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+        // cent(m)(j)(i): subspace m, centroid j (seed rank), dim i
+        val cent = Array.tabulate(8, 8, 8)((m, j, i) => seeds(j)._2(m * 8 + i))
+        // flat [(m·8 + j)·8 + i] layout for the native encoder
+        val flatCb: Seq[Long] =
+          for (m <- 0 until 8; j <- 0 until 8; i <- 0 until 8) yield cent(m)(j)(i)
+        val queries3 = seeds.take(3)
+        def sq(a: Long): Long = a * a
+        // ADC lookup tables t(q)(m)(j): exact int64, computed driver-side
+        // from the same seed constants
+        val tbl = Array.tabulate(3, 8, 8)((q, m, j) =>
+          (0 until 8).map(i => sq(queries3(q)._2(m * 8 + i) - cent(m)(j)(i))).sum
+        )
+        val seedIds = seeds.map(_._1)
+        val coded = e
+          .filter(!col("vec_id").isin(seedIds: _*))
+          .select(
+            col("vec_id"),
+            graft.functions.VectorFunctions.pqEncode(col("qv"), flatCb, 8, 8, 8).as("codes")
+          )
+          .select(
+            col("vec_id") +: (0 until 8).map(m => col("codes").getItem(m).as(s"c$m")): _*
+          )
+        val scored = coded
+          .select(
+            col("vec_id"),
+            explode(array((0 until 3).map { q =>
+              val adc = (0 until 8)
+                .map(m =>
+                  element_at(
+                    array((0 until 8).map(j => lit(tbl(q)(m)(j))): _*),
+                    col(s"c$m").cast("int") + 1
+                  )
+                )
+                .reduce(_ + _)
+              struct(lit(queries3(q)._1).as("query_id"), adc.as("adc_dist"))
+            }: _*)).as("qs")
+          )
+          .select(col("vec_id"), col("qs.query_id").as("query_id"), col("qs.adc_dist").as("adc_dist"))
+        scored
+          .groupBy(col("query_id"))
+          .agg(graft.functions.AggFunctions.topK(negate(col("adc_dist")), col("vec_id"), 5).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(
+            col("query_id"),
+            (col("pos") + 1L).cast("long").as("rank"),
+            col("p.id").as("vec_id"),
+            negate(col("p.score")).as("adc_dist")
+          )
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT vec_id AS sid, qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+             |  FROM e ORDER BY vec_id LIMIT 8),
+             |d AS (
+             |  SELECT v.vec_id, m.m, c.j,
+             |    CAST(list_sum(list_transform(range(1, 9),
+             |      i -> (v.qv[m.m*8 + i] - c.qv[m.m*8 + i]) * (v.qv[m.m*8 + i] - c.qv[m.m*8 + i])))
+             |      AS BIGINT) AS d2
+             |  FROM e v
+             |  CROSS JOIN (SELECT unnest(range(8)) AS m) m
+             |  CROSS JOIN cent c),
+             |enc AS (
+             |  SELECT vec_id, m, j FROM (
+             |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+             |    FROM d) t
+             |  WHERE rk = 1),
+             |qd AS (
+             |  SELECT cq.sid AS query_id, d.m, d.j AS cj, d.d2
+             |  FROM d JOIN cent cq ON d.vec_id = cq.sid
+             |  WHERE cq.j < 3),
+             |adc AS (
+             |  SELECT qd.query_id, enc.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+             |  FROM enc JOIN qd ON qd.m = enc.m AND qd.cj = enc.j
+             |  WHERE enc.vec_id NOT IN (SELECT sid FROM cent)
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT query_id, vec_id, adc_dist,
+             |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT)
+             |      AS rank
+             |  FROM adc)
+             |SELECT query_id, rank, vec_id, adc_dist FROM r WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)
     )
   )
 

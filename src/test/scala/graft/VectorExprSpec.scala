@@ -99,6 +99,46 @@ class VectorExprSpec extends SparkSpec {
     assert(rows.filter(col("native") =!= col("hof") || not(col("sym"))).count() == 0)
   }
 
+  test("pq encode agrees with a reference argmin and breaks ties to the smallest index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val numSub = 4; val numCent = 3; val subDim = 2
+    // centroid 2 duplicates centroid 0 in every subspace → a vector AT
+    // centroid 0 ties (j=0, j=2) and must code to the smaller index
+    val cb0 = Seq.fill(numSub * numCent * subDim)(rnd.nextInt(200).toLong - 100)
+    val cb = (0 until numSub).flatMap { m =>
+      val base = m * numCent * subDim
+      cb0.slice(base, base + 2 * subDim) ++ cb0.slice(base, base + subDim)
+    }
+    def refEncode(v: Seq[Long]): Seq[Long] =
+      (0 until numSub).map { m =>
+        (0 until numCent).minBy { j =>
+          val d = (0 until subDim).map { i =>
+            val diff = v(m * subDim + i) - cb((m * numCent + j) * subDim + i)
+            diff * diff
+          }.sum
+          (d, j.toLong) // minBy is stable on first minimum → smallest j
+        }.toLong
+      }
+    val atCentroid0: Seq[Long] =
+      (0 until numSub).flatMap { m =>
+        val base = m * numCent * subDim
+        cb.slice(base, base + subDim)
+      }
+    val vecs = Seq.fill(50)(Seq.fill(numSub * subDim)(rnd.nextInt(200).toLong - 100)) :+
+      atCentroid0
+    val got = vecs.toDF("qv")
+      .select(
+        col("qv"),
+        VectorFunctions.pqEncode(col("qv"), cb, numSub, numCent, subDim).as("codes")
+      )
+      .collect()
+      .map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    got.foreach { case (v, codes) =>
+      assert(codes == refEncode(v), s"v=$v native=$codes ref=${refEncode(v)}")
+    }
+  }
+
   test("scaled squared distance fails loud on int64 overflow instead of wrapping") {
     import spark.implicits._
     // cnt*q - sum ≈ 2^32 per dim; squared ≈ 2^64 — must raise, not wrap
