@@ -1084,6 +1084,12 @@ object TextOps {
       (s, d) => {
         val toks = documents(s, d)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        // NOT persisted: the collapsed (doc, gram) pass feeds both the
+        // LM-count rollup and the scoring join, but it is CORPUS-scale —
+        // caching it would trade a cheap codegen'd explode recompute for
+        // corpus-sized memory/disk cache pressure (the q39 trade, same
+        // verdict: recompute measured no slower at bench scale and is
+        // strictly safer at 100 TB)
         val perDoc = toks
           .filter(size(col("toks")) >= 2)
           .select(
