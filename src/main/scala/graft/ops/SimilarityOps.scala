@@ -1108,102 +1108,180 @@ object SimilarityOps {
     // relationally from scratch — nothing data-derived is embedded in it.
     Q(
       "q139_pq_adc",
+      (s, d) => pqAdcTop5(s, d).orderBy(col("query_id"), col("rank")),
+      Some(s"""$sqlPqCte
+              |SELECT query_id, rank, vec_id, adc_dist FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // PQ recall@5 — the evaluation harness every lossy-ANN deployment
+    // needs before trusting it: how many of each query's EXACT top-5
+    // neighbors (full 64-dim int64 squared distance) the ADC ranking
+    // recovered. Shares q139's persisted ADC top-5 via the plan cache;
+    // the exact side is one map-only pass (3 broadcast query vectors ×
+    // corpus, native ScaledSqDist) into the same fixed-state top-k
+    // aggregate, then a 15-row join. Recall in basis points, integral.
+    Q(
+      "q140_pq_recall",
       (s, d) => {
-        val e = embeddings(s, d).select(
-          col("vec_id"),
-          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
-            .as("qv")
-        )
-        val seeds: Array[(Long, Seq[Long])] =
-          e.orderBy(col("vec_id")).limit(8).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
-        // cent(m)(j)(i): subspace m, centroid j (seed rank), dim i
-        val cent = Array.tabulate(8, 8, 8)((m, j, i) => seeds(j)._2(m * 8 + i))
-        // flat [(m·8 + j)·8 + i] layout for the native encoder
-        val flatCb: Seq[Long] =
-          for (m <- 0 until 8; j <- 0 until 8; i <- 0 until 8) yield cent(m)(j)(i)
-        val queries3 = seeds.take(3)
-        def sq(a: Long): Long = a * a
-        // ADC lookup tables t(q)(m)(j): exact int64, computed driver-side
-        // from the same seed constants
-        val tbl = Array.tabulate(3, 8, 8)((q, m, j) =>
-          (0 until 8).map(i => sq(queries3(q)._2(m * 8 + i) - cent(m)(j)(i))).sum
-        )
+        val adc5 = pqAdcTop5(s, d).select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+        val (e, seeds) = pqContext(s, d)
         val seedIds = seeds.map(_._1)
-        val coded = e
+        import s.implicits._
+        val qdf = seeds.take(3).toSeq.toDF("query_id", "cqv")
+        val exact5 = e
           .filter(!col("vec_id").isin(seedIds: _*))
-          .select(
-            col("vec_id"),
-            graft.functions.VectorFunctions.pqEncode(col("qv"), flatCb, 8, 8, 8).as("codes")
+          .join(broadcast(qdf))
+          .withColumn(
+            "d2",
+            floor(graft.functions.VectorFunctions.scaledSqDist(col("qv"), col("cqv"), lit(1L)))
+              .cast("long")
           )
-          .select(
-            col("vec_id") +: (0 until 8).map(m => col("codes").getItem(m).as(s"c$m")): _*
-          )
-        val scored = coded
-          .select(
-            col("vec_id"),
-            explode(array((0 until 3).map { q =>
-              val adc = (0 until 8)
-                .map(m =>
-                  element_at(
-                    array((0 until 8).map(j => lit(tbl(q)(m)(j))): _*),
-                    col(s"c$m").cast("int") + 1
-                  )
-                )
-                .reduce(_ + _)
-              struct(lit(queries3(q)._1).as("query_id"), adc.as("adc_dist"))
-            }: _*)).as("qs")
-          )
-          .select(col("vec_id"), col("qs.query_id").as("query_id"), col("qs.adc_dist").as("adc_dist"))
-        scored
           .groupBy(col("query_id"))
-          .agg(graft.functions.AggFunctions.topK(negate(col("adc_dist")), col("vec_id"), 5).as("top"))
-          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
-          .select(
-            col("query_id"),
-            (col("pos") + 1L).cast("long").as("rank"),
-            col("p.id").as("vec_id"),
-            negate(col("p.score")).as("adc_dist")
+          .agg(graft.functions.AggFunctions.topK(negate(col("d2")), col("vec_id"), 5).as("top"))
+          .select(col("query_id"), explode(col("top")).as("p"))
+          .select(col("query_id"), col("p.id").as("vec_id"))
+        exact5
+          .join(adc5, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(
+            sum(coalesce(col("hit"), lit(0L))).as("exact_in_adc"),
+            expr("sum(coalesce(hit, 0)) * 10000 div 5").as("recall_bp")
           )
-          .orderBy(col("query_id"), col("rank"))
+          .orderBy(col("query_id"))
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id,
-             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-             |  FROM embeddings),
-             |cent AS (
-             |  SELECT vec_id AS sid, qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
-             |  FROM e ORDER BY vec_id LIMIT 8),
-             |d AS (
-             |  SELECT v.vec_id, m.m, c.j,
-             |    CAST(list_sum(list_transform(range(1, 9),
-             |      i -> (v.qv[m.m*8 + i] - c.qv[m.m*8 + i]) * (v.qv[m.m*8 + i] - c.qv[m.m*8 + i])))
-             |      AS BIGINT) AS d2
-             |  FROM e v
-             |  CROSS JOIN (SELECT unnest(range(8)) AS m) m
-             |  CROSS JOIN cent c),
-             |enc AS (
-             |  SELECT vec_id, m, j FROM (
-             |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
-             |    FROM d) t
-             |  WHERE rk = 1),
-             |qd AS (
-             |  SELECT cq.sid AS query_id, d.m, d.j AS cj, d.d2
-             |  FROM d JOIN cent cq ON d.vec_id = cq.sid
-             |  WHERE cq.j < 3),
-             |adc AS (
-             |  SELECT qd.query_id, enc.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc_dist
-             |  FROM enc JOIN qd ON qd.m = enc.m AND qd.cj = enc.j
-             |  WHERE enc.vec_id NOT IN (SELECT sid FROM cent)
-             |  GROUP BY 1, 2),
-             |r AS (
-             |  SELECT query_id, vec_id, adc_dist,
-             |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT)
-             |      AS rank
-             |  FROM adc)
-             |SELECT query_id, rank, vec_id, adc_dist FROM r WHERE rank <= 5
-             |ORDER BY query_id, rank""".stripMargin)
+      Some(s"""$sqlPqCte,
+              |q3 AS (SELECT sid AS query_id, qv FROM cent WHERE j < 3),
+              |ex AS (
+              |  SELECT q3.query_id, v.vec_id,
+              |    CAST(list_sum(list_transform(range(1, 65),
+              |      i -> (v.qv[i] - q3.qv[i]) * (v.qv[i] - q3.qv[i]))) AS BIGINT) AS d2
+              |  FROM e v CROSS JOIN q3
+              |  WHERE v.vec_id NOT IN (SELECT sid FROM cent)),
+              |er AS (
+              |  SELECT query_id, vec_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+              |  FROM ex)
+              |SELECT er.query_id, CAST(count(ar.vec_id) AS BIGINT) AS exact_in_adc,
+              |  CAST(count(ar.vec_id) * 10000 // 5 AS BIGINT) AS recall_bp
+              |FROM er
+              |LEFT JOIN (SELECT query_id, vec_id FROM r WHERE rank <= 5) ar
+              |  ON ar.query_id = er.query_id AND ar.vec_id = er.vec_id
+              |WHERE er.rk <= 5
+              |GROUP BY 1
+              |ORDER BY 1""".stripMargin)
     )
   )
+
+  /** Int64-quantized vectors + the 8 deterministic seed rows (codebook
+    * source) — shared by the PQ encode (q139) and recall (q140) paths.
+    */
+  private def pqContext(s: SparkSession, d: String): (DataFrame, Array[(Long, Seq[Long])]) = {
+    val e = embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+        .as("qv")
+    )
+    val seeds =
+      e.orderBy(col("vec_id")).limit(8).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    (e, seeds)
+  }
+
+  /** ADC top-5 per query (query_id, rank, vec_id, adc_dist) — the q139
+    * pipeline, persisted so q140's recall audit reuses the whole DAG via
+    * the plan cache.
+    */
+  private def pqAdcTop5(s: SparkSession, d: String): DataFrame = {
+    val (e, seeds) = pqContext(s, d)
+    // cent(m)(j)(i): subspace m, centroid j (seed rank), dim i
+    val cent = Array.tabulate(8, 8, 8)((m, j, i) => seeds(j)._2(m * 8 + i))
+    // flat [(m·8 + j)·8 + i] layout for the native encoder
+    val flatCb: Seq[Long] =
+      for (m <- 0 until 8; j <- 0 until 8; i <- 0 until 8) yield cent(m)(j)(i)
+    val queries3 = seeds.take(3)
+    def sq(a: Long): Long = a * a
+    // ADC lookup tables t(q)(m)(j): exact int64, computed driver-side
+    // from the same seed constants
+    val tbl = Array.tabulate(3, 8, 8)((q, m, j) =>
+      (0 until 8).map(i => sq(queries3(q)._2(m * 8 + i) - cent(m)(j)(i))).sum
+    )
+    val seedIds = seeds.map(_._1)
+    val coded = e
+      .filter(!col("vec_id").isin(seedIds: _*))
+      .select(
+        col("vec_id"),
+        graft.functions.VectorFunctions.pqEncode(col("qv"), flatCb, 8, 8, 8).as("codes")
+      )
+      .select(col("vec_id") +: (0 until 8).map(m => col("codes").getItem(m).as(s"c$m")): _*)
+    val scored = coded
+      .select(
+        col("vec_id"),
+        explode(array((0 until 3).map { q =>
+          val adc = (0 until 8)
+            .map(m =>
+              element_at(
+                array((0 until 8).map(j => lit(tbl(q)(m)(j))): _*),
+                col(s"c$m").cast("int") + 1
+              )
+            )
+            .reduce(_ + _)
+          struct(lit(queries3(q)._1).as("query_id"), adc.as("adc_dist"))
+        }: _*)).as("qs")
+      )
+      .select(col("vec_id"), col("qs.query_id").as("query_id"), col("qs.adc_dist").as("adc_dist"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.AggFunctions.topK(negate(col("adc_dist")), col("vec_id"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1L).cast("long").as("rank"),
+        col("p.id").as("vec_id"),
+        negate(col("p.score")).as("adc_dist")
+      )
+      .transform(Caches.persisted)
+  }
+
+  /** Shared PQ oracle CTE chain ending in `r(query_id, vec_id, adc_dist,
+    * rank)` — recomputes codebook, codes, and ADC tables relationally.
+    * (`def`, not `val`: referenced from `queries`, which initializes
+    * first — the sqlGraphRank convention.)
+    */
+  private def sqlPqCte: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS sid, qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+      |  FROM e ORDER BY vec_id LIMIT 8),
+      |d AS (
+      |  SELECT v.vec_id, m.m, c.j,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (v.qv[m.m*8 + i] - c.qv[m.m*8 + i]) * (v.qv[m.m*8 + i] - c.qv[m.m*8 + i])))
+      |      AS BIGINT) AS d2
+      |  FROM e v
+      |  CROSS JOIN (SELECT unnest(range(8)) AS m) m
+      |  CROSS JOIN cent c),
+      |enc AS (
+      |  SELECT vec_id, m, j FROM (
+      |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+      |    FROM d) t
+      |  WHERE rk = 1),
+      |qd AS (
+      |  SELECT cq.sid AS query_id, d.m, d.j AS cj, d.d2
+      |  FROM d JOIN cent cq ON d.vec_id = cq.sid
+      |  WHERE cq.j < 3),
+      |adc AS (
+      |  SELECT qd.query_id, enc.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc_dist
+      |  FROM enc JOIN qd ON qd.m = enc.m AND qd.cj = enc.j
+      |  WHERE enc.vec_id NOT IN (SELECT sid FROM cent)
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, vec_id, adc_dist,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS BIGINT)
+      |      AS rank
+      |  FROM adc)""".stripMargin
 
   /** Oracle for q128: the same two unrolled damped rounds in DuckDB —
     * generated so both rounds stay textually identical.

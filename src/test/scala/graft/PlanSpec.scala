@@ -487,7 +487,8 @@ class PlanSpec extends SparkSpec {
       "q108_kmeans_fp_init", // ≤4 chosen seeds
       "q110_temperature_mix", // 1-row weight-normalization total
       "q114_semdedup", // 4 broadcast centroids (assignment pass)
-      "q123_epoch_plan" // 1-row weight-normalization total
+      "q123_epoch_plan", // 1-row weight-normalization total
+      "q140_pq_recall" // 3 broadcast query vectors (exact-distance side)
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
