@@ -45,8 +45,11 @@ object Bench {
     val total = results.map(_._2).sum
     // per-query wall-time budget: anything > 4× the suite median is
     // flagged in the report, so a single regressed query fails loudly
-    // instead of hiding in the tail of a 100+-query total
-    val times = results.map(_._2).sorted
+    // instead of hiding in the tail of a 100+-query total. Median over
+    // PASSING queries only — failed queries report ~0 s, which would
+    // deflate the baseline and flag healthy queries instead of the
+    // regression.
+    val times = results.filter(_._3).map(_._2).sorted
     val median =
       if (times.isEmpty) 0.0
       else if (times.size % 2 == 1) times(times.size / 2)

@@ -565,6 +565,13 @@ final case class PqEncode(
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    // fail LOUD on a short vector (the ScaledSqDist convention): reading
+    // past an UnsafeArrayData's end is undefined adjacent memory, which
+    // would silently encode garbage codes instead of flagging the row
+    if (v.numElements() < numSub * subDim)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has ${v.numElements()} dims, needs ${numSub * subDim}"
+      )
     val out = new Array[Long](numSub)
     var m = 0
     while (m < numSub) {
@@ -604,6 +611,10 @@ final case class PqEncode(
         val bestD = ctx.freshName("bestD")
         val out = ctx.freshName("out")
         s"""
+           |if ($a.numElements() < ${numSub * subDim}) {
+           |  throw new IllegalArgumentException(
+           |    "graft_pq_encode: vector has " + $a.numElements() + " dims, needs ${numSub * subDim}");
+           |}
            |long[] $out = new long[$numSub];
            |for (int $m = 0; $m < $numSub; $m++) {
            |  long $bestJ = 0L;

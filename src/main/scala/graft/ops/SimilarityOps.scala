@@ -1124,8 +1124,12 @@ object SimilarityOps {
     Q(
       "q140_pq_recall",
       (s, d) => {
-        val adc5 = pqAdcTop5(s, d).select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+        // one pqContext for both sides: the seed collection is a
+        // TakeOrdered over the corpus — paying it twice is a redundant
+        // pass at scale
         val (e, seeds) = pqContext(s, d)
+        val adc5 =
+          pqAdcTop5From(s, e, seeds).select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
         val seedIds = seeds.map(_._1)
         import s.implicits._
         val qdf = seeds.take(3).toSeq.toDF("query_id", "cqv")
@@ -1193,6 +1197,14 @@ object SimilarityOps {
     */
   private def pqAdcTop5(s: SparkSession, d: String): DataFrame = {
     val (e, seeds) = pqContext(s, d)
+    pqAdcTop5From(s, e, seeds)
+  }
+
+  private def pqAdcTop5From(
+      s: SparkSession,
+      e: DataFrame,
+      seeds: Array[(Long, Seq[Long])]
+  ): DataFrame = {
     // cent(m)(j)(i): subspace m, centroid j (seed rank), dim i
     val cent = Array.tabulate(8, 8, 8)((m, j, i) => seeds(j)._2(m * 8 + i))
     // flat [(m·8 + j)·8 + i] layout for the native encoder

@@ -107,7 +107,10 @@ object Sources {
       .options(kafkaOptions(bootstrapServers, subscription, rateLimiting, startingOffsets, failOnDataLoss))
       .load()
 
-  /** Topic-list convenience overload. */
+  /** Topic-list convenience overloads (the historical signature — Scala
+    * allows default arguments on only ONE overload, so the short arities
+    * are spelled out to keep `kafka(spark, servers, topics)` compiling).
+    */
   def kafka(
       spark: SparkSession,
       bootstrapServers: String,
@@ -116,6 +119,17 @@ object Sources {
       startingOffsets: String
   ): DataFrame =
     kafka(spark, bootstrapServers, Subscribe(topics), rateLimiting, startingOffsets)
+
+  def kafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topics: String,
+      rateLimiting: Option[RateLimiting]
+  ): DataFrame =
+    kafka(spark, bootstrapServers, Subscribe(topics), rateLimiting)
+
+  def kafka(spark: SparkSession, bootstrapServers: String, topics: String): DataFrame =
+    kafka(spark, bootstrapServers, Subscribe(topics))
 
   /** Synthetic rate source (load/soak testing). */
   def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
