@@ -272,7 +272,18 @@ object Pipeline {
       .map(l => l.toString.linesIterator.next().take(120))
     val running = new RunningPipeline[A](config, build(), rateLimiter, producers)
     config.restartPolicy.foreach(p => graft.runtime.Supervisor.supervise(spark, running, p, () => build()))
-    PipelineRegistry.register(running)
+    // Registration can throw with a pluggable backend (name validation,
+    // descriptor I/O). At this point the query is already started and
+    // supervised — swallowing the failure OR propagating it bare would
+    // leak a running, restart-supervised pipeline that drainAll can never
+    // see. Tear the query back down first, then rethrow.
+    try PipelineRegistry.register(running)
+    catch {
+      case NonFatal(e) =>
+        try running.stop(StopReason.Kill, config.shutdownBudgetMs)
+        catch { case NonFatal(_) => () }
+        throw e
+    }
     running
   }
 
@@ -330,7 +341,13 @@ final class RunningPipeline[A](
     * in-flight messages first (the graceful path); `Kill` is the brutal
     * variant — no `prepare_for_draining`, no drain, the query is torn
     * down immediately (still releasing runtime resources, which on the
-    * BEAM the process exit handles for free).
+    * BEAM the process exit handles for free). For `Kill` the budget is
+    * real: `StreamingQuery.stop` itself blocks per
+    * `spark.sql.streaming.stopTimeout` (default: indefinitely), so the
+    * kill issues it from a daemon thread and waits at most `timeoutMs` —
+    * a user callback stuck in a non-interruptible loop cannot hang the
+    * caller, and resource cleanup below always runs (best-effort
+    * teardown, exactly what a brutal exit means).
     */
   def stop(reason: StopReason, timeoutMs: Long): Unit = {
     val graceful = reason != StopReason.Kill
@@ -344,8 +361,18 @@ final class RunningPipeline[A](
       // released (else every crashed pipeline leaks its registry entry and
       // counters), so the releases get their own finally.
       try {
-        q.stop()
-        q.awaitTermination(timeoutMs)
+        if (graceful) {
+          q.stop()
+          q.awaitTermination(timeoutMs)
+        } else {
+          val killer = new Thread(
+            () => try q.stop() catch { case scala.util.control.NonFatal(_) => () },
+            s"graft-kill-$name"
+          )
+          killer.setDaemon(true)
+          killer.start()
+          killer.join(math.max(timeoutMs, 1L))
+        }
       } finally {
         rateLimiter.foreach(_.shutdown())
         StageCounters.remove(name)

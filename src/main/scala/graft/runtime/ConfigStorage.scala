@@ -102,24 +102,41 @@ final class FileBackedConfigStorage(dir: Path) extends ConfigStorage {
       finally stream.close()
     }
 
-  override def put(name: String, pipeline: graft.core.RunningPipeline[_]): Unit = {
-    // validate + write the descriptor BEFORE touching the in-memory map:
-    // a name-validation or I/O failure must not leave a registration that
-    // get() sees but list()/drainAll (directory-backed) never will
-    val file = fileOf(name)
-    val topo = pipeline.topology
-    val desc =
-      s"""{"name":${jsonStr(name)},"producers":[${pipeline.producerNames.map(jsonStr).mkString(",")}],""" +
-        s""""batchers":[${topo.batchers.map(b => jsonStr(b.name)).mkString(",")}]}"""
-    Files.write(file, desc.getBytes(StandardCharsets.UTF_8))
-    entries.put(name, pipeline)
-    ()
-  }
+  // put/delete are synchronized: they each touch the map AND the
+  // directory, and without mutual exclusion a concurrent re-register +
+  // stop of the same name can interleave into a live in-memory handle
+  // with no descriptor (hidden from list()/drainAll) or a descriptor
+  // with no handle
+  override def put(name: String, pipeline: graft.core.RunningPipeline[_]): Unit =
+    synchronized {
+      // validate + write the descriptor BEFORE touching the in-memory
+      // map: a name-validation or I/O failure must not leave a
+      // registration that get() sees but list()/drainAll
+      // (directory-backed) never will
+      val file = fileOf(name)
+      val topo = pipeline.topology
+      val desc =
+        s"""{"name":${jsonStr(name)},"producers":[${pipeline.producerNames.map(jsonStr).mkString(",")}],""" +
+          s""""batchers":[${topo.batchers.map(b => jsonStr(b.name)).mkString(",")}]}"""
+      // temp + ATOMIC_MOVE: the whole point of this backend is an
+      // EXTERNAL reader, which must never observe a torn half-written
+      // descriptor during a re-registration overwrite
+      val tmp = dir.resolve(s"$name.json.tmp")
+      Files.write(tmp, desc.getBytes(StandardCharsets.UTF_8))
+      Files.move(
+        tmp,
+        file,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING
+      )
+      entries.put(name, pipeline)
+      ()
+    }
 
   override def get(name: String): Option[graft.core.RunningPipeline[_]] =
     Option(entries.get(name))
 
-  override def delete(name: String): Boolean = {
+  override def delete(name: String): Boolean = synchronized {
     // validate first for the same memory/disk-coherence reason as put
     val file = fileOf(name)
     val had = entries.remove(name) != null

@@ -55,17 +55,6 @@ object Supervisor {
   private val restartCounts = new ConcurrentHashMap[String, Integer]()
   private val gaveUpSet = ConcurrentHashMap.newKeySet[String]()
 
-  /** Sessions that already have the listener attached (addListener is
-    * per-SparkSession — one global flag would silently skip later sessions).
-    * Weakly referenced: the session's listener bus owns the listener, not
-    * the other way round, so a stopped/dropped session must be collectable
-    * rather than pinned here for the JVM lifetime.
-    */
-  private val installedSessions: java.util.Set[SparkSession] =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-    )
-
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
@@ -80,6 +69,8 @@ object Supervisor {
         ()
       }
   }
+
+  private val installer = new SessionListenerInstall(listener)
 
   /** Atomically claim the terminated run and restart it off-bus. */
   private def handleFailure(runId: UUID): Unit = {
@@ -143,7 +134,7 @@ object Supervisor {
       policy: RestartPolicy,
       build: () => StreamingQuery
   ): Unit = {
-    if (installedSessions.add(spark)) spark.streams.addListener(listener)
+    installer.ensure(spark)
     cancelledNames.remove(running.name) // fresh supervision clears stale cancels
     val st = new State(running.name, running, policy, build)
     entries.put(running.query.runId, st)

@@ -20,19 +20,6 @@ object Telemetry {
 
   private val metrics = new ConcurrentHashMap[String, PipelineMetrics]()
 
-  /** Sessions that already have the listener attached. `addListener` is
-    * per-SparkSession, so a single global boolean would bind only the
-    * FIRST session and every later session's pipelines would silently
-    * report zero metrics (the Supervisor uses the same per-session set,
-    * Supervisor.scala). Weakly referenced: the session's listener bus
-    * owns the listener, not the other way round, so a stopped/dropped
-    * session must be collectable rather than pinned for the JVM lifetime.
-    */
-  private val installedSessions: java.util.Set[SparkSession] =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-    )
-
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
@@ -54,12 +41,12 @@ object Telemetry {
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
+  private val installer = new SessionListenerInstall(listener)
+
   /** Idempotently attach the listener to THIS session (once per session,
-    * not once per JVM).
+    * not once per JVM — see [[SessionListenerInstall]]).
     */
-  def install(spark: SparkSession): Unit = synchronized {
-    if (installedSessions.add(spark)) spark.streams.addListener(listener)
-  }
+  def install(spark: SparkSession): Unit = installer.ensure(spark)
 
   def of(pipelineName: String): PipelineMetrics =
     Option(metrics.get(pipelineName)).getOrElse(PipelineMetrics())

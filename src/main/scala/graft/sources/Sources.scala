@@ -74,9 +74,12 @@ object Sources {
       "kafka.bootstrap.servers" -> bootstrapServers,
       subscription.optionKey -> subscription.optionValue,
       "startingOffsets" -> startingOffsets,
-      // false by default: a retention-pruned offset should dead-letter /
-      // skip forward, not kill a long-running pipeline — the streaming
-      // analog of the restart-tolerant acknowledger contract
+      // true by default — Spark's own fail-loud default, stated
+      // explicitly. Records lost at the SOURCE (retention-pruned offsets)
+      // never enter the pipeline, so they cannot dead-letter; silently
+      // skipping them would violate the "must not silently disappear"
+      // ingest contract. Pass false only when a deliberate skip-forward
+      // is wanted.
       "failOnDataLoss" -> failOnDataLoss.toString
     )
     base ++ rateLimiting.map(rl => "maxOffsetsPerTrigger" -> rl.allowedMessages.toString)
@@ -89,7 +92,7 @@ object Sources {
       rateLimiting: Option[RateLimiting] = None,
       startingOffsets: String = "earliest"
   ): Map[String, String] =
-    kafkaOptions(bootstrapServers, Subscribe(topics), rateLimiting, startingOffsets, failOnDataLoss = false)
+    kafkaOptions(bootstrapServers, Subscribe(topics), rateLimiting, startingOffsets, failOnDataLoss = true)
 
   /** Kafka source with offset admission per trigger — rate limiting at the
     * source (maxOffsetsPerTrigger ≈ allowed_messages per trigger interval).
@@ -100,7 +103,7 @@ object Sources {
       subscription: KafkaSubscription,
       rateLimiting: Option[RateLimiting] = None,
       startingOffsets: String = "earliest",
-      failOnDataLoss: Boolean = false
+      failOnDataLoss: Boolean = true
   ): DataFrame =
     spark.readStream
       .format("kafka")
