@@ -639,6 +639,130 @@ object CurationOps {
               |FROM base LEFT JOIN drop_ids dr USING (doc_id)
               |GROUP BY source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // DSIR-style importance resampling weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every raw document by how much its hashed-unigram distribution
+    // resembles a target domain (here: the lang='en' slice). The
+    // importance weight of a document is the sum over its tokens of the
+    // target/raw probability ratio of the token's hash bucket. All
+    // arithmetic is integer (ratios scaled 1e6 with BIGINT floor
+    // division) so the weight is summation-order independent and
+    // bit-identical across engines.
+    //
+    // Scale shape: one explode pass over the corpus builds the 64-row
+    // bucket table (map-side partial counts → 64 rows of metadata), the
+    // per-token scoring is a broadcast join against those 64 rows, and
+    // the per-doc weight is one hash aggregation on doc_id. Nothing in
+    // the plan is wider than (doc_id, bucket) — at 100 TB this is two
+    // linear passes and a 64-row broadcast, the exact shape the DSIR
+    // paper runs over the Pile. The 1e6 ratio scale bounds the products
+    // at ct·R·1e6 ≤ ~1e17 for corpora up to ~1e5 target tokens per
+    // bucket; production corpora would move the bucket table to DECIMAL
+    // or renormalize per shard.
+    Q(
+      "q141_dsir_weights",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            explode(TextOps.tokens(col("text"))).as("t")
+          )
+          .select(
+            col("doc_id"),
+            col("lang"),
+            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 64").as("bucket")
+          )
+        val stats = toks
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("cr"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct")
+          )
+        val tot = stats.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+        val score = stats
+          .crossJoin(broadcast(tot))
+          .select(
+            col("bucket"),
+            when(col("t") > 0, expr("ct * r * 1000000 div (cr * t)"))
+              .otherwise(0L)
+              .as("sc")
+          )
+        toks
+          .join(broadcast(score), Seq("bucket"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("sc")).as("dsir_w"))
+          .select(col("doc_id"), col("lang"), col("dsir_w"))
+          .orderBy(col("dsir_w").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              |  FROM documents),
+              |b AS (
+              |  SELECT doc_id, lang, ${TextOps.sqlHex8("md5(t)")} % 64 AS bucket FROM tok),
+              |stats AS (
+              |  SELECT bucket, count(*) AS cr,
+              |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+              |  FROM b GROUP BY bucket),
+              |tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM stats),
+              |score AS (
+              |  SELECT bucket,
+              |         CASE WHEN t > 0 THEN ct * r * 1000000 // (cr * t) ELSE 0 END AS sc
+              |  FROM stats, tot)
+              |SELECT doc_id, lang, CAST(sum(sc) AS BIGINT) AS dsir_w
+              |FROM b JOIN score USING (bucket)
+              |GROUP BY doc_id, lang
+              |ORDER BY dsir_w DESC, doc_id
+              |LIMIT 20""".stripMargin)
+    ),
+
+    // Context-window padding-waste audit: the dataloader-side cost model
+    // for LENGTH-BUCKETED batching (the alternative to q72's
+    // concat-and-chunk packing). Documents are binned to the next
+    // power-of-two context length (16..2048, longer docs truncate to
+    // 2048), and each bin reports how much of its padded token budget is
+    // waste — the padding fraction a bucketed sampler would pay at that
+    // boundary. Pure integer CASE/aggregate algebra: one linear pass,
+    // map-side partial aggregation into ≤8 bins of metadata; exact at
+    // any scale.
+    Q(
+      "q143_padding_waste",
+      (s, d) => {
+        val binCase =
+          """CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+            |     WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+            |     WHEN n <= 1024 THEN 1024 ELSE 2048 END""".stripMargin
+        documents(s, d)
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+          .select(expr(binCase).as("bin"), expr("least(n, 2048)").as("eff"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("docs"), sum(col("eff")).as("total_tokens"))
+          .select(
+            col("bin"),
+            col("docs"),
+            col("total_tokens"),
+            expr("(docs * bin - total_tokens) * 10000 div (docs * bin)").as("waste_bp")
+          )
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents),
+             |b AS (
+             |  SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+             |              WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+             |              WHEN n <= 1024 THEN 1024 ELSE 2048 END AS bin,
+             |         least(n, 2048) AS eff
+             |  FROM d)
+             |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS docs,
+             |  CAST(sum(eff) AS BIGINT) AS total_tokens,
+             |  CAST((count(*) * bin - sum(eff)) * 10000 // (count(*) * bin) AS BIGINT) AS waste_bp
+             |FROM b
+             |GROUP BY bin
+             |ORDER BY bin""".stripMargin)
     )
   )
 }

@@ -335,6 +335,86 @@ object QualityOps {
              |  n_days * sum_xx - sum_x * sum_x AS slope_den
              |FROM f
              |ORDER BY event_type""".stripMargin)
+    ),
+
+    // Hashed linear classifier gate — the fastText-style quality filter
+    // every web-scale corpus runs (CCNet/LLaMA-style "looks like a
+    // reference page" gating), reduced to its engine shape: a fixed
+    // weight per hashed token bucket (md5-derived here so both engines
+    // re-derive the same model; production loads trained weights), a
+    // per-document score that is the sum of its tokens' bucket weights,
+    // and a keep/drop decision at score >= 0. Per-source acceptance
+    // report. Integer end-to-end: weights are exact ints in [-100, 100],
+    // the doc score is an order-independent integer sum.
+    //
+    // Scale shape: the 256-row weight table is BUILT once and broadcast;
+    // scoring is explode → broadcast join → one hash aggregation on
+    // doc_id — inference is embarrassingly parallel, no shuffle wider
+    // than (doc_id, bucket). The same plan serves any linear model over
+    // hashed n-gram features (a trained fastText binary exports exactly
+    // this table).
+    Q(
+      "q142_classifier_gate",
+      (s, d) => {
+        val weights = s
+          .range(256)
+          .select(
+            col("id").as("bucket"),
+            expr(
+              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
+            ).as("wt")
+          )
+        val scored = documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            explode(TextOps.tokens(col("text"))).as("t")
+          )
+          .select(
+            col("doc_id"),
+            col("source"),
+            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
+          )
+          .join(broadcast(weights), Seq("bucket"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("wt")).as("score"))
+        scored
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(col("score") >= 0, 1L).otherwise(0L)).as("kept_docs"),
+            sum(col("score")).as("net_score")
+          )
+          .select(
+            col("source"),
+            col("docs"),
+            col("kept_docs"),
+            expr("kept_docs * 10000 div docs").as("kept_bp"),
+            col("net_score")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              |  FROM documents),
+              |b AS (
+              |  SELECT doc_id, source, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tok),
+              |w AS (
+              |  SELECT i AS bucket,
+              |         ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
+              |  FROM range(0, 256) r(i)),
+              |ds AS (
+              |  SELECT doc_id, source, sum(wt) AS score
+              |  FROM b JOIN w USING (bucket)
+              |  GROUP BY doc_id, source)
+              |SELECT source, count(*) AS docs,
+              |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+              |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+              |    // count(*) AS kept_bp,
+              |  CAST(sum(score) AS BIGINT) AS net_score
+              |FROM ds
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -1174,6 +1174,79 @@ object SimilarityOps {
               |WHERE er.rk <= 5
               |GROUP BY 1
               |ORDER BY 1""".stripMargin)
+    ),
+
+    // Embedding centroid-outlier audit: the vectors farthest from the
+    // corpus mean — the standard screen for broken encoder outputs
+    // (all-zero rows, scale blow-ups, wrong-modality strays) before the
+    // embedding table feeds dedup/ANN. Distance is computed in integer
+    // algebra around the exact rational mean: with q = floor(x·1e3) and
+    // per-dimension sums s_j = Σ q_j over n rows, the reported statistic
+    // is Σ_j (q_j·n − s_j)² = n²·‖q − mean‖² — the same ordering as true
+    // squared distance from the centroid, with no float division
+    // anywhere, so both engines agree bit-for-bit.
+    //
+    // Scale shape: the centroid is one map-side partial aggregation to
+    // 64 (dim, sum) metadata rows, collected driver-side (the q86 bloom
+    // idiom — scalars, not data) and re-broadcast as a literal; the
+    // distance pass is then map-only with a codegen'd fold, and top-10
+    // is TakeOrderedAndProject. Bounds: |q|·n ≤ 6e2·n, so the summand
+    // stays under 2^63 up to n ≈ 2e5 rows per shard at this value range;
+    // bigger corpora renormalize per shard before comparing.
+    Q(
+      "q144_embedding_outliers",
+      (s, d) => {
+        val e = Caches.persisted(
+          embeddings(s, d).select(
+            col("vec_id"),
+            transform(
+              emb(col("embedding")),
+              x => floor(x * 1000).cast("long")
+            ).as("qv")
+          )
+        )
+        val sums = e
+          .select(posexplode(col("qv")).as(Seq("j", "q")))
+          .groupBy(col("j"))
+          .agg(sum(col("q")).as("sj"))
+          .orderBy(col("j"))
+          .collect()
+          .map(_.getAs[Long]("sj"))
+        val n = e.count()
+        // empty corpus: the oracle yields zero rows; mirror that instead
+        // of folding against a zero-length sums literal
+        if (n == 0L) e.select(col("vec_id"), lit(0L).as("d2n2")).limit(0)
+        else
+          e.select(
+            col("vec_id"),
+            aggregate(
+              zip_with(
+                col("qv"),
+                typedLit(sums.toSeq),
+                (q, sj) => (q * n - sj) * (q * n - sj)
+              ),
+              lit(0L),
+              (acc, x) => acc + x
+            ).as("d2n2")
+          ).orderBy(col("d2n2").desc, col("vec_id"))
+            .limit(10)
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |tot AS (SELECT count(*) AS n FROM e),
+              |s AS (
+              |  SELECT i, sum(qv[i]) AS sj
+              |  FROM e, range(1, ${Dim + 1}) r(i)
+              |  GROUP BY i),
+              |sa AS (SELECT list(sj ORDER BY i) AS sl FROM s)
+              |SELECT vec_id,
+              |  CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+              |    i -> (qv[i] * n - sl[i]) * (qv[i] * n - sl[i]))) AS BIGINT) AS d2n2
+              |FROM e, tot, sa
+              |ORDER BY d2n2 DESC, vec_id
+              |LIMIT 10""".stripMargin)
     )
   )
 
