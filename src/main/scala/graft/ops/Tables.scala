@@ -20,21 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
-  /** The events table stores `ts` as Parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default; read nanos as long and truncate to microsecond
-    * TimestampType (lossless here — the generator writes µs precision).
-    * The nanosAsLong flag belongs in the session build (Bench/Verify/Smoke
-    * set it there); the guarded set here only covers externally-built
-    * sessions, without re-mutating config on every call.
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: Parquet TIMESTAMP(NANOS) (which Spark reads as nanos-long
+    * under the legacy flag) and plain timestamp[us] with no timezone (which
+    * Spark reads as TIMESTAMP_NTZ). Normalize both to microsecond
+    * TimestampType so every query sees one shape and `unix_micros` works.
+    * The NTZ→LTZ cast interprets wall-clock in the session timezone, so pin
+    * it to UTC — that makes `unix_micros(ts)` equal DuckDB's `epoch_us(ts)`
+    * (DuckDB treats the naive parquet timestamp as-is) on any machine.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

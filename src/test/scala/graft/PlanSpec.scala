@@ -488,7 +488,8 @@ class PlanSpec extends SparkSpec {
       "q110_temperature_mix", // 1-row weight-normalization total
       "q114_semdedup", // 4 broadcast centroids (assignment pass)
       "q123_epoch_plan", // 1-row weight-normalization total
-      "q140_pq_recall" // 3 broadcast query vectors (exact-distance side)
+      "q140_pq_recall", // 3 broadcast query vectors (exact-distance side)
+      "q141_dsir_weights" // 1-row global token total × 64-row bucket stats
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
