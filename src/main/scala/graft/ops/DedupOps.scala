@@ -961,7 +961,15 @@ object DedupOps {
         import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
         import org.apache.spark.sql.catalyst.expressions.Literal
         val g8 = tokenized(s, d).select(col("doc_id"), explode(ngrams(col("tok"), 8)).as("g"))
-        val hist = g8.filter(col("doc_id") < 400).select(col("g")).distinct()
+        // Both sides persist: `hist` is the gram index a production system
+        // keeps materialized (read twice here — bloom build + exact
+        // semi-join — and by far the expensive side to recompute), `inc`
+        // is proportional to the increment by definition (read twice:
+        // per-doc totals + hit counting). Without these, the history
+        // tokenize+distinct shuffle ran twice and the increment explode
+        // ran twice — 4 heavy passes where 2 suffice.
+        val hist = Caches.persisted(
+          g8.filter(col("doc_id") < 400).select(col("g")).distinct())
         val bloomAgg = GraftColumns.lift(
           new BloomFilterAggregate(
             new XxHash64(Seq(GraftColumns.unlift(col("g")))),
