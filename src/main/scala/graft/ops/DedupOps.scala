@@ -1048,6 +1048,40 @@ object DedupOps {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(sqlJaccard5Oracle)
+    ),
+
+    // Duplicate-cluster size distribution: the headline a dedup report
+    // leads with — how much of the corpus sits in 2-doc pairs vs viral
+    // boilerplate clusters (the size histogram decides whether canonical
+    // selection is worth a policy at all, and a fat tail is the early
+    // warning that one template is flooding ingest). Every document joins
+    // the cluster map (left), singletons label as themselves, and the two
+    // tiny aggregates that follow see one row per cluster / one row per
+    // size — metadata. Rides q69's persisted cluster labels, so after the
+    // dedup pass this report is two shuffles over cluster metadata, free
+    // at any scale.
+    Q(
+      "q146_cluster_sizes",
+      (s, d) => {
+        val lab = dedupClusters(s, d, 0.8)
+        documents(s, d)
+          .select(col("doc_id"))
+          .join(lab, col("doc_id") === col("node"), "left")
+          .select(coalesce(col("lbl"), col("doc_id")).as("lbl"))
+          .groupBy(col("lbl"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("clusters"))
+          .orderBy(col("sz"))
+      },
+      Some(s"""${sqlPairsCte(0.8, recursive = true)},
+              |$sqlComponentsCte,
+              |m AS (
+              |  SELECT coalesce(lab.lbl, d.doc_id) AS lbl
+              |  FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+              |sz AS (SELECT lbl, count(*) AS sz FROM m GROUP BY lbl)
+              |SELECT CAST(sz AS BIGINT) AS sz, count(*) AS clusters
+              |FROM sz GROUP BY sz ORDER BY sz""".stripMargin)
     )
   )
 

@@ -415,6 +415,154 @@ object QualityOps {
               |FROM ds
               |GROUP BY source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Quality-signal correlation screen — the Deequ-style column-pair
+    // audit run before trusting a cheap signal as a proxy for an
+    // expensive one (if token count correlates ~1 with char length, one
+    // of them is redundant in the gating policy; if distinct-token count
+    // decorrelates, it carries signal). One corpus pass computes every
+    // per-doc signal and ONE aggregate row holds all the moment sums;
+    // the pair matrix then unpivots from that single row — the whole
+    // report costs one map + one scalar-sized aggregate at any corpus
+    // size. Exact int64 algebra throughout: covariance numerator
+    // n·Σxy − Σx·Σy, variance numerators likewise, and the correlation
+    // in basis points rides floor(sqrt(int)) (IEEE-exact both engines)
+    // so the hash matches with no float caveats. Bounds: signals ≤ ~2k
+    // per doc keep every product < 2^63 up to ~10⁸ docs; beyond that a
+    // production run shards the sums or moves to DECIMAL (q141's note).
+    Q(
+      "q145_signal_correlation",
+      (s, d) => {
+        val sig = documents(s, d).select(
+          length(col("text")).cast("long").as("l"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("t"),
+          size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("u")
+        )
+        val m = sig.agg(
+          count(lit(1)).as("n"),
+          sum(col("l")).as("sl"),
+          sum(col("t")).as("st"),
+          sum(col("u")).as("su"),
+          sum(col("l") * col("l")).as("sll"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("u") * col("u")).as("suu"),
+          sum(col("l") * col("t")).as("slt"),
+          sum(col("l") * col("u")).as("slu"),
+          sum(col("t") * col("u")).as("stu")
+        )
+        m.selectExpr(
+          """stack(3,
+            |  'len_vs_tokens',   n*slt - sl*st, n*sll - sl*sl, n*stt - st*st,
+            |  'len_vs_distinct', n*slu - sl*su, n*sll - sl*sl, n*suu - su*su,
+            |  'tokens_vs_distinct', n*stu - st*su, n*stt - st*st, n*suu - su*su
+            |) AS (pair, cov_num, var_x, var_y)""".stripMargin
+        ).select(
+          col("pair"),
+          col("cov_num"),
+          // sign carried separately: Spark `div` truncates while DuckDB
+          // `//` floors, so the quotient itself must stay non-negative
+          (when(col("cov_num") < 0, -1L).when(col("cov_num") > 0, 1L).otherwise(0L) *
+            expr(
+              """abs(cov_num) * 10000 div (cast(floor(sqrt(var_x)) as bigint)
+                | * cast(floor(sqrt(var_y)) as bigint))""".stripMargin
+            )).cast("long").as("corr_bp")
+        ).orderBy(col("pair"))
+      },
+      Some("""WITH sig AS (
+             |  SELECT CAST(len(text) AS BIGINT) AS l,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t,
+             |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS u
+             |  FROM documents),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(l) AS BIGINT) AS sl, CAST(sum(t) AS BIGINT) AS st,
+             |    CAST(sum(u) AS BIGINT) AS su,
+             |    CAST(sum(l*l) AS BIGINT) AS sll, CAST(sum(t*t) AS BIGINT) AS stt,
+             |    CAST(sum(u*u) AS BIGINT) AS suu,
+             |    CAST(sum(l*t) AS BIGINT) AS slt, CAST(sum(l*u) AS BIGINT) AS slu,
+             |    CAST(sum(t*u) AS BIGINT) AS stu
+             |  FROM sig),
+             |p AS (
+             |  SELECT 'len_vs_tokens' AS pair, n*slt - sl*st AS cov_num,
+             |    n*sll - sl*sl AS var_x, n*stt - st*st AS var_y FROM m
+             |  UNION ALL
+             |  SELECT 'len_vs_distinct', n*slu - sl*su, n*sll - sl*sl, n*suu - su*su FROM m
+             |  UNION ALL
+             |  SELECT 'tokens_vs_distinct', n*stu - st*su, n*stt - st*st, n*suu - su*su FROM m)
+             |SELECT pair, cov_num,
+             |  CAST(sign(cov_num) AS BIGINT)
+             |    * (abs(cov_num) * 10000 // (CAST(floor(sqrt(var_x)) AS BIGINT)
+             |       * CAST(floor(sqrt(var_y)) AS BIGINT))) AS corr_bp
+             |FROM p ORDER BY pair""".stripMargin)
+    ),
+
+    // Robust volume-anomaly detector: daily ingest counts vs a
+    // median/MAD fence — the monitoring query that catches a
+    // double-delivered day or a dead upstream BEFORE mixture weights and
+    // dedup admission silently absorb the distortion (mean/stddev fences
+    // move with the outlier they hunt; the median/MAD pair doesn't).
+    // Scale shape: one fact pass reduces to per-day counts — bounded
+    // calendar metadata — and both order statistics come from
+    // orderBy.limit(k) (TakeOrderedAndProject) over those ~hundreds of
+    // rows, never a global sort or an unpartitioned window; the two
+    // driver-held scalars are the q108/q119 bounded-metadata idiom. The
+    // fence is integer-exact: |cnt − med| · 10000 > 3 · 14826 · MAD
+    // (1.4826 in fixed-point, the normal-consistency constant).
+    Q(
+      "q147_volume_anomaly",
+      (s, d) => {
+        val daily = Caches.persisted(
+          events(s, d)
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("cnt"))
+        )
+        val n = daily.count()
+        val medRank = ((n + 1L) / 2L).toInt
+        // n == 0 → the final select over the empty `daily` is empty no
+        // matter what the fences are; 0 just keeps the scalar reads total
+        val med =
+          if (n == 0L) 0L
+          else
+            daily
+              .orderBy(col("cnt"), col("day"))
+              .limit(medRank)
+              .agg(max(col("cnt")))
+              .head()
+              .getLong(0)
+        val mad =
+          if (n == 0L) 0L
+          else
+            daily
+              .select(abs(col("cnt") - med).as("dev"))
+              .orderBy(col("dev"))
+              .limit(medRank)
+              .agg(max(col("dev")))
+              .head()
+              .getLong(0)
+        daily
+          .select(
+            col("day"),
+            col("cnt"),
+            lit(med).as("med"),
+            lit(mad).as("mad"),
+            (abs(col("cnt") - med) * 10000L > lit(3L * 14826L) * mad).as("anomaly")
+          )
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1),
+             |s AS (SELECT count(*) AS n FROM daily),
+             |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, day) AS rk FROM daily),
+             |med AS (SELECT CAST(cnt AS BIGINT) AS med FROM r, s WHERE rk = (n + 1) // 2),
+             |r2 AS (SELECT abs(cnt - med) AS dev,
+             |         row_number() OVER (ORDER BY abs(cnt - med)) AS rk
+             |       FROM daily, med),
+             |mad AS (SELECT CAST(dev AS BIGINT) AS mad FROM r2, s WHERE rk = (n + 1) // 2)
+             |SELECT day, CAST(cnt AS BIGINT) AS cnt, med, mad,
+             |  (abs(cnt - med) * 10000 > 3 * 14826 * mad) AS anomaly
+             |FROM daily, med, mad
+             |ORDER BY day""".stripMargin)
     )
   )
 }
