@@ -626,4 +626,84 @@ class StreamingOpsSpec extends SparkSpec {
       assert(expected.size > 20, "corpus produced too few closed windows — test is vacuous")
     } finally q.stop()
   }
+
+  test("streaming volume-anomaly monitor fences each closed window against trailing history, matching q147's algebra") {
+    import graft.streaming.{AnomalyObs, AnomalyReport, AnomalyStream}
+    val dayMicros = 86400L * 1000000L
+    // real events keyed by event type, daily event-time windows; one obs
+    // row per event — volume is counted, not carried
+    val obs = graft.ops.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select(
+        col("event_type"),
+        (unix_micros(col("ts")).cast("long") / dayMicros).cast("long").as("day")
+      )
+      .collect()
+      .map(r => AnomalyObs(r.getString(0), r.getLong(1) * dayMicros))
+      .sortBy(_.windowStart) // per-key windows never regress across batches
+    val out = new ConcurrentLinkedQueue[AnomalyReport]()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[AnomalyObs]
+    val q = AnomalyStream
+      .track(stream.toDS())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.Dataset[AnomalyReport], _: Long) =>
+        d.collect().foreach(out.add)
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = obs.splitAt(obs.length / 2)
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = Iterator
+        .continually(out.poll())
+        .takeWhile(_ != null)
+        .toVector
+        .sortBy(r => (r.key, r.windowStart))
+
+      // driver-side ground truth: per key, each closed window judged
+      // against the q147 fence over its trailing <=HistoryK predecessors;
+      // the LAST window never closes
+      def lowerMedian(xs: Seq[Long]): Long = {
+        val sr = xs.sorted
+        sr(((sr.length + 1) / 2) - 1)
+      }
+      val expected = obs
+        .groupBy(_.key)
+        .toVector
+        .flatMap { case (k, os) =>
+          val wins = os.groupBy(_.windowStart).toVector.sortBy(_._1).map { case (w, xs) =>
+            (w, xs.length.toLong)
+          }
+          wins.dropRight(1).zipWithIndex.map { case ((w, n), i) =>
+            val hist = wins.slice(math.max(0, i - AnomalyStream.HistoryK), i).map(_._2)
+            if (hist.isEmpty) AnomalyReport(k, w, n, 0L, 0L, 0L, anomaly = false)
+            else {
+              val med = lowerMedian(hist)
+              val mad = lowerMedian(hist.map(h => math.abs(h - med)))
+              AnomalyReport(
+                k,
+                w,
+                n,
+                med,
+                mad,
+                hist.length.toLong,
+                math.abs(n - med) * 10000L > 3L * 14826L * mad
+              )
+            }
+          }
+        }
+        .sortBy(r => (r.key, r.windowStart))
+      assert(streamed == expected, s"stream=${streamed.take(3)}… batch=${expected.take(3)}…")
+      assert(expected.size > 20, "corpus produced too few closed windows — test is vacuous")
+      assert(
+        expected.count(_.histN >= AnomalyStream.HistoryK.toLong) > 5,
+        "history ring never filled — eviction path untested"
+      )
+    } finally q.stop()
+  }
 }
