@@ -563,6 +563,49 @@ object QualityOps {
              |  (abs(cnt - med) * 10000 > 3 * 14826 * mad) AS anomaly
              |FROM daily, med, mad
              |ORDER BY day""".stripMargin)
+    ),
+
+    // Join-fanout audit: PREDICT a join's output size before paying for
+    // it. Both sides reduce to per-key counts (map-side combinable), the
+    // counts inner-join (one metadata-sized shuffle — one row per shared
+    // key, never a fact row), and Σ cnt_a·cnt_b IS the exact output
+    // cardinality of the real join — the number that decides whether the
+    // join is safe, needs q87's salting, or signals a broken key
+    // (many-to-many where the model says 1-to-many). Reported per key
+    // tier: clean 1:n keys vs m:n amplifying keys vs the single worst
+    // key's fanout. The q119/q120 family completed: skew tells you about
+    // one side's distribution, FK audit about unmatched keys, fanout
+    // about what their JOIN will do.
+    Q(
+      "q148_join_fanout",
+      (s, d) => {
+        val l = lineitem(s, d)
+          .groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("ca"))
+        val e = events(s, d)
+          .groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("cb"))
+        l.join(e, Seq("k"))
+          .select(col("ca"), col("cb"), (col("ca") * col("cb")).as("fan"))
+          .agg(
+            count(lit(1)).as("shared_keys"),
+            sum(col("fan")).as("join_rows"),
+            sum(when(col("ca") === 1L || col("cb") === 1L, col("fan")).otherwise(0L))
+              .as("clean_rows"),
+            sum(when(col("ca") > 1L && col("cb") > 1L, col("fan")).otherwise(0L))
+              .as("amplified_rows"),
+            max(col("fan")).as("max_key_fanout")
+          )
+      },
+      Some("""WITH a AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+             |b AS (SELECT user_id AS k, count(*) AS cb FROM events GROUP BY 1),
+             |j AS (SELECT ca, cb, ca * cb AS fan FROM a JOIN b USING (k))
+             |SELECT CAST(count(*) AS BIGINT) AS shared_keys,
+             |  CAST(sum(fan) AS BIGINT) AS join_rows,
+             |  CAST(sum(CASE WHEN ca = 1 OR cb = 1 THEN fan ELSE 0 END) AS BIGINT) AS clean_rows,
+             |  CAST(sum(CASE WHEN ca > 1 AND cb > 1 THEN fan ELSE 0 END) AS BIGINT) AS amplified_rows,
+             |  CAST(max(fan) AS BIGINT) AS max_key_fanout
+             |FROM j""".stripMargin)
     )
   )
 }
