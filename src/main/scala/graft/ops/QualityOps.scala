@@ -13,6 +13,27 @@ object QualityOps {
 
   import Tables._
 
+  /** Correlation in basis points from exact int64 moment numerators
+    * (cov = n·Σxy − Σx·Σy, var = n·Σx² − (Σx)²): the magnitude rides
+    * integer division over ⌊√var_x⌋·⌊√var_y⌋ (floor(sqrt(int)) is
+    * IEEE-exact in both engines) and the SIGN is carried separately —
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+    * the quotient itself must stay non-negative for the engines to agree.
+    * Arguments are column NAMES (the expression references them by name).
+    * A zero variance (constant signal) makes correlation undefined — it
+    * reports 0 instead of dividing by zero (ANSI mode throws).
+    */
+  private[graft] def corrBpExpr(cov: String, varX: String, varY: String) =
+    when(col(varX) === 0L || col(varY) === 0L, 0L)
+      .otherwise(
+        when(col(cov) < 0, -1L).when(col(cov) > 0, 1L).otherwise(0L) *
+          expr(
+            s"abs($cov) * 10000 div (cast(floor(sqrt($varX)) as bigint)" +
+              s" * cast(floor(sqrt($varY)) as bigint))"
+          )
+      )
+      .cast("long")
+
   def queries: Seq[Q] = Seq(
 
     // Join-key skew report: the diagnostic that decides between a plain
@@ -460,13 +481,7 @@ object QualityOps {
         ).select(
           col("pair"),
           col("cov_num"),
-          // sign carried separately: Spark `div` truncates while DuckDB
-          // `//` floors, so the quotient itself must stay non-negative
-          (when(col("cov_num") < 0, -1L).when(col("cov_num") > 0, 1L).otherwise(0L) *
-            expr(
-              """abs(cov_num) * 10000 div (cast(floor(sqrt(var_x)) as bigint)
-                | * cast(floor(sqrt(var_y)) as bigint))""".stripMargin
-            )).cast("long").as("corr_bp")
+          corrBpExpr("cov_num", "var_x", "var_y").as("corr_bp")
         ).orderBy(col("pair"))
       },
       Some("""WITH sig AS (
@@ -491,9 +506,10 @@ object QualityOps {
              |  UNION ALL
              |  SELECT 'tokens_vs_distinct', n*stu - st*su, n*stt - st*st, n*suu - su*su FROM m)
              |SELECT pair, cov_num,
-             |  CAST(sign(cov_num) AS BIGINT)
+             |  CASE WHEN var_x = 0 OR var_y = 0 THEN 0
+             |       ELSE CAST(sign(cov_num) AS BIGINT)
              |    * (abs(cov_num) * 10000 // (CAST(floor(sqrt(var_x)) AS BIGINT)
-             |       * CAST(floor(sqrt(var_y)) AS BIGINT))) AS corr_bp
+             |       * CAST(floor(sqrt(var_y)) AS BIGINT))) END AS corr_bp
              |FROM p ORDER BY pair""".stripMargin)
     ),
 

@@ -145,6 +145,60 @@ class QueriesSpec extends SparkSpec {
     graft.ops.Caches.invalidate()
   }
 
+  test("q145's correlation algebra: sign convention, perfect anticorrelation, floor on negatives") {
+    // the synthetic corpus only produces POSITIVE correlations, so the
+    // negative branch of the sign-carried integer division — where Spark
+    // `div` (truncate) and DuckDB `//` (floor) would disagree if the
+    // quotient went negative — is pinned here against exact hand algebra
+    import graft.ops.QualityOps
+    import org.apache.spark.sql.functions.lit
+    def moments(xs: Seq[Long], ys: Seq[Long]): (Long, Long, Long) = {
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val cov = n * xs.zip(ys).map { case (a, b) => a * b }.sum - sx * sy
+      val vx = n * xs.map(a => a * a).sum - sx * sx
+      val vy = n * ys.map(b => b * b).sum - sy * sy
+      (cov, vx, vy)
+    }
+    def run(xs: Seq[Long], ys: Seq[Long]): Long = {
+      val (cov, vx, vy) = moments(xs, ys)
+      spark
+        .range(1)
+        .select(lit(cov).as("c"), lit(vx).as("vx"), lit(vy).as("vy"))
+        .select(QualityOps.corrBpExpr("c", "vx", "vy").as("bp"))
+        .head()
+        .getLong(0)
+    }
+    // n = 2 makes the variance numerator (a−b)² — a perfect square, so
+    // the floor(sqrt) magnitude is exact and perfect (anti)correlation
+    // lands on exactly ±10000 (for non-square variances the magnitude
+    // overshoots by up to ~2/√var — negligible at corpus-scale sums,
+    // pinned exactly below)
+    assert(run(Seq(1L, 3L), Seq(3L, 1L)) === -10000L)
+    assert(run(Seq(2L, 7L), Seq(2L, 7L)) === 10000L)
+    // constant y against itself-varying x: cov = 0 → 0, no sign
+    assert(run(Seq(1L, 5L, 9L), Seq(4L, 4L, 4L)) === 0L)
+    // noisy anticorrelated case: |quotient| floors (toward zero on the
+    // MAGNITUDE, which equals DuckDB's floor of the negative value only
+    // because the sign multiplies AFTER the division — the convention
+    // under test)
+    val xs = Seq(1L, 2L, 3L, 4L, 5L)
+    val ys = Seq(9L, 7L, 8L, 3L, 1L)
+    val (cov, vx, vy) = moments(xs, ys)
+    val expected = -1L * (math.abs(cov) * 10000L /
+      (math.floor(math.sqrt(vx.toDouble)).toLong * math.floor(math.sqrt(vy.toDouble)).toLong))
+    assert(cov < 0, "test vectors must anticorrelate")
+    assert(run(xs, ys) === expected)
+    assert(run(xs, ys) < -8000L, "strong anticorrelation expected")
+    // non-perfect-square variances: the engine must reproduce the SAME
+    // floor(sqrt) overshoot the hand formula gives (convention, not ideal
+    // math, is the cross-engine contract)
+    val (c2, v2x, v2y) = moments(Seq(1L, 2L, 3L, 4L), Seq(4L, 3L, 2L, 1L))
+    val e2 = -1L * (math.abs(c2) * 10000L /
+      (math.floor(math.sqrt(v2x.toDouble)).toLong * math.floor(math.sqrt(v2y.toDouble)).toLong))
+    assert(run(Seq(1L, 2L, 3L, 4L), Seq(4L, 3L, 2L, 1L)) === e2)
+  }
+
   test("config validation rejects bad configs") {
     import graft.config._
     assert(PipelineConfig[Int](name = "").validate().isLeft)
