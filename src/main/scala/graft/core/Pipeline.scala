@@ -54,8 +54,27 @@ object Pipeline {
     val handle = config.handleMessage
 
     def runProcessor(msgs: Seq[Message[A]]): Iterator[Message[A]] = {
-      val prepared = prepare(msgs) // prepare crash fails the task (reference: raises)
-      prepared.iterator.map { m =>
+      // prepare_messages crash containment (processor_stage.ex:122-147):
+      // a raise — or returning fewer/more messages than given, which the
+      // reference validates and raises on (processor_stage.ex:226-232) —
+      // fails EVERY message in the batch ({kind, reason, stack} status)
+      // while the stage itself survives; the failed messages skip
+      // handle_message and flow to handle_failed + failure ack like any
+      // other crash.
+      val (prepared, prepFailed) =
+        try {
+          val p = prepare(msgs)
+          if (p.length != msgs.length)
+            throw new IllegalStateException(
+              "expected all messages to be returned from prepareMessages"
+            )
+          (p, Seq.empty[Message[A]])
+        } catch {
+          case NonFatal(e) =>
+            (Seq.empty[Message[A]], msgs.map(m => m.copy(status = MessageStatus.crashed(e))))
+        }
+      counters.foreach(c => prepFailed.foreach(_ => c.processorFailed.add(1L)))
+      prepFailed.iterator ++ prepared.iterator.map { m =>
         val t0 = System.nanoTime()
         val out =
           if (!m.isOk) m

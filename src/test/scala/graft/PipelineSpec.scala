@@ -206,6 +206,55 @@ class PipelineSpec extends SparkSpec {
     } finally tp.stop()
   }
 
+  // broadway_test.exs:768-789 (+ processor_stage.ex:122-147) — a raise in
+  // prepare_messages marks EVERY message in the batch {kind, reason} and
+  // the stage survives; handle_message never runs for that batch.
+  test("crash in prepareMessages fails the whole batch and is contained") {
+    val handled = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cfg = PipelineConfig[Int](
+      name = "prep-crash",
+      prepareMessages = msgs =>
+        if (msgs.exists(_.data == 13)) throw new IllegalStateException("prep boom")
+        else msgs,
+      handleMessage = m => { handled.incrementAndGet(); m }
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(12, 13, 14))
+      tp.processAllAvailable()
+      val acks = tp.acks()
+      assert(acks.flatMap(_.successful).isEmpty)
+      val failed = acks.flatMap(_.failed)
+      assert(failed.size == 3, s"all messages must fail, got $failed")
+      assert(failed.forall(_.status.kind == "java.lang.IllegalStateException"))
+      assert(failed.forall(_.status.reason == "prep boom"))
+      assert(handled.get() == 0, "handleMessage must not run after a prepare crash")
+      // stage survives: a clean batch processes normally
+      tp.testMessage(99)
+      tp.processAllAvailable()
+      assert(tp.acks().flatMap(_.successful).map(_.data) == Seq(99))
+    } finally tp.stop()
+  }
+
+  // processor_stage.ex:226-232 — prepare_messages must return ALL messages;
+  // a dropped message fails the batch the same contained way.
+  test("prepareMessages returning fewer messages fails the whole batch") {
+    val cfg = PipelineConfig[Int](
+      name = "prep-drop",
+      prepareMessages = msgs => msgs.filterNot(_.data == 13)
+    )
+    val tp = new TestPipeline(spark, cfg)
+    try {
+      tp.testBatch(Seq(12, 13, 14))
+      tp.processAllAvailable()
+      val acks = tp.acks()
+      assert(acks.flatMap(_.successful).isEmpty)
+      val failed = acks.flatMap(_.failed)
+      assert(failed.size == 3)
+      assert(failed.forall(_.status.reason.contains("expected all messages")))
+    } finally tp.stop()
+  }
+
   // broadway_test.exs:1128-1170 — batches by size, remainder flushed with a
   // non-size trigger at the micro-batch boundary.
   test("batching by size with remainder trigger") {
