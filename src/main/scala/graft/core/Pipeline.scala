@@ -210,7 +210,18 @@ object Pipeline {
           c.ackSuccessful.add(ok.size.toLong)
           c.ackFailed.add(failedFinal.size.toLong)
         }
-        acknowledger.ack(ref, ok, failedFinal)
+        // a bad acknowledger must not take down the stage (reference wraps
+        // ack_messages in try/catch + Logger.error on BOTH the processor and
+        // batch-processor paths — processor_stage.ex:97-103,
+        // batch_processor_stage.ex:86-93); the messages' statuses are
+        // already final, only the delivery notification is lost
+        try acknowledger.ack(ref, ok, failedFinal)
+        catch {
+          case NonFatal(e) =>
+            org.slf4j.LoggerFactory
+              .getLogger("graft.core.Pipeline")
+              .error(s"acknowledger crashed for ackRef=$ref: ${e.getMessage}", e)
+        }
         ref
       }
     acked.collect() // forces the ack action for this micro-batch

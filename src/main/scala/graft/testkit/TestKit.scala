@@ -19,7 +19,11 @@ import graft.model.{BatchMode, Message}
   */
 final class TestPipeline[A](
     spark: SparkSession,
-    config: PipelineConfig[A]
+    config: PipelineConfig[A],
+    // override the default CallerAcknowledger (e.g. to test ack-crash
+    // containment); the reference's producer chooses the acknowledger per
+    // message, so the testkit exposing the choice mirrors that freedom
+    acknowledger: Option[graft.ack.Acknowledger] = None
 )(implicit enc: Encoder[Message[A]]) {
 
   val collectorId: String = s"${config.name}-${UUID.randomUUID().toString.take(8)}"
@@ -34,7 +38,13 @@ final class TestPipeline[A](
   graft.runtime.Telemetry.install(spark)
 
   val running: RunningPipeline[A] =
-    Pipeline.start(spark, stream.toDS(), config, CallerAcknowledger(collectorId), limiter)
+    Pipeline.start(
+      spark,
+      stream.toDS(),
+      config,
+      acknowledger.getOrElse(CallerAcknowledger(collectorId)),
+      limiter
+    )
 
   limiter.foreach(_.setOnReplenish(() => drainPending()))
 

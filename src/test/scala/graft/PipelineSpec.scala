@@ -19,6 +19,10 @@ object ProcessorProbe {
   def clear(): Unit = seen.clear()
 }
 
+object BadAckProbe {
+  val attempted = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 object BatchProbe {
   val batches = new ConcurrentLinkedQueue[(BatchInfo, Seq[Int])]()
   def record(info: BatchInfo, data: Seq[Int]): Unit = batches.add((info, data))
@@ -252,6 +256,33 @@ class PipelineSpec extends SparkSpec {
       val failed = acks.flatMap(_.failed)
       assert(failed.size == 3)
       assert(failed.forall(_.status.reason.contains("expected all messages")))
+    } finally tp.stop()
+  }
+
+  // broadway_test.exs:824-827 / 1544-1547 — "processors/consumers do not
+  // crash on bad acknowledger": an ack that raises loses only the delivery
+  // notification; the stage and later micro-batches keep working.
+  test("a throwing acknowledger does not take down the pipeline") {
+    // counter lives in a JVM-static holder: the acknowledger closure is
+    // serialized into the ack stage, so instance fields would mutate a copy
+    BadAckProbe.attempted.set(0)
+    val badAck = new graft.ack.Acknowledger {
+      def ack(ackRef: String, successful: Seq[graft.model.Message[_]], failed: Seq[graft.model.Message[_]]): Unit = {
+        BadAckProbe.attempted.incrementAndGet()
+        throw new IllegalStateException("ack boom")
+      }
+    }
+    val cfg = PipelineConfig[Int](name = "bad-ack")
+    val tp = new TestPipeline(spark, cfg, acknowledger = Some(badAck))
+    try {
+      tp.testBatch(Seq(1, 2, 3))
+      tp.processAllAvailable()
+      assert(BadAckProbe.attempted.get() >= 1, "ack must have been attempted")
+      // stage survived: next batch still processes and attempts its ack
+      val before = BadAckProbe.attempted.get()
+      tp.testMessage(9)
+      tp.processAllAvailable()
+      assert(BadAckProbe.attempted.get() > before, "pipeline must keep acking after an ack crash")
     } finally tp.stop()
   }
 
