@@ -622,6 +622,60 @@ object QualityOps {
              |  CAST(sum(CASE WHEN ca > 1 AND cb > 1 THEN fan ELSE 0 END) AS BIGINT) AS amplified_rows,
              |  CAST(max(fan) AS BIGINT) AS max_key_fanout
              |FROM j""".stripMargin)
+    ),
+
+    // Equi-width histogram profile of a numeric column — the engine
+    // primitive behind every "show me the distribution" panel and the
+    // input to range-partition planning (q135's exact quantiles answer
+    // point questions; the histogram shows SHAPE — modes, gaps, spike
+    // bins). Two passes: one scalar min/max aggregate (driver-held bounds,
+    // the q108/q119 metadata idiom), then one map + hash aggregate on the
+    // bin id — both map-side combinable, no sort, no window, scale-free.
+    // Bin algebra is integer-exact on cents: id = (v−lo)·B div (hi−lo+1),
+    // every row lands in [0, B); bin EDGES are reported back in cents so
+    // the result is self-describing. Empty input returns the empty frame
+    // (no bins), matching the oracle.
+    Q(
+      "q149_value_histogram",
+      (s, d) => {
+        val cents = lineitem(s, d)
+          .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"))
+        val bounds = cents.agg(min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+        if (bounds.isNullAt(0)) {
+          s.range(0)
+            .select(
+              col("id").as("bin"),
+              col("id").as("lo_cents"),
+              col("id").as("hi_cents"),
+              col("id").as("cnt")
+            )
+        } else {
+          val lo = bounds.getLong(0)
+          val span = bounds.getLong(1) - lo + 1L
+          val bins = 20L
+          cents
+            .select(expr(s"(v - $lo) * $bins div $span").as("bin"))
+            .groupBy(col("bin"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(
+              col("bin"),
+              expr(s"$lo + bin * $span div $bins").as("lo_cents"),
+              expr(s"$lo + (bin + 1) * $span div $bins - 1").as("hi_cents"),
+              col("cnt")
+            )
+            .orderBy(col("bin"))
+        }
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+             |b AS (SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM c),
+             |h AS (SELECT (v - lo) * 20 // span AS bin FROM c, b)
+             |SELECT bin, count(*) AS cnt,
+             |  CAST(lo + bin * span // 20 AS BIGINT) AS lo_cents,
+             |  CAST(lo + (bin + 1) * span // 20 - 1 AS BIGINT) AS hi_cents
+             |FROM h, b
+             |GROUP BY bin, lo, span
+             |ORDER BY bin""".stripMargin)
     )
   )
 }

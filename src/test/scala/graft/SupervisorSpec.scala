@@ -26,7 +26,14 @@ class SupervisorSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def queueMessages(queue: String) = {
+  /** Queue-backed message source; with `injectCrash` the SupervisorProbe
+    * flags crash the source-side TRANSFORMER map — transformer crashes
+    * restart the producer in the reference ("restart the producer if the
+    * transformation raises an error", broadway_test.exs) and are NOT
+    * contained per-message the way prepare/handle crashes are, so they
+    * fail the query and exercise the supervisor.
+    */
+  private def queueMessages(queue: String, injectCrash: Boolean = false) = {
     val raw = spark.readStream
       .format("graft.sources.QueueSourceProvider")
       .option("queue", queue)
@@ -34,7 +41,12 @@ class SupervisorSpec extends SparkSpec {
     raw
       .select(col("offset"), col("value"))
       .as[(Long, String)]
-      .map { case (off, v) => Message(v, metadata = Map("seq" -> off.toString)) }
+      .map { case (off, v) =>
+        if (injectCrash &&
+          (SupervisorProbe.crashOnce.getAndSet(false) || SupervisorProbe.alwaysCrash.get()))
+          throw new RuntimeException("injected crash")
+        Message(v, metadata = Map("seq" -> off.toString))
+      }
   }
 
   private def awaitUntil(timeoutMs: Long)(cond: => Boolean): Boolean = {
@@ -51,14 +63,11 @@ class SupervisorSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sup-ckpt").toString
     try {
       q.push("a", "b", "c")
+      // one-shot transformer crash before any message enters the stage
+      // chain: the whole micro-batch replays from the offset log after the
+      // supervisor restarts the query
       val cfg = PipelineConfig[String](
         name = "sup-restart",
-        // one-shot crash BEFORE any message is handled: the whole micro-batch
-        // replays from the offset log after the supervisor restarts the query
-        prepareMessages = ms => {
-          if (SupervisorProbe.crashOnce.getAndSet(false)) throw new RuntimeException("injected crash")
-          ms
-        },
         handleBatch = (_: String, msgs: Seq[Message[String]], _: BatchInfo) => {
           msgs.foreach(m => SupervisorProbe.record(m.data))
           msgs
@@ -68,7 +77,8 @@ class SupervisorSpec extends SparkSpec {
         restartPolicy = Some(RestartPolicy(maxRestarts = 3, withinSeconds = 60))
       )
       SupervisorProbe.crashOnce.set(true)
-      val running = Pipeline.start(spark, queueMessages("sup-q1"), cfg, CallerAcknowledger(collectorId))
+      val running =
+        Pipeline.start(spark, queueMessages("sup-q1", injectCrash = true), cfg, CallerAcknowledger(collectorId))
       try {
         assert(
           awaitUntil(30000)(AckCollector.acks(collectorId).flatMap(_.successful).size == 3),
@@ -101,16 +111,13 @@ class SupervisorSpec extends SparkSpec {
       q.push("x")
       val cfg = PipelineConfig[String](
         name = "sup-giveup",
-        prepareMessages = ms => {
-          if (SupervisorProbe.alwaysCrash.get()) throw new RuntimeException("permanent crash")
-          ms
-        },
         batchers = Seq(BatcherConfig[String]("default", batchSize = 10)),
         checkpointLocation = Some(ckpt),
         restartPolicy = Some(RestartPolicy(maxRestarts = 2, withinSeconds = 120))
       )
       SupervisorProbe.alwaysCrash.set(true)
-      val running = Pipeline.start(spark, queueMessages("sup-q2"), cfg, CallerAcknowledger(collectorId))
+      val running =
+        Pipeline.start(spark, queueMessages("sup-q2", injectCrash = true), cfg, CallerAcknowledger(collectorId))
       try {
         // every restart replays the same poisoned batch and crashes again;
         // after maxRestarts the supervisor must stop restarting
@@ -173,16 +180,13 @@ class SupervisorSpec extends SparkSpec {
       q.push("boom")
       val cfg = PipelineConfig[String](
         name = "sup-crashed",
-        prepareMessages = ms => {
-          if (SupervisorProbe.alwaysCrash.get()) throw new RuntimeException("injected crash")
-          ms
-        },
         batchers = Seq(BatcherConfig[String]("default", batchSize = 10)),
         rateLimiting = Some(graft.config.RateLimiting(allowedMessages = 100, intervalMs = 1000L))
         // no restartPolicy: the query stays dead, stop() must still clean up
       )
       SupervisorProbe.alwaysCrash.set(true)
-      val running = Pipeline.start(spark, queueMessages("sup-q4"), cfg, CallerAcknowledger(collectorId))
+      val running =
+        Pipeline.start(spark, queueMessages("sup-q4", injectCrash = true), cfg, CallerAcknowledger(collectorId))
       assert(awaitUntil(30000)(!running.query.isActive), "query never crashed")
       // awaitTermination rethrows the crash — stop() must release the
       // registry entry, counters, and rate limiter anyway (its own finally)
