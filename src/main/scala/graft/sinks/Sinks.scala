@@ -68,4 +68,78 @@ object Sinks {
     hfs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
     parts
   }
+
+  /** Publish a micro-batch ATOMICALLY: data files land under an unlisted
+    * staging path, then one manifest rename makes the whole batch visible.
+    * `idempotentParquet` makes replays safe for a reader that arrives
+    * AFTER recovery; this closes the remaining window — a reader
+    * concurrent with the write (or with a crash mid-write) must never see
+    * a partial batch. Readers go through [[readManifested]], which lists
+    * manifests and reads exactly the files each names; a crashed batch
+    * (data written, manifest never renamed) is invisible, and its replay
+    * overwrites the same staging directory then publishes the same
+    * manifest path — effectively-once end to end on top of Spark's
+    * at-least-once recovery, with no lock and no reader coordination.
+    * A re-publish of an already-manifested batch is a no-op (the replayed
+    * data is byte-equivalent by determinism of the micro-batch).
+    */
+  def manifestedParquet(df: DataFrame, root: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/batch-$batchId")
+    if (hfs.exists(manifest)) return // already published — replay is a no-op
+    val dataDir = s"$root/data/batch_id=$batchId"
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val files = hfs
+      .globStatus(new org.apache.hadoop.fs.Path(s"$dataDir/*.parquet"))
+      .map(_.getPath.toString)
+      .sorted
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.batch-$batchId.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    hfs.mkdirs(manifest.getParent)
+    if (!hfs.rename(tmp, manifest)) {
+      // lost a publish race (another attempt of the same batch won): the
+      // surviving manifest names equivalent files — drop ours
+      hfs.delete(tmp, false)
+      ()
+    }
+  }
+
+  /** Read everything published through [[manifestedParquet]]: the union of
+    * the files every manifest names. Unmanifested data (a crashed or
+    * in-flight batch) is invisible by construction. The manifest listing
+    * is driver-side metadata (one small file per batch); the data read is
+    * a normal parquet scan over the named files.
+    */
+  def readManifested(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    val files: Seq[String] =
+      if (!hfs.exists(dir)) Seq.empty
+      else
+        hfs
+          .listStatus(dir)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+          .toSeq
+          .flatMap { st =>
+            val in = hfs.open(st.getPath)
+            try
+              scala.io.Source
+                .fromInputStream(in, "UTF-8")
+                .getLines()
+                .filter(_.nonEmpty)
+                .toVector
+            finally in.close()
+          }
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
 }

@@ -25,6 +25,35 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/b/batch_id=0").count() == 1)
   }
 
+  test("manifestedParquet publishes atomically: unmanifested data is invisible, replay is a no-op") {
+    val root = Files.createTempDirectory("graft-manifest").toString
+    // batch 0 published normally
+    Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
+    assert(Sinks.readManifested(spark, root).count() == 5)
+
+    // simulate a crash mid-batch-1: data files exist, manifest never renamed
+    (6 to 9).toDF("v").write.mode("overwrite").parquet(s"$root/data/batch_id=1")
+    assert(
+      Sinks.readManifested(spark, root).count() == 5,
+      "a reader must never see an unmanifested (crashed/in-flight) batch"
+    )
+
+    // recovery replays batch 1: overwrites its own staging dir, publishes
+    Sinks.manifestedParquet((6 to 9).toDF("v"), root, batchId = 1)
+    val all = Sinks.readManifested(spark, root)
+    assert(all.count() == 9)
+    assert(all.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 45L)
+
+    // replay of an already-published batch is a no-op, not a duplicate
+    Sinks.manifestedParquet((6 to 9).toDF("v"), root, batchId = 1)
+    assert(Sinks.readManifested(spark, root).count() == 9)
+  }
+
+  test("readManifested on an empty root returns an empty frame") {
+    val root = Files.createTempDirectory("graft-manifest-empty").toString
+    assert(Sinks.readManifested(spark, root).count() == 0)
+  }
+
   test("compactParquet collapses a many-tiny-file directory, preserving the data") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/data"
     // simulate many trigger-sized writes: 64 partitions → 64 tiny files
