@@ -763,6 +763,54 @@ object CurationOps {
              |FROM b
              |GROUP BY bin
              |ORDER BY bin""".stripMargin)
+    ),
+
+    // Truncation-loss audit — the other half of q143's context-length
+    // fitting question: q143 prices the padding SHORT documents cost
+    // inside their bucket; this prices the tokens LONG documents lose
+    // when the packer hard-truncates at the context length (L = 256
+    // here). Per source: how many docs overflow, what fraction of the
+    // source's token mass falls off the end, and what survives — the
+    // report that decides between truncating, splitting (q72's packing),
+    // and dropping. One map + one aggregate, integer-exact, scale-free.
+    Q(
+      "q150_truncation_loss",
+      (s, d) => {
+        val L = 256L
+        documents(s, d)
+          .select(
+            col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n")
+          )
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(col("n") > L, 1L).otherwise(0L)).as("docs_truncated"),
+            sum(col("n")).as("tokens"),
+            sum(greatest(col("n") - L, lit(0L))).as("tokens_lost")
+          )
+          .select(
+            col("source"),
+            col("docs"),
+            col("docs_truncated"),
+            col("tokens"),
+            col("tokens_lost"),
+            expr("tokens_lost * 10000 div tokens").as("loss_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT source, count(*) AS docs,
+             |  CAST(sum(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+             |  CAST(sum(n) AS BIGINT) AS tokens,
+             |  CAST(sum(greatest(n - 256, 0)) AS BIGINT) AS tokens_lost,
+             |  CAST(sum(greatest(n - 256, 0)) * 10000 // sum(n) AS BIGINT) AS loss_bp
+             |FROM d
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -408,6 +408,36 @@ class PlanSpec extends SparkSpec {
       s"a per-flag rank window over the fact table crept back:\n$p")
   }
 
+  test("q148 join fanout never joins fact rows: both inputs pre-aggregate to counts") {
+    val p = finalPlan(plan("q148_join_fanout"))
+    // at test scale the count tables broadcast; at 100 TB AQE picks SMJ —
+    // either way it must be an EQUI join whose inputs are aggregates
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(p.indexOf).max
+    assert(joinIdx >= 0, s"expected an equi count-join:\n$p")
+    // the join's inputs must both be per-key count aggregates — the whole
+    // point is predicting the fact join's size WITHOUT paying its width
+    assert("HashAggregate".r.findAllIn(p.substring(joinIdx)).size >= 2,
+      s"join inputs are not pre-aggregated per-key counts:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q149 histogram plans two aggregates and no sort over fact rows") {
+    val df = QueryRegistry.byName("q149_value_histogram").fn(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // bin assignment is map-only onto a 20-row hash aggregate; the only
+    // Sort permitted is the final 20-row bin ordering, never the fact scan
+    val sortIdx = p.indexOf("Sort ")
+    if (sortIdx >= 0) {
+      val below = p.substring(sortIdx)
+      assert(below.contains("HashAggregate"),
+        s"the sort must sit above the 20-row bin aggregate, not the fact scan:\n$p")
+    }
+    assert(p.contains("HashAggregate"), s"bin rollup must be a hash aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in a histogram:\n$p")
+  }
+
   test("q120 fk audit pre-aggregates both sides before ONE full-outer join") {
     val p = finalPlan(plan("q120_fk_audit"))
     assert(p.contains("FullOuter"), s"no full-outer join:\n$p")
