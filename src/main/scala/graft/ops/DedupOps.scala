@@ -1082,6 +1082,42 @@ object DedupOps {
               |sz AS (SELECT lbl, count(*) AS sz FROM m GROUP BY lbl)
               |SELECT CAST(sz AS BIGINT) AS sz, count(*) AS clusters
               |FROM sz GROUP BY sz ORDER BY sz""".stripMargin)
+    ),
+
+    // Cross-source duplication matrix: the verified near-dup pairs rolled
+    // up by WHICH PIPELINES collide — the report that tells an ingest
+    // operator "source_07 is mostly re-serving source_03" (fix the
+    // upstream feed) vs "duplication is intra-source" (fix the crawler's
+    // revisit policy). The pair endpoints' sources are normalized
+    // (least, greatest) so each unordered source pair is one row. Rides
+    // the persisted lshPairs materialization — the rollup itself joins
+    // the tiny pair list to the 2-column doc→source table twice and
+    // aggregates source-pair metadata; nothing new shuffles at scale.
+    Q(
+      "q151_source_overlap",
+      (s, d) => {
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        lshPairs(s, d, 0.8)
+          .select(col("doc_a"), col("doc_b"))
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .select(
+            least(col("sa"), col("sb")).as("source_lo"),
+            greatest(col("sa"), col("sb")).as("source_hi")
+          )
+          .groupBy(col("source_lo"), col("source_hi"))
+          .agg(count(lit(1)).as("pairs"))
+          .orderBy(col("source_lo"), col("source_hi"))
+      },
+      Some(s"""${sqlPairsCte(0.8)}
+              |SELECT least(x.source, y.source) AS source_lo,
+              |  greatest(x.source, y.source) AS source_hi,
+              |  count(*) AS pairs
+              |FROM pairs
+              |JOIN documents x ON x.doc_id = doc_a
+              |JOIN documents y ON y.doc_id = doc_b
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2""".stripMargin)
     )
   )
 
