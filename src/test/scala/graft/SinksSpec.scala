@@ -54,6 +54,30 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readManifested(spark, root).count() == 0)
   }
 
+  test("manifestedParquet works as a real streaming foreachBatch sink") {
+    val root = Files.createTempDirectory("graft-manifest-stream").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = stream
+      .toDS()
+      .toDF("v")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Sinks.manifestedParquet(df, root, batchId)
+      }
+      .start()
+    try {
+      stream.addData(1 to 4)
+      q.processAllAvailable()
+      stream.addData(5 to 6)
+      q.processAllAvailable()
+      val out = Sinks.readManifested(spark, root)
+      assert(out.count() == 6)
+      assert(out.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 21L)
+    } finally q.stop()
+  }
+
   test("compactParquet collapses a many-tiny-file directory, preserving the data") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/data"
     // simulate many trigger-sized writes: 64 partitions → 64 tiny files
