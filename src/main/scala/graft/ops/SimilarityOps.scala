@@ -1247,6 +1247,76 @@ object SimilarityOps {
               |FROM e, tot, sa
               |ORDER BY d2n2 DESC, vec_id
               |LIMIT 10""".stripMargin)
+    ),
+
+    // Embedding-space drift monitor — q117's distribution-drift question
+    // asked of the EMBEDDINGS: per label, how far did the quantized
+    // centroid move between two ingest epochs (vec_id parity is the
+    // deterministic epoch split)? Exact int64 end-to-end: per (label,
+    // dim, epoch) the count and coordinate sum aggregate in ONE
+    // conditional pass (no self-join — the q117 shape), the per-dim
+    // centroid difference clears denominators as sx0·n1 − sx1·n0, and
+    // the label's drift is the L1 sum of those numerators (plus a
+    // milli-unit normalized form behind a zero-epoch guard). One corpus
+    // pass, a 64×-row narrow explode, two map-side-combinable hash
+    // aggregates — linear at any scale; the alert that catches an
+    // encoder change or upstream content shift before it skews SemDeDup
+    // thresholds and ANN recall.
+    Q(
+      "q152_embedding_drift",
+      (s, d) => {
+        val q = embeddings(s, d)
+          .select(
+            col("label"),
+            (col("vec_id") % 2).cast("long").as("epoch"),
+            posexplode(
+              expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+            ).as(Seq("dim0", "x"))
+          )
+          .groupBy(col("label"), col("dim0"))
+          .agg(
+            sum(when(col("epoch") === 0L, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("epoch") === 0L, col("x")).otherwise(0L)).as("sx0"),
+            sum(when(col("epoch") === 1L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("epoch") === 1L, col("x")).otherwise(0L)).as("sx1")
+          )
+        q.groupBy(col("label"))
+          .agg(
+            max(col("n0")).as("n0"),
+            max(col("n1")).as("n1"),
+            sum(abs(col("sx0") * col("n1") - col("sx1") * col("n0"))).as("l1_drift_num")
+          )
+          .select(
+            col("label"),
+            col("n0"),
+            col("n1"),
+            col("l1_drift_num"),
+            when(col("n0") * col("n1") === 0L, 0L)
+              .otherwise(expr("l1_drift_num div (n0 * n1)"))
+              .as("drift_milli")
+          )
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT label, vec_id % 2 AS epoch,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |pd AS (
+              |  SELECT label, i AS dim,
+              |    CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              |    CAST(sum(CASE WHEN epoch = 0 THEN qv[i] ELSE 0 END) AS BIGINT) AS sx0,
+              |    CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              |    CAST(sum(CASE WHEN epoch = 1 THEN qv[i] ELSE 0 END) AS BIGINT) AS sx1
+              |  FROM e, range(1, ${Dim + 1}) r(i)
+              |  GROUP BY 1, 2)
+              |SELECT label, max(n0) AS n0, max(n1) AS n1,
+              |  CAST(sum(abs(sx0 * n1 - sx1 * n0)) AS BIGINT) AS l1_drift_num,
+              |  CASE WHEN max(n0) * max(n1) = 0 THEN 0
+              |       ELSE CAST(sum(abs(sx0 * n1 - sx1 * n0)) // (max(n0) * max(n1)) AS BIGINT)
+              |  END AS drift_milli
+              |FROM pd
+              |GROUP BY label
+              |ORDER BY label""".stripMargin)
     )
   )
 
