@@ -449,16 +449,19 @@ object QualityOps {
     // size. Exact int64 algebra throughout: covariance numerator
     // n·Σxy − Σx·Σy, variance numerators likewise, and the correlation
     // in basis points rides floor(sqrt(int)) (IEEE-exact both engines)
-    // so the hash matches with no float caveats. Bounds: signals ≤ ~2k
-    // per doc keep every product < 2^63 up to ~10⁸ docs; beyond that a
-    // production run shards the sums or moves to DECIMAL (q141's note).
+    // so the hash matches with no float caveats. Bounds: cov_num grows as
+    // ~n²·x̄² and corrBpExpr multiplies it by 10⁴, so with ~2k-magnitude
+    // signals int64 holds only to n ≈ 5·10⁴ docs — fine for a per-shard /
+    // per-source screen (this query's unit), NOT for one global pass over
+    // a 10⁸-doc corpus: at that scale shard the screen and combine, or
+    // move the moment sums to DECIMAL (q141's note).
     Q(
       "q145_signal_correlation",
       (s, d) => {
         val sig = documents(s, d).select(
           length(col("text")).cast("long").as("l"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("t"),
-          size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("u")
+          size(TextOps.tokens(col("text"))).cast("long").as("t"),
+          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("u")
         )
         val m = sig.agg(
           count(lit(1)).as("n"),

@@ -24,25 +24,35 @@ object Tables {
     * generations: Parquet TIMESTAMP(NANOS) (which Spark reads as nanos-long
     * under the legacy flag) and plain timestamp[us] with no timezone (which
     * Spark reads as TIMESTAMP_NTZ). Normalize both to microsecond
-    * TimestampType so every query sees one shape and `unix_micros` works.
-    * The NTZ→LTZ cast interprets wall-clock in the session timezone, so pin
-    * it to UTC — that makes `unix_micros(ts)` equal DuckDB's `epoch_us(ts)`
-    * (DuckDB treats the naive parquet timestamp as-is) on any machine.
+    * TimestampType pinned so that `unix_micros(ts)` equals DuckDB's
+    * `epoch_us(ts)` — DuckDB treats the naive parquet timestamp as-is.
+    *
+    * The NTZ branch deliberately avoids a plain NTZ→LTZ cast: that cast
+    * reads the SESSION timezone (and so would a `to_utc_timestamp`, whose
+    * implicit NTZ argument cast does too), making results depend on — or
+    * require mutating — global session state. Instead the epoch micros are
+    * rebuilt from the wall-clock fields (`unix_date` + hour/minute/
+    * fractional second), all of which are timezone-free on NTZ, so the
+    * conversion is correct in ANY session. (Queries that bucket the
+    * resulting instants with `to_date`/date_format still follow the
+    * session zone — every graft entry point pins its session to UTC for
+    * that reason; see Bench/Verify/Smoke builders.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (!s.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
-      s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts")
-            .cast(org.apache.spark.sql.types.TimestampType))
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(
+            """unix_date(cast(ts as date)) * cast(86400000000 as bigint)
+              | + cast(hour(ts) as bigint) * 3600000000
+              | + cast(minute(ts) as bigint) * 60000000
+              | + cast(extract(second from ts) * 1000000 as bigint)""".stripMargin)))
       case _ => raw
     }
   }

@@ -80,8 +80,15 @@ object Sinks {
     * overwrites the same staging directory then publishes the same
     * manifest path — effectively-once end to end on top of Spark's
     * at-least-once recovery, with no lock and no reader coordination.
-    * A re-publish of an already-manifested batch is a no-op (the replayed
-    * data is byte-equivalent by determinism of the micro-batch).
+    * A re-publish of an already-manifested batch is a no-op.
+    *
+    * Concurrency: each ATTEMPT writes to its own staging directory
+    * (`data/batch-<id>-<attempt>`), so an overlapping zombie attempt of
+    * the same batch can never clobber the files a just-renamed manifest
+    * points at — the loser of the manifest rename deletes only its own
+    * staging directory. A crashed attempt leaves an unreferenced staging
+    * dir behind (invisible to readers); [[vacuumUnmanifested]] reclaims
+    * them while no writer is active.
     */
   def manifestedParquet(df: DataFrame, root: String, batchId: Long): Unit = {
     val spark = df.sparkSession
@@ -91,55 +98,103 @@ object Sinks {
     )
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/batch-$batchId")
     if (hfs.exists(manifest)) return // already published — replay is a no-op
-    val dataDir = s"$root/data/batch_id=$batchId"
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$root/data/batch-$batchId-$attempt"
     df.write.mode(SaveMode.Overwrite).parquet(dataDir)
     val files = hfs
       .globStatus(new org.apache.hadoop.fs.Path(s"$dataDir/*.parquet"))
       .map(_.getPath.toString)
       .sorted
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.batch-$batchId.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.batch-$batchId-$attempt.tmp")
     val out = hfs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     hfs.mkdirs(manifest.getParent)
-    if (!hfs.rename(tmp, manifest)) {
-      // lost a publish race (another attempt of the same batch won): the
-      // surviving manifest names equivalent files — drop ours
+    val published =
+      !hfs.exists(manifest) && hfs.rename(tmp, manifest)
+    if (!published) {
+      // lost the publish race (another attempt of the same batch renamed
+      // first): the winner's manifest names the winner's OWN staging files,
+      // untouched by us — drop our staging dir and temp manifest entirely
       hfs.delete(tmp, false)
+      hfs.delete(new org.apache.hadoop.fs.Path(dataDir), true)
       ()
     }
+  }
+
+  /** Delete staging directories no manifest references — the garbage a
+    * crashed or race-losing attempt leaves behind. Safe only while no
+    * writer is active on `root` (an in-flight attempt's staging dir is
+    * indistinguishable from a crashed one's). Returns the reclaimed count.
+    */
+  def vacuumUnmanifested(spark: org.apache.spark.sql.SparkSession, root: String): Int = {
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
+    if (!hfs.exists(dataRoot)) return 0
+    val referenced: Set[String] = manifestFiles(hfs, root)
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath)
+      .toSet
+    val orphans = hfs
+      .listStatus(dataRoot)
+      .filter(_.isDirectory)
+      .filterNot(st => referenced.contains(st.getPath.toUri.getPath))
+    orphans.foreach(st => hfs.delete(st.getPath, true))
+    orphans.length
   }
 
   /** Read everything published through [[manifestedParquet]]: the union of
     * the files every manifest names. Unmanifested data (a crashed or
     * in-flight batch) is invisible by construction. The manifest listing
     * is driver-side metadata (one small file per batch); the data read is
-    * a normal parquet scan over the named files.
+    * a normal parquet scan over the named files. Pass `schema` so a reader
+    * that starts BEFORE the first publish gets an empty frame with the
+    * right columns instead of the column-less `emptyDataFrame` (without
+    * it, `select`/`filter` on the pre-first-batch result would fail to
+    * resolve).
     */
-  def readManifested(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+  def readManifested(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None
+  ): DataFrame = {
     val hfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration
     )
+    val files = manifestFiles(hfs, root)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else
+      schema match {
+        case Some(sc) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        case None => spark.emptyDataFrame
+      }
+  }
+
+  /** Every data file the manifests under `root` name (driver-side metadata). */
+  private def manifestFiles(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String
+  ): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
-    val files: Seq[String] =
-      if (!hfs.exists(dir)) Seq.empty
-      else
-        hfs
-          .listStatus(dir)
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-          .toSeq
-          .flatMap { st =>
-            val in = hfs.open(st.getPath)
-            try
-              scala.io.Source
-                .fromInputStream(in, "UTF-8")
-                .getLines()
-                .filter(_.nonEmpty)
-                .toVector
-            finally in.close()
-          }
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    if (!hfs.exists(dir)) Seq.empty
+    else
+      hfs
+        .listStatus(dir)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+        .toSeq
+        .flatMap { st =>
+          val in = hfs.open(st.getPath)
+          try
+            scala.io.Source
+              .fromInputStream(in, "UTF-8")
+              .getLines()
+              .filter(_.nonEmpty)
+              .toVector
+          finally in.close()
+        }
   }
 }

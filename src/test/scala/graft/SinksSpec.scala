@@ -49,9 +49,29 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readManifested(spark, root).count() == 9)
   }
 
-  test("readManifested on an empty root returns an empty frame") {
+  test("readManifested on an empty root returns an empty frame; with a schema it is selectable") {
     val root = Files.createTempDirectory("graft-manifest-empty").toString
     assert(Sinks.readManifested(spark, root).count() == 0)
+    // a reader starting before the first publish must be able to reference
+    // its columns, not die on the column-less emptyDataFrame
+    val sc = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType))
+    )
+    val typed = Sinks.readManifested(spark, root, Some(sc))
+    assert(typed.select("v").count() == 0)
+  }
+
+  test("vacuumUnmanifested reclaims only unreferenced staging dirs") {
+    val root = Files.createTempDirectory("graft-manifest-vac").toString
+    Sinks.manifestedParquet((1 to 3).toDF("v"), root, batchId = 0)
+    // a crashed attempt: staging data with no manifest
+    (7 to 9).toDF("v").write.parquet(s"$root/data/batch-1-deadbeef")
+    assert(Sinks.readManifested(spark, root).count() == 3)
+    val reclaimed = Sinks.vacuumUnmanifested(spark, root)
+    assert(reclaimed == 1, s"expected exactly the orphan reclaimed, got $reclaimed")
+    // the published batch survives and still reads
+    assert(Sinks.readManifested(spark, root).count() == 3)
+    assert(Sinks.vacuumUnmanifested(spark, root) == 0)
   }
 
   test("manifestedParquet works as a real streaming foreachBatch sink") {
