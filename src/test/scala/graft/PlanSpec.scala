@@ -438,6 +438,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window belongs in a histogram:\n$p")
   }
 
+  test("q152 embedding drift is one conditional pass: no self-join, no window") {
+    val df = QueryRegistry.byName("q152_embedding_drift").fn(spark, sfDir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // both epochs aggregate out of ONE corpus pass (the q117 shape) — an
+    // epoch self-join or a rank window would re-shuffle the exploded dims
+    assert(!p.contains("Join"), s"epoch comparison regressed to a self-join:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the drift rollup:\n$p")
+    assert(p.contains("partial_sum"), s"dim aggregate lost map-side combine:\n$p")
+  }
+
   test("q120 fk audit pre-aggregates both sides before ONE full-outer join") {
     val p = finalPlan(plan("q120_fk_audit"))
     assert(p.contains("FullOuter"), s"no full-outer join:\n$p")
