@@ -1118,6 +1118,145 @@ object DedupOps {
               |JOIN documents y ON y.doc_id = doc_b
               |GROUP BY 1, 2
               |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Duplicate-graph triangle census: the structural audit of the
+    // near-dup pair graph itself. Verified LSH pairs should form dense,
+    // clique-like clusters (a template re-served many times yields all
+    // pairwise edges); a graph that is mostly OPEN wedges (paths a–b–c
+    // with no a–c edge) means the threshold sits on a similarity cliff —
+    // transitive closure (q69) is then merging documents that are NOT
+    // pairwise similar, and the canonical policy is over-dropping. The
+    // headline is the global clustering coefficient 3·triangles/wedges.
+    // Scale shape: every operand is the PAIR list (orders of magnitude
+    // smaller than the corpus). Triangles come from the standard
+    // ordered-edge join — edges kept as a<b, so each triangle a<b<c is
+    // counted exactly once by joining e1.b = e2.a (giving the a<b<c
+    // wedge) against the closing edge (a, c) — two equi-joins on edge
+    // metadata, never a corpus row. Wedges are Σ deg·(deg−1)/2 over the
+    // symmetrized degree table. The four scalars are driver-held
+    // pair-metadata reads (the q147 idiom) so the single-row report
+    // needs no scalar cross-join.
+    Q(
+      "q153_dup_graph_triangles",
+      (s, d) => {
+        val e = Caches.persisted(
+          lshPairs(s, d, 0.8).select(col("doc_a").as("a"), col("doc_b").as("b"))
+        )
+        val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        val degRow = sym
+          .groupBy(col("a"))
+          .agg(count(lit(1)).as("dg"))
+          .agg(
+            count(lit(1)).as("n_nodes"),
+            coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L)).as("wedges")
+          )
+          .head()
+        val nNodes = degRow.getLong(0)
+        val wedges = degRow.getLong(1)
+        val nEdges = e.count()
+        val triangles = e
+          .as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(
+            e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b")
+          )
+          .count()
+        s.range(1)
+          .select(
+            lit(nNodes).as("n_nodes"),
+            lit(nEdges).as("n_edges"),
+            lit(wedges).as("wedges"),
+            lit(triangles).as("triangles"),
+            lit(if (wedges == 0L) 0L else 3L * triangles * 10000L / wedges)
+              .as("global_cc_bp")
+          )
+      },
+      Some(s"""${sqlPairsCte(0.8)},
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+              |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+              |deg AS (SELECT a AS node, count(*) AS dg FROM sym GROUP BY 1),
+              |w AS (SELECT count(*) AS n_nodes,
+              |        coalesce(CAST(sum(dg * (dg - 1) // 2) AS BIGINT), 0) AS wedges
+              |      FROM deg),
+              |tri AS (SELECT count(*) AS t
+              |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+              |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+              |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+              |  (SELECT count(*) FROM e) AS n_edges,
+              |  wedges,
+              |  CAST(t AS BIGINT) AS triangles,
+              |  CASE WHEN wedges = 0 THEN 0
+              |       ELSE CAST(3 * t * 10000 // wedges AS BIGINT) END AS global_cc_bp
+              |FROM w, tri""".stripMargin)
+    ),
+
+    // Dedup token-inflation accounting: how many tokens each source
+    // CLAIMS to contribute vs how many survive cluster-canonical dedup —
+    // the number that converts "we crawled 12 TB" into "you bought 7 TB
+    // of training signal", per source, so acquisition budgets track
+    // effective (deduplicated) tokens rather than raw bytes. Every doc
+    // left-joins the cluster map (singletons are their own canonical);
+    // a source's effective tokens are those of the canonicals it OWNS —
+    // a source whose docs all lose canonical election to another feed
+    // contributes zero and shows inflation NULL (∞). Rides q69's
+    // persisted labels; beyond the dedup pass this is one corpus-scan
+    // token count plus metadata joins.
+    Q(
+      "q154_dedup_inflation",
+      (s, d) => {
+        val lab = dedupClusters(s, d, 0.8)
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("nt")
+          )
+          .join(lab, col("doc_id") === col("node"), "left")
+          .select(
+            col("source"),
+            col("nt"),
+            (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("canon")
+          )
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("nt")).as("raw_tokens"),
+            sum(when(col("canon"), 1L).otherwise(0L)).as("canon_docs"),
+            sum(when(col("canon"), col("nt")).otherwise(0L)).as("effective_tokens")
+          )
+          .select(
+            col("source"),
+            col("docs"),
+            col("raw_tokens"),
+            col("canon_docs"),
+            col("effective_tokens"),
+            when(
+              col("effective_tokens") > 0L,
+              expr("raw_tokens * 10000 div effective_tokens")
+            ).cast("long").as("inflation_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""${sqlPairsCte(0.8, recursive = true)},
+              |$sqlComponentsCte,
+              |m AS (
+              |  SELECT d.source,
+              |    CAST(len($sqlTok) AS BIGINT) AS nt,
+              |    coalesce(lab.lbl, d.doc_id) = d.doc_id AS canon
+              |  FROM documents d LEFT JOIN lab ON lab.node = d.doc_id)
+              |SELECT source, count(*) AS docs,
+              |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+              |  CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS canon_docs,
+              |  CAST(sum(CASE WHEN canon THEN nt ELSE 0 END) AS BIGINT) AS effective_tokens,
+              |  CASE WHEN sum(CASE WHEN canon THEN nt ELSE 0 END) > 0
+              |       THEN CAST(sum(nt) * 10000
+              |         // sum(CASE WHEN canon THEN nt ELSE 0 END) AS BIGINT)
+              |       ELSE NULL END AS inflation_bp
+              |FROM m
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
     )
   )
 

@@ -679,6 +679,202 @@ object QualityOps {
              |FROM h, b
              |GROUP BY bin, lo, span
              |ORDER BY bin""".stripMargin)
+    ),
+
+    // Categorical-distribution drift: per event type, the basis-point gap
+    // between its share of the early epoch and its share of the late one,
+    // plus the global total-variation distance — the "did the event MIX
+    // shift" monitor that complements q117 (which watches each type's
+    // VALUE mean) and q132 (which watches each type's volume trend). TVD
+    // is the canonical bounded drift statistic (½·Σ|p−q|, 0..10⁴ bp) and
+    // needs no χ²-style squaring, so the integer algebra stays far from
+    // int64 overflow (each term |o_a·N_b − o_b·N_a| ≤ N_a·N_b; safe to
+    // ~10⁹ rows per epoch, beyond that shard per source as in q145's
+    // envelope note). Scale shape: ONE fact pass reduces to per-type
+    // epoch counts (map-side combinable conditional aggregate, the q117
+    // shape); epoch totals and the TVD numerator are driver-held scalars
+    // over that type-metadata frame (the q147 idiom) — no self-join, no
+    // window, no second corpus scan.
+    Q(
+      "q155_category_drift",
+      (s, d) => {
+        val c = Caches.persisted(
+          events(s, d)
+            .select(
+              col("event_type"),
+              (col("ts") < lit("2024-01-16").cast("timestamp")).as("early")
+            )
+            .groupBy(col("event_type"))
+            .agg(
+              sum(when(col("early"), 1L).otherwise(0L)).as("o_a"),
+              sum(when(!col("early"), 1L).otherwise(0L)).as("o_b")
+            )
+        )
+        val tot = c.agg(
+          coalesce(sum(col("o_a")), lit(0L)).as("na"),
+          coalesce(sum(col("o_b")), lit(0L)).as("nb")
+        ).head()
+        val nA = tot.getLong(0)
+        val nB = tot.getLong(1)
+        val sumG =
+          if (nA == 0L || nB == 0L) 0L
+          else
+            c.agg(coalesce(sum(expr(s"abs(o_a * $nB - o_b * $nA)")), lit(0L)))
+              .head()
+              .getLong(0)
+        val tvdBp = if (nA == 0L || nB == 0L) 0L else sumG * 10000L / (2L * nA * nB)
+        c.select(
+          col("event_type"),
+          col("o_a"),
+          col("o_b"),
+          (if (nA == 0L || nB == 0L) lit(null).cast("long")
+           else expr(s"abs(o_a * $nB - o_b * $nA) * 10000 div (${nA * nB})"))
+            .as("gap_bp"),
+          lit(tvdBp).as("tvd_bp")
+        ).orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS o_b
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(sum(o_a) AS BIGINT) AS na, CAST(sum(o_b) AS BIGINT) AS nb FROM c),
+             |g AS (SELECT event_type, o_a, o_b,
+             |        abs(o_a * nb - o_b * na) AS gnum, na, nb FROM c, t)
+             |SELECT event_type, o_a, o_b,
+             |  CAST(gnum * 10000 // (na * nb) AS BIGINT) AS gap_bp,
+             |  CAST((SELECT sum(gnum) FROM g) * 10000 // (2 * na * nb) AS BIGINT) AS tvd_bp
+             |FROM g ORDER BY event_type""".stripMargin)
+    ),
+
+    // Equi-DEPTH histogram (exact decile buckets): q149 shows shape on a
+    // fixed value grid; this one answers the planner's question — WHERE
+    // do the range-partition split points fall so every bucket holds the
+    // same row count. That is exactly the statistic a 1000-executor sort
+    // or range-bucketed layout (Bucketing.rangeSorted) needs, and the
+    // naive formulation (ntile over a global ORDER BY) is a
+    // single-reducer sort of the fact table. Instead the global rank is
+    // recovered with the q119/q121/q135 range-partition machinery:
+    // repartitionByRange + local sort + per-partition offsets gives every
+    // row its exact rank with no task holding more than 1/32 of the
+    // data; bin = (rk−1)·B div n is then pure integer algebra and the
+    // per-bin (cnt, lo, hi) falls out of one hash aggregate. Ties at a
+    // bin edge may split across bins — counts and edges are still
+    // deterministic because tied rows carry identical values (and the
+    // unique (orderkey, linenumber) tiebreak keeps the recovered rank a
+    // total order on both engines).
+    Q(
+      "q156_equidepth_hist",
+      (s, d) => {
+        val base = Caches.persisted(
+          lineitem(s, d)
+            .select(
+              expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"),
+              col("l_orderkey"),
+              col("l_linenumber")
+            )
+            .repartitionByRange(32, col("v"), col("l_orderkey"), col("l_linenumber"))
+            .sortWithinPartitions(col("v"), col("l_orderkey"), col("l_linenumber"))
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        )
+        val n = base.count()
+        if (n == 0L) {
+          s.range(0)
+            .select(
+              col("id").as("bin"),
+              col("id").as("cnt"),
+              col("id").as("lo_cents"),
+              col("id").as("hi_cents")
+            )
+        } else {
+          val ow = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = base
+            .groupBy(col("pid"))
+            .agg(count(lit(1)).as("pcnt"))
+            .withColumn("off", coalesce(sum(col("pcnt")).over(ow), lit(0L)))
+            .select(col("pid"), col("off"))
+          base
+            .join(broadcast(offsets), Seq("pid"))
+            .select(expr(s"(off + loc) * 10 div $n").as("bin"), col("v"))
+            .groupBy(col("bin"))
+            .agg(
+              count(lit(1)).as("cnt"),
+              min(col("v")).as("lo_cents"),
+              max(col("v")).as("hi_cents")
+            )
+            .orderBy(col("bin"))
+        }
+      },
+      Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+             |    l_orderkey, l_linenumber FROM lineitem),
+             |s AS (SELECT count(*) AS n FROM c),
+             |r AS (SELECT v, row_number()
+             |        OVER (ORDER BY v, l_orderkey, l_linenumber) AS rk FROM c)
+             |SELECT (rk - 1) * 10 // n AS bin, count(*) AS cnt,
+             |  CAST(min(v) AS BIGINT) AS lo_cents,
+             |  CAST(max(v) AS BIGINT) AS hi_cents
+             |FROM r, s
+             |GROUP BY bin, n
+             |ORDER BY bin""".stripMargin)
+    ),
+
+    // Lag-1 autocorrelation of daily ingest volume — the seasonality/
+    // momentum probe on the ops dashboard next to q147's anomaly fence
+    // (a high positive value says volume moves in multi-day waves, so a
+    // fence tripped yesterday predicts one today; near zero says spikes
+    // are isolated). One fact pass reduces to per-day counts; the lag
+    // pairing is a lead() window over CALENDAR METADATA (bounded rows —
+    // the q115/q131 unpartitioned-window discipline), and the correlation
+    // reuses q145's exact int64 moment algebra and corrBpExpr (sign
+    // carried separately, floor(sqrt) magnitude).
+    Q(
+      "q157_volume_autocorr",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val p = daily
+          .withColumn("nxt", lead(col("cnt"), 1).over(Window.orderBy(col("day"))))
+          .filter(col("nxt").isNotNull)
+        p.agg(
+          count(lit(1)).as("n"),
+          sum(col("cnt")).as("sx"),
+          sum(col("nxt")).as("sy"),
+          sum(col("cnt") * col("nxt")).as("sxy"),
+          sum(col("cnt") * col("cnt")).as("sxx"),
+          sum(col("nxt") * col("nxt")).as("syy")
+        ).select(
+          col("n").as("n_pairs"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("var_y")
+        ).select(
+          col("n_pairs"),
+          col("cov_num"),
+          col("var_x"),
+          col("var_y"),
+          corrBpExpr("cov_num", "var_x", "var_y").as("corr_bp")
+        )
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |p AS (SELECT cnt AS x, lead(cnt) OVER (ORDER BY day) AS y FROM daily),
+             |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM p WHERE y IS NOT NULL),
+             |g AS (SELECT n AS n_pairs, n * sxy - sx * sy AS cov_num,
+             |    n * sxx - sx * sx AS var_x, n * syy - sy * sy AS var_y FROM f)
+             |SELECT n_pairs, cov_num, var_x, var_y,
+             |  CASE WHEN var_x = 0 OR var_y = 0 THEN 0
+             |       ELSE CAST(sign(cov_num) AS BIGINT)
+             |    * (abs(cov_num) * 10000 // (CAST(floor(sqrt(var_x)) AS BIGINT)
+             |       * CAST(floor(sqrt(var_y)) AS BIGINT))) END AS corr_bp
+             |FROM g""".stripMargin)
     )
   )
 }
