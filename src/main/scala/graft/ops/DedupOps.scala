@@ -1257,6 +1257,48 @@ object DedupOps {
               |FROM m
               |GROUP BY source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Document-boundary overlap: pairs where one document's trailing
+    // 3-gram IS another's leading 3-gram — the signature of a corpus
+    // builder that SPLIT one upstream page into two records (or
+    // concatenated two with a shared seam). Neither MinHash (q31) nor
+    // the window dedup (q106) flags these: the overlap region is a tiny
+    // fraction of either doc, so Jaccard sits far below any gate — the
+    // seam itself is the evidence. Scale shape: two map-only boundary
+    // projections per doc (first/last k tokens), then ONE equi-join on
+    // the boundary string — shuffle keyed by 3-gram, never all-pairs. A
+    // production run would df-filter boilerplate boundaries first (a hot
+    // opening phrase makes a hot key — the q87 salting escape applies);
+    // the seam report stays pair-sized.
+    Q(
+      "q158_boundary_overlap",
+      (s, d) => {
+        val t = documents(s, d)
+          .select(col("doc_id"), toks.as("tok"))
+          .filter(size(col("tok")) >= 3)
+        val b = t.select(
+          col("doc_id"),
+          array_join(slice(col("tok"), 1, 3), " ").as("pre"),
+          array_join(slice(col("tok"), -3, 3), " ").as("suf")
+        )
+        b.select(col("doc_id").as("doc_a"), col("suf").as("boundary"))
+          .join(
+            b.select(col("doc_id").as("doc_b"), col("pre").as("boundary")),
+            "boundary"
+          )
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("boundary"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+              |b AS (SELECT doc_id,
+              |        list_aggregate(tok[1:3], 'string_agg', ' ') AS pre,
+              |        list_aggregate(tok[-3:], 'string_agg', ' ') AS suf
+              |      FROM t WHERE len(tok) >= 3)
+              |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.suf AS boundary
+              |FROM b a JOIN b c ON a.suf = c.pre AND a.doc_id <> c.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 

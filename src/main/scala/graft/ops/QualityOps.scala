@@ -875,6 +875,48 @@ object QualityOps {
              |    * (abs(cov_num) * 10000 // (CAST(floor(sqrt(var_x)) AS BIGINT)
              |       * CAST(floor(sqrt(var_y)) AS BIGINT))) END AS corr_bp
              |FROM g""".stripMargin)
+    ),
+
+    // Source-concentration profile: per language, the inverse-Simpson
+    // "effective number of sources" — (Σn)² / Σn² in centi-units — next
+    // to the raw source count. A lang served by 12 sources where one
+    // contributes 95% has eff≈1: its mixture weight (q89) rests on a
+    // single upstream feed and one crawler outage silently rewrites the
+    // training mix. Inverse Simpson is the diversity index that needs NO
+    // libm (pure integer squares — the entropy-based alternative runs
+    // into the cross-engine log() ban, NOTES rule) and it is exactly
+    // 1/Σp² so it reads as a head-count. Two nested map-side-combinable
+    // aggregates: corpus → (lang, source) counts → lang rows; integer
+    // envelope docs²·100 holds to ~3·10⁸ docs per language, beyond that
+    // move the squares to DECIMAL (q145's note).
+    Q(
+      "q159_source_diversity",
+      (s, d) => {
+        val c = documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        c.groupBy(col("lang"))
+          .agg(
+            sum(col("n")).as("docs"),
+            count(lit(1)).as("n_sources"),
+            sum(col("n") * col("n")).as("sq")
+          )
+          .select(
+            col("lang"),
+            col("docs"),
+            col("n_sources"),
+            expr("docs * docs * 100 div sq").as("eff_sources_centi")
+          )
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT lang, CAST(sum(n) AS BIGINT) AS docs,
+             |  CAST(count(*) AS BIGINT) AS n_sources,
+             |  CAST(sum(n) * sum(n) * 100 // sum(n * n) AS BIGINT) AS eff_sources_centi
+             |FROM c
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
     )
   )
 }

@@ -1345,6 +1345,68 @@ object TextOps {
              |UNION ALL SELECT 2, x, y, cnt FROM m2
              |UNION ALL SELECT 3, x, y, cnt FROM m3
              |ORDER BY round""".stripMargin)
+    ),
+
+    // Head-vocabulary stability: the top-20 document-frequency tokens of
+    // each doc_id-parity half of the corpus, reduced to their overlap and
+    // set-Jaccard — the cheap canary that says whether two ingest slices
+    // even SPEAK the same language before any expensive distribution
+    // test runs (a stable corpus has a near-identical df head; a head
+    // that churns means the mix shifted or an upstream feed died — q155's
+    // TVD tells you how much, this tells you on WHAT). Scale shape: one
+    // corpus pass builds per-token split document frequencies (map-side
+    // combinable over exploded distinct tokens); each half's top-20 is
+    // orderBy.limit over the vocab-metadata table — TakeOrderedAndProject
+    // (per-partition heaps + driver merge of 20-row partials, the
+    // q126/q128 discipline), NEVER a rank window over the unbounded token
+    // TYPE table; the overlap join touches 20-row frames. Tie-break
+    // (df desc, token) pins both engines to the same head.
+    Q(
+      "q160_vocab_stability",
+      (s, d) => {
+        val dfs = Caches.persisted(
+          documents(s, d)
+            .select(
+              (col("doc_id") % 2 === 0).as("even"),
+              explode(array_distinct(tokens(col("text")))).as("t")
+            )
+            .groupBy(col("t"))
+            .agg(
+              sum(when(col("even"), 1L).otherwise(0L)).as("dfa"),
+              sum(when(!col("even"), 1L).otherwise(0L)).as("dfb")
+            )
+        )
+        val topA = dfs.filter(col("dfa") > 0).orderBy(col("dfa").desc, col("t")).limit(20)
+        val topB = dfs.filter(col("dfb") > 0).orderBy(col("dfb").desc, col("t")).limit(20)
+        val na = topA.count()
+        val nb = topB.count()
+        val ov = topA.select(col("t")).join(topB.select(col("t")), "t").count()
+        val union = na + nb - ov
+        s.range(1)
+          .select(
+            lit(na).as("head_a"),
+            lit(nb).as("head_b"),
+            lit(ov).as("overlap"),
+            lit(if (union == 0L) 0L else ov * 10000L / union).as("jaccard_bp")
+          )
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok,
+             |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dfa,
+             |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS dfb
+             |  FROM t GROUP BY tok),
+             |ra AS (SELECT tok FROM c WHERE dfa > 0 ORDER BY dfa DESC, tok LIMIT 20),
+             |rb AS (SELECT tok FROM c WHERE dfb > 0 ORDER BY dfb DESC, tok LIMIT 20),
+             |o AS (SELECT (SELECT count(*) FROM ra) AS na,
+             |        (SELECT count(*) FROM rb) AS nb,
+             |        (SELECT count(*) FROM ra SEMI JOIN rb USING (tok)) AS ov)
+             |SELECT CAST(na AS BIGINT) AS head_a, CAST(nb AS BIGINT) AS head_b,
+             |  CAST(ov AS BIGINT) AS overlap,
+             |  CASE WHEN na + nb - ov = 0 THEN 0
+             |       ELSE CAST(ov * 10000 // (na + nb - ov) AS BIGINT) END AS jaccard_bp
+             |FROM o""".stripMargin)
     )
   )
 }
