@@ -706,4 +706,65 @@ class StreamingOpsSpec extends SparkSpec {
       )
     } finally q.stop()
   }
+
+  test("streaming mix monitor scores each closed window's category mix against the baseline, matching q155's TVD") {
+    import graft.streaming.{MixObs, MixReport, MixStream}
+    val dayMicros = 86400L * 1000000L
+    // real events: one global key, daily event-time windows, the event
+    // type as the category; baseline = the first 10 days' type mix (the
+    // q155 early-epoch convention, counts at their natural scale)
+    val rows = graft.ops.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select(
+        (unix_micros(col("ts")).cast("long") / dayMicros).cast("long").as("day"),
+        col("event_type")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val firstDay = rows.head._1
+    val baseline: Map[String, Long] = rows
+      .filter(_._1 < firstDay + 10L)
+      .groupBy(_._2)
+      .map { case (c, xs) => c -> xs.length.toLong }
+    val obs = rows.map { case (day, c) => MixObs("events", day * dayMicros, c) }
+    val out = new ConcurrentLinkedQueue[MixReport]()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[MixObs]
+    val q = MixStream
+      .track(stream.toDS(), baseline)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.Dataset[MixReport], _: Long) =>
+        d.collect().foreach(out.add)
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = obs.splitAt(obs.length / 2)
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = Iterator
+        .continually(out.poll())
+        .takeWhile(_ != null)
+        .toVector
+        .sortBy(_.windowStart)
+      // driver-side ground truth: every closed window (all but the last)
+      // scored by the same integer TVD against the same baseline
+      val expected = obs
+        .groupBy(_.windowStart)
+        .toVector
+        .sortBy(_._1)
+        .dropRight(1)
+        .map { case (w, xs) =>
+          val cats = xs.groupBy(_.category).map { case (c, ys) => c -> ys.length.toLong }
+          MixReport("events", w, xs.length.toLong, MixStream.tvdBp(cats, baseline))
+        }
+      assert(streamed == expected, s"stream=${streamed.take(3)}… batch=${expected.take(3)}…")
+      assert(expected.size > 20, "corpus produced too few closed windows — test is vacuous")
+      assert(expected.exists(_.tvdBp > 0L), "every window matched baseline exactly — TVD path untested")
+    } finally q.stop()
+  }
 }
