@@ -917,6 +917,196 @@ object QualityOps {
              |FROM c
              |GROUP BY lang
              |ORDER BY lang""".stripMargin)
+    ),
+
+    // Gini coefficient of per-user activity — the inequality headline
+    // that complements q119's point statistics (p99, max/mean): skew says
+    // how bad the WORST key is, Gini says how concentrated the whole
+    // distribution is (0 = uniform, →10⁴ bp = one user is the firehose).
+    // The rank formulation G = Σ(2·rk − n − 1)·x₍rk₎ / (n·Σx) needs every
+    // key's exact global rank by activity — recovered with the
+    // q119/q121/q135 range-partition machinery (repartitionByRange +
+    // local sort + per-partition offsets), never a single-reducer sort
+    // of the 10⁸–10⁹-key table. Numerator and denominator are reported
+    // raw (the q111 convention; both fit int64 to ~10⁹ keys × ~10⁹
+    // events before the DECIMAL escape) and the ratio rides positive
+    // floor division (ascending ranks keep the numerator ≥ 0).
+    Q(
+      "q161_activity_gini",
+      (s, d) => {
+        val c = Caches.persisted(
+          events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+        )
+        val head =
+          c.agg(count(lit(1)).as("n"), sum(col("x")).as("sx")).head()
+        val n = head.getLong(0)
+        if (n == 0L) {
+          val nul = lit(null).cast("long")
+          s.range(1)
+            .select(
+              lit(0L).as("n_users"),
+              nul.as("total_events"),
+              nul.as("gini_num"),
+              nul.as("gini_den"),
+              nul.as("gini_bp")
+            )
+        } else {
+          val sx = head.getLong(1)
+          val stamped = c
+            .repartitionByRange(32, col("x"), col("user_id"))
+            .sortWithinPartitions(col("x"), col("user_id"))
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+            .transform(Caches.persisted)
+          val ow = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = stamped
+            .groupBy(col("pid"))
+            .agg(count(lit(1)).as("pcnt"))
+            .withColumn("off", coalesce(sum(col("pcnt")).over(ow), lit(0L)))
+            .select(col("pid"), col("off"))
+          val num = stamped
+            .join(broadcast(offsets), Seq("pid"))
+            .agg(sum((lit(2L) * (col("off") + col("loc") + 1L) - n - 1L) * col("x")))
+            .head()
+            .getLong(0)
+          val den = n * sx
+          s.range(1)
+            .select(
+              lit(n).as("n_users"),
+              lit(sx).as("total_events"),
+              lit(num).as("gini_num"),
+              lit(den).as("gini_den"),
+              lit(num * 10000L / den).as("gini_bp")
+            )
+        }
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM c),
+             |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM c),
+             |g AS (SELECT CAST(sum((2 * rk - n - 1) * x) AS BIGINT) AS num FROM r, s)
+             |SELECT CAST(n AS BIGINT) AS n_users, sx AS total_events,
+             |  num AS gini_num,
+             |  CASE WHEN n = 0 THEN NULL ELSE CAST(n * sx AS BIGINT) END AS gini_den,
+             |  CASE WHEN n = 0 THEN NULL
+             |       ELSE CAST(num * 10000 // (n * sx) AS BIGINT) END AS gini_bp
+             |FROM g, s""".stripMargin)
+    ),
+
+    // Classifier-score calibration: the q142 hashed-linear gate's score,
+    // cut into exact global deciles, against the independent q22-style
+    // quality signal — the audit that decides whether a trained filter's
+    // score is MONOTONE in the thing it claims to proxy before anyone
+    // sets a keep threshold on it (a non-monotone decile table means the
+    // gate is rejecting good documents at some score band). Scale shape:
+    // one corpus pass computes (score, quality) per doc (explode →
+    // broadcast weight join → per-doc sum, the q142 plan); deciles come
+    // from the q156 range-partition rank recovery over the per-doc
+    // METADATA (one row per doc, never re-scanning text); per-decile
+    // sums are reported raw (q111 convention — scores can be negative,
+    // where floor-vs-truncate division diverges across engines).
+    Q(
+      "q162_score_calibration",
+      (s, d) => {
+        val weights = s
+          .range(256)
+          .select(
+            col("id").as("bucket"),
+            expr(
+              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
+            ).as("wt")
+          )
+        val toksC = TextOps.tokens(col("text"))
+        val docs = Caches.persisted(
+          documents(s, d).select(
+            col("doc_id"),
+            toksC.as("tok"),
+            TextOps.qualityScore10k(toksC).cast("long").as("q10k")
+          )
+        )
+        val scored = docs
+          .select(col("doc_id"), col("q10k"), explode(col("tok")).as("t"))
+          .select(
+            col("doc_id"),
+            col("q10k"),
+            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
+          )
+          .join(broadcast(weights), Seq("bucket"))
+          .groupBy(col("doc_id"), col("q10k"))
+          .agg(sum(col("wt")).as("score"))
+        val base = Caches.persisted(
+          scored
+            .repartitionByRange(32, col("score"), col("doc_id"))
+            .sortWithinPartitions(col("score"), col("doc_id"))
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        )
+        val n = base.count()
+        if (n == 0L) {
+          s.range(0)
+            .select(
+              col("id").as("decile"),
+              col("id").as("n_docs"),
+              col("id").as("lo_score"),
+              col("id").as("hi_score"),
+              col("id").as("sum_score"),
+              col("id").as("sum_q10k")
+            )
+        } else {
+          val ow = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = base
+            .groupBy(col("pid"))
+            .agg(count(lit(1)).as("pcnt"))
+            .withColumn("off", coalesce(sum(col("pcnt")).over(ow), lit(0L)))
+            .select(col("pid"), col("off"))
+          base
+            .join(broadcast(offsets), Seq("pid"))
+            .select(
+              expr(s"(off + loc) * 10 div $n").as("decile"),
+              col("score"),
+              col("q10k")
+            )
+            .groupBy(col("decile"))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              min(col("score")).as("lo_score"),
+              max(col("score")).as("hi_score"),
+              sum(col("score")).as("sum_score"),
+              sum(col("q10k")).as("sum_q10k")
+            )
+            .orderBy(col("decile"))
+        }
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              |  FROM documents),
+              |b AS (
+              |  SELECT doc_id, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tok),
+              |w AS (
+              |  SELECT i AS bucket,
+              |         ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
+              |  FROM range(0, 256) r(i)),
+              |q AS (
+              |  SELECT doc_id,
+              |    CAST(${TextOps.sqlQuality10k("string_split_regex(trim(text), '\\s+')")} AS BIGINT) AS q10k
+              |  FROM documents),
+              |ds AS (
+              |  SELECT b.doc_id, CAST(sum(wt) AS BIGINT) AS score, max(q10k) AS q10k
+              |  FROM b JOIN w USING (bucket) JOIN q ON q.doc_id = b.doc_id
+              |  GROUP BY b.doc_id),
+              |s AS (SELECT count(*) AS n FROM ds),
+              |r AS (SELECT score, q10k,
+              |        row_number() OVER (ORDER BY score, doc_id) AS rk FROM ds)
+              |SELECT (rk - 1) * 10 // n AS decile, count(*) AS n_docs,
+              |  CAST(min(score) AS BIGINT) AS lo_score,
+              |  CAST(max(score) AS BIGINT) AS hi_score,
+              |  CAST(sum(score) AS BIGINT) AS sum_score,
+              |  CAST(sum(q10k) AS BIGINT) AS sum_q10k
+              |FROM r, s
+              |GROUP BY decile, n
+              |ORDER BY decile""".stripMargin)
     )
   )
 }
