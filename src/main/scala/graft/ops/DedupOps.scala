@@ -1299,6 +1299,44 @@ object DedupOps {
               |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.suf AS boundary
               |FROM b a JOIN b c ON a.suf = c.pre AND a.doc_id <> c.doc_id
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // Threshold-sensitivity curve: the verified near-dup pairs bucketed
+    // by similarity band (2.5%-wide Jaccard bins above the 0.8 gate) —
+    // the report that says whether the dedup gate sits on a cliff. A
+    // mass of pairs hugging the threshold means a ±0.05 gate move (or
+    // ordinary MinHash estimation noise) swings the kept-set by that
+    // mass; pairs piled at 1.0 mean the corpus's duplication is mostly
+    // verbatim and the gate is insensitive. Rides the persisted lshPairs
+    // list; the rollup is one map + hash aggregate over PAIR metadata.
+    // The bucket key is integer basis points (round(j·10⁴) — j is
+    // already a 4-decimal round, so the scaled value sits next to an
+    // integer and both engines land on it) — no float comparisons in
+    // the bucketing.
+    Q(
+      "q163_pair_similarity_hist",
+      (s, d) =>
+        lshPairs(s, d, 0.8)
+          .select(
+            expr("CAST(round(jaccard * 10000) AS BIGINT) div 250").as("bucket")
+          )
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("pairs"))
+          .select(
+            col("bucket"),
+            (col("bucket") * 250L).as("lo_bp"),
+            (col("bucket") * 250L + 249L).as("hi_bp"),
+            col("pairs")
+          )
+          .orderBy(col("bucket")),
+      Some(s"""${sqlPairsCte(0.8)}
+              |SELECT bucket, CAST(bucket * 250 AS BIGINT) AS lo_bp,
+              |  CAST(bucket * 250 + 249 AS BIGINT) AS hi_bp,
+              |  count(*) AS pairs
+              |FROM (SELECT CAST(round(jaccard * 10000) AS BIGINT) // 250 AS bucket
+              |      FROM pairs) b
+              |GROUP BY bucket
+              |ORDER BY bucket""".stripMargin)
     )
   )
 

@@ -1107,6 +1107,53 @@ object QualityOps {
               |FROM r, s
               |GROUP BY decile, n
               |ORDER BY decile""".stripMargin)
+    ),
+
+    // Burstiness (Fano factor) of daily volume per event type: the
+    // variance-to-mean ratio of per-day counts — the dispersion probe
+    // that separates Poisson-like steady arrival (Fano ≈ 1) from bursty
+    // campaign/batch-upload traffic (Fano ≫ 1), which decides whether
+    // rate limits and micro-batch sizing can assume smooth arrival.
+    // Complements q132 (trend direction) and q157 (day-over-day
+    // momentum) on the same per-day count reduction: one fact pass →
+    // per-(type, day) counts → five map-side-combinable sums per type.
+    // Exact int64 throughout; the ratio is reported as raw variance
+    // numerator (n·Σx² − (Σx)², always ≥ 0) against n·Σx (the q111
+    // convention) plus its positive floor-division centi value.
+    Q(
+      "q164_burstiness",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx")
+          )
+          .select(
+            col("event_type"),
+            col("n_days"),
+            col("sx").as("total_events"),
+            (col("n_days") * col("sxx") - col("sx") * col("sx")).as("var_num"),
+            (col("n_days") * col("sx")).as("var_den"),
+            expr("(n_days * sxx - sx * sx) * 100 div (n_days * sx)").as("fano_centi")
+          )
+          .orderBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, n_days, sx AS total_events,
+             |  n_days * sxx - sx * sx AS var_num,
+             |  n_days * sx AS var_den,
+             |  CAST((n_days * sxx - sx * sx) * 100 // (n_days * sx) AS BIGINT) AS fano_centi
+             |FROM f
+             |ORDER BY event_type""".stripMargin)
     )
   )
 }
