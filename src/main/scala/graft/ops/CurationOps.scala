@@ -811,6 +811,82 @@ object CurationOps {
              |FROM d
              |GROUP BY source
              |ORDER BY source""".stripMargin)
+    ),
+
+    // Stratified evaluation sample with EXACT apportionment: allocate a
+    // fixed budget of K=100 eval slots across language strata by the
+    // largest-remainder (Hamilton) method — base_h = n_h·K div N, the
+    // leftover slots going to the largest remainders — then fill each
+    // stratum's quota with its lowest-hash documents. Every step is
+    // integer-exact and deterministic (re-running the pipeline
+    // reproduces the identical eval set — the property an eval split
+    // must have), and the allocation is the proportional-rounding
+    // standard that never strands a slot or over-allocates one. Scale
+    // shape: allocation works on STRATUM METADATA (|langs| rows — the
+    // apportionment window is over bounded metadata); the per-stratum
+    // fill uses the native GroupTopK aggregate (negated hash → lowest-k
+    // ascending) so each map task reduces its slice to ≤K candidates per
+    // stratum and only k-row partials shuffle — no rank window ever
+    // sorts a stratum's corpus slice in one task. A stratum smaller than
+    // its quota yields all its docs on both engines (heap and
+    // row_number cap at n_h alike).
+    Q(
+      "q165_stratified_sample",
+      (s, d) => {
+        val K = 100
+        val docs = Caches.persisted(
+          documents(s, d).select(
+            col("doc_id"),
+            col("lang"),
+            expr(
+              "cast(conv(substring(md5(concat('samp:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+            ).as("hv")
+          )
+        )
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val total = docs.count()
+        val alloc = counts.select(
+          col("lang"),
+          expr(s"n * $K div $total").as("base"),
+          expr(s"n * $K % $total").as("rem")
+        )
+        val leftover = (K - alloc.agg(coalesce(sum(col("base")), lit(0L))).head().getLong(0)).toInt
+        val aw = Window.orderBy(col("rem").desc, col("lang"))
+        val quotas = alloc
+          .withColumn("rk", row_number().over(aw))
+          .select(
+            col("lang"),
+            (col("base") + when(col("rk") <= leftover, 1L).otherwise(0L)).as("quota")
+          )
+        docs
+          .groupBy(col("lang"))
+          .agg(graft.functions.AggFunctions.topK(-col("hv"), col("doc_id"), K).as("top"))
+          .join(broadcast(quotas), Seq("lang"))
+          .select(col("lang"), col("quota"), posexplode(col("top")).as(Seq("pos", "p")))
+          .filter(col("pos") < col("quota"))
+          .select(col("lang"), (col("pos") + 1L).cast("long").as("rk"), col("p.id").as("doc_id"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some {
+        val h = TextOps.sqlHex8("md5('samp:' || CAST(doc_id AS VARCHAR))")
+        s"""WITH h AS (SELECT doc_id, lang, $h AS hv FROM documents),
+           |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+           |a AS (SELECT lang, n, n * 100 // total AS base, n * 100 % total AS rem
+           |      FROM c, t),
+           |l AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM a),
+           |af AS (SELECT lang,
+           |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+           |                       <= leftover THEN 1 ELSE 0 END AS quota
+           |       FROM a, l),
+           |r AS (SELECT lang, doc_id,
+           |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+           |      FROM h)
+           |SELECT r.lang AS lang, CAST(rk AS BIGINT) AS rk, doc_id
+           |FROM r JOIN af USING (lang)
+           |WHERE rk <= af.quota
+           |ORDER BY lang, rk""".stripMargin
+      }
     )
   )
 }
