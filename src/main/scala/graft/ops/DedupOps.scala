@@ -1337,6 +1337,59 @@ object DedupOps {
               |      FROM pairs) b
               |GROUP BY bucket
               |ORDER BY bucket""".stripMargin)
+    ),
+
+    // Transitive-merge evidence audit: per duplicate cluster, how many of
+    // its member pairs were DIRECTLY verified vs merely implied by
+    // transitivity — the per-cluster drill-down of q153's global
+    // clustering coefficient. A cluster of size s asserts s·(s−1)/2
+    // equivalences on the strength of its verified edges; coverage far
+    // below 10⁴ bp on a big cluster means connected components chained
+    // weakly-linked documents into one canonical and the dedup is
+    // over-dropping there (the actionable unit: THIS cluster needs a
+    // second look, where q153 only says "somewhere"). Scale shape:
+    // verified pairs join the cluster-label map twice (tiny frames), and
+    // both aggregates are over CLUSTER metadata; edges always land in
+    // exactly one cluster (endpoints of a verified pair are connected by
+    // construction).
+    Q(
+      "q167_cluster_evidence",
+      (s, d) => {
+        val lab = dedupClusters(s, d, 0.8)
+        val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        val edges = lshPairs(s, d, 0.8)
+          .join(
+            lab.select(col("node").as("doc_a"), col("lbl")),
+            "doc_a"
+          )
+          .groupBy(col("lbl"))
+          .agg(count(lit(1)).as("verified"))
+        sizes
+          .join(edges, Seq("lbl"), "left")
+          .select(
+            col("lbl").as("cluster_rep"),
+            col("sz"),
+            expr("sz * (sz - 1) div 2").as("implied_pairs"),
+            coalesce(col("verified"), lit(0L)).as("verified_pairs"),
+            expr(
+              "coalesce(verified, 0) * 10000 div (sz * (sz - 1) div 2)"
+            ).as("coverage_bp")
+          )
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""${sqlPairsCte(0.8, recursive = true)},
+              |$sqlComponentsCte,
+              |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1),
+              |ev AS (SELECT lab.lbl, CAST(count(*) AS BIGINT) AS verified
+              |       FROM pairs JOIN lab ON lab.node = pairs.doc_a
+              |       GROUP BY 1)
+              |SELECT sz.lbl AS cluster_rep, sz.sz AS sz,
+              |  sz.sz * (sz.sz - 1) // 2 AS implied_pairs,
+              |  coalesce(verified, 0) AS verified_pairs,
+              |  CAST(coalesce(verified, 0) * 10000
+              |    // (sz.sz * (sz.sz - 1) // 2) AS BIGINT) AS coverage_bp
+              |FROM sz LEFT JOIN ev USING (lbl)
+              |ORDER BY cluster_rep""".stripMargin)
     )
   )
 

@@ -1317,6 +1317,121 @@ object SimilarityOps {
               |FROM pd
               |GROUP BY label
               |ORDER BY label""".stripMargin)
+    ),
+
+    // Class-separability matrix: for every label pair, the squared
+    // distance between the two class centroids next to each class's
+    // intra-class scatter — the audit that says whether labels are
+    // actually separable in embedding space BEFORE anyone trains a
+    // classifier head on them (a pair whose centroid gap sits below
+    // either side's intra-class variance is a label taxonomy problem,
+    // not a model problem; q95 scores assignment accuracy, this explains
+    // WHICH pairs cause it). Exactness: one corpus pass builds per-label
+    // (count, per-dim sum, per-dim sum-of-squares); the intra scatter
+    // uses the moment identity Σ‖x−μ‖² = Σ_i(n·Σx² − (Σx)²)/n with an
+    // exact int64 numerator, and the pair separation cross-multiplies
+    // the centroid sums (Σ_i(sa_i·n_b − sb_i·n_a)², exact int64 — safe
+    // to ~10³ per-class counts at this quantization; shard or rescale
+    // beyond, q145's envelope note). Reported values are positive floor
+    // divisions, identical on both engines. Scale shape: the corpus
+    // reduces to |labels| metadata rows; the pair join is a broadcast
+    // of ≤10 centroid rows against ≤10 rows (whitelisted scalar-
+    // broadcast nested loop on METADATA — never a corpus row); the
+    // 64-element HOF runs on ≤45 pair rows, post-aggregate.
+    Q(
+      "q166_class_separability",
+      (s, d) => {
+        val e = embeddings(s, d).select(
+          col("label"),
+          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+            .as("qv")
+        )
+        val perLabel = e
+          .select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim"))
+          .agg(
+            count(lit(1)).as("c"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx")
+          )
+          .groupBy(col("label"))
+          .agg(
+            max(col("c")).as("n"),
+            expr("transform(array_sort(collect_list(struct(dim, sx))), p -> p.sx)").as("csum"),
+            sum(col("c") * col("sxx") - col("sx") * col("sx")).as("intra_num")
+          )
+        val a = perLabel.select(
+          col("label").as("label_a"),
+          col("n").as("n_a"),
+          col("csum").as("csum_a"),
+          col("intra_num").as("intra_a_num")
+        )
+        val b = perLabel.select(
+          col("label").as("label_b"),
+          col("n").as("n_b"),
+          col("csum").as("csum_b"),
+          col("intra_num").as("intra_b_num")
+        )
+        a.join(broadcast(b), col("label_a") < col("label_b"))
+          .select(
+            col("label_a"),
+            col("label_b"),
+            col("n_a"),
+            col("n_b"),
+            expr(
+              """aggregate(zip_with(csum_a, csum_b,
+                |  (x, y) -> (x * n_b - y * n_a) * (x * n_b - y * n_a)),
+                |  0L, (acc, v) -> acc + v)""".stripMargin
+            ).as("sep_num"),
+            expr("intra_a_num div (n_a * n_a)").as("intra_a_scaled"),
+            expr("intra_b_num div (n_b * n_b)").as("intra_b_scaled")
+          )
+          .withColumn("sep_scaled", expr("sep_num div (n_a * n_b * n_a * n_b)"))
+          .select(
+            col("label_a"),
+            col("label_b"),
+            col("n_a"),
+            col("n_b"),
+            col("sep_scaled"),
+            col("intra_a_scaled"),
+            col("intra_b_scaled"),
+            (col("sep_scaled") * 2L > col("intra_a_scaled") + col("intra_b_scaled"))
+              .as("separable")
+          )
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT label,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |pd AS (
+              |  SELECT label, i AS dim, CAST(count(*) AS BIGINT) AS c,
+              |    CAST(sum(qv[i]) AS BIGINT) AS sx,
+              |    CAST(sum(qv[i] * qv[i]) AS BIGINT) AS sxx
+              |  FROM e, range(1, ${Dim + 1}) r(i)
+              |  GROUP BY 1, 2),
+              |pl AS (
+              |  SELECT label, max(c) AS n, array_agg(sx ORDER BY dim) AS csum,
+              |    CAST(sum(c * sxx - sx * sx) AS BIGINT) AS intra_num
+              |  FROM pd GROUP BY label)
+              |SELECT a.label AS label_a, b.label AS label_b,
+              |  a.n AS n_a, b.n AS n_b,
+              |  CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+              |      i -> (a.csum[i] * b.n - b.csum[i] * a.n)
+              |         * (a.csum[i] * b.n - b.csum[i] * a.n)),
+              |      (acc, v) -> acc + v)
+              |    // (a.n * b.n * a.n * b.n) AS BIGINT) AS sep_scaled,
+              |  CAST(a.intra_num // (a.n * a.n) AS BIGINT) AS intra_a_scaled,
+              |  CAST(b.intra_num // (b.n * b.n) AS BIGINT) AS intra_b_scaled,
+              |  (CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+              |      i -> (a.csum[i] * b.n - b.csum[i] * a.n)
+              |         * (a.csum[i] * b.n - b.csum[i] * a.n)),
+              |      (acc, v) -> acc + v)
+              |    // (a.n * b.n * a.n * b.n) AS BIGINT) * 2
+              |   > CAST(a.intra_num // (a.n * a.n) AS BIGINT)
+              |   + CAST(b.intra_num // (b.n * b.n) AS BIGINT)) AS separable
+              |FROM pl a JOIN pl b ON a.label < b.label
+              |ORDER BY label_a, label_b""".stripMargin)
     )
   )
 

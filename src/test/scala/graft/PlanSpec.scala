@@ -530,7 +530,8 @@ class PlanSpec extends SparkSpec {
       "q114_semdedup", // 4 broadcast centroids (assignment pass)
       "q123_epoch_plan", // 1-row weight-normalization total
       "q140_pq_recall", // 3 broadcast query vectors (exact-distance side)
-      "q141_dsir_weights" // 1-row global token total × 64-row bucket stats
+      "q141_dsir_weights", // 1-row global token total × 64-row bucket stats
+      "q166_class_separability" // ≤10 label-centroid metadata rows × same, label_a < label_b pair join
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
