@@ -1390,6 +1390,64 @@ object DedupOps {
               |    // (sz.sz * (sz.sz - 1) // 2) AS BIGINT) AS coverage_bp
               |FROM sz LEFT JOIN ev USING (lbl)
               |ORDER BY cluster_rep""".stripMargin)
+    ),
+
+    // Directional derivative-content rate: per source, the share of ITS
+    // documents that have a verified near-dup in a DIFFERENT source —
+    // q151 counts pairs per source PAIR (symmetric); this normalizes per
+    // source, which is the number a feed contract cares about ("38% of
+    // what this vendor ships already arrives via someone else"). A doc
+    // with near-dups in several sources counts once (distinct doc set).
+    // Rides the persisted lshPairs; beyond the dedup pass it is two
+    // metadata joins, one distinct over the cross-pair endpoint set, and
+    // a per-source rollup.
+    Q(
+      "q168_derivative_rate",
+      (s, d) => {
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        val p = lshPairs(s, d, 0.8)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .filter(col("sa") =!= col("sb"))
+        val derivative = p
+          .select(col("doc_a").as("doc_id"), col("sa").as("source"))
+          .union(p.select(col("doc_b").as("doc_id"), col("sb").as("source")))
+          .distinct()
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("derivative_docs"))
+        src
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs"))
+          .join(derivative, Seq("source"), "left")
+          .select(
+            col("source"),
+            col("docs"),
+            coalesce(col("derivative_docs"), lit(0L)).as("derivative_docs"),
+            expr("coalesce(derivative_docs, 0) * 10000 div docs").as("derivative_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""${sqlPairsCte(0.8)},
+              |x AS (
+              |  SELECT doc_a, doc_b, a.source AS sa, b.source AS sb
+              |  FROM pairs
+              |  JOIN documents a ON a.doc_id = doc_a
+              |  JOIN documents b ON b.doc_id = doc_b
+              |  WHERE a.source <> b.source),
+              |dv AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS derivative_docs FROM (
+              |    SELECT DISTINCT doc_id, source FROM (
+              |      SELECT doc_a AS doc_id, sa AS source FROM x
+              |      UNION ALL
+              |      SELECT doc_b, sb FROM x) u) v
+              |  GROUP BY source)
+              |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS docs,
+              |  coalesce(max(derivative_docs), 0) AS derivative_docs,
+              |  CAST(coalesce(max(derivative_docs), 0) * 10000
+              |    // count(*) AS BIGINT) AS derivative_bp
+              |FROM documents d LEFT JOIN dv ON dv.source = d.source
+              |GROUP BY d.source
+              |ORDER BY source""".stripMargin)
     )
   )
 

@@ -95,6 +95,36 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("similarity histogram buckets sit at or above the 0.8 gate") {
+    run("q163_pair_similarity_hist").foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      // jaccard >= 0.8 → round(j·10⁴) div 250 >= 31 (7750-7999 rounds up
+      // into 8000 only at the boundary; the gate itself floors at 32 for
+      // any pair whose 4-decimal jaccard is >= 0.8000)
+      assert(b >= 32L && b <= 40L, s"bucket $b outside the gated range")
+      assert(r.getAs[Long]("lo_bp") == b * 250L)
+      assert(r.getAs[Long]("hi_bp") == b * 250L + 249L)
+    }
+  }
+
+  test("cluster evidence coverage never exceeds full and edges land in clusters") {
+    run("q167_cluster_evidence").foreach { r =>
+      val implied = r.getAs[Long]("implied_pairs")
+      val verified = r.getAs[Long]("verified_pairs")
+      assert(r.getAs[Long]("sz") >= 2L, "a cluster needs at least two members")
+      assert(verified >= 1L, "a cluster with no verified edge cannot exist")
+      assert(verified <= implied, "more verified pairs than member pairs")
+      assert(r.getAs[Long]("coverage_bp") <= 10000L)
+    }
+  }
+
+  test("derivative rates are bounded and counted docs never exceed the source's docs") {
+    run("q168_derivative_rate").foreach { r =>
+      assert(r.getAs[Long]("derivative_docs") <= r.getAs[Long]("docs"))
+      assert(r.getAs[Long]("derivative_bp") <= 10000L)
+    }
+  }
+
   test("per-type Fano factors are non-negative with consistent raw fractions") {
     run("q164_burstiness").foreach { r =>
       assert(r.getAs[Long]("var_num") >= 0L)
