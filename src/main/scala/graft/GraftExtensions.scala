@@ -10,10 +10,15 @@ import graft.functions._
   * For an already-running session use `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer surface: transparent kernel substitution — plain-SQL HOF
+    // idioms rewritten to the native codegen'd expressions where the two
+    // are provably bit-equivalent (see KernelFusion's soundness guards)
+    ext.injectOptimizerRule(_ => graft.plans.KernelFusion)
+  }
 }
 
 object GraftExtensions {
@@ -146,9 +151,15 @@ object GraftExtensions {
     )
   )
 
-  /** Imperative registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on a live session: the SQL functions plus the
+    * KernelFusion optimizer rule (idempotent — the rule is added once).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       org.apache.spark.sql.GraftColumns.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.KernelFusion))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.KernelFusion
+  }
 }

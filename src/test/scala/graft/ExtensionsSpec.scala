@@ -169,6 +169,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("literal integer"), s"unhelpful error: ${ex.getMessage}")
   }
 
+  test("KernelFusion rewrites the self-dot HOF idiom to the native kernel — and only when sound") {
+    GraftExtensions.register(spark)
+    // array() of non-nullable double children → array<double> with
+    // containsNull = false, the schema shape the soundness guard
+    // requires; built over range() so ConvertToLocalRelation can't fold
+    // the whole projection into a LocalRelation before the plan check
+    val ds = spark
+      .range(3)
+      .selectExpr(
+        "id",
+        "array(cast(id as double), cast(id + 1 as double), 2.0d) AS v",
+        "array(1.0d, 2.0d) AS w"
+      )
+    val fused = ds.selectExpr(
+      "id",
+      "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e) AS nrm"
+    )
+    assert(
+      fused.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"self-dot not fused:\n${fused.queryExecution.optimizedPlan}"
+    )
+    val got = fused.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((0L to 2L).forall(i => got(i) == i * i + (i + 1) * (i + 1) + 4.0))
+    // two DIFFERENT arrays: zip_with null-pads on ragged inputs, so the
+    // rewrite would be unsound — the rule must NOT fire
+    val unfused = ds.selectExpr(
+      "aggregate(zip_with(v, w, (x, y) -> x * y), 0D, (acc, e) -> acc + e) AS d"
+    )
+    assert(
+      !unfused.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "cross-dot was fused despite the ragged-length hazard"
+    )
+    // a fold that is NOT a plain product (x * y + 1) must not fuse either
+    val notDot = ds.selectExpr(
+      "aggregate(zip_with(v, v, (x, y) -> x * y + 1.0d), 0D, (acc, e) -> acc + e) AS d"
+    )
+    assert(!notDot.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("graft_dot agrees with the HOF formulation on real embeddings") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
