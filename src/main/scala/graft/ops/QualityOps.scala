@@ -1154,6 +1154,78 @@ object QualityOps {
              |  CAST((n_days * sxx - sx * sx) * 100 // (n_days * sx) AS BIGINT) AS fano_centi
              |FROM f
              |ORDER BY event_type""".stripMargin)
+    ),
+
+    // Behavioral (Markov-transition) drift: per FROM-state, the TVD
+    // between the early and late epoch's conditional next-event
+    // distribution P(next | prev) — q155 says the event MIX moved, this
+    // says users' SEQUENTIAL behavior moved (the same mix can hide a
+    // changed funnel). Transition pairs come from the q104 machinery
+    // (lag over the per-user window — high-cardinality partitions, a
+    // legitimate window at scale) with each pair assigned to the LATER
+    // event's epoch; everything after the one fact pass is |types|²
+    // metadata: per-(prev, next) epoch counts, per-prev totals joined
+    // back broadcast, and the same exact cross-multiplied TVD integer
+    // algebra as q155 (q155's overflow envelope applies per prev-state).
+    Q(
+      "q169_transition_drift",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev").isNotNull)
+          .select(
+            col("prev"),
+            col("event_type").as("nxt"),
+            (col("ts") < lit("2024-01-16").cast("timestamp")).as("early")
+          )
+        val c = pairs
+          .groupBy(col("prev"), col("nxt"))
+          .agg(
+            sum(when(col("early"), 1L).otherwise(0L)).as("o_a"),
+            sum(when(!col("early"), 1L).otherwise(0L)).as("o_b")
+          )
+        val t = c
+          .groupBy(col("prev"))
+          .agg(sum(col("o_a")).as("na"), sum(col("o_b")).as("nb"))
+        c.join(broadcast(t), Seq("prev"))
+          .groupBy(col("prev"))
+          .agg(
+            max(col("na")).as("n_a"),
+            max(col("nb")).as("n_b"),
+            sum(abs(col("o_a") * col("nb") - col("o_b") * col("na"))).as("gnum")
+          )
+          .select(
+            col("prev"),
+            col("n_a"),
+            col("n_b"),
+            when(col("n_a") > 0L && col("n_b") > 0L, expr("gnum * 10000 div (2 * n_a * n_b)"))
+              .cast("long")
+              .as("tvd_bp")
+          )
+          .orderBy(col("prev"))
+      },
+      Some("""WITH p AS (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             |    event_type AS nxt,
+             |    ts < TIMESTAMP '2024-01-16' AS early
+             |  FROM events),
+             |c AS (SELECT prev, nxt,
+             |    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+             |    CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS o_b
+             |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT prev, CAST(sum(o_a) AS BIGINT) AS n_a,
+             |    CAST(sum(o_b) AS BIGINT) AS n_b
+             |  FROM c GROUP BY 1)
+             |SELECT c.prev AS prev, max(n_a) AS n_a, max(n_b) AS n_b,
+             |  CASE WHEN max(n_a) > 0 AND max(n_b) > 0
+             |       THEN CAST(sum(abs(o_a * n_b - o_b * n_a)) * 10000
+             |         // (2 * max(n_a) * max(n_b)) AS BIGINT)
+             |       ELSE NULL END AS tvd_bp
+             |FROM c JOIN t ON t.prev = c.prev
+             |GROUP BY c.prev
+             |ORDER BY prev""".stripMargin)
     )
   )
 }
