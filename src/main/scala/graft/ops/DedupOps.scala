@@ -1448,6 +1448,49 @@ object DedupOps {
               |FROM documents d LEFT JOIN dv ON dv.source = d.source
               |GROUP BY d.source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Cluster source-purity profile: duplicate clusters bucketed by how
+    // many DISTINCT sources they span — the one-line answer to "is our
+    // duplication a crawler revisiting (single-source clusters) or a
+    // syndication web (many-source clusters)?" that q151's pair matrix
+    // and q168's per-source rates imply but don't state. Pure metadata
+    // after the dedup pass: the cluster map joins the 2-column doc→source
+    // table, then two tiny aggregates (per-cluster distinct sources →
+    // per-spread counts).
+    Q(
+      "q170_cluster_purity",
+      (s, d) => {
+        val lab = dedupClusters(s, d, 0.8)
+        lab
+          .join(
+            documents(s, d).select(col("doc_id").as("node"), col("source")),
+            "node"
+          )
+          .groupBy(col("lbl"))
+          .agg(
+            count(lit(1)).as("docs"),
+            size(collect_set(col("source"))).cast("long").as("n_sources")
+          )
+          .groupBy(col("n_sources"))
+          .agg(
+            count(lit(1)).as("clusters"),
+            sum(col("docs")).as("docs")
+          )
+          .orderBy(col("n_sources"))
+      },
+      Some(s"""${sqlPairsCte(0.8, recursive = true)},
+              |$sqlComponentsCte,
+              |cs AS (
+              |  SELECT lbl, CAST(count(*) AS BIGINT) AS docs,
+              |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+              |  FROM lab JOIN documents d ON d.doc_id = lab.node
+              |  GROUP BY lbl)
+              |SELECT n_sources, count(*) AS clusters,
+              |  CAST(sum(docs) AS BIGINT) AS docs
+              |FROM cs
+              |GROUP BY n_sources
+              |ORDER BY n_sources""".stripMargin)
     )
   )
 
