@@ -887,6 +887,58 @@ object CurationOps {
            |WHERE rk <= af.quota
            |ORDER BY lang, rk""".stripMargin
       }
+    ),
+
+    // Context-length sizing curve: the truncation-vs-padding tradeoff
+    // swept over candidate context lengths in ONE corpus pass — q150
+    // prices truncation at a fixed L and q143 prices padding at fixed
+    // power-of-two buckets; the sizing DECISION needs both costs as a
+    // function of L. For each candidate: tokens lost to hard truncation
+    // (falls with L) and padding share under one-doc-per-sequence
+    // batching (rises with L) — the config call is the crossover. The
+    // sweep is a 4-way literal explode on the per-doc token count (map
+    // fan-out of metadata, not a re-scan), then one hash aggregate per
+    // candidate; all ratios exact positive floor division.
+    Q(
+      "q171_context_sweep",
+      (s, d) =>
+        documents(s, d)
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+          .select(
+            col("n"),
+            explode(array(lit(128L), lit(256L), lit(512L), lit(1024L))).as("ctx_len")
+          )
+          .groupBy(col("ctx_len"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(col("n") > col("ctx_len"), 1L).otherwise(0L)).as("docs_truncated"),
+            sum(least(col("n"), col("ctx_len"))).as("kept_tokens"),
+            sum(greatest(col("n") - col("ctx_len"), lit(0L))).as("lost_tokens")
+          )
+          .select(
+            col("ctx_len"),
+            col("docs"),
+            col("docs_truncated"),
+            col("kept_tokens"),
+            col("lost_tokens"),
+            expr("lost_tokens * 10000 div (kept_tokens + lost_tokens)").as("lost_bp"),
+            expr("(docs * ctx_len - kept_tokens) * 10000 div (docs * ctx_len)").as("pad_bp")
+          )
+          .orderBy(col("ctx_len")),
+      Some("""WITH d AS (
+             |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents),
+             |e AS (SELECT n, unnest([128, 256, 512, 1024]) AS ctx_len FROM d),
+             |f AS (SELECT CAST(ctx_len AS BIGINT) AS ctx_len, count(*) AS docs,
+             |    CAST(sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+             |    CAST(sum(least(n, ctx_len)) AS BIGINT) AS kept_tokens,
+             |    CAST(sum(greatest(n - ctx_len, 0)) AS BIGINT) AS lost_tokens
+             |  FROM e GROUP BY 1)
+             |SELECT ctx_len, docs, docs_truncated, kept_tokens, lost_tokens,
+             |  CAST(lost_tokens * 10000 // (kept_tokens + lost_tokens) AS BIGINT) AS lost_bp,
+             |  CAST((docs * ctx_len - kept_tokens) * 10000 // (docs * ctx_len) AS BIGINT) AS pad_bp
+             |FROM f
+             |ORDER BY ctx_len""".stripMargin)
     )
   )
 }

@@ -206,6 +206,20 @@ class ExtensionsSpec extends SparkSpec {
       "aggregate(zip_with(v, v, (x, y) -> x * y + 1.0d), 0D, (acc, e) -> acc + e) AS d"
     )
     assert(!notDot.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // parquet-sourced arrays carry containsNull = true — a null element
+    // makes the HOF fold NULL where the dense kernel would read garbage,
+    // so the guard must keep the rule OFF for that schema shape
+    val emb = graft.ops.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("cast(embedding as array<double>) AS e")
+    assume(emb.schema("e").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val nullableSelf = emb.selectExpr(
+      "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, v2) -> acc + v2) AS nrm"
+    )
+    assert(
+      !nullableSelf.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "self-dot fused on a containsNull=true array schema"
+    )
   }
 
   test("graft_dot agrees with the HOF formulation on real embeddings") {
