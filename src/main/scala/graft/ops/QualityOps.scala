@@ -1226,6 +1226,97 @@ object QualityOps {
              |FROM c JOIN t ON t.prev = c.prev
              |GROUP BY c.prev
              |ORDER BY prev""".stripMargin)
+    ),
+
+    // Weighted (token-MASS) quantiles: the document-length thresholds at
+    // which 50% / 90% of the corpus's TOKENS sit at-or-below — the
+    // statistic that sizes context windows and packing (q135/q156 rank
+    // rows, but training cost is paid per token, and long docs carry
+    // disproportionate mass: "p90 of documents" and "p90 of tokens" can
+    // differ by an order of magnitude). Extends the range-partition rank
+    // recovery from row counts to WEIGHTS: repartitionByRange + local
+    // sort, per-partition (row count, token mass) metadata prefix-summed
+    // into offsets, then a running within-partition mass sum (a window
+    // partitioned by pid — parallelism scales with the partition count,
+    // not a data property) gives every row its exact global cumulative
+    // mass; the quantile row is the first crossing of ceil(q·M/100).
+    // Reports the threshold plus how many docs sit at-or-below it — the
+    // "half the tokens live in the longest X% of documents" headline.
+    Q(
+      "q172_token_mass_quantiles",
+      (s, d) => {
+        val base = Caches.persisted(
+          documents(s, d)
+            .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+            .repartitionByRange(32, col("n"), col("doc_id"))
+            .sortWithinPartitions(col("n"), col("doc_id"))
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        )
+        val meta = base
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("pcnt"), sum(col("n")).as("pmass"))
+        val totals = meta
+          .agg(coalesce(sum(col("pmass")), lit(0L)), coalesce(sum(col("pcnt")), lit(0L)))
+          .head()
+        val m = totals.getLong(0)
+        if (m == 0L) {
+          s.range(0)
+            .select(
+              col("id").as("pq"),
+              col("id").as("mass_target"),
+              col("id").as("threshold_tokens"),
+              col("id").as("docs_cum"),
+              col("id").as("mass_cum")
+            )
+        } else {
+          val ow = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = meta
+            .withColumn("off", coalesce(sum(col("pcnt")).over(ow), lit(0L)))
+            .withColumn("woff", coalesce(sum(col("pmass")).over(ow), lit(0L)))
+            .select(col("pid"), col("off"), col("woff"))
+          val rw = Window
+            .partitionBy(col("pid"))
+            .orderBy(col("loc"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val cum = base
+            .join(broadcast(offsets), Seq("pid"))
+            .withColumn("cum", col("woff") + sum(col("n")).over(rw))
+            .withColumn("rk", col("off") + col("loc") + 1L)
+          val targets = Seq(50L, 90L).map(pq => (pq, (pq * m + 99L) / 100L))
+          val qframe = targets
+            .map { case (pq, t) =>
+              s"SELECT CAST($pq AS BIGINT) AS pq, CAST($t AS BIGINT) AS mass_target"
+            }
+            .mkString(" UNION ALL ")
+          cum
+            .join(broadcast(s.sql(qframe)))
+            .filter(col("cum") >= col("mass_target") && col("cum") - col("n") < col("mass_target"))
+            .select(
+              col("pq"),
+              col("mass_target"),
+              col("n").as("threshold_tokens"),
+              col("rk").as("docs_cum"),
+              col("cum").as("mass_cum")
+            )
+            .orderBy(col("pq"))
+        }
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents),
+             |r AS (SELECT n, row_number() OVER (ORDER BY n, doc_id) AS rk,
+             |        sum(n) OVER (ORDER BY n, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM d),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS m FROM d),
+             |q AS (SELECT CAST(unnest([50, 90]) AS BIGINT) AS pq)
+             |SELECT pq, CAST((pq * m + 99) // 100 AS BIGINT) AS mass_target,
+             |  n AS threshold_tokens, CAST(rk AS BIGINT) AS docs_cum,
+             |  CAST(cum AS BIGINT) AS mass_cum
+             |FROM r, t, q
+             |WHERE cum >= (pq * m + 99) // 100 AND cum - n < (pq * m + 99) // 100
+             |ORDER BY pq""".stripMargin)
     )
   )
 }

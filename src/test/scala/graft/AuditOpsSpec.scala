@@ -125,6 +125,23 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("token-mass quantiles cross their targets exactly and grow with q") {
+    val rows = run("q172_token_mass_quantiles").sortBy(_.getAs[Long]("pq"))
+    assert(rows.map(_.getAs[Long]("pq")).toSeq == Seq(50L, 90L))
+    rows.foreach { r =>
+      // first-crossing contract: cumulative mass reaches the target AT
+      // this row and was below it on the previous row
+      assert(r.getAs[Long]("mass_cum") >= r.getAs[Long]("mass_target"))
+      assert(
+        r.getAs[Long]("mass_cum") - r.getAs[Long]("threshold_tokens") <
+          r.getAs[Long]("mass_target")
+      )
+    }
+    val Array(p50, p90) = rows
+    assert(p50.getAs[Long]("threshold_tokens") <= p90.getAs[Long]("threshold_tokens"))
+    assert(p50.getAs[Long]("docs_cum") <= p90.getAs[Long]("docs_cum"))
+  }
+
   test("per-type Fano factors are non-negative with consistent raw fractions") {
     run("q164_burstiness").foreach { r =>
       assert(r.getAs[Long]("var_num") >= 0L)
