@@ -1317,6 +1317,86 @@ object QualityOps {
              |FROM r, t, q
              |WHERE cum >= (pq * m + 99) // 100 AND cum - n < (pq * m + 99) // 100
              |ORDER BY pq""".stripMargin)
+    ),
+
+    // Kolmogorov–Smirnov source-vs-rest length drift: the max CDF gap
+    // between each source's document-length distribution and the rest of
+    // the corpus, in exact integer basis points — the ORDINAL
+    // distribution-equality test beside q155's categorical TVD (a source
+    // whose lengths drift can poison packing and truncation budgets even
+    // when its event mix is stable). Exactness: the K-S sup is attained
+    // right after a CDF jump, so evaluating |cum_s·N_r − cum_r·N_s| at
+    // every DISTINCT length (cross-multiplied counts — never a float
+    // CDF) is the exact statistic. Scale shape: the corpus reduces to
+    // (source, length) counts; the evaluation grid is sources ×
+    // distinct lengths — METADATA (whitelisted broadcast of the length
+    // grid), with running sums as windows over bounded length metadata
+    // per source; no corpus re-scan, no float.
+    Q(
+      "q173_ks_length_drift",
+      (s, d) => {
+        val sl = Caches.persisted(
+          documents(s, d)
+            .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+            .groupBy(col("source"), col("n"))
+            .agg(count(lit(1)).as("c"))
+        )
+        val lw = Window.orderBy(col("n")).rowsBetween(Window.unboundedPreceding, 0)
+        val lens = sl
+          .groupBy(col("n"))
+          .agg(sum(col("c")).as("tot"))
+          .withColumn("cum_all", sum(col("tot")).over(lw))
+          .select(col("n"), col("cum_all"))
+        val perSource = sl.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+        val total = perSource.agg(coalesce(sum(col("ns")), lit(0L))).head().getLong(0)
+        val sw = Window
+          .partitionBy(col("source"))
+          .orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        perSource
+          .join(broadcast(lens))
+          .join(sl, Seq("source", "n"), "left")
+          .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(sw))
+          .withColumn("cum_r", col("cum_all") - col("cum_s"))
+          .groupBy(col("source"))
+          .agg(
+            max(col("ns")).as("docs"),
+            max(abs(col("cum_s") * (lit(total) - col("ns")) - col("cum_r") * col("ns")))
+              .as("ks_num")
+          )
+          .select(
+            col("source"),
+            col("docs"),
+            when(
+              col("docs") > 0L && col("docs") < total,
+              expr(s"ks_num * 10000 div (docs * ($total - docs))")
+            ).cast("long").as("ks_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH sl AS (
+             |  SELECT source, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |lens AS (SELECT n, CAST(sum(tot) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+             |         FROM (SELECT n, sum(c) AS tot FROM sl GROUP BY n) t),
+             |ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sl GROUP BY 1),
+             |tt AS (SELECT CAST(sum(ns) AS BIGINT) AS total FROM ps),
+             |grid AS (
+             |  SELECT ps.source, ps.ns, lens.n, lens.cum_all,
+             |    CAST(sum(coalesce(sl.c, 0)) OVER (PARTITION BY ps.source ORDER BY lens.n
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+             |  FROM ps CROSS JOIN lens
+             |  LEFT JOIN sl ON sl.source = ps.source AND sl.n = lens.n)
+             |SELECT source, max(ns) AS docs,
+             |  CASE WHEN max(ns) > 0 AND max(ns) < (SELECT total FROM tt)
+             |       THEN CAST(max(abs(cum_s * ((SELECT total FROM tt) - ns)
+             |              - (cum_all - cum_s) * ns)) * 10000
+             |         // (max(ns) * ((SELECT total FROM tt) - max(ns))) AS BIGINT)
+             |       ELSE NULL END AS ks_bp
+             |FROM grid
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -532,7 +532,8 @@ class PlanSpec extends SparkSpec {
       "q140_pq_recall", // 3 broadcast query vectors (exact-distance side)
       "q141_dsir_weights", // 1-row global token total × 64-row bucket stats
       "q166_class_separability", // ≤10 label-centroid metadata rows × same, label_a < label_b pair join
-      "q172_token_mass_quantiles" // 2-row quantile-target frame broadcast against the stamped corpus
+      "q172_token_mass_quantiles", // 2-row quantile-target frame broadcast against the stamped corpus
+      "q173_ks_length_drift" // distinct-length metadata grid broadcast against |sources| rows
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
