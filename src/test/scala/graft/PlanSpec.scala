@@ -555,4 +555,47 @@ class PlanSpec extends SparkSpec {
       s"no WholeStageCodegen stage markers in final plan:\n$codegen"
     )
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the no-salting escape hatch)") {
+    // q87 is the EXPLICIT salting path; this pins the implicit one the
+    // scale notes lean on — AQE detecting a hot key's oversized shuffle
+    // partition and splitting it (skew=true on the SMJ) without any query
+    // rewrite. Thresholds are lowered so the 150k-row hot key qualifies
+    // at test scale; production uses the defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions._
+      val left = spark
+        .range(300000)
+        .select(when(col("id") < 250000, 0L).otherwise(col("id")).as("k"), col("id").as("v"))
+      val right = spark
+        .range(2000)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // action on THIS DataFrame (count() builds a new QueryExecution and
+      // the adaptive plan would stay isFinalPlan=false — the NOTES gotcha)
+      // hot key 0: 250k left rows × 1 right row; left tail keys ≥ 250k miss
+      assert(joined.collect().length == 250000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(
+        p.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true in final plan):\n${p.take(4000)}"
+      )
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
