@@ -1397,6 +1397,104 @@ object QualityOps {
              |FROM grid
              |GROUP BY source
              |ORDER BY source""".stripMargin)
+    ),
+
+    // Exact AUC of the classifier gate against an external label — the
+    // Mann–Whitney U formulation with midrank tie handling, kept entirely
+    // in int64 by carrying 2×midrank (a tie group's doubled midrank is
+    // first+last, an integer): AUC = (2R₊ − n₊(n₊+1)) / (2·n₊·n₋). Where
+    // q162's decile table shows the calibration CURVE, this is the single
+    // threshold-free ranking-quality number — and the exactness matters
+    // because hashed-gate scores tie heavily, where a naive rank AUC is
+    // off by the tie mass. The binary label joins from the embeddings
+    // table (label < 5, the deterministic split; doc_id == vec_id in
+    // this corpus). Scale shape: one scoring pass (the q142 plan), one
+    // per-score aggregate, and the rank algebra runs on DISTINCT-SCORE
+    // metadata (the hashed gate's score range is bounded by weight
+    // magnitudes, not corpus size) under an ordered metadata window —
+    // never a corpus-wide rank window.
+    Q(
+      "q174_gate_auc",
+      (s, d) => {
+        val weights = s
+          .range(256)
+          .select(
+            col("id").as("bucket"),
+            expr(
+              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
+            ).as("wt")
+          )
+        val scored = documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .select(
+            col("doc_id"),
+            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
+          )
+          .join(broadcast(weights), Seq("bucket"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("wt")).as("score"))
+        val labeled = scored
+          .join(
+            embeddings(s, d).select(col("vec_id").as("doc_id"), (col("label") < 5).as("pos")),
+            "doc_id"
+          )
+        val byScore = labeled
+          .groupBy(col("score"))
+          .agg(
+            count(lit(1)).as("n_s"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("pos_s")
+          )
+        val ow = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
+        val agg = byScore
+          .withColumn("cum_prev", coalesce(sum(col("n_s")).over(ow), lit(0L)))
+          .agg(
+            coalesce(sum(col("pos_s") * (lit(2L) * col("cum_prev") + col("n_s") + 1L)), lit(0L))
+              .as("r2"),
+            coalesce(sum(col("pos_s")), lit(0L)).as("n_pos"),
+            coalesce(sum(col("n_s") - col("pos_s")), lit(0L)).as("n_neg")
+          )
+          .head()
+        val r2 = agg.getLong(0)
+        val nPos = agg.getLong(1)
+        val nNeg = agg.getLong(2)
+        val u2 = r2 - nPos * (nPos + 1L)
+        s.range(1)
+          .select(
+            lit(nPos).as("n_pos"),
+            lit(nNeg).as("n_neg"),
+            lit(u2).as("u2"),
+            lit(if (nPos == 0L || nNeg == 0L) null else u2 * 10000L / (2L * nPos * nNeg))
+              .cast("long")
+              .as("auc_bp")
+          )
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              |  FROM documents),
+              |b AS (SELECT doc_id, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tok),
+              |w AS (SELECT i AS bucket,
+              |        ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
+              |      FROM range(0, 256) r(i)),
+              |ds AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+              |       FROM b JOIN w USING (bucket) GROUP BY doc_id),
+              |lab AS (SELECT ds.score, (e.label < 5) AS pos
+              |        FROM ds JOIN embeddings e ON e.vec_id = ds.doc_id),
+              |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+              |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_s
+              |      FROM lab GROUP BY score),
+              |c AS (SELECT n_s, pos_s,
+              |        CAST(coalesce(sum(n_s) OVER (ORDER BY score
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+              |      FROM g),
+              |f AS (SELECT CAST(coalesce(sum(pos_s * (2 * cum_prev + n_s + 1)), 0) AS BIGINT) AS r2,
+              |        CAST(coalesce(sum(pos_s), 0) AS BIGINT) AS n_pos,
+              |        CAST(coalesce(sum(n_s - pos_s), 0) AS BIGINT) AS n_neg
+              |      FROM c)
+              |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2,
+              |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+              |       ELSE CAST((r2 - n_pos * (n_pos + 1)) * 10000
+              |         // (2 * n_pos * n_neg) AS BIGINT) END AS auc_bp
+              |FROM f""".stripMargin)
     )
   )
 }
