@@ -101,6 +101,13 @@ object GraftExtensions {
       arity("graft_minhash_sig", 2)(c => MinHashSig(c(0), intArg("graft_minhash_sig", c(1))))
     ),
     entry(
+      "graft_winnow",
+      classOf[WinnowKeys],
+      arity("graft_winnow", 3)(c =>
+        WinnowKeys(c(0), intArg("graft_winnow", c(1)), intArg("graft_winnow", c(2)))
+      )
+    ),
+    entry(
       "graft_band_keys",
       classOf[BandKeys],
       arity("graft_band_keys", 2)(c => BandKeys(c(0), intArg("graft_band_keys", c(1))))

@@ -536,6 +536,97 @@ final case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 /** Column-level entry points for the native text expressions. */
+/** Per-row worker for [[WinnowKeys]]: winnowing fingerprint selection
+  * (Schleimer, Wilkerson, Aiken — the MOSS local document fingerprinting
+  * scheme). Token k-grams are hashed to the same unsigned-32 md5-prefix
+  * integer as [[RollingFingerprintHelper]] (DuckDB-reproducible via the
+  * sqlHex8 idiom), and every length-`w` window of consecutive gram hashes
+  * selects its minimum — ties broken deterministically by combining the
+  * hash with the 0-based gram position into one `hash·2²⁰ + pos` key, so
+  * both engines pick the identical gram. Distinct selected keys are the
+  * document's fingerprints; expected density is 2/(w+1) of the grams.
+  * Documents with fewer than w grams produce no fingerprints (no window
+  * exists) — the oracle mirrors the same rule.
+  */
+final class WinnowKeysHelper(k: Int, w: Int) extends Serializable {
+  @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val space = UTF8String.fromString(" ")
+
+  private def h8(t: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val nTok = arr.numElements()
+    val m = nTok - k + 1 // gram count
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](2 * k - 1)
+      var j = 0
+      while (j < k) {
+        parts(2 * j) = arr.getUTF8String(i + j)
+        if (j < k - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      // position folded in below keeps window minima unique (no hash ties)
+      hs(i) = h8(UTF8String.concat(parts: _*)) * 1048576L + i
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    var j = 0
+    while (j + w <= m) {
+      var best = hs(j)
+      var t = j + 1
+      while (t < j + w) {
+        if (hs(t) < best) best = hs(t)
+        t += 1
+      }
+      seen.add(java.lang.Long.valueOf(best))
+      j += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** Winnowing fingerprints of a token array: the distinct `hash·2²⁰ + pos`
+  * keys selected by a sliding min over `w` consecutive k-gram hashes. One
+  * codegen'd loop per row (no explode, no shuffle) — the guaranteed-
+  * coverage alternative to [[RollingFingerprint]]'s single whole-doc hash
+  * and to modulo-sampled shingles: any shared substring of
+  * k + w - 1 tokens is guaranteed to share at least one fingerprint.
+  */
+final case class WinnowKeys(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+
+  override def inputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_winnow"
+
+  @transient private lazy val helper = new WinnowKeysHelper(k, w)
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("winnowHelper", helper, classOf[WinnowKeysHelper].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def topNGram(text: Column, n: Int): Column =
     GraftColumns.lift(TopNGram(GraftColumns.unlift(text), n))
@@ -557,4 +648,7 @@ object TextFunctions {
 
   def minHashSig(shingles: Column, numHashes: Int): Column =
     GraftColumns.lift(MinHashSig(GraftColumns.unlift(shingles), numHashes))
+
+  def winnowKeys(tokens: Column, k: Int, w: Int): Column =
+    GraftColumns.lift(WinnowKeys(GraftColumns.unlift(tokens), k, w))
 }

@@ -1491,6 +1491,112 @@ object DedupOps {
               |FROM cs
               |GROUP BY n_sources
               |ORDER BY n_sources""".stripMargin)
+    ),
+
+    // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    // scheme): every window of w=5 consecutive token-4-gram hashes selects
+    // its minimum, giving GUARANTEED detection of any shared run of
+    // k+w-1 = 8 tokens while storing only ~2/(w+1) of the grams — the
+    // principled sampling the modulo-sampled shingle loses (mod-p keeps
+    // no coverage guarantee: a long overlap can contain zero sampled
+    // grams). One codegen'd loop per row (graft.functions.WinnowKeys),
+    // map-only up to the per-source metadata aggregate; the headline is
+    // the storage-density audit: selected fingerprints per gram in basis
+    // points, which winnowing theory pins near 3333 (= 2/(w+1)).
+    Q(
+      "q175_winnowing",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        documents(s, d)
+          .select(
+            col("source"),
+            greatest(size(toks) - lit(3), lit(0)).cast("long").as("grams"),
+            size(graft.functions.TextFunctions.winnowKeys(toks, 4, 5))
+              .cast("long")
+              .as("fps")
+          )
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("grams")).as("total_grams"),
+            sum(col("fps")).as("total_fps")
+          )
+          .withColumn("density_bp", expr("(total_fps * 10000L) div total_grams"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlTok AS ts FROM documents),
+              |g AS (
+              |  SELECT doc_id, source, ts,
+              |    CAST(len(ts) AS BIGINT) - 3 AS m,
+              |    unnest(range(1, greatest(CAST(len(ts) AS INTEGER) - 2, 1))) AS i
+              |  FROM t),
+              |h AS (
+              |  SELECT doc_id, source, i, m,
+              |    ${TextOps.sqlHex8("md5(array_to_string(ts[i:i+3], ' '))")} * 1048576
+              |      + (i - 1) AS hk
+              |  FROM g),
+              |sel AS (
+              |  SELECT doc_id, i, m,
+              |    min(hk) OVER (PARTITION BY doc_id ORDER BY i
+              |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS key
+              |  FROM h),
+              |fp AS (
+              |  SELECT doc_id, CAST(count(DISTINCT key) AS BIGINT) AS fps
+              |  FROM sel WHERE i <= m - 4 GROUP BY doc_id),
+              |base AS (
+              |  SELECT doc_id, source,
+              |    greatest(CAST(len(ts) AS BIGINT) - 3, 0) AS grams
+              |  FROM t)
+              |SELECT source, count(*) AS docs,
+              |  CAST(sum(grams) AS BIGINT) AS total_grams,
+              |  CAST(sum(coalesce(fps, 0)) AS BIGINT) AS total_fps,
+              |  CAST(sum(coalesce(fps, 0)) * 10000 // sum(grams) AS BIGINT)
+              |    AS density_bp
+              |FROM base LEFT JOIN fp USING (doc_id)
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    ),
+
+    // Duplicate-aware training weights: instead of DROPPING near-dup
+    // cluster members (q71's kept-set), keep every document and weight it
+    // 1/cluster_size — the soft-dedup loss-weighting used when duplicates
+    // carry distribution signal you don't want to erase. Σ weights over a
+    // cluster ≈ 1 doc, so total weight mass ≈ effective (deduplicated)
+    // corpus size. Rides the persisted cluster labels (q69's CC pass);
+    // everything after is metadata-sized: cluster sizes, a tiny weight
+    // table LEFT-joined back (clustered docs only — the corpus never
+    // shuffles), singletons default to full weight.
+    Q(
+      "q177_dup_weights",
+      (s, d) => {
+        val lab = dedupClusters(s, d, 0.8)
+        val szs = lab.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        val wts = lab
+          .join(szs, "lbl")
+          .select(col("node").as("doc_id"), expr("10000L div sz").as("wt_bp"))
+        documents(s, d)
+          .join(broadcast(wts), Seq("doc_id"), "left")
+          .withColumn("wt_bp", coalesce(col("wt_bp"), lit(10000L)))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("wt_bp")).as("weight_mass_bp"),
+            sum(when(col("wt_bp") < 10000L, 1L).otherwise(0L)).as("downweighted_docs")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""${sqlPairsCte(0.8, recursive = true)},
+              |$sqlComponentsCte,
+              |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY lbl),
+              |wt AS (SELECT node AS doc_id, CAST(10000 // sz AS BIGINT) AS wt_bp
+              |       FROM lab JOIN sz USING (lbl))
+              |SELECT source, count(*) AS docs,
+              |  CAST(sum(coalesce(wt_bp, 10000)) AS BIGINT) AS weight_mass_bp,
+              |  CAST(sum(CASE WHEN coalesce(wt_bp, 10000) < 10000 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS downweighted_docs
+              |FROM documents d LEFT JOIN wt USING (doc_id)
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
     )
   )
 

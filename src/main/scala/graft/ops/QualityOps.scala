@@ -1495,6 +1495,160 @@ object QualityOps {
               |       ELSE CAST((r2 - n_pos * (n_pos + 1)) * 10000
               |         // (2 * n_pos * n_neg) AS BIGINT) END AS auc_bp
               |FROM f""".stripMargin)
+    ),
+
+    // Pearson chi-square independence screen between two categorical
+    // columns (source × lang): is language mix homogeneous across crawl
+    // sources, or does a source skew the mixture? Uses the algebraic
+    // identity chi2 = Σ_observed o²·N/(r·c) − N, which needs ONLY the
+    // observed cells — empty cells contribute o²/e = 0 — so no cross
+    // join materializing the full contingency grid is ever built. The
+    // whole computation is three metadata aggregates off one tiny
+    // (source, lang, count) cell table plus broadcast rejoins; the only
+    // corpus-width work is the first groupBy. Exact int64 throughout:
+    // per-cell terms floor-scaled ×10000 (the documented convention —
+    // both engines floor identically), dof = (R−1)(C−1).
+    Q(
+      "q176_chi2_independence",
+      (s, d) => {
+        val cells = documents(s, d)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("obs"))
+        val r = cells.groupBy("source").agg(sum("obs").as("r_tot"))
+        val c = cells.groupBy("lang").agg(sum("obs").as("c_tot"))
+        val tot = cells.agg(sum("obs").as("n"))
+        cells
+          .join(broadcast(r), "source")
+          .join(broadcast(c), "lang")
+          .crossJoin(broadcast(tot))
+          .withColumn("cx", expr("(obs * obs * n * 10000L) div (r_tot * c_tot)"))
+          .agg(
+            max(col("n")).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("cx")).as("cx_sum")
+          )
+          .select(
+            col("n_docs"),
+            col("n_sources"),
+            col("n_langs"),
+            ((col("n_sources") - 1L) * (col("n_langs") - 1L)).as("dof"),
+            (col("cx_sum") - lit(10000L) * col("n_docs")).as("chi2_x10000")
+          )
+      },
+      Some("""WITH cells AS (
+             |  SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+             |  FROM documents GROUP BY source, lang),
+             |r AS (SELECT source, CAST(sum(obs) AS BIGINT) AS r_tot
+             |      FROM cells GROUP BY source),
+             |c AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS c_tot
+             |      FROM cells GROUP BY lang),
+             |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+             |cell AS (
+             |  SELECT source, cells.lang, obs,
+             |    (obs * obs * n * 10000) // (r_tot * c_tot) AS cx
+             |  FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t)
+             |SELECT max(n) AS n_docs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+             |    AS BIGINT) AS dof,
+             |  CAST(sum(cx) - 10000 * max(n) AS BIGINT) AS chi2_x10000
+             |FROM cell CROSS JOIN t""".stripMargin)
+    ),
+
+    // k-anonymity audit over quasi-identifier columns (nation ×
+    // market segment on customer): how many equivalence classes fall
+    // below each candidate k, and what share of rows they expose — the
+    // privacy gate run before releasing curated metadata. One corpus
+    // groupBy builds the class-size table; the k sweep is a literal
+    // explode over the metadata-sized class table (classes × 4 rows),
+    // never re-scanning the corpus.
+    Q(
+      "q178_k_anonymity",
+      (s, d) => {
+        val g = table(s, d, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("sz"))
+        g.select(explode(array(lit(2), lit(5), lit(10), lit(25))).as("k"), col("sz"))
+          .groupBy(col("k"))
+          .agg(
+            count(lit(1)).as("classes"),
+            sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("violating_classes"),
+            sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("exposed_rows"),
+            sum(col("sz")).as("rows_total")
+          )
+          .withColumn("exposed_bp", expr("(exposed_rows * 10000L) div rows_total"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+             |  FROM customer GROUP BY 1, 2),
+             |e AS (SELECT CAST(k AS INTEGER) AS k, sz
+             |      FROM g CROSS JOIN (SELECT unnest([2, 5, 10, 25]) AS k) kk)
+             |SELECT k, count(*) AS classes,
+             |  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS violating_classes,
+             |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+             |    AS exposed_rows,
+             |  CAST(sum(sz) AS BIGINT) AS rows_total,
+             |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 10000
+             |    // sum(sz) AS BIGINT) AS exposed_bp
+             |FROM e
+             |GROUP BY k
+             |ORDER BY k""".stripMargin)
+    ),
+
+    // Benford first-significant-digit audit of a monetary column: a
+    // synthetic-data / fraud / unit-mixing canary — organically-grown
+    // magnitudes follow log10(1+1/d); a uniform or truncated generator
+    // shows up as a large deviation. The expected distribution is
+    // hardcoded in basis points (no libm at query time, per the
+    // cross-engine rules); the digit comes from the integer part's
+    // decimal string (floor of a shared double is exact in both
+    // engines). One scan → 9-row digit histogram → scalar-broadcast
+    // total; everything after the first groupBy is metadata.
+    Q(
+      "q179_benford",
+      (s, d) => {
+        val benford =
+          "CASE digit WHEN 1 THEN 3010L WHEN 2 THEN 1760L WHEN 3 THEN 1249L" +
+            " WHEN 4 THEN 969L WHEN 5 THEN 791L WHEN 6 THEN 669L" +
+            " WHEN 7 THEN 579L WHEN 8 THEN 511L ELSE 457L END"
+        val obs = table(s, d, "orders")
+          .select(
+            expr(
+              "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)"
+            ).as("digit")
+          )
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("obs"))
+        val tot = obs.agg(sum("obs").as("n"))
+        obs
+          .crossJoin(broadcast(tot))
+          .withColumn("obs_bp", expr("(obs * 10000L) div n"))
+          .withColumn("benford_bp", expr(benford))
+          .withColumn("dev_bp", abs(col("obs_bp") - col("benford_bp")))
+          .select(col("digit"), col("obs"), col("obs_bp"), col("benford_bp"), col("dev_bp"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+             |    1, 1) AS INTEGER) AS digit
+             |  FROM orders),
+             |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY digit),
+             |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o)
+             |SELECT digit, obs,
+             |  CAST((obs * 10000) // n AS BIGINT) AS obs_bp,
+             |  CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249
+             |    WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
+             |    WHEN 8 THEN 511 ELSE 457 END AS BIGINT) AS benford_bp,
+             |  abs(CAST((obs * 10000) // n AS BIGINT)
+             |    - CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249
+             |      WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
+             |      WHEN 8 THEN 511 ELSE 457 END) AS dev_bp
+             |FROM o CROSS JOIN t
+             |ORDER BY digit""".stripMargin)
     )
   )
 }

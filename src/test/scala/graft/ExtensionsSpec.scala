@@ -45,9 +45,14 @@ class ExtensionsSpec extends SparkSpec {
       (expr("graft_top_token_ngram(toks, 2)") === TextFunctions.topTokenNGram(col("toks"), 2)).as("d"),
       (expr("graft_simhash(toks, 16, 1)") === TextFunctions.simHashBits(col("toks"), 16, 1)).as("e"),
       (expr("graft_minhash_sig(graft_ngrams(toks, 5), 16)")
-        === TextFunctions.minHashSig(TextFunctions.nGrams(col("toks"), 5), 16)).as("f")
+        === TextFunctions.minHashSig(TextFunctions.nGrams(col("toks"), 5), 16)).as("f"),
+      (expr("graft_winnow(toks, 4, 5)") === TextFunctions.winnowKeys(col("toks"), 4, 5)).as("g")
     )
-    assert(cmp.filter(not(col("a") && col("b") && col("c") && col("d") && col("e") && col("f"))).count() == 0)
+    assert(
+      cmp
+        .filter(not(col("a") && col("b") && col("c") && col("d") && col("e") && col("f") && col("g")))
+        .count() == 0
+    )
   }
 
   test("every SQL-registered vector function matches its Column-API twin") {

@@ -533,7 +533,9 @@ class PlanSpec extends SparkSpec {
       "q141_dsir_weights", // 1-row global token total × 64-row bucket stats
       "q166_class_separability", // ≤10 label-centroid metadata rows × same, label_a < label_b pair join
       "q172_token_mass_quantiles", // 2-row quantile-target frame broadcast against the stamped corpus
-      "q173_ks_length_drift" // distinct-length metadata grid broadcast against |sources| rows
+      "q173_ks_length_drift", // distinct-length metadata grid broadcast against |sources| rows
+      "q176_chi2_independence", // 1-row grand-total broadcast against the cell table
+      "q179_benford" // 1-row grand-total broadcast against the 9-row digit histogram
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString

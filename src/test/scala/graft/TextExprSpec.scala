@@ -49,6 +49,79 @@ class TextExprSpec extends SparkSpec {
     assert(diff == 0, "rolling fingerprint diverges from HOF fold")
   }
 
+  test("native winnowing keys equal the HOF sliding-min formulation") {
+    val k = 4
+    val w = 5
+    val toks = TextOps.tokens(col("text"))
+    // gram hash · 2^20 + position, exactly the native's combined key
+    val hashes = transform(
+      sequence(lit(0), size(toks) - lit(k)),
+      i =>
+        conv(substring(md5(concat_ws(" ", slice(toks, i + lit(1), lit(k)))), 1, 8), 16, 10)
+          .cast("long") * lit(1048576L) + i
+    )
+    val hof = when(
+      size(toks) - lit(k) + 1 >= w,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - lit(k) + 1 - lit(w)),
+          j => array_min(slice(hashes, j + lit(1), lit(w)))
+        )
+      )
+    ).otherwise(array().cast("array<long>"))
+    val diff = graft.ops.Tables.documents(spark, docs)
+      .select(
+        sort_array(TextFunctions.winnowKeys(toks, k, w)).as("native"),
+        sort_array(hof).as("hof")
+      )
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0, "winnow keys diverge from the HOF sliding-min formulation")
+  }
+
+  test("winnowing guarantees a shared fingerprint for any shared k+w-1 token run") {
+    // two documents overlapping in an 8-token run (k=4, w=5 → guarantee
+    // threshold k+w-1 = 8) MUST share at least one selected fingerprint —
+    // the property modulo-sampled shingles cannot promise. Shared keys
+    // compare on the hash component only (positions differ across docs).
+    val shared = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val a = s"p1 p2 p3 $shared q1 q2"
+    val b = s"r1 $shared s1 s2 s3"
+    val df = spark
+      .createDataFrame(Seq((1, a), (2, b)))
+      .toDF("id", "text")
+      .select(
+        col("id"),
+        transform(TextFunctions.winnowKeys(TextOps.tokens(col("text")), 4, 5), x =>
+          shiftright(x, 20)
+        ).as("fp")
+      )
+    val fps = df.collect().map(r => r.getSeq[Long](1).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty, "shared 8-token run produced no shared fingerprint")
+    // density sanity: selections ≤ windows and ≥ windows/w
+    val dens = graft.ops.Tables.documents(spark, docs)
+      .select(
+        size(TextFunctions.winnowKeys(TextOps.tokens(col("text")), 4, 5)).as("fps"),
+        greatest(size(TextOps.tokens(col("text"))) - lit(7), lit(0)).as("windows")
+      )
+      .filter(col("windows") > 0)
+      .filter(col("fps") > col("windows") || col("fps") * 5 < col("windows"))
+      .count()
+    assert(dens == 0, "winnow density outside [windows/w, windows]")
+  }
+
+  test("winnowing short-array guard: fewer than w windows selects nothing") {
+    val r = spark
+      .range(1)
+      .select(
+        TextFunctions
+          .winnowKeys(array((1 to 7).map(i => lit(s"t$i")): _*), 4, 5)
+          .as("fp") // 7 tokens → 4 grams < w=5
+      )
+      .first()
+    assert(r.getSeq[Long](0).isEmpty)
+  }
+
   test("top n-gram ties break to the binary-smallest gram") {
     // "ababa": trigrams aba(2), bab(1) → aba; "abcabc": abc(2),bca(1),cab(1)
     // "aabb": aab(1), abb(1) → tie → aab
