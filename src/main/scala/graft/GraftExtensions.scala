@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // idioms rewritten to the native codegen'd expressions where the two
     // are provably bit-equivalent (see KernelFusion's soundness guards)
     ext.injectOptimizerRule(_ => graft.plans.KernelFusion)
+    // planner surface: the native sort-merge as-of join (whole-operator
+    // semantics Spark's built-ins can't express without a union+window
+    // re-encoding — SURVEY §2.9 preference (c))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -168,5 +172,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.KernelFusion))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.KernelFusion
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

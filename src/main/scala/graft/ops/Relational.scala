@@ -560,6 +560,66 @@ object Relational {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // The SAME as-of semantics as q19 through the NATIVE sort-merge
+    // operator (plans/AsOfJoinExec: custom LogicalPlan + SparkStrategy +
+    // BinaryExecNode, SURVEY §2.9 preference (c)): both sides
+    // hash-clustered on user and sorted by (user, ts), then one forward
+    // merge per partition with O(1) carried state — no union row-widening
+    // and no window state, the point-in-time join shape that survives any
+    // key skew. Same oracle as q19 (two physical algorithms, one logical
+    // operator — the q35/q130 convention); DuckDB's own ASOF JOIN would
+    // drop equal-timestamp matches (strict <), so the rank formulation
+    // stays.
+    Q(
+      "q180_asof_native",
+      (s, d) => {
+        val ev = events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev
+          .filter(col("event_type") === "view")
+          .select(
+            col("event_id").as("view_id"),
+            col("user_id").as("v_user"),
+            col("ts").as("vts"),
+            col("value").as("view_value")
+          )
+        graft.plans.AsOf
+          .asofJoin(
+            clicks,
+            views,
+            Seq("user_id"),
+            Seq("v_user"),
+            "ts",
+            "vts",
+            rightTieBreak = Seq("view_id")
+          )
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("view_id"),
+            (unix_micros(col("ts")) - unix_micros(col("vts"))).as("gap_us"),
+            col("view_value")
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, ts, user_id, event_type, value FROM events
+             |  WHERE event_type IN ('view', 'click'))
+             |SELECT event_id, user_id, view_id, gap_us, view_value FROM (
+             |  SELECT c.event_id, c.user_id, v.event_id AS view_id,
+             |    epoch_us(c.ts) - epoch_us(v.ts) AS gap_us, v.value AS view_value,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |                       ORDER BY v.ts DESC, v.event_id DESC) AS rk
+             |  FROM ev c JOIN ev v
+             |    ON v.user_id = c.user_id AND v.event_type = 'view'
+             |   AND v.ts <= c.ts AND c.event_type = 'click') t
+             |WHERE rk = 1
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is

@@ -1,0 +1,249 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending,
+  Attribute,
+  Expression,
+  GenericInternalRow,
+  JoinedRow,
+  RowOrdering,
+  SortOrder,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Logical AS-OF join: for every left row, the LATEST right row with the
+  * same key and `rightTime <= leftTime` (inclusive — the "state as of this
+  * instant" convention), null-extended on the right when `outer`.
+  *
+  * Spark has no native as-of join; the compositional encoding (union both
+  * sides, window `last(... ignoreNulls)` over the interleaved stream —
+  * q19) widens every row to the union schema and drags the left side
+  * through the window state. This node plans to [[AsOfJoinExec]], a
+  * sort-merge operator: both sides hash-partitioned by key and sorted by
+  * (key, time), then ONE forward pass per partition with O(1) carried
+  * state — the time-series point-in-time join shape (reference semantics:
+  * the per-key ordered-processing guarantee of partition_by,
+  * lib/broadway/topology.ex partitioning, pointed at temporal joins).
+  *
+  * `rightTieBreak` columns extend the right sort so equal-time right rows
+  * resolve deterministically (the LAST in tie-break order wins, matching
+  * `row_number() OVER (ORDER BY t DESC, tb DESC) = 1`).
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    outer: Boolean
+) extends BinaryNode {
+
+  require(
+    leftKeys.length == rightKeys.length,
+    s"as-of join key arity mismatch: ${leftKeys.length} vs ${rightKeys.length}"
+  )
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan,
+      newRight: LogicalPlan
+  ): AsOfJoinPlan = copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping [[AsOfJoinPlan]] to [[AsOfJoinExec]] —
+  * registered through `GraftExtensions` (injectPlannerStrategy) or
+  * imperatively via `spark.experimental.extraStrategies`.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join. Required distribution: both sides clustered on
+  * the join keys (EnsureRequirements co-partitions them — the SAME single
+  * shuffle a regular sort-merge join pays, and none if the sides are
+  * already bucketed by key). Required ordering: (key, time) ascending —
+  * right additionally by the tie-break columns. Each partition then joins
+  * in one forward merge holding ONE buffered right row: the most recent
+  * right row at or before the current left timestamp for the current key.
+  * Per-partition memory is O(1) regardless of key cardinality or skew —
+  * there is no hash table and no per-key group materialization, so a
+  * hot key degrades to a longer sorted run, never to memory pressure.
+  */
+final case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    outer: Boolean,
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      ((rightKeys :+ rightTime) ++ rightTieBreak).map(SortOrder(_, Ascending))
+    )
+
+  // one output row per surviving left row, in left order, left partitions
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val out = output
+    val isOuter = outer
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      // bind against `out` (right side nullable when outer), NOT the raw
+      // child schemas: BoundReference takes nullability from the input
+      // schema, and a non-nullable binding compiles away the null check —
+      // a null-extended long would silently read as 0
+      val outProj = UnsafeProjection.create(out, out)
+
+      new Iterator[InternalRow] {
+        // lookahead right row (copied: Unsafe buffers are reused by the
+        // child iterator) plus its key/time projections
+        private var rNext: InternalRow = _
+        private var rNextKey: InternalRow = _
+        private var rNextTime: InternalRow = _
+        // most recent right row emitted for some key, with its key copy;
+        // valid for a left row iff the keys still compare equal
+        private var matchRow: InternalRow = _
+        private var matchKey: InternalRow = _
+        private var ready: InternalRow = _
+
+        private def fetchRight(): Unit =
+          if (rIter.hasNext) {
+            rNext = rIter.next().copy()
+            rNextKey = rKeyProj(rNext).copy()
+            rNextTime = rTimeProj(rNext).copy()
+          } else rNext = null
+
+        fetchRight()
+
+        private def advance(): Unit = {
+          while (ready == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            val lTime = lTimeProj(l)
+            var cont = rNext != null
+            while (cont) {
+              val c = keyOrd.compare(rNextKey, lKey)
+              if (c < 0 || (c == 0 && timeOrd.compare(rNextTime, lTime) <= 0)) {
+                if (c == 0) { matchRow = rNext; matchKey = rNextKey }
+                fetchRight()
+                cont = rNext != null
+              } else cont = false
+            }
+            if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0)
+              ready = outProj(joined(l, matchRow))
+            else if (isOuter)
+              ready = outProj(joined(l, nullRight))
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); ready != null }
+
+        override def next(): InternalRow = {
+          advance()
+          if (ready == null) throw new NoSuchElementException("empty as-of iterator")
+          val r = ready
+          ready = null
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan,
+      newRight: SparkPlan
+  ): AsOfJoinExec = copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry point for the native as-of join. Columns are
+  * named (resolved against each side's analyzed plan); the right side is
+  * re-aliased behind fresh exprIds so self-joins — both sides derived
+  * from the same cached source — can't collide.
+  */
+object AsOf {
+  import org.apache.spark.sql.{DataFrame, GraftColumns}
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: Seq[String] = Nil,
+      outer: Boolean = false
+  ): DataFrame = {
+    val spark = left.sparkSession
+    graft.GraftExtensions.register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rOut = rAliases.map(_.toAttribute)
+    def la(n: String): Attribute =
+      lPlan.output
+        .find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"as-of join: no column '$n' on the left side"))
+    def ra(n: String): Attribute =
+      rOut
+        .find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"as-of join: no column '$n' on the right side"))
+    GraftColumns.ofRows(
+      spark,
+      AsOfJoinPlan(
+        lPlan,
+        rPlan,
+        leftKeys.map(la),
+        rightKeys.map(ra),
+        la(leftTime),
+        ra(rightTime),
+        rightTieBreak.map(ra),
+        outer
+      )
+    )
+  }
+}

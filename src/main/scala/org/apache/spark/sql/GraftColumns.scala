@@ -13,6 +13,16 @@ object GraftColumns {
   def lift(e: Expression): Column = ExpressionUtils.column(e)
   def unlift(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) custom LogicalPlan as a DataFrame — the bridge a
+    * custom operator's Column-level API needs (`Dataset.ofRows` is
+    * private[sql]).
+    */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan
+    )
+
   /** Imperative SQL-function registration on an existing session (the
     * extensions-config path is `graft.GraftExtensions`).
     */

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOf
+
+/** Native sort-merge as-of join ([[graft.plans.AsOfJoinExec]]) pinned to
+  * the compositional union+window encoding (q19) and to hand-checked
+  * fixtures for the edge semantics: inclusive time bound, tie-break order,
+  * outer null-extension, empty right side, O(1)-state merge across
+  * multiple keys in one partition.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def clicksAndViews = {
+    val ev = graft.ops.Tables
+      .events(spark, sf)
+      .filter(col("event_type").isin("view", "click"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_id"),
+        col("user_id").as("v_user"),
+        col("ts").as("vts"),
+        col("value").as("view_value")
+      )
+    (clicks, views)
+  }
+
+  test("native as-of join equals the union+window compositional encoding on real events") {
+    val (clicks, views) = clicksAndViews
+    val native = AsOf
+      .asofJoin(
+        clicks,
+        views,
+        Seq("user_id"),
+        Seq("v_user"),
+        "ts",
+        "vts",
+        rightTieBreak = Seq("view_id")
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("vts"))).as("gap_us"),
+        col("view_value")
+      )
+    val compositional = graft.ops.QueryRegistry.byName("q19_asof_join").fn(spark, sf)
+    val n = native.collect().map(_.toSeq).toSet
+    val c = compositional.collect().map(_.toSeq).toSet
+    assert(n == c, s"native minus comp: ${(n -- c).take(3)}; comp minus native: ${(c -- n).take(3)}")
+    assert(n.nonEmpty, "as-of join produced no rows at sf0.001")
+  }
+
+  test("as-of semantics: inclusive bound, last-tie-break wins, outer null-extends") {
+    import spark.implicits._
+    val left = Seq(
+      ("k1", 10L, "l1"), // exact-time right row counts (inclusive)
+      ("k1", 25L, "l2"), // picks latest of two eligible; equal-time ties → highest tb
+      ("k1", 5L, "l3"), // before any right row → unmatched
+      ("k2", 99L, "l4"), // key with no right rows at all → unmatched
+      ("k3", 7L, "l5") // single-row key after k2's miss (state must reset)
+    ).toDF("k", "t", "lname")
+    val right = Seq(
+      ("k1", 10L, 1L, "r10"),
+      ("k1", 20L, 2L, "r20a"),
+      ("k1", 20L, 3L, "r20b"), // same time as r20a, higher tb → wins
+      ("k3", 6L, 4L, "r6")
+    ).toDF("k", "t", "tb", "rname")
+      .select(col("k").as("rk"), col("t").as("rt"), col("tb"), col("rname"))
+
+    val inner = AsOf
+      .asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt", rightTieBreak = Seq("tb"))
+      .select(col("lname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(inner == Set(("l1", "r10"), ("l2", "r20b"), ("l5", "r6")), s"got $inner")
+
+    val outer = AsOf
+      .asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("tb"), outer = true)
+      .select(col("lname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .toSet
+    assert(
+      outer == Set(
+        ("l1", Some("r10")),
+        ("l2", Some("r20b")),
+        ("l3", None),
+        ("l4", None),
+        ("l5", Some("r6"))
+      ),
+      s"got $outer"
+    )
+  }
+
+  test("empty right side: inner empties, outer keeps every left row null-extended") {
+    import spark.implicits._
+    val left = Seq(("a", 1L), ("b", 2L)).toDF("k", "t")
+    val right = Seq.empty[(String, Long)].toDF("rk", "rt")
+    assert(AsOf.asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt").count() == 0)
+    val outer = AsOf.asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt", Nil, outer = true)
+    assert(outer.count() == 2 && outer.filter(col("rt").isNull).count() == 2)
+  }
+
+  test("plan: AsOfJoinExec with co-partitioned sorted children, no BNLJ/cartesian") {
+    val (clicks, views) = clicksAndViews
+    val df = AsOf.asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts", Seq("view_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native operator missing from plan:\n$p")
+    assert(
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic join shape:\n$p"
+    )
+    // both sides arrive hash-partitioned on the key and sorted (key, time)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, s"left not clustered by key:\n$p")
+    assert("hashpartitioning\\(v_user".r.findAllIn(p).nonEmpty, s"right not clustered by key:\n$p")
+    assert("Sort \\[".r.findAllIn(p).size >= 2, s"children not sorted:\n$p")
+  }
+
+  test("self-join from one cached source: fresh right exprIds avoid ambiguity") {
+    import spark.implicits._
+    val base = Seq(("k", 1L, "x"), ("k", 2L, "y")).toDF("k", "t", "v")
+    val joinedCount = AsOf
+      .asofJoin(base, base, Seq("k"), Seq("k"), "t", "t")
+      .count() // row at t=1 matches itself; t=2 matches t=2 (inclusive)
+    assert(joinedCount == 2)
+  }
+}
