@@ -1597,6 +1597,80 @@ object DedupOps {
               |FROM documents d LEFT JOIN wt USING (doc_id)
               |GROUP BY source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Winnowing as a CANDIDATE GENERATOR (the second half of the MOSS
+    // pipeline q175's density audit sets up): docs sharing any selected
+    // fingerprint (the position-free hash component — positions differ
+    // across docs, so candidates join on key >> 20) are candidate pairs,
+    // then exact distinct-4-gram Jaccard verifies at 0.5. The guarantee
+    // LSH banding can't give: any pair sharing a contiguous run of
+    // k+w-1 = 8 tokens SHARES a fingerprint (TextExprSpec pins it), with
+    // only ~2/(w+1) of the grams ever posted — a 3× smaller inverted
+    // index than q35's every-gram postings for the same verify tier.
+    // Same scale shape as q35: Σ_fingerprint count² bounded by fingerprint
+    // rarity, never all-pairs.
+    Q(
+      "q181_winnow_pairs",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val fp = docs.select(
+          col("doc_id"),
+          explode(
+            array_distinct(
+              transform(
+                graft.functions.TextFunctions.winnowKeys(col("toks"), 4, 5),
+                x => shiftright(x, 20)
+              )
+            )
+          ).as("f")
+        )
+        val cand = fp.as("a")
+          .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val g4 = docs.select(
+          col("doc_id"),
+          graft.functions.TextFunctions.nGrams(col("toks"), 4).as("s")
+        )
+        cand
+          .join(g4.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+          .join(g4.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS ts FROM documents),
+              |g AS (
+              |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) - 3 AS m,
+              |    unnest(range(1, greatest(CAST(len(ts) AS INTEGER) - 2, 1))) AS i
+              |  FROM t),
+              |h AS (
+              |  SELECT doc_id, i, m,
+              |    ${TextOps.sqlHex8("md5(array_to_string(ts[i:i+3], ' '))")} * 1048576
+              |      + (i - 1) AS hk
+              |  FROM g),
+              |sel AS (
+              |  SELECT doc_id, i, m,
+              |    min(hk) OVER (PARTITION BY doc_id ORDER BY i
+              |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS key
+              |  FROM h),
+              |fp AS (SELECT DISTINCT doc_id, key // 1048576 AS f
+              |       FROM sel WHERE i <= m - 4),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |         FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+              |s4 AS (SELECT doc_id, list_distinct(list_transform(
+              |         range(1, greatest(len(ts) - 2, 1)),
+              |         i -> list_aggregate(ts[i:i+3], 'string_agg', ' '))) AS s
+              |       FROM t)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT doc_a, doc_b,
+              |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              |          / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+              |  FROM cand JOIN s4 x ON x.doc_id = doc_a JOIN s4 y ON y.doc_id = doc_b) v
+              |WHERE jaccard >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 

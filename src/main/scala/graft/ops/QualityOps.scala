@@ -1599,6 +1599,157 @@ object QualityOps {
              |ORDER BY k""".stripMargin)
     ),
 
+    // Exact Spearman rank correlation between two per-document signals
+    // (n_chars vs token count) WITHOUT a single-reducer sort: each
+    // signal's global rank comes from the q135/q91 range-partition trick
+    // — repartitionByRange + local sort + monotonically_increasing_id,
+    // with only 32 (pid, offset) metadata rows crossing partitions — then
+    // one join on doc_id and one Σd² aggregate. Monotone-transform-robust
+    // where q145's Pearson is not (outliers in either signal can't move
+    // ranks more than one slot each). Ranks use the (value, doc_id) TOTAL
+    // order (deterministic tie-break, not average ranks — the convention
+    // both engines share); ρ_bp = 10000 − 6·10⁴·Σd²/(n(n²−1)) with the
+    // division kept on the non-negative term so floor == truncate.
+    Q(
+      "q182_spearman",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val base = Caches.persisted(
+          documents(s, d).select(
+            col("doc_id"),
+            col("n_chars").cast("long").as("a"),
+            size(toks).cast("long").as("bt")
+          )
+        )
+        def ranks(v: String, rkName: String) = {
+          val stamped = Caches.persisted(
+            base
+              .select(col("doc_id"), col(v))
+              .repartitionByRange(32, col(v), col("doc_id"))
+              .sortWithinPartitions(col(v), col("doc_id"))
+              .withColumn("mid", monotonically_increasing_id())
+              .withColumn("pid", shiftright(col("mid"), 33))
+              .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+          )
+          val w = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = stamped
+            .groupBy(col("pid"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          stamped
+            .join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
+            .select(col("doc_id"), (col("off") + col("loc") + 1).as(rkName))
+        }
+        ranks("a", "rka")
+          .join(ranks("bt", "rkb"), "doc_id")
+          .select((col("rka") - col("rkb")).as("dd"))
+          .agg(count(lit(1)).as("n"), sum(col("dd") * col("dd")).as("sum_d2"))
+          .withColumn("rho_bp", expr("10000L - (60000L * sum_d2) div (n * (n * n - 1L))"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS bt
+             |  FROM documents),
+             |ra AS (SELECT doc_id,
+             |         CAST(row_number() OVER (ORDER BY a, doc_id) AS BIGINT) AS rka
+             |       FROM b),
+             |rb AS (SELECT doc_id,
+             |         CAST(row_number() OVER (ORDER BY bt, doc_id) AS BIGINT) AS rkb
+             |       FROM b),
+             |j AS (SELECT rka - rkb AS dd FROM ra JOIN rb USING (doc_id)),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(dd * dd) AS BIGINT) AS sum_d2
+             |      FROM j)
+             |SELECT n, sum_d2,
+             |  10000 - (60000 * sum_d2) // (n * (n * n - 1)) AS rho_bp
+             |FROM s""".stripMargin)
+    ),
+
+    // Cohen's kappa between two independent quality raters — the
+    // heuristic gate (length/stopword score ≥ 0.5, q22's formula) and the
+    // hash-classifier gate (q174's bucket-weight scorer, positive score)
+    // — chance-corrected agreement, the label-quality audit run before
+    // trusting any single filter. Everything beyond the per-doc scoring
+    // passes is a 2×2 confusion matrix: po and pe ride cleared
+    // denominators (·n, ·n²), the kappa quotient keeps its sign outside
+    // the division (Spark div truncates, DuckDB // floors on negatives),
+    // and pe = 1 (degenerate raters) reports 0 instead of dividing by 0.
+    Q(
+      "q183_rater_kappa",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val weights = s
+          .range(0, 256)
+          .select(
+            col("id").as("bucket"),
+            expr(
+              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
+            ).as("wt")
+          )
+        val scored = documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+          .select(
+            col("doc_id"),
+            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
+          )
+          .join(broadcast(weights), Seq("bucket"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("wt")).as("score"))
+        documents(s, d)
+          .select(col("doc_id"), (TextOps.qualityScore10k(toks) >= 5000).as("a"))
+          .join(scored, "doc_id")
+          .select(col("a"), (col("score") > 0L).as("b"))
+          .agg(
+            sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00")
+          )
+          .withColumn("n", expr("n11 + n10 + n01 + n00"))
+          .withColumn("po_bp", expr("((n11 + n00) * 10000L) div n"))
+          .withColumn("pe_x", expr("(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
+          .withColumn("num", expr("(n11 + n00) * n - pe_x"))
+          .withColumn("den", expr("n * n - pe_x"))
+          .withColumn(
+            "kappa_bp",
+            when(col("den") === 0L, 0L).otherwise(
+              when(col("num") < 0L, -1L).otherwise(lit(1L)) *
+                expr("(abs(num) * 10000L) div den")
+            )
+          )
+          .select(col("n11"), col("n10"), col("n01"), col("n00"), col("po_bp"), col("kappa_bp"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+              |tb AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+              |bkt AS (SELECT doc_id, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tb),
+              |w AS (SELECT i AS bucket,
+              |        ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
+              |      FROM range(0, 256) r(i)),
+              |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+              |       FROM bkt JOIN w USING (bucket) GROUP BY doc_id),
+              |g AS (SELECT (${TextOps.sqlQuality10k("ts")} >= 5000) AS a,
+              |        (score > 0) AS b
+              |      FROM tok JOIN sc USING (doc_id)),
+              |m AS (SELECT
+              |  CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+              |  CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+              |  CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+              |  CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+              |  FROM g),
+              |k AS (SELECT n11, n10, n01, n00,
+              |        n11 + n10 + n01 + n00 AS n,
+              |        (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_x
+              |      FROM m)
+              |SELECT n11, n10, n01, n00,
+              |  ((n11 + n00) * 10000) // n AS po_bp,
+              |  CASE WHEN n * n - pe_x = 0 THEN 0
+              |       ELSE (CASE WHEN (n11 + n00) * n - pe_x < 0 THEN -1 ELSE 1 END)
+              |         * (abs((n11 + n00) * n - pe_x) * 10000 // (n * n - pe_x))
+              |  END AS kappa_bp
+              |FROM k""".stripMargin)
+    ),
+
     // Benford first-significant-digit audit of a monetary column: a
     // synthetic-data / fraud / unit-mixing canary — organically-grown
     // magnitudes follow log10(1+1/d); a uniform or truncated generator
