@@ -234,6 +234,51 @@ object SimilarityOps {
        |  WHERE cosine >= 0.45)""".stripMargin
 
   val queries: Seq[Q] = Seq(
+
+    // Hard-negative mining: for each anchor vector, the nearest neighbors
+    // with a DIFFERENT label — the contrastive-training sample selector
+    // (a semantically-close wrong-label example teaches the boundary;
+    // a random negative teaches nothing). q90's exact quantized-dot
+    // discipline (int64, no float summation-order caveats) with the label
+    // disequality pushed into the broadcast join, so only wrong-label
+    // pairs are ever scored; 5 anchors broadcast against the corpus (the
+    // whitelisted scalar-BNLJ shape), top-3 per anchor.
+    Q(
+      "q184_hard_negatives",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"), emb(col("embedding")).as("v"), col("label"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label").as("q_label"))
+        val scored = e.join(broadcast(q), col("label") =!= col("q_label"))
+          .select(
+            col("query_id"),
+            col("q_label"),
+            col("vec_id").as("neighbor_id"),
+            col("label").as("n_label"),
+            graft.functions.VectorFunctions.quantizedDot(col("qv"), col("v"), 64).as("qscore")
+          )
+        val w = Window.partitionBy(col("query_id")).orderBy(col("qscore").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v, label FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv, label AS q_label
+              |      FROM e WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT query_id, q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+              |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+              |      i -> CAST(floor(qv[i] * 64) AS BIGINT)
+              |         * CAST(floor(v[i] * 64) AS BIGINT))) AS BIGINT) AS qscore
+              |  FROM e CROSS JOIN q WHERE e.label <> q.q_label)
+              |SELECT query_id, q_label, neighbor_id, n_label, qscore, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |             ORDER BY qscore DESC, neighbor_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
     // Brute-force cosine top-k (the exact baseline): 5 query vectors
     // against the whole corpus; ranking on the rounded value keeps the
     // ordering engine-independent.

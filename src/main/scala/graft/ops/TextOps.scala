@@ -157,6 +157,56 @@ object TextOps {
     }
 
   val queries: Seq[Q] = Seq(
+
+    // Tokenizer fertility per source: BPE subwords emitted per whitespace
+    // word — THE comparative metric when choosing a tokenizer for a
+    // corpus mix (fertility near 1.0 = vocabulary fits the source;
+    // high fertility = the source pays more sequence length for the same
+    // text, distorting mixture weights measured in tokens). Rides q125's
+    // merge-application machinery; two map-side counts per doc, one
+    // metadata aggregate, integer centi-units.
+    Q(
+      "q185_tokenizer_fertility",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"),
+            (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))))
+              .cast("long")
+              .as("n_spaces"),
+            bpeSegment(col("text")).as("m")
+          )
+          .withColumn(
+            "n_sub",
+            (length(col("m")) - length(replace(col("m"), lit("|"), lit(""))) - 1).cast("long")
+              - col("n_spaces")
+          )
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("n_tok")).as("words"),
+            sum(col("n_sub")).as("subwords")
+          )
+          .withColumn("fertility_centi", expr("(subwords * 100L) div words"))
+          .orderBy(col("source")),
+      Some(s"""WITH m AS (
+              |  SELECT source,
+              |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+              |    len(text) - len(replace(text, ' ', '')) AS n_spaces,
+              |    $sqlBpeSegment AS m
+              |  FROM documents),
+              |u AS (SELECT source, n_tok,
+              |        CAST(len(m) - len(replace(m, '|', '')) - 1 - n_spaces AS BIGINT) AS n_sub
+              |      FROM m)
+              |SELECT source, count(*) AS docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS words,
+              |  CAST(sum(n_sub) AS BIGINT) AS subwords,
+              |  CAST(sum(n_sub) * 100 // sum(n_tok) AS BIGINT) AS fertility_centi
+              |FROM u
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    ),
     // Per-document token statistics.
     Q(
       "q20_text_stats",

@@ -124,6 +124,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(p).size >= 2, s"children not sorted:\n$p")
   }
 
+  test("randomized differential: native merge equals an in-memory reference on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      // few hot keys + duplicate timestamps on both sides to stress the
+      // merge's tie and key-boundary handling across shuffle partitions
+      val nKeys = 1 + rnd.nextInt(6)
+      val left = Seq.fill(200)((rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+      val right = Seq.fill(150)((rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+      val lDf = left.toDF("k", "t", "payload")
+      val rDf = right.toDF("rk", "rt", "rid")
+      val got = AsOf
+        .asofJoin(lDf, rDf, Seq("k"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"), outer = true)
+        .select(col("k"), col("t"), col("payload"), col("rid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sorted(Ordering.by((x: (Long, Long, Long, Option[Long])) => (x._1, x._2, x._3, x._4)))
+      val expected = left
+        .map { case (k, t, p) =>
+          val m = right.filter(r => r._1 == k && r._2 <= t)
+          val best = if (m.isEmpty) None else Some(m.maxBy(r => (r._2, r._3))._3)
+          (k, t, p, best)
+        }
+        .sorted(Ordering.by((x: (Long, Long, Long, Option[Long])) => (x._1, x._2, x._3, x._4)))
+      assert(got.toSeq == expected, s"trial $trial diverged (nKeys=$nKeys)")
+    }
+  }
+
   test("self-join from one cached source: fresh right exprIds avoid ambiguity") {
     import spark.implicits._
     val base = Seq(("k", 1L, "x"), ("k", 2L, "y")).toDF("k", "t", "v")

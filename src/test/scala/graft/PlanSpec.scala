@@ -535,7 +535,8 @@ class PlanSpec extends SparkSpec {
       "q172_token_mass_quantiles", // 2-row quantile-target frame broadcast against the stamped corpus
       "q173_ks_length_drift", // distinct-length metadata grid broadcast against |sources| rows
       "q176_chi2_independence", // 1-row grand-total broadcast against the cell table
-      "q179_benford" // 1-row grand-total broadcast against the 9-row digit histogram
+      "q179_benford", // 1-row grand-total broadcast against the 9-row digit histogram
+      "q184_hard_negatives" // 5 anchor vectors broadcast, label-disequality condition
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
