@@ -60,6 +60,82 @@ object CurationOps {
       )
 
   val queries: Seq[Q] = Seq(
+
+    // Leave-one-source-out ablation manifest: for every source, the token
+    // mass the corpus loses if it is dropped, and how hard the remaining
+    // mixture shifts (the LARGEST renormalized share gain among surviving
+    // sources, in basis points) — the planning table consulted before an
+    // ablation run or a licensing-driven source removal. One corpus scan
+    // builds the per-source token table; everything after is |sources|
+    // metadata rows against a 1-row global stats frame (max1/cnt/max2
+    // resolve "largest OTHER source" without a self-join). Integer-exact:
+    // the shift divides positive quantities only.
+    Q(
+      "q186_ablation_manifest",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("t"))
+          .groupBy(col("source"))
+          .agg(sum(col("t")).as("tokens"))
+        val m1 = toks.agg(max(col("tokens")).as("max1"), sum(col("tokens")).as("total"))
+        val m2 = toks
+          .crossJoin(broadcast(m1))
+          .agg(
+            max(col("max1")).as("max1"),
+            max(col("total")).as("total"),
+            sum(when(col("tokens") === col("max1"), 1L).otherwise(0L)).as("cnt_max1"),
+            max(when(col("tokens") < col("max1"), col("tokens"))).as("max2")
+          )
+        toks
+          .crossJoin(broadcast(m2))
+          .withColumn("share_bp", expr("(tokens * 10000L) div total"))
+          .withColumn("tokens_without", col("total") - col("tokens"))
+          .withColumn(
+            "t_other",
+            when(col("tokens") === col("max1") && col("cnt_max1") === 1L,
+              coalesce(col("max2"), lit(0L))
+            ).otherwise(col("max1"))
+          )
+          .withColumn(
+            "max_shift_bp",
+            when(
+              col("tokens_without") > 0L,
+              expr("(t_other * 10000L) div tokens_without - (t_other * 10000L) div total")
+            )
+          )
+          .select(
+            col("source"),
+            col("tokens"),
+            col("share_bp"),
+            col("tokens_without"),
+            col("max_shift_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY source),
+             |m AS (SELECT CAST(max(tokens) AS BIGINT) AS max1,
+             |        CAST(sum(tokens) AS BIGINT) AS total FROM t),
+             |m2 AS (SELECT max(max1) AS max1, max(total) AS total,
+             |         CAST(sum(CASE WHEN tokens = max1 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS cnt_max1,
+             |         CAST(max(CASE WHEN tokens < max1 THEN tokens END) AS BIGINT) AS max2
+             |       FROM t CROSS JOIN m)
+             |SELECT source, tokens,
+             |  (tokens * 10000) // total AS share_bp,
+             |  total - tokens AS tokens_without,
+             |  CASE WHEN total - tokens > 0 THEN
+             |    (CASE WHEN tokens = max1 AND cnt_max1 = 1
+             |          THEN coalesce(max2, 0) ELSE max1 END) * 10000
+             |      // (total - tokens)
+             |    - (CASE WHEN tokens = max1 AND cnt_max1 = 1
+             |            THEN coalesce(max2, 0) ELSE max1 END) * 10000 // total
+             |  END AS max_shift_bp
+             |FROM t CROSS JOIN m2
+             |ORDER BY source""".stripMargin)
+    ),
     Q(
       "q70_curation",
       (s, d) => {

@@ -60,6 +60,47 @@ object Relational {
   // agree to ~1e-9 relative, so 2-4 decimals is far from the noise floor.
 
   val queries: Seq[Q] = Seq(
+
+    // Recency-weighted event volume with EXACT integer exponential decay:
+    // weight = 2^(horizon − age_days) (one-day half-life over a 30-day
+    // horizon, older mass decays to 0) — power-of-two decay turns the
+    // usual float exp() into bit shifts, so the decayed mass is exact
+    // int64 on both engines (the libm-free discipline). The shape is one
+    // scan + one metadata aggregate; the newest-day anchor is a 1-row
+    // scalar broadcast. The recency-biased sampling weight a
+    // freshness-sensitive training mix uses.
+    Q(
+      "q187_recency_decay",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), to_date(col("ts")).as("day"))
+        val anchor = ev.agg(max(col("day")).as("maxd"))
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("age", datediff(col("maxd"), col("day")))
+          .withColumn(
+            "wt",
+            expr("CASE WHEN age BETWEEN 0 AND 30 THEN shiftleft(1L, 30 - age) ELSE 0L END")
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("events"),
+            sum(col("wt")).as("decayed_mass"),
+            sum(when(col("age") === 0, 1L).otherwise(0L)).as("newest_day_events")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+             |a AS (SELECT max(day) AS maxd FROM ev)
+             |SELECT event_type, count(*) AS events,
+             |  CAST(sum(CASE WHEN date_diff('day', day, maxd) BETWEEN 0 AND 30
+             |       THEN (CAST(1 AS BIGINT) << (30 - date_diff('day', day, maxd)))
+             |       ELSE 0 END) AS BIGINT) AS decayed_mass,
+             |  CAST(sum(CASE WHEN day = maxd THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS newest_day_events
+             |FROM ev CROSS JOIN a
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)
+    ),
     // E1+E6: full-scan grouped aggregate (TPC-H Q1 pricing summary).
     Q(
       "q01_pricing_summary",

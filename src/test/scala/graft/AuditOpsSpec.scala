@@ -152,4 +152,93 @@ class AuditOpsSpec extends SparkSpec {
       )
     }
   }
+
+  test("winnowing density sits inside the theoretical [2/w·10⁴, 10⁴] band") {
+    run("q175_winnowing").foreach { r =>
+      val d = r.getAs[Long]("density_bp")
+      assert(d >= 2000L && d <= 10000L, s"density $d outside [2000, 10000]")
+      assert(r.getAs[Long]("total_fps") <= r.getAs[Long]("total_grams"))
+    }
+  }
+
+  test("chi-square statistic is non-negative with a consistent dof") {
+    val Array(r) = run("q176_chi2_independence")
+    assert(r.getAs[Long]("chi2_x10000") >= 0L)
+    assert(
+      r.getAs[Long]("dof") ==
+        (r.getAs[Long]("n_sources") - 1L) * (r.getAs[Long]("n_langs") - 1L)
+    )
+  }
+
+  test("dup weights conserve cluster mass and only downweight clustered docs") {
+    val rows = run("q177_dup_weights")
+    val docs = rows.map(_.getAs[Long]("docs")).sum
+    val mass = rows.map(_.getAs[Long]("weight_mass_bp")).sum
+    assert(mass <= docs * 10000L, "weight mass exceeds one-per-doc")
+    val clustered = graft.ops.DedupOps.dedupClusters(spark, sfDir, 0.8).count()
+    assert(rows.map(_.getAs[Long]("downweighted_docs")).sum == clustered)
+  }
+
+  test("k-anonymity violations are monotone in k and never exceed the table") {
+    val rows = run("q178_k_anonymity").sortBy(_.getAs[Int]("k"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("violating_classes") <= b.getAs[Long]("violating_classes"))
+        assert(a.getAs[Long]("exposed_rows") <= b.getAs[Long]("exposed_rows"))
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getAs[Long]("exposed_rows") <= r.getAs[Long]("rows_total")))
+  }
+
+  test("benford shares sum to one corpus and deviations are consistent") {
+    val rows = run("q179_benford")
+    val bpSum = rows.map(_.getAs[Long]("obs_bp")).sum
+    assert(bpSum > 10000L - 9 && bpSum <= 10000L, s"obs_bp sum $bpSum") // floor loss < 1bp/digit
+    rows.foreach { r =>
+      assert(
+        r.getAs[Long]("dev_bp") ==
+          math.abs(r.getAs[Long]("obs_bp") - r.getAs[Long]("benford_bp"))
+      )
+    }
+  }
+
+  test("spearman rho and kappa live in [-10⁴, 10⁴] over full-corpus counts") {
+    val Array(sp) = run("q182_spearman")
+    val docCount = graft.ops.Tables.documents(spark, sfDir).count()
+    assert(sp.getAs[Long]("n") == docCount)
+    val rho = sp.getAs[Long]("rho_bp")
+    assert(rho >= -10000L && rho <= 10000L, s"rho $rho")
+    val Array(kp) = run("q183_rater_kappa")
+    val n = Seq("n11", "n10", "n01", "n00").map(kp.getAs[Long]).sum
+    assert(n == docCount)
+    val kappa = kp.getAs[Long]("kappa_bp")
+    assert(kappa >= -10000L && kappa <= 10000L, s"kappa $kappa")
+    val po = kp.getAs[Long]("po_bp")
+    assert(po >= 0L && po <= 10000L)
+  }
+
+  test("winnow pairs verify at threshold with canonical orientation") {
+    run("q181_winnow_pairs").foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("hard negatives are wrong-label, ranked 1..k with non-increasing scores") {
+    val byAnchor = run("q184_hard_negatives").groupBy(_.getAs[Long]("query_id"))
+    byAnchor.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      sorted.foreach(r => assert(r.getAs[Int]("n_label") != r.getAs[Int]("q_label")))
+      val scores = sorted.map(_.getAs[Long]("qscore")).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not non-increasing: $scores")
+    }
+  }
+
+  test("tokenizer fertility is at least one subword per word everywhere") {
+    run("q185_tokenizer_fertility").foreach { r =>
+      assert(r.getAs[Long]("fertility_centi") >= 100L)
+      assert(r.getAs[Long]("subwords") >= r.getAs[Long]("words"))
+    }
+  }
 }

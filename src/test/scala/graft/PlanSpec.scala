@@ -536,7 +536,9 @@ class PlanSpec extends SparkSpec {
       "q173_ks_length_drift", // distinct-length metadata grid broadcast against |sources| rows
       "q176_chi2_independence", // 1-row grand-total broadcast against the cell table
       "q179_benford", // 1-row grand-total broadcast against the 9-row digit histogram
-      "q184_hard_negatives" // 5 anchor vectors broadcast, label-disequality condition
+      "q184_hard_negatives", // 5 anchor vectors broadcast, label-disequality condition
+      "q186_ablation_manifest", // 1-row global stats broadcast against |sources| rows
+      "q187_recency_decay" // 1-row newest-day anchor broadcast against the fact scan
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
