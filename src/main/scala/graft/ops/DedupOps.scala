@@ -1671,6 +1671,75 @@ object DedupOps {
               |  FROM cand JOIN s4 x ON x.doc_id = doc_a JOIN s4 y ON y.doc_id = doc_b) v
               |WHERE jaccard >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // Duplication-affinity lift: how much MORE likely a verified near-dup
+    // pair is to sit inside one source than independence predicts —
+    // observed same-source pair share over the share of same-source pairs
+    // in the Σn_s(n_s−1)/N(N−1) pair space, in basis points. Lift ≫ 10⁴ =
+    // crawler revisiting its own source; lift ≈ 10⁴ = syndication spread
+    // evenly — the single-number verdict behind q151's matrix and q170's
+    // purity histogram. Rides the persisted verified pairs; both stats
+    // frames are 1-row scalars (whitelisted broadcast cross).
+    Q(
+      "q189_dup_affinity",
+      (s, d) => {
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        val ps = lshPairs(s, d, 0.8)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .agg(
+            count(lit(1)).as("pairs"),
+            sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("same_pairs")
+          )
+        val ds = src
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("c"))
+          .agg(
+            sum(col("c") * (col("c") - 1L)).as("same_space"),
+            sum(col("c")).as("n")
+          )
+        ps.crossJoin(broadcast(ds))
+          .withColumn(
+            "obs_same_bp",
+            when(col("pairs") > 0L, expr("(same_pairs * 10000L) div pairs"))
+          )
+          .withColumn("expected_same_bp", expr("(same_space * 10000L) div (n * (n - 1L))"))
+          .withColumn(
+            "lift_bp",
+            when(
+              col("pairs") > 0L && col("expected_same_bp") > 0L,
+              expr("(obs_same_bp * 10000L) div expected_same_bp")
+            )
+          )
+          .select(
+            col("pairs"),
+            col("same_pairs"),
+            col("obs_same_bp"),
+            col("expected_same_bp"),
+            col("lift_bp")
+          )
+      },
+      Some(s"""${sqlPairsCte(0.8)},
+              |ps AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS pairs,
+              |    CAST(sum(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS same_pairs
+              |  FROM pairs JOIN documents da ON da.doc_id = doc_a
+              |             JOIN documents db ON db.doc_id = doc_b),
+              |ds AS (
+              |  SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS same_space,
+              |    CAST(sum(c) AS BIGINT) AS n
+              |  FROM (SELECT CAST(count(*) AS BIGINT) AS c
+              |        FROM documents GROUP BY source) g)
+              |SELECT pairs, same_pairs,
+              |  CASE WHEN pairs > 0 THEN same_pairs * 10000 // pairs END AS obs_same_bp,
+              |  same_space * 10000 // (n * (n - 1)) AS expected_same_bp,
+              |  CASE WHEN pairs > 0 AND same_space * 10000 // (n * (n - 1)) > 0
+              |       THEN (same_pairs * 10000 // pairs) * 10000
+              |         // (same_space * 10000 // (n * (n - 1)))
+              |  END AS lift_bp
+              |FROM ps CROSS JOIN ds""".stripMargin)
     )
   )
 

@@ -1750,6 +1750,68 @@ object QualityOps {
               |FROM k""".stripMargin)
     ),
 
+    // CUSUM control chart over per-source quality in arrival (doc_id)
+    // order: the sequential drift detector that catches a slow quality
+    // slide long before a mean shift is visible in aggregate. The CUSUM
+    // recurrence S_i = max(0, S_{i-1} + (x_i − target)) is nonlinear, but
+    // linearizes exactly as S_i = P_i − min_{j≤i} P_j over the prefix sums
+    // P of (x − target) — two RUNNING windows per source partition
+    // (streamed, never buffering the frame), no recursion, exact int64.
+    // Headline per source: worst upward and downward excursions plus the
+    // net drift.
+    Q(
+      "q188_cusum_drift",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .select(
+            col("source"),
+            col("doc_id"),
+            (TextOps.qualityScore10k(toks).cast("long") - 5000L).as("x")
+          )
+          .withColumn("p", sum(col("x")).over(w))
+          .withColumn("up", col("p") - min(col("p")).over(w))
+          .withColumn("down", max(col("p")).over(w) - col("p"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            max(col("up")).as("max_up_cusum"),
+            max(col("down")).as("max_down_cusum"),
+            // net drift = the final prefix value = Σx
+            sum(col("x")).as("net_drift")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT source, doc_id,
+              |    CAST(${TextOps.sqlQuality10k("string_split_regex(trim(text), '\\s+')")}
+              |      AS BIGINT) - 5000 AS x
+              |  FROM documents),
+              |pp AS (
+              |  SELECT source, doc_id, x,
+              |    sum(x) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+              |  FROM b),
+              |c AS (
+              |  SELECT source, x, p,
+              |    p - min(p) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS up,
+              |    max(p) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - p AS down
+              |  FROM pp)
+              |SELECT source, count(*) AS docs,
+              |  CAST(max(up) AS BIGINT) AS max_up_cusum,
+              |  CAST(max(down) AS BIGINT) AS max_down_cusum,
+              |  CAST(sum(x) AS BIGINT) AS net_drift
+              |FROM c
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    ),
+
     // Benford first-significant-digit audit of a monetary column: a
     // synthetic-data / fraud / unit-mixing canary — organically-grown
     // magnitudes follow log10(1+1/d); a uniform or truncated generator

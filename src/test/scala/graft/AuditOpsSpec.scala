@@ -235,6 +235,48 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("CUSUM excursions are non-negative and bounded by the per-doc deviation budget") {
+    run("q188_cusum_drift").foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      val up = r.getAs[Long]("max_up_cusum")
+      val down = r.getAs[Long]("max_down_cusum")
+      assert(up >= 0L && down >= 0L)
+      // each doc deviates at most ±5000 from the 5000 target, so no
+      // excursion (a sum of consecutive deviations) can exceed docs·5000
+      assert(up <= docs * 5000L && down <= docs * 5000L)
+      assert(math.abs(r.getAs[Long]("net_drift")) <= docs * 5000L)
+    }
+  }
+
+  test("dup-affinity shares are consistent and the lift reproduces from raw counts") {
+    val Array(r) = run("q189_dup_affinity")
+    assert(r.getAs[Long]("same_pairs") <= r.getAs[Long]("pairs"))
+    val obs = r.getAs[Long]("obs_same_bp")
+    val exp = r.getAs[Long]("expected_same_bp")
+    assert(obs >= 0L && obs <= 10000L && exp >= 0L && exp <= 10000L)
+    if (r.getAs[Long]("pairs") > 0 && exp > 0)
+      assert(r.getAs[Long]("lift_bp") == obs * 10000L / exp)
+  }
+
+  test("ablation manifest conserves token mass and shares") {
+    val rows = run("q186_ablation_manifest")
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_without") == total - r.getAs[Long]("tokens"))
+      assert(r.getAs[Long]("max_shift_bp") >= 0L, "removing a source cannot shrink another's share")
+    }
+    val shareSum = rows.map(_.getAs[Long]("share_bp")).sum
+    assert(shareSum > 10000L - rows.length && shareSum <= 10000L)
+  }
+
+  test("recency decay is bounded by full-weight mass and dominated by the newest day") {
+    run("q187_recency_decay").foreach { r =>
+      val full = r.getAs[Long]("events") * (1L << 30)
+      assert(r.getAs[Long]("decayed_mass") <= full)
+      assert(r.getAs[Long]("decayed_mass") >= r.getAs[Long]("newest_day_events") * (1L << 30))
+    }
+  }
+
   test("tokenizer fertility is at least one subword per word everywhere") {
     run("q185_tokenizer_fertility").foreach { r =>
       assert(r.getAs[Long]("fertility_centi") >= 100L)
