@@ -767,4 +767,67 @@ class StreamingOpsSpec extends SparkSpec {
       assert(expected.exists(_.tvdBp > 0L), "every window matched baseline exactly — TVD path untested")
     } finally q.stop()
   }
+
+  test("streaming CUSUM monitor reproduces the batch drift chart under redelivery") {
+    import graft.streaming.{CusumObs, CusumReport, CusumStream}
+    val sfDir = "/root/testdata/sf0.001"
+    // same centered deviations as q188, in the same (doc_id) order
+    val obs = graft.ops.Tables
+      .documents(spark, sfDir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        (TextOps.qualityScore10k(TextOps.tokens(col("text"))).cast("long") - 5000L).as("x")
+      )
+      .collect()
+      .map(r => CusumObs(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.seq)
+    val out = new ConcurrentLinkedQueue[CusumReport]()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[CusumObs]
+    val q = CusumStream
+      .track(stream.toDS())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.Dataset[CusumReport], _: Long) =>
+        d.collect().foreach(out.add)
+        ()
+      }
+      .start()
+    try {
+      val (first, second) = obs.splitAt(obs.length / 2)
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      // at-least-once redelivery: replay the tail of the first chunk —
+      // the lastSeq guard must make it a no-op
+      stream.addData(first.takeRight(20).toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+      val lastByKey = Iterator
+        .continually(out.poll())
+        .takeWhile(_ != null)
+        .toVector
+        .groupBy(_.key)
+        .map { case (k, rs) => k -> rs.maxBy(_.docs) }
+      val batch = graft.ops.QueryRegistry
+        .byName("q188_cusum_drift")
+        .fn(spark, sfDir)
+        .collect()
+        .map(r =>
+          r.getString(0) -> CusumReport(
+            r.getString(0),
+            r.getAs[Long]("docs"),
+            r.getAs[Long]("max_up_cusum"),
+            r.getAs[Long]("max_down_cusum"),
+            r.getAs[Long]("net_drift")
+          )
+        )
+        .toMap
+      assert(batch.nonEmpty && batch.keySet == lastByKey.keySet)
+      batch.foreach { case (k, exp) =>
+        assert(lastByKey(k) == exp, s"key $k: stream ${lastByKey(k)} != batch $exp")
+      }
+    } finally q.stop()
+  }
 }
