@@ -1120,6 +1120,38 @@ object DedupOps {
               |ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Directed syndication flow: q151's cross-source pair matrix with the
+    // DIRECTION restored — in every verified near-dup pair the lower
+    // doc_id is the earlier arrival (ingest order), so (source of the
+    // earlier) → (source of the later) counts who ORIGINATES content and
+    // who re-serves it. Asymmetric rows (A→B ≫ B→A) identify mirror/
+    // aggregator sources whose whole intake is derivative — candidates
+    // for source-level down-weighting (q177) rather than per-doc dedup.
+    // Same metadata-sized post-join as q151, one extra inequality filter.
+    Q(
+      "q190_syndication_flow",
+      (s, d) => {
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        lshPairs(s, d, 0.8)
+          .select(col("doc_a"), col("doc_b"))
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .filter(col("sa") =!= col("sb"))
+          .groupBy(col("sa").as("origin_source"), col("sb").as("derived_source"))
+          .agg(count(lit(1)).as("pairs"))
+          .orderBy(col("origin_source"), col("derived_source"))
+      },
+      Some(s"""${sqlPairsCte(0.8)}
+              |SELECT x.source AS origin_source, y.source AS derived_source,
+              |  count(*) AS pairs
+              |FROM pairs
+              |JOIN documents x ON x.doc_id = doc_a
+              |JOIN documents y ON y.doc_id = doc_b
+              |WHERE x.source <> y.source
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Duplicate-graph triangle census: the structural audit of the
     // near-dup pair graph itself. Verified LSH pairs should form dense,
     // clique-like clusters (a template re-served many times yields all

@@ -109,7 +109,17 @@ final case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched left rows")
+    )
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -171,10 +181,14 @@ final case class AsOfJoinExec(
                 cont = rNext != null
               } else cont = false
             }
-            if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0)
+            if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0) {
               ready = outProj(joined(l, matchRow))
-            else if (isOuter)
+              numOutputRows += 1
+              numMatchedRows += 1
+            } else if (isOuter) {
               ready = outProj(joined(l, nullRight))
+              numOutputRows += 1
+            }
           }
         }
 

@@ -124,6 +124,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(p).size >= 2, s"children not sorted:\n$p")
   }
 
+  test("bucketed sides join with NO exchange — the pre-partitioned layout pays zero shuffle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof_bkt").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (clicks, views) = clicksAndViews
+      graft.ops.Bucketing.writeBucketed(clicks, "user_id", 4, "graft_clicks_bkt", s"$tmp/c")
+      graft.ops.Bucketing.writeBucketed(views, "v_user", 4, "graft_views_bkt", s"$tmp/v")
+      val df = AsOf.asofJoin(
+        spark.table("graft_clicks_bkt"),
+        spark.table("graft_views_bkt"),
+        Seq("user_id"),
+        Seq("v_user"),
+        "ts",
+        "vts",
+        rightTieBreak = Seq("view_id")
+      )
+      val n = df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin"), s"native operator missing:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed as-of join still exchanged:\n$p")
+      val plain = AsOf
+        .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts", Seq("view_id"))
+        .count()
+      assert(n == plain, s"bucketed rows $n != plain rows $plain")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_clicks_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_views_bkt")
+    }
+  }
+
   test("randomized differential: native merge equals an in-memory reference on skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
