@@ -1152,6 +1152,118 @@ object DedupOps {
               |ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Lexical-embedding consistency audit: do the TEXT near-dup pairs
+    // (verified 3-gram Jaccard ≥ 0.8) actually sit close in EMBEDDING
+    // space, against a deterministic control pairing (vec i ↔ vec i+137)?
+    // A small separation means the embedding model is blind to the
+    // duplication the lexical pipeline sees — SemDeDup (q114) and ANN
+    // dedup (q42) would silently miss what MinHash catches. All integer:
+    // quantized int64 dots, floor(√·) norms (IEEE-exact), and sign-safe
+    // division at both the per-pair cosine and the means (Spark `div`
+    // truncates, DuckDB `//` floors on negatives — control cosines go
+    // negative). Dup side rides the persisted verified pairs; control is
+    // one self-equi-join on a shifted id.
+    Q(
+      "q191_lexical_embedding_consistency",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn(
+            "n2",
+            graft.functions.VectorFunctions.quantizedDot(col("v"), col("v"), 64)
+          )
+          .withColumn("isq", expr("CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)"))
+          .filter(col("isq") > 0L)
+          .select(col("vec_id"), col("v"), col("isq"))
+        def pairStats(pairs: DataFrame, nName: String, mName: String) = {
+          val scored = pairs
+            .select(
+              (when(col("dot") < 0L, -1L).otherwise(lit(1L)) *
+                expr("(abs(dot) * 10000L) div (isq_a * isq_b)")).as("cos_bp")
+            )
+          scored.agg(
+            count(lit(1)).as(nName),
+            sum(col("cos_bp")).as("ssum")
+          ).withColumn(
+            mName,
+            when(
+              col(nName) > 0L,
+              when(col("ssum") < 0L, -1L).otherwise(lit(1L)) *
+                expr(s"abs(ssum) div $nName")
+            )
+          ).drop("ssum")
+        }
+        val dup = pairStats(
+          lshPairs(s, d, 0.8)
+            .join(e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("isq").as("isq_a")), "doc_a")
+            .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("isq").as("isq_b")), "doc_b")
+            .withColumn("dot", graft.functions.VectorFunctions.quantizedDot(col("va"), col("vb"), 64)),
+          "dup_pairs",
+          "dup_mean_cos_bp"
+        )
+        val ctrl = pairStats(
+          e.as("a")
+            .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 137L)
+            .select(
+              graft.functions.VectorFunctions
+                .quantizedDot(col("a.v"), col("b.v"), 64)
+                .as("dot"),
+              col("a.isq").as("isq_a"),
+              col("b.isq").as("isq_b")
+            ),
+          "ctrl_pairs",
+          "ctrl_mean_cos_bp"
+        )
+        dup
+          .crossJoin(broadcast(ctrl))
+          .withColumn("separation_bp", col("dup_mean_cos_bp") - col("ctrl_mean_cos_bp"))
+      },
+      Some(s"""${sqlPairsCte(0.8)},
+              |e AS (
+              |  SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |nn AS (
+              |  SELECT vec_id, qv,
+              |    CAST(floor(sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)))
+              |      AS BIGINT) AS isq
+              |  FROM e),
+              |nz AS (SELECT * FROM nn WHERE isq > 0),
+              |dsc AS (
+              |  SELECT (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+              |      * (abs(dot) * 10000 // (isq_a * isq_b)) AS cos_bp
+              |  FROM (
+              |    SELECT CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              |        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+              |      a.isq AS isq_a, b.isq AS isq_b
+              |    FROM pairs JOIN nz a ON a.vec_id = doc_a JOIN nz b ON b.vec_id = doc_b) t),
+              |dp AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS dup_pairs,
+              |    CASE WHEN count(*) > 0 THEN
+              |      CAST((CASE WHEN sum(cos_bp) < 0 THEN -1 ELSE 1 END)
+              |        * (abs(CAST(sum(cos_bp) AS BIGINT)) // count(*)) AS BIGINT)
+              |    END AS dup_mean_cos_bp
+              |  FROM dsc),
+              |csc AS (
+              |  SELECT (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+              |      * (abs(dot) * 10000 // (isq_a * isq_b)) AS cos_bp
+              |  FROM (
+              |    SELECT CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              |        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+              |      a.isq AS isq_a, b.isq AS isq_b
+              |    FROM nz a JOIN nz b ON b.vec_id = a.vec_id + 137) t),
+              |cp AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS ctrl_pairs,
+              |    CASE WHEN count(*) > 0 THEN
+              |      CAST((CASE WHEN sum(cos_bp) < 0 THEN -1 ELSE 1 END)
+              |        * (abs(CAST(sum(cos_bp) AS BIGINT)) // count(*)) AS BIGINT)
+              |    END AS ctrl_mean_cos_bp
+              |  FROM csc)
+              |SELECT dup_pairs, dup_mean_cos_bp, ctrl_pairs, ctrl_mean_cos_bp,
+              |  dup_mean_cos_bp - ctrl_mean_cos_bp AS separation_bp
+              |FROM dp CROSS JOIN cp""".stripMargin)
+    ),
+
     // Duplicate-graph triangle census: the structural audit of the
     // near-dup pair graph itself. Verified LSH pairs should form dense,
     // clique-like clusters (a template re-served many times yields all

@@ -277,6 +277,35 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("lexical-embedding consistency means are bounded cosines over real pair counts") {
+    val Array(r) = run("q191_lexical_embedding_consistency")
+    for (c <- Seq("dup_mean_cos_bp", "ctrl_mean_cos_bp")) {
+      val v = r.getAs[Long](c)
+      assert(v >= -10000L && v <= 10000L, s"$c = $v outside cosine bounds")
+    }
+    assert(r.getAs[Long]("ctrl_pairs") > 0L)
+    assert(
+      r.getAs[Long]("separation_bp") ==
+        r.getAs[Long]("dup_mean_cos_bp") - r.getAs[Long]("ctrl_mean_cos_bp")
+    )
+  }
+
+  test("syndication flow decomposes q151's cross-source pair mass with direction") {
+    val directed = run("q190_syndication_flow")
+    val undirected = run("q151_source_overlap")
+      .filter(r => r.getAs[String]("source_lo") != r.getAs[String]("source_hi"))
+      .map(r => (r.getAs[String]("source_lo"), r.getAs[String]("source_hi")) -> r.getAs[Long]("pairs"))
+      .toMap
+    val regrouped = directed
+      .map { r =>
+        val (a, b) = (r.getAs[String]("origin_source"), r.getAs[String]("derived_source"))
+        (if (a < b) (a, b) else (b, a)) -> r.getAs[Long]("pairs")
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(regrouped == undirected, "directed flow does not re-aggregate to the unordered matrix")
+  }
+
   test("tokenizer fertility is at least one subword per word everywhere") {
     run("q185_tokenizer_fertility").foreach { r =>
       assert(r.getAs[Long]("fertility_centi") >= 100L)
