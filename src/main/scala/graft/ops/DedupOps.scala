@@ -1264,6 +1264,50 @@ object DedupOps {
               |FROM dp CROSS JOIN cp""".stripMargin)
     ),
 
+    // Duplicate arrival-gap histogram: how far apart (in ingest order,
+    // doc_id distance) the two sides of each verified near-dup pair
+    // arrived, bucketed by power of two (floor(log₂ gap) + 1 via binary
+    // string length — no libm). Mass in the low buckets = recrawl bursts
+    // (same content re-fetched immediately → a small dedup window
+    // suffices); mass in the high buckets = archive re-serves (content
+    // resurfacing much later → admission needs the FULL history, q113's
+    // growing-bloom shape, not a sliding window). Metadata-sized: one
+    // projection over the persisted pairs, |buckets| output rows.
+    Q(
+      "q192_dup_gap_histogram",
+      (s, d) => {
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        lshPairs(s, d, 0.8)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .select(
+            length(bin(col("doc_b") - col("doc_a"))).cast("long").as("bucket"),
+            (col("doc_b") - col("doc_a")).as("gap"),
+            when(col("sa") === col("sb"), 1L).otherwise(0L).as("same_src")
+          )
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("pairs"),
+            min(col("gap")).as("min_gap"),
+            max(col("gap")).as("max_gap"),
+            sum(col("same_src")).as("same_source_pairs")
+          )
+          .orderBy(col("bucket"))
+      },
+      Some(s"""${sqlPairsCte(0.8)}
+              |SELECT CAST(length(bin(doc_b - doc_a)) AS BIGINT) AS bucket,
+              |  count(*) AS pairs,
+              |  CAST(min(doc_b - doc_a) AS BIGINT) AS min_gap,
+              |  CAST(max(doc_b - doc_a) AS BIGINT) AS max_gap,
+              |  CAST(sum(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS same_source_pairs
+              |FROM pairs
+              |JOIN documents x ON x.doc_id = doc_a
+              |JOIN documents y ON y.doc_id = doc_b
+              |GROUP BY 1
+              |ORDER BY 1""".stripMargin)
+    ),
+
     // Duplicate-graph triangle census: the structural audit of the
     // near-dup pair graph itself. Verified LSH pairs should form dense,
     // clique-like clusters (a template re-served many times yields all

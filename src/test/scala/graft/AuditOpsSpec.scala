@@ -306,6 +306,20 @@ class AuditOpsSpec extends SparkSpec {
     assert(regrouped == undirected, "directed flow does not re-aggregate to the unordered matrix")
   }
 
+  test("dup-gap buckets are true power-of-two ranges partitioning the pair set") {
+    val rows = run("q192_dup_gap_histogram")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = 1L << (b - 1)
+      val hi = (1L << b) - 1L
+      assert(r.getAs[Long]("min_gap") >= lo && r.getAs[Long]("max_gap") <= hi,
+        s"bucket $b holds gaps outside [$lo, $hi]")
+      assert(r.getAs[Long]("same_source_pairs") <= r.getAs[Long]("pairs"))
+    }
+    val total = graft.ops.DedupOps.lshPairs(spark, sfDir, 0.8).count()
+    assert(rows.map(_.getAs[Long]("pairs")).sum == total, "histogram does not partition the pairs")
+  }
+
   test("tokenizer fertility is at least one subword per word everywhere") {
     run("q185_tokenizer_fertility").foreach { r =>
       assert(r.getAs[Long]("fertility_centi") >= 100L)
