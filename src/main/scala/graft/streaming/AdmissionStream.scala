@@ -36,9 +36,34 @@ object AdmissionStream {
       explode(graft.ops.DedupOps.ngrams(graft.ops.TextOps.tokens(col("text")), 8)).as("g")
     )
 
+  /** Winnowing-fingerprint rows (doc_id, g): the MOSS-selected ~2/(w+1)
+    * subset of the 4-gram hashes (position-free component, as strings so
+    * either extractor feeds the same history schema). Same admission
+    * semantics at ~1/3 the history size — the guarantee (any shared
+    * 8-token run shares a fingerprint) matches gramsOf's 8-gram witness
+    * exactly, which is what makes the swap sound.
+    */
+  def winnowFeaturesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            graft.functions.TextFunctions
+              .winnowKeys(graft.ops.TextOps.tokens(col("text")), 4, 5),
+            x => shiftright(x, 20).cast("string")
+          )
+        ).as("g")
+      )
+      .distinct()
+
   /** Seed the history dir from the static archive. */
-  def seedHistory(docs: DataFrame, historyDir: String): Unit =
-    gramsOf(docs)
+  def seedHistory(
+      docs: DataFrame,
+      historyDir: String,
+      features: DataFrame => DataFrame = gramsOf
+  ): Unit =
+    features(docs)
       .select(col("g"))
       .withColumn("ingest_batch", lit(-1L))
       .write
@@ -56,12 +81,13 @@ object AdmissionStream {
       spark: SparkSession,
       docsStream: DataFrame,
       historyDir: String,
-      verdictDir: String
+      verdictDir: String,
+      features: DataFrame => DataFrame = gramsOf
   ): StreamingQuery =
     docsStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val g = gramsOf(batch).persist()
+        val g = features(batch).persist()
         val hist = spark.read
           .parquet(historyDir)
           .filter(col("ingest_batch") < batchId)

@@ -568,6 +568,67 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnow-fingerprint admission: same gate discipline at a fraction of the history size") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.AdmissionStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-admission")
+    val historyDir = dir.resolve("history").toString
+    val verdictDir = dir.resolve("verdicts").toString
+    val docs = graft.ops.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val archive = docs.filter(col("doc_id") < 400)
+    // the winnowing value proposition in one assertion: the SAME archive
+    // needs well under half the history rows when fingerprint-selected
+    val gramRows = AdmissionStream.gramsOf(archive).count()
+    val winRows = AdmissionStream.winnowFeaturesOf(archive).count()
+    assert(winRows * 100 < gramRows * 60, s"winnow history $winRows not < 60% of gram $gramRows")
+    AdmissionStream.seedHistory(archive, historyDir, AdmissionStream.winnowFeaturesOf)
+    val stream = MemoryStream[(Long, String)]
+    val q = AdmissionStream.start(
+      spark,
+      stream.toDF().toDF("doc_id", "text"),
+      historyDir,
+      verdictDir,
+      AdmissionStream.winnowFeaturesOf
+    )
+    try {
+      val fresh = docs
+        .filter(col("doc_id") >= 400)
+        .limit(30)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSeq
+      val copied = archive.limit(1).collect().head.getString(1)
+      stream.addData(fresh :+ ((8888L, copied)))
+      q.processAllAvailable()
+      val v = spark.read
+        .parquet(verdictDir)
+        .filter(col("ingest_batch") === 0)
+        .select("doc_id", "admitted")
+        .collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1))
+        .toMap
+      assert(!v(8888L), "verbatim archive copy must be rejected by winnow admission")
+      // exact verdict oracle: the same gate evaluated against an explicit
+      // winnow-feature history frame
+      val inc = AdmissionStream.winnowFeaturesOf((fresh :+ ((8888L, copied))).toDF("doc_id", "text"))
+      val hist = AdmissionStream.winnowFeaturesOf(archive).select("g").distinct()
+      val totals = inc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hits =
+        inc.join(hist, Seq("g"), "left_semi").groupBy("doc_id").agg(count(lit(1)).as("h"))
+      val expected = totals
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), (coalesce(col("h"), lit(0L)) * 2 < col("n")).as("adm"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1))
+        .toMap
+      (fresh.map(_._1) :+ 8888L).foreach { id =>
+        assert(v(id) == expected.getOrElse(id, true), s"winnow verdict drift for doc $id")
+      }
+    } finally q.stop()
+  }
+
   test("streaming drift monitor reports each closed window against its predecessor, matching batch") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.{DriftObs, DriftReport, DriftStream}
