@@ -1812,6 +1812,83 @@ object QualityOps {
               |ORDER BY source""".stripMargin)
     ),
 
+    // Gate-funnel attrition: the per-source survival table through the
+    // SEQUENTIAL quality gates (length → stopword ratio → classifier) —
+    // the planning view that says where corpus mass dies and which
+    // source a gate change would hit. Gates are evaluated in one corpus
+    // scan as boolean columns and folded as nested conjunctions, so the
+    // funnel is one aggregate, not one pass per stage; the classifier
+    // score reuses q174's bucket-weight scorer (one explode + broadcast
+    // join). Integer survival shares.
+    Q(
+      "q193_gate_funnel",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val weights = s
+          .range(0, 256)
+          .select(
+            col("id").as("bucket"),
+            expr(
+              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
+            ).as("wt")
+          )
+        val scored = documents(s, d)
+          .select(col("doc_id"), explode(toks).as("t"))
+          .select(
+            col("doc_id"),
+            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
+          )
+          .join(broadcast(weights), Seq("bucket"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("wt")).as("score"))
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            (size(toks) >= 30).as("g1"),
+            (TextOps.stopwordCount(toks) * 5 <= size(toks)).as("g2")
+          )
+          .join(scored, "doc_id")
+          .withColumn("g3", col("score") > 0L)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(col("g1"), 1L).otherwise(0L)).as("pass_length"),
+            sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("pass_stopword"),
+            sum(when(col("g1") && col("g2") && col("g3"), 1L).otherwise(0L)).as("pass_classifier")
+          )
+          .withColumn("survival_bp", expr("(pass_classifier * 10000L) div docs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts
+              |  FROM documents),
+              |tb AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+              |bkt AS (SELECT doc_id, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tb),
+              |w AS (SELECT i AS bucket,
+              |        ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
+              |      FROM range(0, 256) r(i)),
+              |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+              |       FROM bkt JOIN w USING (bucket) GROUP BY doc_id),
+              |g AS (SELECT source,
+              |        (len(ts) >= 30) AS g1,
+              |        (len(list_filter(ts, t -> t IN (${TextOps.stopwords
+               .map("'" + _ + "'")
+               .mkString(",")}))) * 5 <= len(ts)) AS g2,
+              |        (score > 0) AS g3
+              |      FROM tok JOIN sc USING (doc_id))
+              |SELECT source, count(*) AS docs,
+              |  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_length,
+              |  CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+              |  CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS pass_classifier,
+              |  CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) * 10000
+              |    // count(*) AS BIGINT) AS survival_bp
+              |FROM g
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    ),
+
     // Benford first-significant-digit audit of a monetary column: a
     // synthetic-data / fraud / unit-mixing canary — organically-grown
     // magnitudes follow log10(1+1/d); a uniform or truncated generator

@@ -320,6 +320,17 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("pairs")).sum == total, "histogram does not partition the pairs")
   }
 
+  test("gate funnel is monotone: each stage passes a subset of the previous") {
+    run("q193_gate_funnel").foreach { r =>
+      val d = r.getAs[Long]("docs")
+      val l = r.getAs[Long]("pass_length")
+      val s2 = r.getAs[Long]("pass_stopword")
+      val c = r.getAs[Long]("pass_classifier")
+      assert(d >= l && l >= s2 && s2 >= c && c >= 0L, s"non-monotone funnel: $d/$l/$s2/$c")
+      assert(r.getAs[Long]("survival_bp") == c * 10000L / d)
+    }
+  }
+
   test("tokenizer fertility is at least one subword per word everywhere") {
     run("q185_tokenizer_fertility").foreach { r =>
       assert(r.getAs[Long]("fertility_centi") >= 100L)
