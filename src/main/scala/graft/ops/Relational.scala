@@ -61,6 +61,57 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
 
+    // Snapshot diff / reconciliation: compare two corpus states by
+    // content hash per key — added, removed, modified, unchanged — the
+    // audit run between dataset versions before retraining ("what
+    // actually changed?"). The two states derive deterministically from
+    // the one corpus (base drops doc_id ≡ 0 mod 7; current amends
+    // doc_id ≡ 0 mod 11), so the oracle reproduces them exactly. Scale
+    // shape: each side reduces to (key, md5) BEFORE the one full-outer
+    // shuffle join — only two narrow columns ever move, never the
+    // payloads.
+    Q(
+      "q194_snapshot_diff",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val base = docs
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("hb"))
+        val curr = docs
+          .select(
+            col("doc_id"),
+            md5(
+              when(col("doc_id") % 11 === 0, concat(col("text"), lit(" amended")))
+                .otherwise(col("text"))
+            ).as("hc")
+          )
+        base
+          .join(curr, Seq("doc_id"), "full_outer")
+          .agg(
+            sum(when(col("hb").isNull, 1L).otherwise(0L)).as("added"),
+            sum(when(col("hc").isNull, 1L).otherwise(0L)).as("removed"),
+            sum(
+              when(col("hb").isNotNull && col("hc").isNotNull && col("hb") =!= col("hc"), 1L)
+                .otherwise(0L)
+            ).as("modified"),
+            sum(when(col("hb") === col("hc"), 1L).otherwise(0L)).as("unchanged")
+          )
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, md5(text) AS hb FROM documents WHERE doc_id % 7 <> 0),
+             |curr AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' amended' ELSE text END) AS hc
+             |  FROM documents)
+             |SELECT
+             |  CAST(sum(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+             |  CAST(sum(CASE WHEN hc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+             |  CAST(sum(CASE WHEN hb IS NOT NULL AND hc IS NOT NULL AND hb <> hc
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS modified,
+             |  CAST(sum(CASE WHEN hb = hc THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+             |FROM base FULL OUTER JOIN curr USING (doc_id)""".stripMargin)
+    ),
+
     // Recency-weighted event volume with EXACT integer exponential decay:
     // weight = 2^(horizon − age_days) (one-day half-life over a 30-day
     // horizon, older mass decays to 0) — power-of-two decay turns the
