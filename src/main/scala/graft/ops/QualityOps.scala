@@ -23,6 +23,37 @@ object QualityOps {
     * A zero variance (constant signal) makes correlation undefined — it
     * reports 0 instead of dividing by zero (ANSI mode throws).
     */
+  /** Exact global rank of `v` (ties broken by doc_id — a total order)
+    * WITHOUT a single-reducer sort: repartitionByRange + local sort +
+    * monotonically_increasing_id, ranks recovered by adding the 32
+    * broadcast (pid, offset) metadata rows (the q135/q91 discipline).
+    * `base` must carry (doc_id, v); the stamped frame persists so the
+    * offset reader and the join see identical ids.
+    */
+  private def globalRanks(
+      base: org.apache.spark.sql.DataFrame,
+      v: String,
+      rkName: String
+  ): org.apache.spark.sql.DataFrame = {
+    val stamped = Caches.persisted(
+      base
+        .select(col("doc_id"), col(v))
+        .repartitionByRange(32, col(v), col("doc_id"))
+        .sortWithinPartitions(col(v), col("doc_id"))
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("pid", shiftright(col("mid"), 33))
+        .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+    )
+    val w = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stamped
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    stamped
+      .join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
+      .select(col("doc_id"), (col("off") + col("loc") + 1).as(rkName))
+  }
+
   private[graft] def corrBpExpr(cov: String, varX: String, varY: String) =
     when(col(varX) === 0L || col(varY) === 0L, 0L)
       .otherwise(
@@ -1621,27 +1652,8 @@ object QualityOps {
             size(toks).cast("long").as("bt")
           )
         )
-        def ranks(v: String, rkName: String) = {
-          val stamped = Caches.persisted(
-            base
-              .select(col("doc_id"), col(v))
-              .repartitionByRange(32, col(v), col("doc_id"))
-              .sortWithinPartitions(col(v), col("doc_id"))
-              .withColumn("mid", monotonically_increasing_id())
-              .withColumn("pid", shiftright(col("mid"), 33))
-              .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-          )
-          val w = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-          val offsets = stamped
-            .groupBy(col("pid"))
-            .agg(count(lit(1)).as("cnt"))
-            .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
-          stamped
-            .join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
-            .select(col("doc_id"), (col("off") + col("loc") + 1).as(rkName))
-        }
-        ranks("a", "rka")
-          .join(ranks("bt", "rkb"), "doc_id")
+        globalRanks(base, "a", "rka")
+          .join(globalRanks(base, "bt", "rkb"), "doc_id")
           .select((col("rka") - col("rkb")).as("dd"))
           .agg(count(lit(1)).as("n"), sum(col("dd") * col("dd")).as("sum_d2"))
           .withColumn("rho_bp", expr("10000L - (60000L * sum_d2) div (n * (n * n - 1L))"))
@@ -1663,6 +1675,56 @@ object QualityOps {
              |SELECT n, sum_d2,
              |  10000 - (60000 * sum_d2) // (n * (n * n - 1)) AS rho_bp
              |FROM s""".stripMargin)
+    ),
+
+    // Joint length × quality decile grid: the 2-D view whose 1-D
+    // marginals are q156's equi-depth bins and whose single-number
+    // summary is q182's Spearman — off-diagonal mass shows WHERE the
+    // length-quality confound lives (e.g. short docs crowding the top
+    // quality deciles because the length term saturates), which decides
+    // whether gates need decoupling. Both decile assignments ride the
+    // exact range-partition rank recovery (no single-reducer sort);
+    // decile = (rank−1)·10 / n is exact integer.
+    Q(
+      "q196_joint_deciles",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val base = Caches.persisted(
+          documents(s, d).select(
+            col("doc_id"),
+            col("n_chars").cast("long").as("len"),
+            TextOps.qualityScore10k(toks).cast("long").as("q")
+          )
+        )
+        val n = base.count()
+        globalRanks(base, "len", "rkl")
+          .join(globalRanks(base, "q", "rkq"), "doc_id")
+          .select(
+            expr(s"((rkl - 1L) * 10L) div ${n}L").as("len_decile"),
+            expr(s"((rkq - 1L) * 10L) div ${n}L").as("q_decile")
+          )
+          .groupBy(col("len_decile"), col("q_decile"))
+          .agg(count(lit(1)).as("docs"))
+          .orderBy(col("len_decile"), col("q_decile"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+              |    CAST(${TextOps.sqlQuality10k("string_split_regex(trim(text), '\\s+')")}
+              |      AS BIGINT) AS q
+              |  FROM documents),
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+              |rl AS (SELECT doc_id,
+              |         CAST(row_number() OVER (ORDER BY len, doc_id) AS BIGINT) AS rkl
+              |       FROM b),
+              |rq AS (SELECT doc_id,
+              |         CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rkq
+              |       FROM b)
+              |SELECT ((rkl - 1) * 10) // n AS len_decile,
+              |  ((rkq - 1) * 10) // n AS q_decile,
+              |  count(*) AS docs
+              |FROM rl JOIN rq USING (doc_id) CROSS JOIN n
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2""".stripMargin)
     ),
 
     // Cohen's kappa between two independent quality raters — the

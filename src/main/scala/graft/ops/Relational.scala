@@ -61,6 +61,89 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
 
+    // Last-touch revenue attribution THROUGH the native as-of operator
+    // (plans/AsOfJoinExec) in left-outer mode: every purchase joins the
+    // latest preceding click of the same user (inclusive, equal-ts click
+    // counts, ties to the highest click id), unattributed purchases
+    // null-extend — then a per-day rollup of purchase counts, attribution
+    // rate and attributed revenue in exact cents. q180 proved the
+    // operator == the rank oracle; this is the operator doing the job
+    // it exists for, in its second physical shape (outer + aggregation
+    // above it, exercising the null-extension path end-to-end).
+    Q(
+      "q195_attribution",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"),
+            col("user_id").as("c_user"),
+            col("ts").as("cts")
+          )
+        graft.plans.AsOf
+          .asofJoin(
+            purchases,
+            clicks,
+            Seq("user_id"),
+            Seq("c_user"),
+            "ts",
+            "cts",
+            rightTieBreak = Seq("click_id"),
+            outer = true
+          )
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("purchases"),
+            sum(when(col("click_id").isNotNull, 1L).otherwise(0L)).as("attributed"),
+            sum(
+              when(
+                col("click_id").isNotNull,
+                expr("CAST(round(value * 100) AS BIGINT)")
+              ).otherwise(0L)
+            ).as("attributed_rev_cents"),
+            sum(
+              when(
+                col("click_id").isNotNull,
+                expr("(unix_micros(ts) - unix_micros(cts)) div 1000000L")
+              ).otherwise(0L)
+            ).as("lag_seconds")
+          )
+          .orderBy(col("day"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+             |  WHERE event_type = 'click'),
+             |m AS (
+             |  SELECT p.event_id, p.user_id, p.ts, p.value, a.click_id, a.cts FROM p
+             |  LEFT JOIN (
+             |    SELECT * FROM (
+             |      SELECT p2.event_id AS pe, c.click_id, c.cts,
+             |        row_number() OVER (PARTITION BY p2.event_id
+             |                           ORDER BY c.cts DESC, c.click_id DESC) AS rk
+             |      FROM p p2 JOIN c ON c.user_id = p2.user_id AND c.cts <= p2.ts) t
+             |    WHERE rk = 1) a ON a.pe = p.event_id)
+             |SELECT CAST(ts AS DATE) AS day,
+             |  count(*) AS purchases,
+             |  CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS attributed,
+             |  CAST(sum(CASE WHEN click_id IS NOT NULL
+             |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             |    AS attributed_rev_cents,
+             |  CAST(sum(CASE WHEN click_id IS NOT NULL
+             |    THEN (epoch_us(ts) - epoch_us(cts)) // 1000000 ELSE 0 END) AS BIGINT)
+             |    AS lag_seconds
+             |FROM m
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
+    ),
+
     // Snapshot diff / reconciliation: compare two corpus states by
     // content hash per key — added, removed, modified, unchanged — the
     // audit run between dataset versions before retraining ("what

@@ -331,6 +331,27 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("attribution never exceeds purchases and lags are non-negative") {
+    val rows = run("q195_attribution")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("attributed") <= r.getAs[Long]("purchases"))
+      assert(r.getAs[Long]("lag_seconds") >= 0L)
+      assert(r.getAs[Long]("attributed_rev_cents") >= 0L)
+    }
+    assert(rows.map(_.getAs[Long]("attributed")).sum > 0L, "no purchase ever attributed — vacuous")
+  }
+
+  test("joint decile grid partitions the corpus with balanced marginals") {
+    val rows = run("q196_joint_deciles")
+    val total = graft.ops.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("docs")).sum == total)
+    for (axis <- Seq("len_decile", "q_decile")) {
+      val marginal = rows.groupBy(_.getAs[Long](axis)).map { case (_, rs) => rs.map(_.getAs[Long]("docs")).sum }
+      assert(marginal.max - marginal.min <= 1L, s"$axis marginal imbalance: $marginal")
+    }
+  }
+
   test("tokenizer fertility is at least one subword per word everywhere") {
     run("q185_tokenizer_fertility").foreach { r =>
       assert(r.getAs[Long]("fertility_centi") >= 100L)
