@@ -250,6 +250,32 @@ object DedupOps {
        |  WHERE jaccard >= $threshold)""".stripMargin
   }
 
+  /** Shared oracle CTE prefix for the winnowing family (q175 density,
+    * q181 candidate pairs): tokens -> positioned 4-gram hashes (the
+    * hash*2^20 + pos combined key) -> per-position sliding-window-of-5
+    * minima. Window starts are valid for i <= m - 4; `t` carries source
+    * and the token list for downstream CTEs. One definition keeps the
+    * density audit and the candidate generator selecting the SAME
+    * fingerprints.
+    */
+  private def sqlWinnowCte: String =
+    s"""WITH t AS (SELECT doc_id, source, $sqlTok AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, ts,
+       |    CAST(len(ts) AS BIGINT) - 3 AS m,
+       |    unnest(range(1, greatest(CAST(len(ts) AS INTEGER) - 2, 1))) AS i
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, source, i, m,
+       |    ${TextOps.sqlHex8("md5(array_to_string(ts[i:i+3], ' '))")} * 1048576
+       |      + (i - 1) AS hk
+       |  FROM g),
+       |sel AS (
+       |  SELECT doc_id, i, m,
+       |    min(hk) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS key
+       |  FROM h)""".stripMargin
+
   /** Connected components by iterative min-label propagation over an
     * undirected edge list: every node's label converges to the smallest
     * node id reachable from it, i.e. clusters of transitively-connected
@@ -1176,10 +1202,19 @@ object DedupOps {
           .filter(col("isq") > 0L)
           .select(col("vec_id"), col("v"), col("isq"))
         def pairStats(pairs: DataFrame, nName: String, mName: String) = {
+          // floor(√n2) UNDERestimates the true norms, so the quotient can
+          // exceed 10⁴ for near-identical vectors (n2 = 8 → isq = 2 reads
+          // as 20000) — clamp to the cosine range in BOTH engines
           val scored = pairs
             .select(
-              (when(col("dot") < 0L, -1L).otherwise(lit(1L)) *
-                expr("(abs(dot) * 10000L) div (isq_a * isq_b)")).as("cos_bp")
+              greatest(
+                least(
+                  when(col("dot") < 0L, -1L).otherwise(lit(1L)) *
+                    expr("(abs(dot) * 10000L) div (isq_a * isq_b)"),
+                  lit(10000L)
+                ),
+                lit(-10000L)
+              ).as("cos_bp")
             )
           scored.agg(
             count(lit(1)).as(nName),
@@ -1230,8 +1265,8 @@ object DedupOps {
               |  FROM e),
               |nz AS (SELECT * FROM nn WHERE isq > 0),
               |dsc AS (
-              |  SELECT (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
-              |      * (abs(dot) * 10000 // (isq_a * isq_b)) AS cos_bp
+              |  SELECT greatest(least((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+              |      * (abs(dot) * 10000 // (isq_a * isq_b)), 10000), -10000) AS cos_bp
               |  FROM (
               |    SELECT CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
               |        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
@@ -1245,8 +1280,8 @@ object DedupOps {
               |    END AS dup_mean_cos_bp
               |  FROM dsc),
               |csc AS (
-              |  SELECT (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
-              |      * (abs(dot) * 10000 // (isq_a * isq_b)) AS cos_bp
+              |  SELECT greatest(least((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+              |      * (abs(dot) * 10000 // (isq_a * isq_b)), 10000), -10000) AS cos_bp
               |  FROM (
               |    SELECT CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
               |        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
@@ -1712,22 +1747,7 @@ object DedupOps {
           .withColumn("density_bp", expr("(total_fps * 10000L) div total_grams"))
           .orderBy(col("source"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, source, $sqlTok AS ts FROM documents),
-              |g AS (
-              |  SELECT doc_id, source, ts,
-              |    CAST(len(ts) AS BIGINT) - 3 AS m,
-              |    unnest(range(1, greatest(CAST(len(ts) AS INTEGER) - 2, 1))) AS i
-              |  FROM t),
-              |h AS (
-              |  SELECT doc_id, source, i, m,
-              |    ${TextOps.sqlHex8("md5(array_to_string(ts[i:i+3], ' '))")} * 1048576
-              |      + (i - 1) AS hk
-              |  FROM g),
-              |sel AS (
-              |  SELECT doc_id, i, m,
-              |    min(hk) OVER (PARTITION BY doc_id ORDER BY i
-              |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS key
-              |  FROM h),
+      Some(s"""$sqlWinnowCte,
               |fp AS (
               |  SELECT doc_id, CAST(count(DISTINCT key) AS BIGINT) AS fps
               |  FROM sel WHERE i <= m - 4 GROUP BY doc_id),
@@ -1829,21 +1849,7 @@ object DedupOps {
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS ts FROM documents),
-              |g AS (
-              |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) - 3 AS m,
-              |    unnest(range(1, greatest(CAST(len(ts) AS INTEGER) - 2, 1))) AS i
-              |  FROM t),
-              |h AS (
-              |  SELECT doc_id, i, m,
-              |    ${TextOps.sqlHex8("md5(array_to_string(ts[i:i+3], ' '))")} * 1048576
-              |      + (i - 1) AS hk
-              |  FROM g),
-              |sel AS (
-              |  SELECT doc_id, i, m,
-              |    min(hk) OVER (PARTITION BY doc_id ORDER BY i
-              |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS key
-              |  FROM h),
+      Some(s"""$sqlWinnowCte,
               |fp AS (SELECT DISTINCT doc_id, key // 1048576 AS f
               |       FROM sel WHERE i <= m - 4),
               |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -54,6 +54,49 @@ object QualityOps {
       .select(col("doc_id"), (col("off") + col("loc") + 1).as(rkName))
   }
 
+  /** The deterministic hash-classifier shared by q142/q162/q174/q183/q193:
+    * 256 md5-derived bucket weights in [−100, 100]; a document's score is
+    * the sum of its tokens' bucket weights. `base` must carry (doc_id,
+    * tok: array<string>) plus any `carry` columns, which ride through the
+    * explode and the aggregate unchanged (no join-back). ONE definition of
+    * the model feeds every gate/calibration/agreement query — they cannot
+    * drift weight-by-weight.
+    */
+  private[graft] def classifierScores(
+      s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil
+  ): org.apache.spark.sql.DataFrame = {
+    val weights = s
+      .range(256)
+      .select(
+        col("id").as("bucket"),
+        expr(
+          "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
+        ).as("wt")
+      )
+    val keys = col("doc_id") +: carry.map(col)
+    base
+      .select(keys :+ explode(col("tok")).as("t"): _*)
+      .select(keys :+ expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket"): _*)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(keys: _*)
+      .agg(sum(col("wt")).as("score"))
+  }
+
+  /** DuckDB twin of [[classifierScores]]'s weight table — embed as a CTE
+    * named `w(bucket, wt)`; the token-side bucket is
+    * [[sqlClassifierBucketExpr]] over a token column `t`.
+    */
+  private[graft] val sqlClassifierWeightCte: String =
+    s"""w AS (
+       |  SELECT i AS bucket,
+       |         ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
+       |  FROM range(0, 256) r(i))""".stripMargin
+
+  private[graft] val sqlClassifierBucketExpr: String =
+    s"""${TextOps.sqlHex8("md5(t)")} % 256"""
+
   private[graft] def corrBpExpr(cov: String, varX: String, varY: String) =
     when(col(varX) === 0L || col(varY) === 0L, 0L)
       .otherwise(
@@ -408,28 +451,12 @@ object QualityOps {
     Q(
       "q142_classifier_gate",
       (s, d) => {
-        val weights = s
-          .range(256)
-          .select(
-            col("id").as("bucket"),
-            expr(
-              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
-            ).as("wt")
-          )
-        val scored = documents(s, d)
-          .select(
-            col("doc_id"),
-            col("source"),
-            explode(TextOps.tokens(col("text"))).as("t")
-          )
-          .select(
-            col("doc_id"),
-            col("source"),
-            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
-          )
-          .join(broadcast(weights), Seq("bucket"))
-          .groupBy(col("doc_id"), col("source"))
-          .agg(sum(col("wt")).as("score"))
+        val scored = classifierScores(
+          s,
+          documents(s, d)
+            .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("tok")),
+          carry = Seq("source")
+        )
         scored
           .groupBy(col("source"))
           .agg(
@@ -450,11 +477,8 @@ object QualityOps {
               |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS t
               |  FROM documents),
               |b AS (
-              |  SELECT doc_id, source, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tok),
-              |w AS (
-              |  SELECT i AS bucket,
-              |         ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
-              |  FROM range(0, 256) r(i)),
+              |  SELECT doc_id, source, $sqlClassifierBucketExpr AS bucket FROM tok),
+              |$sqlClassifierWeightCte,
               |ds AS (
               |  SELECT doc_id, source, sum(wt) AS score
               |  FROM b JOIN w USING (bucket)
@@ -1040,14 +1064,6 @@ object QualityOps {
     Q(
       "q162_score_calibration",
       (s, d) => {
-        val weights = s
-          .range(256)
-          .select(
-            col("id").as("bucket"),
-            expr(
-              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
-            ).as("wt")
-          )
         val toksC = TextOps.tokens(col("text"))
         val docs = Caches.persisted(
           documents(s, d).select(
@@ -1056,16 +1072,7 @@ object QualityOps {
             TextOps.qualityScore10k(toksC).cast("long").as("q10k")
           )
         )
-        val scored = docs
-          .select(col("doc_id"), col("q10k"), explode(col("tok")).as("t"))
-          .select(
-            col("doc_id"),
-            col("q10k"),
-            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
-          )
-          .join(broadcast(weights), Seq("bucket"))
-          .groupBy(col("doc_id"), col("q10k"))
-          .agg(sum(col("wt")).as("score"))
+        val scored = classifierScores(s, docs, carry = Seq("q10k"))
         val base = Caches.persisted(
           scored
             .repartitionByRange(32, col("score"), col("doc_id"))
@@ -1114,11 +1121,8 @@ object QualityOps {
               |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
               |  FROM documents),
               |b AS (
-              |  SELECT doc_id, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tok),
-              |w AS (
-              |  SELECT i AS bucket,
-              |         ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
-              |  FROM range(0, 256) r(i)),
+              |  SELECT doc_id, $sqlClassifierBucketExpr AS bucket FROM tok),
+              |$sqlClassifierWeightCte,
               |q AS (
               |  SELECT doc_id,
               |    CAST(${TextOps.sqlQuality10k("string_split_regex(trim(text), '\\s+')")} AS BIGINT) AS q10k
@@ -1447,23 +1451,10 @@ object QualityOps {
     Q(
       "q174_gate_auc",
       (s, d) => {
-        val weights = s
-          .range(256)
-          .select(
-            col("id").as("bucket"),
-            expr(
-              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
-            ).as("wt")
-          )
-        val scored = documents(s, d)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-          .select(
-            col("doc_id"),
-            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
-          )
-          .join(broadcast(weights), Seq("bucket"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("wt")).as("score"))
+        val scored = classifierScores(
+          s,
+          documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("tok"))
+        )
         val labeled = scored
           .join(
             embeddings(s, d).select(col("vec_id").as("doc_id"), (col("label") < 5).as("pos")),
@@ -1502,10 +1493,8 @@ object QualityOps {
       Some(s"""WITH tok AS (
               |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
               |  FROM documents),
-              |b AS (SELECT doc_id, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tok),
-              |w AS (SELECT i AS bucket,
-              |        ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
-              |      FROM range(0, 256) r(i)),
+              |b AS (SELECT doc_id, $sqlClassifierBucketExpr AS bucket FROM tok),
+              |$sqlClassifierWeightCte,
               |ds AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
               |       FROM b JOIN w USING (bucket) GROUP BY doc_id),
               |lab AS (SELECT ds.score, (e.label < 5) AS pos
@@ -1552,7 +1541,13 @@ object QualityOps {
           .join(broadcast(r), "source")
           .join(broadcast(c), "lang")
           .crossJoin(broadcast(tot))
-          .withColumn("cx", expr("(obs * obs * n * 10000L) div (r_tot * c_tot)"))
+          // obs²·n·10⁴ ~ n³·10⁴ for a dominant cell — past ~97k docs the
+          // int64 product wraps, so it rides DECIMAL(38,0) (HUGEINT in
+          // DuckDB); each floored cell term is ≤ 10⁴·n and returns to int64
+          .withColumn(
+            "cx",
+            expr("CAST((CAST(obs AS DECIMAL(38,0)) * obs * n * 10000) div (r_tot * c_tot) AS BIGINT)")
+          )
           .agg(
             max(col("n")).as("n_docs"),
             countDistinct(col("source")).as("n_sources"),
@@ -1577,7 +1572,8 @@ object QualityOps {
              |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
              |cell AS (
              |  SELECT source, cells.lang, obs,
-             |    (obs * obs * n * 10000) // (r_tot * c_tot) AS cx
+             |    CAST((CAST(obs AS HUGEINT) * obs * n * 10000)
+             |      // (r_tot * c_tot) AS BIGINT) AS cx
              |  FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t)
              |SELECT max(n) AS n_docs,
              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
@@ -1656,7 +1652,17 @@ object QualityOps {
           .join(globalRanks(base, "bt", "rkb"), "doc_id")
           .select((col("rka") - col("rkb")).as("dd"))
           .agg(count(lit(1)).as("n"), sum(col("dd") * col("dd")).as("sum_d2"))
-          .withColumn("rho_bp", expr("10000L - (60000L * sum_d2) div (n * (n * n - 1L))"))
+          // 60000·Σd² reaches 2·10⁴·n³ (anti-correlation) and overflows
+          // int64 past ~77k rows — the product rides DECIMAL(38,0)
+          // (DuckDB: HUGEINT), exact to n ≈ 10¹¹, and only the ≤2·10⁴
+          // quotient returns to int64
+          .withColumn(
+            "rho_bp",
+            expr(
+              "10000L - CAST((CAST(60000 AS DECIMAL(38,0)) * sum_d2)" +
+                " div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
+            )
+          )
       },
       Some("""WITH b AS (
              |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
@@ -1673,7 +1679,8 @@ object QualityOps {
              |        CAST(sum(dd * dd) AS BIGINT) AS sum_d2
              |      FROM j)
              |SELECT n, sum_d2,
-             |  10000 - (60000 * sum_d2) // (n * (n * n - 1)) AS rho_bp
+             |  10000 - CAST((CAST(60000 AS HUGEINT) * sum_d2)
+             |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_bp
              |FROM s""".stripMargin)
     ),
 
@@ -1740,23 +1747,10 @@ object QualityOps {
       "q183_rater_kappa",
       (s, d) => {
         val toks = TextOps.tokens(col("text"))
-        val weights = s
-          .range(0, 256)
-          .select(
-            col("id").as("bucket"),
-            expr(
-              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
-            ).as("wt")
-          )
-        val scored = documents(s, d)
-          .select(col("doc_id"), explode(toks).as("t"))
-          .select(
-            col("doc_id"),
-            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
-          )
-          .join(broadcast(weights), Seq("bucket"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("wt")).as("score"))
+        val scored = classifierScores(
+          s,
+          documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("tok"))
+        )
         documents(s, d)
           .select(col("doc_id"), (TextOps.qualityScore10k(toks) >= 5000).as("a"))
           .join(scored, "doc_id")
@@ -1784,10 +1778,8 @@ object QualityOps {
       Some(s"""WITH tok AS (
               |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
               |tb AS (SELECT doc_id, unnest(ts) AS t FROM tok),
-              |bkt AS (SELECT doc_id, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tb),
-              |w AS (SELECT i AS bucket,
-              |        ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
-              |      FROM range(0, 256) r(i)),
+              |bkt AS (SELECT doc_id, $sqlClassifierBucketExpr AS bucket FROM tb),
+              |$sqlClassifierWeightCte,
               |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
               |       FROM bkt JOIN w USING (bucket) GROUP BY doc_id),
               |g AS (SELECT (${TextOps.sqlQuality10k("ts")} >= 5000) AS a,
@@ -1886,23 +1878,10 @@ object QualityOps {
       "q193_gate_funnel",
       (s, d) => {
         val toks = TextOps.tokens(col("text"))
-        val weights = s
-          .range(0, 256)
-          .select(
-            col("id").as("bucket"),
-            expr(
-              "cast(conv(substring(md5(concat('w:', cast(id as string))), 1, 8), 16, 10) as bigint) % 201 - 100"
-            ).as("wt")
-          )
-        val scored = documents(s, d)
-          .select(col("doc_id"), explode(toks).as("t"))
-          .select(
-            col("doc_id"),
-            expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 256").as("bucket")
-          )
-          .join(broadcast(weights), Seq("bucket"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("wt")).as("score"))
+        val scored = classifierScores(
+          s,
+          documents(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("tok"))
+        )
         documents(s, d)
           .select(
             col("doc_id"),
@@ -1926,10 +1905,8 @@ object QualityOps {
               |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts
               |  FROM documents),
               |tb AS (SELECT doc_id, unnest(ts) AS t FROM tok),
-              |bkt AS (SELECT doc_id, ${TextOps.sqlHex8("md5(t)")} % 256 AS bucket FROM tb),
-              |w AS (SELECT i AS bucket,
-              |        ${TextOps.sqlHex8("md5('w:' || CAST(i AS VARCHAR))")} % 201 - 100 AS wt
-              |      FROM range(0, 256) r(i)),
+              |bkt AS (SELECT doc_id, $sqlClassifierBucketExpr AS bucket FROM tb),
+              |$sqlClassifierWeightCte,
               |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
               |       FROM bkt JOIN w USING (bucket) GROUP BY doc_id),
               |g AS (SELECT source,

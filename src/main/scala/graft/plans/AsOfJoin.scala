@@ -147,23 +147,39 @@ final case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(out, out)
 
       new Iterator[InternalRow] {
-        // lookahead right row (copied: Unsafe buffers are reused by the
-        // child iterator) plus its key/time projections
+        // lookahead right row and its key/time projections. None of the
+        // three is copied at fetch: the child's row buffer stays valid
+        // until the NEXT rIter.next(), which only happens when this row
+        // is consumed — so a blocking lookahead survives across left
+        // rows for free, and discarded rows cost zero allocations.
         private var rNext: InternalRow = _
         private var rNextKey: InternalRow = _
         private var rNextTime: InternalRow = _
-        // most recent right row emitted for some key, with its key copy;
-        // valid for a left row iff the keys still compare equal
+        // most recent right row emitted for some key (copied — it must
+        // outlive its buffer), with its key copy; valid for a left row
+        // iff the keys still compare equal
         private var matchRow: InternalRow = _
         private var matchKey: InternalRow = _
         private var ready: InternalRow = _
 
-        private def fetchRight(): Unit =
-          if (rIter.hasNext) {
-            rNext = rIter.next().copy()
-            rNextKey = rKeyProj(rNext).copy()
-            rNextTime = rTimeProj(rNext).copy()
-          } else rNext = null
+        // SQL as-of semantics: a NULL key never equals anything and a
+        // NULL time never satisfies `rightTime <= leftTime` (the rank
+        // oracle's `v.ts <= c.ts` discards NULLs) — null-keyed/timed
+        // right rows can never match, so skip them at fetch; null-keyed/
+        // timed left rows match nothing (null-extended when outer).
+        private def fetchRight(): Unit = {
+          rNext = null
+          while (rNext == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyProj(r)
+            val t = rTimeProj(r)
+            if (!k.anyNull && !t.isNullAt(0)) {
+              rNext = r
+              rNextKey = k
+              rNextTime = t
+            }
+          }
+        }
 
         fetchRight()
 
@@ -172,16 +188,17 @@ final case class AsOfJoinExec(
             val l = lIter.next()
             val lKey = lKeyProj(l)
             val lTime = lTimeProj(l)
-            var cont = rNext != null
+            val lNull = lKey.anyNull || lTime.isNullAt(0)
+            var cont = !lNull && rNext != null
             while (cont) {
               val c = keyOrd.compare(rNextKey, lKey)
               if (c < 0 || (c == 0 && timeOrd.compare(rNextTime, lTime) <= 0)) {
-                if (c == 0) { matchRow = rNext; matchKey = rNextKey }
+                if (c == 0) { matchRow = rNext.copy(); matchKey = rNextKey.copy() }
                 fetchRight()
                 cont = rNext != null
               } else cont = false
             }
-            if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0) {
+            if (!lNull && matchRow != null && keyOrd.compare(matchKey, lKey) == 0) {
               ready = outProj(joined(l, matchRow))
               numOutputRows += 1
               numMatchedRows += 1
@@ -238,14 +255,18 @@ object AsOf {
     val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)
     val rOut = rAliases.map(_.toAttribute)
-    def la(n: String): Attribute =
-      lPlan.output
-        .find(_.name == n)
-        .getOrElse(throw new IllegalArgumentException(s"as-of join: no column '$n' on the left side"))
-    def ra(n: String): Attribute =
-      rOut
-        .find(_.name == n)
-        .getOrElse(throw new IllegalArgumentException(s"as-of join: no column '$n' on the right side"))
+    def resolve(attrs: Seq[Attribute], n: String, side: String): Attribute =
+      attrs.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() =>
+          throw new IllegalArgumentException(s"as-of join: no column '$n' on the $side side")
+        case many => // silent first-match binding would return wrong rows
+          throw new IllegalArgumentException(
+            s"as-of join: column '$n' is ambiguous on the $side side (${many.size} matches)"
+          )
+      }
+    def la(n: String): Attribute = resolve(lPlan.output, n, "left")
+    def ra(n: String): Attribute = resolve(rOut, n, "right")
     GraftColumns.ofRows(
       spark,
       AsOfJoinPlan(

@@ -100,6 +100,40 @@ class AsOfJoinSpec extends SparkSpec {
     )
   }
 
+  test("SQL null semantics: null keys/times never match; ambiguous names are rejected") {
+    import spark.implicits._
+    val left = Seq(
+      (Option("k"), Option(10L), "l1"), // normal match
+      (Option.empty[String], Option(5L), "l2"), // null key → never matches
+      (Option("k"), Option.empty[Long], "l3") // null time → never matches
+    ).toDF("k", "t", "lname")
+    val right = Seq(
+      (Option("k"), Option(8L), "r8"),
+      (Option.empty[String], Option(1L), "rNullKey"), // skipped at fetch
+      (Option("k"), Option.empty[Long], "rNullTime") // skipped at fetch
+    ).toDF("rk", "rt", "rname")
+    val inner = AsOf
+      .asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("lname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(inner == Set(("l1", "r8")), s"got $inner")
+    val outer = AsOf
+      .asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt", Nil, outer = true)
+      .select(col("lname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .toSet
+    assert(outer == Set(("l1", Some("r8")), ("l2", None), ("l3", None)), s"got $outer")
+    // duplicate column names must fail loudly, not bind the first match
+    val dup = left.select(col("k"), col("k"), col("t"))
+    val err = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(dup, right, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(err.getMessage.contains("ambiguous"))
+  }
+
   test("empty right side: inner empties, outer keeps every left row null-extended") {
     import spark.implicits._
     val left = Seq(("a", 1L), ("b", 2L)).toDF("k", "t")
