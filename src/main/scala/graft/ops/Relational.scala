@@ -61,6 +61,80 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
 
+    // Sweep-line temporal concurrency: how many sessions are OPEN in each
+    // hour — the interval-overlap aggregation (peak-load / capacity
+    // planning) that a point-in-interval join (q84) cannot answer without
+    // joining every timestamp against every interval. Sessions (30-min
+    // gap rule, q12's definition extended with per-user session ids)
+    // reduce to ±1 deltas at their start/end hours; the running sum over
+    // the CHANGE-POINT hours — bounded by calendar hours, metadata-sized
+    // like q157's daily grid — is the concurrency step function. O(n)
+    // in events, never O(intervals × probes).
+    Q(
+      "q197_concurrency",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn(
+            "ns",
+            when(
+              col("prev_us").isNull ||
+                unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000,
+              1L
+            ).otherwise(0L)
+          )
+          .withColumn("sid", sum(col("ns")).over(byUser))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(
+            min(unix_micros(col("ts"))).as("s_us"),
+            max(unix_micros(col("ts"))).as("e_us")
+          )
+        val deltas = sess
+          .select(expr("s_us div 3600000000L").as("hour_bucket"), lit(1L).as("d"))
+          .unionAll(
+            sess.select(expr("e_us div 3600000000L + 1L").as("hour_bucket"), lit(-1L).as("d"))
+          )
+        val w = Window.orderBy(col("hour_bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .groupBy(col("hour_bucket"))
+          .agg(sum(col("d")).as("delta"))
+          .withColumn("concurrent", sum(col("delta")).over(w))
+          .orderBy(col("hour_bucket"))
+      },
+      Some("""WITH t1 AS (
+             |  SELECT user_id, event_id, ts,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev_us
+             |  FROM events),
+             |t2 AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM t1),
+             |t3 AS (
+             |  SELECT user_id, ts,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+             |  FROM t2),
+             |sess AS (
+             |  SELECT user_id, sid,
+             |    CAST(min(epoch_us(ts)) AS BIGINT) AS s_us,
+             |    CAST(max(epoch_us(ts)) AS BIGINT) AS e_us
+             |  FROM t3 GROUP BY 1, 2),
+             |d AS (
+             |  SELECT s_us // 3600000000 AS hour_bucket, 1 AS dd FROM sess
+             |  UNION ALL
+             |  SELECT e_us // 3600000000 + 1, -1 FROM sess),
+             |bh AS (SELECT hour_bucket, CAST(sum(dd) AS BIGINT) AS delta
+             |       FROM d GROUP BY hour_bucket)
+             |SELECT hour_bucket, delta,
+             |  CAST(sum(delta) OVER (ORDER BY hour_bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS concurrent
+             |FROM bh
+             |ORDER BY hour_bucket""".stripMargin)
+    ),
+
     // Last-touch revenue attribution THROUGH the native as-of operator
     // (plans/AsOfJoinExec) in left-outer mode: every purchase joins the
     // latest preceding click of the same user (inclusive, equal-ts click

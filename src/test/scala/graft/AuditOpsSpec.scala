@@ -352,6 +352,15 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("session concurrency is a valid step function: non-negative, closing to zero") {
+    val rows = run("q197_concurrency") // already ordered by hour_bucket
+    rows.foreach(r => assert(r.getAs[Long]("concurrent") >= 0L, "negative concurrency"))
+    assert(rows.last.getAs[Long]("concurrent") == 0L, "sessions did not all close")
+    val opened = rows.map(_.getAs[Long]("delta")).filter(_ > 0).sum
+    assert(opened > 0L, "no sessions opened — vacuous")
+    assert(rows.map(_.getAs[Long]("delta")).sum == 0L, "unbalanced open/close deltas")
+  }
+
   test("tokenizer fertility is at least one subword per word everywhere") {
     run("q185_tokenizer_fertility").foreach { r =>
       assert(r.getAs[Long]("fertility_centi") >= 100L)
