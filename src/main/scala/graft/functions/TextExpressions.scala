@@ -564,6 +564,13 @@ final class WinnowKeysHelper(k: Int, w: Int) extends Serializable {
     val nTok = arr.numElements()
     val m = nTok - k + 1 // gram count
     if (m < w) return new GenericArrayData(Array.empty[Any])
+    // Positions occupy the low 20 bits of the combined key; a document with
+    // >= 2^20 grams would bleed position into the hash component and corrupt
+    // every shiftright(key, 20) extraction downstream. Fail loud instead.
+    require(
+      m < 1048576,
+      s"graft_winnow supports at most 2^20-1 grams per document (got $m); " +
+        "split the document before fingerprinting")
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {

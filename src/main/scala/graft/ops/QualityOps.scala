@@ -30,7 +30,7 @@ object QualityOps {
     * `base` must carry (doc_id, v); the stamped frame persists so the
     * offset reader and the join see identical ids.
     */
-  private def globalRanks(
+  private[graft] def globalRanks(
       base: org.apache.spark.sql.DataFrame,
       v: String,
       rkName: String
@@ -38,6 +38,11 @@ object QualityOps {
     val stamped = Caches.persisted(
       base
         .select(col("doc_id"), col(v))
+        // Spark sorts NULLs first while the DuckDB oracles' ORDER BY
+        // defaults to NULLS LAST — exclude NULLs so the tie conventions
+        // can never diverge on nullable inputs (ranks of NULL are
+        // meaningless for every caller: Spearman, deciles, Gini).
+        .where(col(v).isNotNull)
         .repartitionByRange(32, col(v), col("doc_id"))
         .sortWithinPartitions(col(v), col("doc_id"))
         .withColumn("mid", monotonically_increasing_id())

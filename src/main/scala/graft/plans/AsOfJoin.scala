@@ -255,8 +255,11 @@ object AsOf {
     val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)
     val rOut = rAliases.map(_.toAttribute)
+    // honor the session's case-sensitivity setting (spark.sql.caseSensitive)
+    // like every other DataFrame API, keeping the ambiguity check
+    val nameMatches = spark.sessionState.conf.resolver
     def resolve(attrs: Seq[Attribute], n: String, side: String): Attribute =
-      attrs.filter(_.name == n) match {
+      attrs.filter(a => nameMatches(a.name, n)) match {
         case Seq(a) => a
         case Seq() =>
           throw new IllegalArgumentException(s"as-of join: no column '$n' on the $side side")

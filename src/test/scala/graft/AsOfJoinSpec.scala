@@ -134,6 +134,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(err.getMessage.contains("ambiguous"))
   }
 
+  test("column resolution honors spark.sql.caseSensitive like the DataFrame API") {
+    import spark.implicits._
+    val left = Seq(("k", 10L, "l1")).toDF("k", "ts", "lname")
+    val right = Seq(("k", 8L, "r8")).toDF("rk", "rts", "rname")
+    // default caseSensitive=false: "TS" must resolve to "ts"
+    val rows = AsOf
+      .asofJoin(left, right, Seq("K"), Seq("Rk"), "TS", "RTS")
+      .select(col("lname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(rows == Set(("l1", "r8")), s"got $rows")
+    // with caseSensitive=true the same lookup must fail loudly
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        AsOf.asofJoin(left, right, Seq("k"), Seq("rk"), "TS", "rts")
+      }
+      assert(err.getMessage.contains("no column"))
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("empty right side: inner empties, outer keeps every left row null-extended") {
     import spark.implicits._
     val left = Seq(("a", 1L), ("b", 2L)).toDF("k", "t")

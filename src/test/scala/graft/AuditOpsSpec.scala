@@ -16,6 +16,24 @@ class AuditOpsSpec extends SparkSpec {
   private def run(name: String): Array[Row] =
     QueryRegistry.byName(name).fn(spark, sfDir).collect()
 
+  test("globalRanks excludes NULL values so rank ties can't diverge from the oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      (1L, Option(30L)),
+      (2L, Option.empty[Long]), // Spark sorts NULLs first, DuckDB last — must be excluded
+      (3L, Option(10L)),
+      (4L, Option(20L)),
+      (5L, Option.empty[Long])
+    ).toDF("doc_id", "v")
+    val got = graft.ops.QualityOps
+      .globalRanks(base, "v", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got == Map(3L -> 1L, 4L -> 2L, 1L -> 3L), s"got $got")
+  }
+
   test("TVD is zero on identical mixes, scale-invariant, and maximal on disjoint ones") {
     val a = Map("x" -> 3L, "y" -> 7L)
     assert(MixStream.tvdBp(a, a) == 0L)

@@ -122,6 +122,25 @@ class TextExprSpec extends SparkSpec {
     assert(r.getSeq[Long](0).isEmpty)
   }
 
+  test("winnowing rejects documents beyond the 2^20-gram position envelope") {
+    // positions pack into the low 20 bits of hash·2²⁰+pos — beyond 2^20
+    // grams they would silently corrupt shiftright(key, 20) extractions,
+    // so the helper must fail loud instead
+    val e = intercept[Exception] {
+      spark
+        .range(1)
+        .select(
+          TextFunctions
+            .winnowKeys(transform(sequence(lit(1), lit(1048600)), _ => lit("t")), 4, 5)
+            .as("fp")
+        )
+        .first()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("2^20")), s"unexpected error: $e")
+  }
+
   test("top n-gram ties break to the binary-smallest gram") {
     // "ababa": trigrams aba(2), bab(1) → aba; "abcabc": abc(2),bca(1),cab(1)
     // "aabb": aab(1), abb(1) → tie → aab
