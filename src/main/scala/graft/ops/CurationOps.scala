@@ -291,6 +291,63 @@ object CurationOps {
       }
     ),
 
+    // Deterministic WEIGHTED sampling without replacement (priority
+    // sampling, Duffield–Lund–Thorup): each document draws a stable
+    // pseudo-uniform u from md5(doc_id) and competes with priority u/w
+    // where w = token count — the k smallest priorities form a sample
+    // whose inclusion probability is proportional to weight (long
+    // documents count for more token mass, so token-weighted stats from
+    // the sample are unbiased). Everything is integer: u ∈ [1, 2¹⁶] from
+    // the first 4 md5 hex chars, pri = u·10⁶ div w, ties broken by
+    // doc_id — bit-identical across engines and runs, unlike rand().
+    // Scale shape: map-only scoring then orderBy.limit(k) =
+    // TakeOrderedAndProject (per-partition top-k + single k-row merge);
+    // no global sort, no window, survives any corpus size.
+    Q(
+      "q199_weighted_sample",
+      (s, d) => {
+        val scored = documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n")
+          )
+          .withColumn(
+            "pri",
+            expr(
+              """(cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) + 1L)
+                | * 1000000L div greatest(n, 1L)""".stripMargin
+            )
+          )
+          .orderBy(col("pri"), col("doc_id"))
+          .limit(100)
+        val w = Window.orderBy(col("pri"), col("doc_id"))
+        // ranking AFTER the 100-row top-k: the single-partition window
+        // only ever sees k rows (the q128 discipline)
+        scored
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .orderBy(col("rk"))
+      },
+      Some {
+        val hex4 = (1 to 4)
+          .map(i =>
+            s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
+          )
+          .mkString("(", " + ", ")")
+        s"""WITH scored AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+           |    (CAST($hex4 AS BIGINT) + 1) * 1000000
+           |      // greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS pri
+           |  FROM documents),
+           |top AS (SELECT * FROM scored ORDER BY pri, doc_id LIMIT 100)
+           |SELECT doc_id, source, n, CAST(pri AS BIGINT) AS pri,
+           |  CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS rk
+           |FROM top
+           |ORDER BY rk""".stripMargin
+      }
+    ),
+
     // Per-source document cap — the repetition-control pass every corpus
     // mix runs (cap any one domain/source at N docs so it can't dominate
     // the mixture). Selection is deterministic: rank by md5(doc_id) with

@@ -1867,6 +1867,78 @@ object DedupOps {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // Overlap-span LOCALIZATION — the step after detection (q181 says
+    // WHICH pairs overlap; this says WHERE and HOW MUCH of each document
+    // the overlap covers). Winnowing keys carry their gram position in
+    // the low 20 bits, so the matched fingerprints of a candidate pair
+    // bound the shared region on each side for free: span = max(pos) −
+    // min(pos) + k+w−1 tokens (every fingerprint witnesses a full 8-token
+    // window). Coverage in bp of each doc's token length separates
+    // full-document duplicates (cov ≈ 10⁴ both sides) from partial
+    // overlaps — a quote, a shared boilerplate header — which a plain
+    // Jaccard score conflates. ≥3 matched fingerprints gates out
+    // single-hash coincidences. Scale shape: the identical posting-list
+    // equi-join as q181 (never all-pairs), then pair-level metadata
+    // aggregates and two broadcast-sized length joins.
+    Q(
+      "q198_overlap_span",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val keys = docs.select(
+          col("doc_id"),
+          explode(graft.functions.TextFunctions.winnowKeys(col("toks"), 4, 5)).as("key")
+        )
+        val k = keys.select(
+          col("doc_id"),
+          shiftright(col("key"), 20).as("f"),
+          col("key").bitwiseAND(lit(1048575L)).as("pos")
+        )
+        val pairs = k.as("a")
+          .join(k.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(
+            countDistinct(col("a.f")).as("matched"),
+            (max(col("a.pos")) - min(col("a.pos")) + 8L).as("span_a"),
+            (max(col("b.pos")) - min(col("b.pos")) + 8L).as("span_b")
+          )
+          .filter(col("matched") >= 3L)
+        val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+        pairs
+          .join(lens.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(lens.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            col("matched"),
+            col("span_a"),
+            col("span_b"),
+            expr("span_a * 10000L div na").as("cov_a_bp"),
+            expr("span_b * 10000L div nb").as("cov_b_bp")
+          )
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$sqlWinnowCte,
+              |k AS (SELECT DISTINCT doc_id, key // 1048576 AS f,
+              |        key % 1048576 AS pos
+              |      FROM sel WHERE i <= m - 4),
+              |pr AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(count(DISTINCT a.f) AS BIGINT) AS matched,
+              |    CAST(max(a.pos) - min(a.pos) + 8 AS BIGINT) AS span_a,
+              |    CAST(max(b.pos) - min(b.pos) + 8 AS BIGINT) AS span_b
+              |  FROM k a JOIN k b ON a.f = b.f AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |  HAVING count(DISTINCT a.f) >= 3),
+              |ln AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM t)
+              |SELECT doc_a, doc_b, matched, span_a, span_b,
+              |  span_a * 10000 // la.n AS cov_a_bp,
+              |  span_b * 10000 // lb.n AS cov_b_bp
+              |FROM pr JOIN ln la ON la.doc_id = doc_a
+              |        JOIN ln lb ON lb.doc_id = doc_b
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // Duplication-affinity lift: how much MORE likely a verified near-dup
     // pair is to sit inside one source than independence predicts —
     // observed same-source pair share over the share of same-source pairs
