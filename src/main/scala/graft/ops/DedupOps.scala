@@ -1939,6 +1939,56 @@ object DedupOps {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // Dedup survivorship-bias audit: does near-dup removal systematically
+    // drop BETTER or WORSE documents than it keeps? Compares the kept vs
+    // dropped cohorts (q34's drop rule: doc_b of any verified pair) on
+    // mean quality and mean length — a dedup pass that preferentially
+    // eats high-quality docs (e.g. canonical wire stories syndicated
+    // everywhere) silently shifts the training distribution, and nothing
+    // in the dedup metrics themselves (pair counts, cluster sizes) can
+    // see it. Integer means via floor(sum/count) — exact cross-engine.
+    // Scale shape: the drop-id set is pair-bounded (broadcast), the
+    // corpus makes ONE pass, and the output is two rows.
+    Q(
+      "q200_dedup_quality_bias",
+      (s, d) => {
+        val drops = lshPairs(s, d, 0.8)
+          .select(col("doc_b").as("doc_id"))
+          .distinct()
+          .withColumn("hit", lit(1L))
+        val toks = TextOps.tokens(col("text"))
+        documents(s, d)
+          .join(broadcast(drops), Seq("doc_id"), "left")
+          .select(
+            when(col("hit").isNotNull, "dropped").otherwise("kept").as("cohort"),
+            TextOps.qualityScore10k(toks).cast("long").as("q10k"),
+            size(toks).cast("long").as("n")
+          )
+          .groupBy(col("cohort"))
+          .agg(
+            count(lit(1)).as("docs"),
+            expr("sum(q10k) div count(1)").as("mean_q_units"),
+            expr("sum(n) div count(1)").as("mean_tokens")
+          )
+          .orderBy(col("cohort"))
+      },
+      Some(s"""${sqlPairsCte(0.8)},
+              |sc AS (
+              |  SELECT doc_id,
+              |    CAST(${TextOps.sqlQuality10k("string_split_regex(trim(text), '\\s+')")}
+              |      AS BIGINT) AS q10k,
+              |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+              |  FROM documents)
+              |SELECT CASE WHEN doc_id IN (SELECT doc_b FROM pairs)
+              |         THEN 'dropped' ELSE 'kept' END AS cohort,
+              |  count(*) AS docs,
+              |  CAST(sum(q10k) // count(*) AS BIGINT) AS mean_q_units,
+              |  CAST(sum(n) // count(*) AS BIGINT) AS mean_tokens
+              |FROM sc
+              |GROUP BY 1
+              |ORDER BY 1""".stripMargin)
+    ),
+
     // Duplication-affinity lift: how much MORE likely a verified near-dup
     // pair is to sit inside one source than independence predicts —
     // observed same-source pair share over the share of same-source pairs

@@ -15,6 +15,66 @@ class StreamingOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("streaming priority sample is exactly the batch bottom-k under splits and redelivery") {
+    import graft.streaming.{SampleDoc, SampleStream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (1L to 30L).map(i => SampleDoc(i, s"src${i % 3}", 10L + (i * 7L) % 50L))
+    val stream = MemoryStream[SampleDoc]
+    val events = SampleStream.sample(stream.toDS(), k = 8)
+    val q = events.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sample_events")
+      .start()
+    try {
+      stream.addData(docs.take(10))
+      q.processAllAvailable()
+      // redeliver 5 already-seen docs alongside fresh ones
+      stream.addData(docs.slice(5, 20))
+      q.processAllAvailable()
+      stream.addData(docs.drop(20) ++ docs.take(3)) // more redelivery
+      q.processAllAvailable()
+      val ev = spark
+        .table("sample_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      val admitted = ev.filter(_._3 == "admit").map(e => e._1 -> e._2).toMap
+      val evicted = ev.filter(_._3 == "evict").map(_._1).toSet
+      val live = admitted.keySet -- evicted
+      val expect = docs
+        .map(dc => (SampleStream.priorityOf(dc.docId, dc.nTokens), dc.docId))
+        .sorted
+        .take(8)
+        .map(_._2)
+        .toSet
+      assert(live == expect, s"live=$live expected=$expect")
+      // no duplicate admits (redelivery burned nothing)
+      assert(ev.count(_._3 == "admit") == admitted.size, "duplicate admit events")
+      // every evict had a prior admit
+      assert(evicted.subsetOf(admitted.keySet), "evict without admit")
+    } finally q.stop()
+  }
+
+  test("stream priority formula is bit-identical to the q199 SQL expression") {
+    import graft.streaming.SampleStream
+    val rows = spark
+      .range(1, 200)
+      .selectExpr(
+        "id",
+        "10 + (id * 7) % 50 AS n",
+        """(cast(conv(substring(md5(cast(id as string)), 1, 4), 16, 10) as bigint) + 1L)
+          | * 1000000L div greatest(10 + (id * 7) % 50, 1L)""".stripMargin
+      )
+      .collect()
+    rows.foreach { r =>
+      val (id, n, sqlPri) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(
+        SampleStream.priorityOf(id, n) == sqlPri,
+        s"priority mismatch for id=$id n=$n"
+      )
+    }
+  }
+
   test("streaming graft_top_k holds k-row state per group and matches batch") {
     // GroupTopK's merge is associative and its buffer is k pairs, so it
     // drops into a streaming aggregation with FIXED-size state per group
