@@ -1939,6 +1939,89 @@ object DedupOps {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // Partial-dedup SALVAGE accounting — what whole-doc dropping wastes.
+    // q198 localizes each pair's shared region; this prices the two
+    // possible actions per affected doc (the later doc_id of each pair):
+    // overlap covering ≥90% of the doc → drop it (it IS the duplicate);
+    // below → trim the shared span and keep the remainder — the
+    // quote/boilerplate case where dropping would throw away mostly-novel
+    // text. Per-doc worst-case maxima over its pairs (largest coverage,
+    // largest span) make the accounting conservative and well-defined
+    // when a doc appears in several pairs. Per source: docs and token
+    // mass dropped, trimmed span mass, and the salvaged tokens a
+    // drop-only policy would have destroyed. Scale shape: q198's
+    // posting-list equi-join, then doc- and source-level metadata rolls.
+    Q(
+      "q201_overlap_salvage",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+        val k = docs
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextFunctions.winnowKeys(col("toks"), 4, 5)).as("key")
+          )
+          .select(
+            col("doc_id"),
+            shiftright(col("key"), 20).as("f"),
+            col("key").bitwiseAND(lit(1048575L)).as("pos")
+          )
+        val lens = docs.select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n"))
+        val perDoc = k.as("a")
+          .join(k.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(
+            countDistinct(col("a.f")).as("matched"),
+            (max(col("b.pos")) - min(col("b.pos")) + 8L).as("span_b")
+          )
+          .filter(col("matched") >= 3L)
+          .groupBy(col("doc_b").as("doc_id"))
+          .agg(max(col("span_b")).as("worst_span"))
+        perDoc
+          .join(lens, "doc_id")
+          .withColumn("worst_span", least(col("worst_span"), col("n")))
+          .withColumn("cov_bp", expr("worst_span * 10000L div n"))
+          .groupBy(col("source"))
+          .agg(
+            sum(when(col("cov_bp") >= 9000L, 1L).otherwise(0L)).as("docs_dropped"),
+            sum(when(col("cov_bp") >= 9000L, col("n")).otherwise(0L)).as("tokens_dropped"),
+            sum(when(col("cov_bp") < 9000L, 1L).otherwise(0L)).as("docs_trimmed"),
+            sum(when(col("cov_bp") < 9000L, col("worst_span")).otherwise(0L)).as("tokens_trimmed"),
+            sum(when(col("cov_bp") < 9000L, col("n") - col("worst_span")).otherwise(0L))
+              .as("tokens_salvaged")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""$sqlWinnowCte,
+              |k AS (SELECT DISTINCT doc_id, key // 1048576 AS f,
+              |        key % 1048576 AS pos
+              |      FROM sel WHERE i <= m - 4),
+              |pr AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(max(b.pos) - min(b.pos) + 8 AS BIGINT) AS span_b
+              |  FROM k a JOIN k b ON a.f = b.f AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |  HAVING count(DISTINCT a.f) >= 3),
+              |pd AS (SELECT doc_b AS doc_id, max(span_b) AS worst_span
+              |       FROM pr GROUP BY 1),
+              |sc AS (
+              |  SELECT t.source, least(pd.worst_span, len(t.ts)) AS worst_span,
+              |    CAST(len(t.ts) AS BIGINT) AS n,
+              |    least(pd.worst_span, len(t.ts)) * 10000 // len(t.ts) AS cov_bp
+              |  FROM pd JOIN t ON t.doc_id = pd.doc_id)
+              |SELECT source,
+              |  CAST(sum(CASE WHEN cov_bp >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped,
+              |  CAST(sum(CASE WHEN cov_bp >= 9000 THEN n ELSE 0 END) AS BIGINT) AS tokens_dropped,
+              |  CAST(sum(CASE WHEN cov_bp < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS docs_trimmed,
+              |  CAST(sum(CASE WHEN cov_bp < 9000 THEN worst_span ELSE 0 END) AS BIGINT)
+              |    AS tokens_trimmed,
+              |  CAST(sum(CASE WHEN cov_bp < 9000 THEN n - worst_span ELSE 0 END) AS BIGINT)
+              |    AS tokens_salvaged
+              |FROM sc
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    ),
+
     // Dedup survivorship-bias audit: does near-dup removal systematically
     // drop BETTER or WORSE documents than it keeps? Compares the kept vs
     // dropped cohorts (q34's drop rule: doc_b of any verified pair) on
