@@ -1147,6 +1147,65 @@ object Relational {
              |ORDER BY o_orderpriority""".stripMargin)
     ),
 
+    // KEYED point-in-interval containment through the NATIVE sweep-line
+    // join (plans/IntervalJoinExec): assign every event to its user's
+    // 30-min-gap session by interval membership and count members per
+    // session. Where Spark's own planning of `equi-key AND t BETWEEN s,e`
+    // buffers each key's whole interval group and post-filters
+    // (points×intervals per hot key), the native exec merges both sorted
+    // sides once with only the ACTIVE intervals buffered — linear in
+    // input+output, memory bounded by per-key overlap degree (here 1:
+    // sessions are disjoint). Every event lands in exactly one session,
+    // so Σ n_events telescopes to |events| — the membership invariant the
+    // oracle re-derives relationally. Complements q84 (keyless variant →
+    // hour-bucket blocking) and q180 (as-of = "latest before" where this
+    // is "all covering").
+    Q(
+      "q202_session_membership",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val sess = ev
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn(
+            "new_s",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1L)
+              .otherwise(0L)
+          )
+          .withColumn("sid", sum(col("new_s")).over(w))
+          .groupBy(col("user_id").as("s_user"), col("sid"))
+          .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+        graft.plans.Interval
+          .intervalJoin(ev, sess, Seq("user_id"), Seq("s_user"), "us", "s_start", "s_end")
+          .groupBy(col("s_user").as("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_events"), min(col("s_start")).as("s_start"))
+          .orderBy(col("user_id"), col("sid"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |sess AS (
+             |  SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+             |  FROM s3 GROUP BY 1, 2)
+             |SELECT sess.user_id, CAST(sess.sid AS BIGINT) AS sid,
+             |  count(*) AS n_events, CAST(min(s_start) AS BIGINT) AS s_start
+             |FROM e JOIN sess ON e.user_id = sess.user_id
+             |  AND e.us >= sess.s_start AND e.us <= sess.s_end
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Point-in-interval range join, bucketed: for every error event, how
     // many user sessions (30-min-gap sessionization, any user) were active
     // at that instant. A naive interval join is an inequality-only join —

@@ -1,0 +1,335 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending,
+  Attribute,
+  Expression,
+  GenericInternalRow,
+  JoinedRow,
+  RowOrdering,
+  SortOrder,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Logical keyed INTERVAL-CONTAINMENT join: for every left (point) row,
+  * every right (interval) row with the same key and
+  * `rightStart <= leftTime <= rightEnd` (both bounds inclusive),
+  * null-extended on the right when `outer` and no interval contains the
+  * point.
+  *
+  * Spark plans an equi-key join with range predicates as a sort-merge
+  * join on the key ONLY: every right row of the key group is buffered and
+  * the range condition filters AFTER the match — a hot key degrades to
+  * points×intervals work and a group-sized buffer. This node plans to
+  * [[IntervalJoinExec]], a sweep-line merge: both sides hash-partitioned
+  * by key and sorted by (key, time) / (key, start), then one forward pass
+  * per partition holding only the ACTIVE intervals (started, not yet
+  * ended) — memory bounded by the key's maximum concurrent-overlap
+  * degree, never its row count, and work linear in input + output. The
+  * sibling of [[AsOfJoinPlan]] for "which intervals cover this instant"
+  * (sessionization containment, validity/SCD-2 windows, concurrency
+  * queries — the q84/q197 family keyed per entity).
+  */
+final case class IntervalJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightStart: Expression,
+    rightEnd: Expression,
+    outer: Boolean
+) extends BinaryNode {
+
+  require(
+    leftKeys.length == rightKeys.length,
+    s"interval join key arity mismatch: ${leftKeys.length} vs ${rightKeys.length}"
+  )
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan,
+      newRight: LogicalPlan
+  ): IntervalJoinPlan = copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping [[IntervalJoinPlan]] to [[IntervalJoinExec]] —
+  * registered through `GraftExtensions` (injectPlannerStrategy) or
+  * imperatively via `spark.experimental.extraStrategies`.
+  */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinPlan(l, r, lk, rk, lt, rs, re, outer) =>
+      IntervalJoinExec(lk, rk, lt, rs, re, outer, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sweep-line interval-containment join. Required distribution: both
+  * sides clustered on the join keys (the same single shuffle a sort-merge
+  * join pays, and none when the sides are bucketed by key). Required
+  * ordering: left (key, time), right (key, start), both ascending. Each
+  * partition then merges forward once: right intervals of the current key
+  * enter the active buffer as their start passes the sweep position,
+  * leave it as soon as their end falls behind, and every left point emits
+  * one row per interval still active — so per-partition memory is the
+  * maximum number of intervals simultaneously covering one instant of one
+  * key (the overlap degree), not the key's group size, and total work is
+  * O(input + output).
+  *
+  * SQL semantics: NULL keys/times/bounds never match (skipped at fetch on
+  * the right; matched-against-nothing on the left); inverted intervals
+  * (end < start) contain no instant and fall out naturally.
+  */
+final case class IntervalJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightStart: Expression,
+    rightEnd: Expression,
+    outer: Boolean,
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rightStart).map(SortOrder(_, Ascending))
+    )
+
+  // output rows follow left row order within each left partition
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched left rows"),
+      "maxActiveIntervals" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createSizeMetric(sparkContext, "peak active intervals per task")
+    )
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
+    val maxActive = longMetric("maxActiveIntervals")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rStartExpr = rightStart
+    val rEndExpr = rightEnd
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val out = output
+    val isOuter = outer
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rBoundsProj = UnsafeProjection.create(Seq(rStartExpr, rEndExpr), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      // bind against `out` (right side nullable when outer), NOT the raw
+      // child schemas — BoundReference takes nullability from the input
+      // schema and a non-nullable binding compiles away the null check
+      val outProj = UnsafeProjection.create(out, out)
+
+      new Iterator[InternalRow] {
+        // lookahead right row (uncopied — valid until the next fetch) with
+        // its key and (start, end) projections
+        private var rNext: InternalRow = _
+        private var rNextKey: InternalRow = _
+        private var rNextBounds: InternalRow = _
+        // active intervals of the current left key: (copied row, copied
+        // end-bound single-field row), insertion-ordered by start
+        private val active = new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]
+        private var activeKey: InternalRow = _ // copied key `active` belongs to
+        private var peak = 0L
+        // projected output rows pending for the current left row; LAZY:
+        // `joined`/`outProj` are reused buffers, valid under the standard
+        // Spark row-reuse contract (each returned row is overwritten by
+        // the next `next()`), and `active`/`l` cannot mutate while
+        // pending drains — advance() only runs once pending is exhausted
+        private var pending: Iterator[InternalRow] = Iterator.empty
+
+        // single-field extractors over the 2-field (start, end) bounds
+        // row, so timeOrd can compare either bound against a left time;
+        // pre-bound expressions (no input-schema binding)
+        private val startRowOf = UnsafeProjection.create(
+          Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(0, timeType, nullable = false))
+        )
+        private val endRowOf = UnsafeProjection.create(
+          Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(1, timeType, nullable = false))
+        )
+
+        // NULL key/start/end right rows can never contain a point — skip
+        // at fetch. Rows are copied only when buffered.
+        private def fetchRight(): Unit = {
+          rNext = null
+          while (rNext == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyProj(r)
+            val b = rBoundsProj(r)
+            if (!k.anyNull && !b.anyNull) {
+              rNext = r
+              rNextKey = k
+              rNextBounds = b
+            }
+          }
+        }
+
+        fetchRight()
+
+        private def advance(): Unit = {
+          while (!pending.hasNext && lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            val lTime = lTimeProj(l)
+            val lNull = lKey.anyNull || lTime.isNullAt(0)
+            if (!lNull) {
+              // key change: the active set belongs to a previous key
+              if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
+                active.clear()
+                activeKey = lKey.copy()
+              }
+              // admit right intervals: skip keys before ours outright;
+              // same-key intervals whose start has passed either enter
+              // the active set or — if their end also lies behind the
+              // sweep — die on arrival, never buffered
+              var cont = rNext != null
+              while (cont) {
+                val c = keyOrd.compare(rNextKey, lKey)
+                if (c < 0) {
+                  fetchRight(); cont = rNext != null
+                } else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
+                  if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
+                    active += ((rNext.copy(), rNextBounds.copy()))
+                  }
+                  fetchRight(); cont = rNext != null
+                } else cont = false
+              }
+              // evict intervals that ended before this point
+              if (active.nonEmpty) {
+                var i = 0
+                while (i < active.length) {
+                  if (timeOrd.compare(endRowOf(active(i)._2), lTime) < 0) {
+                    active.remove(i)
+                  } else i += 1
+                }
+              }
+              if (peak < active.length) { peak = active.length; maxActive.set(peak) }
+              if (active.nonEmpty) {
+                numMatchedRows += 1
+                numOutputRows += active.length
+                pending = active.toVector.iterator.map(a => outProj(joined(l, a._1)))
+              } else if (isOuter) {
+                numOutputRows += 1
+                pending = Iterator.single(outProj(joined(l, nullRight)))
+              }
+            } else if (isOuter) {
+              numOutputRows += 1
+              pending = Iterator.single(outProj(joined(l, nullRight)))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); pending.hasNext }
+
+        override def next(): InternalRow = {
+          advance()
+          if (!pending.hasNext) throw new NoSuchElementException("empty interval iterator")
+          pending.next()
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan,
+      newRight: SparkPlan
+  ): IntervalJoinExec = copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry point for the native interval join. Columns are
+  * named (resolved against each side's analyzed plan through the
+  * session's resolver); the right side is re-aliased behind fresh exprIds
+  * so self-joins can't collide.
+  */
+object Interval {
+  import org.apache.spark.sql.{DataFrame, GraftColumns}
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightStart: String,
+      rightEnd: String,
+      outer: Boolean = false
+  ): DataFrame = {
+    val spark = left.sparkSession
+    graft.GraftExtensions.register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rOut = rAliases.map(_.toAttribute)
+    val nameMatches = spark.sessionState.conf.resolver
+    def resolve(attrs: Seq[Attribute], n: String, side: String): Attribute =
+      attrs.filter(a => nameMatches(a.name, n)) match {
+        case Seq(a) => a
+        case Seq() =>
+          throw new IllegalArgumentException(s"interval join: no column '$n' on the $side side")
+        case many =>
+          throw new IllegalArgumentException(
+            s"interval join: column '$n' is ambiguous on the $side side (${many.size} matches)"
+          )
+      }
+    def la(n: String): Attribute = resolve(lPlan.output, n, "left")
+    def ra(n: String): Attribute = resolve(rOut, n, "right")
+    val lt = la(leftTime)
+    val rs = ra(rightStart)
+    val re = ra(rightEnd)
+    require(
+      rs.dataType == lt.dataType && re.dataType == lt.dataType,
+      s"interval join time/bound types must match: ${lt.dataType} vs ${rs.dataType}/${re.dataType}"
+    )
+    GraftColumns.ofRows(
+      spark,
+      IntervalJoinPlan(
+        lPlan,
+        rPlan,
+        leftKeys.map(la),
+        rightKeys.map(ra),
+        lt,
+        rs,
+        re,
+        outer
+      )
+    )
+  }
+}

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Interval
+
+/** Native sweep-line interval-containment join
+  * ([[graft.plans.IntervalJoinExec]]) pinned to hand-checked fixtures for
+  * the edge semantics (inclusive bounds, multi-containment fan-out,
+  * inverted/null intervals, outer null-extension), to a plain
+  * equi-key + range-filter Spark join on real events, to a randomized
+  * in-memory reference on skewed data, and to the zero-Exchange bucketed
+  * layout.
+  */
+class IntervalJoinSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("interval semantics: inclusive bounds, fan-out, key isolation, dead intervals") {
+    import spark.implicits._
+    val points = Seq(
+      ("k1", 10L, "p10"), // == start of r[10,20] (inclusive)
+      ("k1", 20L, "p20"), // == end of r[10,20] AND inside r[15,25] → 2 rows
+      ("k1", 26L, "p26"), // inside r[15,25]? no (26>25); nothing
+      ("k1", 5L, "p5"), // before everything
+      ("k2", 12L, "p12"), // k2 has only an inverted interval → nothing
+      ("k3", 7L, "p7") // single containing interval after k2's miss
+    ).toDF("k", "t", "pname")
+    val ivals = Seq(
+      ("k1", 10L, 20L, "r_a"),
+      ("k1", 15L, 25L, "r_b"),
+      ("k2", 30L, 20L, "r_inv"), // inverted: contains no instant
+      ("k3", 7L, 7L, "r_pt") // degenerate single-instant interval
+    ).toDF("rk", "s", "e", "rname")
+
+    val inner = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .select(col("pname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(
+      inner == Set(
+        ("p10", "r_a"),
+        ("p20", "r_a"),
+        ("p20", "r_b"),
+        ("p7", "r_pt")
+      ),
+      s"got $inner"
+    )
+
+    val outer = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e", outer = true)
+      .select(col("pname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .toSet
+    assert(
+      outer == Set(
+        ("p10", Some("r_a")),
+        ("p20", Some("r_a")),
+        ("p20", Some("r_b")),
+        ("p26", None),
+        ("p5", None),
+        ("p12", None),
+        ("p7", Some("r_pt"))
+      ),
+      s"got $outer"
+    )
+  }
+
+  test("SQL null semantics: null keys/times/bounds never match; ambiguity rejected") {
+    import spark.implicits._
+    val points = Seq(
+      (Option("k"), Option(10L), "p1"),
+      (Option.empty[String], Option(10L), "pNullKey"),
+      (Option("k"), Option.empty[Long], "pNullTime")
+    ).toDF("k", "t", "pname")
+    val ivals = Seq(
+      (Option("k"), Option(5L), Option(15L), "rOk"),
+      (Option.empty[String], Option(1L), Option(99L), "rNullKey"),
+      (Option("k"), Option.empty[Long], Option(99L), "rNullStart"),
+      (Option("k"), Option(1L), Option.empty[Long], "rNullEnd")
+    ).toDF("rk", "s", "e", "rname")
+    val inner = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .select(col("pname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(inner == Set(("p1", "rOk")), s"got $inner")
+    val outer = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e", outer = true)
+      .select(col("pname"), col("rname"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .toSet
+    assert(
+      outer == Set(("p1", Some("rOk")), ("pNullKey", None), ("pNullTime", None)),
+      s"got $outer"
+    )
+    val dup = points.select(col("k"), col("k"), col("t"))
+    val err = intercept[IllegalArgumentException] {
+      Interval.intervalJoin(dup, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+    }
+    assert(err.getMessage.contains("ambiguous"))
+  }
+
+  test("native join equals the equi-key + range-filter join on real sessions") {
+    val ev = graft.ops.Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn(
+        "new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("user_id").as("s_user"), col("sid"))
+      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+    val native = Interval
+      .intervalJoin(ev, sess, Seq("user_id"), Seq("s_user"), "us", "s_start", "s_end")
+      .select(col("event_id"), col("sid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val plain = ev
+      .join(
+        sess,
+        col("user_id") === col("s_user") &&
+          col("us") >= col("s_start") && col("us") <= col("s_end")
+      )
+      .select(col("event_id"), col("sid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(native == plain, s"native minus plain: ${(native -- plain).take(3)}; plain minus native: ${(plain -- native).take(3)}")
+    assert(native.nonEmpty, "interval join produced no rows at sf0.001")
+  }
+
+  test("plan: IntervalJoinExec with co-partitioned sorted children, no BNLJ/cartesian") {
+    import spark.implicits._
+    val points = spark.range(100).selectExpr("id % 7 AS k", "id AS t")
+    val ivals = spark.range(50).selectExpr("id % 7 AS rk", "id AS s", "id + 10 AS e")
+    val df = Interval.intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("IntervalJoin"), s"native operator missing from plan:\n$p")
+    assert(
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic join shape:\n$p"
+    )
+    assert("hashpartitioning\\(k".r.findAllIn(p).nonEmpty, s"left not clustered by key:\n$p")
+    assert("hashpartitioning\\(rk".r.findAllIn(p).nonEmpty, s"right not clustered by key:\n$p")
+    assert("Sort \\[".r.findAllIn(p).size >= 2, s"children not sorted:\n$p")
+  }
+
+  test("bucketed sides join with NO exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ival_bkt").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = graft.ops.Tables
+        .events(spark, sf)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val sess = ev
+        .groupBy(col("user_id").as("s_user"))
+        .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+      graft.ops.Bucketing.writeBucketed(ev, "user_id", 4, "graft_pts_bkt", s"$tmp/p")
+      graft.ops.Bucketing.writeBucketed(sess, "s_user", 4, "graft_iv_bkt", s"$tmp/i")
+      val df = Interval.intervalJoin(
+        spark.table("graft_pts_bkt"),
+        spark.table("graft_iv_bkt"),
+        Seq("user_id"),
+        Seq("s_user"),
+        "us",
+        "s_start",
+        "s_end"
+      )
+      val n = df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("IntervalJoin"), s"native operator missing:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed interval join still exchanged:\n$p")
+      assert(n > 0, "bucketed join empty")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_pts_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_iv_bkt")
+    }
+  }
+
+  test("randomized differential: sweep-line equals an in-memory reference on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 4) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val points = Seq.fill(200)((rnd.nextInt(nKeys).toLong, rnd.nextInt(60).toLong, rnd.nextLong()))
+      val ivals = Seq.fill(120) {
+        val s = rnd.nextInt(60).toLong
+        // mix of short, long, degenerate and inverted intervals
+        (rnd.nextInt(nKeys).toLong, s, s + rnd.nextInt(20) - 4L, rnd.nextLong())
+      }
+      val got = Interval
+        .intervalJoin(
+          points.toDF("k", "t", "pid"),
+          ivals.toDF("rk", "s", "e", "rid"),
+          Seq("k"),
+          Seq("rk"),
+          "t",
+          "s",
+          "e",
+          outer = true
+        )
+        .select(col("pid"), col("rid"))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .sorted(Ordering.by((x: (Long, Option[Long])) => (x._1, x._2)))
+      val expected = points.flatMap { case (k, t, pid) =>
+        val m = ivals.filter(iv => iv._1 == k && iv._2 <= t && t <= iv._3)
+        if (m.isEmpty) Seq((pid, Option.empty[Long])) else m.map(iv => (pid, Some(iv._4)))
+      }.sorted(Ordering.by((x: (Long, Option[Long])) => (x._1, x._2)))
+      assert(got.toSeq == expected, s"trial $trial diverged (nKeys=$nKeys)")
+    }
+  }
+
+  test("self-join from one cached source: fresh right exprIds avoid ambiguity") {
+    import spark.implicits._
+    val base = Seq(("k", 1L, 5L), ("k", 3L, 9L)).toDF("k", "t", "e")
+    // each row's t against both rows' [t, e] windows
+    val n = Interval.intervalJoin(base, base, Seq("k"), Seq("k"), "t", "t", "e").count()
+    assert(n == 3, s"got $n") // t=1∈[1,5]; t=3∈[1,5] and [3,9]
+  }
+}
