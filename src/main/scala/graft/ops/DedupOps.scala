@@ -1939,6 +1939,77 @@ object DedupOps {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // Degree assortativity of the duplicate graph — do heavily-duplicated
+    // documents link to other heavily-duplicated documents (assortative,
+    // r > 0: mirror/aggregator cliques re-serving each other) or to
+    // one-off copies (disassortative, r < 0: hub-and-spoke — one canonical
+    // wire story quoted by many singletons)? The Newman degree-correlation
+    // coefficient over directed edge endpoints (each undirected verified
+    // pair counted both ways, so the x/y marginals coincide and one
+    // denominator serves both). Integer-exact: r's numerator m·Σxy−(Σx)²
+    // and denominator m·Σx²−(Σx)² stay in int64 (m ≈ 10³ pairs, deg ≤
+    // 10² ⇒ m·Σxy ≲ 10¹⁰; re-shard beyond ~10⁶·deg² — the q145 envelope),
+    // sign carried outside the division so Spark div and DuckDB // agree.
+    // Scale shape: rides the persisted pairs; degrees are one rollup,
+    // edge-stat moments one more — all edge-list-sized.
+    Q(
+      "q204_degree_assortativity",
+      (s, d) => {
+        val e = lshPairs(s, d, 0.8).select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+        sym
+          .join(deg.select(col("node").as("a"), col("dg").as("dx")), "a")
+          .join(deg.select(col("node").as("b"), col("dg").as("dy")), "b")
+          .agg(
+            count(lit(1)).as("m"),
+            sum(col("dx")).as("sx"),
+            sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sx2")
+          )
+          .select(
+            col("m"),
+            col("sx"),
+            col("sxy"),
+            col("sx2"),
+            expr("m * sxy - sx * sx").as("num"),
+            expr("m * sx2 - sx * sx").as("den"),
+            // den = m·Σx²−(Σx)² is a scaled variance: ≥ 0 always, so the
+            // sign of r is the sign of num alone — kept outside the
+            // division (Spark div truncates, DuckDB // floors; they agree
+            // only on non-negative operands)
+            expr(
+              """CASE WHEN m * sx2 - sx * sx = 0 THEN 0L
+                | WHEN m * sxy - sx * sx < 0
+                |   THEN -(((sx * sx - m * sxy) * 10000L) div (m * sx2 - sx * sx))
+                | ELSE ((m * sxy - sx * sx) * 10000L) div (m * sx2 - sx * sx) END"""
+                .stripMargin
+            ).as("assort_bp")
+          )
+      },
+      Some(s"""${sqlPairsCte(0.8)},
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+              |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+              |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS dg
+              |        FROM sym GROUP BY 1),
+              |st AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS m,
+              |    CAST(sum(dx.dg) AS BIGINT) AS sx,
+              |    CAST(sum(dx.dg * dy.dg) AS BIGINT) AS sxy,
+              |    CAST(sum(dx.dg * dx.dg) AS BIGINT) AS sx2
+              |  FROM sym JOIN deg dx ON dx.node = sym.a
+              |           JOIN deg dy ON dy.node = sym.b)
+              |SELECT m, sx, sxy, sx2,
+              |  m * sxy - sx * sx AS num,
+              |  m * sx2 - sx * sx AS den,
+              |  CASE WHEN m * sx2 - sx * sx = 0 THEN 0
+              |    WHEN m * sxy - sx * sx < 0
+              |      THEN -(((sx * sx - m * sxy) * 10000) // (m * sx2 - sx * sx))
+              |    ELSE ((m * sxy - sx * sx) * 10000) // (m * sx2 - sx * sx) END
+              |    AS assort_bp
+              |FROM st""".stripMargin)
+    ),
+
     // Partial-dedup SALVAGE accounting — what whole-doc dropping wastes.
     // q198 localizes each pair's shared region; this prices the two
     // possible actions per affected doc (the later doc_id of each pair):

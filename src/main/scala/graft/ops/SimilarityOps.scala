@@ -120,6 +120,41 @@ object SimilarityOps {
          |  i -> ($coef) * $embCol[i])) >= 0 THEN '1' ELSE '0' END""".stripMargin
     }.mkString(" || ")
 
+  /** LSH-bucketed 1-NN graph (q127's candidate discipline, shared with
+    * q203's hubness audit): per vector, the highest-cosine neighbor
+    * within its hyperplane bucket, ties to the lowest id. Pair volume is
+    * Σ per-bucket n² — never the corpus cross product — and the argmax is
+    * one map-side-combinable max_by, no window.
+    */
+  def annGraphNN(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), emb(col("embedding")).as("v"))
+      .withColumn("bucket", bucketExpr(col("v")))
+      .withColumn("nv", norm(col("v")))
+    val a = e.select(col("bucket"), col("vec_id"), col("v"), col("nv"))
+    val b = e.select(
+      col("bucket"),
+      col("vec_id").as("nn_id"),
+      col("v").as("vb"),
+      col("nv").as("nb")
+    )
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(
+        col("vec_id"),
+        col("nn_id"),
+        round(dot(col("v"), col("vb")) / (col("nv") * col("nb")), 6).as("cosine")
+      )
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(
+          struct(col("nn_id"), col("cosine")),
+          struct(col("cosine"), negate(col("nn_id")))
+        ).as("best")
+      )
+      .select(col("vec_id"), col("best.nn_id").as("nn_id"), col("best.cosine").as("cosine"))
+  }
+
   /** Packed sign signature (array<long>, 64 planes per word) for the
     * banded candidate pass — one codegen'd evaluation of all
     * NumBands×BandBits planes per row.
@@ -1025,40 +1060,7 @@ object SimilarityOps {
     // neighbor id (max_by on (cosine, -nn_id)).
     Q(
       "q127_ann_graph",
-      (s, d) => {
-        val e = embeddings(s, d)
-          .select(col("vec_id"), emb(col("embedding")).as("v"))
-          .withColumn("bucket", bucketExpr(col("v")))
-          .withColumn("nv", norm(col("v")))
-        val a = e.select(
-          col("bucket"),
-          col("vec_id"),
-          col("v"),
-          col("nv")
-        )
-        val b = e.select(
-          col("bucket"),
-          col("vec_id").as("nn_id"),
-          col("v").as("vb"),
-          col("nv").as("nb")
-        )
-        a.join(b, Seq("bucket"))
-          .filter(col("vec_id") =!= col("nn_id"))
-          .select(
-            col("vec_id"),
-            col("nn_id"),
-            round(dot(col("v"), col("vb")) / (col("nv") * col("nb")), 6).as("cosine")
-          )
-          .groupBy(col("vec_id"))
-          .agg(
-            max_by(
-              struct(col("nn_id"), col("cosine")),
-              struct(col("cosine"), negate(col("nn_id")))
-            ).as("best")
-          )
-          .select(col("vec_id"), col("best.nn_id").as("nn_id"), col("best.cosine").as("cosine"))
-          .orderBy(col("vec_id"))
-      },
+      (s, d) => annGraphNN(s, d).orderBy(col("vec_id")),
       Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
               |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bucket,
               |        sqrt(list_dot_product(v, v)) AS nv
@@ -1073,6 +1075,55 @@ object SimilarityOps {
               |  FROM p) t
               |WHERE rk = 1
               |ORDER BY vec_id""".stripMargin)
+    ),
+
+    // Hubness audit over the ANN graph — the k-occurrence distribution
+    // (Radovanović et al.): how many vectors chose each vector as THEIR
+    // nearest neighbor. High-dimensional embedding spaces concentrate
+    // nearest-neighbor votes onto a few "hub" points, which silently
+    // dominate retrieval results and distort ANN-based dedup/mining;
+    // antihubs (in-degree 0) are the unreachable tail ANN recall metrics
+    // never see. The histogram of in-degrees is the standard one-glance
+    // diagnosis (a heavy right tail = hubness problem; compare against
+    // the Poisson-ish shape a well-behaved space gives). Rides q127's
+    // bucketed 1-NN graph (shared helper — Σ per-bucket n² candidate
+    // cost, never all-pairs); everything after is graph-metadata-sized:
+    // one in-degree aggregate, a left join to bring antihubs in, one
+    // histogram rollup.
+    Q(
+      "q203_hubness",
+      (s, d) => {
+        val nn = annGraphNN(s, d)
+        val indeg = nn.groupBy(col("nn_id")).agg(count(lit(1)).as("indeg"))
+        embeddings(s, d)
+          .select(col("vec_id"))
+          .join(indeg.withColumnRenamed("nn_id", "vec_id"), Seq("vec_id"), "left")
+          .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
+          .groupBy(col("indeg"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("indeg"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bucket,
+              |        sqrt(list_dot_product(v, v)) AS nv
+              |      FROM e),
+              |p AS (
+              |  SELECT a.vec_id AS vec_id, c.vec_id AS nn_id,
+              |    round(list_dot_product(a.v, c.v) / (a.nv * c.nv), 6) AS cosine
+              |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+              |nn AS (SELECT vec_id, nn_id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |            ORDER BY cosine DESC, nn_id) AS rk
+              |  FROM p) t WHERE rk = 1),
+              |ind AS (
+              |  SELECT e.vec_id,
+              |    CAST(coalesce(c.cnt, 0) AS BIGINT) AS indeg
+              |  FROM e LEFT JOIN (SELECT nn_id, count(*) AS cnt FROM nn GROUP BY 1) c
+              |    ON c.nn_id = e.vec_id)
+              |SELECT indeg, count(*) AS n_vectors
+              |FROM ind
+              |GROUP BY indeg
+              |ORDER BY indeg""".stripMargin)
     ),
 
     // Similarity-graph centrality (bounded PageRank): two damped power-
