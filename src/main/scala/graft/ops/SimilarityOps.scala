@@ -1077,6 +1077,155 @@ object SimilarityOps {
               |ORDER BY vec_id""".stripMargin)
     ),
 
+    // Multi-probe LSH recall curve (Lv et al.): how much of the exact
+    // top-10 the bucketed index retrieves when probing the query's own
+    // bucket (radius 0), all 8 one-bit-flip buckets (radius 1) and all 28
+    // two-bit-flip buckets (radius 2) — against how many candidates each
+    // tier costs. THE tuning artifact for an LSH index: recall rises with
+    // probe radius while candidate volume (the verify-tier cost) grows,
+    // and the curve says where to stop. Ground truth is q90's exact
+    // integer-quantized top-10 (5 anchor queries, tiny broadcast);
+    // probing is a literal 37-combo explode per anchor (no join against
+    // a combos table — keeps the plan equi-join only), candidates come
+    // from ONE bucket equi-join, and each candidate keeps its MINIMUM
+    // radius so tiers telescope. Scale shape: probe volume is
+    // anchors × 37 rows; the candidate join is bucket-keyed; the exact
+    // top-10 is the only corpus-linear pass.
+    Q(
+      "q205_multiprobe_recall",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("bucket", bucketExpr(col("v")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket").as("qb"))
+        val scored = e
+          .join(broadcast(q.select(col("query_id"), col("qv"))), col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            graft.functions.VectorFunctions.quantizedDot(col("qv"), col("v"), 64).as("qs")
+          )
+        val w = Window.partitionBy(col("query_id")).orderBy(col("qs").desc, col("neighbor_id"))
+        val truth = scored
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("query_id").as("t_query"), col("neighbor_id"))
+        val combos =
+          Seq((0, 0)) ++ (1 to NumPlanes).map(i => (i, 0)) ++
+            (for { i <- 1 to NumPlanes; j <- i + 1 to NumPlanes } yield (i, j))
+        val comboArr = array(combos.map { case (i, j) =>
+          struct(lit(i).as("i"), lit(j).as("j"))
+        }: _*)
+        val pb = q
+          .select(col("query_id"), col("qb"), explode(comboArr).as("c"))
+          .select(col("query_id"), col("qb"), col("c.i").as("i"), col("c.j").as("j"))
+          .withColumn(
+            "radius",
+            when(col("i") === 0, 0L).when(col("j") === 0, 1L).otherwise(2L)
+          )
+          .withColumn(
+            "f1",
+            expr(
+              """CASE WHEN i = 0 THEN qb
+                | ELSE concat(substring(qb, 1, i - 1),
+                |   CASE WHEN substring(qb, i, 1) = '1' THEN '0' ELSE '1' END,
+                |   substring(qb, i + 1)) END""".stripMargin
+            )
+          )
+          .withColumn(
+            "probe",
+            expr(
+              """CASE WHEN j = 0 THEN f1
+                | ELSE concat(substring(f1, 1, j - 1),
+                |   CASE WHEN substring(f1, j, 1) = '1' THEN '0' ELSE '1' END,
+                |   substring(f1, j + 1)) END""".stripMargin
+            )
+          )
+        val cand = pb
+          .join(e.select(col("bucket").as("probe"), col("vec_id").as("cand_id")), "probe")
+          .filter(col("cand_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("cand_id"))
+          .agg(min(col("radius")).as("r"))
+        cand
+          .join(
+            truth,
+            col("query_id") === col("t_query") && col("cand_id") === col("neighbor_id"),
+            "left"
+          )
+          .select(
+            col("query_id"),
+            col("r"),
+            when(col("neighbor_id").isNotNull, 1L).otherwise(0L).as("hit")
+          )
+          .select(
+            col("query_id"),
+            col("r"),
+            col("hit"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("radius")
+          )
+          .filter(col("r") <= col("radius"))
+          .groupBy(col("query_id"), col("radius"))
+          .agg(count(lit(1)).as("n_candidates"), sum(col("hit")).as("hits"))
+          .withColumn("recall_bp", col("hits") * 1000L)
+          .orderBy(col("query_id"), col("radius"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bucket FROM e),
+              |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+              |      FROM b WHERE vec_id < 5),
+              |sc AS (
+              |  SELECT q.query_id, b.vec_id AS neighbor_id,
+              |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+              |      i -> CAST(floor(qv[i] * 64) AS BIGINT)
+              |         * CAST(floor(v[i] * 64) AS BIGINT))) AS BIGINT) AS qs
+              |  FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+              |truth AS (SELECT query_id AS t_query, neighbor_id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |            ORDER BY qs DESC, neighbor_id) AS rk
+              |  FROM sc) t WHERE rk <= 10),
+              |co AS (SELECT t.i, u.j
+              |       FROM range(0, ${NumPlanes + 1}) t(i)
+              |       CROSS JOIN range(0, ${NumPlanes + 1}) u(j)
+              |       WHERE (t.i = 0 AND u.j = 0) OR (t.i > 0 AND u.j = 0)
+              |          OR (t.i > 0 AND u.j > t.i)),
+              |p1 AS (
+              |  SELECT query_id, i, j,
+              |    CASE WHEN i = 0 THEN 0 WHEN j = 0 THEN 1 ELSE 2 END AS radius,
+              |    CASE WHEN i = 0 THEN qb
+              |      ELSE substr(qb, 1, CAST(i - 1 AS INTEGER))
+              |        || (CASE WHEN substr(qb, CAST(i AS INTEGER), 1) = '1'
+              |              THEN '0' ELSE '1' END)
+              |        || substr(qb, CAST(i + 1 AS INTEGER)) END AS f1
+              |  FROM q CROSS JOIN co),
+              |pb AS (
+              |  SELECT query_id, radius,
+              |    CASE WHEN j = 0 THEN f1
+              |      ELSE substr(f1, 1, CAST(j - 1 AS INTEGER))
+              |        || (CASE WHEN substr(f1, CAST(j AS INTEGER), 1) = '1'
+              |              THEN '0' ELSE '1' END)
+              |        || substr(f1, CAST(j + 1 AS INTEGER)) END AS probe
+              |  FROM p1),
+              |cand AS (
+              |  SELECT query_id, b.vec_id AS cand_id, min(radius) AS r
+              |  FROM pb JOIN b ON b.bucket = pb.probe AND b.vec_id <> pb.query_id
+              |  GROUP BY 1, 2),
+              |hx AS (
+              |  SELECT cand.query_id, cand.r,
+              |    CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+              |  FROM cand LEFT JOIN truth t
+              |    ON t.t_query = cand.query_id AND t.neighbor_id = cand.cand_id),
+              |lv AS (SELECT unnest([0, 1, 2]) AS radius)
+              |SELECT query_id, CAST(lv.radius AS BIGINT) AS radius,
+              |  count(*) AS n_candidates,
+              |  CAST(sum(hit) AS BIGINT) AS hits,
+              |  CAST(sum(hit) * 1000 AS BIGINT) AS recall_bp
+              |FROM hx CROSS JOIN lv
+              |WHERE hx.r <= lv.radius
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Hubness audit over the ANN graph — the k-occurrence distribution
     // (Radovanović et al.): how many vectors chose each vector as THEIR
     // nearest neighbor. High-dimensional embedding spaces concentrate
