@@ -2010,6 +2010,147 @@ object DedupOps {
               |FROM st""".stripMargin)
     ),
 
+    // Dedup-threshold sensitivity of the KEPT MIXTURE — the knob audit:
+    // sweeping the near-dup verify threshold (0.7 / 0.8 / 0.9) shifts not
+    // just the kept count but the SOURCE COMPOSITION of what survives
+    // (syndication-heavy feeds lose share fastest), and mixture shift is
+    // what actually moves a training run. One pair pass at the loosest
+    // gate (verified ≥ 0.7 ⊇ every tighter tier), per-doc max jaccard,
+    // then a 3-literal tier explode — the three thresholds never re-run
+    // candidate generation. Per (threshold, source): population, dropped,
+    // kept, and the kept-mixture share in bp (per-threshold totals are a
+    // 3-row broadcast). Comparisons ride round(j·10⁴) integers — the
+    // jaccard column is already 4-dp-rounded on both engines.
+    Q(
+      "q206_threshold_mixture",
+      (s, d) => {
+        val src = documents(s, d).select(col("doc_id"), col("source"))
+        val maxJ = lshPairs(s, d, 0.7)
+          .groupBy(col("doc_b").as("doc_id"))
+          .agg(max(col("jaccard")).as("mj"))
+        val tiers = src
+          .join(maxJ, Seq("doc_id"), "left")
+          .select(
+            col("source"),
+            expr("CAST(round(coalesce(mj, 0.0) * 10000) AS BIGINT)").as("j_bp"),
+            explode(array(lit(7000L), lit(8000L), lit(9000L))).as("thr_bp")
+          )
+          .groupBy(col("thr_bp"), col("source"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(col("j_bp") >= col("thr_bp"), 1L).otherwise(0L)).as("dropped_docs")
+          )
+          .withColumn("kept_docs", col("docs") - col("dropped_docs"))
+        val totals = tiers
+          .groupBy(col("thr_bp"))
+          .agg(sum(col("kept_docs")).as("kept_total"))
+        tiers
+          .join(broadcast(totals), Seq("thr_bp"))
+          .withColumn("mix_bp", expr("kept_docs * 10000L div kept_total"))
+          .select(
+            col("thr_bp"),
+            col("source"),
+            col("docs"),
+            col("dropped_docs"),
+            col("kept_docs"),
+            col("mix_bp")
+          )
+          .orderBy(col("thr_bp"), col("source"))
+      },
+      Some(s"""${sqlPairsCte(0.7)},
+              |mj AS (SELECT doc_b AS doc_id,
+              |         CAST(round(max(jaccard) * 10000) AS BIGINT) AS j_bp
+              |       FROM pairs GROUP BY 1),
+              |tiers AS (
+              |  SELECT thr_bp, source, count(*) AS docs,
+              |    CAST(sum(CASE WHEN coalesce(j_bp, 0) >= thr_bp THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS dropped_docs
+              |  FROM documents d
+              |  LEFT JOIN mj USING (doc_id)
+              |  CROSS JOIN (SELECT unnest([7000, 8000, 9000]) AS thr_bp) t
+              |  GROUP BY 1, 2),
+              |tot AS (SELECT thr_bp,
+              |          CAST(sum(docs - dropped_docs) AS BIGINT) AS kept_total
+              |        FROM tiers GROUP BY 1)
+              |SELECT CAST(tiers.thr_bp AS BIGINT) AS thr_bp, source, docs,
+              |  dropped_docs,
+              |  CAST(docs - dropped_docs AS BIGINT) AS kept_docs,
+              |  CAST((docs - dropped_docs) * 10000 // kept_total AS BIGINT) AS mix_bp
+              |FROM tiers JOIN tot USING (thr_bp)
+              |ORDER BY thr_bp, source""".stripMargin)
+    ),
+
+    // Gate/dedup ORDERING audit — the pipeline-composition pitfall: "gate
+    // then dedup" and "dedup then gate" keep DIFFERENT documents whenever
+    // a duplicate pair straddles the gate (the canonical doc_a fails the
+    // quality gate, its copy doc_b passes: dedup-first drops doc_b and
+    // the gate then drops doc_a — the content vanishes entirely; gate-
+    // first never sees the failed canonical, so doc_b survives). Reports
+    // per source: gate passers, kept under each ordering, and the
+    // divergence (gate-first keeps ⊇ dedup-first keeps, pair-based drop
+    // rule). Rides the persisted pairs; both orderings are CASE algebra
+    // over the same pair-endpoint flags — the corpus is scanned once.
+    Q(
+      "q207_pipeline_order",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val docs = documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            (TextOps.qualityScore10k(toks) >= 7900.0).as("pass")
+          )
+        val flags = docs.select(col("doc_id"), col("pass"))
+        val pe = lshPairs(s, d, 0.8)
+          .join(flags.select(col("doc_id").as("doc_a"), col("pass").as("pass_a")), "doc_a")
+          .join(flags.select(col("doc_id").as("doc_b"), col("pass").as("pass_b")), "doc_b")
+        val dropAll = pe.select(col("doc_b").as("doc_id")).distinct().withColumn("d_all", lit(1L))
+        val dropGf = pe
+          .filter(col("pass_a") && col("pass_b"))
+          .select(col("doc_b").as("doc_id"))
+          .distinct()
+          .withColumn("d_gf", lit(1L))
+        docs
+          .filter(col("pass"))
+          .join(broadcast(dropAll), Seq("doc_id"), "left")
+          .join(broadcast(dropGf), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("gate_pass"),
+            sum(when(col("d_all").isNull, 1L).otherwise(0L)).as("kept_dedup_first"),
+            sum(when(col("d_gf").isNull, 1L).otherwise(0L)).as("kept_gate_first")
+          )
+          .withColumn("divergence", col("kept_gate_first") - col("kept_dedup_first"))
+          .orderBy(col("source"))
+      },
+      Some(s"""${sqlPairsCte(0.8)},
+              |g AS (
+              |  SELECT doc_id, source,
+              |    (${TextOps.sqlQuality10k("string_split_regex(trim(text), '\\s+')")}
+              |      >= 7900) AS pass
+              |  FROM documents),
+              |pe AS (
+              |  SELECT pairs.doc_b, ga.pass AS pass_a, gb.pass AS pass_b
+              |  FROM pairs JOIN g ga ON ga.doc_id = pairs.doc_a
+              |             JOIN g gb ON gb.doc_id = pairs.doc_b),
+              |d_all AS (SELECT DISTINCT doc_b AS doc_id FROM pe),
+              |d_gf AS (SELECT DISTINCT doc_b AS doc_id FROM pe
+              |         WHERE pass_a AND pass_b)
+              |SELECT source, count(*) AS gate_pass,
+              |  CAST(sum(CASE WHEN g.doc_id IN (SELECT doc_id FROM d_all)
+              |               THEN 0 ELSE 1 END) AS BIGINT) AS kept_dedup_first,
+              |  CAST(sum(CASE WHEN g.doc_id IN (SELECT doc_id FROM d_gf)
+              |               THEN 0 ELSE 1 END) AS BIGINT) AS kept_gate_first,
+              |  CAST(sum(CASE WHEN g.doc_id IN (SELECT doc_id FROM d_gf)
+              |               THEN 0 ELSE 1 END)
+              |    - sum(CASE WHEN g.doc_id IN (SELECT doc_id FROM d_all)
+              |               THEN 0 ELSE 1 END) AS BIGINT) AS divergence
+              |FROM g
+              |WHERE pass
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    ),
+
     // Partial-dedup SALVAGE accounting — what whole-doc dropping wastes.
     // q198 localizes each pair's shared region; this prices the two
     // possible actions per affected doc (the later doc_id of each pair):
