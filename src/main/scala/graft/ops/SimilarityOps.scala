@@ -1077,6 +1077,128 @@ object SimilarityOps {
               |ORDER BY vec_id""".stripMargin)
     ),
 
+    // IVF recall-vs-nprobe curve — q205's tuning artifact for the OTHER
+    // index family: sweeping how many inverted lists (nearest centroid
+    // cells) a query probes, report exact-top-10 recall against candidate
+    // volume at nprobe = 1..4. Every candidate keeps the probe rank at
+    // which its cell enters (min prk), so the tiers telescope from ONE
+    // assignment pass + one probe-ranked join — the sweep never re-runs
+    // assignment. Ground truth is the integer-quantized exact top-10
+    // (q90's discipline). Scale shape: centroids broadcast (8 rows),
+    // assignment is the one corpus-linear pass, candidates come from an
+    // equi-join on cent_id.
+    Q(
+      "q208_ivf_recall_curve",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), emb(col("embedding")).as("v"))
+          .withColumn("nv", norm(col("v")))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("ncv"))
+        val cellCos = dot(col("v"), col("cv")) / (col("nv") * col("ncv"))
+        val assign = e.join(broadcast(cents))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cent_id"), struct((-cellCos).as("nc"), col("cent_id"))).as("cent_id"))
+        val q = e.filter(col("vec_id").isin(10L, 11L, 12L))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+        val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cent_id"))
+        val probes = q.join(broadcast(cents))
+          .select(
+            col("query_id"),
+            col("cent_id"),
+            (dot(col("qv"), col("cv")) / (col("nq") * col("ncv"))).as("pcos")
+          )
+          .withColumn("prk", row_number().over(wProbe).cast("long"))
+          .select(col("query_id"), col("cent_id"), col("prk"))
+        val truth = e
+          .join(broadcast(q.select(col("query_id"), col("qv"))), col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("vec_id").as("neighbor_id"),
+            graft.functions.VectorFunctions.quantizedDot(col("qv"), col("v"), 64).as("qs")
+          )
+          .withColumn(
+            "rk",
+            row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("qs").desc, col("neighbor_id"))
+            )
+          )
+          .filter(col("rk") <= 10)
+          .select(col("query_id").as("t_query"), col("neighbor_id"))
+        val cand = assign
+          .join(broadcast(probes), Seq("cent_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+          .agg(min(col("prk")).as("p"))
+        cand
+          .join(
+            truth,
+            col("query_id") === col("t_query") && col("cand_id") === col("neighbor_id"),
+            "left"
+          )
+          .select(
+            col("query_id"),
+            col("p"),
+            when(col("neighbor_id").isNotNull, 1L).otherwise(0L).as("hit")
+          )
+          .select(
+            col("query_id"),
+            col("p"),
+            col("hit"),
+            explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("nprobe")
+          )
+          .filter(col("p") <= col("nprobe"))
+          .groupBy(col("query_id"), col("nprobe"))
+          .agg(count(lit(1)).as("n_candidates"), sum(col("hit")).as("hits"))
+          .withColumn("recall_bp", col("hits") * 1000L)
+          .orderBy(col("query_id"), col("nprobe"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+              |asg AS (SELECT vec_id, cent_id FROM (
+              |  SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY list_dot_product(e.v, c.cv)
+              |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |      c.cent_id) AS rk
+              |  FROM e CROSS JOIN c) t WHERE rk = 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (10, 11, 12)),
+              |probes AS (SELECT query_id, cent_id, CAST(prk AS BIGINT) AS prk FROM (
+              |  SELECT q.query_id, c.cent_id, row_number() OVER (PARTITION BY q.query_id
+              |    ORDER BY list_dot_product(q.qv, c.cv)
+              |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |      c.cent_id) AS prk
+              |  FROM q CROSS JOIN c) t),
+              |sc AS (
+              |  SELECT q.query_id, e.vec_id AS neighbor_id,
+              |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+              |      i -> CAST(floor(qv[i] * 64) AS BIGINT)
+              |         * CAST(floor(v[i] * 64) AS BIGINT))) AS BIGINT) AS qs
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+              |truth AS (SELECT query_id AS t_query, neighbor_id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |            ORDER BY qs DESC, neighbor_id) AS rk
+              |  FROM sc) t WHERE rk <= 10),
+              |cand AS (
+              |  SELECT probes.query_id, asg.vec_id AS cand_id, min(prk) AS p
+              |  FROM asg JOIN probes USING (cent_id)
+              |  WHERE asg.vec_id <> probes.query_id
+              |  GROUP BY 1, 2),
+              |hx AS (
+              |  SELECT cand.query_id, cand.p,
+              |    CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+              |  FROM cand LEFT JOIN truth t
+              |    ON t.t_query = cand.query_id AND t.neighbor_id = cand.cand_id),
+              |lv AS (SELECT unnest([1, 2, 3, 4]) AS nprobe)
+              |SELECT query_id, CAST(lv.nprobe AS BIGINT) AS nprobe,
+              |  count(*) AS n_candidates,
+              |  CAST(sum(hit) AS BIGINT) AS hits,
+              |  CAST(sum(hit) * 1000 AS BIGINT) AS recall_bp
+              |FROM hx CROSS JOIN lv
+              |WHERE hx.p <= lv.nprobe
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Multi-probe LSH recall curve (Lv et al.): how much of the exact
     // top-10 the bucketed index retrieves when probing the query's own
     // bucket (radius 0), all 8 one-bit-flip buckets (radius 1) and all 28
