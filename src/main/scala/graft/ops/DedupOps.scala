@@ -276,6 +276,58 @@ object DedupOps {
        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS key
        |  FROM h)""".stripMargin
 
+  /** Winnow fingerprint pair spans, shared by q198 (localization) and q201
+    * (salvage): decode the packed hash·2²⁰+pos keys, posting-list
+    * equi-join on the hash with doc_a < doc_b, per-pair aggregate of
+    * matched distinct fingerprints and positional spans (max(pos) −
+    * min(pos) + 8, the gram reach), gated at ≥ 3 shared fingerprints.
+    * One definition keeps both audits agreeing on which pairs overlap and
+    * how wide the shared region is. Spans are RAW here (can exceed the
+    * doc's token count by up to gram−1 = 4 on full-document matches) —
+    * consumers clamp with least(span, n) before any per-length ratio.
+    */
+  private def winnowPairSpans(s: SparkSession, d: String): DataFrame = {
+    val k = documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.TextFunctions.winnowKeys(TextOps.tokens(col("text")), 4, 5)
+        ).as("key")
+      )
+      .select(
+        col("doc_id"),
+        shiftright(col("key"), 20).as("f"),
+        col("key").bitwiseAND(lit(1048575L)).as("pos")
+      )
+    k.as("a")
+      .join(k.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(
+        countDistinct(col("a.f")).as("matched"),
+        (max(col("a.pos")) - min(col("a.pos")) + 8L).as("span_a"),
+        (max(col("b.pos")) - min(col("b.pos")) + 8L).as("span_b")
+      )
+      .filter(col("matched") >= 3L)
+  }
+
+  /** SQL twin of [[winnowPairSpans]]: extends [[sqlWinnowCte]] with the
+    * decoded posting list `k` and the gated pair-span CTE `pr`
+    * (doc_a, doc_b, matched, span_a, span_b — spans raw, see above).
+    */
+  private def sqlWinnowPairCte: String =
+    s"""$sqlWinnowCte,
+       |k AS (SELECT DISTINCT doc_id, key // 1048576 AS f,
+       |        key % 1048576 AS pos
+       |      FROM sel WHERE i <= m - 4),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(DISTINCT a.f) AS BIGINT) AS matched,
+       |    CAST(max(a.pos) - min(a.pos) + 8 AS BIGINT) AS span_a,
+       |    CAST(max(b.pos) - min(b.pos) + 8 AS BIGINT) AS span_b
+       |  FROM k a JOIN k b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.f) >= 3)""".stripMargin
+
   /** Connected components by iterative min-label propagation over an
     * undirected edge list: every node's label converges to the smallest
     * node id reachable from it, i.e. clusters of transitively-connected
@@ -1883,30 +1935,15 @@ object DedupOps {
     Q(
       "q198_overlap_span",
       (s, d) => {
-        val docs = documents(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        val keys = docs.select(
-          col("doc_id"),
-          explode(graft.functions.TextFunctions.winnowKeys(col("toks"), 4, 5)).as("key")
-        )
-        val k = keys.select(
-          col("doc_id"),
-          shiftright(col("key"), 20).as("f"),
-          col("key").bitwiseAND(lit(1048575L)).as("pos")
-        )
-        val pairs = k.as("a")
-          .join(k.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(
-            countDistinct(col("a.f")).as("matched"),
-            (max(col("a.pos")) - min(col("a.pos")) + 8L).as("span_a"),
-            (max(col("b.pos")) - min(col("b.pos")) + 8L).as("span_b")
-          )
-          .filter(col("matched") >= 3L)
-        val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
-        pairs
+        val lens = documents(s, d)
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        winnowPairSpans(s, d)
           .join(lens.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
           .join(lens.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          // clamp: a full-document match's raw span reaches n + gram − 1,
+          // so an unclamped ratio would exceed 10⁴ bp (100% coverage)
+          .withColumn("span_a", least(col("span_a"), col("na")))
+          .withColumn("span_b", least(col("span_b"), col("nb")))
           .select(
             col("doc_a"),
             col("doc_b"),
@@ -1918,22 +1955,12 @@ object DedupOps {
           )
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""$sqlWinnowCte,
-              |k AS (SELECT DISTINCT doc_id, key // 1048576 AS f,
-              |        key % 1048576 AS pos
-              |      FROM sel WHERE i <= m - 4),
-              |pr AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    CAST(count(DISTINCT a.f) AS BIGINT) AS matched,
-              |    CAST(max(a.pos) - min(a.pos) + 8 AS BIGINT) AS span_a,
-              |    CAST(max(b.pos) - min(b.pos) + 8 AS BIGINT) AS span_b
-              |  FROM k a JOIN k b ON a.f = b.f AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2
-              |  HAVING count(DISTINCT a.f) >= 3),
+      Some(s"""$sqlWinnowPairCte,
               |ln AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM t)
-              |SELECT doc_a, doc_b, matched, span_a, span_b,
-              |  span_a * 10000 // la.n AS cov_a_bp,
-              |  span_b * 10000 // lb.n AS cov_b_bp
+              |SELECT doc_a, doc_b, matched,
+              |  least(span_a, la.n) AS span_a, least(span_b, lb.n) AS span_b,
+              |  least(span_a, la.n) * 10000 // la.n AS cov_a_bp,
+              |  least(span_b, lb.n) * 10000 // lb.n AS cov_b_bp
               |FROM pr JOIN ln la ON la.doc_id = doc_a
               |        JOIN ln lb ON lb.doc_id = doc_b
               |ORDER BY doc_a, doc_b""".stripMargin)
@@ -2166,27 +2193,13 @@ object DedupOps {
     Q(
       "q201_overlap_salvage",
       (s, d) => {
-        val docs = documents(s, d)
-          .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
-        val k = docs
+        val lens = documents(s, d)
           .select(
             col("doc_id"),
-            explode(graft.functions.TextFunctions.winnowKeys(col("toks"), 4, 5)).as("key")
+            col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n")
           )
-          .select(
-            col("doc_id"),
-            shiftright(col("key"), 20).as("f"),
-            col("key").bitwiseAND(lit(1048575L)).as("pos")
-          )
-        val lens = docs.select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n"))
-        val perDoc = k.as("a")
-          .join(k.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(
-            countDistinct(col("a.f")).as("matched"),
-            (max(col("b.pos")) - min(col("b.pos")) + 8L).as("span_b")
-          )
-          .filter(col("matched") >= 3L)
+        val perDoc = winnowPairSpans(s, d)
           .groupBy(col("doc_b").as("doc_id"))
           .agg(max(col("span_b")).as("worst_span"))
         perDoc
@@ -2204,16 +2217,7 @@ object DedupOps {
           )
           .orderBy(col("source"))
       },
-      Some(s"""$sqlWinnowCte,
-              |k AS (SELECT DISTINCT doc_id, key // 1048576 AS f,
-              |        key % 1048576 AS pos
-              |      FROM sel WHERE i <= m - 4),
-              |pr AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    CAST(max(b.pos) - min(b.pos) + 8 AS BIGINT) AS span_b
-              |  FROM k a JOIN k b ON a.f = b.f AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2
-              |  HAVING count(DISTINCT a.f) >= 3),
+      Some(s"""$sqlWinnowPairCte,
               |pd AS (SELECT doc_b AS doc_id, max(span_b) AS worst_span
               |       FROM pr GROUP BY 1),
               |sc AS (

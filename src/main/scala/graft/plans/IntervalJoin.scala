@@ -318,13 +318,28 @@ object Interval {
       rs.dataType == lt.dataType && re.dataType == lt.dataType,
       s"interval join time/bound types must match: ${lt.dataType} vs ${rs.dataType}/${re.dataType}"
     )
+    require(
+      leftKeys.length == rightKeys.length,
+      s"interval join needs equally many keys on both sides: ${leftKeys.length} vs ${rightKeys.length}"
+    )
+    val lks = leftKeys.map(la)
+    val rks = rightKeys.map(ra)
+    lks.zip(rks).foreach { case (l, r) =>
+      // Mismatched key types would hash-partition the two sides differently
+      // and compare raw UnsafeRow layouts — silently empty results. Builtin
+      // joins insert casts at analysis; here the caller must align types.
+      require(
+        l.dataType == r.dataType,
+        s"interval join key types must match: ${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType}"
+      )
+    }
     GraftColumns.ofRows(
       spark,
       IntervalJoinPlan(
         lPlan,
         rPlan,
-        leftKeys.map(la),
-        rightKeys.map(ra),
+        lks,
+        rks,
         lt,
         rs,
         re,

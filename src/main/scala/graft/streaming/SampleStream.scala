@@ -57,11 +57,17 @@ object SampleStream {
     implicit val outEnc = Encoders.product[SampleEvent]
     implicit val keyEnc = Encoders.scalaInt
     val local = docs.mapPartitions { it =>
-      it.map(dc => SampleMember(priorityOf(dc.docId, dc.nTokens), dc.docId, dc.source))
-        .toVector
-        .sortBy(m => (m.pri, m.docId))
-        .take(k)
-        .iterator
+      // Bounded bottom-k: a size-k max-heap on (pri, docId) keeps partition
+      // memory O(k) regardless of trigger size (the scaladoc's pre-reduce
+      // discipline), vs materializing + sorting the whole partition.
+      val worstFirst = Ordering.by[SampleMember, (Long, Long)](m => (m.pri, m.docId))
+      val heap = scala.collection.mutable.PriorityQueue.empty[SampleMember](worstFirst)
+      it.foreach { dc =>
+        val m = SampleMember(priorityOf(dc.docId, dc.nTokens), dc.docId, dc.source)
+        if (heap.size < k) heap.enqueue(m)
+        else if (worstFirst.compare(m, heap.head) < 0) { heap.dequeue(); heap.enqueue(m) }
+      }
+      heap.iterator
     }
     local
       .groupByKey(_ => 0)

@@ -103,6 +103,13 @@ class IntervalJoinSpec extends SparkSpec {
       Interval.intervalJoin(dup, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
     }
     assert(err.getMessage.contains("ambiguous"))
+    // mismatched key types must fail loudly — hash-partitioning Int vs Long
+    // sides would otherwise return silently empty results
+    val intKeyed = points.withColumn("k_int", lit(1))
+    val keyErr = intercept[IllegalArgumentException] {
+      Interval.intervalJoin(intKeyed, ivals, Seq("k_int"), Seq("rk"), "t", "s", "e")
+    }
+    assert(keyErr.getMessage.contains("key types must match"))
   }
 
   test("native join equals the equi-key + range-filter join on real sessions") {
