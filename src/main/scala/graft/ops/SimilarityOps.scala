@@ -1799,6 +1799,170 @@ object SimilarityOps {
               |   + CAST(b.intra_num // (b.n * b.n) AS BIGINT)) AS separable
               |FROM pl a JOIN pl b ON a.label < b.label
               |ORDER BY label_a, label_b""".stripMargin)
+    ),
+
+    // Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack/Clarke/
+    // Buettcher 2009) of the lexical BM25 ranking (q129's scorer, shared
+    // helper) and a semantic embedding ranking: the standard two-tower
+    // mining recipe where keyword search and ANN search each miss
+    // different relevant documents and rrf(d) = Σ 1/(60 + rank_sys(d))
+    // over the systems that ranked d recovers both. Doc 0 plays the
+    // pseudo-query (its embedding is the query vector; it is excluded
+    // from both candidate lists). Integer-exact: contributions are
+    // 10⁶ div (60 + rank) — positive, so Spark div == DuckDB // — and
+    // absent ranks contribute 0 (the standard seen-sets RRF).
+    // Scale shape: each system's ranking ends in orderBy+limit
+    // (TakeOrderedAndProject per-partition heaps); only two ≤20-row rank
+    // lists meet in the full-outer fuse, so the fusion itself costs
+    // nothing at any corpus size. The BM25 side rides q129's persisted
+    // projection; the semantic side is one broadcast-1-row map pass.
+    Q(
+      "q209_hybrid_rrf",
+      (s, d) => {
+        val lexTop = TextOps
+          .bm25Scored(s, d)
+          .filter(col("doc_id") =!= 0L)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+          .withColumn(
+            "lex_rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long")
+          )
+          .select(col("doc_id"), col("lex_rank"))
+        val e = embeddings(s, d).select(col("vec_id"), emb(col("embedding")).as("v"))
+        val qv = e.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+        val semTop = e
+          .filter(col("vec_id") =!= 0L)
+          .join(broadcast(qv))
+          .select(
+            col("vec_id").as("doc_id"),
+            graft.functions.VectorFunctions.quantizedDot(col("qv"), col("v"), 64).as("qscore")
+          )
+          .orderBy(col("qscore").desc, col("doc_id"))
+          .limit(20)
+          .withColumn(
+            "sem_rank",
+            row_number().over(Window.orderBy(col("qscore").desc, col("doc_id"))).cast("long")
+          )
+          .select(col("doc_id"), col("sem_rank"))
+        lexTop
+          .join(semTop, Seq("doc_id"), "full_outer")
+          .select(
+            col("doc_id"),
+            (coalesce(expr("1000000L div (60L + lex_rank)"), lit(0L)) +
+              coalesce(expr("1000000L div (60L + sem_rank)"), lit(0L))).as("rrf"),
+            coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+            coalesce(col("sem_rank"), lit(0L)).as("sem_rank")
+          )
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+          .withColumn(
+            "rank",
+            row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long")
+          )
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH ${TextOps.sqlBm25Cte},
+              |lex AS (
+              |  SELECT doc_id, CAST(r AS BIGINT) AS lex_rank FROM (
+              |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+              |    FROM sc WHERE doc_id <> 0) t
+              |  WHERE r <= 20),
+              |e2 AS (SELECT vec_id, $sqlEmbD AS v FROM embeddings),
+              |qv AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
+              |semsc AS (
+              |  SELECT vec_id AS doc_id,
+              |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+              |      i -> CAST(floor(qv[i] * 64) AS BIGINT)
+              |         * CAST(floor(v[i] * 64) AS BIGINT))) AS BIGINT) AS qscore
+              |  FROM e2 CROSS JOIN qv WHERE vec_id <> 0),
+              |sem AS (
+              |  SELECT doc_id, CAST(r AS BIGINT) AS sem_rank FROM (
+              |    SELECT doc_id, row_number() OVER (ORDER BY qscore DESC, doc_id) AS r
+              |    FROM semsc) t
+              |  WHERE r <= 20),
+              |f AS (
+              |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+              |    CAST(coalesce(1000000 // (60 + lex_rank), 0)
+              |       + coalesce(1000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf,
+              |    CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+              |    CAST(coalesce(sem_rank, 0) AS BIGINT) AS sem_rank
+              |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+              |SELECT doc_id, rrf, lex_rank, sem_rank, CAST(rank AS BIGINT) AS rank FROM (
+              |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f) t
+              |WHERE rank <= 10
+              |ORDER BY rank""".stripMargin)
+    ),
+
+    // Per-source embedding dispersion — mean pairwise squared L2 distance
+    // within each source, via the centroid identity
+    //   Σᵢⱼ ‖xᵢ−xⱼ‖² = 2n·Σᵢ‖xᵢ‖² − 2·Σ_d(Σᵢ xᵢ,d)²
+    // so the n² pairwise sum folds into ONE linear pass (per-row squared
+    // norms from the native quantizedDot + per-dim sums), never a
+    // self-join. Low dispersion = semantically homogeneous source
+    // (redundant crawl, SemDeDup fodder); high = topically diverse. The
+    // semantic twin of q134's lexical diversity index. Integer-exact on
+    // 10³-quantized vectors; the numerator is ≥ 0 by Cauchy–Schwarz so
+    // Spark div == DuckDB //. Overflow envelope: 2n·Σ‖x‖² ≈ n²·dim·10⁶
+    // — int64-safe to ~10⁷ vectors per source at dim 64; shard or
+    // DECIMAL(38,0) beyond (the q145 rule). Scale shape: one equi-join
+    // to attach source, one hash aggregate for (n, Σssq), one
+    // posexplode rollup to sources×64 per-dim sums — all map-side
+    // combinable, output is |sources| rows.
+    Q(
+      "q210_source_dispersion",
+      (s, d) => {
+        val j = embeddings(s, d)
+          .select(
+            col("vec_id"),
+            expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+              .as("qv"),
+            graft.functions.VectorFunctions
+              .quantizedDot(emb(col("embedding")), emb(col("embedding")), 1000)
+              .as("ssq")
+          )
+          .join(
+            documents(s, d).select(col("doc_id").as("vec_id"), col("source")),
+            "vec_id"
+          )
+        val st = j.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("ssq")).as("ssq_sum"))
+        val s2 = j
+          .select(col("source"), posexplode(col("qv")).as(Seq("dim", "x")))
+          .groupBy(col("source"), col("dim"))
+          .agg(sum(col("x")).as("sd"))
+          .groupBy(col("source"))
+          .agg(sum(col("sd") * col("sd")).as("s2"))
+        st.join(s2, "source")
+          .filter(col("n") >= 2L)
+          .select(
+            col("source"),
+            col("n").as("n_vecs"),
+            expr("(2L * n * ssq_sum - 2L * s2) div (n * (n - 1L))").as("dispersion")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |j AS (SELECT d.source, e.qv
+              |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+              |st AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)) AS BIGINT)
+              |      AS ssq_sum
+              |  FROM j GROUP BY 1),
+              |ds AS (
+              |  SELECT source, i AS dim, CAST(sum(qv[i]) AS BIGINT) AS sd
+              |  FROM j, range(1, ${Dim + 1}) r(i)
+              |  GROUP BY 1, 2),
+              |s2 AS (SELECT source, CAST(sum(sd * sd) AS BIGINT) AS s2 FROM ds GROUP BY 1)
+              |SELECT st.source, st.n AS n_vecs,
+              |  (2 * st.n * st.ssq_sum - 2 * s2.s2) // (st.n * (st.n - 1)) AS dispersion
+              |FROM st JOIN s2 USING (source)
+              |WHERE st.n >= 2
+              |ORDER BY source""".stripMargin)
     )
   )
 

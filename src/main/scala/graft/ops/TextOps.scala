@@ -23,6 +23,80 @@ object TextOps {
       .map(i => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
       .mkString("(", " + ", ")")
 
+  /** BM25 query terms shared by q129 (lexical ranking) and q209 (hybrid
+    * fusion) — one definition keeps the two retrieval surfaces scoring
+    * the same query.
+    */
+  private[ops] val bm25Terms: Seq[String] = Seq("dup", "vector", "key")
+
+  /** BM25-scored corpus (doc_id, score), the shared scorer behind q129
+    * and the hybrid-fusion ranking: k1 = 1.2, b = 0.75, log-free rational
+    * idf (N − df + 0.5)/(df + 0.5); per-term double scores floored into
+    * integral 1e-4 units so the SUM is order-independent (see q129's
+    * header comment for the full cross-engine exactness argument).
+    * Plan shape: tf for all terms from ONE native KeywordHits pass over a
+    * persisted 3-column projection; corpus stats (N, Σdl, df) are one
+    * scalar aggregate read driver-side and re-entering as literals.
+    */
+  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val toksC = tokens(col("text"))
+    val base = Caches.persisted(
+      documents(s, d).select(
+        col("doc_id"),
+        size(toksC).cast("long").as("dl"),
+        graft.functions.TextFunctions.keywordHits(toksC, bm25Terms.map(Seq(_))).as("tf")
+      )
+    )
+    val dfAggs = bm25Terms.indices.map(i =>
+      sum(when(element_at(col("tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val st = base
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl") +: dfAggs: _*)
+      .head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val avgdl = st.getAs[Long]("sum_dl").toDouble / nDocs
+    val score = bm25Terms.indices.map { i =>
+      val dfI = st.getAs[Long](s"df$i")
+      val idf = (nDocs - dfI + 0.5) / (dfI + 0.5)
+      val tf = element_at(col("tf"), i + 1).cast("double")
+      floor(
+        lit(idf) * ((tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))) * lit(10000.0)
+      ).cast("long")
+    }.reduce(_ + _)
+    base.select(col("doc_id"), score.as("score"))
+  }
+
+  /** SQL twin of [[bm25Scored]]: CTE chain ending in `sc(doc_id, score)`.
+    * Callers prepend `WITH ` and append their own CTEs/select. Identical
+    * parenthesization to the Spark expression; leaves cast to DOUBLE so
+    * DuckDB's DECIMAL literals promote instead of computing in decimal.
+    */
+  private[ops] def sqlBm25Cte: String = {
+    val tfDefs = bm25Terms.zipWithIndex
+      .map { case (t, i) => s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }
+      .mkString(",\n        ")
+    val dfDefs = bm25Terms.indices
+      .map(i => s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n        ")
+    val scoreSum = bm25Terms.indices
+      .map(i =>
+        s"""CAST(floor(((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+           |      * ((CAST(tf$i AS DOUBLE) * 2.2)
+           |         / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+           |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) * 10000.0) AS BIGINT)""".stripMargin)
+      .mkString("\n      + ")
+    s"""z AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |        $tfDefs
+       |      FROM z),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |        $dfDefs
+       |      FROM b),
+       |sc AS (SELECT doc_id,
+       |      $scoreSum AS score
+       |      FROM b, st)""".stripMargin
+  }
+
   /** Stopword list used by the quality score (tiny, deterministic). */
   val stopwords: Seq[String] = Seq("a", "the", "of", "and", "in", "to")
   private val stopArray = array(stopwords.map(lit): _*)
@@ -989,70 +1063,17 @@ object TextOps {
     // shuffle wider than 10 rows.
     Q(
       "q129_bm25",
-      (s, d) => {
-        val bmTerms = Seq("dup", "vector", "key")
-        val toksC = tokens(col("text"))
-        val base = Caches.persisted(
-          documents(s, d).select(
-            col("doc_id"),
-            size(toksC).cast("long").as("dl"),
-            graft.functions.TextFunctions.keywordHits(toksC, bmTerms.map(Seq(_))).as("tf")
-          )
-        )
-        val dfAggs = bmTerms.indices.map(i =>
-          sum(when(element_at(col("tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df$i"))
-        val st = base
-          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl") +: dfAggs: _*)
-          .head()
-        val nDocs = st.getAs[Long]("n_docs")
-        val avgdl = st.getAs[Long]("sum_dl").toDouble / nDocs
-        val score = bmTerms.indices.map { i =>
-          val dfI = st.getAs[Long](s"df$i")
-          val idf = (nDocs - dfI + 0.5) / (dfI + 0.5)
-          val tf = element_at(col("tf"), i + 1).cast("double")
-          floor(
-            lit(idf) * ((tf * lit(2.2)) /
-              (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))) * lit(10000.0)
-          ).cast("long")
-        }.reduce(_ + _)
-        base
-          .select(col("doc_id"), score.as("score"))
+      (s, d) =>
+        bm25Scored(s, d)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)
           .withColumn(
             "rank",
             row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long")
           )
-          .orderBy(col("rank"))
-      },
+          .orderBy(col("rank")),
       Some {
-        val terms = Seq("dup", "vector", "key")
-        val tfDefs = terms.zipWithIndex
-          .map { case (t, i) => s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }
-          .mkString(",\n|        ")
-        val dfDefs = terms.indices
-          .map(i => s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
-          .mkString(",\n|        ")
-        // identical parenthesization to the Spark expression above: leaves
-        // cast to DOUBLE so DuckDB's DECIMAL literals promote instead of
-        // computing in decimal arithmetic
-        val scoreSum = terms.indices
-          .map(i =>
-            s"""CAST(floor(((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
-               |      * ((CAST(tf$i AS DOUBLE) * 2.2)
-               |         / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-               |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) * 10000.0) AS BIGINT)""".stripMargin)
-          .mkString("\n|      + ")
-        s"""WITH z AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-           |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-           |        $tfDefs
-           |      FROM z),
-           |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-           |        $dfDefs
-           |      FROM b),
-           |sc AS (SELECT doc_id,
-           |      $scoreSum AS score
-           |      FROM b, st)
+        s"""WITH $sqlBm25Cte
            |SELECT doc_id, score, rank FROM (
            |  SELECT doc_id, score,
            |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank

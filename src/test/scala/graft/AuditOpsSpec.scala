@@ -385,4 +385,54 @@ class AuditOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("subwords") >= r.getAs[Long]("words"))
     }
   }
+
+  test("RRF fusion scores recompute from the reported ranks and every doc was ranked") {
+    val rows = run("q209_hybrid_rrf")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lex, sem) = (r.getAs[Long]("lex_rank"), r.getAs[Long]("sem_rank"))
+      // a fused doc must come from at least one system's top-20
+      assert(lex > 0L || sem > 0L)
+      assert(lex <= 20L && sem <= 20L)
+      val expect =
+        (if (lex > 0L) 1000000L / (60L + lex) else 0L) +
+          (if (sem > 0L) 1000000L / (60L + sem) else 0L)
+      assert(r.getAs[Long]("rrf") == expect, s"rrf mismatch on $r")
+    }
+    // fused order is non-increasing in rrf
+    val rrfs = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("source dispersion equals the brute-force mean pairwise squared distance") {
+    import org.apache.spark.sql.functions._
+    // definitional check of the centroid identity on the real vectors
+    val e = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select(
+        col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+          .as("qv")
+      )
+      .join(
+        spark.read
+          .parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").as("vec_id"), col("source")),
+        "vec_id"
+      )
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getSeq[Long](1).toArray))
+    val expected = e
+      .groupBy(_._1)
+      .collect { case (src, vs) if vs.length >= 2 =>
+        val pairSum = (for {
+          i <- vs.indices; j <- vs.indices if i != j
+        } yield vs(i)._2.zip(vs(j)._2).map { case (a, b) => val d = a - b; d * d }.sum).sum
+        src -> pairSum / (vs.length.toLong * (vs.length - 1))
+      }
+    val got = run("q210_source_dispersion")
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("dispersion"))
+      .toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
