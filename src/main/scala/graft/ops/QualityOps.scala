@@ -1631,6 +1631,57 @@ object QualityOps {
              |ORDER BY k""".stripMargin)
     ),
 
+    // l-diversity audit — q178's k-anonymity only counts CLASS SIZES; a
+    // class can hold 100 rows that all share one sensitive value, so a
+    // linkage attacker learns the attribute anyway (the homogeneity
+    // attack, Machanavajjhala et al. 2007). Here each quasi-identifier
+    // class (nation, segment) is scored by its count of DISTINCT
+    // sensitive values (account balance in $1000 buckets); classes with
+    // fewer than l distinct values violate l-diversity, swept over
+    // l ∈ {2, 3, 5}. Scale shape: one grouped distinct-aggregate over
+    // the QI key (map-side partial), then a literal explode over class
+    // METADATA — the corpus is scanned once, the sweep costs |classes|·3.
+    Q(
+      "q211_l_diversity",
+      (s, d) => {
+        val g = table(s, d, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(
+            countDistinct(expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")).as("lv"),
+            count(lit(1)).as("sz")
+          )
+        g.select(explode(array(lit(2), lit(3), lit(5))).as("l"), col("lv"), col("sz"))
+          .groupBy(col("l"))
+          .agg(
+            count(lit(1)).as("classes"),
+            sum(when(col("lv") < col("l"), 1L).otherwise(0L)).as("violating_classes"),
+            sum(when(col("lv") < col("l"), col("sz")).otherwise(0L)).as("exposed_rows"),
+            sum(col("sz")).as("rows_total")
+          )
+          .withColumn("exposed_bp", expr("(exposed_rows * 10000L) div rows_total"))
+          .orderBy(col("l"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000)
+             |      AS BIGINT) AS lv,
+             |    CAST(count(*) AS BIGINT) AS sz
+             |  FROM customer GROUP BY 1, 2),
+             |e AS (SELECT CAST(l AS INTEGER) AS l, lv, sz
+             |      FROM g CROSS JOIN (SELECT unnest([2, 3, 5]) AS l) ll)
+             |SELECT l, count(*) AS classes,
+             |  CAST(sum(CASE WHEN lv < l THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS violating_classes,
+             |  CAST(sum(CASE WHEN lv < l THEN sz ELSE 0 END) AS BIGINT)
+             |    AS exposed_rows,
+             |  CAST(sum(sz) AS BIGINT) AS rows_total,
+             |  CAST(sum(CASE WHEN lv < l THEN sz ELSE 0 END) * 10000
+             |    // sum(sz) AS BIGINT) AS exposed_bp
+             |FROM e
+             |GROUP BY l
+             |ORDER BY l""".stripMargin)
+    ),
+
     // Exact Spearman rank correlation between two per-document signals
     // (n_chars vs token count) WITHOUT a single-reducer sort: each
     // signal's global rank comes from the q135/q91 range-partition trick

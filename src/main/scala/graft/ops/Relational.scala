@@ -1997,6 +1997,108 @@ object Relational {
              |  max(CASE WHEN rk = (90 * n + 99) // 100 THEN cents END) AS p90_cents,
              |  max(CASE WHEN rk = (99 * n + 99) // 100 THEN cents END) AS p99_cents
              |FROM r""".stripMargin)
+    ),
+
+    // Quantile-SKETCH error bound — the scale path q135's header points
+    // at: approx_percentile's mergeable Greenwald–Khanna sketch replaces
+    // the global sort at 100 TB, but its state is implementation-specific
+    // so the value can't hash-match an oracle. The q99/q100/q109 sketch
+    // convention instead: verify the published guarantee (rank error
+    // ≤ N/accuracy) and emit THAT as a boolean the oracle asserts TRUE.
+    // Tie-safe check: the pivot value occupies rank interval
+    // [count(<pivot)+1, count(<=pivot)]; the guarantee holds iff that
+    // interval intersects [target − εN − 1, target + εN + 1]. Two linear
+    // passes over one cached 1-column projection (sketch pass, rank pass).
+    Q(
+      "q212_quantile_sketch_bound",
+      (s, d) => {
+        val v = Caches.persisted(
+          lineitem(s, d).select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        )
+        val st = v
+          .agg(count(lit(1)).as("n"), expr("approx_percentile(cents, 0.5D, 1000)").as("pivot"))
+          .head()
+        val n = st.getAs[Long]("n")
+        if (n == 0L) {
+          s.range(1).select(lit(0L).as("n"), lit(true).as("median_rank_ok"))
+        } else {
+          val pivot = st.getAs[Long]("pivot")
+          val target = (n + 1L) / 2L
+          val slack = n / 1000L + 1L
+          v.agg(
+            sum(when(col("cents") < pivot, 1L).otherwise(0L)).as("rk_lo"),
+            sum(when(col("cents") <= pivot, 1L).otherwise(0L)).as("rk_hi")
+          ).select(
+            lit(n).as("n"),
+            (col("rk_lo") + 1L <= lit(target + slack) &&
+              col("rk_hi") >= lit(target - slack)).as("median_rank_ok")
+          )
+        }
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS median_rank_ok FROM lineitem")
+    ),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting) on the slimmed
+    // schema: suppliers with a RETURNED line on a multi-supplier order
+    // where NO OTHER supplier on that order had a return — the
+    // double-correlated EXISTS / NOT EXISTS against the SAME fact table,
+    // the classic decorrelation stress test. Spark-first: both
+    // subqueries become one semi- and one anti-join on the orderkey equi
+    // key with a supplier-disequality residual — no per-row re-scan, the
+    // fact table is projected to distinct (order, supplier [, returned])
+    // pairs first so the joins carry key-sized rows only. The supplier
+    // name attaches by broadcast AFTER the per-supplier aggregate
+    // (|suppliers| rows, never the fact table).
+    Q(
+      "q213_sole_blame",
+      (s, d) => {
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val pairsAll = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairsR = l
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .distinct()
+        val multi = pairsR
+          .as("a")
+          .join(
+            pairsAll.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") =!= col("b.l_suppkey"),
+            "left_semi"
+          )
+        val sole = multi
+          .as("a")
+          .join(
+            pairsR.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") =!= col("b.l_suppkey"),
+            "left_anti"
+          )
+        sole
+          .groupBy(col("l_suppkey").as("s_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(table(s, d, "supplier").select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(10)
+          .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+             |pr AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+             |       WHERE l_returnflag = 'R'),
+             |sole AS (
+             |  SELECT a.l_orderkey, a.l_suppkey FROM pr a
+             |  WHERE EXISTS (SELECT 1 FROM p b
+             |                WHERE b.l_orderkey = a.l_orderkey
+             |                  AND b.l_suppkey <> a.l_suppkey)
+             |    AND NOT EXISTS (SELECT 1 FROM pr c
+             |                    WHERE c.l_orderkey = a.l_orderkey
+             |                      AND c.l_suppkey <> a.l_suppkey))
+             |SELECT s_suppkey, s_name, numwait FROM (
+             |  SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+             |  FROM sole GROUP BY 1) t
+             |JOIN supplier USING (s_suppkey)
+             |ORDER BY numwait DESC, s_suppkey
+             |LIMIT 10""".stripMargin)
     )
   )
 }
