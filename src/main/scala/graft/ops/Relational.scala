@@ -2099,6 +2099,161 @@ object Relational {
              |JOIN supplier USING (s_suppkey)
              |ORDER BY numwait DESC, s_suppkey
              |LIMIT 10""".stripMargin)
+    ),
+
+    // Calendar-spine gap-fill (the warehouse resample): hourly ERROR
+    // counts zero-filled over the corpus's full activity window, so the
+    // series q157 (autocorrelation) / q188 (CUSUM) consume has no silent
+    // holes — a missing hour reads as 0, not as absent (absence biases
+    // every lag/drift statistic toward the populated hours). Spine =
+    // distributed spark.range over driver-held integer hour bounds (two
+    // scalars — the q129 stats idiom), LEFT join of the sparse counts,
+    // coalesce 0. Scale shape: the spine is |hours| rows (calendar
+    // metadata), the event scan aggregates map-side to |hours| partials;
+    // nothing corpus-sized shuffles.
+    Q(
+      "q214_hourly_gapfill",
+      (s, d) => {
+        val ev = events(s, d).select(
+          expr("unix_micros(ts) div 3600000000L").as("hr"),
+          col("event_type")
+        )
+        val b = ev.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi")).head()
+        val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
+        val errs = ev
+          .filter(col("event_type") === "error")
+          .groupBy(col("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        s.range(lo, hi + 1)
+          .toDF("hr")
+          .join(errs, Seq("hr"), "left")
+          .select(
+            col("hr"),
+            coalesce(col("cnt"), lit(0L)).as("errors"),
+            (coalesce(col("cnt"), lit(0L)) === 0L).as("is_gap")
+          )
+          .orderBy(col("hr"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type
+             |           FROM events),
+             |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM ev),
+             |sp AS (SELECT unnest(range((SELECT lo FROM b), (SELECT hi FROM b) + 1)) AS hr),
+             |er AS (SELECT hr, CAST(count(*) AS BIGINT) AS cnt FROM ev
+             |       WHERE event_type = 'error' GROUP BY 1)
+             |SELECT sp.hr, coalesce(er.cnt, 0) AS errors,
+             |  coalesce(er.cnt, 0) = 0 AS is_gap
+             |FROM sp LEFT JOIN er USING (hr)
+             |ORDER BY hr""".stripMargin)
+    ),
+
+    // SCD2 timeline construction — turn the event changelog into
+    // validity intervals [valid_from, valid_to): per user, each event
+    // opens a state (its event_type) that stays current until the next
+    // event; the last state closes at the corpus's max timestamp. The
+    // rollup answers "how much wall-clock time did users SPEND in each
+    // state" — duration-weighted, where q104's transition matrix only
+    // counts changes. Exact integer µs → seconds. Scale shape: one
+    // per-user lead() window (keyed partition sort, no global sort), a
+    // 1-row max-ts broadcast for the close-out, then a 5-row aggregate.
+    Q(
+      "q215_state_durations",
+      (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"),
+          col("event_type"),
+          expr("unix_micros(ts)").as("us"),
+          col("event_id")
+        )
+        val maxUs = ev.agg(max(col("us"))).head().getLong(0)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        ev.withColumn("valid_to", coalesce(lead(col("us"), 1).over(w), lit(maxUs)))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("intervals"),
+            expr("CAST(sum(valid_to - us) div 1000000L AS BIGINT)").as("total_state_sec")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+             |           FROM events),
+             |mx AS (SELECT max(us) AS max_us FROM ev),
+             |iv AS (SELECT event_type,
+             |         coalesce(lead(us) OVER (PARTITION BY user_id
+             |                                 ORDER BY us, event_id),
+             |                  (SELECT max_us FROM mx)) - us AS dur_us
+             |       FROM ev)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS intervals,
+             |  CAST(sum(dur_us) // 1000000 AS BIGINT) AS total_state_sec
+             |FROM iv
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)
+    ),
+
+    // Pareto concentration cut — the actionable companion to q161's Gini
+    // scalar: the SMALLEST number of users whose purchase revenue covers
+    // ≥ 80% of the total, plus their population share in bp. Needs a
+    // DESCENDING global rank and a global prefix sum — both built
+    // WITHOUT a single-partition window: range-repartition on negated
+    // cents, per-partition local rank/cumsum from monotonically
+    // _increasing_id (the q91/q135 two-pass recovery), and per-partition
+    // (count, sum) offsets — 32 metadata rows — broadcast back. Exact
+    // integer cents throughout; the 80% test is cum·10 ≥ total·8 (no
+    // division). Scale shape: the heavy table shuffles ONCE by range;
+    // everything global is partition metadata.
+    Q(
+      "q216_pareto_cut",
+      (s, d) => {
+        val rev = events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        val sorted = rev
+          .withColumn("neg", -col("cents"))
+          .repartitionByRange(32, col("neg"), col("user_id"))
+          .sortWithinPartitions(col("neg"), col("user_id"))
+        val stamped = Caches.persisted(
+          sorted
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        )
+        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = stamped
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("psum"))
+          .withColumn("cnt_off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .withColumn("sum_off", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+        val wLoc = Window
+          .partitionBy(col("pid"))
+          .orderBy(col("loc"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = stamped.agg(count(lit(1)).as("n"), sum(col("cents")).as("t")).head()
+        val (nUsers, total) = (tot.getAs[Long]("n"), tot.getAs[Long]("t"))
+        stamped
+          .join(broadcast(offsets.select(col("pid"), col("cnt_off"), col("sum_off"))), Seq("pid"))
+          .withColumn("rk", col("cnt_off") + col("loc") + 1)
+          .withColumn("cum", col("sum_off") + sum(col("cents")).over(wLoc))
+          .filter(col("cum") * 10 >= lit(total) * 8)
+          .agg(min(col("rk")).as("cut_k"))
+          .select(
+            lit(nUsers).as("users_total"),
+            col("cut_k"),
+            expr(s"(cut_k * 10000L) div ${nUsers}L").as("user_share_bp")
+          )
+      },
+      Some("""WITH rev AS (
+             |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |r AS (SELECT cents,
+             |        sum(cents) OVER (ORDER BY cents DESC, user_id
+             |                         ROWS UNBOUNDED PRECEDING) AS cum,
+             |        row_number() OVER (ORDER BY cents DESC, user_id) AS rk,
+             |        count(*) OVER () AS n, sum(cents) OVER () AS t
+             |      FROM rev)
+             |SELECT CAST(max(n) AS BIGINT) AS users_total,
+             |  CAST(min(rk) AS BIGINT) AS cut_k,
+             |  CAST(min(rk) * 10000 // max(n) AS BIGINT) AS user_share_bp
+             |FROM r WHERE cum * 10 >= t * 8""".stripMargin)
     )
   )
 }
