@@ -2254,6 +2254,78 @@ object Relational {
              |  CAST(min(rk) AS BIGINT) AS cut_k,
              |  CAST(min(rk) * 10000 // max(n) AS BIGINT) AS user_share_bp
              |FROM r WHERE cum * 10 >= t * 8""".stripMargin)
+    ),
+
+    // Incremental view maintenance — the lakehouse refresh pattern: a
+    // materialized per-(day, type) count view is brought current by
+    // folding in ONLY the delta (here the event_id % 10 == 0 slice plays
+    // the newly-arrived batch; the rest is the stale base view). The
+    // maintained result is base FULL OUTER delta with summed counts —
+    // delta-sized work — and distributive aggregates (sum/count) make it
+    // ALGEBRAICALLY equal to recomputing over base ∪ delta, which is
+    // exactly what the oracle does: the green hash IS the IVM
+    // equivalence proof. At 100 TB the base view is a stored table and
+    // only the delta is scanned; negative deltas (retractions) fold in
+    // the same way with count −1 rows.
+    Q(
+      "q217_ivm_counts",
+      (s, d) => {
+        val ev = events(s, d).select(
+          expr("unix_micros(ts) div 86400000000L").as("day"),
+          col("event_type"),
+          col("event_id")
+        )
+        val baseView = ev
+          .filter(col("event_id") % 10 =!= 0)
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val deltaAgg = ev
+          .filter(col("event_id") % 10 === 0)
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("dcnt"))
+        baseView
+          .join(deltaAgg, Seq("day", "event_type"), "full_outer")
+          .select(
+            col("day"),
+            col("event_type"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("cnt")
+          )
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY day, event_type""".stripMargin)
+    ),
+
+    // Market-basket pair mining — parts bought together on one order
+    // (the retail co-occurrence analysis; the relational sibling of
+    // q94's text collocations). The self-join is keyed on l_orderkey, so
+    // its fan-out is bounded by per-order line count squared (~7² — the
+    // q148 fan-out audit measures exactly this), never corpus²; pair
+    // counts aggregate with map-side combine and the top 10 comes from
+    // TakeOrderedAndProject. part_a < part_b canonicalizes the pair.
+    Q(
+      "q218_market_basket",
+      (s, d) => {
+        val lp = lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+        lp.as("a")
+          .join(lp.as("b"), Seq("l_orderkey"))
+          .filter(col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("orders_together"))
+          .orderBy(col("orders_together").desc, col("part_a"), col("part_b"))
+          .limit(10)
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |  CAST(count(*) AS BIGINT) AS orders_together
+             |FROM lp a JOIN lp b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2
+             |ORDER BY orders_together DESC, part_a, part_b
+             |LIMIT 10""".stripMargin)
     )
   )
 }
