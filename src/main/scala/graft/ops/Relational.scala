@@ -2326,6 +2326,60 @@ object Relational {
              |GROUP BY 1, 2
              |ORDER BY orders_together DESC, part_a, part_b
              |LIMIT 10""".stripMargin)
+    ),
+
+    // Bloom-filter false-positive-rate audit — the sizing check behind
+    // q86's bloom pre-join: build the filter over the urgent order keys
+    // at 10 bits/key (theoretical fpp ≈ 1%), probe it with the EXACT
+    // complement (non-urgent keys — disjoint by construction, so every
+    // hit is a false positive), and assert the measured rate stays under
+    // 3× the target. The q99/q212 sketch convention: the filter bytes
+    // are engine-specific, so the cross-engine contract is the exact
+    // member/probe counts plus the bound as a boolean the oracle asserts
+    // TRUE. A mis-sized or mis-hashed bloom reads ~50–100% FPR and fails
+    // loudly. Scale shape: one aggregate builds ~n·10 bits, the probe
+    // pass is map-only over the complement; both sides are one scan.
+    Q(
+      "q219_bloom_fpr_audit",
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumns
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val ord = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        val members = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+        val nMembers = members.count()
+        val bloomAgg = GraftColumns.lift(
+          new BloomFilterAggregate(
+            new XxHash64(Seq(GraftColumns.unlift(col("o_orderkey")))),
+            Literal(nMembers),
+            Literal(nMembers * 10L)
+          ).toAggregateExpression()
+        )
+        val bloom = members.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+        val mightContain = GraftColumns.lift(
+          BloomFilterMightContain(
+            Literal(bloom),
+            new XxHash64(Seq(GraftColumns.unlift(col("o_orderkey"))))
+          )
+        )
+        ord
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(mightContain.cast("long").as("fp"))
+          .agg(count(lit(1)).as("probes"), sum(col("fp")).as("false_pos"))
+          .select(
+            lit(nMembers).as("members"),
+            col("probes"),
+            (col("false_pos") * 1000L <= col("probes") * 30L).as("fpr_ok")
+          )
+      },
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS members,
+             |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS probes,
+             |  TRUE AS fpr_ok
+             |FROM orders""".stripMargin)
     )
   )
 }

@@ -461,6 +461,28 @@ class PlanSpec extends SparkSpec {
       s"join inputs are not pre-aggregated:\n$p")
   }
 
+  test("q213 sole-blame decorrelates to one semi- and one anti-join, no re-scan loop") {
+    val p = finalPlan(plan("q213_sole_blame"))
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated subqueries degenerated to a nested loop:\n$p"
+    )
+  }
+
+  test("q217 IVM joins two aggregates — the merge is delta-sized, never fact-sized") {
+    val p = finalPlan(plan("q217_ivm_counts"))
+    assert(p.contains("FullOuter"), s"no full-outer merge:\n$p")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+    assert(joinIdx >= 0, s"expected a shuffled full outer:\n$p")
+    val below = p.substring(joinIdx)
+    assert(
+      "HashAggregate".r.findAllIn(below).size >= 2,
+      s"join inputs are not pre-aggregated views:\n$p"
+    )
+  }
+
   test("registry-wide: unpartitioned windows only ever see metadata-sized input") {
     // `WindowExec` with no partition spec moves its whole input to ONE
     // task — acceptable ONLY for metadata frames (range-partition offset
