@@ -2380,6 +2380,47 @@ object Relational {
              |    AS BIGINT) AS probes,
              |  TRUE AS fpr_ok
              |FROM orders""".stripMargin)
+    ),
+
+    // Bounded-domain EXACT distinct via bitmap aggregation: each user's
+    // active-day set over the corpus's ≤64-day window packs into ONE
+    // int64 bitmask, so `bit_count(bit_or(1 << rel_day))` is an exact
+    // distinct-count whose aggregation state is 8 bytes and whose merge
+    // is a single OR — map-side combinable where count(DISTINCT day)
+    // drags a per-group hash set through the shuffle (the roaring-bitmap
+    // idea specialized to a word). The oracle computes the SAME
+    // histogram with count(DISTINCT ...), so the green hash proves the
+    // bitmap path exact, not approximate. Guarded: the window must fit
+    // 64 days (require below) — wider windows shard into
+    // (epoch, 64-day) words and sum bit_counts. Output: distribution of
+    // users by number of distinct active days.
+    Q(
+      "q220_bitmap_distinct",
+      (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"),
+          expr("unix_micros(ts) div 86400000000L").as("day")
+        )
+        val b = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+        val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
+        require(hi - lo < 64, s"bitmap-distinct needs a <=64-day window, got ${hi - lo + 1}")
+        ev.groupBy(col("user_id"))
+          .agg(
+            expr(s"CAST(bit_count(bit_or(shiftleft(1L, CAST(day - ${lo}L AS INT)))) AS BIGINT)")
+              .as("active_days")
+          )
+          .groupBy(col("active_days"))
+          .agg(count(lit(1)).as("users"))
+          .orderBy(col("active_days"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+             |pu AS (SELECT user_id,
+             |         CAST(count(DISTINCT day) AS BIGINT) AS active_days
+             |       FROM ev GROUP BY 1)
+             |SELECT active_days, CAST(count(*) AS BIGINT) AS users
+             |FROM pu
+             |GROUP BY active_days
+             |ORDER BY active_days""".stripMargin)
     )
   )
 }

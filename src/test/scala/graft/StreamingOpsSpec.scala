@@ -951,4 +951,46 @@ class StreamingOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming bitmap distinct is exact and redelivery-proof where a sum is not") {
+    // q220's bounded-domain trick as a streaming aggregate: bit_or is
+    // idempotent, so at-least-once redelivery CANNOT corrupt the distinct
+    // count — the same replay visibly inflates a row counter. 8 bytes of
+    // state per key in update/complete mode.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)] // (user_id, day in 0..63)
+    val agg = stream
+      .toDS()
+      .toDF("user_id", "day")
+      .groupBy(col("user_id"))
+      .agg(
+        expr("CAST(bit_count(bit_or(shiftleft(1L, CAST(day AS INT)))) AS BIGINT)")
+          .as("active_days"),
+        count(lit(1)).as("delivered_rows")
+      )
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("bitmap_distinct")
+      .start()
+    try {
+      val rows = for { u <- 1L to 5L; d <- 0L to (u * 3 % 7) } yield (u, d)
+      stream.addData(rows)
+      q.processAllAvailable()
+      stream.addData(rows.take(8)) // at-least-once redelivery
+      q.processAllAvailable()
+      val got = spark
+        .table("bitmap_distinct")
+        .collect()
+        .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("active_days"), r.getAs[Long]("delivered_rows")))
+        .toMap
+      val expected = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).distinct.size.toLong }
+      got.foreach { case (u, (days, _)) =>
+        assert(days == expected(u), s"user $u: bitmap $days != exact ${expected(u)}")
+      }
+      // the replayed rows DID reach the aggregate — the naive counter
+      // inflated; the idempotent OR did not
+      assert(got.values.map(_._2).sum == rows.size + 8L)
+    } finally q.stop()
+  }
 }
