@@ -2119,20 +2119,25 @@ object Relational {
           col("event_type")
         )
         val b = ev.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi")).head()
-        val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
-        val errs = ev
-          .filter(col("event_type") === "error")
-          .groupBy(col("hr"))
-          .agg(count(lit(1)).as("cnt"))
-        s.range(lo, hi + 1)
-          .toDF("hr")
-          .join(errs, Seq("hr"), "left")
-          .select(
-            col("hr"),
-            coalesce(col("cnt"), lit(0L)).as("errors"),
-            (coalesce(col("cnt"), lit(0L)) === 0L).as("is_gap")
-          )
-          .orderBy(col("hr"))
+        // empty input: the oracle's spine over NULL bounds is zero rows
+        if (b.isNullAt(0)) {
+          s.range(0).select(lit(0L).as("hr"), lit(0L).as("errors"), lit(false).as("is_gap"))
+        } else {
+          val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
+          val errs = ev
+            .filter(col("event_type") === "error")
+            .groupBy(col("hr"))
+            .agg(count(lit(1)).as("cnt"))
+          s.range(lo, hi + 1)
+            .toDF("hr")
+            .join(errs, Seq("hr"), "left")
+            .select(
+              col("hr"),
+              coalesce(col("cnt"), lit(0L)).as("errors"),
+              (coalesce(col("cnt"), lit(0L)) === 0L).as("is_gap")
+            )
+            .orderBy(col("hr"))
+        }
       },
       Some("""WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type
              |           FROM events),
@@ -2164,15 +2169,26 @@ object Relational {
           expr("unix_micros(ts)").as("us"),
           col("event_id")
         )
-        val maxUs = ev.agg(max(col("us"))).head().getLong(0)
-        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        ev.withColumn("valid_to", coalesce(lead(col("us"), 1).over(w), lit(maxUs)))
-          .groupBy(col("event_type"))
-          .agg(
-            count(lit(1)).as("intervals"),
-            expr("CAST(sum(valid_to - us) div 1000000L AS BIGINT)").as("total_state_sec")
-          )
-          .orderBy(col("event_type"))
+        val mxRow = ev.agg(max(col("us"))).head()
+        // empty input: the oracle's grouped aggregate over no rows is empty
+        if (mxRow.isNullAt(0)) {
+          s.range(0)
+            .select(
+              lit("").as("event_type"),
+              lit(0L).as("intervals"),
+              lit(0L).as("total_state_sec")
+            )
+        } else {
+          val maxUs = mxRow.getLong(0)
+          val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          ev.withColumn("valid_to", coalesce(lead(col("us"), 1).over(w), lit(maxUs)))
+            .groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("intervals"),
+              expr("CAST(sum(valid_to - us) div 1000000L AS BIGINT)").as("total_state_sec")
+            )
+            .orderBy(col("event_type"))
+        }
       },
       Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
              |           FROM events),
@@ -2228,18 +2244,27 @@ object Relational {
           .orderBy(col("loc"))
           .rowsBetween(Window.unboundedPreceding, 0)
         val tot = stamped.agg(count(lit(1)).as("n"), sum(col("cents")).as("t")).head()
-        val (nUsers, total) = (tot.getAs[Long]("n"), tot.getAs[Long]("t"))
-        stamped
-          .join(broadcast(offsets.select(col("pid"), col("cnt_off"), col("sum_off"))), Seq("pid"))
-          .withColumn("rk", col("cnt_off") + col("loc") + 1)
-          .withColumn("cum", col("sum_off") + sum(col("cents")).over(wLoc))
-          .filter(col("cum") * 10 >= lit(total) * 8)
-          .agg(min(col("rk")).as("cut_k"))
-          .select(
-            lit(nUsers).as("users_total"),
-            col("cut_k"),
-            expr(s"(cut_k * 10000L) div ${nUsers}L").as("user_share_bp")
-          )
+        val nUsers = tot.getAs[Long]("n")
+        // no purchases: the oracle's aggregate over the empty filtered set
+        // is one all-NULL row
+        if (nUsers == 0L) {
+          val nul = lit(null).cast("long")
+          s.range(1)
+            .select(nul.as("users_total"), nul.as("cut_k"), nul.as("user_share_bp"))
+        } else {
+          val total = tot.getAs[Long]("t")
+          stamped
+            .join(broadcast(offsets.select(col("pid"), col("cnt_off"), col("sum_off"))), Seq("pid"))
+            .withColumn("rk", col("cnt_off") + col("loc") + 1)
+            .withColumn("cum", col("sum_off") + sum(col("cents")).over(wLoc))
+            .filter(col("cum") * 10 >= lit(total) * 8)
+            .agg(min(col("rk")).as("cut_k"))
+            .select(
+              lit(nUsers).as("users_total"),
+              col("cut_k"),
+              expr(s"(cut_k * 10000L) div ${nUsers}L").as("user_share_bp")
+            )
+        }
       },
       Some("""WITH rev AS (
              |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -2349,29 +2374,44 @@ object Relational {
         val ord = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
         val members = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
         val nMembers = members.count()
-        val bloomAgg = GraftColumns.lift(
-          new BloomFilterAggregate(
-            new XxHash64(Seq(GraftColumns.unlift(col("o_orderkey")))),
-            Literal(nMembers),
-            Literal(nMembers * 10L)
-          ).toAggregateExpression()
-        )
-        val bloom = members.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
-        val mightContain = GraftColumns.lift(
-          BloomFilterMightContain(
-            Literal(bloom),
-            new XxHash64(Seq(GraftColumns.unlift(col("o_orderkey"))))
+        // BloomFilterAggregate requires positive sizing; with no members
+        // every probe is trivially clean — mirror the oracle's aggregate
+        // (all-NULL row on fully empty input, 0-member row otherwise)
+        if (nMembers == 0L) {
+          if (ord.isEmpty) {
+            val nul = lit(null).cast("long")
+            s.range(1).select(nul.as("members"), nul.as("probes"), lit(true).as("fpr_ok"))
+          } else {
+            ord
+              .filter(col("o_orderpriority") =!= "1-URGENT")
+              .agg(count(lit(1)).as("probes"))
+              .select(lit(0L).as("members"), col("probes"), lit(true).as("fpr_ok"))
+          }
+        } else {
+          val bloomAgg = GraftColumns.lift(
+            new BloomFilterAggregate(
+              new XxHash64(Seq(GraftColumns.unlift(col("o_orderkey")))),
+              Literal(nMembers),
+              Literal(nMembers * 10L)
+            ).toAggregateExpression()
           )
-        )
-        ord
-          .filter(col("o_orderpriority") =!= "1-URGENT")
-          .select(mightContain.cast("long").as("fp"))
-          .agg(count(lit(1)).as("probes"), sum(col("fp")).as("false_pos"))
-          .select(
-            lit(nMembers).as("members"),
-            col("probes"),
-            (col("false_pos") * 1000L <= col("probes") * 30L).as("fpr_ok")
+          val bloom = members.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+          val mightContain = GraftColumns.lift(
+            BloomFilterMightContain(
+              Literal(bloom),
+              new XxHash64(Seq(GraftColumns.unlift(col("o_orderkey"))))
+            )
           )
+          ord
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(mightContain.cast("long").as("fp"))
+            .agg(count(lit(1)).as("probes"), sum(col("fp")).as("false_pos"))
+            .select(
+              lit(nMembers).as("members"),
+              col("probes"),
+              (col("false_pos") * 1000L <= col("probes") * 30L).as("fpr_ok")
+            )
+        }
       },
       Some("""SELECT
              |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
@@ -2402,16 +2442,21 @@ object Relational {
           expr("unix_micros(ts) div 86400000000L").as("day")
         )
         val b = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
-        val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
-        require(hi - lo < 64, s"bitmap-distinct needs a <=64-day window, got ${hi - lo + 1}")
-        ev.groupBy(col("user_id"))
-          .agg(
-            expr(s"CAST(bit_count(bit_or(shiftleft(1L, CAST(day - ${lo}L AS INT)))) AS BIGINT)")
-              .as("active_days")
-          )
-          .groupBy(col("active_days"))
-          .agg(count(lit(1)).as("users"))
-          .orderBy(col("active_days"))
+        // empty input: the oracle's grouped aggregates over no rows are empty
+        if (b.isNullAt(0)) {
+          s.range(0).select(lit(0L).as("active_days"), lit(0L).as("users"))
+        } else {
+          val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
+          require(hi - lo < 64, s"bitmap-distinct needs a <=64-day window, got ${hi - lo + 1}")
+          ev.groupBy(col("user_id"))
+            .agg(
+              expr(s"CAST(bit_count(bit_or(shiftleft(1L, CAST(day - ${lo}L AS INT)))) AS BIGINT)")
+                .as("active_days")
+            )
+            .groupBy(col("active_days"))
+            .agg(count(lit(1)).as("users"))
+            .orderBy(col("active_days"))
+        }
       },
       Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
              |pu AS (SELECT user_id,

@@ -1912,19 +1912,23 @@ object SimilarityOps {
     Q(
       "q210_source_dispersion",
       (s, d) => {
-        val j = embeddings(s, d)
-          .select(
-            col("vec_id"),
-            expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
-              .as("qv"),
-            graft.functions.VectorFunctions
-              .quantizedDot(emb(col("embedding")), emb(col("embedding")), 1000)
-              .as("ssq")
-          )
-          .join(
-            documents(s, d).select(col("doc_id").as("vec_id"), col("source")),
-            "vec_id"
-          )
+        // persisted: the (n, Σssq) aggregate and the per-dim rollup both
+        // read this join — unpersisted, the corpus join executes twice
+        val j = Caches.persisted(
+          embeddings(s, d)
+            .select(
+              col("vec_id"),
+              expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000d) as bigint))")
+                .as("qv"),
+              graft.functions.VectorFunctions
+                .quantizedDot(emb(col("embedding")), emb(col("embedding")), 1000)
+                .as("ssq")
+            )
+            .join(
+              documents(s, d).select(col("doc_id").as("vec_id"), col("source")),
+              "vec_id"
+            )
+        )
         val st = j.groupBy(col("source"))
           .agg(count(lit(1)).as("n"), sum(col("ssq")).as("ssq_sum"))
         val s2 = j
