@@ -683,6 +683,82 @@ object TextOps {
              |ORDER BY src_a, src_b""".stripMargin)
     ),
 
+    // HLL set-ALGEBRA overlap — q85's exact pairwise vocabulary
+    // intersection answered from per-source sketches by
+    // inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A ⊔ B), where
+    // ⊔ is the scalar hll_union of two already-aggregated sketches. At
+    // 100 TB this is THE audience/vocabulary-overlap architecture: each
+    // source is sketched ONCE (one corpus pass, KB-sized mergeable
+    // state), and all |sources|² pair overlaps come from sketch-on-
+    // sketch math — the exact token-keyed join q85 runs never touches
+    // the corpus again. The q99/q100 convention: estimates are
+    // engine-specific, so the oracle-checked contract is the exact
+    // counts plus the inclusion–exclusion error staying under 5% of the
+    // union + a small-set slack, emitted as a boolean asserted TRUE.
+    Q(
+      "q221_hll_overlap",
+      (s, d) => {
+        val vocab = Caches.persisted(
+          documents(s, d)
+            .select(col("source"), explode(tokens(col("text"))).as("t"))
+            .filter(length(col("t")) > 0)
+            .distinct()
+        )
+        val sk = vocab
+          .groupBy(col("source"))
+          .agg(expr("hll_sketch_agg(t)").as("sk"), count(lit(1)).as("vsize"))
+        val pairs = vocab
+          .as("a")
+          .join(vocab.as("b"), col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("exact_overlap"))
+        val skPairs = sk
+          .select(col("source").as("src_a"), col("sk").as("sk_a"), col("vsize").as("vocab_a"))
+          .join(
+            sk.select(col("source").as("src_b"), col("sk").as("sk_b"), col("vsize").as("vocab_b")),
+            col("src_a") < col("src_b")
+          )
+          .select(
+            col("src_a"),
+            col("src_b"),
+            col("vocab_a"),
+            col("vocab_b"),
+            (expr("hll_sketch_estimate(sk_a)") + expr("hll_sketch_estimate(sk_b)") -
+              expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")).as("est_overlap")
+          )
+        pairs
+          .join(skPairs, Seq("src_a", "src_b"))
+          .select(
+            col("src_a"),
+            col("src_b"),
+            col("vocab_a"),
+            col("vocab_b"),
+            col("exact_overlap"),
+            (abs(col("est_overlap") - col("exact_overlap")).cast("double") <=
+              lit(0.05) * (col("vocab_a") + col("vocab_b") - col("exact_overlap"))
+                .cast("double") + lit(20.0)).as("within_bound")
+          )
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH vocab AS (
+             |  SELECT DISTINCT source, t FROM (
+             |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |    FROM documents)
+             |  WHERE len(t) > 0),
+             |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS vsize FROM vocab GROUP BY 1),
+             |inter AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    CAST(count(*) AS BIGINT) AS exact_overlap
+             |  FROM vocab a JOIN vocab b ON a.t = b.t AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, sa.vsize AS vocab_a, sb.vsize AS vocab_b,
+             |  exact_overlap, TRUE AS within_bound
+             |FROM inter
+             |JOIN sizes sa ON sa.source = src_a
+             |JOIN sizes sb ON sb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin)
+    ),
+
     // Collocation mining: token bigrams that co-occur in documents far more
     // often than their parts would independently predict — the association
     // signal a corpus-analysis pass uses to find multi-word expressions.
