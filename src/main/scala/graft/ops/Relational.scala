@@ -2466,6 +2466,60 @@ object Relational {
              |FROM pu
              |GROUP BY active_days
              |ORDER BY active_days""".stripMargin)
+    ),
+
+    // Rolling 7-day active users from WINDOWED sketch unions — the
+    // WAU/MAU dashboard architecture: each day is HLL-sketched ONCE (one
+    // corpus pass), and every rolling window is a union of ≤7 KB-sized
+    // daily sketches — sketch-on-sketch math over calendar metadata,
+    // never a re-scan per window (a 30-day dashboard re-scanning the
+    // fact table 30× is the anti-pattern this replaces). Exact rolling
+    // distinct is recomputed as the audit side (q100's convention) and
+    // the estimate must stay within 15%; the oracle recomputes the exact
+    // series and asserts the bound TRUE. The day×day range join is
+    // calendar-metadata-sized on the sketch side.
+    Q(
+      "q222_rolling_distinct",
+      (s, d) => {
+        val ud = Caches.persisted(
+          events(s, d)
+            .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
+            .distinct()
+        )
+        val days = ud.select(col("day")).distinct()
+        val dailySk = ud.groupBy(col("day")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val est = days
+          .as("t")
+          .join(
+            dailySk.as("s"),
+            col("s.day") >= col("t.day") - 6 && col("s.day") <= col("t.day")
+          )
+          .groupBy(col("t.day").as("day"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_wau"))
+        val exact = days
+          .as("t")
+          .join(ud.as("u"), col("u.day") >= col("t.day") - 6 && col("u.day") <= col("t.day"))
+          .groupBy(col("t.day").as("day"))
+          .agg(countDistinct(col("u.user_id")).as("exact_wau"))
+        exact
+          .join(est, Seq("day"))
+          .select(
+            col("day"),
+            col("exact_wau"),
+            (abs(col("approx_wau") - col("exact_wau")).cast("double") / col("exact_wau") < 0.15)
+              .as("within_bound")
+          )
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             |           FROM events),
+             |days AS (SELECT DISTINCT day FROM ud)
+             |SELECT t.day,
+             |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_wau,
+             |  TRUE AS within_bound
+             |FROM days t JOIN ud u ON u.day BETWEEN t.day - 6 AND t.day
+             |GROUP BY t.day
+             |ORDER BY t.day""".stripMargin)
     )
   )
 }

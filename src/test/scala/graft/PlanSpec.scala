@@ -565,6 +565,7 @@ class PlanSpec extends SparkSpec {
       "q191_lexical_embedding_consistency", // dup-stats × ctrl-stats, both 1-row
       "q209_hybrid_rrf", // 1 query-vector row broadcast against the embedding scan
       "q221_hll_overlap", // |sources| sketch metadata rows, src_a < src_b pair join
+      "q222_rolling_distinct", // |days| calendar rows range-joined to daily sketches/user-days
       "q205_multiprobe_recall", // 5 anchor vectors broadcast (exact top-10 ground-truth side)
       "q208_ivf_recall_curve" // 8 centroids + 3 anchors broadcast (assignment + ground truth)
     )
