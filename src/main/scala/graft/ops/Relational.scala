@@ -2520,6 +2520,70 @@ object Relational {
              |FROM days t JOIN ud u ON u.day BETWEEN t.day - 6 AND t.day
              |GROUP BY t.day
              |ORDER BY t.day""".stripMargin)
+    ),
+
+    // SLA-bounded funnel conversion — q98 asks WHETHER a user converted,
+    // q102 how long it took; this asks whether conversion happened
+    // WITHIN the service-level window (1 h of the user's first click) —
+    // the deadline cut a growth team actually tracks. Per first-click
+    // day: clicking users, users with ANY purchase after the click, and
+    // users purchasing inside the deadline, plus the rate in bp. Scale
+    // shape: both sides pre-aggregate per user (first click) / filter to
+    // purchases before ONE user-keyed equi-join with a time residual;
+    // exact integer µs.
+    Q(
+      "q223_funnel_deadline",
+      (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"),
+          col("event_type"),
+          expr("unix_micros(ts)").as("us")
+        )
+        val firstClick = ev
+          .filter(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("click_us"))
+        val purchases = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("us"))
+        val flags = firstClick
+          .join(purchases, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("click_us"))
+          .agg(
+            max(when(col("us") >= col("click_us"), 1L).otherwise(0L)).as("converted"),
+            max(
+              when(col("us") >= col("click_us") && col("us") <= col("click_us") + 3600000000L, 1L)
+                .otherwise(0L)
+            ).as("converted_1h")
+          )
+        flags
+          .groupBy(expr("click_us div 86400000000L").as("day"))
+          .agg(
+            count(lit(1)).as("clickers"),
+            sum(col("converted")).as("converted"),
+            sum(col("converted_1h")).as("converted_1h")
+          )
+          .withColumn("sla_bp", expr("(converted_1h * 10000L) div clickers"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |fc AS (SELECT user_id, min(us) AS click_us FROM ev
+             |       WHERE event_type = 'click' GROUP BY 1),
+             |pu AS (SELECT user_id, us FROM ev WHERE event_type = 'purchase'),
+             |fl AS (
+             |  SELECT fc.user_id, fc.click_us,
+             |    max(CASE WHEN pu.us >= fc.click_us THEN 1 ELSE 0 END) AS converted,
+             |    max(CASE WHEN pu.us >= fc.click_us
+             |              AND pu.us <= fc.click_us + 3600000000 THEN 1 ELSE 0 END)
+             |      AS converted_1h
+             |  FROM fc LEFT JOIN pu ON pu.user_id = fc.user_id
+             |  GROUP BY 1, 2)
+             |SELECT click_us // 86400000000 AS day,
+             |  CAST(count(*) AS BIGINT) AS clickers,
+             |  CAST(sum(converted) AS BIGINT) AS converted,
+             |  CAST(sum(converted_1h) AS BIGINT) AS converted_1h,
+             |  CAST(sum(converted_1h) * 10000 // count(*) AS BIGINT) AS sla_bp
+             |FROM fl
+             |GROUP BY 1
+             |ORDER BY day""".stripMargin)
     )
   )
 }
