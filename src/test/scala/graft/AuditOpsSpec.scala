@@ -435,4 +435,26 @@ class AuditOpsSpec extends SparkSpec {
       .toMap
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("HLL pair overlap never exceeds either vocabulary and stays within its bound") {
+    val rows = run("q221_hll_overlap")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (va, vb, inter) =
+        (r.getAs[Long]("vocab_a"), r.getAs[Long]("vocab_b"), r.getAs[Long]("exact_overlap"))
+      assert(inter >= 1L && inter <= math.min(va, vb), s"overlap out of range: $r")
+      assert(r.getAs[Boolean]("within_bound"), s"sketch estimate broke its bound: $r")
+    }
+  }
+
+  test("funnel SLA counts are nested: within-deadline <= converted <= clickers") {
+    val rows = run("q223_funnel_deadline")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, cv, cv1) =
+        (r.getAs[Long]("clickers"), r.getAs[Long]("converted"), r.getAs[Long]("converted_1h"))
+      assert(cv1 <= cv && cv <= c, s"funnel nesting violated: $r")
+      assert(r.getAs[Long]("sla_bp") >= 0L && r.getAs[Long]("sla_bp") <= 10000L)
+    }
+  }
 }
