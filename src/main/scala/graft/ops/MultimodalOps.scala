@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2.9 E16): opaque `binary`
@@ -265,6 +266,86 @@ object MultimodalOps {
               |    CAST(${hexToIntSql("substr(md5(text), 1, 4)", 4)} % 640 AS INT) AS width,
               |    CAST(${hexToIntSql("substr(md5(text), 5, 4)", 4)} % 480 AS INT) AS height
               |  FROM documents) t
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    ),
+
+    // Content-defined chunking as an ORACLE-CHECKED query — the
+    // relational core of `cdcChunks` (whose min/max-length clamps force
+    // sequential state and live in mapPartitions): with pure local
+    // boundaries — position i ends a chunk iff the 16-byte window hash
+    // matches a 6-bit mask (expected chunk ≈ 64+15 bytes) — the WHOLE
+    // chunking is window algebra: boundary positions from one explode,
+    // chunk spans from a per-doc lag(), chunk bytes by substring
+    // re-slice. Because a boundary depends only on its window, an edit
+    // re-syncs after ≤ one window — the LBFS/restic robustness property
+    // fixed-stride q51 lacks — and the corpus-wide chunk-hash dedup rate
+    // is the storage-dedup headline per source. Scale shape: the window
+    // explode is the q35 gram discipline (per-position 16-byte slices,
+    // text itself never duplicated past the projection), spans re-join
+    // doc-keyed, rollup is per-source metadata.
+    Q(
+      "q224_cdc_chunks",
+      (s, d) => {
+        val t = documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), length(col("text")).cast("long").as("n"))
+        val wins = t
+          .filter(col("n") >= 16L)
+          .select(
+            col("doc_id"),
+            explode(
+              expr(
+                "transform(sequence(1L, n - 15L), " +
+                  "i -> named_struct('i', i, 'w', substring(text, cast(i as int), 16)))"
+              )
+            ).as("p")
+          )
+          .select(col("doc_id"), col("p.i").as("i"), col("p.w").as("w"))
+        val cuts = wins
+          .filter(expr("cast(conv(substring(md5(w), 1, 4), 16, 10) as bigint) % 64 = 0"))
+          .select(col("doc_id"), (col("i") + 15L).as("cut"))
+          .union(t.select(col("doc_id"), col("n").as("cut")))
+          .distinct()
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("cut"))
+        val spans = cuts
+          .withColumn("prev", coalesce(lag(col("cut"), 1).over(wDoc), lit(0L)))
+        spans
+          .join(t.select(col("doc_id"), col("source"), col("text")), "doc_id")
+          .select(
+            col("source"),
+            (col("cut") - col("prev")).as("clen"),
+            md5(expr("substring(text, cast(prev + 1 as int), cast(cut - prev as int))")).as("h")
+          )
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("chunks"),
+            countDistinct(col("h")).as("distinct_chunks"),
+            expr("CAST(sum(clen) div count(1) AS BIGINT)").as("mean_len"),
+            expr("((count(1) - count(DISTINCT h)) * 10000L) div count(1)").as("dup_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text, CAST(len(text) AS BIGINT) AS n
+              |           FROM documents),
+              |g AS (SELECT doc_id, n, text,
+              |        unnest(range(1, greatest(CAST(n AS INTEGER) - 14, 1))) AS i
+              |      FROM t),
+              |b AS (SELECT doc_id, i + 15 AS cut FROM g
+              |      WHERE ${hexToIntSql("substr(md5(substr(text, CAST(i AS INTEGER), 16)), 1, 4)", 4)} % 64 = 0),
+              |cuts AS (SELECT doc_id, CAST(cut AS BIGINT) AS cut FROM b
+              |         UNION SELECT doc_id, n FROM t),
+              |sp AS (SELECT doc_id, cut,
+              |         coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS prev
+              |       FROM cuts),
+              |ck AS (SELECT t.source, sp.cut - sp.prev AS clen,
+              |         md5(substr(t.text, CAST(sp.prev + 1 AS INTEGER),
+              |                    CAST(sp.cut - sp.prev AS INTEGER))) AS h
+              |       FROM sp JOIN t USING (doc_id))
+              |SELECT source, CAST(count(*) AS BIGINT) AS chunks,
+              |  CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks,
+              |  CAST(sum(clen) AS BIGINT) // count(*) AS mean_len,
+              |  (CAST(count(*) AS BIGINT) - count(DISTINCT h)) * 10000 // count(*) AS dup_bp
+              |FROM ck
               |GROUP BY source
               |ORDER BY source""".stripMargin)
     )
