@@ -2584,6 +2584,100 @@ object Relational {
              |FROM fl
              |GROUP BY 1
              |ORDER BY day""".stripMargin)
+    ),
+
+    // Sequential path mining — the top event TRIGRAMS users actually walk
+    // (view>click>purchase vs view>view>view), where q104's transition
+    // matrix only sees single steps: three-step paths expose loops and
+    // detours a first-order Markov model averages away. Per-user lead()
+    // windows stamp each event with its two successors (keyed partition
+    // sort, no global window), paths aggregate with map-side combine,
+    // and the top 10 comes from TakeOrderedAndProject — the unbounded
+    // path-type table is never globally sorted (the q126 discipline).
+    Q(
+      "q225_event_paths",
+      (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"),
+          col("event_type"),
+          expr("unix_micros(ts)").as("us"),
+          col("event_id")
+        )
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        ev.withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("path"))
+          .limit(10)
+          .withColumn(
+            "rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("path"))).cast("long")
+          )
+          .orderBy(col("rank"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+             |           FROM events),
+             |tri AS (
+             |  SELECT event_type || '>' || lead(event_type) OVER w
+             |           || '>' || lead(event_type, 2) OVER w AS path
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |c AS (SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM tri
+             |      WHERE path IS NOT NULL GROUP BY 1)
+             |SELECT path, cnt, CAST(rank AS BIGINT) AS rank FROM (
+             |  SELECT path, cnt, row_number() OVER (ORDER BY cnt DESC, path) AS rank
+             |  FROM c) t
+             |WHERE rank <= 10
+             |ORDER BY rank""".stripMargin)
+    ),
+
+    // Fulfillment-latency SLA profile — ship-delay (days from order to
+    // line shipment) percentiles per order priority: does the URGENT
+    // tier actually ship faster, and by how much at the tail? The gap is
+    // exact integer DAYS (tz-free date subtraction on both engines), so
+    // the q73 interpolation convention applies: integer-valued inputs
+    // keep quantile_cont/percentile bit-comparable under round(…,4).
+    // Scale shape: one orderkey equi-join (lineitem shuffles once),
+    // per-priority sort only within each group's percentile aggregate.
+    Q(
+      "q226_ship_delay",
+      (s, d) =>
+        lineitem(s, d)
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+          .join(
+            orders(s, d).select(
+              col("o_orderkey").as("l_orderkey"),
+              col("o_orderpriority"),
+              to_date(col("o_orderdate")).as("order_day")
+            ),
+            "l_orderkey"
+          )
+          .select(col("o_orderpriority"), datediff(col("ship_day"), col("order_day")).as("gap_days"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            min(col("gap_days")).cast("long").as("min_days"),
+            round(expr("percentile(gap_days, 0.5d)"), 4).as("p50_days"),
+            round(expr("percentile(gap_days, 0.9d)"), 4).as("p90_days"),
+            max(col("gap_days")).cast("long").as("max_days")
+          )
+          .orderBy(col("o_orderpriority")),
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority,
+             |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+             |      AS gap_days
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+             |SELECT o_orderpriority, count(*) AS cnt,
+             |  CAST(min(gap_days) AS BIGINT) AS min_days,
+             |  round(quantile_cont(gap_days, 0.5), 4) AS p50_days,
+             |  round(quantile_cont(gap_days, 0.9), 4) AS p90_days,
+             |  CAST(max(gap_days) AS BIGINT) AS max_days
+             |FROM g
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
     )
   )
 }
