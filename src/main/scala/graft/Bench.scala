@@ -1,6 +1,90 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark entrypoint. Prints ONE compact JSON summary line on stdout
+  * (the driver captures only the last ~2 KB of output, so the line must
+  * stay well under that: summary stats + the slowest handful of queries)
+  * and writes the FULL per-query timing map to `BENCH_DETAIL.json` in the
+  * working directory for round-over-round attribution.
+  *
+  * Measurement discipline:
+  *  - noop-format write, NOT count(): count() lets Catalyst prune any
+  *    output column the row count doesn't need, silently skipping the
+  *    final (often most expensive) projections — a map-only expression
+  *    query would bench as a bare scan. The noop sink materializes every
+  *    output column and discards it.
+  *  - `Caches.invalidate()` between queries: several dedup/ANN queries
+  *    share persisted intermediates (LSH pairs, CC labels); without
+  *    invalidation the build cost lands on whichever sharing query runs
+  *    first alphabetically and every later one looks free. Invalidation
+  *    makes each number self-contained and reproducible in isolation —
+  *    the suite total goes up, honesty goes up with it.
+  *  - ms-integer timings: stable diffs, compact JSON.
+  *
+  * A `streaming` block measures end-to-end pipeline throughput (rows/sec)
+  * through QueueSource → Pipeline (processor + batcher + ack) — the
+  * reference's raison d'être is sustained pipeline throughput
+  * (/root/reference/lib/broadway.ex:12-22), which the per-query section
+  * cannot see.
+  */
 object Bench {
+
+  /** End-to-end streaming throughput: `waves` pushes of `rows/waves`
+    * messages each, drained by processAllAvailable between pushes so the
+    * number includes multi-trigger overhead, not one giant micro-batch.
+    */
+  private def streamingBench(spark: SparkSession): (Long, Double, Long, Long) = {
+    import spark.implicits._
+    import graft.config.{BatcherConfig, PipelineConfig}
+    import graft.core.Pipeline
+    import graft.model.Message
+    import graft.sources.QueueSource
+    import graft.ack.NoopAcknowledger
+
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+    val waves = 8
+    val q = QueueSource.create("bench-throughput", None)
+    try {
+      val messages = spark.readStream
+        .format("graft.sources.QueueSourceProvider")
+        .option("queue", "bench-throughput")
+        .load()
+        .select(col("offset"), col("value"))
+        .as[(Long, String)]
+        .map { case (off, v) => Message(v, metadata = Map("seq" -> off.toString)) }
+      // Representative per-message work: a parse-ish transform plus a
+      // batch-key route, so the batcher shuffle and per-group chunking are
+      // exercised — not a pass-through that measures only trigger latency.
+      val cfg = PipelineConfig[String](
+        name = "bench-throughput",
+        handleMessage = m =>
+          m.updateData(d => d.toUpperCase + ":" + d.length)
+            .putBatchKey((math.floorMod(m.data.hashCode, 16)).toString),
+        batchers = Seq(BatcherConfig[String]("default", batchSize = 200))
+      )
+      val running = Pipeline.start(spark, messages, cfg, NoopAcknowledger)
+      try {
+        val perWave = rows / waves
+        // payloads ~48 chars: enough bytes that serialization is visible,
+        // deterministic content (no RNG) so runs are comparable
+        val t0 = System.nanoTime()
+        var w = 0
+        while (w < waves) {
+          val base = w * perWave
+          q.push((0 until perWave).map(i => s"evt-${base + i}-payload-${(base + i) % 997}-abcdefghijklmnop"): _*)
+          running.processAllAvailable()
+          w += 1
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val processed = running.stageMetrics.map(_.processorProcessed).getOrElse(-1L)
+        val microBatches = Option(running.query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+        (perWave.toLong * waves, sec, processed, microBatches)
+      } finally running.stop()
+    } finally QueueSource.remove("bench-throughput")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,48 +114,89 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        // noop-format write, NOT count(): count() lets Catalyst prune any
-        // output column the row count doesn't need, silently skipping the
-        // final (often most expensive) projections — a map-only expression
-        // query would bench as a bare scan. The noop sink materializes
-        // every output column and discards it.
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
-    }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+        // each query pays its own shared-materialization builds (see
+        // scaladoc) — numbers reproduce under single-query runs
+        graft.ops.Caches.invalidate()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        (name, (System.nanoTime() - t0) / 1e6, ok) // ms
+      }
+    graft.ops.Caches.invalidate()
+
     val failed = results.filter(!_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val totalSec = results.map(_._2).sum / 1000.0
     // per-query wall-time budget: anything > 4× the suite median is
-    // flagged in the report, so a single regressed query fails loudly
-    // instead of hiding in the tail of a 100+-query total. Median over
-    // PASSING queries only — failed queries report ~0 s, which would
-    // deflate the baseline and flag healthy queries instead of the
-    // regression.
+    // flagged, so a single regressed query fails loudly instead of hiding
+    // in the tail of a 200+-query total. Median over PASSING queries only
+    // — failed queries report ~0 ms, which would deflate the baseline and
+    // flag healthy queries instead of the regression.
     val times = results.filter(_._3).map(_._2).sorted
+    def pct(p: Double): Long =
+      if (times.isEmpty) 0L
+      else math.round(times(math.min(times.size - 1, (p * times.size).toInt)))
     val median =
       if (times.isEmpty) 0.0
       else if (times.size % 2 == 1) times(times.size / 2)
       else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-    val slow = results.filter { case (_, v, ok) => ok && median > 0 && v > 4.0 * median }
-    val slowJson = slow
-      .map { case (k, v, _) => s"""{"query":"$k","sec":$v,"x_median":${v / median}}""" }
+    val slow = results
+      .filter { case (_, v, ok) => ok && median > 0 && v > 4.0 * median }
+      .sortBy(-_._2)
+    // cold/warm attribution for flagged queries: several share persisted
+    // intermediates (LSH pairs, CC labels) whose build cost the invalidation
+    // policy charges to every user. warm_ms re-times the query with its
+    // caches already built (one untimed build run first), so
+    // cold − warm ≈ shared-materialization cost, warm ≈ the query itself.
+    val warmMs: Map[String, Long] = slow.map { case (name, _, _) =>
+      graft.ops.Caches.invalidate()
+      val fn = SparkEntry.queries(name)
+      val w =
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save() // build caches
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1000000L
+        } catch { case _: Throwable => -1L }
+      name -> w
+    }.toMap
+    graft.ops.Caches.invalidate()
+    val slowJson = slow.take(8)
+      .map { case (k, v, _) =>
+        s"""{"q":"$k","ms":${math.round(v)},"x":${math.round(v / median * 10) / 10.0},"warm_ms":${warmMs(k)}}"""
+      }
       .mkString("[", ",", "]")
-    // "failed" makes a broken query visible in the one-line report instead
-    // of letting its ~0s timing masquerade as a speedup
-    // "action" documents the measurement method: noop-write materializes
-    // every output column (count() would let pruning skip final projections,
-    // understating map-heavy queries — rounds 1-2 measured with count()).
+    // headline per-query map kept to the 8 slowest (sec, 3 decimals) so
+    // the stdout line fits the driver's 2 KB tail window; the full map
+    // lives in BENCH_DETAIL.json
+    val headline = results.filter(_._3).sortBy(-_._2).take(8)
+      .map { case (k, v, _) => s"\"$k\":${math.round(v) / 1000.0}" }
+      .mkString("{", ",", "}")
+
+    val (sRows, sSec, sProcessed, sBatches) = streamingBench(spark)
+    val streamingJson =
+      s"""{"rows":$sRows,"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProcessed,"micro_batches":$sBatches}"""
+
+    val detail = new StringBuilder
+    detail ++= s"""{"sf":"$sfDir","action":"noop-write","cache_invalidated_between_queries":true,"n":${results.size},"total_sec":${math.round(totalSec * 1000) / 1000.0},"median_ms":${math.round(median)},"failed":$failedJson,"streaming":$streamingJson,"queries_ms":"""
+    detail ++= results.map { case (k, v, _) => s"\"$k\":${math.round(v)}" }.mkString("{", ",", "}")
+    detail ++= s""","slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}}""" }.mkString("[", ",", "]")}}"""
+    // full-registry runs own BENCH_DETAIL.json (the committed round-over-
+    // round record); filtered profiling runs write a _LOCAL twin so they
+    // never clobber the full-run numbers
+    val detailName = if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_LOCAL.json"
+    val detailPath = new java.io.File(detailName).getAbsolutePath
+    val pw = new java.io.PrintWriter(detailPath, "UTF-8")
+    try pw.println(detail.toString) finally pw.close()
+    System.err.println(s"[bench-detail] $detail")
+
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop-write","failed":${failed.size},"failed_queries":$failedJson,"median":$median,"slow_budget_x":4.0,"slow_queries":$slowJson}"""
+      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowJson,"queries":$headline,"streaming":$streamingJson,"detail_file":"BENCH_DETAIL.json"}"""
     )
     spark.stop()
   }
