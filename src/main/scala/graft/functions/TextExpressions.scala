@@ -542,7 +542,7 @@ final case class MinHashSig(child: Expression, numHashes: Int)
   * integer as [[RollingFingerprintHelper]] (DuckDB-reproducible via the
   * sqlHex8 idiom), and every length-`w` window of consecutive gram hashes
   * selects its minimum — ties broken deterministically by combining the
-  * hash with the 0-based gram position into one `hash·2²⁰ + pos` key, so
+  * hash with the 0-based gram position into one `hash·2²⁴ + pos` key, so
   * both engines pick the identical gram. Distinct selected keys are the
   * document's fingerprints; expected density is 2/(w+1) of the grams.
   * Documents with fewer than w grams produce no fingerprints (no window
@@ -564,12 +564,15 @@ final class WinnowKeysHelper(k: Int, w: Int) extends Serializable {
     val nTok = arr.numElements()
     val m = nTok - k + 1 // gram count
     if (m < w) return new GenericArrayData(Array.empty[Any])
-    // Positions occupy the low 20 bits of the combined key; a document with
-    // >= 2^20 grams would bleed position into the hash component and corrupt
-    // every shiftright(key, 20) extraction downstream. Fail loud instead.
+    // Positions occupy the low 24 bits of the combined key; a document with
+    // >= 2^24 grams would bleed position into the hash component and corrupt
+    // every shiftright(key, 24) extraction downstream. Fail loud instead.
+    // (24 bits = ~16.7M grams per document — comfortable headroom over
+    // million-token documents; the 32-bit hash · 2^24 still fits in 56
+    // bits, exact in int64 on both engines.)
     require(
-      m < 1048576,
-      s"graft_winnow supports at most 2^20-1 grams per document (got $m); " +
+      m < 16777216,
+      s"graft_winnow supports at most 2^24-1 grams per document (got $m); " +
         "split the document before fingerprinting")
     val hs = new Array[Long](m)
     var i = 0
@@ -582,7 +585,7 @@ final class WinnowKeysHelper(k: Int, w: Int) extends Serializable {
         j += 1
       }
       // position folded in below keeps window minima unique (no hash ties)
-      hs(i) = h8(UTF8String.concat(parts: _*)) * 1048576L + i
+      hs(i) = h8(UTF8String.concat(parts: _*)) * 16777216L + i
       i += 1
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
@@ -601,7 +604,7 @@ final class WinnowKeysHelper(k: Int, w: Int) extends Serializable {
   }
 }
 
-/** Winnowing fingerprints of a token array: the distinct `hash·2²⁰ + pos`
+/** Winnowing fingerprints of a token array: the distinct `hash·2²⁴ + pos`
   * keys selected by a sliding min over `w` consecutive k-gram hashes. One
   * codegen'd loop per row (no explode, no shuffle) — the guaranteed-
   * coverage alternative to [[RollingFingerprint]]'s single whole-doc hash
@@ -634,6 +637,224 @@ final case class WinnowKeys(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Per-row worker for [[BpeSegment]]: rank-ordered BPE merge application,
+  * byte-for-byte equal to the unrolled literal-replace program
+  * `fold(merges × passes)(replace(s, "|x|y|", "|xy|"))` over the
+  * char-delimited text (TextOps.bpeSegmentUnrolled — the form the DuckDB
+  * oracle still runs), but in unit-array passes instead of whole-document
+  * string rebuilds: one delimit pass, then merges×passes scans over an
+  * array of short unit strings with a fixpoint early-exit per merge. The
+  * replace chain touches ~2·|merges|·passes·|doc| bytes per document
+  * (q125/q126/q136/q185's CPU tail); this touches |doc| bytes once plus
+  * cheap length-guarded equality per unit.
+  *
+  * Exact replace semantics reproduced (each verified against
+  * java.lang.String.replace, which Spark's `replace` follows):
+  *  - non-overlapping left-to-right scan that resumes AFTER the inserted
+  *    replacement, so the trailing '|' of "|xy|" is consumed and the unit
+  *    immediately after a merged pair can never start a match in the same
+  *    pass (pair (i+2, i+3) is skipped; (i+3, i+4) is the next candidate);
+  *  - the delimit step mirrors Spark's regexp_replace(text, "(.)", "$1|"):
+  *    Java '.' matches any code point EXCEPT the line terminators \n, \r,
+  *    U+0085, U+2028, U+2029, so line terminators glue to the following
+  *    char as one inert unit and a trailing line terminator leaves the
+  *    string without a final '|';
+  *  - literal '|' chars in the text act as delimiters (empty units), which
+  *    never match (merge tokens are non-empty and '|'-free).
+  */
+final class BpeSegmentHelper(merges: Seq[(String, String)], passes: Int) extends Serializable {
+  private val xs: Array[String] = merges.map(_._1).toArray
+  private val ys: Array[String] = merges.map(_._2).toArray
+  private val xys: Array[String] = merges.map(m => m._1 + m._2).toArray
+
+  private def isLineTerminator(cp: Int): Boolean =
+    cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
+
+  def compute(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // ---- delimit: unit array of ("|" + regexp_replace(s, "(.)", "$1|"))
+    // sized 2·len + 1: a literal '|' code point contributes TWO units
+    var units = new Array[String](2 * s.length + 1)
+    var n = 0
+    val pending = new java.lang.StringBuilder(8)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      if (cp == '|') {
+        // the char itself is a delimiter (closes pending), then its
+        // regexp-inserted delimiter closes an empty unit
+        units(n) = pending.toString; n += 1
+        units(n) = ""; n += 1
+        pending.setLength(0)
+      } else if (isLineTerminator(cp)) {
+        pending.appendCodePoint(cp) // '.' doesn't match: no delimiter emitted
+      } else {
+        pending.appendCodePoint(cp)
+        units(n) = pending.toString; n += 1
+        pending.setLength(0)
+      }
+      i += cc
+    }
+    // trailing line terminators form an unclosed final unit (no '|' after)
+    val endsWithDelim = pending.length() == 0
+    if (!endsWithDelim) { units(n) = pending.toString; n += 1 }
+
+    // ---- merge passes over the unit array, fixpoint early-exit per merge
+    var buf = new Array[String](n)
+    var m = 0
+    while (m < xs.length) {
+      val x = xs(m); val y = ys(m); val xy = xys(m)
+      var p = 0
+      var changed = true
+      while (p < passes && changed) {
+        changed = false
+        var w = 0
+        var j = 0
+        while (j < n) {
+          // pair (j, j+1) needs its closing '|': absent only for the last
+          // unit of a terminator-ended string
+          if (j + 1 < n && (endsWithDelim || j + 1 < n - 1) &&
+            x == units(j) && y == units(j + 1)) {
+            buf(w) = xy; w += 1
+            changed = true
+            // the unit after a merged pair cannot start a match this pass
+            // (its leading '|' was consumed by the replacement)
+            if (j + 2 < n) { buf(w) = units(j + 2); w += 1 }
+            j += 3
+          } else {
+            buf(w) = units(j); w += 1
+            j += 1
+          }
+        }
+        val t = units; units = buf; buf = t
+        n = w
+        p += 1
+      }
+      m += 1
+    }
+
+    // ---- reconstruct "|u0|u1|...|", trailing '|' per the delimit rule
+    val sb = new java.lang.StringBuilder(2 * s.length + 2)
+    sb.append('|')
+    var k = 0
+    while (k < n) {
+      sb.append(units(k))
+      if (k < n - 1 || endsWithDelim) sb.append('|')
+      k += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Rank-ordered BPE merge application as ONE codegen'd expression per row
+  * — replaces the |merges|·passes chained `replace` scans of
+  * `bpeSegmentUnrolled` (exact equality pinned by TextExprSpec). Map-only
+  * at 100 TB, same as the chain, just ~1 pass instead of ~36.
+  */
+final case class BpeSegment(child: Expression, merges: Seq[(String, String)], passes: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(passes >= 1, s"passes must be positive, got $passes")
+  require(
+    merges.forall { case (x, y) => x.nonEmpty && y.nonEmpty && !x.contains("|") && !y.contains("|") },
+    s"merge tokens must be non-empty and '|'-free, got $merges")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_segment"
+
+  @transient private lazy val helper = new BpeSegmentHelper(merges, passes)
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("bpeSegmentHelper", helper, classOf[BpeSegmentHelper].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row worker for [[CdcCuts]]: content-defined chunk boundaries — the
+  * positions i (1-based, in code points) where the 16-char window starting
+  * at i hashes to the 6-bit mask, emitted as cut offsets i+15. Equal by
+  * construction to the q224 expression chain
+  * `explode(transform(sequence(1, n-15), i -> substring(text, i, 16)))`
+  * filtered on `conv(substring(md5(w), 1, 4), 16, 10) % 64 = 0`, but
+  * without materializing a 16-char substring + struct per BYTE position
+  * through an explode (~24× the corpus volume): one offsets walk, then an
+  * md5 per window over the byte slice in place (the window hash mask is
+  * the first two digest bytes — conv of the first 4 hex digits). Rows
+  * emitted are only the ~1/64 boundaries.
+  */
+final class CdcCutsHelper extends Serializable {
+  @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(text: UTF8String): ArrayData = {
+    val nChars = text.numChars()
+    if (nChars < 16) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    // code-point byte offsets (the TopNGramHelper discipline): substring
+    // semantics are by character, md5 runs over the window's UTF-8 bytes
+    val offs = new Array[Int](nChars + 1)
+    var o = 0
+    var c = 0
+    while (c < nChars) {
+      offs(c) = o
+      o += UTF8String.numBytesForFirstByte(bytes(o))
+      c += 1
+    }
+    offs(nChars) = o
+    val md = digests.get()
+    val cuts = new scala.collection.mutable.ArrayBuffer[Any](nChars / 32 + 1)
+    var i = 0 // 0-based window start; SQL's i is this + 1
+    val last = nChars - 16
+    while (i <= last) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + 16) - offs(i))
+      val d = md.digest()
+      // conv(substring(hex, 1, 4), 16, 10) % 64 == 0  ⇔  low 6 bits of the
+      // second digest byte are zero (the high byte contributes multiples
+      // of 256 ≡ 0 mod 64)
+      if ((d(1) & 0x3f) == 0) cuts += java.lang.Long.valueOf((i + 16).toLong) // (i+1) + 15
+      i += 1
+    }
+    new GenericArrayData(cuts.toArray)
+  }
+}
+
+/** Content-defined chunk cut positions of a string: `array<long>` of the
+  * 1-based code-point offsets ending each hash-gated 16-char window. One
+  * codegen'd loop per row; the document's final cut (its length) is NOT
+  * included — q224 unions it per the chunking definition.
+  */
+final case class CdcCuts(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_cuts"
+
+  @transient private lazy val helper = new CdcCutsHelper
+
+  override def nullSafeEval(a: Any): Any =
+    helper.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("cdcCutsHelper", helper, classOf[CdcCutsHelper].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def topNGram(text: Column, n: Int): Column =
     GraftColumns.lift(TopNGram(GraftColumns.unlift(text), n))
@@ -658,4 +879,10 @@ object TextFunctions {
 
   def winnowKeys(tokens: Column, k: Int, w: Int): Column =
     GraftColumns.lift(WinnowKeys(GraftColumns.unlift(tokens), k, w))
+
+  def bpeSegment(text: Column, merges: Seq[(String, String)], passes: Int): Column =
+    GraftColumns.lift(BpeSegment(GraftColumns.unlift(text), merges, passes))
+
+  def cdcCuts(text: Column): Column =
+    GraftColumns.lift(CdcCuts(GraftColumns.unlift(text)))
 }

@@ -252,7 +252,7 @@ object DedupOps {
 
   /** Shared oracle CTE prefix for the winnowing family (q175 density,
     * q181 candidate pairs): tokens -> positioned 4-gram hashes (the
-    * hash*2^20 + pos combined key) -> per-position sliding-window-of-5
+    * hash*2^24 + pos combined key) -> per-position sliding-window-of-5
     * minima. Window starts are valid for i <= m - 4; `t` carries source
     * and the token list for downstream CTEs. One definition keeps the
     * density audit and the candidate generator selecting the SAME
@@ -267,7 +267,7 @@ object DedupOps {
        |  FROM t),
        |h AS (
        |  SELECT doc_id, source, i, m,
-       |    ${TextOps.sqlHex8("md5(array_to_string(ts[i:i+3], ' '))")} * 1048576
+       |    ${TextOps.sqlHex8("md5(array_to_string(ts[i:i+3], ' '))")} * 16777216
        |      + (i - 1) AS hk
        |  FROM g),
        |sel AS (
@@ -277,7 +277,7 @@ object DedupOps {
        |  FROM h)""".stripMargin
 
   /** Winnow fingerprint pair spans, shared by q198 (localization) and q201
-    * (salvage): decode the packed hash·2²⁰+pos keys, posting-list
+    * (salvage): decode the packed hash·2²⁴+pos keys, posting-list
     * equi-join on the hash with doc_a < doc_b, per-pair aggregate of
     * matched distinct fingerprints and positional spans (max(pos) −
     * min(pos) + 8, the gram reach), gated at ≥ 3 shared fingerprints.
@@ -296,8 +296,8 @@ object DedupOps {
       )
       .select(
         col("doc_id"),
-        shiftright(col("key"), 20).as("f"),
-        col("key").bitwiseAND(lit(1048575L)).as("pos")
+        shiftright(col("key"), 24).as("f"),
+        col("key").bitwiseAND(lit(16777215L)).as("pos")
       )
     k.as("a")
       .join(k.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
@@ -316,8 +316,8 @@ object DedupOps {
     */
   private def sqlWinnowPairCte: String =
     s"""$sqlWinnowCte,
-       |k AS (SELECT DISTINCT doc_id, key // 1048576 AS f,
-       |        key % 1048576 AS pos
+       |k AS (SELECT DISTINCT doc_id, key // 16777216 AS f,
+       |        key % 16777216 AS pos
        |      FROM sel WHERE i <= m - 4),
        |pr AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1862,7 +1862,7 @@ object DedupOps {
     // Winnowing as a CANDIDATE GENERATOR (the second half of the MOSS
     // pipeline q175's density audit sets up): docs sharing any selected
     // fingerprint (the position-free hash component — positions differ
-    // across docs, so candidates join on key >> 20) are candidate pairs,
+    // across docs, so candidates join on key >> 24) are candidate pairs,
     // then exact distinct-4-gram Jaccard verifies at 0.5. The guarantee
     // LSH banding can't give: any pair sharing a contiguous run of
     // k+w-1 = 8 tokens SHARES a fingerprint (TextExprSpec pins it), with
@@ -1881,7 +1881,7 @@ object DedupOps {
             array_distinct(
               transform(
                 graft.functions.TextFunctions.winnowKeys(col("toks"), 4, 5),
-                x => shiftright(x, 20)
+                x => shiftright(x, 24)
               )
             )
           ).as("f")
@@ -1902,7 +1902,7 @@ object DedupOps {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""$sqlWinnowCte,
-              |fp AS (SELECT DISTINCT doc_id, key // 1048576 AS f
+              |fp AS (SELECT DISTINCT doc_id, key // 16777216 AS f
               |       FROM sel WHERE i <= m - 4),
               |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |         FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
@@ -2002,9 +2002,10 @@ object DedupOps {
             expr("m * sxy - sx * sx").as("num"),
             expr("m * sx2 - sx * sx").as("den"),
             // den = m·Σx²−(Σx)² is a scaled variance: ≥ 0 always, so the
-            // sign of r is the sign of num alone — kept outside the
-            // division (Spark div truncates, DuckDB // floors; they agree
-            // only on non-negative operands)
+            // sign of r is the sign of num alone. Both Spark `div` and
+            // DuckDB `//` truncate toward zero on all operands (DuckDB
+            // -7//2 = -3), so the sign-carrying CASE is belt-and-braces
+            // clarity, not a cross-engine necessity.
             expr(
               """CASE WHEN m * sx2 - sx * sx = 0 THEN 0L
                 | WHEN m * sxy - sx * sx < 0

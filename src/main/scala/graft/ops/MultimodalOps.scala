@@ -280,30 +280,24 @@ object MultimodalOps {
     // re-slice. Because a boundary depends only on its window, an edit
     // re-syncs after ≤ one window — the LBFS/restic robustness property
     // fixed-stride q51 lacks — and the corpus-wide chunk-hash dedup rate
-    // is the storage-dedup headline per source. Scale shape: the window
-    // explode is the q35 gram discipline (per-position 16-byte slices,
-    // text itself never duplicated past the projection), spans re-join
+    // is the storage-dedup headline per source. Scale shape: boundary
+    // detection is ONE codegen'd native per row ([[graft.functions
+    // .CdcCuts]], pinned by TextExprSpec to the window-explode + md5-mask
+    // formulation it replaced) — the explode emits only the ~1/64 cut
+    // rows instead of a 16-char substring + struct per byte position
+    // (~24× the corpus volume as intermediates); spans re-join
     // doc-keyed, rollup is per-source metadata.
     Q(
       "q224_cdc_chunks",
       (s, d) => {
         val t = documents(s, d)
           .select(col("doc_id"), col("source"), col("text"), length(col("text")).cast("long").as("n"))
-        val wins = t
+        val cuts = t
           .filter(col("n") >= 16L)
           .select(
             col("doc_id"),
-            explode(
-              expr(
-                "transform(sequence(1L, n - 15L), " +
-                  "i -> named_struct('i', i, 'w', substring(text, cast(i as int), 16)))"
-              )
-            ).as("p")
+            explode(graft.functions.TextFunctions.cdcCuts(col("text"))).as("cut")
           )
-          .select(col("doc_id"), col("p.i").as("i"), col("p.w").as("w"))
-        val cuts = wins
-          .filter(expr("cast(conv(substring(md5(w), 1, 4), 16, 10) as bigint) % 64 = 0"))
-          .select(col("doc_id"), (col("i") + 15L).as("cut"))
           .union(t.select(col("doc_id"), col("n").as("cut")))
           .distinct()
         val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("cut"))

@@ -216,8 +216,23 @@ object TextOps {
   private def bpeDelimited(c: Column): Column =
     concat(lit("|"), regexp_replace(c, "(.)", "$1|"))
 
-  /** Segmented text after all merges: "the window" -> "|the| |w|in|d|ow|". */
+  /** Segmented text after all merges: "the window" -> "|the| |w|in|d|ow|".
+    * Runs as ONE codegen'd native expression
+    * ([[graft.functions.BpeSegment]]) — the unrolled chain below rescans
+    * the whole document |merges|·passes = 36 times (the suite's CPU tail:
+    * q125/q126/q136/q185); the native reproduces it byte-for-byte in one
+    * delimit pass + cheap unit-array scans (equality pinned by
+    * TextExprSpec against [[bpeSegmentUnrolled]] on the corpus and on
+    * adversarial strings).
+    */
   def bpeSegment(c: Column): Column =
+    graft.functions.TextFunctions.bpeSegment(c, bpeMerges, BpePasses)
+
+  /** The unrolled literal-replace program — the exact form the DuckDB
+    * oracle runs ([[sqlBpeSegment]]); retained as the spec reference the
+    * native must equal.
+    */
+  def bpeSegmentUnrolled(c: Column): Column =
     bpeMerges.foldLeft(bpeDelimited(c)) { case (acc, (x, y)) =>
       (1 to BpePasses).foldLeft(acc)((a, _) =>
         replace(a, lit(s"|$x|$y|"), lit(s"|$x$y|")))

@@ -51,7 +51,7 @@ object AdmissionStream {
           transform(
             graft.functions.TextFunctions
               .winnowKeys(graft.ops.TextOps.tokens(col("text")), 4, 5),
-            x => shiftright(x, 20).cast("string")
+            x => shiftright(x, 24).cast("string")
           )
         ).as("g")
       )

@@ -34,6 +34,104 @@ class TextExprSpec extends SparkSpec {
     assert(short.first().getSeq[String](0).isEmpty)
   }
 
+  test("native BPE segmentation equals the unrolled replace chain") {
+    // the whole corpus: byte-for-byte equality with the 36-pass literal
+    // replace program (which the DuckDB oracle still runs)
+    val diff = graft.ops.Tables.documents(spark, docs)
+      .select(
+        TextOps.bpeSegment(col("text")).as("native"),
+        TextOps.bpeSegmentUnrolled(col("text")).as("chain")
+      )
+      .filter(col("native") =!= col("chain"))
+      .count()
+    assert(diff == 0, "native BPE segmentation diverges from the replace chain on the corpus")
+    // adversarial strings the corpus can't be trusted to contain: literal
+    // pipes (delimiter collisions), newlines incl. trailing (Java '.'
+    // skips line terminators, gluing them to the next char), unicode,
+    // empty text, back-to-back merge chains (the resume-after-replacement
+    // skip: one replace pass merges every other pair), and rank-order
+    // cascades (t+h → th, then th+e → the)
+    val cases = Seq(
+      "", "|", "a|b||c", "the window", "t h e", "ththththththth", "erererererer",
+      "anananananan at in", "line1\nline2\n", "\n\n", "a\r\nb", "naïve café  x",
+      "erer\nerer", "scat jowl kelu", "wow sow now", "aaaannnn", "ttthhh"
+    )
+    val bad = spark
+      .createDataFrame(cases.map(Tuple1(_)))
+      .toDF("text")
+      .select(
+        col("text"),
+        TextOps.bpeSegment(col("text")).as("native"),
+        TextOps.bpeSegmentUnrolled(col("text")).as("chain")
+      )
+      .collect()
+      .filter(r => r.getString(1) != r.getString(2))
+      .map(r => s"'${r.getString(0)}': native='${r.getString(1)}' chain='${r.getString(2)}'")
+    assert(bad.isEmpty, s"native/chain divergence:\n${bad.mkString("\n")}")
+  }
+
+  test("BPE helper equals the literal Java regex+replace program on random strings") {
+    // the ground-truth program, straight from the JDK primitives Spark's
+    // regexp_replace/replace delegate to: delimit via Pattern "(.)" → "$1|"
+    // then fold merges × passes of literal String.replace
+    val merges = TextOps.bpeMerges
+    val passes = 3
+    def reference(s: String): String = {
+      val delimited = "|" + java.util.regex.Pattern.compile("(.)").matcher(s).replaceAll("$1|")
+      merges.foldLeft(delimited) { case (acc, (x, y)) =>
+        (1 to passes).foldLeft(acc)((a, _) => a.replace(s"|$x|$y|", s"|$x$y|"))
+      }
+    }
+    val helper = new graft.functions.BpeSegmentHelper(merges, passes)
+    // seeded: failures reproduce. Alphabet is stacked with merge chars so
+    // back-to-back chains and rank-order cascades occur constantly, plus
+    // pipes, line terminators (\n and \r), space, and a supplementary
+    // code point (surrogate pair)
+    val alphabet = "tthheerrnnaaoowwssiilukcj| \n\r é😀".toCharArray
+    val rnd = new scala.util.Random(42)
+    var trial = 0
+    while (trial < 2000) {
+      val len = rnd.nextInt(40)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < len) {
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        // keep surrogate pairs intact: a lone surrogate would be mangled
+        // to '?' by the UTF-8 round-trip on the native side only
+        if (Character.isSurrogate(c)) sb.append("😀") else sb.append(c)
+        i += 1
+      }
+      val s = sb.toString
+      val got = helper.compute(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      val want = reference(s)
+      assert(got == want, s"trial $trial diverged on ${s.map(_.toInt).mkString("[", ",", "]")}:\n  native '$got'\n  ref    '$want'")
+      trial += 1
+    }
+  }
+
+  test("native CDC cuts equal the window-explode + md5-mask formulation") {
+    // the q224 window formulation as one HOF expression (same sequence /
+    // substring / md5 / conv algebra, cuts kept in window order)
+    val chainExpr = expr(
+      """filter(transform(sequence(1L, length(text) - 15L),
+        |  i -> CASE WHEN cast(conv(substring(md5(substring(text, cast(i as int), 16)), 1, 4), 16, 10) as bigint) % 64 = 0
+        |            THEN i + 15L ELSE -1L END),
+        |  x -> x != -1L)""".stripMargin
+    )
+    val diff = graft.ops.Tables.documents(spark, docs)
+      .filter(length(col("text")) >= 16)
+      .select(
+        TextFunctions.cdcCuts(col("text")).as("native"),
+        chainExpr.as("chain")
+      )
+      .filter(col("native") =!= col("chain"))
+      .count()
+    assert(diff == 0, "native CDC cuts diverge from the window-explode formulation")
+    // short-text guard: fewer than 16 chars → no window, no cuts
+    val short = spark.range(1).select(TextFunctions.cdcCuts(lit("fifteen chars!!").cast("string")).as("c")).first()
+    assert(short.getSeq[Long](0).isEmpty)
+  }
+
   test("native rolling fingerprint equals the HOF fold") {
     val toks = TextOps.tokens(col("text"))
     val tokInts = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
@@ -53,12 +151,12 @@ class TextExprSpec extends SparkSpec {
     val k = 4
     val w = 5
     val toks = TextOps.tokens(col("text"))
-    // gram hash · 2^20 + position, exactly the native's combined key
+    // gram hash · 2^24 + position, exactly the native's combined key
     val hashes = transform(
       sequence(lit(0), size(toks) - lit(k)),
       i =>
         conv(substring(md5(concat_ws(" ", slice(toks, i + lit(1), lit(k)))), 1, 8), 16, 10)
-          .cast("long") * lit(1048576L) + i
+          .cast("long") * lit(16777216L) + i
     )
     val hof = when(
       size(toks) - lit(k) + 1 >= w,
@@ -93,7 +191,7 @@ class TextExprSpec extends SparkSpec {
       .select(
         col("id"),
         transform(TextFunctions.winnowKeys(TextOps.tokens(col("text")), 4, 5), x =>
-          shiftright(x, 20)
+          shiftright(x, 24)
         ).as("fp")
       )
     val fps = df.collect().map(r => r.getSeq[Long](1).toSet)
@@ -122,23 +220,41 @@ class TextExprSpec extends SparkSpec {
     assert(r.getSeq[Long](0).isEmpty)
   }
 
-  test("winnowing rejects documents beyond the 2^20-gram position envelope") {
-    // positions pack into the low 20 bits of hash·2²⁰+pos — beyond 2^20
-    // grams they would silently corrupt shiftright(key, 20) extractions,
-    // so the helper must fail loud instead
+  test("winnowing position envelope: 2^24 grams rejected, million-token docs fit") {
+    // positions pack into the low 24 bits of hash·2²⁴+pos — beyond 2^24
+    // grams they would silently corrupt shiftright(key, 24) extractions,
+    // so the helper must fail loud instead. m = tokens - k + 1 = 2^24
+    // exactly is the first rejected gram count.
     val e = intercept[Exception] {
       spark
         .range(1)
         .select(
           TextFunctions
-            .winnowKeys(transform(sequence(lit(1), lit(1048600)), _ => lit("t")), 4, 5)
+            .winnowKeys(transform(sequence(lit(1), lit(16777216 + 3)), _ => lit("t")), 4, 5)
             .as("fp")
         )
         .first()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("2^20")), s"unexpected error: $e")
+    assert(msgs(e).exists(_.contains("2^24")), s"unexpected error: $e")
+    // headroom the old 2^20 field lacked: a million-token document (above
+    // the previous ceiling) fingerprints cleanly, positions intact — the
+    // last selected key decodes back to a position beyond 2^20
+    val wide = spark
+      .range(1)
+      .select(
+        TextFunctions
+          .winnowKeys(
+            transform(sequence(lit(1), lit(1100000)), i => concat(lit("t"), pmod(i, lit(97)))),
+            4,
+            5
+          )
+          .as("fp")
+      )
+      .select(max(expr("array_max(transform(fp, x -> x & 16777215))")).as("maxPos"))
+      .first()
+    assert(wide.getLong(0) > 1048575L, s"expected a position beyond 2^20, got ${wide.getLong(0)}")
   }
 
   test("top n-gram ties break to the binary-smallest gram") {
