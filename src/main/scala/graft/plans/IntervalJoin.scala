@@ -121,14 +121,27 @@ final case class IntervalJoinExec(
         .createMetric(sparkContext, "number of output rows"),
       "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "number of matched left rows"),
+      // NOTE: SQLMetrics merge task updates by SUM, so the headline number
+      // is the sum of per-task peaks; the per-task peak itself is the
+      // size-metric's max statistic (min/med/max are per-task values)
       "maxActiveIntervals" -> org.apache.spark.sql.execution.metric.SQLMetrics
-        .createSizeMetric(sparkContext, "peak active intervals per task")
+        .createSizeMetric(sparkContext, "active intervals (sum of task peaks; per-task peak = max stat)")
     )
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val numMatchedRows = longMetric("numMatchedRows")
     val maxActive = longMetric("maxActiveIntervals")
+    // Budget on the ACTIVE-interval buffer. The buffer is bounded by a
+    // key's maximum concurrent-overlap degree — but a pathological input
+    // (every interval of one key spanning the whole axis) silently
+    // degrades that bound to the key's group size. Fail loud with the
+    // offending key instead of spilling toward an executor OOM — the
+    // `require(converged)` discipline of connectedComponents.
+    val activeBudget = conf
+      .getConfString(IntervalJoinExec.MaxActiveKey, "10000000")
+      .toLong
+    require(activeBudget > 0, s"${IntervalJoinExec.MaxActiveKey} must be positive, got $activeBudget")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -224,6 +237,14 @@ final case class IntervalJoinExec(
                   fetchRight(); cont = rNext != null
                 } else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
                   if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
+                    if (active.length >= activeBudget) {
+                      val keyRendered = activeKey.toSeq(keyTypes).mkString("[", ", ", "]")
+                      throw new IllegalStateException(
+                        s"interval join active-interval budget exceeded: key $keyRendered holds " +
+                          s"more than $activeBudget simultaneously-active intervals " +
+                          s"(set ${IntervalJoinExec.MaxActiveKey} to raise the budget, or split " +
+                          "axis-spanning intervals before joining)")
+                    }
                     active += ((rNext.copy(), rNextBounds.copy()))
                   }
                   fetchRight(); cont = rNext != null
@@ -269,6 +290,11 @@ final case class IntervalJoinExec(
       newLeft: SparkPlan,
       newRight: SparkPlan
   ): IntervalJoinExec = copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinExec {
+  /** Session conf key bounding the per-task active-interval buffer. */
+  val MaxActiveKey = "spark.graft.intervalJoin.maxActiveIntervals"
 }
 
 /** DataFrame-level entry point for the native interval join. Columns are

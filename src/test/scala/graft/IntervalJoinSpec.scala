@@ -240,4 +240,54 @@ class IntervalJoinSpec extends SparkSpec {
     val n = Interval.intervalJoin(base, base, Seq("k"), Seq("k"), "t", "t", "e").count()
     assert(n == 3, s"got $n") // t=1∈[1,5]; t=3∈[1,5] and [3,9]
   }
+
+  test("active-set budget: an axis-spanning key fails loud, naming the key") {
+    import graft.plans.IntervalJoinExec
+    import spark.implicits._
+    // adversarial worst case: every interval of one key spans the whole
+    // axis, so the active buffer degrades to the key's group size — the
+    // exact input shape the budget exists to refuse
+    val points = Seq(("hot", 50L, "p")).toDF("k", "t", "pname")
+    val ivals = (1 to 64).map(i => ("hot", 0L, 100L, s"r$i")).toDF("rk", "s", "e", "rname")
+    spark.conf.set(IntervalJoinExec.MaxActiveKey, "16")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        Interval.intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e").count()
+      }
+      val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+      assert(msg.contains("active-interval budget exceeded"), s"got: $msg")
+      assert(msg.contains("[hot]"), s"budget error must name the offending key, got: $msg")
+      assert(msg.contains(IntervalJoinExec.MaxActiveKey), s"got: $msg")
+      // same data under a sufficient budget completes and fans out fully
+      spark.conf.set(IntervalJoinExec.MaxActiveKey, "64")
+      val n = Interval.intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e").count()
+      assert(n == 64, s"got $n")
+    } finally spark.conf.unset(IntervalJoinExec.MaxActiveKey)
+  }
+
+  test("maxActiveIntervals metric records the per-task peak (max stat, sum headline)") {
+    import spark.implicits._
+    val points = Seq(("k", 10L, "p1"), ("k", 11L, "p2")).toDF("k", "t", "pname")
+    val ivals = Seq(
+      ("k", 0L, 100L, "r1"), ("k", 5L, 100L, "r2"), ("k", 9L, 100L, "r3")
+    ).toDF("rk", "s", "e", "rname")
+    val df = Interval.intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+    df.collect()
+    // descend through AQE wrappers — collectFirst on executedPlan stops at
+    // AdaptiveSparkPlanExec without seeing the finalized physical plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExec(p: SparkPlan): Option[graft.plans.IntervalJoinExec] = p match {
+      case e: graft.plans.IntervalJoinExec => Some(e)
+      case a: AdaptiveSparkPlanExec        => findExec(a.executedPlan)
+      case q: QueryStageExec               => findExec(q.plan)
+      case other                           => other.children.view.flatMap(findExec(_)).headOption
+    }
+    val exec = findExec(df.queryExecution.executedPlan)
+    assert(exec.nonEmpty, "expected an IntervalJoinExec in the executed plan")
+    // one key ⇒ one task holds it ⇒ the summed headline IS that task's
+    // peak here: 3 simultaneously-active intervals
+    assert(exec.get.metrics("maxActiveIntervals").value == 3L,
+      s"got ${exec.get.metrics("maxActiveIntervals").value}")
+  }
 }
