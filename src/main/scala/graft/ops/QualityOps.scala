@@ -387,10 +387,10 @@ object QualityOps {
     // an iteration: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over
     // (x = day index, y = daily count), so the whole fit is one
     // map-side-combinable groupBy over per-day counts (corpus → |days|
-    // rows per key → 5 sums per key). Division is NEVER taken: the slope
-    // can be negative and Spark's `div` truncates where DuckDB's `//`
-    // floors, so both engines emit the exact int64 NUMERATOR and
-    // DENOMINATOR raw (the q111 report-the-sums convention); the sign and
+    // rows per key → 5 sums per key). Division is NEVER taken: both
+    // engines emit the exact int64 NUMERATOR and DENOMINATOR raw (the
+    // q111 report-the-sums convention — Spark `div` and DuckDB `//` both
+    // truncate toward zero, but raw sums keep the fit exact); the sign and
     // magnitude comparisons a monitor needs are exact on the fraction.
     Q(
       "q132_trend",
@@ -1797,7 +1797,8 @@ object QualityOps {
     // trusting any single filter. Everything beyond the per-doc scoring
     // passes is a 2×2 confusion matrix: po and pe ride cleared
     // denominators (·n, ·n²), the kappa quotient keeps its sign outside
-    // the division (Spark div truncates, DuckDB // floors on negatives),
+    // the division for clarity (Spark div and DuckDB // both truncate
+    // toward zero, so a signed division would also agree),
     // and pe = 1 (degenerate raters) reports 0 instead of dividing by 0.
     Q(
       "q183_rater_kappa",

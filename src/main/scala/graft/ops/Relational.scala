@@ -2423,17 +2423,19 @@ object Relational {
     ),
 
     // Bounded-domain EXACT distinct via bitmap aggregation: each user's
-    // active-day set over the corpus's ≤64-day window packs into ONE
-    // int64 bitmask, so `bit_count(bit_or(1 << rel_day))` is an exact
-    // distinct-count whose aggregation state is 8 bytes and whose merge
-    // is a single OR — map-side combinable where count(DISTINCT day)
-    // drags a per-group hash set through the shuffle (the roaring-bitmap
-    // idea specialized to a word). The oracle computes the SAME
-    // histogram with count(DISTINCT ...), so the green hash proves the
-    // bitmap path exact, not approximate. Guarded: the window must fit
-    // 64 days (require below) — wider windows shard into
-    // (epoch, 64-day) words and sum bit_counts. Output: distribution of
-    // users by number of distinct active days.
+    // active days pack into 64-day int64 words — word index
+    // floor(day/64), bit pmod(day, 64) — so the per-(user, word) distinct
+    // count is `bit_count(bit_or(1 << bit))`: 8 bytes of aggregation
+    // state whose merge is a single OR, map-side combinable where
+    // count(DISTINCT day) drags a per-group hash set through the shuffle
+    // (the roaring-bitmap idea specialized to words). Summing bit_counts
+    // across a user's words gives the exact total for ANY window width —
+    // no envelope require(), so a wider generated corpus degrades to more
+    // words per user (calendar-bounded: ~6 words/year) instead of
+    // aborting the registry run. The oracle computes the SAME histogram
+    // with count(DISTINCT ...), so the green hash proves the bitmap path
+    // exact, not approximate. Output: distribution of users by number of
+    // distinct active days.
     Q(
       "q220_bitmap_distinct",
       (s, d) => {
@@ -2441,22 +2443,17 @@ object Relational {
           col("user_id"),
           expr("unix_micros(ts) div 86400000000L").as("day")
         )
-        val b = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
-        // empty input: the oracle's grouped aggregates over no rows are empty
-        if (b.isNullAt(0)) {
-          s.range(0).select(lit(0L).as("active_days"), lit(0L).as("users"))
-        } else {
-          val (lo, hi) = (b.getAs[Long]("lo"), b.getAs[Long]("hi"))
-          require(hi - lo < 64, s"bitmap-distinct needs a <=64-day window, got ${hi - lo + 1}")
-          ev.groupBy(col("user_id"))
-            .agg(
-              expr(s"CAST(bit_count(bit_or(shiftleft(1L, CAST(day - ${lo}L AS INT)))) AS BIGINT)")
-                .as("active_days")
-            )
-            .groupBy(col("active_days"))
-            .agg(count(lit(1)).as("users"))
-            .orderBy(col("active_days"))
-        }
+        ev
+          .groupBy(col("user_id"), expr("(day - pmod(day, 64)) div 64").as("w"))
+          .agg(
+            expr("CAST(bit_count(bit_or(shiftleft(1L, CAST(pmod(day, 64) AS INT)))) AS BIGINT)")
+              .as("wc")
+          )
+          .groupBy(col("user_id"))
+          .agg(sum(col("wc")).as("active_days"))
+          .groupBy(col("active_days"))
+          .agg(count(lit(1)).as("users"))
+          .orderBy(col("active_days"))
       },
       Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
              |pu AS (SELECT user_id,

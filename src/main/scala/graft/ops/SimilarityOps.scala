@@ -492,7 +492,11 @@ object SimilarityOps {
           .withColumn("nv", norm(col("v")))
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("ncv"))
-        val cellCos = dot(col("v"), col("cv")) / (col("nv") * col("ncv"))
+        // round(…, 6) before every argmin/row_number ordering (q90/q127
+        // exactness discipline): a bitwise summation difference between
+        // Spark and DuckDB near a tie would otherwise flip an assignment
+        // data-dependently
+        val cellCos = round(dot(col("v"), col("cv")) / (col("nv") * col("ncv")), 6)
         // nearest-centroid assignment: highest cosine, centroid id tie-break
         val assign = e.join(broadcast(cents))
           .groupBy(col("vec_id"))
@@ -502,7 +506,7 @@ object SimilarityOps {
         val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cent_id"))
         val probes = q.join(broadcast(cents))
           .select(col("query_id"), col("qv"), col("nq"), col("cent_id"),
-            (dot(col("qv"), col("cv")) / (col("nq") * col("ncv"))).as("pcos"))
+            round(dot(col("qv"), col("cv")) / (col("nq") * col("ncv")), 6).as("pcos"))
           .withColumn("prk", row_number().over(wProbe))
           .filter(col("prk") <= 2)
           .select(col("query_id"), col("qv"), col("nq"), col("cent_id"))
@@ -524,15 +528,15 @@ object SimilarityOps {
               |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
               |asg AS (SELECT vec_id, cent_id FROM (
               |  SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id
-              |    ORDER BY list_dot_product(e.v, c.cv)
-              |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |    ORDER BY round(list_dot_product(e.v, c.cv)
+              |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
               |      c.cent_id) AS rk
               |  FROM e CROSS JOIN c) t WHERE rk = 1),
               |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (10, 11, 12)),
               |probes AS (SELECT query_id, qv, cent_id FROM (
               |  SELECT q.query_id, q.qv, c.cent_id, row_number() OVER (PARTITION BY q.query_id
-              |    ORDER BY list_dot_product(q.qv, c.cv)
-              |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |    ORDER BY round(list_dot_product(q.qv, c.cv)
+              |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
               |      c.cent_id) AS prk
               |  FROM q CROSS JOIN c) t WHERE prk <= 2),
               |scored AS (
@@ -1106,7 +1110,7 @@ object SimilarityOps {
           .select(
             col("query_id"),
             col("cent_id"),
-            (dot(col("qv"), col("cv")) / (col("nq") * col("ncv"))).as("pcos")
+            round(dot(col("qv"), col("cv")) / (col("nq") * col("ncv")), 6).as("pcos")
           )
           .withColumn("prk", row_number().over(wProbe).cast("long"))
           .select(col("query_id"), col("cent_id"), col("prk"))
@@ -1157,15 +1161,15 @@ object SimilarityOps {
               |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
               |asg AS (SELECT vec_id, cent_id FROM (
               |  SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id
-              |    ORDER BY list_dot_product(e.v, c.cv)
-              |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |    ORDER BY round(list_dot_product(e.v, c.cv)
+              |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
               |      c.cent_id) AS rk
               |  FROM e CROSS JOIN c) t WHERE rk = 1),
               |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (10, 11, 12)),
               |probes AS (SELECT query_id, cent_id, CAST(prk AS BIGINT) AS prk FROM (
               |  SELECT q.query_id, c.cent_id, row_number() OVER (PARTITION BY q.query_id
-              |    ORDER BY list_dot_product(q.qv, c.cv)
-              |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |    ORDER BY round(list_dot_product(q.qv, c.cv)
+              |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
               |      c.cent_id) AS prk
               |  FROM q CROSS JOIN c) t),
               |sc AS (
