@@ -103,6 +103,11 @@ object Bench {
     // query-shaped). Without the per-table pass, q01 (alphabetically
     // first) absorbed ~2 s of one-time parquet-footer/codegen cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // one tiny noop write too: the first write initializes the noop
+    // datasource + commit protocol paths, which otherwise land on
+    // whichever query runs first alphabetically (q01 measured ~300 ms
+    // of one-time setup)
+    spark.range(10).write.mode("overwrite").format("noop").save()
     Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
       "region", "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
@@ -138,9 +143,11 @@ object Bench {
     // — failed queries report ~0 ms, which would deflate the baseline and
     // flag healthy queries instead of the regression.
     val times = results.filter(_._3).map(_._2).sorted
+    // nearest-rank percentile: index ceil(p·n) − 1 (floor(p·n) is one
+    // rank high and collapses p90 to the max on small suites)
     def pct(p: Double): Long =
       if (times.isEmpty) 0L
-      else math.round(times(math.min(times.size - 1, (p * times.size).toInt)))
+      else math.round(times(math.max(0, math.min(times.size - 1, math.ceil(p * times.size).toInt - 1))))
     val median =
       if (times.isEmpty) 0.0
       else if (times.size % 2 == 1) times(times.size / 2)
@@ -178,9 +185,21 @@ object Bench {
       .map { case (k, v, _) => s"\"$k\":${math.round(v) / 1000.0}" }
       .mkString("{", ",", "}")
 
-    val (sRows, sSec, sProcessed, sBatches) = streamingBench(spark)
+    // streaming throughput only on full-registry runs (a filtered
+    // profiling loop shouldn't pay a fixed multi-second pipeline run),
+    // and guarded: a streaming failure must not discard the per-query
+    // results the whole suite just spent minutes producing
     val streamingJson =
-      s"""{"rows":$sRows,"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProcessed,"micro_batches":$sBatches}"""
+      if (only.nonEmpty) "null"
+      else
+        try {
+          val (sRows, sSec, sProcessed, sBatches) = streamingBench(spark)
+          s"""{"rows":$sRows,"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProcessed,"micro_batches":$sBatches}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] streaming FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            s"""{"error":"${e.getClass.getSimpleName}"}"""
+        }
 
     val detail = new StringBuilder
     detail ++= s"""{"sf":"$sfDir","action":"noop-write","cache_invalidated_between_queries":true,"n":${results.size},"total_sec":${math.round(totalSec * 1000) / 1000.0},"median_ms":${math.round(median)},"failed":$failedJson,"streaming":$streamingJson,"queries_ms":"""
@@ -196,7 +215,7 @@ object Bench {
     System.err.println(s"[bench-detail] $detail")
 
     println(
-      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowJson,"queries":$headline,"streaming":$streamingJson,"detail_file":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowJson,"queries":$headline,"streaming":$streamingJson,"detail_file":"$detailName"}"""
     )
     spark.stop()
   }

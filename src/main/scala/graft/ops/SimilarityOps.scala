@@ -1099,7 +1099,10 @@ object SimilarityOps {
           .withColumn("nv", norm(col("v")))
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nv").as("ncv"))
-        val cellCos = dot(col("v"), col("cv")) / (col("nv") * col("ncv"))
+        // round(…, 6) before the argmin ordering (q90/q127 exactness
+        // discipline, same as q46): a bitwise summation difference near a
+        // tie would otherwise flip an assignment data-dependently
+        val cellCos = round(dot(col("v"), col("cv")) / (col("nv") * col("ncv")), 6)
         val assign = e.join(broadcast(cents))
           .groupBy(col("vec_id"))
           .agg(min_by(col("cent_id"), struct((-cellCos).as("nc"), col("cent_id"))).as("cent_id"))

@@ -226,6 +226,18 @@ final case class IntervalJoinExec(
                 active.clear()
                 activeKey = lKey.copy()
               }
+              // evict intervals that ended before this point FIRST, so the
+              // budget below counts only truly-concurrent intervals — an
+              // admission-before-eviction order would charge already-dead
+              // intervals against the budget and abort spuriously
+              if (active.nonEmpty) {
+                var i = 0
+                while (i < active.length) {
+                  if (timeOrd.compare(endRowOf(active(i)._2), lTime) < 0) {
+                    active.remove(i)
+                  } else i += 1
+                }
+              }
               // admit right intervals: skip keys before ours outright;
               // same-key intervals whose start has passed either enter
               // the active set or — if their end also lies behind the
@@ -249,15 +261,6 @@ final case class IntervalJoinExec(
                   }
                   fetchRight(); cont = rNext != null
                 } else cont = false
-              }
-              // evict intervals that ended before this point
-              if (active.nonEmpty) {
-                var i = 0
-                while (i < active.length) {
-                  if (timeOrd.compare(endRowOf(active(i)._2), lTime) < 0) {
-                    active.remove(i)
-                  } else i += 1
-                }
               }
               if (peak < active.length) { peak = active.length; maxActive.set(peak) }
               if (active.nonEmpty) {

@@ -262,6 +262,17 @@ class IntervalJoinSpec extends SparkSpec {
       spark.conf.set(IntervalJoinExec.MaxActiveKey, "64")
       val n = Interval.intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e").count()
       assert(n == 64, s"got $n")
+      // budget counts only truly-concurrent intervals: intervals that
+      // already ENDED before the sweep position must be evicted before
+      // the admission check, else a key whose true peak overlap equals
+      // the budget aborts spuriously on its dead history
+      spark.conf.set(IntervalJoinExec.MaxActiveKey, "2")
+      val pts2 = Seq(("k", 10L, "p10"), ("k", 20L, "p20")).toDF("k", "t", "pname")
+      val iv2 = Seq(
+        ("k", 10L, 10L, "dead"), ("k", 20L, 20L, "a"), ("k", 20L, 20L, "b")
+      ).toDF("rk", "s", "e", "rname")
+      val n2 = Interval.intervalJoin(pts2, iv2, Seq("k"), Seq("rk"), "t", "s", "e").count()
+      assert(n2 == 3, s"peak overlap == budget must pass despite dead history, got $n2")
     } finally spark.conf.unset(IntervalJoinExec.MaxActiveKey)
   }
 
