@@ -31,11 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** End-to-end streaming throughput: `waves` pushes of `rows/waves`
-    * messages each, drained by processAllAvailable between pushes so the
-    * number includes multi-trigger overhead, not one giant micro-batch.
+  /** One end-to-end pipeline throughput scenario over `rows` messages:
+    * `waves` pushes of `rows/waves` each, drained by processAllAvailable
+    * between pushes. waves=1 is the BURST shape (whole backlog admitted
+    * at once → few large micro-batches → the pipeline's max throughput);
+    * waves=8 is the SUSTAINED shape (every wave pays trigger scheduling +
+    * ack round-trips, the steady-state cadence cost).
     */
-  private def streamingBench(spark: SparkSession): (Long, Double, Long, Long) = {
+  private def streamingScenario(spark: SparkSession, rows: Int, waves: Int): (Long, Double, Long, Long) = {
     import spark.implicits._
     import graft.config.{BatcherConfig, PipelineConfig}
     import graft.core.Pipeline
@@ -43,13 +46,12 @@ object Bench {
     import graft.sources.QueueSource
     import graft.ack.NoopAcknowledger
 
-    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
-    val waves = 8
-    val q = QueueSource.create("bench-throughput", None)
+    val qName = s"bench-throughput-$waves"
+    val q = QueueSource.create(qName, None)
     try {
       val messages = spark.readStream
         .format("graft.sources.QueueSourceProvider")
-        .option("queue", "bench-throughput")
+        .option("queue", qName)
         .load()
         .select(col("offset"), col("value"))
         .as[(Long, String)]
@@ -58,7 +60,7 @@ object Bench {
       // batch-key route, so the batcher shuffle and per-group chunking are
       // exercised — not a pass-through that measures only trigger latency.
       val cfg = PipelineConfig[String](
-        name = "bench-throughput",
+        name = qName,
         handleMessage = m =>
           m.updateData(d => d.toUpperCase + ":" + d.length)
             .putBatchKey((math.floorMod(m.data.hashCode, 16)).toString),
@@ -82,7 +84,7 @@ object Bench {
         val microBatches = Option(running.query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
         (perWave.toLong * waves, sec, processed, microBatches)
       } finally running.stop()
-    } finally QueueSource.remove("bench-throughput")
+    } finally QueueSource.remove(qName)
   }
 
   def main(args: Array[String]): Unit = {
@@ -193,8 +195,14 @@ object Bench {
       if (only.nonEmpty) "null"
       else
         try {
-          val (sRows, sSec, sProcessed, sBatches) = streamingBench(spark)
-          s"""{"rows":$sRows,"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProcessed,"micro_batches":$sBatches}"""
+          val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+          // burst = max throughput (one backlog, few big micro-batches);
+          // sustained = steady-state cadence (8 drained waves, each paying
+          // trigger scheduling + the per-micro-batch ack round trip)
+          val (bRows, bSec, bProc, bBatches) = streamingScenario(spark, rows, waves = 1)
+          val (sRows, sSec, sProc, sBatches) = streamingScenario(spark, rows, waves = 8)
+          s"""{"rows":$bRows,"burst":{"sec":${math.round(bSec * 1000) / 1000.0},"rows_per_sec":${math.round(bRows / bSec)},"processed":$bProc,"micro_batches":$bBatches},""" +
+            s""""sustained":{"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProc,"micro_batches":$sBatches}}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] streaming FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

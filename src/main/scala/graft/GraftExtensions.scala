@@ -144,6 +144,21 @@ object GraftExtensions {
       classOf[GroupTopK],
       arity("graft_top_k", 3)(c => GroupTopK(c(0), c(1), intArg("graft_top_k", c(2))))
     ),
+    entry(
+      "graft_cdc_cuts",
+      classOf[CdcCuts],
+      arity("graft_cdc_cuts", 1)(c => CdcCuts(c(0)))
+    ),
+    // like graft_redact_pii below: the merge table parameterizes codegen
+    // and is not SQL-literal-friendly, so the SQL name bakes the engine's
+    // own rank-ordered merge program (TextOps.bpeMerges × BpePasses)
+    entry(
+      "graft_bpe_segment",
+      classOf[BpeSegment],
+      arity("graft_bpe_segment", 1)(c =>
+        BpeSegment(c(0), graft.ops.TextOps.bpeMerges, graft.ops.TextOps.bpePasses)
+      )
+    ),
     // composed (not a single native class): the PII scrub regexp chain —
     // built from the SAME pattern list as the Column API (TextOps
     // .piiPatterns), folded as catalyst RegExpReplace nodes directly

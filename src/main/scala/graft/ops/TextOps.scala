@@ -193,7 +193,7 @@ object TextOps {
   // merge table processed in rank order, each merge exhaustively. Both
   // engines run the SAME unrolled program — the text is char-delimited
   // ("the" -> "|t|h|e|") and each merge (x,y)->xy is a literal
-  // replace("|x|y|" -> "|xy|") repeated BpePasses times. One replace pass
+  // replace("|x|y|" -> "|xy|") repeated bpePasses times. One replace pass
   // merges every other occurrence of a back-to-back chain (the scan
   // resumes after each replacement, consuming the shared delimiter), so
   // fixpoint needs ceil(log2(chain+1)) passes; chains are bounded by the
@@ -210,7 +210,7 @@ object TextOps {
     "e" -> "r", "t" -> "h", "a" -> "n", "o" -> "w", "s" -> "t", "i" -> "n",
     "a" -> "t", "l" -> "u", "k" -> "e", "th" -> "e", "s" -> "c", "j" -> "o"
   )
-  private val BpePasses = 3
+  val bpePasses: Int = 3
 
   /** Char-delimited text: "abc" -> "|a|b|c|". */
   private def bpeDelimited(c: Column): Column =
@@ -226,7 +226,7 @@ object TextOps {
     * adversarial strings).
     */
   def bpeSegment(c: Column): Column =
-    graft.functions.TextFunctions.bpeSegment(c, bpeMerges, BpePasses)
+    graft.functions.TextFunctions.bpeSegment(c, bpeMerges, bpePasses)
 
   /** The unrolled literal-replace program — the exact form the DuckDB
     * oracle runs ([[sqlBpeSegment]]); retained as the spec reference the
@@ -234,7 +234,7 @@ object TextOps {
     */
   def bpeSegmentUnrolled(c: Column): Column =
     bpeMerges.foldLeft(bpeDelimited(c)) { case (acc, (x, y)) =>
-      (1 to BpePasses).foldLeft(acc)((a, _) =>
+      (1 to bpePasses).foldLeft(acc)((a, _) =>
         replace(a, lit(s"|$x|$y|"), lit(s"|$x$y|")))
     }
 
@@ -242,7 +242,7 @@ object TextOps {
   private val sqlBpeSegment: String =
     bpeMerges.foldLeft("'|' || regexp_replace(text, '(.)', '\\1|', 'g')") {
       case (acc, (x, y)) =>
-        (1 to BpePasses).foldLeft(acc)((a, _) => s"replace($a, '|$x|$y|', '|$x$y|')")
+        (1 to bpePasses).foldLeft(acc)((a, _) => s"replace($a, '|$x|$y|', '|$x$y|')")
     }
 
   val queries: Seq[Q] = Seq(

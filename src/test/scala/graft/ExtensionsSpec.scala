@@ -46,11 +46,18 @@ class ExtensionsSpec extends SparkSpec {
       (expr("graft_simhash(toks, 16, 1)") === TextFunctions.simHashBits(col("toks"), 16, 1)).as("e"),
       (expr("graft_minhash_sig(graft_ngrams(toks, 5), 16)")
         === TextFunctions.minHashSig(TextFunctions.nGrams(col("toks"), 5), 16)).as("f"),
-      (expr("graft_winnow(toks, 4, 5)") === TextFunctions.winnowKeys(col("toks"), 4, 5)).as("g")
+      (expr("graft_winnow(toks, 4, 5)") === TextFunctions.winnowKeys(col("toks"), 4, 5)).as("g"),
+      (expr("graft_bpe_segment(text)") === graft.ops.TextOps.bpeSegment(col("text"))).as("h"),
+      (expr("graft_cdc_cuts(text)") === TextFunctions.cdcCuts(col("text"))).as("i")
     )
     assert(
       cmp
-        .filter(not(col("a") && col("b") && col("c") && col("d") && col("e") && col("f") && col("g")))
+        .filter(
+          not(
+            col("a") && col("b") && col("c") && col("d") && col("e") && col("f") && col("g") &&
+              col("h") && col("i")
+          )
+        )
         .count() == 0
     )
   }

@@ -127,6 +127,28 @@ class TextExprSpec extends SparkSpec {
       .filter(col("native") =!= col("chain"))
       .count()
     assert(diff == 0, "native CDC cuts diverge from the window-explode formulation")
+    // multi-byte discipline: substring/length are CHARACTER-based while
+    // md5 hashes UTF-8 BYTES — the corpus may be pure ASCII, so pin the
+    // code-point offset walk on strings where chars ≠ bytes (2-, 3- and
+    // 4-byte code points, mixed with ASCII)
+    val uni = Seq(
+      "é" * 40,
+      "☕😀 mixed déjà-vu text with enough length to window ☕😀",
+      ("ascii prefix " + "😀" * 20 + " ascii suffix") * 3,
+      "日本語のテキストを十六文字以上にするためのサンプル文字列です"
+    )
+    val uniBad = spark
+      .createDataFrame(uni.map(Tuple1(_)))
+      .toDF("text")
+      .select(
+        col("text"),
+        TextFunctions.cdcCuts(col("text")).as("native"),
+        chainExpr.as("chain")
+      )
+      .collect()
+      .filter(r => r.getSeq[Long](1) != r.getSeq[Long](2))
+      .map(r => s"'${r.getString(0).take(30)}…': native=${r.getSeq[Long](1)} chain=${r.getSeq[Long](2)}")
+    assert(uniBad.isEmpty, s"multi-byte divergence:\n${uniBad.mkString("\n")}")
     // short-text guard: fewer than 16 chars → no window, no cuts
     val short = spark.range(1).select(TextFunctions.cdcCuts(lit("fifteen chars!!").cast("string")).as("c")).first()
     assert(short.getSeq[Long](0).isEmpty)
