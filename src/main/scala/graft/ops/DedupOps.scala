@@ -2356,6 +2356,118 @@ object DedupOps {
               |         // (same_space * 10000 // (n * (n - 1)))
               |  END AS lift_bp
               |FROM ps CROSS JOIN ds""".stripMargin)
+    ),
+
+    // MinHash estimator calibration — the missing member of the
+    // sketch-audit family (q99 HLL 3σ, q212 quantile rank bound, q219
+    // bloom FPR, q109 CMS ε·N): before trusting signature agreement as a
+    // Jaccard proxy anywhere (band thresholds, streaming admission), audit
+    // how the k=8-component estimate tracks EXACT Jaccard across the
+    // similarity range. Per LSH candidate pair: est_bp = matching
+    // signature components · 10⁴/k (granularity 1250 bp at k=8) vs
+    // exact_bp = ⌊10⁴·|A∩B|/|A∪B|⌋, rolled up per exact-Jaccard decile as
+    // a calibration curve (pairs, avg est vs avg exact, mean/max abs
+    // error) — all int64, no libm, no statistical-bound boolean (a
+    // per-pair 3σ assertion at k=8 would gamble on the corpus; the curve
+    // itself is the audit artifact and the cross-engine hash proves both
+    // engines compute the identical signatures). Deliberately measured ON
+    // THE CANDIDATE SET, where the estimator is actually consulted — so
+    // the low-Jaccard deciles exhibit the collision-conditioning bias
+    // (colliding on a band forces ≥ 2 matching components, est_bp ≥ 2500
+    // however dissimilar the pair), which is exactly the effect a band
+    // threshold tuner needs to see. Scale shape: candidates from the band
+    // equi-join (never all-pairs), signatures ride the cached shingle
+    // pass map-only, the rollup is 10 metadata rows.
+    Q(
+      "q226_minhash_error",
+      (s, d) => {
+        val sh = Caches.persisted(shingleSets(s, d))
+        val sig = graft.functions.TextFunctions.minHashSig(col("s"), NumHashes)
+        val sigsets = sh.select(
+          col("doc_id") +: col("s").as("s") +:
+            (0 until NumHashes).map(k => element_at(sig, k + 1).as(s"mh$k")): _*
+        )
+        val bands = sigsets.select(
+          col("doc_id"),
+          explode(
+            array((0 until NumBands).map { b =>
+              struct(
+                lit(b).as("band"),
+                concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bsig")
+              )
+            }: _*)
+          ).as("bk")
+        ).select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+        val cand = bands.as("a")
+          .join(bands.as("b"), Seq("band", "bsig"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val aSide = sigsets.select(
+          col("doc_id").as("doc_a") +: col("s").as("sa") +:
+            (0 until NumHashes).map(k => col(s"mh$k").as(s"a_mh$k")): _*
+        )
+        val bSide = sigsets.select(
+          col("doc_id").as("doc_b") +: col("s").as("sb") +:
+            (0 until NumHashes).map(k => col(s"mh$k").as(s"b_mh$k")): _*
+        )
+        val matches = (0 until NumHashes)
+          .map(k => when(col(s"a_mh$k") === col(s"b_mh$k"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        cand
+          .join(aSide, "doc_a")
+          .join(bSide, "doc_b")
+          .select(
+            (matches * lit(10000L / NumHashes)).as("est_bp"),
+            expr("(10000 * size(array_intersect(sa, sb))) div size(array_union(sa, sb))")
+              .as("exact_bp")
+          )
+          .select(
+            least(expr("exact_bp div 1000"), lit(9L)).as("decile"),
+            col("est_bp"),
+            col("exact_bp"),
+            abs(col("est_bp") - col("exact_bp")).as("ae")
+          )
+          .groupBy(col("decile"))
+          .agg(
+            count(lit(1)).as("pairs"),
+            expr("sum(exact_bp) div count(1)").as("avg_exact_bp"),
+            expr("sum(est_bp) div count(1)").as("avg_est_bp"),
+            expr("sum(ae) div count(1)").as("mean_abs_err_bp"),
+            max(col("ae")).as("max_abs_err_bp")
+          )
+          .orderBy(col("decile"))
+      },
+      Some {
+        val sigList = (0 until NumHashes).map(sqlMinhash).mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+           |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
+           |mh AS (SELECT doc_id, s, $sigList AS sig FROM sh),
+           |bands AS (SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
+           |          FROM mh CROSS JOIN (SELECT unnest(range($NumBands)) AS b) r),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+           |pr AS (
+           |  SELECT
+           |    CAST(list_sum(list_transform(range(1, ${NumHashes + 1}),
+           |      i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS BIGINT)
+           |      * ${10000 / NumHashes} AS est_bp,
+           |    (10000 * CAST(len(list_intersect(x.s, y.s)) AS BIGINT))
+           |      // CAST(len(list_distinct(list_concat(x.s, y.s))) AS BIGINT) AS exact_bp
+           |  FROM cand JOIN mh x ON x.doc_id = doc_a JOIN mh y ON y.doc_id = doc_b),
+           |e AS (SELECT least(exact_bp // 1000, 9) AS decile, est_bp, exact_bp,
+           |        abs(est_bp - exact_bp) AS ae
+           |      FROM pr)
+           |SELECT decile, CAST(count(*) AS BIGINT) AS pairs,
+           |  CAST(sum(exact_bp) // count(*) AS BIGINT) AS avg_exact_bp,
+           |  CAST(sum(est_bp) // count(*) AS BIGINT) AS avg_est_bp,
+           |  CAST(sum(ae) // count(*) AS BIGINT) AS mean_abs_err_bp,
+           |  CAST(max(ae) AS BIGINT) AS max_abs_err_bp
+           |FROM e
+           |GROUP BY decile
+           |ORDER BY decile""".stripMargin
+      }
     )
   )
 
