@@ -2468,6 +2468,105 @@ object DedupOps {
            |GROUP BY decile
            |ORDER BY decile""".stripMargin
       }
+    ),
+
+    // Cluster-aware train/val/test split — the CONSTRUCTIVE twin of
+    // q101's split-leakage audit: q101 measures how many near-dup pairs
+    // straddle a naive per-document split; this query assigns the split
+    // by the md5 gate (q38's deterministic idiom, 80/10/10) keyed on the
+    // DEDUP-CLUSTER label instead of the doc_id, so every member of a
+    // near-dup component lands in the same split and cross-split leakage
+    // is zero BY CONSTRUCTION — the hash-checked cross_pairs column
+    // proves it, while naive_cross_pairs (same gate keyed on doc_id)
+    // shows the leakage the cluster keying removed. Scale shape: the
+    // assignment is one map pass over (doc_id, label) — labels ride the
+    // shared CC materialization three sibling queries reuse — and the
+    // leak counts join the (tiny) verified-pair table to a 3-column
+    // assignment frame; nothing wider than the pair list shuffles.
+    Q(
+      "q227_cluster_split",
+      (s, d) => {
+        val pairs = lshPairs(s, d, 0.8).select(col("doc_a"), col("doc_b"))
+        val labels = dedupClusters(s, d, 0.8).select(col("node").as("doc_id"), col("lbl"))
+        def gate(c: String) =
+          expr(s"cast(conv(substring(md5(cast($c as string)), 1, 4), 16, 10) as bigint) % 10")
+        def splitOf(c: String) =
+          when(gate(c) < 8, "train").when(gate(c) === 8, "val").otherwise("test")
+        val assigned = Caches.persisted(
+          documents(s, d)
+            .select(col("doc_id"))
+            .join(labels, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("ckey"))
+            .select(
+              col("doc_id"),
+              col("ckey"),
+              splitOf("ckey").as("split"),
+              splitOf("doc_id").as("naive_split")
+            )
+        )
+        val stats = assigned
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("docs"), countDistinct(col("ckey")).as("clusters"))
+        def leakOf(splitCol: String, out: String) =
+          pairs
+            .join(
+              assigned.select(col("doc_id").as("doc_a"), col(splitCol).as("sa")),
+              "doc_a"
+            )
+            .join(
+              assigned.select(col("doc_id").as("doc_b"), col(splitCol).as("sb")),
+              "doc_b"
+            )
+            .filter(col("sa") =!= col("sb"))
+            .groupBy(col("sa").as("split"))
+            .agg(count(lit(1)).as(out))
+        stats
+          .join(leakOf("split", "cross_pairs"), Seq("split"), "left")
+          .join(leakOf("naive_split", "naive_cross_pairs"), Seq("split"), "left")
+          .select(
+            col("split"),
+            col("docs"),
+            col("clusters"),
+            coalesce(col("cross_pairs"), lit(0L)).as("cross_pairs"),
+            coalesce(col("naive_cross_pairs"), lit(0L)).as("naive_cross_pairs")
+          )
+          .orderBy(col("split"))
+      },
+      Some {
+        def hex4(c: String) = (1 to 4)
+          .map(i =>
+            s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
+          )
+          .mkString("(", " + ", ")")
+        def splitOf(c: String) =
+          s"CASE WHEN CAST(${hex4(c)} AS BIGINT) % 10 < 8 THEN 'train' " +
+            s"WHEN CAST(${hex4(c)} AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END"
+        s"""${sqlPairsCte(0.8, recursive = true)},
+           |$sqlComponentsCte,
+           |base AS (SELECT d.doc_id, coalesce(lab.lbl, d.doc_id) AS ckey
+           |         FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+           |a AS (SELECT doc_id, ckey,
+           |        ${splitOf("ckey")} AS split,
+           |        ${splitOf("doc_id")} AS naive_split
+           |      FROM base),
+           |st AS (SELECT split, CAST(count(*) AS BIGINT) AS docs,
+           |         CAST(count(DISTINCT ckey) AS BIGINT) AS clusters
+           |       FROM a GROUP BY 1),
+           |lk AS (SELECT x.split AS split, CAST(count(*) AS BIGINT) AS c
+           |       FROM pairs p JOIN a x ON x.doc_id = p.doc_a
+           |                    JOIN a y ON y.doc_id = p.doc_b
+           |       WHERE x.split <> y.split GROUP BY 1),
+           |nk AS (SELECT x.naive_split AS split, CAST(count(*) AS BIGINT) AS c
+           |       FROM pairs p JOIN a x ON x.doc_id = p.doc_a
+           |                    JOIN a y ON y.doc_id = p.doc_b
+           |       WHERE x.naive_split <> y.naive_split GROUP BY 1)
+           |SELECT st.split, st.docs, st.clusters,
+           |  coalesce(lk.c, 0) AS cross_pairs,
+           |  coalesce(nk.c, 0) AS naive_cross_pairs
+           |FROM st LEFT JOIN lk ON lk.split = st.split
+           |        LEFT JOIN nk ON nk.split = st.split
+           |ORDER BY st.split""".stripMargin
+      }
     )
   )
 
