@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Measured on the 128 GiB bench box (221-query suite, local[32]): an
+  // -Xmx24g/-Xms24g experiment made the suite WORSE and progressively so
+  // across runs (219 s → 256 s → 376 s) — the huge upfront heap evicted
+  // the OS page cache that parquet re-reads and shuffle spills live in
+  // (buff/cache fell to 2 GB), while 8 g keeps the working set in heap
+  // AND leaves the cache intact. Keep 8 g; override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
