@@ -1072,6 +1072,87 @@ object CurationOps {
              |  CAST((docs * ctx_len - kept_tokens) * 10000 // (docs * ctx_len) AS BIGINT) AS pad_bp
              |FROM f
              |ORDER BY ctx_len""".stripMargin)
+    ),
+
+    // Token-budget greedy fill: the curation primitive behind "train on
+    // the best N tokens" — rank the corpus by quality (q22's q10k units,
+    // ties to the lowest doc_id so the cut is a total order) and keep
+    // documents until the cumulative token count exceeds the budget
+    // (here ⅓ of the corpus token mass, computed from the data so the
+    // query is scale-invariant). The global prefix sum NEVER runs as a
+    // single-task window: the q91/q135 two-pass discipline —
+    // repartitionByRange on (q10k DESC, doc_id) + per-partition running
+    // sums (a window PARTITIONED by range-partition id: one linear pass
+    // per partition) + 32 broadcast per-partition token offsets; at
+    // 100 TB the partition count rises with the cluster, nothing else
+    // changes. Output: per-source docs/tokens admitted + budget share in
+    // basis points — the mixture a fixed token budget actually buys,
+    // next to q89's target mixture.
+    Q(
+      "q229_budget_fill",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val base = documents(s, d).select(
+          col("doc_id"),
+          col("source"),
+          TextOps.qualityScore10k(toks).cast("long").as("q10k"),
+          size(toks).cast("long").as("ntok")
+        )
+        val budget = base.agg(expr("sum(ntok) div 3").as("budget"))
+        val stamped = Caches.persisted(
+          base
+            .repartitionByRange(32, col("q10k").desc, col("doc_id"))
+            .sortWithinPartitions(col("q10k").desc, col("doc_id"))
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+        )
+        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = stamped
+          .groupBy(col("pid"))
+          .agg(sum(col("ntok")).as("ptok"))
+          .withColumn("off", coalesce(sum(col("ptok")).over(wOff), lit(0L)))
+        val wLoc = Window
+          .partitionBy(col("pid"))
+          .orderBy(col("mid"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        stamped
+          .withColumn("loc_cum", sum(col("ntok")).over(wLoc))
+          .join(broadcast(offsets.select(col("pid"), col("off"))), Seq("pid"))
+          .crossJoin(broadcast(budget))
+          .filter(col("off") + col("loc_cum") <= col("budget"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs_sel"),
+            sum(col("ntok")).as("tokens_sel"),
+            min(col("q10k")).as("min_q10k")
+          )
+          .crossJoin(broadcast(budget))
+          .select(
+            col("source"),
+            col("docs_sel"),
+            col("tokens_sel"),
+            col("min_q10k"),
+            expr("(tokens_sel * 10000L) div budget").as("share_bp")
+          )
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source,
+              |    CAST(${TextOps.sqlQuality10k(sqlToks)} AS BIGINT) AS q10k,
+              |    CAST(len($sqlToks) AS BIGINT) AS ntok
+              |  FROM documents),
+              |b AS (SELECT CAST(sum(ntok) AS BIGINT) // 3 AS budget FROM base),
+              |c AS (SELECT *, CAST(sum(ntok) OVER (ORDER BY q10k DESC, doc_id
+              |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |      FROM base)
+              |SELECT source, CAST(count(*) AS BIGINT) AS docs_sel,
+              |  CAST(sum(ntok) AS BIGINT) AS tokens_sel,
+              |  CAST(min(q10k) AS BIGINT) AS min_q10k,
+              |  (CAST(sum(ntok) AS BIGINT) * 10000) // budget AS share_bp
+              |FROM c CROSS JOIN b
+              |WHERE cum <= budget
+              |GROUP BY source, budget
+              |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -342,6 +342,95 @@ object MultimodalOps {
               |FROM ck
               |GROUP BY source
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Clip / re-encode detection across blobs: two media files that share
+    // a run of content (a clipped video, a re-muxed audio track, a
+    // boilerplate-wrapped scan) share their interior CONTENT-DEFINED
+    // chunks even when byte offsets shifted — exactly why CDC (q224)
+    // beats fixed-grid chunking (q51) for cross-blob dedup. Per blob
+    // pair: shared distinct chunks and the containment ratio
+    // shared/min(|A|,|B|) in basis points; ≥2500 bp flags containment
+    // candidates (one quarter of the smaller blob's content appears in
+    // the larger). Scale discipline: candidates come ONLY from the
+    // chunk-hash equi-join (Σ per-hash n² — never all blob pairs), and
+    // "stop chunks" (a hash in >64 blobs: container headers, shared
+    // boilerplate) are dropped BEFORE pairing — the PPJoin/q32 viral-key
+    // guard that keeps one ubiquitous chunk from exploding quadratically;
+    // both the shared counts and the per-blob denominators live in the
+    // same non-viral universe so the ratio stays internally consistent.
+    Q(
+      "q230_chunk_containment",
+      (s, d) => {
+        val t = documents(s, d)
+          .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+        val cuts = t
+          .filter(col("n") >= 16L)
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextFunctions.cdcCuts(col("text"))).as("cut")
+          )
+          .union(t.select(col("doc_id"), col("n").as("cut")))
+          .distinct()
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("cut"))
+        val chunkHashes = cuts
+          .withColumn("prev", coalesce(lag(col("cut"), 1).over(wDoc), lit(0L)))
+          .join(t.select(col("doc_id"), col("text")), "doc_id")
+          .select(
+            col("doc_id"),
+            md5(expr("substring(text, cast(prev + 1 as int), cast(cut - prev as int))")).as("h")
+          )
+          .distinct()
+        val nonViral = Caches.persisted(
+          chunkHashes
+            .withColumn("freq", count(lit(1)).over(Window.partitionBy(col("h"))))
+            .filter(col("freq") <= 64L)
+            .select(col("doc_id"), col("h"))
+        )
+        val sizes = nonViral.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+        val pairs = nonViral
+          .select(col("doc_id").as("doc_a"), col("h"))
+          .join(nonViral.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_a"), col("nc").as("ca")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("nc").as("cb")), Seq("doc_b"))
+          .withColumn("containment_bp", expr("(shared * 10000L) div least(ca, cb)"))
+          .filter(col("containment_bp") >= 2500L)
+          .select(col("doc_a"), col("doc_b"), col("shared"), col("ca"), col("cb"), col("containment_bp"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n
+              |           FROM documents),
+              |g AS (SELECT doc_id, n, text,
+              |        unnest(range(1, greatest(CAST(n AS INTEGER) - 14, 1))) AS i
+              |      FROM t),
+              |b AS (SELECT doc_id, i + 15 AS cut FROM g
+              |      WHERE ${hexToIntSql("substr(md5(substr(text, CAST(i AS INTEGER), 16)), 1, 4)", 4)} % 64 = 0),
+              |cuts AS (SELECT doc_id, CAST(cut AS BIGINT) AS cut FROM b
+              |         UNION SELECT doc_id, n FROM t),
+              |sp AS (SELECT doc_id, cut,
+              |         coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS prev
+              |       FROM cuts),
+              |ck AS (SELECT DISTINCT sp.doc_id,
+              |         md5(substr(t.text, CAST(sp.prev + 1 AS INTEGER),
+              |                    CAST(sp.cut - sp.prev AS INTEGER))) AS h
+              |       FROM sp JOIN t USING (doc_id)),
+              |nv AS (SELECT doc_id, h FROM ck
+              |       WHERE h IN (SELECT h FROM ck GROUP BY h HAVING count(*) <= 64)),
+              |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM nv GROUP BY doc_id),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |        CAST(count(*) AS BIGINT) AS shared
+              |      FROM nv a JOIN nv b ON a.h = b.h AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, shared, sa.nc AS ca, sb.nc AS cb,
+              |  (shared * 10000) // least(sa.nc, sb.nc) AS containment_bp
+              |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+              |       JOIN sz sb ON p.doc_b = sb.doc_id
+              |WHERE (shared * 10000) // least(sa.nc, sb.nc) >= 2500
+              |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 

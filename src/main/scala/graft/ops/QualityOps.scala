@@ -2035,6 +2035,263 @@ object QualityOps {
              |      WHEN 8 THEN 511 ELSE 457 END) AS dev_bp
              |FROM o CROSS JOIN t
              |ORDER BY digit""".stripMargin)
+    ),
+
+    // Day-of-week seasonal decomposition of ingest volume — the missing
+    // piece between q157's lag-1 autocorrelation (is there ANY temporal
+    // structure?) and q147's anomaly fence (which flags seasonal peaks as
+    // anomalies unless the expected weekday level is subtracted first).
+    // Per weekday: the seasonal index in basis points of a flat profile
+    // (10000 = that weekday ingests exactly the uniform share) and the
+    // count of days that deviate >25% from their OWN weekday's average —
+    // i.e. residual outliers AFTER seasonal adjustment, the days a
+    // capacity plan actually has to explain. Weekday is epoch-day mod 7
+    // anchored at 2024-01-01 (a Monday): both engines subtract dates to
+    // integer days, so no dependence on either engine's dayofweek
+    // origin/locale convention. Shape: one fact pass reduces to per-day
+    // counts; the 7-row weekday profile broadcasts back onto the daily
+    // frame (equi-join) and the grand total is a 1-row scalar cross.
+    // Integer envelope: total·days·10⁴ holds to ~10¹⁰ events across ~10⁴
+    // days; beyond that move the index numerator to DECIMAL (q159 note).
+    Q(
+      "q228_dow_seasonality",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn(
+            "dow",
+            pmod(datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01"))), lit(7)).cast("long")
+          )
+        val prof = daily
+          .groupBy(col("dow"))
+          .agg(count(lit(1)).as("days"), sum(col("cnt")).as("total"))
+        val grand = prof.agg(
+          sum(col("days")).as("all_days"),
+          sum(col("total")).as("grand")
+        )
+        val outliers = daily
+          .join(broadcast(prof), Seq("dow"))
+          .withColumn("dev_bp", expr("(cnt * days * 10000L) div total"))
+          .filter(abs(col("dev_bp") - lit(10000L)) > 2500L)
+          .groupBy(col("dow"))
+          .agg(count(lit(1)).as("outlier_days"))
+        prof
+          .crossJoin(broadcast(grand))
+          .join(outliers, Seq("dow"), "left")
+          .select(
+            col("dow"),
+            col("days"),
+            col("total"),
+            expr("(total * all_days * 10000L) div (days * grand)").as("index_bp"),
+            coalesce(col("outlier_days"), lit(0L)).as("outlier_days")
+          )
+          .orderBy(col("dow"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |dd AS (SELECT day, cnt,
+             |         CAST(((day - DATE '2024-01-01') % 7 + 7) % 7 AS BIGINT) AS dow
+             |       FROM daily),
+             |prof AS (SELECT dow, CAST(count(*) AS BIGINT) AS days,
+             |           CAST(sum(cnt) AS BIGINT) AS total
+             |         FROM dd GROUP BY dow),
+             |grand AS (SELECT CAST(sum(days) AS BIGINT) AS all_days,
+             |            CAST(sum(total) AS BIGINT) AS grand FROM prof),
+             |outl AS (SELECT dd.dow, CAST(count(*) AS BIGINT) AS outlier_days
+             |         FROM dd JOIN prof USING (dow)
+             |         WHERE abs((cnt * days * 10000) // total - 10000) > 2500
+             |         GROUP BY dd.dow)
+             |SELECT prof.dow, days, total,
+             |  (total * all_days * 10000) // (days * grand) AS index_bp,
+             |  coalesce(outlier_days, 0) AS outlier_days
+             |FROM prof CROSS JOIN grand LEFT JOIN outl ON prof.dow = outl.dow
+             |ORDER BY prof.dow""".stripMargin)
+    ),
+
+    // Total-variation distance between hour-of-day profiles of event
+    // types — the drift metric the KS (q173) and χ² (q176) audits can't
+    // give: TVD is the fraction of one distribution's mass that would
+    // have to MOVE to match the other, directly interpretable as "how
+    // differently is this event type timed". Unlike KL/JS divergences
+    // (banned by the cross-engine log() rule, NOTES), TVD is pure
+    // rational algebra: ½·Σ|p_a − p_b| over the 24 hour buckets =
+    // Σ|cntₐ·T_b − cnt_b·Tₐ| · 5000 // (Tₐ·T_b) — one exact int64
+    // division AFTER the exact numerator sum. Missing (type, hour) cells
+    // count as zero mass, so the profile is zero-filled against a
+    // |types|×24 broadcast grid before pairing (a type that never fires
+    // at night must still pay that mass gap). Shape: one fact pass →
+    // (type, hour) counts; everything after is metadata-sized (|types|·24
+    // rows, |types|² pairs). Integer envelope: cnt·T ≤ ~3·10⁹ events
+    // before the numerator product needs DECIMAL (q159 note).
+    Q(
+      "q231_tvd_drift",
+      (s, d) => {
+        val byHour = events(s, d)
+          .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = byHour
+          .groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("total"))
+        val grid = broadcast(totals)
+          .crossJoin(broadcast(s.range(24).select(col("id").as("hr"))))
+        val prof = grid
+          .join(byHour, Seq("event_type", "hr"), "left")
+          .select(
+            col("event_type"),
+            col("hr"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            col("total")
+          )
+        val a = prof.select(
+          col("event_type").as("type_a"),
+          col("hr"),
+          col("cnt").as("ca"),
+          col("total").as("total_a")
+        )
+        val b = prof.select(
+          col("event_type").as("type_b"),
+          col("hr"),
+          col("cnt").as("cb"),
+          col("total").as("total_b")
+        )
+        a.join(b, Seq("hr"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"), col("total_a"), col("total_b"))
+          .agg(sum(abs(col("ca") * col("total_b") - col("cb") * col("total_a"))).as("num"))
+          .select(
+            col("type_a"),
+            col("type_b"),
+            col("total_a"),
+            col("total_b"),
+            expr("(num * 5000L) div (total_a * total_b)").as("tvd_bp")
+          )
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+             |      FROM c GROUP BY 1),
+             |grid AS (SELECT event_type, total, CAST(h AS BIGINT) AS hr
+             |         FROM t CROSS JOIN range(0, 24) r(h)),
+             |prof AS (SELECT grid.event_type, grid.hr,
+             |           coalesce(cnt, 0) AS cnt, total
+             |         FROM grid LEFT JOIN c
+             |           ON grid.event_type = c.event_type AND grid.hr = c.hr)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |  a.total AS total_a, b.total AS total_b,
+             |  (CAST(sum(abs(a.cnt * b.total - b.cnt * a.total)) AS BIGINT) * 5000)
+             |    // (a.total * b.total) AS tvd_bp
+             |FROM prof a JOIN prof b
+             |  ON a.hr = b.hr AND a.event_type < b.event_type
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY type_a, type_b""".stripMargin)
+    ),
+
+    // Cardinality-estimator audit: how wrong would a 32-bucket equi-depth
+    // histogram (the stats object ANALYZE-style CBO row estimates come
+    // from) be on this data? For three range predicates of very different
+    // widths, estimate rows the way an optimizer does — per overlapping
+    // bucket, cnt · overlap/width under the uniform-within-bucket
+    // assumption, all integer cents so the interpolation is exact — and
+    // compare against the true count. err_bp is the number that decides
+    // whether join reordering on these stats can be trusted (the q148
+    // fanout prediction consumes exactly this kind of estimate). The
+    // histogram rides the q156/q135 range-partition machinery (no global
+    // window); everything downstream of the 32-row histogram is metadata
+    // (32 buckets × 3 predicates).
+    Q(
+      "q234_selectivity_audit",
+      (s, d) => {
+        val base = Caches.persisted(
+          orders(s, d)
+            .select(
+              expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"),
+              col("o_orderkey")
+            )
+            .repartitionByRange(32, col("v"), col("o_orderkey"))
+            .sortWithinPartitions(col("v"), col("o_orderkey"))
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+            .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+        )
+        val tot = base.agg(count(lit(1)).as("n"))
+        val ow = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = base
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("pcnt"))
+          .withColumn("off", coalesce(sum(col("pcnt")).over(ow), lit(0L)))
+          .select(col("pid"), col("off"))
+        val hist = base
+          .join(broadcast(offsets), Seq("pid"))
+          .crossJoin(broadcast(tot))
+          .select(expr("(off + loc) * 32L div n").as("bucket"), col("v"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        // three predicate widths in cents: ~1%, ~10%, ~50% of the price axis
+        val preds = s
+          .createDataFrame(
+            Seq(
+              ("narrow", 10000000L, 10500000L),
+              ("medium", 10000000L, 15000000L),
+              ("wide", 10000000L, 35000000L)
+            )
+          )
+          .toDF("pred", "p_lo", "p_hi")
+        val est = hist
+          .crossJoin(broadcast(preds))
+          .select(
+            col("pred"),
+            col("p_lo"),
+            col("p_hi"),
+            expr(
+              """cnt * greatest(0L, least(hi, p_hi) - greatest(lo, p_lo) + 1L)
+                |  div (hi - lo + 1L)""".stripMargin
+            ).as("part")
+          )
+          .groupBy(col("pred"), col("p_lo"), col("p_hi"))
+          .agg(sum(col("part")).as("est_rows"))
+        val truth = base
+          .crossJoin(broadcast(preds))
+          .filter(col("v") >= col("p_lo") && col("v") <= col("p_hi"))
+          .groupBy(col("pred"))
+          .agg(count(lit(1)).as("true_rows"))
+        est
+          .join(truth, Seq("pred"))
+          .select(
+            col("pred"),
+            col("est_rows"),
+            col("true_rows"),
+            expr("abs(est_rows - true_rows) * 10000L div true_rows").as("err_bp")
+          )
+          .orderBy(col("pred"))
+      },
+      Some("""WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+             |    o_orderkey FROM orders),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+             |r AS (SELECT v, CAST(row_number()
+             |        OVER (ORDER BY v, o_orderkey) AS BIGINT) AS rk FROM c),
+             |hist AS (SELECT (rk - 1) * 32 // n AS bucket,
+             |    CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+             |  FROM r CROSS JOIN s GROUP BY 1),
+             |preds AS (SELECT * FROM (VALUES
+             |    ('narrow', 10000000, 10500000),
+             |    ('medium', 10000000, 15000000),
+             |    ('wide',   10000000, 35000000)) p(pred, p_lo, p_hi)),
+             |est AS (SELECT pred, p_lo, p_hi,
+             |    CAST(sum(cnt * greatest(0, least(hi, p_hi) - greatest(lo, p_lo) + 1)
+             |      // (hi - lo + 1)) AS BIGINT) AS est_rows
+             |  FROM hist CROSS JOIN preds GROUP BY 1, 2, 3),
+             |tr AS (SELECT pred, CAST(count(*) AS BIGINT) AS true_rows
+             |  FROM c CROSS JOIN preds WHERE v BETWEEN p_lo AND p_hi GROUP BY 1)
+             |SELECT pred, est_rows, true_rows,
+             |  abs(est_rows - true_rows) * 10000 // true_rows AS err_bp
+             |FROM est JOIN tr USING (pred)
+             |ORDER BY pred""".stripMargin)
     )
   )
 }

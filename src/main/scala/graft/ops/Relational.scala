@@ -2675,6 +2675,256 @@ object Relational {
              |FROM g
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // Layout planner: BEFORE rewriting 100 TB into a sorted layout
+    // (sinks/Sinks.scala rangeSorted / zOrder), measure what each
+    // candidate sort key would actually buy the dominant predicate. The
+    // simulation: under sort key k the table splits into 32 equal-row
+    // files (rank·32/n — exactly what writing through repartitionByRange
+    // on k produces); a file is SKIPPED when its parquet footer
+    // [min, max] of the predicate column can't intersect the filter
+    // range — the same min/max pruning the scan does for real
+    // (E1/PlanSpec pushdown). Reported per layout: files touched (of
+    // 32), rows inside touched files, and the scan fraction in basis
+    // points — sorting by the predicate column itself should collapse
+    // the scan to ~the selectivity, while unrelated keys leave all 32
+    // files hot (each file's min/max spans the whole date range). Ranks
+    // come from the q91/q135 two-pass range-partition machinery — NO
+    // global window; everything after the per-file aggregate is 32-row
+    // metadata. The workload predicate is a 90-day order-date slice
+    // (~3.7% of the 1995-2001 axis).
+    Q(
+      "q232_layout_skipping",
+      (s, d) => {
+        val o = orders(s, d).select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice"),
+          to_date(col("o_orderdate")).as("od")
+        )
+        val tot = o.agg(count(lit(1)).as("n"))
+        val lo = java.sql.Date.valueOf("1998-01-01")
+        val hi = java.sql.Date.valueOf("1998-03-31")
+        val layouts = Seq(
+          ("orderdate", col("od").cast("timestamp").cast("long")),
+          ("custkey", col("o_custkey").cast("long")),
+          ("totalprice", col("o_totalprice"))
+        )
+        layouts
+          .map { case (name, key) =>
+            val ranks = QualityOps.globalRanks(
+              o.select(col("o_orderkey").as("doc_id"), key.as("v")),
+              "v",
+              "rk"
+            )
+            ranks
+              .join(o.select(col("o_orderkey").as("doc_id"), col("od")), Seq("doc_id"))
+              .crossJoin(broadcast(tot))
+              .select(expr("((rk - 1) * 32L) div n").as("file"), col("od"))
+              .groupBy(col("file"))
+              .agg(min(col("od")).as("min_d"), max(col("od")).as("max_d"), count(lit(1)).as("n_rows"))
+              .filter(!(col("max_d") < lit(lo) || col("min_d") > lit(hi)))
+              .agg(count(lit(1)).as("files_scanned"), sum(col("n_rows")).as("rows_scanned"))
+              .crossJoin(broadcast(tot))
+              .select(
+                lit(name).as("layout"),
+                col("files_scanned"),
+                col("rows_scanned"),
+                expr("(rows_scanned * 10000L) div n").as("scan_bp")
+              )
+          }
+          .reduce(_.unionByName(_))
+          .orderBy(col("layout"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |         CAST(o_orderdate AS DATE) AS od,
+             |         CAST(epoch(o_orderdate) AS BIGINT) AS od_key
+             |  FROM orders),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+             |r AS (
+             |  SELECT 'orderdate' AS layout, od,
+             |    CAST(row_number() OVER (ORDER BY od_key, o_orderkey) AS BIGINT) AS rk
+             |  FROM o
+             |  UNION ALL
+             |  SELECT 'custkey', od,
+             |    CAST(row_number() OVER (ORDER BY o_custkey, o_orderkey) AS BIGINT)
+             |  FROM o
+             |  UNION ALL
+             |  SELECT 'totalprice', od,
+             |    CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             |  FROM o),
+             |f AS (SELECT layout, ((rk - 1) * 32) // n AS file, od FROM r CROSS JOIN n),
+             |pf AS (SELECT layout, file, min(od) AS min_d, max(od) AS max_d,
+             |         CAST(count(*) AS BIGINT) AS n_rows
+             |       FROM f GROUP BY 1, 2),
+             |sc AS (SELECT layout, CAST(count(*) AS BIGINT) AS files_scanned,
+             |         CAST(sum(n_rows) AS BIGINT) AS rows_scanned
+             |       FROM pf
+             |       WHERE NOT (max_d < DATE '1998-01-01' OR min_d > DATE '1998-03-31')
+             |       GROUP BY 1)
+             |SELECT layout, files_scanned, rows_scanned,
+             |  (rows_scanned * 10000) // n AS scan_bp
+             |FROM sc CROSS JOIN n
+             |ORDER BY layout""".stripMargin)
+    ),
+
+    // Z-order locality audit — q232's question for the TWO-dimensional
+    // predicate that single-key sorting can't serve: `o_orderdate IN a
+    // 15% slice AND o_custkey IN a 15% band`. Sorting by date prunes
+    // the date dimension but every surviving file spans all customers
+    // (and vice versa); the z-order curve (sinks/Sinks.scala zOrder)
+    // interleaves the bits of both keys so files are axis-aligned
+    // rectangles and BOTH predicates prune multiplicatively. The curve
+    // value is pure integer algebra — each key normalized to 16 bits via
+    // (v−min)·65535/(max−min), bits interleaved with div/%-by-powers-of-
+    // two (identical semantics in both engines on non-negative ints, no
+    // engine bit-op dialect) — and file assignment + min/max pruning are
+    // exactly q232's machinery (two-pass ranks, 32-row footer metadata,
+    // a file is read only when BOTH column ranges intersect the
+    // predicate, as real parquet row-group pruning ANDs pushed filters).
+    Q(
+      "q235_zorder_locality",
+      (s, d) => {
+        val o = orders(s, d).select(
+          col("o_orderkey"),
+          col("o_custkey").cast("long").as("ck"),
+          datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1992-01-01")))
+            .cast("long")
+            .as("dk")
+        )
+        val stats = o.agg(
+          count(lit(1)).as("n"),
+          min(col("dk")).as("d_min"),
+          max(col("dk")).as("d_max"),
+          min(col("ck")).as("c_min"),
+          max(col("ck")).as("c_max")
+        )
+        // bit-interleave via div/%: bit i of x lands at position 2i, of y
+        // at 2i+1; `divOp` abstracts Spark `div` vs DuckDB `//`
+        def zTerms(x: String, y: String, divOp: String): String =
+          (0 until 16)
+            .map(i =>
+              s"(($x $divOp ${1L << i}) % 2) * ${1L << (2 * i)}" +
+                s" + (($y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+            )
+            .mkString(" + ")
+        val norm = o
+          .crossJoin(broadcast(stats))
+          .select(
+            col("o_orderkey"),
+            col("dk"),
+            col("ck"),
+            expr("(dk - d_min) * 65535L div greatest(1L, d_max - d_min)").as("d16"),
+            expr("(ck - c_min) * 65535L div greatest(1L, c_max - c_min)").as("c16")
+          )
+          .withColumn("zv", expr(zTerms("d16", "c16", "div")))
+        val layouts = Seq(
+          ("orderdate", "dk"),
+          ("custkey", "ck"),
+          ("zorder", "zv")
+        )
+        // predicate bands are DATA-RELATIVE (15% of each key axis) so the
+        // selectivity — and therefore the layout comparison — is the same
+        // at every scale factor
+        val bands = Seq(
+          "d_min + (d_max - d_min) * 60L div 100 AS dp_lo",
+          "d_min + (d_max - d_min) * 75L div 100 AS dp_hi",
+          "c_min + (c_max - c_min) * 15L div 100 AS cp_hi"
+        )
+        layouts
+          .map { case (name, key) =>
+            val ranks = QualityOps.globalRanks(
+              norm.select(col("o_orderkey").as("doc_id"), col(key).as("v")),
+              "v",
+              "rk"
+            )
+            ranks
+              .join(
+                norm.select(col("o_orderkey").as("doc_id"), col("dk"), col("ck")),
+                Seq("doc_id")
+              )
+              .crossJoin(broadcast(stats.select(col("n"))))
+              .select(expr("((rk - 1) * 32L) div n").as("file"), col("dk"), col("ck"))
+              .groupBy(col("file"))
+              .agg(
+                min(col("dk")).as("d_lo"),
+                max(col("dk")).as("d_hi"),
+                min(col("ck")).as("c_lo"),
+                max(col("ck")).as("c_hi"),
+                count(lit(1)).as("n_rows")
+              )
+              .crossJoin(broadcast(stats.selectExpr("c_min" +: bands: _*)))
+              .filter(
+                !(col("d_hi") < col("dp_lo") || col("d_lo") > col("dp_hi")) &&
+                  !(col("c_hi") < col("c_min") || col("c_lo") > col("cp_hi"))
+              )
+              .agg(count(lit(1)).as("files_scanned"), sum(col("n_rows")).as("rows_scanned"))
+              .crossJoin(broadcast(stats.select(col("n"))))
+              .select(
+                lit(name).as("layout"),
+                col("files_scanned"),
+                col("rows_scanned"),
+                expr("(rows_scanned * 10000L) div n").as("scan_bp")
+              )
+          }
+          .reduce(_.unionByName(_))
+          .orderBy(col("layout"))
+      },
+      Some {
+        def zTerms(x: String, y: String): String =
+          (0 until 16)
+            .map(i =>
+              s"(($x // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+                s" + (($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+            )
+            .mkString(" + ")
+        s"""WITH o AS (
+           |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+           |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS dk
+           |  FROM orders),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(min(dk) AS BIGINT) AS d_min, CAST(max(dk) AS BIGINT) AS d_max,
+           |    CAST(min(ck) AS BIGINT) AS c_min, CAST(max(ck) AS BIGINT) AS c_max
+           |  FROM o),
+           |nz AS (SELECT o_orderkey, dk, ck,
+           |    (dk - d_min) * 65535 // greatest(1, d_max - d_min) AS d16,
+           |    (ck - c_min) * 65535 // greatest(1, c_max - c_min) AS c16
+           |  FROM o CROSS JOIN st),
+           |z AS (SELECT o_orderkey, dk, ck, ${zTerms("d16", "c16")} AS zv FROM nz),
+           |r AS (
+           |  SELECT 'orderdate' AS layout, dk, ck,
+           |    CAST(row_number() OVER (ORDER BY dk, o_orderkey) AS BIGINT) AS rk FROM z
+           |  UNION ALL
+           |  SELECT 'custkey', dk, ck,
+           |    CAST(row_number() OVER (ORDER BY ck, o_orderkey) AS BIGINT) FROM z
+           |  UNION ALL
+           |  SELECT 'zorder', dk, ck,
+           |    CAST(row_number() OVER (ORDER BY zv, o_orderkey) AS BIGINT) FROM z),
+           |f AS (SELECT layout, ((rk - 1) * 32) // n AS file, dk, ck
+           |      FROM r CROSS JOIN st),
+           |pf AS (SELECT layout, file,
+           |    min(dk) AS d_lo, max(dk) AS d_hi,
+           |    min(ck) AS c_lo, max(ck) AS c_hi,
+           |    CAST(count(*) AS BIGINT) AS n_rows
+           |  FROM f GROUP BY 1, 2),
+           |bd AS (SELECT c_min,
+           |    d_min + (d_max - d_min) * 60 // 100 AS dp_lo,
+           |    d_min + (d_max - d_min) * 75 // 100 AS dp_hi,
+           |    c_min + (c_max - c_min) * 15 // 100 AS cp_hi
+           |  FROM st),
+           |sc AS (SELECT layout, CAST(count(*) AS BIGINT) AS files_scanned,
+           |    CAST(sum(n_rows) AS BIGINT) AS rows_scanned
+           |  FROM pf CROSS JOIN bd
+           |  WHERE NOT (d_hi < dp_lo OR d_lo > dp_hi)
+           |    AND NOT (c_hi < c_min OR c_lo > cp_hi)
+           |  GROUP BY 1)
+           |SELECT layout, files_scanned, rows_scanned,
+           |  (rows_scanned * 10000) // n AS scan_bp
+           |FROM sc CROSS JOIN st
+           |ORDER BY layout""".stripMargin
+      }
     )
   )
 }

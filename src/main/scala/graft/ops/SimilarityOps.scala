@@ -1974,6 +1974,94 @@ object SimilarityOps {
               |FROM st JOIN s2 USING (source)
               |WHERE st.n >= 2
               |ORDER BY source""".stripMargin)
+    ),
+
+    // Reciprocal (mutual) k-NN pairs — the high-precision near-dup /
+    // same-concept signal the one-directional ANN graph (q127) can't
+    // give: A listing B among its top-3 while B doesn't reciprocate is
+    // usually hubness (q203); A and B each ranking the OTHER in their
+    // top-3 is the classic reciprocal-NN criterion for merge candidates.
+    // Candidates are the q127 LSH-bucket discipline (Σ per-bucket n²,
+    // never the corpus cross product); per-vector top-3 is a window
+    // PARTITIONED by vec_id (bucket-bounded input, never global); the
+    // reciprocity check is one self equi-join of the top-3 edge list on
+    // the reversed pair. Cosines are rounded to 1e-6 BEFORE ranking
+    // (q127's exactness convention) so rank order is bit-identical
+    // cross-engine, and same-label agreement rides along as the
+    // label-quality audit (mutual pairs that disagree on label are the
+    // vectors to re-embed first).
+    Q(
+      "q233_mutual_knn",
+      (s, d) => {
+        val e = Caches.persisted(
+          embeddings(s, d)
+            .select(col("vec_id"), col("label"), emb(col("embedding")).as("v"))
+            .withColumn("bucket", bucketExpr(col("v")))
+            .withColumn("nv", norm(col("v")))
+        )
+        val a = e.select(col("bucket"), col("vec_id"), col("label"), col("v"), col("nv"))
+        val b = e.select(
+          col("bucket"),
+          col("vec_id").as("nn_id"),
+          col("label").as("nn_label"),
+          col("v").as("vb"),
+          col("nv").as("nb")
+        )
+        val wVec = Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nn_id"))
+        val top3 = a
+          .join(b, Seq("bucket"))
+          .filter(col("vec_id") =!= col("nn_id"))
+          .select(
+            col("vec_id"),
+            col("label"),
+            col("nn_id"),
+            col("nn_label"),
+            round(dot(col("v"), col("vb")) / (col("nv") * col("nb")), 6).as("cosine")
+          )
+          .withColumn("rk", row_number().over(wVec))
+          .filter(col("rk") <= 3)
+        top3
+          .filter(col("vec_id") < col("nn_id"))
+          .join(
+            top3
+              .filter(col("vec_id") > col("nn_id"))
+              .select(
+                col("nn_id").as("vec_id"),
+                col("vec_id").as("nn_id"),
+                col("rk").as("rk_back")
+              ),
+            Seq("vec_id", "nn_id")
+          )
+          .select(
+            col("vec_id").as("vec_a"),
+            col("nn_id").as("vec_b"),
+            col("cosine"),
+            col("rk").as("rank_ab"),
+            col("rk_back").as("rank_ba"),
+            (col("label") === col("nn_label")).cast("long").as("same_label")
+          )
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, $sqlEmbD AS v FROM embeddings),
+              |b AS (SELECT vec_id, label, v, ${sqlBucket("v")} AS bucket,
+              |        sqrt(list_dot_product(v, v)) AS nv
+              |      FROM e),
+              |p AS (
+              |  SELECT a.vec_id, a.label, c.vec_id AS nn_id, c.label AS nn_label,
+              |    round(list_dot_product(a.v, c.v) / (a.nv * c.nv), 6) AS cosine
+              |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+              |t AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+              |        ORDER BY cosine DESC, nn_id) AS INTEGER) AS rk
+              |      FROM p
+              |      QUALIFY rk <= 3)
+              |SELECT f.vec_id AS vec_a, f.nn_id AS vec_b, f.cosine,
+              |  f.rk AS rank_ab, r.rk AS rank_ba,
+              |  CAST(f.label = f.nn_label AS BIGINT) AS same_label
+              |FROM t f JOIN t r ON f.vec_id = r.nn_id AND f.nn_id = r.vec_id
+              |WHERE f.vec_id < f.nn_id
+              |ORDER BY vec_a, vec_b""".stripMargin)
     )
   )
 

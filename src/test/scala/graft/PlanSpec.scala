@@ -567,7 +567,13 @@ class PlanSpec extends SparkSpec {
       "q221_hll_overlap", // |sources| sketch metadata rows, src_a < src_b pair join
       "q222_rolling_distinct", // |days| calendar rows range-joined to daily sketches/user-days
       "q205_multiprobe_recall", // 5 anchor vectors broadcast (exact top-10 ground-truth side)
-      "q208_ivf_recall_curve" // 8 centroids + 3 anchors broadcast (assignment + ground truth)
+      "q208_ivf_recall_curve", // 8 centroids + 3 anchors broadcast (assignment + ground truth)
+      "q228_dow_seasonality", // 1-row grand-total broadcast against the 7-row weekday profile
+      "q229_budget_fill", // 1-row token-budget scalar broadcast against the stamped corpus
+      "q231_tvd_drift", // |types|-row totals × 24-row hour grid (both broadcast metadata)
+      "q232_layout_skipping", // 1-row table-count scalar broadcast against rank/file metadata
+      "q234_selectivity_audit", // 3-row predicate frame + 1-row count broadcast against scan/histogram
+      "q235_zorder_locality" // 1-row min/max-stats scalar broadcast against the key-normalization pass
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
