@@ -1237,9 +1237,11 @@ object DedupOps {
     // duplication the lexical pipeline sees — SemDeDup (q114) and ANN
     // dedup (q42) would silently miss what MinHash catches. All integer:
     // quantized int64 dots, floor(√·) norms (IEEE-exact), and sign-safe
-    // division at both the per-pair cosine and the means (Spark `div`
-    // truncates, DuckDB `//` floors on negatives — control cosines go
-    // negative). Dup side rides the persisted verified pairs; control is
+    // division at both the per-pair cosine and the means. (Both engines
+    // truncate integer division toward zero — verified: DuckDB -7//2 =
+    // -3 — so the sign-carrying CASE is belt-and-braces, not load-
+    // bearing; it stays because it also documents where negatives can
+    // appear.) Dup side rides the persisted verified pairs; control is
     // one self-equi-join on a shifted id.
     Q(
       "q191_lexical_embedding_consistency",

@@ -16,9 +16,10 @@ object QualityOps {
   /** Correlation in basis points from exact int64 moment numerators
     * (cov = n·Σxy − Σx·Σy, var = n·Σx² − (Σx)²): the magnitude rides
     * integer division over ⌊√var_x⌋·⌊√var_y⌋ (floor(sqrt(int)) is
-    * IEEE-exact in both engines) and the SIGN is carried separately —
-    * Spark's `div` truncates toward zero while DuckDB's `//` floors, so
-    * the quotient itself must stay non-negative for the engines to agree.
+    * IEEE-exact in both engines) and the SIGN is carried separately.
+    * (Both engines truncate integer division toward zero — verified:
+    * DuckDB -7//2 = -3 — so carrying the sign separately is a clarity
+    * choice, not a cross-engine necessity.)
     * Arguments are column NAMES (the expression references them by name).
     * A zero variance (constant signal) makes correlation undefined — it
     * reports 0 instead of dividing by zero (ANSI mode throws).
