@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table layout — the co-located-join idiom for fact-fact joins
   * at scale (SURVEY §2.9 E11 scale note): write both sides bucketed and
@@ -42,7 +43,15 @@ object Bucketing {
     * partitions (`PartitionFilters` in the scan, partition count drop).
     */
   def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
-    df.write
+    // repartition on the partition column first: a naive partitionBy from
+    // a hash-distributed frame emits one file per (task × partition value)
+    // — the small-files explosion q239_partition_file_planner audits
+    // (ingest tasks × values files instead of ceil(bytes/target)). After
+    // the shuffle each partition value is owned by one task, so the write
+    // produces one file per value (AQE may coalesce further); at 100 TB
+    // add a salt INSIDE hot values if a single value exceeds a task.
+    df.repartition(col(partitionCol))
+      .write
       .mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)

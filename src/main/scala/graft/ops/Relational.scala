@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2703,7 +2703,9 @@ object Relational {
           col("o_totalprice"),
           to_date(col("o_orderdate")).as("od")
         )
-        val tot = o.agg(count(lit(1)).as("n"))
+        // persisted: the row-count scalar is referenced twice per layout —
+        // uncached, each reference is a fresh full-table aggregate
+        val tot = Caches.persisted(o.agg(count(lit(1)).as("n")))
         val lo = java.sql.Date.valueOf("1998-01-01")
         val hi = java.sql.Date.valueOf("1998-03-31")
         val layouts = Seq(
@@ -2794,12 +2796,17 @@ object Relational {
             .cast("long")
             .as("dk")
         )
-        val stats = o.agg(
-          count(lit(1)).as("n"),
-          min(col("dk")).as("d_min"),
-          max(col("dk")).as("d_max"),
-          min(col("ck")).as("c_min"),
-          max(col("ck")).as("c_max")
+        // persisted for the same reason as q232's `tot`: the stats scalar
+        // feeds the normalization pass, the file assignment AND the
+        // predicate bands — five references, one aggregate
+        val stats = Caches.persisted(
+          o.agg(
+            count(lit(1)).as("n"),
+            min(col("dk")).as("d_min"),
+            max(col("dk")).as("d_max"),
+            min(col("ck")).as("c_min"),
+            max(col("ck")).as("c_max")
+          )
         )
         // bit-interleave via div/%: bit i of x lands at position 2i, of y
         // at 2i+1; `divOp` abstracts Spark `div` vs DuckDB `//`
@@ -2810,16 +2817,22 @@ object Relational {
                 s" + (($y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
             )
             .mkString(" + ")
-        val norm = o
-          .crossJoin(broadcast(stats))
-          .select(
-            col("o_orderkey"),
-            col("dk"),
-            col("ck"),
-            expr("(dk - d_min) * 65535L div greatest(1L, d_max - d_min)").as("d16"),
-            expr("(ck - c_min) * 65535L div greatest(1L, c_max - c_min)").as("c16")
-          )
-          .withColumn("zv", expr(zTerms("d16", "c16", "div")))
+        // persisted: three layouts each take a rank pass over this frame —
+        // without the cache the scalar-stats aggregate and the 32-term
+        // z-interleave projection would re-run per layout (measured 8.5 s
+        // cold vs 1.2 s warm on the full-suite bench)
+        val norm = Caches.persisted(
+          o
+            .crossJoin(broadcast(stats))
+            .select(
+              col("o_orderkey"),
+              col("dk"),
+              col("ck"),
+              expr("(dk - d_min) * 65535L div greatest(1L, d_max - d_min)").as("d16"),
+              expr("(ck - c_min) * 65535L div greatest(1L, c_max - c_min)").as("c16")
+            )
+            .withColumn("zv", expr(zTerms("d16", "c16", "div")))
+        )
         val layouts = Seq(
           ("orderdate", "dk"),
           ("custkey", "ck"),
@@ -2925,6 +2938,402 @@ object Relational {
            |FROM sc CROSS JOIN st
            |ORDER BY layout""".stripMargin
       }
+    ),
+
+    // Column-encoding planner: the third layout decision (after q232's
+    // sort key and q235's z-order) a 100 TB rewrite has to make — which
+    // parquet encoding each column should get UNDER THE CHOSEN SORT
+    // ORDER. Two exact statistics drive it: the distinct ratio (a
+    // dictionary pays off when the value universe is tiny) and the mean
+    // RUN length in layout order (RLE pays off when equal values are
+    // adjacent — which the shipdate sort manufactures for the sort key
+    // itself and destroys for everything uncorrelated with it). Run
+    // counting never sorts globally: the q91/q135 stamped range-partition
+    // frame, per-partition lag comparisons (ONE window pass computes all
+    // four columns' lags), and the 32 partition-boundary pairs recovered
+    // from per-partition first/last metadata rows. The decision rule —
+    // mean run ≥ 8 → RLE, else distinct ratio ≤ 1% → dictionary, else
+    // plain — is the standard writer heuristic, stated in the output so
+    // the recommendation is auditable.
+    Q(
+      "q236_encoding_planner",
+      (s, d) => {
+        val base = lineitem(s, d).select(
+          datediff(to_date(col("l_shipdate")), lit(java.sql.Date.valueOf("1992-01-01")))
+            .cast("long")
+            .as("shipday"),
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_returnflag"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"),
+          col("l_partkey")
+        )
+        val cols = Seq("shipday", "l_returnflag", "qty", "l_partkey")
+        val stamped = Caches.persisted(
+          base
+            .repartitionByRange(32, col("shipday"), col("l_orderkey"), col("l_linenumber"))
+            .sortWithinPartitions(col("shipday"), col("l_orderkey"), col("l_linenumber"))
+            .withColumn("mid", monotonically_increasing_id())
+            .withColumn("pid", shiftright(col("mid"), 33))
+        )
+        val wLag = Window.partitionBy(col("pid")).orderBy(col("mid"))
+        val lagged = stamped.select(
+          cols.map(c => col(c)) ++
+            cols.map(c => lag(col(c), 1).over(wLag).as(s"prev_$c")): _*
+        )
+        val within = lagged.agg(
+          sum(
+            (col(cols.head) =!= col(s"prev_${cols.head}")).cast("long")
+          ).as(s"w_${cols.head}"),
+          cols.tail.map(c => sum((col(c) =!= col(s"prev_$c")).cast("long")).as(s"w_$c")): _*
+        )
+        val bounds = stamped
+          .groupBy(col("pid"))
+          .agg(
+            min_by(col(cols.head), col("mid")).as(s"first_${cols.head}"),
+            (cols.tail.map(c => min_by(col(c), col("mid")).as(s"first_$c")) ++
+              cols.map(c => max_by(col(c), col("mid")).as(s"last_$c"))): _*
+          )
+        val wPid = Window.orderBy(col("pid"))
+        val boundary = bounds
+          .select(
+            (col("pid") +: cols.map(c => col(s"first_$c"))) ++
+              cols.map(c => lag(col(s"last_$c"), 1).over(wPid).as(s"prevlast_$c")): _*
+          )
+          .agg(
+            sum(
+              (col(s"prevlast_${cols.head}").isNotNull &&
+                col(s"first_${cols.head}") =!= col(s"prevlast_${cols.head}")).cast("long")
+            ).as(s"b_${cols.head}"),
+            cols.tail.map(c =>
+              sum(
+                (col(s"prevlast_$c").isNotNull && col(s"first_$c") =!= col(s"prevlast_$c"))
+                  .cast("long")
+              ).as(s"b_$c")
+            ): _*
+          )
+        val nd = base.agg(
+          count(lit(1)).as("n"),
+          cols.map(c => countDistinct(col(c)).as(s"nd_$c")): _*
+        )
+        val one = within.crossJoin(broadcast(boundary)).crossJoin(broadcast(nd))
+        cols
+          .map { c =>
+            one.select(
+              lit(c).as("col_name"),
+              col(s"nd_$c").as("n_distinct"),
+              (col(s"w_$c") + col(s"b_$c") + 1L).as("runs"),
+              expr(s"n div (w_$c + b_$c + 1L)").as("avg_run_len"),
+              expr(s"(nd_$c * 10000L) div n").as("distinct_bp"),
+              expr(
+                s"""CASE WHEN n div (w_$c + b_$c + 1L) >= 8L THEN 'rle'
+                   |     WHEN nd_$c * 100L <= n THEN 'dict'
+                   |     ELSE 'plain' END""".stripMargin
+              ).as("encoding")
+            )
+          }
+          .reduce(_.unionByName(_))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+             |      AS shipday,
+             |    l_orderkey, l_linenumber, l_returnflag,
+             |    CAST(floor(l_quantity) AS BIGINT) AS qty, l_partkey
+             |  FROM lineitem),
+             |lg AS (
+             |  SELECT shipday, l_returnflag, qty, l_partkey,
+             |    lag(shipday) OVER w AS p_shipday,
+             |    lag(l_returnflag) OVER w AS p_returnflag,
+             |    lag(qty) OVER w AS p_qty,
+             |    lag(l_partkey) OVER w AS p_partkey
+             |  FROM base
+             |  WINDOW w AS (ORDER BY shipday, l_orderkey, l_linenumber)),
+             |agg AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT shipday) AS BIGINT) AS nd_shipday,
+             |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_returnflag,
+             |    CAST(count(DISTINCT qty) AS BIGINT) AS nd_qty,
+             |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
+             |    1 + CAST(sum(CASE WHEN p_shipday IS NOT NULL
+             |        AND shipday <> p_shipday THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS r_shipday,
+             |    1 + CAST(sum(CASE WHEN p_returnflag IS NOT NULL
+             |        AND l_returnflag <> p_returnflag THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS r_returnflag,
+             |    1 + CAST(sum(CASE WHEN p_qty IS NOT NULL
+             |        AND qty <> p_qty THEN 1 ELSE 0 END) AS BIGINT) AS r_qty,
+             |    1 + CAST(sum(CASE WHEN p_partkey IS NOT NULL
+             |        AND l_partkey <> p_partkey THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS r_partkey
+             |  FROM lg),
+             |stacked AS (
+             |  SELECT 'shipday' AS col_name, nd_shipday AS n_distinct,
+             |    r_shipday AS runs, n FROM agg
+             |  UNION ALL
+             |  SELECT 'l_returnflag', nd_returnflag, r_returnflag, n FROM agg
+             |  UNION ALL
+             |  SELECT 'qty', nd_qty, r_qty, n FROM agg
+             |  UNION ALL
+             |  SELECT 'l_partkey', nd_partkey, r_partkey, n FROM agg)
+             |SELECT col_name, n_distinct, runs,
+             |  n // runs AS avg_run_len,
+             |  (n_distinct * 10000) // n AS distinct_bp,
+             |  CASE WHEN n // runs >= 8 THEN 'rle'
+             |       WHEN n_distinct * 100 <= n THEN 'dict'
+             |       ELSE 'plain' END AS encoding
+             |FROM stacked
+             |ORDER BY col_name""".stripMargin)
+    ),
+
+    // Partial-aggregation effectiveness audit — the aggregation-strategy
+    // planner beside q232/q235/q236's layout planners. Map-side combine
+    // shrinks shuffle traffic only when input partitions actually
+    // CONTAIN repeats of the group key: the map-side output is Σ over
+    // partitions of the per-partition distinct-key count, and when that
+    // is close to the input row count the combine pass costs hash-table
+    // work for nothing (the case Spark's own
+    // spark.sql.aggregate.partialaggregate.skip heuristic watches for).
+    // Simulated ingest partitions are 32 contiguous orderkey ranges (the
+    // arrival order a writer produces — NOT a hash scramble, which would
+    // fake uniformity); per candidate key the audit reports global
+    // groups, map-side output rows, the shuffle-reduction in basis
+    // points, and the combine/skip verdict at the 50% rule. Expected
+    // spread on TPC-H-ish data: returnflag (3 groups) combines ~to
+    // nothing, ship-month combines well, partkey barely combines —
+    // partial aggregation there just burns CPU. Each candidate is one
+    // (part, key) pre-aggregate — map-side combinable by construction —
+    // feeding a metadata-sized rollup.
+    Q(
+      "q237_partial_agg_audit",
+      (s, d) => {
+        val stats = lineitem(s, d).agg(max(col("l_orderkey")).as("mk"))
+        val o = lineitem(s, d)
+          .select(
+            col("l_orderkey"),
+            col("l_returnflag"),
+            col("l_partkey"),
+            trunc(to_date(col("l_shipdate")), "month").as("ship_month")
+          )
+          .crossJoin(broadcast(stats))
+          .withColumn("part", expr("l_orderkey * 32L div (mk + 1L)"))
+        val keys = Seq(
+          ("l_returnflag", "l_returnflag"),
+          ("ship_month", "ship_month"),
+          ("l_partkey", "l_partkey")
+        )
+        keys
+          .map { case (name, k) =>
+            o.groupBy(col("part"), col(k))
+              .agg(count(lit(1)).as("rows_in"))
+              .agg(
+                count(lit(1)).as("mapside_rows"),
+                countDistinct(col(k)).as("n_groups"),
+                sum(col("rows_in")).as("n")
+              )
+              .select(
+                lit(name).as("group_key"),
+                col("n_groups"),
+                col("mapside_rows"),
+                expr("(mapside_rows * 10000L) div n").as("reduction_bp"),
+                expr(
+                  "CASE WHEN mapside_rows * 2L <= n THEN 'combine' ELSE 'skip' END"
+                ).as("verdict")
+              )
+          }
+          .reduce(_.unionByName(_))
+          .orderBy(col("group_key"))
+      },
+      Some("""WITH mk AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mk FROM lineitem),
+             |o AS (
+             |  SELECT l_returnflag, l_partkey,
+             |    CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+             |      AS ship_month,
+             |    l_orderkey * 32 // (mk + 1) AS part
+             |  FROM lineitem CROSS JOIN mk),
+             |g1 AS (SELECT part, l_returnflag AS k, CAST(count(*) AS BIGINT)
+             |         AS rows_in FROM o GROUP BY 1, 2),
+             |g2 AS (SELECT part, ship_month AS k, CAST(count(*) AS BIGINT)
+             |         AS rows_in FROM o GROUP BY 1, 2),
+             |g3 AS (SELECT part, l_partkey AS k, CAST(count(*) AS BIGINT)
+             |         AS rows_in FROM o GROUP BY 1, 2),
+             |stacked AS (
+             |  SELECT 'l_returnflag' AS group_key,
+             |    CAST(count(DISTINCT k) AS BIGINT) AS n_groups,
+             |    CAST(count(*) AS BIGINT) AS mapside_rows,
+             |    CAST(sum(rows_in) AS BIGINT) AS n
+             |  FROM g1
+             |  UNION ALL
+             |  SELECT 'ship_month', CAST(count(DISTINCT k) AS BIGINT),
+             |    CAST(count(*) AS BIGINT), CAST(sum(rows_in) AS BIGINT) FROM g2
+             |  UNION ALL
+             |  SELECT 'l_partkey', CAST(count(DISTINCT k) AS BIGINT),
+             |    CAST(count(*) AS BIGINT), CAST(sum(rows_in) AS BIGINT) FROM g3)
+             |SELECT group_key, n_groups, mapside_rows,
+             |  (mapside_rows * 10000) // n AS reduction_bp,
+             |  CASE WHEN mapside_rows * 2 <= n THEN 'combine' ELSE 'skip' END
+             |    AS verdict
+             |FROM stacked
+             |ORDER BY group_key""".stripMargin)
+    ),
+
+    // Join-strategy planner — the decision Spark's JoinSelection makes
+    // from size ESTIMATES, recomputed here from exact byte statistics so
+    // a 100 TB operator can audit (and pre-pin, via hints) what the
+    // planner will pick per dimension table. The byte model is
+    // UnsafeRow's: one 8-byte null word + an 8-byte slot per field +
+    // the actual payload bytes of each VARCHAR. The verdict mirrors the
+    // real rules: build side ≤ the 1 MiB broadcast threshold →
+    // broadcast; else ≤ threshold × 32 shuffle partitions (Spark's
+    // canBuildLocalHashMap) AND 3× smaller than the fact side (Spark's
+    // muchSmaller) → shuffle_hash; else sort_merge. One metadata row
+    // per dimension; the only joins here are the 1-row fact-stats
+    // broadcast. (The thresholds are the planner's literal defaults;
+    // at 100 TB you'd raise them with memory, not change the shape.)
+    Q(
+      "q238_join_strategy_planner",
+      (s, d) => {
+        def bytesOf(fixed: Long, varchars: Seq[String]): Column =
+          varchars.foldLeft(lit(fixed).cast("long")) { (acc, c) =>
+            acc + coalesce(length(col(c)).cast("long"), lit(0L))
+          }
+        def stats(name: String, df: DataFrame, varchars: Seq[String]): DataFrame = {
+          val fixed = 8L + 8L * df.schema.size
+          df.agg(
+            count(lit(1)).as("n_rows"),
+            sum(bytesOf(fixed, varchars)).as("est_bytes")
+          ).select(lit(name).as("build_table"), col("n_rows"), col("est_bytes"))
+        }
+        val dims = Seq(
+          stats("customer", customer(s, d), Seq("c_name", "c_mktsegment")),
+          stats("nation", nation(s, d), Seq("n_name")),
+          stats("orders", orders(s, d), Seq("o_orderstatus", "o_orderpriority")),
+          stats("part", part(s, d), Seq("p_name", "p_brand", "p_type")),
+          stats("region", region(s, d), Seq("r_name")),
+          stats("supplier", supplier(s, d), Seq("s_name"))
+        ).reduce(_.unionByName(_))
+        val fact = lineitem(s, d)
+          .agg(sum(bytesOf(8L + 8L * 11L, Seq("l_returnflag", "l_linestatus"))).as("fact_bytes"))
+        dims
+          .crossJoin(broadcast(fact))
+          .select(
+            col("build_table"),
+            col("n_rows"),
+            col("est_bytes"),
+            col("fact_bytes"),
+            expr(
+              s"""CASE WHEN est_bytes <= ${1L << 20} THEN 'broadcast'
+                 |     WHEN est_bytes <= ${(1L << 20) * 32} AND est_bytes * 3L <= fact_bytes
+                 |       THEN 'shuffle_hash'
+                 |     ELSE 'sort_merge' END""".stripMargin
+            ).as("verdict")
+          )
+          .orderBy(col("build_table"))
+      },
+      Some(s"""WITH s AS (
+             |  SELECT 'region' AS build_table, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(24 + coalesce(length(r_name), 0)) AS BIGINT) AS est_bytes
+             |  FROM region
+             |  UNION ALL
+             |  SELECT 'nation', CAST(count(*) AS BIGINT),
+             |    CAST(sum(32 + coalesce(length(n_name), 0)) AS BIGINT) FROM nation
+             |  UNION ALL
+             |  SELECT 'supplier', CAST(count(*) AS BIGINT),
+             |    CAST(sum(40 + coalesce(length(s_name), 0)) AS BIGINT) FROM supplier
+             |  UNION ALL
+             |  SELECT 'customer', CAST(count(*) AS BIGINT),
+             |    CAST(sum(48 + coalesce(length(c_name), 0)
+             |      + coalesce(length(c_mktsegment), 0)) AS BIGINT) FROM customer
+             |  UNION ALL
+             |  SELECT 'part', CAST(count(*) AS BIGINT),
+             |    CAST(sum(56 + coalesce(length(p_name), 0) + coalesce(length(p_brand), 0)
+             |      + coalesce(length(p_type), 0)) AS BIGINT) FROM part
+             |  UNION ALL
+             |  SELECT 'orders', CAST(count(*) AS BIGINT),
+             |    CAST(sum(56 + coalesce(length(o_orderstatus), 0)
+             |      + coalesce(length(o_orderpriority), 0)) AS BIGINT) FROM orders),
+             |f AS (
+             |  SELECT CAST(sum(96 + coalesce(length(l_returnflag), 0)
+             |    + coalesce(length(l_linestatus), 0)) AS BIGINT) AS fact_bytes
+             |  FROM lineitem)
+             |SELECT build_table, n_rows, est_bytes, fact_bytes,
+             |  CASE WHEN est_bytes <= ${1L << 20} THEN 'broadcast'
+             |       WHEN est_bytes <= ${(1L << 20) * 32} AND est_bytes * 3 <= fact_bytes
+             |         THEN 'shuffle_hash'
+             |       ELSE 'sort_merge' END AS verdict
+             |FROM s CROSS JOIN f
+             |ORDER BY build_table""".stripMargin)
+    ),
+
+    // Partitioned-write file planner — the small-files audit a 100 TB
+    // sink runs BEFORE `write.partitionBy(month)`: a naive partitioned
+    // write emits one file per (ingest task × partition value) — the
+    // classic small-files explosion — while the right file count is
+    // ceil(partition_bytes / target). Ingest tasks are simulated as 32
+    // contiguous orderkey ranges (q237's deterministic stand-in for
+    // arrival order); bytes ride q238's UnsafeRow width model. Per
+    // month: rows, exact bytes, the naive fan-out (distinct ingest
+    // tasks that touch the month), the planned count at a 1 MiB target
+    // (the production value is 128 MiB — the ratio logic is
+    // scale-free), and the verdict. At any SF where months ≪ tasks the
+    // verdict is 'compact' everywhere — precisely the lesson: ALWAYS
+    // repartition by the partition column (or let AQE coalesce) before
+    // a partitioned write. Bucketing.writePartitioned does exactly that
+    // (BucketingSpec pins one file per partition value).
+    Q(
+      "q239_partition_file_planner",
+      (s, d) => {
+        val target = 1L << 20
+        val mk = lineitem(s, d).agg(max(col("l_orderkey")).as("mk"))
+        val rowBytes = lit(96L) +
+          coalesce(length(col("l_returnflag")).cast("long"), lit(0L)) +
+          coalesce(length(col("l_linestatus")).cast("long"), lit(0L))
+        lineitem(s, d)
+          .select(
+            trunc(to_date(col("l_shipdate")), "month").as("month"),
+            col("l_orderkey"),
+            rowBytes.as("b")
+          )
+          .crossJoin(broadcast(mk))
+          .withColumn("task", expr("l_orderkey * 32L div (mk + 1L)"))
+          .groupBy(col("month"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("b")).as("est_bytes"),
+            countDistinct(col("task")).as("naive_files")
+          )
+          .select(
+            col("month"),
+            col("n_rows"),
+            col("est_bytes"),
+            col("naive_files"),
+            expr(s"(est_bytes + ${target - 1}L) div ${target}L").as("files_at_target"),
+            expr(
+              "CASE WHEN naive_files > (est_bytes + 1048575L) div 1048576L" +
+                " THEN 'compact' ELSE 'ok' END"
+            ).as("verdict")
+          )
+          .orderBy(col("month"))
+      },
+      Some("""WITH mk AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mk FROM lineitem),
+             |o AS (
+             |  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+             |      AS month,
+             |    l_orderkey * 32 // (mk + 1) AS task,
+             |    96 + coalesce(length(l_returnflag), 0)
+             |      + coalesce(length(l_linestatus), 0) AS b
+             |  FROM lineitem CROSS JOIN mk),
+             |g AS (
+             |  SELECT month, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(b) AS BIGINT) AS est_bytes,
+             |    CAST(count(DISTINCT task) AS BIGINT) AS naive_files
+             |  FROM o GROUP BY 1)
+             |SELECT month, n_rows, est_bytes, naive_files,
+             |  (est_bytes + 1048575) // 1048576 AS files_at_target,
+             |  CASE WHEN naive_files > (est_bytes + 1048575) // 1048576
+             |    THEN 'compact' ELSE 'ok' END AS verdict
+             |FROM g
+             |ORDER BY month""".stripMargin)
     )
   )
 }

@@ -76,6 +76,18 @@ class BucketingSpec extends SparkSpec {
     assert(pfIdx >= 0, s"no PartitionFilters section in scan:\n$p")
     val pf = p.substring(pfIdx, p.indexOf(']', pfIdx) max (pfIdx + 1))
     assert(pf.contains("src3"), s"source predicate not pushed to partition pruning:\n$p")
+    // layout: the pre-write repartition makes each partition value owned
+    // by one task — one data file per value, not (tasks × values) files
+    // (the small-files explosion q239_partition_file_planner audits)
+    val srcDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("source="))
+    assert(srcDirs.nonEmpty, s"no partition directories under $dir")
+    srcDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(
+        files.length == 1,
+        s"${sd.getName}: expected 1 file per partition value, found ${files.length}"
+      )
+    }
   }
 
   test("range-sorted layout skips row groups a shuffled layout must read") {

@@ -573,7 +573,11 @@ class PlanSpec extends SparkSpec {
       "q231_tvd_drift", // |types|-row totals × 24-row hour grid (both broadcast metadata)
       "q232_layout_skipping", // 1-row table-count scalar broadcast against rank/file metadata
       "q234_selectivity_audit", // 3-row predicate frame + 1-row count broadcast against scan/histogram
-      "q235_zorder_locality" // 1-row min/max-stats scalar broadcast against the key-normalization pass
+      "q235_zorder_locality", // 1-row min/max-stats scalar broadcast against the key-normalization pass
+      "q236_encoding_planner", // three 1-row stats frames (run counts, boundaries, distincts) crossed
+      "q237_partial_agg_audit", // 1-row max-orderkey scalar broadcast against the fact scan
+      "q238_join_strategy_planner", // 1-row fact-bytes scalar crossed with 6 dim-stats rows
+      "q239_partition_file_planner" // 1-row max-orderkey scalar broadcast against the fact scan
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
