@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // idioms rewritten to the native codegen'd expressions where the two
     // are provably bit-equivalent (see KernelFusion's soundness guards)
     ext.injectOptimizerRule(_ => graft.plans.KernelFusion)
+    // predicate pushdown + column pruning through the custom join nodes —
+    // Catalyst's own rules don't pattern-match them (soundness arguments
+    // in CustomJoinOptimization's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.CustomJoinOptimization)
     // planner surface: the native sort-merge as-of join (whole-operator
     // semantics Spark's built-ins can't express without a union+window
     // re-encoding — SURVEY §2.9 preference (c))
@@ -188,6 +192,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.KernelFusion))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.KernelFusion
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.CustomJoinOptimization))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CustomJoinOptimization
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

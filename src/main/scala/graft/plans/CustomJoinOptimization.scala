@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Predicate pushdown + column pruning THROUGH the custom join nodes.
+  *
+  * Catalyst's own `PushDownPredicates` / `ColumnPruning` pattern-match the
+  * built-in operators only — a `Filter` above [[AsOfJoinPlan]] /
+  * [[IntervalJoinPlan]] would otherwise sit there forever, and a scan
+  * below them would read every column of both sides. At 100 TB those are
+  * the two optimizations that matter most (skip data at the source), so
+  * the custom nodes must participate; this rule is injected beside
+  * KernelFusion in `GraftExtensions` (and the imperative `register`).
+  *
+  * Soundness per transform:
+  *
+  *  - **Left-side filter pushdown (both nodes, inner AND outer).** Every
+  *    output row carries an unmodified left row, and dropping a left row
+  *    drops exactly that row's matches — the join treats left rows
+  *    independently. So `Filter(p_left, J(l, r)) == J(Filter(p_left, l), r)`
+  *    for deterministic `p_left`. (Non-deterministic predicates stay put:
+  *    pushing would change their evaluation count/order.)
+  *
+  *  - **Right-side filter pushdown: interval join INNER ONLY.** The inner
+  *    interval join emits every overlapping (l, r) pair, so a filter on
+  *    right columns commutes with the join like a plain inner join. It is
+  *    deliberately NOT done for the as-of join in ANY mode: the as-of
+  *    match selects the LATEST right row per left row, so filtering right
+  *    rows first changes WHICH row is latest — `Filter(r.v > 0, asof)`
+  *    (drop matches with v <= 0) is not `asof(l, Filter(r.v > 0, r))`
+  *    (match the latest row that HAS v > 0). Likewise not for outer
+  *    interval joins, where a right predicate above the join also
+  *    evaluates on null-extended rows.
+  *
+  *  - **Column pruning (both nodes).** When a `Project` or `Aggregate`
+  *    directly above the join needs only a subset of its output, each
+  *    child is narrowed to (columns the parent references) ∪ (columns the
+  *    join expressions themselves read — keys, times, tie-breaks). The
+  *    inserted child `Project`s keep the original attributes (same
+  *    exprIds), so the exec's expression binding is untouched, and
+  *    Catalyst's own `ColumnPruning` then folds them into the scans'
+  *    `ReadSchema`. Fires only when it strictly narrows a side —
+  *    fixpoint-safe.
+  */
+object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def joinRefs(j: LogicalPlan): AttributeSet = j match {
+    case a: AsOfJoinPlan =>
+      AttributeSet(
+        (a.leftKeys ++ a.rightKeys ++ Seq(a.leftTime, a.rightTime) ++ a.rightTieBreak)
+          .flatMap(_.references)
+      )
+    case i: IntervalJoinPlan =>
+      AttributeSet(
+        (i.leftKeys ++ i.rightKeys ++ Seq(i.leftTime, i.rightStart, i.rightEnd))
+          .flatMap(_.references)
+      )
+    case _ => AttributeSet.empty
+  }
+
+  /** Narrow `child` to the attributes in `required`, or None if nothing
+    * would be pruned.
+    */
+  private def pruned(child: LogicalPlan, required: AttributeSet): Option[LogicalPlan] = {
+    val needed = child.output.filter(required.contains)
+    // never prune to zero columns: a scan must keep at least one column
+    // to count rows, and an all-constant parent (e.g. count(1)) still
+    // needs the child's cardinality
+    if (needed.length == child.output.length || needed.isEmpty) None
+    else Some(Project(needed.map(_.asInstanceOf[NamedExpression]), child))
+  }
+
+  private def pruneChildren(
+      j: LogicalPlan,
+      left: LogicalPlan,
+      right: LogicalPlan,
+      parentRefs: AttributeSet
+  ): Option[(LogicalPlan, LogicalPlan)] = {
+    val required = parentRefs ++ joinRefs(j)
+    val (pl, pr) = (pruned(left, required), pruned(right, required))
+    if (pl.isEmpty && pr.isEmpty) None
+    else Some((pl.getOrElse(left), pr.getOrElse(right)))
+  }
+
+  private def split(cond: Expression, side: AttributeSet): (Seq[Expression], Seq[Expression]) =
+    splitConjunctivePredicates(cond).partition(e =>
+      e.deterministic && e.references.nonEmpty && e.references.subsetOf(side)
+    )
+
+  private def withRemainder(rest: Seq[Expression], newJoin: LogicalPlan): LogicalPlan =
+    rest.reduceOption(And).map(Filter(_, newJoin)).getOrElse(newJoin)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+
+    // ---- predicate pushdown -------------------------------------------
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (leftOnly, rest) = split(cond, j.left.outputSet)
+      if (leftOnly.isEmpty) f
+      else withRemainder(rest, j.copy(left = Filter(leftOnly.reduce(And), j.left)))
+
+    case f @ Filter(cond, j: IntervalJoinPlan) =>
+      val (leftOnly, afterLeft) = split(cond, j.left.outputSet)
+      val (rightOnly, rest) =
+        if (j.outer) (Nil, afterLeft)
+        else afterLeft.partition(e =>
+          e.deterministic && e.references.nonEmpty && e.references.subsetOf(j.right.outputSet)
+        )
+      if (leftOnly.isEmpty && rightOnly.isEmpty) f
+      else {
+        val newLeft = leftOnly.reduceOption(And).map(Filter(_, j.left)).getOrElse(j.left)
+        val newRight = rightOnly.reduceOption(And).map(Filter(_, j.right)).getOrElse(j.right)
+        withRemainder(rest, j.copy(left = newLeft, right = newRight))
+      }
+
+    // ---- column pruning ------------------------------------------------
+    case p @ Project(_, j: AsOfJoinPlan) =>
+      pruneChildren(j, j.left, j.right, p.references)
+        .map { case (l, r) => p.copy(child = j.copy(left = l, right = r)) }
+        .getOrElse(p)
+
+    case p @ Project(_, j: IntervalJoinPlan) =>
+      pruneChildren(j, j.left, j.right, p.references)
+        .map { case (l, r) => p.copy(child = j.copy(left = l, right = r)) }
+        .getOrElse(p)
+
+    case a @ Aggregate(_, _, j: AsOfJoinPlan, _) =>
+      pruneChildren(j, j.left, j.right, a.references)
+        .map { case (l, r) => a.copy(child = j.copy(left = l, right = r)) }
+        .getOrElse(a)
+
+    case a @ Aggregate(_, _, j: IntervalJoinPlan, _) =>
+      pruneChildren(j, j.left, j.right, a.references)
+        .map { case (l, r) => a.copy(child = j.copy(left = l, right = r)) }
+        .getOrElse(a)
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
+import org.apache.spark.sql.functions._
+import graft.plans.{AsOf, AsOfJoinPlan, Interval, IntervalJoinPlan}
+
+/** [[graft.plans.CustomJoinOptimization]]: predicate pushdown and column
+  * pruning through the custom join nodes — the plan-shape guarantees
+  * (filters reach the Parquet scan, unused columns leave ReadSchema) AND
+  * the soundness boundaries (right-side pushdown through an as-of join
+  * would select a different "latest" row, so it must NOT happen).
+  */
+class JoinOptimizationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def clicksAndViews = {
+    val ev = graft.ops.Tables
+      .events(spark, sf)
+      .filter(col("event_type").isin("view", "click"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_id"),
+        col("user_id").as("v_user"),
+        col("ts").as("vts"),
+        col("value").as("view_value")
+      )
+    (clicks, views)
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    // AdaptiveSparkPlanExec does not expose its inner plan as children, so
+    // a plain collect() sees no scans — unwrap it (and nested reused
+    // subqueries) explicitly; guard non-emptiness so no assertion is
+    // vacuous on a future wrapper change
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          unwrap(a.inputPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other                 => other.children.flatMap(unwrap)
+      }
+    val found = unwrap(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, s"no FileSourceScanExec found:\n${df.queryExecution.executedPlan}")
+    found
+  }
+
+  private def filterAboveCustomJoin(p: LogicalPlan): Boolean = p.exists {
+    case LFilter(_, _: AsOfJoinPlan)     => true
+    case LFilter(_, _: IntervalJoinPlan) => true
+    case _                               => false
+  }
+
+  test("as-of join: left-only predicate is pushed below the join into the scan") {
+    val (clicks, views) = clicksAndViews
+    val joined = AsOf
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"))
+      .filter(col("user_id") < 100L)
+    // plan: no Filter remains above the custom node...
+    assert(
+      !filterAboveCustomJoin(joined.queryExecution.optimizedPlan),
+      s"left-only filter not pushed:\n${joined.queryExecution.optimizedPlan}"
+    )
+    // ...and the predicate reached the left scan as a data filter (the
+    // PushedFilters metadata STRING truncates at maxMetadataStringLength,
+    // so assert on the scan's bound dataFilters expressions instead)
+    assert(
+      scans(joined).exists(_.dataFilters.exists(_.toString.contains("< 100"))),
+      s"predicate did not reach the scan's dataFilters:\n${joined.queryExecution.executedPlan}"
+    )
+    // semantics: identical to pre-filtering the left side by hand
+    val expected = AsOf
+      .asofJoin(clicks.filter(col("user_id") < 100L), views, Seq("user_id"), Seq("v_user"),
+        "ts", "vts", rightTieBreak = Seq("view_id"))
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(joined.collect().map(_.toSeq).toSet == expected)
+    assert(expected.nonEmpty, "fixture produced no rows — test would be vacuous")
+  }
+
+  test("as-of join: right-side predicate is NOT pushed (it would change which row is latest)") {
+    import spark.implicits._
+    val left = Seq((1L, 30L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 0L), (1L, 20L, -1L)).toDF("rk", "rt", "v")
+    val joined = AsOf
+      .asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .filter(col("v") >= 0L)
+    // the latest right row at t=30 is (rt=20, v=-1): the filter above the
+    // join must reject the match — a pushed-down filter would instead
+    // match (rt=10, v=0) and wrongly emit a row
+    assert(joined.count() == 0L, s"right-side predicate was unsoundly pushed:\n${joined.queryExecution.optimizedPlan}")
+    assert(
+      filterAboveCustomJoin(joined.queryExecution.optimizedPlan),
+      s"expected the right-side filter to stay above the as-of join:\n${joined.queryExecution.optimizedPlan}"
+    )
+  }
+
+  test("interval join (inner): predicates on both sides push below the join") {
+    import spark.implicits._
+    val points = (1L to 50L).map(i => (i % 5, i, i * 2)).toDF("k", "t", "pv")
+    val ivals = (1L to 20L).map(i => (i % 5, i, i + 10, i * 3)).toDF("rk", "s", "e", "rv")
+    val joined = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("pv") > 10L && col("rv") > 6L)
+    assert(
+      !filterAboveCustomJoin(joined.queryExecution.optimizedPlan),
+      s"inner interval-join filters not pushed:\n${joined.queryExecution.optimizedPlan}"
+    )
+    // inner semantics: pre-filtering the inputs is equivalent
+    val expected = Interval
+      .intervalJoin(
+        points.filter(col("pv") > 10L),
+        ivals.filter(col("rv") > 6L),
+        Seq("k"), Seq("rk"), "t", "s", "e")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(joined.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
+  }
+
+  test("interval join (outer): right-side predicate stays above the join") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("k", "t")
+    val ivals = Seq((1L, 1L, 10L, 0L)).toDF("rk", "s", "e", "rv")
+    val joined = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e", outer = true)
+      .filter(col("rv") > 0L)
+    // the only covering interval has rv=0: filter above the join rejects
+    // the row; pushing it below would leave the left point unmatched and
+    // null-extend it into the output instead
+    assert(joined.count() == 0L, s"outer right-side predicate unsoundly pushed:\n${joined.queryExecution.optimizedPlan}")
+  }
+
+  test("column pruning: unused right columns leave the scan's read schema") {
+    val (clicks, views) = clicksAndViews
+    val narrow = AsOf
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"))
+      .select(col("event_id"), col("view_id"))
+    // `view_value` (events.value) is referenced by nothing: after pruning
+    // (this rule) + ColumnPruning (Catalyst folds the inserted Project
+    // into the scan), NO parquet scan should still read `value`
+    val reading = scans(narrow).filter(_.schema.fieldNames.contains("value"))
+    assert(
+      reading.isEmpty,
+      s"unused column still read by ${reading.size} scan(s):\n${narrow.queryExecution.executedPlan}"
+    )
+    assert(narrow.collect().nonEmpty, "pruned plan must still produce rows")
+  }
+
+  test("column pruning: aggregate directly above the join narrows both sides") {
+    val (clicks, views) = clicksAndViews
+    val agg = AsOf
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"))
+      .groupBy(col("user_id"))
+      .agg(count(col("view_id")).as("n"))
+    val reading = scans(agg).filter(_.schema.fieldNames.contains("value"))
+    assert(
+      reading.isEmpty,
+      s"aggregate pruning left `value` in ${reading.size} scan(s):\n${agg.queryExecution.executedPlan}"
+    )
+    assert(agg.collect().nonEmpty)
+  }
+}
