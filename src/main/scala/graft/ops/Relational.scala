@@ -3334,6 +3334,120 @@ object Relational {
              |    THEN 'compact' ELSE 'ok' END AS verdict
              |FROM g
              |ORDER BY month""".stripMargin)
+    ),
+
+    // Bucket-count planner — the number Bucketing.writeBucketed needs
+    // picked for it: buckets = the next power of two above
+    // ceil(table_bytes / target_file) (powers of two so a future 2×
+    // split/merge re-buckets without a full shuffle), then a balance
+    // audit AT that count for each candidate key: per-bucket row counts
+    // under a cross-engine md5 bucket assignment, max/avg in basis
+    // points, and a 'salt' verdict when one bucket exceeds 1.2× the
+    // mean (the q87 salted-join escape hatch). next-pow2 is integer
+    // string algebra — 2^len(bin(n−1)) — no libm. Two aggregation
+    // passes over the fact table (one per candidate key), both
+    // map-side combinable; everything after is bucket-count-sized
+    // metadata. (1 MiB target at test scale; production 128 MiB — the
+    // ratio logic is scale-free.)
+    Q(
+      "q240_bucket_count_planner",
+      (s, d) => {
+        val rowBytes = lit(96L) +
+          coalesce(length(col("l_returnflag")).cast("long"), lit(0L)) +
+          coalesce(length(col("l_linestatus")).cast("long"), lit(0L))
+        val plan = lineitem(s, d)
+          .agg(sum(rowBytes).as("total_bytes"))
+          .select(
+            col("total_bytes"),
+            expr("(total_bytes + 1048575L) div 1048576L").as("need_files")
+          )
+          .select(
+            col("total_bytes"),
+            col("need_files"),
+            expr(
+              """CASE WHEN need_files <= 1L THEN CAST(1 AS BIGINT)
+                |     ELSE shiftleft(CAST(1 AS BIGINT), length(bin(need_files - 1L)))
+                |     END""".stripMargin
+            ).as("buckets")
+          )
+        def audit(key: String) =
+          lineitem(s, d)
+            .select(col(key).cast("string").as("k"))
+            .crossJoin(broadcast(plan))
+            .select(
+              expr("cast(conv(substring(md5(k), 1, 4), 16, 10) as bigint) % buckets").as("b"),
+              col("buckets"),
+              col("total_bytes"),
+              col("need_files")
+            )
+            .groupBy(col("b"), col("buckets"), col("total_bytes"), col("need_files"))
+            .agg(count(lit(1)).as("rows_in"))
+            .groupBy(col("buckets"), col("total_bytes"), col("need_files"))
+            .agg(
+              count(lit(1)).as("nonempty_buckets"),
+              max(col("rows_in")).as("max_bucket_rows"),
+              sum(col("rows_in")).as("n")
+            )
+            .select(
+              lit(key).as("bucket_key"),
+              col("total_bytes"),
+              col("need_files"),
+              col("buckets"),
+              col("nonempty_buckets"),
+              col("max_bucket_rows"),
+              expr("n div buckets").as("avg_bucket_rows"),
+              expr("(max_bucket_rows * 10000L) div greatest(1L, n div buckets)").as("skew_bp")
+            )
+        audit("l_orderkey")
+          .unionByName(audit("l_partkey"))
+          .withColumn(
+            "verdict",
+            expr("CASE WHEN skew_bp > 12000L THEN 'salt' ELSE 'ok' END")
+          )
+          .orderBy(col("bucket_key"))
+      },
+      Some {
+        def hex4 = (1 to 4)
+          .map(i =>
+            s"(strpos('0123456789abcdef', substr(md5(k), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}"
+          )
+          .mkString("(", " + ", ")")
+        def side(key: String, cte: String) =
+          s"""a_$cte AS (
+             |  SELECT $hex4 % buckets AS b, buckets, total_bytes, need_files
+             |  FROM (SELECT CAST($key AS VARCHAR) AS k FROM lineitem) CROSS JOIN pb),
+             |g_$cte AS (
+             |  SELECT b, buckets, total_bytes, need_files,
+             |    CAST(count(*) AS BIGINT) AS rows_in
+             |  FROM a_$cte GROUP BY 1, 2, 3, 4),
+             |s_$cte AS (
+             |  SELECT '$key' AS bucket_key, total_bytes, need_files, buckets,
+             |    CAST(count(*) AS BIGINT) AS nonempty_buckets,
+             |    CAST(max(rows_in) AS BIGINT) AS max_bucket_rows,
+             |    CAST(sum(rows_in) AS BIGINT) // buckets AS avg_bucket_rows,
+             |    (CAST(max(rows_in) AS BIGINT) * 10000)
+             |      // greatest(1, CAST(sum(rows_in) AS BIGINT) // buckets) AS skew_bp
+             |  FROM g_$cte GROUP BY 2, 3, 4)""".stripMargin
+        s"""WITH st AS (
+           |  SELECT CAST(sum(96 + coalesce(length(l_returnflag), 0)
+           |    + coalesce(length(l_linestatus), 0)) AS BIGINT) AS total_bytes
+           |  FROM lineitem),
+           |pl AS (
+           |  SELECT total_bytes, (total_bytes + 1048575) // 1048576 AS need_files
+           |  FROM st),
+           |pb AS (
+           |  SELECT total_bytes, need_files,
+           |    CASE WHEN need_files <= 1 THEN CAST(1 AS BIGINT)
+           |         ELSE CAST(1 AS BIGINT) << length(bin(need_files - 1)) END AS buckets
+           |  FROM pl),
+           |${side("l_orderkey", "ok")},
+           |${side("l_partkey", "pk")}
+           |SELECT bucket_key, total_bytes, need_files, buckets, nonempty_buckets,
+           |  max_bucket_rows, avg_bucket_rows, skew_bp,
+           |  CASE WHEN skew_bp > 12000 THEN 'salt' ELSE 'ok' END AS verdict
+           |FROM (SELECT * FROM s_ok UNION ALL SELECT * FROM s_pk)
+           |ORDER BY bucket_key""".stripMargin
+      }
     )
   )
 }

@@ -577,7 +577,8 @@ class PlanSpec extends SparkSpec {
       "q236_encoding_planner", // three 1-row stats frames (run counts, boundaries, distincts) crossed
       "q237_partial_agg_audit", // 1-row max-orderkey scalar broadcast against the fact scan
       "q238_join_strategy_planner", // 1-row fact-bytes scalar crossed with 6 dim-stats rows
-      "q239_partition_file_planner" // 1-row max-orderkey scalar broadcast against the fact scan
+      "q239_partition_file_planner", // 1-row max-orderkey scalar broadcast against the fact scan
+      "q240_bucket_count_planner" // 1-row bucket-plan scalar broadcast against the fact scan
     )
     QueryRegistry.all.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
