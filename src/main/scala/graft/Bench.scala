@@ -175,6 +175,27 @@ object Bench {
       name -> w
     }.toMap
     graft.ops.Caches.invalidate()
+    // the shared materializations that dominate the 4×-flagged tail
+    // (verified-pair LSH build, connected-component labels, embedding
+    // band postings): timing each build cold on its own line makes the
+    // slow list explicable — a flagged query's cold ≈ its warm_ms + the
+    // build(s) it pays — without changing what any query is charged
+    val sharedBuilds: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "lsh_pairs" -> (() => graft.ops.DedupOps.lshPairs(spark, sfDir, 0.8)),
+      "dedup_clusters" -> (() => graft.ops.DedupOps.dedupClusters(spark, sfDir, 0.8)),
+      "embedding_neardup_pairs" -> (() => graft.ops.SimilarityOps.embeddingNeardupPairs(spark, sfDir))
+    )
+    val sharedJson =
+      if (only.nonEmpty) "null"
+      else sharedBuilds.map { case (n, f) =>
+        graft.ops.Caches.invalidate()
+        val t0 = System.nanoTime()
+        val ms =
+          try { f().write.mode("overwrite").format("noop").save(); (System.nanoTime() - t0) / 1000000L }
+          catch { case _: Throwable => -1L }
+        s""""$n":$ms"""
+      }.mkString("{", ",", "}")
+    graft.ops.Caches.invalidate()
     val slowJson = slow.take(8)
       .map { case (k, v, _) =>
         s"""{"q":"$k","ms":${math.round(v)},"x":${math.round(v / median * 10) / 10.0},"warm_ms":${warmMs(k)}}"""
@@ -212,7 +233,7 @@ object Bench {
     val detail = new StringBuilder
     detail ++= s"""{"sf":"$sfDir","action":"noop-write","cache_invalidated_between_queries":true,"n":${results.size},"total_sec":${math.round(totalSec * 1000) / 1000.0},"median_ms":${math.round(median)},"failed":$failedJson,"streaming":$streamingJson,"queries_ms":"""
     detail ++= results.map { case (k, v, _) => s"\"$k\":${math.round(v)}" }.mkString("{", ",", "}")
-    detail ++= s""","slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}}""" }.mkString("[", ",", "]")}}"""
+    detail ++= s""","shared_build_ms":$sharedJson,"slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}}""" }.mkString("[", ",", "]")}}"""
     // full-registry runs own BENCH_DETAIL.json (the committed round-over-
     // round record); filtered profiling runs write a _LOCAL twin so they
     // never clobber the full-run numbers
@@ -223,7 +244,7 @@ object Bench {
     System.err.println(s"[bench-detail] $detail")
 
     println(
-      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowJson,"queries":$headline,"streaming":$streamingJson,"detail_file":"$detailName"}"""
+      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowJson,"shared_build_ms":$sharedJson,"queries":$headline,"streaming":$streamingJson,"detail_file":"$detailName"}"""
     )
     spark.stop()
   }

@@ -1,6 +1,18 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{
+  And,
+  Attribute,
+  AttributeSet,
+  Expression,
+  GreaterThan,
+  GreaterThanOrEqual,
+  LessThan,
+  LessThanOrEqual,
+  Literal,
+  NamedExpression,
+  PredicateHelper
+}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -22,6 +34,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    independently. So `Filter(p_left, J(l, r)) == J(Filter(p_left, l), r)`
   *    for deterministic `p_left`. (Non-deterministic predicates stay put:
   *    pushing would change their evaluation count/order.)
+  *
+  *  - **Predicate TRANSFER to the right side (both nodes, all modes).**
+  *    Right rows reach the output only through matches, so predicates the
+  *    left filter implies about matched right rows are COPIED below the
+  *    right child (originals stay on the left): key predicates (matches
+  *    require `rk = lk`), as-of upper time bounds (`rt <= lt`, so
+  *    `lt <= c` implies `rt <= c`), and interval bounds (`rs <= lt <= re`,
+  *    so an upper bound on `lt` bounds `rs` and a lower bound bounds
+  *    `re`). Removing right rows that cannot match any surviving left row
+  *    never changes which remaining row matches — the as-of "latest"
+  *    selection competes within a key group, and the removed rows belong
+  *    to groups/time-ranges the surviving left side never probes.
   *
   *  - **Right-side filter pushdown: interval join INNER ONLY.** The inner
   *    interval join emits every overlapping (l, r) pair, so a filter on
@@ -92,13 +116,91 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
   private def withRemainder(rest: Seq[Expression], newJoin: LogicalPlan): LogicalPlan =
     rest.reduceOption(And).map(Filter(_, newJoin)).getOrElse(newJoin)
 
+  // ---- predicate transfer to the right side ---------------------------
+  // A right row reaches the output ONLY through a match, and a match
+  // requires equal keys and the node's time relation — so predicates the
+  // left filter implies about MATCHED right rows can be copied (not
+  // moved) to the right child. Removing right rows that cannot match any
+  // surviving left row never changes which remaining row matches (the
+  // as-of "latest" selection happens within a key group, and whole
+  // groups the left no longer contains don't compete), so this is sound
+  // for inner AND outer modes of both nodes.
+
+  /** leftKey → rightKey, where both resolve to bare same-type attributes. */
+  private def keyAttrMap(lks: Seq[Expression], rks: Seq[Expression]): Map[Attribute, Attribute] =
+    lks.zip(rks).collect {
+      case (l: Attribute, r: Attribute) if l.dataType == r.dataType => l -> r
+    }.toMap
+
+  /** Conjuncts referencing ONLY mapped left keys, restated about the
+    * right keys: `p(lk)` holds for every surviving left row and matches
+    * require `rk = lk`, so right rows with `¬p(rk)` can't match anything.
+    */
+  private def keyTransfers(
+      conjuncts: Seq[Expression],
+      m: Map[Attribute, Attribute]
+  ): Seq[Expression] =
+    if (m.isEmpty) Nil
+    else
+      conjuncts.collect {
+        case e if e.deterministic && e.references.nonEmpty && e.references.forall(m.contains) =>
+          e.transform { case a: Attribute if m.contains(a) => m(a) }
+      }
+
+  /** Literal UPPER bounds on `time` in the conjuncts, restated about
+    * `target`: with `target <= time` guaranteed at every match (as-of
+    * `rt <= lt`, interval `rs <= lt`), `time < c` implies `target < c`.
+    */
+  private def upperBounds(
+      conjuncts: Seq[Expression],
+      time: Expression,
+      target: Expression
+  ): Seq[Expression] =
+    if (time.dataType != target.dataType) Nil
+    else
+      conjuncts.collect {
+        case LessThan(t, l: Literal) if t.semanticEquals(time)           => LessThan(target, l)
+        case LessThanOrEqual(t, l: Literal) if t.semanticEquals(time)    => LessThanOrEqual(target, l)
+        case GreaterThan(l: Literal, t) if t.semanticEquals(time)        => LessThan(target, l)
+        case GreaterThanOrEqual(l: Literal, t) if t.semanticEquals(time) => LessThanOrEqual(target, l)
+      }
+
+  /** Literal LOWER bounds on `time`, restated about `target`: with
+    * `target >= time` guaranteed at every match (interval `re >= lt`),
+    * `time > c` implies `target > c`.
+    */
+  private def lowerBounds(
+      conjuncts: Seq[Expression],
+      time: Expression,
+      target: Expression
+  ): Seq[Expression] =
+    if (time.dataType != target.dataType) Nil
+    else
+      conjuncts.collect {
+        case GreaterThan(t, l: Literal) if t.semanticEquals(time)     => GreaterThan(target, l)
+        case GreaterThanOrEqual(t, l: Literal) if t.semanticEquals(time) =>
+          GreaterThanOrEqual(target, l)
+        case LessThan(l: Literal, t) if t.semanticEquals(time)        => GreaterThan(target, l)
+        case LessThanOrEqual(l: Literal, t) if t.semanticEquals(time) => GreaterThanOrEqual(target, l)
+      }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
 
     // ---- predicate pushdown -------------------------------------------
     case f @ Filter(cond, j: AsOfJoinPlan) =>
       val (leftOnly, rest) = split(cond, j.left.outputSet)
       if (leftOnly.isEmpty) f
-      else withRemainder(rest, j.copy(left = Filter(leftOnly.reduce(And), j.left)))
+      else {
+        // transferred COPIES on the right: key predicates (matches need
+        // rk = lk) and upper time bounds (matches need rt <= lt); the
+        // originals stay pushed on the left. No whole-conjunct move to
+        // the right EVER — that would change which row is "latest".
+        val transfers = keyTransfers(leftOnly, keyAttrMap(j.leftKeys, j.rightKeys)) ++
+          upperBounds(leftOnly, j.leftTime, j.rightTime)
+        val newRight =
+          transfers.reduceOption(And).map(Filter(_, j.right)).getOrElse(j.right)
+        withRemainder(rest, j.copy(left = Filter(leftOnly.reduce(And), j.left), right = newRight))
+      }
 
     case f @ Filter(cond, j: IntervalJoinPlan) =>
       val (leftOnly, afterLeft) = split(cond, j.left.outputSet)
@@ -109,8 +211,17 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
         )
       if (leftOnly.isEmpty && rightOnly.isEmpty) f
       else {
+        // transferred copies: key predicates, plus interval pruning from
+        // literal time bounds — matches need rs <= lt <= re, so an upper
+        // bound on lt bounds rs above and a lower bound bounds re below
+        val transfers = keyTransfers(leftOnly, keyAttrMap(j.leftKeys, j.rightKeys)) ++
+          upperBounds(leftOnly, j.leftTime, j.rightStart) ++
+          lowerBounds(leftOnly, j.leftTime, j.rightEnd)
         val newLeft = leftOnly.reduceOption(And).map(Filter(_, j.left)).getOrElse(j.left)
-        val newRight = rightOnly.reduceOption(And).map(Filter(_, j.right)).getOrElse(j.right)
+        val newRight = (rightOnly ++ transfers)
+          .reduceOption(And)
+          .map(Filter(_, j.right))
+          .getOrElse(j.right)
         withRemainder(rest, j.copy(left = newLeft, right = newRight))
       }
 

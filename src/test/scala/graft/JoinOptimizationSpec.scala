@@ -139,6 +139,70 @@ class JoinOptimizationSpec extends SparkSpec {
     assert(joined.count() == 0L, s"outer right-side predicate unsoundly pushed:\n${joined.queryExecution.optimizedPlan}")
   }
 
+  private def rightChildFilters(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan
+      .collect {
+        case a: AsOfJoinPlan     => a.right
+        case i: IntervalJoinPlan => i.right
+      }
+      .flatMap(_.collect { case LFilter(c, _) => c.toString })
+
+  test("as-of join: key and upper-time-bound predicates transfer to the right side") {
+    val (clicks, views) = clicksAndViews
+    // sf0.001 events span 2024-01-01 .. 2024-01-30; mid-month keeps rows
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val joined = AsOf
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"))
+      .filter(col("user_id") < 100L && col("ts") <= lit(cutoff))
+    val rf = rightChildFilters(joined)
+    assert(
+      rf.exists(c => c.contains("v_user") && c.contains("< 100")),
+      s"key predicate not transferred to the right child: $rf\n${joined.queryExecution.optimizedPlan}"
+    )
+    assert(
+      rf.exists(_.contains("vts")),
+      s"time upper bound not transferred to the right child: $rf\n${joined.queryExecution.optimizedPlan}"
+    )
+    // soundness baseline: transfers must not change results vs pushing
+    // only the left side by hand and leaving the right side untouched
+    val expected = AsOf
+      .asofJoin(
+        clicks.filter(col("user_id") < 100L && col("ts") <= lit(cutoff)),
+        views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"))
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(joined.collect().map(_.toSeq).toSet == expected)
+    assert(expected.nonEmpty, "fixture produced no rows — test would be vacuous")
+  }
+
+  test("interval join: left-time bounds prune the right side's start and end") {
+    import spark.implicits._
+    val points = (1L to 50L).map(i => (i % 5, i)).toDF("k", "t")
+    val ivals = (1L to 20L).map(i => (i % 5, i, i + 10)).toDF("rk", "s", "e")
+    val joined = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("t") >= 15L && col("t") < 40L)
+    val rf = rightChildFilters(joined)
+    assert(
+      rf.exists(c => c.contains("e#") && (c.contains(">= 15") || c.contains("> 14"))),
+      s"lower bound not transferred to the interval end: $rf\n${joined.queryExecution.optimizedPlan}"
+    )
+    assert(
+      rf.exists(c => c.contains("s#") && c.contains("< 40")),
+      s"upper bound not transferred to the interval start: $rf\n${joined.queryExecution.optimizedPlan}"
+    )
+    val expected = Interval
+      .intervalJoin(points.filter(col("t") >= 15L && col("t") < 40L), ivals,
+        Seq("k"), Seq("rk"), "t", "s", "e")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(joined.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
+  }
+
   test("column pruning: unused right columns leave the scan's read schema") {
     val (clicks, views) = clicksAndViews
     val narrow = AsOf
