@@ -203,6 +203,60 @@ class JoinOptimizationSpec extends SparkSpec {
     assert(joined.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
   }
 
+  test("randomized differential: filtered custom joins equal driver brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 4).foreach { round =>
+      // ---- interval join under a mixed filter --------------------------
+      val lRows = Seq.fill(200)((rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, rnd.nextInt(50).toLong))
+      val rRows = Seq.fill(150) {
+        val s = rnd.nextInt(100)
+        (rnd.nextInt(8).toLong, s.toLong, (s + rnd.nextInt(20)).toLong, rnd.nextInt(50).toLong)
+      }
+      val lo = rnd.nextInt(50).toLong
+      val hi = (lo + 1 + rnd.nextInt(50)).toLong
+      val ij = Interval
+        .intervalJoin(lRows.toDF("k", "t", "pv"), rRows.toDF("rk", "s", "e", "rv"),
+          Seq("k"), Seq("rk"), "t", "s", "e")
+        .filter(col("t") >= lo && col("t") < hi && col("pv") % 3 =!= 0 && col("rv") % 2 === 0)
+      val ijExpected = (for {
+        (k, t, pv) <- lRows
+        (rk, s, e, rv) <- rRows
+        if k == rk && s <= t && t <= e && t >= lo && t < hi && pv % 3 != 0 && rv % 2 == 0
+      } yield (k, t, pv, rk, s, e, rv)).sorted
+      val ijGot = ij.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toSeq
+        .sorted
+      assert(ijGot == ijExpected, s"interval differential diverged (round $round, lo=$lo hi=$hi)")
+
+      // ---- as-of join under left predicates + a right predicate --------
+      // unique rt per (key) by construction so "latest" needs no tie-break
+      val aRight = rRows.zipWithIndex.map { case ((rk, _, _, rv), i) => (rk, (i * 8 + rk).toLong, rv) }
+      val cut = rnd.nextInt(1200).toLong
+      val aj = AsOf
+        .asofJoin(lRows.map { case (k, t, pv) => (k, t * 13, pv) }.toDF("k", "t", "pv"),
+          aRight.toDF("rk", "rt", "rv"),
+          Seq("k"), Seq("rk"), "t", "rt")
+        .filter(col("t") <= cut && col("pv") % 2 === 0L && col("rv") % 3 =!= 1L)
+      val ajExpected = (for {
+        (k, t0, pv) <- lRows
+        t = t0 * 13
+        if t <= cut && pv % 2 == 0
+        cands = aRight.filter { case (rk, rt, _) => rk == k && rt <= t }
+        if cands.nonEmpty
+        (rk, rt, rv) = cands.maxBy(_._2)
+        if rv % 3 != 1 // right predicate applies to the MATCHED row only
+      } yield (k, t, pv, rk, rt, rv)).sorted
+      val ajGot = aj.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSeq
+        .sorted
+      assert(ajGot == ajExpected, s"as-of differential diverged (round $round, cut=$cut)")
+      assert(ijExpected.nonEmpty || ajExpected.nonEmpty, "both fixtures empty — vacuous round")
+    }
+  }
+
   test("column pruning: unused right columns leave the scan's read schema") {
     val (clicks, views) = clicksAndViews
     val narrow = AsOf
