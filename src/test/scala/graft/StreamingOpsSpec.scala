@@ -55,6 +55,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static range join: RangeJoinRewrite stays off streaming plans, results == batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.GraftExtensions.register(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the rewrite's hand
+    try {
+      val ivals = (1L to 40L).map(i => (i % 5, i, i + 8)).toDF("rk", "s", "e")
+      val points = (1L to 60L).map(i => (i % 5, i))
+      val stream = MemoryStream[(Long, Long)]
+      val joined = stream
+        .toDS()
+        .toDF("k", "t")
+        .join(ivals, col("k") === col("rk") && col("t").between(col("s"), col("e")))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("rjr_stream")
+        .start()
+      try {
+        stream.addData(points.take(30))
+        q.processAllAvailable()
+        stream.addData(points.drop(30))
+        q.processAllAvailable()
+        // the micro-batch plan must NOT contain the batch-only interval
+        // exec — the guard is j.isStreaming on the logical node
+        val baos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) { q.explain() }
+        val lastPlan = baos.toString("UTF-8")
+        assert(lastPlan.contains("Join"), s"explain produced no join plan:\n$lastPlan")
+        assert(!lastPlan.contains("IntervalJoin"), s"rewrite fired on a streaming plan:\n$lastPlan")
+        val got = spark.table("rjr_stream").collect().map(_.toSeq).toSet
+        val expected = points
+          .toDF("k", "t")
+          .join(ivals, col("k") === col("rk") && col("t").between(col("s"), col("e")))
+          .collect()
+          .map(_.toSeq)
+          .toSet
+        assert(got == expected && expected.nonEmpty, "stream-static range join diverged from batch")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stream priority formula is bit-identical to the q199 SQL expression") {
     import graft.streaming.SampleStream
     val rows = spark
