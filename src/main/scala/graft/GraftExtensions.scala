@@ -14,6 +14,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // SQL TABLE-function surface for the custom joins:
+    // SELECT * FROM graft_asof_join(TABLE(l), TABLE(r), 'k', 'rk', 't', 'rt')
+    graft.plans.TableFunctions.all.foreach { case (name, builder) =>
+      ext.injectTableFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(builder.getClass.getName, name), builder)
+      )
+    }
     // optimizer surface: transparent kernel substitution — plain-SQL HOF
     // idioms rewritten to the native codegen'd expressions where the two
     // are provably bit-equivalent (see KernelFusion's soundness guards)
@@ -191,6 +198,9 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       org.apache.spark.sql.GraftColumns.registerFunction(spark, name, builder)
+    }
+    graft.plans.TableFunctions.all.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftColumns.registerTableFunction(spark, name, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.KernelFusion))
       spark.experimental.extraOptimizations =

@@ -250,14 +250,43 @@ object AsOf {
   ): DataFrame = {
     val spark = left.sparkSession
     graft.GraftExtensions.register(spark)
-    val lPlan = left.queryExecution.analyzed
-    val rAnalyzed = right.queryExecution.analyzed
+    GraftColumns.ofRows(
+      spark,
+      planFor(
+        left.queryExecution.analyzed,
+        right.queryExecution.analyzed,
+        leftKeys,
+        rightKeys,
+        leftTime,
+        rightTime,
+        rightTieBreak,
+        outer,
+        // honor the session's case-sensitivity setting
+        // (spark.sql.caseSensitive) like every other DataFrame API
+        spark.sessionState.conf.resolver
+      )
+    )
+  }
+
+  /** Name-resolved plan construction shared by [[asofJoin]] and the SQL
+    * table function `graft_asof_join` ([[TableFunctions.asof]]). The
+    * right side is re-aliased behind fresh exprIds so self-joins — both
+    * sides derived from the same relation — can't collide.
+    */
+  private[plans] def planFor(
+      lPlan: LogicalPlan,
+      rAnalyzed: LogicalPlan,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: Seq[String],
+      outer: Boolean,
+      nameMatches: (String, String) => Boolean
+  ): AsOfJoinPlan = {
     val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)
     val rOut = rAliases.map(_.toAttribute)
-    // honor the session's case-sensitivity setting (spark.sql.caseSensitive)
-    // like every other DataFrame API, keeping the ambiguity check
-    val nameMatches = spark.sessionState.conf.resolver
     def resolve(attrs: Seq[Attribute], n: String, side: String): Attribute =
       attrs.filter(a => nameMatches(a.name, n)) match {
         case Seq(a) => a
@@ -270,18 +299,15 @@ object AsOf {
       }
     def la(n: String): Attribute = resolve(lPlan.output, n, "left")
     def ra(n: String): Attribute = resolve(rOut, n, "right")
-    GraftColumns.ofRows(
-      spark,
-      AsOfJoinPlan(
-        lPlan,
-        rPlan,
-        leftKeys.map(la),
-        rightKeys.map(ra),
-        la(leftTime),
-        ra(rightTime),
-        rightTieBreak.map(ra),
-        outer
-      )
+    AsOfJoinPlan(
+      lPlan,
+      rPlan,
+      leftKeys.map(la),
+      rightKeys.map(ra),
+      la(leftTime),
+      ra(rightTime),
+      rightTieBreak.map(ra),
+      outer
     )
   }
 }

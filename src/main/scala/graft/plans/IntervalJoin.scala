@@ -322,12 +322,39 @@ object Interval {
   ): DataFrame = {
     val spark = left.sparkSession
     graft.GraftExtensions.register(spark)
-    val lPlan = left.queryExecution.analyzed
-    val rAnalyzed = right.queryExecution.analyzed
+    GraftColumns.ofRows(
+      spark,
+      planFor(
+        left.queryExecution.analyzed,
+        right.queryExecution.analyzed,
+        leftKeys,
+        rightKeys,
+        leftTime,
+        rightStart,
+        rightEnd,
+        outer,
+        spark.sessionState.conf.resolver
+      )
+    )
+  }
+
+  /** Name-resolved plan construction shared by [[intervalJoin]] and the
+    * SQL table function `graft_interval_join` ([[TableFunctions.interval]]).
+    */
+  private[plans] def planFor(
+      lPlan: LogicalPlan,
+      rAnalyzed: LogicalPlan,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightStart: String,
+      rightEnd: String,
+      outer: Boolean,
+      nameMatches: (String, String) => Boolean
+  ): IntervalJoinPlan = {
     val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)
     val rOut = rAliases.map(_.toAttribute)
-    val nameMatches = spark.sessionState.conf.resolver
     def resolve(attrs: Seq[Attribute], n: String, side: String): Attribute =
       attrs.filter(a => nameMatches(a.name, n)) match {
         case Seq(a) => a
@@ -362,18 +389,15 @@ object Interval {
         s"interval join key types must match: ${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType}"
       )
     }
-    GraftColumns.ofRows(
-      spark,
-      IntervalJoinPlan(
-        lPlan,
-        rPlan,
-        lks,
-        rks,
-        lt,
-        rs,
-        re,
-        outer
-      )
+    IntervalJoinPlan(
+      lPlan,
+      rPlan,
+      lks,
+      rks,
+      lt,
+      rs,
+      re,
+      outer
     )
   }
 }

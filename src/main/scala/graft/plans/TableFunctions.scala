@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Expression,
+  FunctionTableSubqueryArgumentExpression,
+  Literal
+}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{BooleanType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL TABLE-function surface for the custom joins, so pure-SQL users can
+  * reach them without the DataFrame entry points:
+  *
+  * {{{
+  *   SELECT * FROM graft_asof_join(
+  *     TABLE(clicks), TABLE(views), 'user_id', 'v_user', 'ts', 'vts')
+  *
+  *   SELECT * FROM graft_interval_join(
+  *     TABLE(events), TABLE(sessions), 'user_id', 's_user',
+  *     'us', 's_start', 's_end')
+  * }}}
+  *
+  * Optional trailing arguments: as-of takes a tie-break column CSV and an
+  * `outer` boolean; interval takes an `outer` boolean. Multi-key joins
+  * pass comma-separated column lists. The analyzer hands TABLE(...)
+  * arguments to the builder as fully-RESOLVED plans (verified — this is
+  * what makes immediate name resolution possible), so both functions
+  * delegate to the same `planFor` cores as the DataFrame API: identical
+  * resolution, ambiguity checks, type validation, and self-join
+  * re-aliasing. Registered via `GraftExtensions` (injectTableFunction)
+  * and imperatively by `GraftExtensions.register`.
+  */
+object TableFunctions {
+
+  private def tableArg(fn: String, args: Seq[Expression], pos: Int): LogicalPlan =
+    args(pos) match {
+      case t: FunctionTableSubqueryArgumentExpression if t.plan.resolved => t.plan
+      case _: FunctionTableSubqueryArgumentExpression =>
+        throw new IllegalArgumentException(s"$fn: TABLE argument ${pos + 1} is unresolved")
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument ${pos + 1} must be TABLE(...), got $other"
+        )
+    }
+
+  private def strArg(fn: String, args: Seq[Expression], pos: Int): String =
+    args(pos) match {
+      case Literal(s: UTF8String, StringType) if s != null => s.toString
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument ${pos + 1} must be a string literal, got $other"
+        )
+    }
+
+  private def csvArg(fn: String, args: Seq[Expression], pos: Int): Seq[String] =
+    strArg(fn, args, pos).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def boolArg(fn: String, args: Seq[Expression], pos: Int, default: Boolean): Boolean =
+    if (args.length <= pos) default
+    else
+      args(pos) match {
+        case Literal(b: Boolean, BooleanType) => b
+        case other =>
+          throw new IllegalArgumentException(
+            s"$fn: argument ${pos + 1} must be a boolean literal, got $other"
+          )
+      }
+
+  /** `graft_asof_join(TABLE l, TABLE r, lKeys, rKeys, lTime, rTime
+    * [, tieBreaks [, outer]])`.
+    */
+  val asof: Seq[Expression] => LogicalPlan = { args =>
+    val fn = "graft_asof_join"
+    if (args.length < 6 || args.length > 8)
+      throw new IllegalArgumentException(
+        s"$fn takes 6-8 arguments (TABLE left, TABLE right, leftKeys, rightKeys," +
+          s" leftTime, rightTime[, tieBreaks[, outer]]), got ${args.length}"
+      )
+    AsOf.planFor(
+      tableArg(fn, args, 0),
+      tableArg(fn, args, 1),
+      csvArg(fn, args, 2),
+      csvArg(fn, args, 3),
+      strArg(fn, args, 4),
+      strArg(fn, args, 5),
+      if (args.length >= 7) csvArg(fn, args, 6) else Nil,
+      boolArg(fn, args, 7, default = false),
+      SQLConf.get.resolver
+    )
+  }
+
+  /** `graft_interval_join(TABLE l, TABLE r, lKeys, rKeys, lTime, rStart,
+    * rEnd [, outer])`.
+    */
+  val interval: Seq[Expression] => LogicalPlan = { args =>
+    val fn = "graft_interval_join"
+    if (args.length < 7 || args.length > 8)
+      throw new IllegalArgumentException(
+        s"$fn takes 7-8 arguments (TABLE left, TABLE right, leftKeys, rightKeys," +
+          s" leftTime, rightStart, rightEnd[, outer]), got ${args.length}"
+      )
+    Interval.planFor(
+      tableArg(fn, args, 0),
+      tableArg(fn, args, 1),
+      csvArg(fn, args, 2),
+      csvArg(fn, args, 3),
+      strArg(fn, args, 4),
+      strArg(fn, args, 5),
+      strArg(fn, args, 6),
+      boolArg(fn, args, 7, default = false),
+      SQLConf.get.resolver
+    )
+  }
+
+  /** Registry entries shared by the extensions-config and imperative
+    * registration paths.
+    */
+  val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_asof_join" -> asof,
+    "graft_interval_join" -> interval
+  )
+}

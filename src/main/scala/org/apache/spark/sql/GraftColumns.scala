@@ -33,4 +33,15 @@ object GraftColumns {
   ): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Imperative TABLE-function registration (the extensions-config path is
+    * `injectTableFunction` in `graft.GraftExtensions`).
+    */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{AsOf, Interval}
+
+/** SQL TABLE-function surface ([[graft.plans.TableFunctions]]):
+  * `graft_asof_join` / `graft_interval_join` must produce bit-identical
+  * results to the DataFrame entry points (they share the `planFor`
+  * cores), accept the optional tie-break/outer arguments, plan to the
+  * native execs, and fail loudly on bad arguments.
+  */
+class TableFunctionSpec extends SparkSpec {
+
+  graft.GraftExtensions.register(spark)
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def registerEventViews(): Unit = {
+    val ev = graft.ops.Tables
+      .events(spark, sf)
+      .filter(col("event_type").isin("view", "click"))
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("tvf_clicks")
+    ev.filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_id"),
+        col("user_id").as("v_user"),
+        col("ts").as("vts"),
+        col("value").as("view_value")
+      )
+      .createOrReplaceTempView("tvf_views")
+  }
+
+  test("graft_asof_join TVF equals the DataFrame API (incl. tie-break and outer)") {
+    registerEventViews()
+    val viaSql = spark
+      .sql(
+        """SELECT * FROM graft_asof_join(
+          |  TABLE(tvf_clicks), TABLE(tvf_views),
+          |  'user_id', 'v_user', 'ts', 'vts', 'view_id', true)""".stripMargin
+      )
+    assert(
+      viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      s"TVF did not plan to the native exec:\n${viaSql.queryExecution.executedPlan}"
+    )
+    val viaApi = AsOf.asofJoin(
+      spark.table("tvf_clicks"),
+      spark.table("tvf_views"),
+      Seq("user_id"),
+      Seq("v_user"),
+      "ts",
+      "vts",
+      rightTieBreak = Seq("view_id"),
+      outer = true
+    )
+    val s = viaSql.collect().map(_.toSeq).toSet
+    val a = viaApi.collect().map(_.toSeq).toSet
+    assert(s == a, s"TVF minus API: ${(s -- a).take(3)}; API minus TVF: ${(a -- s).take(3)}")
+    assert(s.nonEmpty)
+  }
+
+  test("graft_interval_join TVF equals the DataFrame API") {
+    import spark.implicits._
+    (1L to 60L).map(i => (i % 5, i)).toDF("k", "t").createOrReplaceTempView("tvf_points")
+    (1L to 25L).map(i => (i % 5, i, i + 9)).toDF("rk", "s", "e").createOrReplaceTempView("tvf_ivals")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_interval_join(
+        |  TABLE(tvf_points), TABLE(tvf_ivals), 'k', 'rk', 't', 's', 'e')""".stripMargin
+    )
+    assert(viaSql.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    val viaApi = Interval.intervalJoin(
+      spark.table("tvf_points"),
+      spark.table("tvf_ivals"),
+      Seq("k"),
+      Seq("rk"),
+      "t",
+      "s",
+      "e"
+    )
+    val s = viaSql.collect().map(_.toSeq).toSet
+    assert(s == viaApi.collect().map(_.toSeq).toSet && s.nonEmpty)
+  }
+
+  test("TVF self-join: the same view on both sides works (right side re-aliased)") {
+    import spark.implicits._
+    (1L to 30L).map(i => (i % 3, i, i)).toDF("k", "t", "x").createOrReplaceTempView("tvf_self")
+    val df = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_self), TABLE(tvf_self), 'k', 'k', 't', 't')""".stripMargin
+    )
+    // every row as-of-matches itself (inclusive bound): t == matched t
+    val rows = df.collect()
+    assert(rows.length == 30 && rows.forall(r => r.getLong(1) == r.getLong(4)))
+  }
+
+  test("TVF argument errors are loud and name the problem") {
+    registerEventViews()
+    val noCol = intercept[Exception] {
+      spark
+        .sql(
+          """SELECT * FROM graft_asof_join(
+            |  TABLE(tvf_clicks), TABLE(tvf_views), 'nope', 'v_user', 'ts', 'vts')""".stripMargin
+        )
+        .collect()
+    }
+    assert(noCol.getMessage.contains("no column 'nope'"), s"got: ${noCol.getMessage}")
+    val badArity = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_interval_join(TABLE(tvf_clicks), TABLE(tvf_views), 'a')").collect()
+    }
+    assert(badArity.getMessage.contains("7-8 arguments"), s"got: ${badArity.getMessage}")
+    val notTable = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof_join(1, TABLE(tvf_views), 'a', 'b', 'c', 'd')").collect()
+    }
+    assert(notTable.getMessage.contains("must be TABLE"), s"got: ${notTable.getMessage}")
+  }
+}
