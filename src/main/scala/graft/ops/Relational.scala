@@ -3448,6 +3448,65 @@ object Relational {
            |FROM (SELECT * FROM s_ok UNION ALL SELECT * FROM s_pk)
            |ORDER BY bucket_key""".stripMargin
       }
+    ),
+
+    // Pure-SQL as-of join through the graft_asof_join TABLE function —
+    // the q19/q180 point-in-time semantics reached with nothing but
+    // spark.sql, proving the full SQL surface (plans/TableFunctions)
+    // against the DuckDB window-rank oracle in the driver's gate. Per
+    // user: clicks that had a prior view, summed view→click gap and
+    // viewed value. The TVF delegates to the same planFor core as the
+    // DataFrame API, so this also pins the native AsOfJoinExec (one
+    // forward merge per partition, O(1) state) behind the SQL entry.
+    Q(
+      "q241_asof_sql_surface",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val ev = events(s, d)
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .createOrReplaceTempView("g241_clicks")
+        ev.filter(col("event_type") === "view")
+          .select(
+            col("event_id").as("view_id"),
+            col("user_id").as("v_user"),
+            col("ts").as("vts"),
+            col("value").as("view_value")
+          )
+          .createOrReplaceTempView("g241_views")
+        s.sql(
+          """SELECT user_id,
+            |  count(*) AS clicks,
+            |  sum((unix_micros(ts) - unix_micros(vts)) div 1000000L) AS gap_seconds,
+            |  sum(CAST(round(view_value * 100) AS BIGINT)) AS viewed_cents
+            |FROM graft_asof_join(TABLE(g241_clicks), TABLE(g241_views),
+            |                     'user_id', 'v_user', 'ts', 'vts', 'view_id')
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin
+        )
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |v AS (
+             |  SELECT event_id AS view_id, user_id AS v_user, ts AS vts,
+             |    value AS view_value
+             |  FROM events WHERE event_type = 'view'),
+             |m AS (
+             |  SELECT * FROM (
+             |    SELECT c.user_id, c.ts, v.vts, v.view_value,
+             |      row_number() OVER (PARTITION BY c.event_id
+             |                         ORDER BY v.vts DESC, v.view_id DESC) AS rk
+             |    FROM c JOIN v ON v.v_user = c.user_id AND v.vts <= c.ts) t
+             |  WHERE rk = 1)
+             |SELECT user_id,
+             |  CAST(count(*) AS BIGINT) AS clicks,
+             |  CAST(sum((epoch_us(ts) - epoch_us(vts)) // 1000000) AS BIGINT)
+             |    AS gap_seconds,
+             |  CAST(sum(CAST(round(view_value * 100) AS BIGINT)) AS BIGINT)
+             |    AS viewed_cents
+             |FROM m
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
     )
   )
 }
