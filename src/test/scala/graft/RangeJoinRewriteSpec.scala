@@ -94,6 +94,46 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential incl. NULLs: rewrite on == rewrite off") {
+    noBroadcast {
+      (1 to 4).foreach { round =>
+        // NULL keys, times and bounds included: the rewrite must preserve
+        // SQL's null-never-matches join semantics exactly
+        val pts = spark
+          .range(round * 137L, round * 137L + 300L)
+          .selectExpr(
+            "IF(id % 11 = 0, NULL, id % 7) AS k",
+            "IF(id % 13 = 0, NULL, id % 97) AS t",
+            "id AS pv"
+          )
+        val ivs = spark
+          .range(round * 31L, round * 31L + 120L)
+          .selectExpr(
+            "IF(id % 9 = 0, NULL, id % 7) AS rk",
+            "IF(id % 17 = 0, NULL, id % 80) AS s",
+            "IF(id % 19 = 0, NULL, id % 80 + 15) AS e",
+            "id AS rv"
+          )
+        def q = pts.join(
+          ivs,
+          col("k") === col("rk") && col("t").between(col("s"), col("e")) &&
+            (col("pv") + col("rv")) % 5 =!= 0 // residual mixed conjunct
+        )
+        assert(hasIntervalExec(q), s"rewrite did not fire (round $round)")
+        val on = q.collect().map(_.toSeq).toSet
+        val off = rewriteOff {
+          assert(!hasIntervalExec(q), "kill switch ignored")
+          q.collect().map(_.toSeq).toSet
+        }
+        assert(
+          on == off,
+          s"round $round diverged: on-only=${(on -- off).take(3)} off-only=${(off -- on).take(3)}"
+        )
+        assert(on.nonEmpty, s"round $round produced no rows — vacuous")
+      }
+    }
+  }
+
   test("guards: strict bounds, outer joins, and broadcast-sized sides do not rewrite") {
     noBroadcast {
       val strict = points.join(ivals, col("k") === col("rk") && col("t") > col("s") && col("t") <= col("e"))
