@@ -3183,13 +3183,16 @@ object Relational {
     // planner will pick per dimension table. The byte model is
     // UnsafeRow's: one 8-byte null word + an 8-byte slot per field +
     // the actual payload bytes of each VARCHAR. The verdict mirrors the
-    // real rules: build side ≤ the 1 MiB broadcast threshold →
-    // broadcast; else ≤ threshold × 32 shuffle partitions (Spark's
-    // canBuildLocalHashMap) AND 3× smaller than the fact side (Spark's
-    // muchSmaller) → shuffle_hash; else sort_merge. One metadata row
-    // per dimension; the only joins here are the 1-row fact-stats
-    // broadcast. (The thresholds are the planner's literal defaults;
-    // at 100 TB you'd raise them with memory, not change the shape.)
+    // real RULE SHAPES at test-scale constants: build side ≤ a 1 MiB
+    // broadcast threshold → broadcast; else ≤ threshold × 32 shuffle
+    // partitions (Spark's canBuildLocalHashMap) AND 3× smaller than the
+    // fact side (Spark's muchSmaller, whose ×3 IS the literal Spark
+    // constant) → shuffle_hash; else sort_merge. The 1 MiB / ×32 stand
+    // in for the production defaults (10 MiB autoBroadcastJoinThreshold,
+    // ×200 shuffle partitions) so the verdicts SPREAD at test SF — the
+    // q239 discipline: the ratio logic is scale-free, the constants are
+    // the tuning knobs. One metadata row per dimension; the only joins
+    // here are the 1-row fact-stats broadcast.
     Q(
       "q238_join_strategy_planner",
       (s, d) => {
@@ -3309,31 +3312,37 @@ object Relational {
             col("naive_files"),
             expr(s"(est_bytes + ${target - 1}L) div ${target}L").as("files_at_target"),
             expr(
-              "CASE WHEN naive_files > (est_bytes + 1048575L) div 1048576L" +
+              s"CASE WHEN naive_files > (est_bytes + ${target - 1}L) div ${target}L" +
                 " THEN 'compact' ELSE 'ok' END"
             ).as("verdict")
           )
           .orderBy(col("month"))
       },
-      Some("""WITH mk AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mk FROM lineitem),
-             |o AS (
-             |  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
-             |      AS month,
-             |    l_orderkey * 32 // (mk + 1) AS task,
-             |    96 + coalesce(length(l_returnflag), 0)
-             |      + coalesce(length(l_linestatus), 0) AS b
-             |  FROM lineitem CROSS JOIN mk),
-             |g AS (
-             |  SELECT month, CAST(count(*) AS BIGINT) AS n_rows,
-             |    CAST(sum(b) AS BIGINT) AS est_bytes,
-             |    CAST(count(DISTINCT task) AS BIGINT) AS naive_files
-             |  FROM o GROUP BY 1)
-             |SELECT month, n_rows, est_bytes, naive_files,
-             |  (est_bytes + 1048575) // 1048576 AS files_at_target,
-             |  CASE WHEN naive_files > (est_bytes + 1048575) // 1048576
-             |    THEN 'compact' ELSE 'ok' END AS verdict
-             |FROM g
-             |ORDER BY month""".stripMargin)
+      Some {
+        // interpolated from the SAME constant as the Spark side so a
+        // target change can't leave the two engines (or the two Spark
+        // expressions) disagreeing
+        val target = 1L << 20
+        s"""WITH mk AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mk FROM lineitem),
+           |o AS (
+           |  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+           |      AS month,
+           |    l_orderkey * 32 // (mk + 1) AS task,
+           |    96 + coalesce(length(l_returnflag), 0)
+           |      + coalesce(length(l_linestatus), 0) AS b
+           |  FROM lineitem CROSS JOIN mk),
+           |g AS (
+           |  SELECT month, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(b) AS BIGINT) AS est_bytes,
+           |    CAST(count(DISTINCT task) AS BIGINT) AS naive_files
+           |  FROM o GROUP BY 1)
+           |SELECT month, n_rows, est_bytes, naive_files,
+           |  (est_bytes + ${target - 1}) // $target AS files_at_target,
+           |  CASE WHEN naive_files > (est_bytes + ${target - 1}) // $target
+           |    THEN 'compact' ELSE 'ok' END AS verdict
+           |FROM g
+           |ORDER BY month""".stripMargin
+      }
     ),
 
     // Bucket-count planner — the number Bucketing.writeBucketed needs

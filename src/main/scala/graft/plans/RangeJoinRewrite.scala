@@ -63,7 +63,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    // lenient parse: this runs on EVERY query's optimization, so a typo'd
+    // conf value must disable the rewrite, not fail the session's queries
+    if (!conf.getConfString(EnabledKey, "true").trim.equalsIgnoreCase("true")) plan
     else
       plan.transform {
         case j @ Join(_, _, Inner, Some(cond), _) if !j.isStreaming =>

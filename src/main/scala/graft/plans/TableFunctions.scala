@@ -69,15 +69,24 @@ object TableFunctions {
       }
 
   /** `graft_asof_join(TABLE l, TABLE r, lKeys, rKeys, lTime, rTime
-    * [, tieBreaks [, outer]])`.
+    * [, tieBreaks] [, outer])` — the two optional trailing arguments
+    * dispatch on literal type, so `(..., 'rt', true)` requests an outer
+    * join without forcing an empty-string tie-break placeholder.
     */
   val asof: Seq[Expression] => LogicalPlan = { args =>
     val fn = "graft_asof_join"
     if (args.length < 6 || args.length > 8)
       throw new IllegalArgumentException(
         s"$fn takes 6-8 arguments (TABLE left, TABLE right, leftKeys, rightKeys," +
-          s" leftTime, rightTime[, tieBreaks[, outer]]), got ${args.length}"
+          s" leftTime, rightTime[, tieBreaks][, outer]), got ${args.length}"
       )
+    val trailing = args.drop(6)
+    val (tieBreaks, outer) = trailing match {
+      case Seq()                                       => (Nil, false)
+      case Seq(Literal(b: Boolean, BooleanType))       => (Nil, b)
+      case Seq(_)                                      => (csvArg(fn, args, 6), false)
+      case Seq(_, _)                                   => (csvArg(fn, args, 6), boolArg(fn, args, 7, default = false))
+    }
     AsOf.planFor(
       tableArg(fn, args, 0),
       tableArg(fn, args, 1),
@@ -85,8 +94,8 @@ object TableFunctions {
       csvArg(fn, args, 3),
       strArg(fn, args, 4),
       strArg(fn, args, 5),
-      if (args.length >= 7) csvArg(fn, args, 6) else Nil,
-      boolArg(fn, args, 7, default = false),
+      tieBreaks,
+      outer,
       SQLConf.get.resolver
     )
   }

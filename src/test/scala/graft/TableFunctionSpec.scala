@@ -94,6 +94,21 @@ class TableFunctionSpec extends SparkSpec {
     assert(rows.length == 30 && rows.forall(r => r.getLong(1) == r.getLong(4)))
   }
 
+  test("graft_asof_join: trailing boolean without a tie-break means outer") {
+    registerEventViews()
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_clicks), TABLE(tvf_views), 'user_id', 'v_user', 'ts', 'vts', true)""".stripMargin
+    )
+    val viaApi = AsOf.asofJoin(
+      spark.table("tvf_clicks"), spark.table("tvf_views"),
+      Seq("user_id"), Seq("v_user"), "ts", "vts", outer = true)
+    val s = viaSql.collect().map(_.toSeq).toSet
+    assert(s == viaApi.collect().map(_.toSeq).toSet && s.nonEmpty)
+    // outer must actually null-extend: some clicks have no prior view
+    assert(viaSql.filter(col("view_id").isNull).count() > 0L)
+  }
+
   test("TVF argument errors are loud and name the problem") {
     registerEventViews()
     val noCol = intercept[Exception] {
