@@ -3516,6 +3516,67 @@ object Relational {
              |FROM m
              |GROUP BY 1
              |ORDER BY 1""".stripMargin)
+    ),
+
+    // Pure-SQL interval join through the graft_interval_join TABLE
+    // function — q202's session-membership invariant (every event in
+    // exactly one 30-min-gap session, Σ n_events = |events|) with the
+    // sessionization AND the join both written in spark.sql. The second
+    // TVF carried through the oracle gate, beside q241's as-of.
+    Q(
+      "q242_interval_sql_surface",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .createOrReplaceTempView("g242_events")
+        s.sql(
+          """WITH s1 AS (
+            |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            |    AS prev_us
+            |  FROM g242_events),
+            |s2 AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            |                 THEN 1L ELSE 0L END AS new_s
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                             ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM s2)
+            |SELECT user_id AS s_user, sid, min(us) AS s_start, max(us) AS s_end
+            |FROM s3 GROUP BY 1, 2""".stripMargin
+        ).createOrReplaceTempView("g242_sessions")
+        s.sql(
+          """SELECT s_user AS user_id, CAST(sid AS BIGINT) AS sid,
+            |  count(*) AS n_events, CAST(min(s_start) AS BIGINT) AS s_start
+            |FROM graft_interval_join(TABLE(g242_events), TABLE(g242_sessions),
+            |                         'user_id', 's_user', 'us', 's_start', 's_end')
+            |GROUP BY 1, 2
+            |ORDER BY 1, 2""".stripMargin
+        )
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |sess AS (
+             |  SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+             |  FROM s3 GROUP BY 1, 2)
+             |SELECT sess.user_id, CAST(sess.sid AS BIGINT) AS sid,
+             |  count(*) AS n_events, CAST(min(s_start) AS BIGINT) AS s_start
+             |FROM e JOIN sess ON e.user_id = sess.user_id
+             |  AND e.us >= sess.s_start AND e.us <= sess.s_end
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)
     )
   )
 }
