@@ -38,7 +38,12 @@ object Bench {
     * waves=8 is the SUSTAINED shape (every wave pays trigger scheduling +
     * ack round-trips, the steady-state cadence cost).
     */
-  private def streamingScenario(spark: SparkSession, rows: Int, waves: Int): (Long, Double, Long, Long) = {
+  private def streamingScenario(
+      spark: SparkSession,
+      rows: Int,
+      waves: Int,
+      withBatcher: Boolean = true
+  ): (Long, Double, Long, Long) = {
     import spark.implicits._
     import graft.config.{BatcherConfig, PipelineConfig}
     import graft.core.Pipeline
@@ -59,13 +64,26 @@ object Bench {
       // Representative per-message work: a parse-ish transform plus a
       // batch-key route, so the batcher shuffle and per-group chunking are
       // exercised — not a pass-through that measures only trigger latency.
-      val cfg = PipelineConfig[String](
-        name = qName,
-        handleMessage = m =>
-          m.updateData(d => d.toUpperCase + ":" + d.length)
-            .putBatchKey((math.floorMod(m.data.hashCode, 16)).toString),
-        batchers = Seq(BatcherConfig[String]("default", batchSize = 200))
-      )
+      // the map_only shape keeps the same per-message transform but no
+      // batch key and a huge batch size: the batcher's per-group chunking
+      // degenerates to one pass-through group, so the burst/sustained
+      // delta against the keyed shape isolates the batcher-shuffle cost
+      // from the trigger/ack cadence cost
+      val cfg =
+        if (withBatcher)
+          PipelineConfig[String](
+            name = qName,
+            handleMessage = m =>
+              m.updateData(d => d.toUpperCase + ":" + d.length)
+                .putBatchKey((math.floorMod(m.data.hashCode, 16)).toString),
+            batchers = Seq(BatcherConfig[String]("default", batchSize = 200))
+          )
+        else
+          PipelineConfig[String](
+            name = qName,
+            handleMessage = m => m.updateData(d => d.toUpperCase + ":" + d.length),
+            batchers = Seq(BatcherConfig[String]("default", batchSize = 1 << 20))
+          )
       val running = Pipeline.start(spark, messages, cfg, NoopAcknowledger)
       try {
         val perWave = rows / waves
@@ -222,8 +240,11 @@ object Bench {
           // trigger scheduling + the per-micro-batch ack round trip)
           val (bRows, bSec, bProc, bBatches) = streamingScenario(spark, rows, waves = 1)
           val (sRows, sSec, sProc, sBatches) = streamingScenario(spark, rows, waves = 8)
+          val (mRows, mSec, mProc, mBatches) =
+            streamingScenario(spark, rows, waves = 1, withBatcher = false)
           s"""{"rows":$bRows,"burst":{"sec":${math.round(bSec * 1000) / 1000.0},"rows_per_sec":${math.round(bRows / bSec)},"processed":$bProc,"micro_batches":$bBatches},""" +
-            s""""sustained":{"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProc,"micro_batches":$sBatches}}"""
+            s""""sustained":{"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProc,"micro_batches":$sBatches},""" +
+            s""""map_only":{"sec":${math.round(mSec * 1000) / 1000.0},"rows_per_sec":${math.round(mRows / mSec)},"processed":$mProc,"micro_batches":$mBatches}}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] streaming FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
