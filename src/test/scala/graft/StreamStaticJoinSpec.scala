@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.plans.{AsOf, Interval}
+
+/** Stream-static enrichment through the NATIVE join execs: a streaming
+  * left side as-of/interval joined to a STATIC right side is stateless
+  * per left row (each row matches independently against an immutable
+  * table), so per-micro-batch execution of the batch execs is exactly
+  * correct — no watermark, no state store, and the cumulative streamed
+  * result must equal one batch run over the union of all micro-batches.
+  * This is the "enrich events with the latest reference-data version at
+  * event time" shape (dimension snapshots, price books, config epochs).
+  * The stream-SIDE stateful as-of (growing right side) is AsOfStream;
+  * this spec pins the static-right fast path.
+  */
+class StreamStaticJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-static as-of enrich == batch over the union of micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val right = (1L to 40L).map(i => (i % 5, i * 3, i)).toDF("rk", "rt", "rv")
+    val stream = MemoryStream[(Long, Long)]
+    val joined = AsOf.asofJoin(
+      stream.toDS().toDF("k", "t"),
+      right,
+      Seq("k"), Seq("rk"), "t", "rt",
+      rightTieBreak = Seq("rv"),
+      outer = true
+    )
+    assert(joined.isStreaming, "as-of over a streaming left must stay streaming")
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ss_asof").start()
+    try {
+      stream.addData((1L to 30L).map(i => (i % 5, i * 4)))
+      q.processAllAvailable()
+      stream.addData((31L to 60L).map(i => (i % 5, i * 4)))
+      q.processAllAvailable()
+      val got = spark.table("ss_asof").collect().map(_.toSeq).toSet
+      val expected = AsOf
+        .asofJoin(
+          (1L to 60L).map(i => (i % 5, i * 4)).toDF("k", "t"),
+          right, Seq("k"), Seq("rk"), "t", "rt",
+          rightTieBreak = Seq("rv"), outer = true)
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"stream minus batch: ${(got -- expected).take(3)}; batch minus stream: ${(expected -- got).take(3)}")
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-static interval enrich == batch over the union of micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ivals = (1L to 30L).map(i => (i % 4, i * 2, i * 2 + 9, i)).toDF("rk", "s", "e", "rv")
+    val stream = MemoryStream[(Long, Long)]
+    val joined = Interval.intervalJoin(
+      stream.toDS().toDF("k", "t"),
+      ivals,
+      Seq("k"), Seq("rk"), "t", "s", "e"
+    )
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ss_ival").start()
+    try {
+      stream.addData((1L to 25L).map(i => (i % 4, i * 3)))
+      q.processAllAvailable()
+      stream.addData((26L to 50L).map(i => (i % 4, i * 3)))
+      q.processAllAvailable()
+      val got = spark.table("ss_ival").collect().map(_.toSeq).toSet
+      val expected = Interval
+        .intervalJoin(
+          (1L to 50L).map(i => (i % 4, i * 3)).toDF("k", "t"),
+          ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
+}
