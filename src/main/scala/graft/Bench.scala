@@ -51,7 +51,7 @@ object Bench {
     import graft.sources.QueueSource
     import graft.ack.NoopAcknowledger
 
-    val qName = s"bench-throughput-$waves"
+    val qName = s"bench-throughput-$waves${if (withBatcher) "" else "-single-group"}"
     val q = QueueSource.create(qName, None)
     try {
       val messages = spark.readStream
@@ -64,26 +64,26 @@ object Bench {
       // Representative per-message work: a parse-ish transform plus a
       // batch-key route, so the batcher shuffle and per-group chunking are
       // exercised — not a pass-through that measures only trigger latency.
-      // the map_only shape keeps the same per-message transform but no
-      // batch key and a huge batch size: the batcher's per-group chunking
-      // degenerates to one pass-through group, so the burst/sustained
-      // delta against the keyed shape isolates the batcher-shuffle cost
-      // from the trigger/ack cadence cost
-      val cfg =
-        if (withBatcher)
-          PipelineConfig[String](
-            name = qName,
-            handleMessage = m =>
-              m.updateData(d => d.toUpperCase + ":" + d.length)
-                .putBatchKey((math.floorMod(m.data.hashCode, 16)).toString),
-            batchers = Seq(BatcherConfig[String]("default", batchSize = 200))
-          )
-        else
-          PipelineConfig[String](
-            name = qName,
-            handleMessage = m => m.updateData(d => d.toUpperCase + ":" + d.length),
-            batchers = Seq(BatcherConfig[String]("default", batchSize = 1 << 20))
-          )
+      // the single_group shape keeps the same per-message transform but
+      // no batch key and a huge batch size: the batcher's groupByKey
+      // shuffle STILL runs (a pipeline always has ≥1 batcher), but it
+      // lands in ONE constant-key group with one handle_batch call — so
+      // the delta vs the keyed shape measures the keyed-batching layer
+      // (16-way grouping, ~1000 handle_batch invocations, per-group
+      // chunking), NOT the shuffle itself, which both shapes pay.
+      // One transform definition shared by both shapes so they can't
+      // silently diverge and invalidate the comparison.
+      val transform: Message[String] => Message[String] =
+        m => m.updateData(d => d.toUpperCase + ":" + d.length)
+      val cfg = PipelineConfig[String](
+        name = qName,
+        handleMessage =
+          if (withBatcher)
+            transform.andThen(m => m.putBatchKey((math.floorMod(m.data.hashCode, 16)).toString))
+          else transform,
+        batchers =
+          Seq(BatcherConfig[String]("default", batchSize = if (withBatcher) 200 else 1 << 20))
+      )
       val running = Pipeline.start(spark, messages, cfg, NoopAcknowledger)
       try {
         val perWave = rows / waves
@@ -244,7 +244,7 @@ object Bench {
             streamingScenario(spark, rows, waves = 1, withBatcher = false)
           s"""{"rows":$bRows,"burst":{"sec":${math.round(bSec * 1000) / 1000.0},"rows_per_sec":${math.round(bRows / bSec)},"processed":$bProc,"micro_batches":$bBatches},""" +
             s""""sustained":{"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProc,"micro_batches":$sBatches},""" +
-            s""""map_only":{"sec":${math.round(mSec * 1000) / 1000.0},"rows_per_sec":${math.round(mRows / mSec)},"processed":$mProc,"micro_batches":$mBatches}}"""
+            s""""single_group":{"sec":${math.round(mSec * 1000) / 1000.0},"rows_per_sec":${math.round(mRows / mSec)},"processed":$mProc,"micro_batches":$mBatches}}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] streaming FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

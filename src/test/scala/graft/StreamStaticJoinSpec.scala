@@ -36,14 +36,17 @@ class StreamStaticJoinSpec extends SparkSpec {
       q.processAllAvailable()
       stream.addData((31L to 60L).map(i => (i % 5, i * 4)))
       q.processAllAvailable()
-      val got = spark.table("ss_asof").collect().map(_.toSeq).toSet
+      // MULTISET comparison (sorted row strings): a Set would collapse the
+      // exact failure mode this spec exists to rule out — duplicate
+      // emission of a match across micro-batch replans
+      val got = spark.table("ss_asof").collect().map(_.toSeq.toString).sorted.toSeq
       val expected = AsOf
         .asofJoin(
           (1L to 60L).map(i => (i % 5, i * 4)).toDF("k", "t"),
           right, Seq("k"), Seq("rk"), "t", "rt",
           rightTieBreak = Seq("rv"), outer = true)
-        .collect().map(_.toSeq).toSet
-      assert(got == expected, s"stream minus batch: ${(got -- expected).take(3)}; batch minus stream: ${(expected -- got).take(3)}")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == expected, s"stream=${got.size} rows, batch=${expected.size} rows; first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
       assert(expected.nonEmpty)
     } finally q.stop()
   }
@@ -64,13 +67,13 @@ class StreamStaticJoinSpec extends SparkSpec {
       q.processAllAvailable()
       stream.addData((26L to 50L).map(i => (i % 4, i * 3)))
       q.processAllAvailable()
-      val got = spark.table("ss_ival").collect().map(_.toSeq).toSet
+      val got = spark.table("ss_ival").collect().map(_.toSeq.toString).sorted.toSeq
       val expected = Interval
         .intervalJoin(
           (1L to 50L).map(i => (i % 4, i * 3)).toDF("k", "t"),
           ivals, Seq("k"), Seq("rk"), "t", "s", "e")
-        .collect().map(_.toSeq).toSet
-      assert(got == expected && expected.nonEmpty)
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == expected && expected.nonEmpty, s"stream=${got.size} rows vs batch=${expected.size} rows")
     } finally q.stop()
   }
 }
