@@ -94,6 +94,31 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("composition: a filter above a plain range join flows through rewrite then pushdown") {
+    noBroadcast {
+      val joined = points
+        .join(ivals, col("k") === col("rk") && col("t").between(col("s"), col("e")))
+        .filter(col("pv") > 100L && col("rv") % 2 === 0L && col("t") <= 150L)
+      // RangeJoinRewrite turns the join into IntervalJoinPlan, then
+      // CustomJoinOptimization must push/transfer every conjunct — no
+      // Filter may remain above the custom node in the optimized plan
+      val opt = joined.queryExecution.optimizedPlan
+      assert(opt.toString.contains("IntervalJoin"), s"rewrite did not fire:\n$opt")
+      val filterAbove = opt.exists {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(_, _: graft.plans.IntervalJoinPlan) => true
+        case _ => false
+      }
+      assert(!filterAbove, s"conjuncts not pushed through the rewritten node:\n$opt")
+      val expected = rewriteOff {
+        points
+          .join(ivals, col("k") === col("rk") && col("t").between(col("s"), col("e")))
+          .filter(col("pv") > 100L && col("rv") % 2 === 0L && col("t") <= 150L)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(joined.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
+    }
+  }
+
   test("randomized differential incl. NULLs: rewrite on == rewrite off") {
     noBroadcast {
       (1 to 4).foreach { round =>
