@@ -2509,22 +2509,36 @@ object DedupOps {
         val stats = assigned
           .groupBy(col("split"))
           .agg(count(lit(1)).as("docs"), countDistinct(col("ckey")).as("clusters"))
-        def leakOf(splitCol: String, out: String) =
+        // ONE pair↔assignment join carrying BOTH split columns per
+        // endpoint (was: two joins per leak metric = 4 total); the two
+        // leak rollups aggregate the same persisted pair-sized frame
+        val joinedPairs = Caches.persisted(
           pairs
             .join(
-              assigned.select(col("doc_id").as("doc_a"), col(splitCol).as("sa")),
+              assigned.select(
+                col("doc_id").as("doc_a"),
+                col("split").as("sa"),
+                col("naive_split").as("na")
+              ),
               "doc_a"
             )
             .join(
-              assigned.select(col("doc_id").as("doc_b"), col(splitCol).as("sb")),
+              assigned.select(
+                col("doc_id").as("doc_b"),
+                col("split").as("sb"),
+                col("naive_split").as("nb")
+              ),
               "doc_b"
             )
-            .filter(col("sa") =!= col("sb"))
-            .groupBy(col("sa").as("split"))
+        )
+        def leakOf(a: String, b: String, out: String) =
+          joinedPairs
+            .filter(col(a) =!= col(b))
+            .groupBy(col(a).as("split"))
             .agg(count(lit(1)).as(out))
         stats
-          .join(leakOf("split", "cross_pairs"), Seq("split"), "left")
-          .join(leakOf("naive_split", "naive_cross_pairs"), Seq("split"), "left")
+          .join(leakOf("sa", "sb", "cross_pairs"), Seq("split"), "left")
+          .join(leakOf("na", "nb", "naive_cross_pairs"), Seq("split"), "left")
           .select(
             col("split"),
             col("docs"),
