@@ -82,6 +82,21 @@ class TableFunctionSpec extends SparkSpec {
     assert(s == viaApi.collect().map(_.toSeq).toSet && s.nonEmpty)
   }
 
+  test("graft_interval_join: outer flag null-extends uncovered points") {
+    import spark.implicits._
+    Seq((1L, 5L), (1L, 100L)).toDF("k", "t").createOrReplaceTempView("tvf_op")
+    Seq((1L, 1L, 10L)).toDF("rk", "s", "e").createOrReplaceTempView("tvf_oi")
+    val rows = spark.sql(
+      """SELECT * FROM graft_interval_join(
+        |  TABLE(tvf_op), TABLE(tvf_oi), 'k', 'rk', 't', 's', 'e', true)""".stripMargin
+    ).collect()
+    assert(rows.length == 2)
+    val uncovered = rows.find(_.getLong(1) == 100L).get
+    assert(uncovered.isNullAt(2) && uncovered.isNullAt(3) && uncovered.isNullAt(4))
+    val covered = rows.find(_.getLong(1) == 5L).get
+    assert(covered.getLong(2) == 1L && covered.getLong(3) == 1L && covered.getLong(4) == 10L)
+  }
+
   test("TVF self-join: the same view on both sides works (right side re-aliased)") {
     import spark.implicits._
     (1L to 30L).map(i => (i % 3, i, i)).toDF("k", "t", "x").createOrReplaceTempView("tvf_self")
