@@ -274,6 +274,21 @@ class JoinOptimizationSpec extends SparkSpec {
     assert(narrow.collect().nonEmpty, "pruned plan must still produce rows")
   }
 
+  test("column pruning composes with outer null-extension") {
+    val (clicks, views) = clicksAndViews
+    val narrow = AsOf
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"), outer = true)
+      .select(col("event_id"), col("view_id"))
+    val reading = scans(narrow).filter(_.schema.fieldNames.contains("value"))
+    assert(reading.isEmpty, s"outer pruning left `value` in ${reading.size} scan(s)")
+    val rows = narrow.collect()
+    // null-extension must survive the pruned right child (the node's
+    // output nullability adjustment, not the child's, carries it)
+    assert(rows.exists(_.isNullAt(1)), "expected at least one unmatched (null view_id) click")
+    assert(rows.exists(!_.isNullAt(1)), "expected at least one matched click")
+  }
+
   test("column pruning: aggregate directly above the join narrows both sides") {
     val (clicks, views) = clicksAndViews
     val agg = AsOf
