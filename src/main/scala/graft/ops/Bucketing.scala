@@ -42,19 +42,40 @@ object Bucketing {
     * PartitionPruningSpec guards that the pruned scan reads only matching
     * partitions (`PartitionFilters` in the scan, partition count drop).
     */
-  def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
+  /** `hotValueSalt` bounds the hot-value failure mode of the small-files
+    * fix: repartitioning on the partition column alone lands EVERY row of
+    * one value on a single task, so a hot value serializes its write and
+    * can OOM/straggle at 100 TB. With salt > 1 each value spreads across
+    * up to `salt` writer tasks (keyed by the incoming partition id —
+    * deterministic, no rand() in the plan), trading ≤ `salt` files per
+    * value for parallelism. `maxRecordsPerFile` > 0 additionally caps row
+    * count per emitted file (Spark's own writer option), the knob for
+    * bounding file size when row width is known.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      partitionCol: String,
+      path: String,
+      hotValueSalt: Int = 1,
+      maxRecordsPerFile: Long = 0L
+  ): Unit = {
     // repartition on the partition column first: a naive partitionBy from
     // a hash-distributed frame emits one file per (task × partition value)
     // — the small-files explosion q239_partition_file_planner audits
     // (ingest tasks × values files instead of ceil(bytes/target)). After
-    // the shuffle each partition value is owned by one task, so the write
-    // produces one file per value (AQE may coalesce further); at 100 TB
-    // add a salt INSIDE hot values if a single value exceeds a task.
-    df.repartition(col(partitionCol))
-      .write
+    // the shuffle each partition value is owned by one task (or `salt`
+    // tasks), so the write produces one (or ≤ salt) file(s) per value.
+    require(hotValueSalt >= 1, s"hotValueSalt must be >= 1, got $hotValueSalt")
+    import org.apache.spark.sql.functions.{lit, pmod, spark_partition_id}
+    val keyed =
+      if (hotValueSalt == 1) df.repartition(col(partitionCol))
+      else df.repartition(col(partitionCol), pmod(spark_partition_id(), lit(hotValueSalt)))
+    keyed.write
       .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(path)
+  }
 
   /** Range-sorted Parquet layout for row-group skipping: globally sort by
     * `sortCol` before writing so each row group's min/max statistics span

@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   SortOrder,
   UnsafeProjection
 }
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.EstimationUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -52,6 +53,32 @@ final case class AsOfJoinPlan(
 
   override def output: Seq[Attribute] =
     left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  /** At most one output row per left row — the join selects the single
+    * latest match (outer: exactly one; inner: one or zero). Without this,
+    * `Optimizer`'s size framework has no case for an unknown BinaryNode.
+    */
+  override def maxRows: Option[Long] = left.maxRows
+
+  /** Size estimate for the planner. The stats visitors
+    * (`SizeInBytesOnlyStatsPlanVisitor` / `BasicStatsPlanVisitor`)
+    * pattern-match built-in nodes only and default an unknown BinaryNode
+    * to the PRODUCT of its children's sizeInBytes — so everything planned
+    * ABOVE an as-of join would see a wildly inflated size: a small as-of
+    * output feeding a subsequent join would never be broadcast, and AQE's
+    * size-based choices above the node would be skewed. The true output is
+    * one row per left row (inner: at most one), widened by the matched
+    * right payload — estimate left's bytes scaled to the output row width.
+    */
+  override def stats: Statistics = {
+    val leftStats = left.stats
+    val leftRow = EstimationUtils.getSizePerRow(left.output)
+    val outRow = EstimationUtils.getSizePerRow(output)
+    Statistics(
+      sizeInBytes = (leftStats.sizeInBytes * outRow / leftRow).max(1),
+      rowCount = leftStats.rowCount
+    )
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan,

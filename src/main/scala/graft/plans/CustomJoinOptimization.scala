@@ -245,5 +245,32 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
       pruneChildren(j, j.left, j.right, a.references)
         .map { case (l, r) => a.copy(child = j.copy(left = l, right = r)) }
         .getOrElse(a)
+
+    // ---- column pruning through a RESIDUAL filter ----------------------
+    // An unpushable Filter (e.g. a cross-side predicate a RangeJoinRewrite
+    // left behind, or a right-column predicate above an as-of/outer join)
+    // sits between the parent and the join forever — without these cases
+    // it would also block pruning, leaving both scans reading every
+    // column. The filter's own references join the required set; the
+    // filter itself stays exactly where it is (pruning never moves it).
+    case p @ Project(_, f @ Filter(cond, j: AsOfJoinPlan)) =>
+      pruneChildren(j, j.left, j.right, p.references ++ cond.references)
+        .map { case (l, r) => p.copy(child = f.copy(child = j.copy(left = l, right = r))) }
+        .getOrElse(p)
+
+    case p @ Project(_, f @ Filter(cond, j: IntervalJoinPlan)) =>
+      pruneChildren(j, j.left, j.right, p.references ++ cond.references)
+        .map { case (l, r) => p.copy(child = f.copy(child = j.copy(left = l, right = r))) }
+        .getOrElse(p)
+
+    case a @ Aggregate(_, _, f @ Filter(cond, j: AsOfJoinPlan), _) =>
+      pruneChildren(j, j.left, j.right, a.references ++ cond.references)
+        .map { case (l, r) => a.copy(child = f.copy(child = j.copy(left = l, right = r))) }
+        .getOrElse(a)
+
+    case a @ Aggregate(_, _, f @ Filter(cond, j: IntervalJoinPlan), _) =>
+      pruneChildren(j, j.left, j.right, a.references ++ cond.references)
+        .map { case (l, r) => a.copy(child = f.copy(child = j.copy(left = l, right = r))) }
+        .getOrElse(a)
   }
 }

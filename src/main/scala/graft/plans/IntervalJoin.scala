@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   SortOrder,
   UnsafeProjection
 }
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -53,6 +53,33 @@ final case class IntervalJoinPlan(
 
   override def output: Seq[Attribute] =
     left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  /** Worst case every point of a key matches every interval of that key —
+    * the product, guarded against overflow (Join's convention). Outer
+    * additionally emits unmatched points, so a zero-row right side still
+    * yields up to left.maxRows rows.
+    */
+  override def maxRows: Option[Long] = (left.maxRows, right.maxRows) match {
+    case (Some(l), Some(r)) =>
+      val p = BigInt(l) * BigInt(if (outer) math.max(r, 1L) else r)
+      if (p.isValidLong) Some(p.toLong) else None
+    case _ => None
+  }
+
+  /** Size estimate for the planner. The default stats visitors assign an
+    * unknown BinaryNode the PRODUCT of its children's sizeInBytes — every
+    * operator above an interval join would plan against that fiction
+    * (never broadcasting its output, skewing AQE and the
+    * [[RangeJoinRewrite]] cost guard when a rewritten node feeds another
+    * candidate join). The sweep-line targets sparse-overlap axes where
+    * output ~ input, so estimate the SUM of the children — the same
+    * shape-agnostic heuristic class Spark applies to unestimable joins,
+    * far closer than the product and conservative enough (it can
+    * under-estimate only when overlap degree is high, where AQE's runtime
+    * sizes take over).
+    */
+  override def stats: Statistics =
+    Statistics(sizeInBytes = (left.stats.sizeInBytes + right.stats.sizeInBytes).max(1))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan,
@@ -138,10 +165,21 @@ final case class IntervalJoinExec(
     // degrades that bound to the key's group size. Fail loud with the
     // offending key instead of spilling toward an executor OOM — the
     // `require(converged)` discipline of connectedComponents.
-    val activeBudget = conf
-      .getConfString(IntervalJoinExec.MaxActiveKey, "10000000")
-      .toLong
-    require(activeBudget > 0, s"${IntervalJoinExec.MaxActiveKey} must be positive, got $activeBudget")
+    // Parsed ONCE on the driver (doExecute runs there), so a bad value
+    // fails the job before any task launches — and names the conf key
+    // instead of surfacing as a bare NumberFormatException.
+    val activeBudget = {
+      val raw = conf.getConfString(IntervalJoinExec.MaxActiveKey, "10000000").trim
+      val parsed =
+        try raw.toLong
+        catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"${IntervalJoinExec.MaxActiveKey} must be a positive long, got '$raw'", e)
+        }
+      require(parsed > 0, s"${IntervalJoinExec.MaxActiveKey} must be positive, got $parsed")
+      parsed
+    }
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys

@@ -68,7 +68,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (!conf.getConfString(EnabledKey, "true").trim.equalsIgnoreCase("true")) plan
     else
       plan.transform {
-        case j @ Join(_, _, Inner, Some(cond), _) if !j.isStreaming =>
+        // an explicit join-strategy hint (BROADCAST/MERGE/SHUFFLE_HASH/…)
+        // outranks stats in Spark's planner, so it must outrank this
+        // rewrite too — a user who hinted a side knows something the size
+        // estimate doesn't, and the session-wide kill switch is too blunt
+        // an escape for one query
+        case j @ Join(_, _, Inner, Some(cond), hint)
+            if !j.isStreaming &&
+              hint.leftHint.forall(_.strategy.isEmpty) &&
+              hint.rightHint.forall(_.strategy.isEmpty) =>
           rewrite(j, cond).getOrElse(j)
       }
 

@@ -289,6 +289,97 @@ class JoinOptimizationSpec extends SparkSpec {
     assert(rows.exists(!_.isNullAt(1)), "expected at least one matched click")
   }
 
+  test("stats: custom join nodes report sane sizes, not the product-of-children default") {
+    import spark.implicits._
+    val pts = (1L to 4000L).map(i => (i % 7, i, i * 2)).toDF("k", "t", "pv")
+    val ivs = (1L to 4000L).map(i => (i % 7, i, i + 12, i * 3)).toDF("rk", "s", "e", "rv")
+
+    val aj = AsOf.asofJoin(pts, ivs, Seq("k"), Seq("rk"), "t", "s")
+    val aNode = aj.queryExecution.optimizedPlan.collectFirst { case a: AsOfJoinPlan => a }.get
+    val aProduct = aNode.left.stats.sizeInBytes * aNode.right.stats.sizeInBytes
+    // one output row per left row widened by the right payload: strictly
+    // between the left's own size and (a tiny multiple of) the sum —
+    // nowhere near the product the default visitor would assign
+    assert(aNode.stats.sizeInBytes >= aNode.left.stats.sizeInBytes)
+    assert(aNode.stats.sizeInBytes < aProduct / 100,
+      s"as-of stats look like the product default: ${aNode.stats.sizeInBytes} vs product $aProduct")
+    assert(aNode.maxRows.contains(4000L), s"as-of maxRows: ${aNode.maxRows}")
+
+    val ij = Interval.intervalJoin(pts, ivs, Seq("k"), Seq("rk"), "t", "s", "e")
+    val iNode = ij.queryExecution.optimizedPlan.collectFirst { case i: IntervalJoinPlan => i }.get
+    assert(iNode.stats.sizeInBytes ==
+      (iNode.left.stats.sizeInBytes + iNode.right.stats.sizeInBytes).max(1))
+  }
+
+  test("stats: a parent join over a small as-of result plans as BroadcastHashJoin") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // as-of inputs ~100 KB each: the product default (~10 GB) would bar
+    // the as-of output from broadcast forever; the real estimate (~200 KB)
+    // sails under the 10 MB threshold
+    val pts = (1L to 4000L).map(i => (i % 97, i, i * 2)).toDF("k", "t", "pv")
+    val quotes = (1L to 4000L).map(i => (i % 97, i, i * 3)).toDF("rk", "rt", "rv")
+    val aj = AsOf.asofJoin(pts, quotes, Seq("k"), Seq("rk"), "t", "rt")
+    // big probe side: over the broadcast threshold so IT cannot broadcast
+    val probe = spark.range(2L * 1000 * 1000).selectExpr("id", "id % 97 AS pk")
+    val joined = probe.join(aj, col("pk") === col("k"))
+    val bhj = joined.queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
+    assert(
+      bhj.nonEmpty,
+      s"parent join over the as-of result did not broadcast:\n${joined.queryExecution.sparkPlan}"
+    )
+    val builtAsOf = bhj.exists { b =>
+      val built = b.buildSide match {
+        case BuildLeft  => b.left
+        case BuildRight => b.right
+      }
+      built.exists(_.isInstanceOf[graft.plans.AsOfJoinExec])
+    }
+    assert(builtAsOf, s"the as-of side was not the broadcast side:\n${joined.queryExecution.sparkPlan}")
+    assert(joined.count() > 0L)
+  }
+
+  test("column pruning fires through a residual (unpushable) filter above the join") {
+    val (clicks, _) = clicksAndViews
+    // views carries an EXTRA column (`view_props` ← events.props) that the
+    // query never references; the filter on `view_value` cannot push
+    // through an as-of join (it would change which row is latest), so it
+    // stays above the node — and without the Filter-aware pruning cases
+    // it would also block pruning, leaving `props` in the scan forever
+    val views = graft.ops.Tables
+      .events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_id"),
+        col("user_id").as("v_user"),
+        col("ts").as("vts"),
+        col("value").as("view_value"),
+        col("props").as("view_props")
+      )
+    val narrow = AsOf
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"))
+      .filter(col("view_value") >= 0.0)
+      .select(col("event_id"), col("view_id"))
+    assert(
+      filterAboveCustomJoin(narrow.queryExecution.optimizedPlan),
+      s"fixture invalid: right-side filter should be unpushable\n${narrow.queryExecution.optimizedPlan}"
+    )
+    // the filter's own column must survive pruning...
+    assert(
+      scans(narrow).exists(_.schema.fieldNames.contains("value")),
+      s"pruning dropped the residual filter's input:\n${narrow.queryExecution.executedPlan}"
+    )
+    // ...but the unreferenced column must leave every ReadSchema
+    val extra = scans(narrow).filter(_.schema.fieldNames.contains("props"))
+    assert(
+      extra.isEmpty,
+      s"residual filter blocked pruning in ${extra.size} scan(s):\n${narrow.queryExecution.executedPlan}"
+    )
+    assert(narrow.collect().nonEmpty, "pruned+filtered plan must still produce rows")
+  }
+
   test("column pruning: aggregate directly above the join narrows both sides") {
     val (clicks, views) = clicksAndViews
     val agg = AsOf

@@ -159,6 +159,33 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("guards: an explicit join-strategy hint outranks the rewrite") {
+    noBroadcast {
+      // hint-beats-stats is Spark's contract: a user who wrote
+      // /*+ MERGE */ (or BROADCAST) asked for a specific physical join,
+      // so the rewrite must stand down — on either side
+      val hintedRight = points.join(
+        ivals.hint("merge"),
+        col("k") === col("rk") && col("t").between(col("s"), col("e"))
+      )
+      assert(!hasIntervalExec(hintedRight),
+        s"rewrite overrode a right-side MERGE hint:\n${hintedRight.queryExecution.executedPlan}")
+      val hintedLeft = points.hint("broadcast").join(
+        ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e"))
+      )
+      assert(!hasIntervalExec(hintedLeft),
+        s"rewrite overrode a left-side BROADCAST hint:\n${hintedLeft.queryExecution.executedPlan}")
+      assert(hintedLeft.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "the BROADCAST hint should have produced a broadcast join")
+      // a non-strategy hint (e.g. a COALESCE/REBALANCE-class hint on a
+      // parent, or none at all) leaves the rewrite free to fire
+      val unhinted = points.join(
+        ivals, col("k") === col("rk") && col("t").between(col("s"), col("e")))
+      assert(hasIntervalExec(unhinted), "unhinted join should still rewrite")
+    }
+  }
+
   test("guards: strict bounds, outer joins, and broadcast-sized sides do not rewrite") {
     noBroadcast {
       val strict = points.join(ivals, col("k") === col("rk") && col("t") > col("s") && col("t") <= col("e"))
