@@ -3577,6 +3577,139 @@ object Relational {
              |  AND e.us >= sess.s_start AND e.us <= sess.s_end
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Interval SEMI join through the TVF's mode argument: per user, how
+    // many events fall inside a LONG (≥ 10 min) session of that user —
+    // the EXISTS-containment idiom ("keep points covered by a validity
+    // window") on the native sweep-line exec's existence mode, which
+    // emits each covered point once, left columns only, instead of
+    // fanning out pairs and deduplicating. Oracle: DuckDB EXISTS.
+    Q(
+      "q243_long_session_members",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .createOrReplaceTempView("g243_events")
+        s.sql(
+          """WITH s1 AS (
+            |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            |    AS prev_us
+            |  FROM g243_events),
+            |s2 AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            |                 THEN 1L ELSE 0L END AS new_s
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                             ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM s2)
+            |SELECT user_id AS s_user, min(us) AS s_start, max(us) AS s_end
+            |FROM s3 GROUP BY user_id, sid
+            |HAVING max(us) - min(us) >= 600000000""".stripMargin
+        ).createOrReplaceTempView("g243_long_sessions")
+        s.sql(
+          """SELECT user_id, count(*) AS n_in
+            |FROM graft_interval_join(TABLE(g243_events), TABLE(g243_long_sessions),
+            |                         'user_id', 's_user', 'us', 's_start', 's_end',
+            |                         'semi')
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin
+        )
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |longsess AS (
+             |  SELECT user_id, min(us) AS s_start, max(us) AS s_end
+             |  FROM s3 GROUP BY user_id, sid
+             |  HAVING max(us) - min(us) >= 600000000)
+             |SELECT e.user_id, count(*) AS n_in
+             |FROM e
+             |WHERE EXISTS (SELECT 1 FROM longsess s
+             |              WHERE s.user_id = e.user_id
+             |                AND e.us BETWEEN s.s_start AND s.s_end)
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
+    ),
+
+    // Interval ANTI join written as plain NOT EXISTS + BETWEEN SQL — the
+    // purge idiom ("drop points inside any tombstone window"), and the
+    // exact shape RangeJoinRewrite rewrites to the sweep-line exec's Anti
+    // mode once both sides outgrow the broadcast threshold (at oracle
+    // scale Spark's broadcast anti join serves it — same result, proven
+    // equal by RangeJoinRewriteSpec's null-inclusive differentials).
+    // Per user: events OUTSIDE every long session, i.e. the complement of
+    // q243 within each user's event set.
+    Q(
+      "q244_unsessioned_purge",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .createOrReplaceTempView("g244_events")
+        s.sql(
+          """WITH s1 AS (
+            |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            |    AS prev_us
+            |  FROM g244_events),
+            |s2 AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            |                 THEN 1L ELSE 0L END AS new_s
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                             ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM s2)
+            |SELECT user_id AS s_user, min(us) AS s_start, max(us) AS s_end
+            |FROM s3 GROUP BY user_id, sid
+            |HAVING max(us) - min(us) >= 600000000""".stripMargin
+        ).createOrReplaceTempView("g244_long_sessions")
+        s.sql(
+          """SELECT e.user_id, count(*) AS n_out
+            |FROM g244_events e
+            |WHERE NOT EXISTS (SELECT 1 FROM g244_long_sessions s
+            |                  WHERE s.s_user = e.user_id
+            |                    AND e.us BETWEEN s.s_start AND s.s_end)
+            |GROUP BY e.user_id
+            |ORDER BY e.user_id""".stripMargin
+        )
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |longsess AS (
+             |  SELECT user_id, min(us) AS s_start, max(us) AS s_end
+             |  FROM s3 GROUP BY user_id, sid
+             |  HAVING max(us) - min(us) >= 600000000)
+             |SELECT e.user_id, count(*) AS n_out
+             |FROM e
+             |WHERE NOT EXISTS (SELECT 1 FROM longsess s
+             |                  WHERE s.user_id = e.user_id
+             |                    AND e.us BETWEEN s.s_start AND s.s_end)
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
     )
   )
 }

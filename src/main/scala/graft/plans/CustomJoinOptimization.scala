@@ -204,8 +204,11 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
 
     case f @ Filter(cond, j: IntervalJoinPlan) =>
       val (leftOnly, afterLeft) = split(cond, j.left.outputSet)
+      // whole-conjunct moves to the right only for INNER (outer would skip
+      // null-extended rows' evaluation; semi/anti expose no right columns
+      // above the join, so afterLeft can't reference them anyway)
       val (rightOnly, rest) =
-        if (j.outer) (Nil, afterLeft)
+        if (j.mode != IntervalJoinMode.Inner) (Nil, afterLeft)
         else afterLeft.partition(e =>
           e.deterministic && e.references.nonEmpty && e.references.subsetOf(j.right.outputSet)
         )

@@ -16,6 +16,26 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Sta
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
+/** Output mode of the keyed interval-containment join.
+  *
+  *  - [[IntervalJoinMode.Inner]]: one row per (point, covering interval)
+  *    pair.
+  *  - [[IntervalJoinMode.Outer]]: inner plus one null-extended row for
+  *    each uncovered point.
+  *  - [[IntervalJoinMode.Semi]]: each point covered by ≥ 1 interval, once,
+  *    left columns only (`EXISTS (SELECT … WHERE k = rk AND t BETWEEN s
+  *    AND e)` — the "keep rows inside a validity window" idiom).
+  *  - [[IntervalJoinMode.Anti]]: each point covered by NO interval, once,
+  *    left columns only (`NOT EXISTS …` — the purge/tombstone idiom).
+  */
+sealed abstract class IntervalJoinMode extends Serializable
+object IntervalJoinMode {
+  case object Inner extends IntervalJoinMode
+  case object Outer extends IntervalJoinMode
+  case object Semi extends IntervalJoinMode
+  case object Anti extends IntervalJoinMode
+}
+
 /** Logical keyed INTERVAL-CONTAINMENT join: for every left (point) row,
   * every right (interval) row with the same key and
   * `rightStart <= leftTime <= rightEnd` (both bounds inclusive),
@@ -43,7 +63,7 @@ final case class IntervalJoinPlan(
     leftTime: Expression,
     rightStart: Expression,
     rightEnd: Expression,
-    outer: Boolean
+    mode: IntervalJoinMode
 ) extends BinaryNode {
 
   require(
@@ -51,19 +71,30 @@ final case class IntervalJoinPlan(
     s"interval join key arity mismatch: ${leftKeys.length} vs ${rightKeys.length}"
   )
 
-  override def output: Seq[Attribute] =
-    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+  override def output: Seq[Attribute] = mode match {
+    case IntervalJoinMode.Inner => left.output ++ right.output
+    case IntervalJoinMode.Outer => left.output ++ right.output.map(_.withNullability(true))
+    // existence modes emit left rows only — the EXISTS / NOT EXISTS
+    // containment idiom (dedup admission, purge)
+    case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.output
+  }
 
   /** Worst case every point of a key matches every interval of that key —
     * the product, guarded against overflow (Join's convention). Outer
     * additionally emits unmatched points, so a zero-row right side still
-    * yields up to left.maxRows rows.
+    * yields up to left.maxRows rows. Semi/anti emit each left row at most
+    * once.
     */
-  override def maxRows: Option[Long] = (left.maxRows, right.maxRows) match {
-    case (Some(l), Some(r)) =>
-      val p = BigInt(l) * BigInt(if (outer) math.max(r, 1L) else r)
-      if (p.isValidLong) Some(p.toLong) else None
-    case _ => None
+  override def maxRows: Option[Long] = mode match {
+    case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.maxRows
+    case _ =>
+      (left.maxRows, right.maxRows) match {
+        case (Some(l), Some(r)) =>
+          val p = BigInt(l) *
+            BigInt(if (mode == IntervalJoinMode.Outer) math.max(r, 1L) else r)
+          if (p.isValidLong) Some(p.toLong) else None
+        case _ => None
+      }
   }
 
   /** Size estimate for the planner. The default stats visitors assign an
@@ -76,10 +107,14 @@ final case class IntervalJoinPlan(
     * shape-agnostic heuristic class Spark applies to unestimable joins,
     * far closer than the product and conservative enough (it can
     * under-estimate only when overlap degree is high, where AQE's runtime
-    * sizes take over).
+    * sizes take over). Semi/anti never exceed the left side — Spark's own
+    * `visitJoin` convention for LeftSemi/LeftAnti.
     */
-  override def stats: Statistics =
-    Statistics(sizeInBytes = (left.stats.sizeInBytes + right.stats.sizeInBytes).max(1))
+  override def stats: Statistics = mode match {
+    case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.stats
+    case _ =>
+      Statistics(sizeInBytes = (left.stats.sizeInBytes + right.stats.sizeInBytes).max(1))
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan,
@@ -93,8 +128,8 @@ final case class IntervalJoinPlan(
   */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinPlan(l, r, lk, rk, lt, rs, re, outer) =>
-      IntervalJoinExec(lk, rk, lt, rs, re, outer, planLater(l), planLater(r)) :: Nil
+    case IntervalJoinPlan(l, r, lk, rk, lt, rs, re, mode) =>
+      IntervalJoinExec(lk, rk, lt, rs, re, mode, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -121,13 +156,16 @@ final case class IntervalJoinExec(
     leftTime: Expression,
     rightStart: Expression,
     rightEnd: Expression,
-    outer: Boolean,
+    mode: IntervalJoinMode,
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] =
-    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+  override def output: Seq[Attribute] = mode match {
+    case IntervalJoinMode.Inner => left.output ++ right.output
+    case IntervalJoinMode.Outer => left.output ++ right.output.map(_.withNullability(true))
+    case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.output
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -152,7 +190,9 @@ final case class IntervalJoinExec(
       // is the sum of per-task peaks; the per-task peak itself is the
       // size-metric's max statistic (min/med/max are per-task values)
       "maxActiveIntervals" -> org.apache.spark.sql.execution.metric.SQLMetrics
-        .createSizeMetric(sparkContext, "active intervals (sum of task peaks; per-task peak = max stat)")
+        .createSizeMetric(sparkContext, "active intervals (sum of task peaks; per-task peak = max stat)"),
+      "numSpilledKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "keys degraded to the spillable active buffer")
     )
 
   protected override def doExecute(): RDD[InternalRow] = {
@@ -180,6 +220,22 @@ final case class IntervalJoinExec(
       require(parsed > 0, s"${IntervalJoinExec.MaxActiveKey} must be positive, got $parsed")
       parsed
     }
+    // Scale-safe alternative to the abort: beyond the budget, a key's
+    // active set migrates to a disk-spillable row array (the structure
+    // SMJ/Window use for oversized groups) — memory stays bounded by the
+    // task memory manager while work stays linear in input + output (the
+    // per-point rebuild cost is amortized by the emission fan-out it
+    // accompanies). Off by default: the loud abort is the right first
+    // answer to an axis-spanning hot key, and the spill path trades it
+    // for throughput only when the operator EXPECTS dense overlap.
+    val spillEnabled = conf
+      .getConfString(IntervalJoinExec.SpillKey, "false")
+      .trim
+      .equalsIgnoreCase("true")
+    val spillInMemRows = conf.windowExecBufferInMemoryThreshold
+    val spillRows = conf.windowExecBufferSpillThreshold
+    val spillBytes = conf.windowExecBufferSpillSizeThreshold
+    val numSpilledKeys = longMetric("numSpilledKeys")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -190,7 +246,7 @@ final case class IntervalJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val out = output
-    val isOuter = outer
+    val emitMode = mode
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -234,6 +290,135 @@ final case class IntervalJoinExec(
           Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(1, timeType, nullable = false))
         )
 
+        // ---- hot-key degradation (conf-gated spill mode) ----------------
+        // Once a key's active set would exceed the budget and the spill
+        // path is enabled, the set migrates to a disk-spillable row array
+        // (the structure SMJ/Window use for oversized groups). Eviction
+        // becomes a REBUILD — survivors copy to the scratch array, fused
+        // with emission — so per-point work is O(active), the same order
+        // as the inner/outer emission fan-out the point pays anyway, and
+        // task memory stays bounded by the memory manager instead of the
+        // key's overlap degree. The key reverts to the fast path (empty
+        // ArrayBuffer) at the next key change.
+        private var spillMode = false
+        private var spillCur: org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray = _
+        private var spillNew: org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray = _
+        private val toUnsafe = UnsafeProjection.create(rOut, rOut)
+        // separate bounds projection for the rebuild pass: rBoundsProj's
+        // output buffer backs the lookahead's rNextBounds and must not be
+        // clobbered while the lookahead is still pending admission
+        private val rBoundsProj2 = UnsafeProjection.create(Seq(rStartExpr, rEndExpr), rOut)
+
+        private def enterSpillMode(): Unit = {
+          if (spillCur == null) {
+            spillCur = new org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray(
+              spillInMemRows, spillBytes, spillRows, spillBytes)
+            spillNew = new org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray(
+              spillInMemRows, spillBytes, spillRows, spillBytes)
+          }
+          // migrate the fast-path buffer: every entry survived this
+          // point's eviction, so all re-qualify during the rebuild pass
+          active.foreach { case (r, _) => spillCur.add(toUnsafe(r)) }
+          active.clear()
+          spillMode = true
+          numSpilledKeys += 1
+        }
+
+        private def finishSweep(): Unit = {
+          val t = spillCur; spillCur = spillNew; spillNew = t
+          spillNew.clear()
+          if (peak < spillCur.length) { peak = spillCur.length; maxActive.set(peak) }
+        }
+
+        /** One sweep position in spill mode: rebuild the active array
+          * (dropping intervals that ended before `lTime`), admit same-key
+          * arrivals, and set `pending` per the emit mode. Inner/outer run
+          * LAZILY — the fan-out can be huge and must not materialize;
+          * semi/anti need the full containment answer before emitting
+          * their single row, so they sweep eagerly (bounded output).
+          */
+        private def sweepSpilled(l: InternalRow, lTime: InternalRow): Unit = {
+          val passIter = spillCur.generateIterator()
+          emitMode match {
+            case IntervalJoinMode.Semi | IntervalJoinMode.Anti =>
+              var any = false
+              while (passIter.hasNext) {
+                val r = passIter.next()
+                if (timeOrd.compare(endRowOf(rBoundsProj2(r)), lTime) >= 0) {
+                  spillNew.add(toUnsafe(r)); any = true
+                }
+              }
+              var cont = rNext != null
+              while (cont) {
+                val c = keyOrd.compare(rNextKey, activeKey)
+                if (c < 0) { fetchRight(); cont = rNext != null }
+                else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
+                  if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
+                    spillNew.add(toUnsafe(rNext)); any = true
+                  }
+                  fetchRight(); cont = rNext != null
+                } else cont = false
+              }
+              finishSweep()
+              if (emitMode == IntervalJoinMode.Semi && any) {
+                numMatchedRows += 1; numOutputRows += 1; pending = Iterator.single(l)
+              } else if (emitMode == IntervalJoinMode.Anti && !any) {
+                numOutputRows += 1; pending = Iterator.single(l)
+              }
+            case _ =>
+              pending = new Iterator[InternalRow] {
+                private var phase = 0 // 0 rebuild, 1 admission, 2 finish, 3 done
+                private var emitted = 0L
+                private var ready: InternalRow = _
+                private def computeNext(): Unit = {
+                  while (ready == null && phase == 0) {
+                    if (passIter.hasNext) {
+                      val r = passIter.next()
+                      if (timeOrd.compare(endRowOf(rBoundsProj2(r)), lTime) >= 0) {
+                        spillNew.add(toUnsafe(r))
+                        // outProj copies into its own buffer, so `ready`
+                        // survives the array iterator's row reuse
+                        ready = outProj(joined(l, r))
+                      }
+                    } else phase = 1
+                  }
+                  while (ready == null && phase == 1) {
+                    if (rNext == null) phase = 2
+                    else {
+                      val c = keyOrd.compare(rNextKey, activeKey)
+                      if (c < 0) fetchRight()
+                      else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
+                        if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
+                          spillNew.add(toUnsafe(rNext))
+                          ready = outProj(joined(l, rNext))
+                        }
+                        fetchRight()
+                      } else phase = 2
+                    }
+                  }
+                  if (ready == null && phase == 2) {
+                    finishSweep()
+                    if (emitted > 0) numMatchedRows += 1
+                    else if (emitMode == IntervalJoinMode.Outer) {
+                      ready = outProj(joined(l, nullRight))
+                    }
+                    phase = 3
+                  }
+                }
+                override def hasNext: Boolean = { computeNext(); ready != null }
+                override def next(): InternalRow = {
+                  computeNext()
+                  if (ready == null) throw new NoSuchElementException("empty spill sweep")
+                  val r = ready
+                  ready = null
+                  emitted += 1
+                  numOutputRows += 1
+                  r
+                }
+              }
+          }
+        }
+
         // NULL key/start/end right rows can never contain a point — skip
         // at fetch. Rows are copied only when buffered.
         private def fetchRight(): Unit = {
@@ -262,6 +447,7 @@ final case class IntervalJoinExec(
               // key change: the active set belongs to a previous key
               if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
                 active.clear()
+                if (spillMode) { spillCur.clear(); spillMode = false }
                 activeKey = lKey.copy()
               }
               // evict intervals that ended before this point FIRST, so the
@@ -280,38 +466,85 @@ final case class IntervalJoinExec(
               // same-key intervals whose start has passed either enter
               // the active set or — if their end also lies behind the
               // sweep — die on arrival, never buffered
-              var cont = rNext != null
-              while (cont) {
-                val c = keyOrd.compare(rNextKey, lKey)
-                if (c < 0) {
-                  fetchRight(); cont = rNext != null
-                } else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
-                  if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
-                    if (active.length >= activeBudget) {
-                      val keyRendered = activeKey.toSeq(keyTypes).mkString("[", ", ", "]")
-                      throw new IllegalStateException(
-                        s"interval join active-interval budget exceeded: key $keyRendered holds " +
-                          s"more than $activeBudget simultaneously-active intervals " +
-                          s"(set ${IntervalJoinExec.MaxActiveKey} to raise the budget, or split " +
-                          "axis-spanning intervals before joining)")
+              var switched = spillMode
+              if (!switched) {
+                var cont = rNext != null
+                while (cont) {
+                  val c = keyOrd.compare(rNextKey, lKey)
+                  if (c < 0) {
+                    fetchRight(); cont = rNext != null
+                  } else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
+                    if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
+                      if (active.length >= activeBudget) {
+                        if (spillEnabled) {
+                          // degrade this key to the spillable buffer; the
+                          // lookahead row stays put — the spill sweep
+                          // admits it (and everything after it) itself
+                          enterSpillMode()
+                          switched = true
+                          cont = false
+                        } else {
+                          val keyRendered = activeKey.toSeq(keyTypes).mkString("[", ", ", "]")
+                          throw new IllegalStateException(
+                            s"interval join active-interval budget exceeded: key $keyRendered holds " +
+                              s"more than $activeBudget simultaneously-active intervals " +
+                              s"(set ${IntervalJoinExec.MaxActiveKey} to raise the budget, enable " +
+                              s"${IntervalJoinExec.SpillKey} to degrade hot keys to a spillable " +
+                              "buffer, or split axis-spanning intervals before joining)")
+                        }
+                      } else {
+                        active += ((rNext.copy(), rNextBounds.copy()))
+                        fetchRight(); cont = rNext != null
+                      }
+                    } else {
+                      fetchRight(); cont = rNext != null
                     }
-                    active += ((rNext.copy(), rNextBounds.copy()))
-                  }
-                  fetchRight(); cont = rNext != null
-                } else cont = false
+                  } else cont = false
+                }
               }
+              if (switched) {
+                sweepSpilled(l, lTime)
+              } else {
               if (peak < active.length) { peak = active.length; maxActive.set(peak) }
-              if (active.nonEmpty) {
-                numMatchedRows += 1
-                numOutputRows += active.length
-                pending = active.toVector.iterator.map(a => outProj(joined(l, a._1)))
-              } else if (isOuter) {
-                numOutputRows += 1
-                pending = Iterator.single(outProj(joined(l, nullRight)))
+              emitMode match {
+                case IntervalJoinMode.Inner | IntervalJoinMode.Outer =>
+                  if (active.nonEmpty) {
+                    numMatchedRows += 1
+                    numOutputRows += active.length
+                    pending = active.toVector.iterator.map(a => outProj(joined(l, a._1)))
+                  } else if (emitMode == IntervalJoinMode.Outer) {
+                    numOutputRows += 1
+                    pending = Iterator.single(outProj(joined(l, nullRight)))
+                  }
+                // existence modes: the left row itself, at most once; `l`
+                // stays valid until the next lIter.next(), which cannot
+                // happen before this single pending row is consumed
+                case IntervalJoinMode.Semi =>
+                  if (active.nonEmpty) {
+                    numMatchedRows += 1
+                    numOutputRows += 1
+                    pending = Iterator.single(l)
+                  }
+                case IntervalJoinMode.Anti =>
+                  if (active.isEmpty) {
+                    numOutputRows += 1
+                    pending = Iterator.single(l)
+                  }
               }
-            } else if (isOuter) {
-              numOutputRows += 1
-              pending = Iterator.single(outProj(joined(l, nullRight)))
+              }
+            } else {
+              // NULL key/time left rows match nothing: outer null-extends
+              // them, anti keeps them (NOT EXISTS over an always-false
+              // condition), inner and semi drop them
+              emitMode match {
+                case IntervalJoinMode.Outer =>
+                  numOutputRows += 1
+                  pending = Iterator.single(outProj(joined(l, nullRight)))
+                case IntervalJoinMode.Anti =>
+                  numOutputRows += 1
+                  pending = Iterator.single(l)
+                case _ => ()
+              }
             }
           }
         }
@@ -336,6 +569,13 @@ final case class IntervalJoinExec(
 object IntervalJoinExec {
   /** Session conf key bounding the per-task active-interval buffer. */
   val MaxActiveKey = "spark.graft.intervalJoin.maxActiveIntervals"
+
+  /** Session conf key (boolean, default false): instead of aborting when a
+    * key exceeds [[MaxActiveKey]], degrade that key to a disk-spillable
+    * active buffer — memory stays bounded by the task memory manager,
+    * work stays linear, throughput drops to the rebuild-per-point path.
+    */
+  val SpillKey = "spark.graft.intervalJoin.spillBeyondBudget"
 }
 
 /** DataFrame-level entry point for the native interval join. Columns are
@@ -357,6 +597,50 @@ object Interval {
       rightStart: String,
       rightEnd: String,
       outer: Boolean = false
+  ): DataFrame =
+    joinWithMode(left, right, leftKeys, rightKeys, leftTime, rightStart, rightEnd,
+      if (outer) IntervalJoinMode.Outer else IntervalJoinMode.Inner)
+
+  /** Points covered by at least one same-key interval, each once, left
+    * columns only — `EXISTS (SELECT 1 FROM r WHERE rk = lk AND lt BETWEEN
+    * rs AND re)` without the SMJ group buffering.
+    */
+  def intervalSemiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightStart: String,
+      rightEnd: String
+  ): DataFrame =
+    joinWithMode(left, right, leftKeys, rightKeys, leftTime, rightStart, rightEnd,
+      IntervalJoinMode.Semi)
+
+  /** Points covered by NO same-key interval — `NOT EXISTS …`, the
+    * purge/tombstone idiom.
+    */
+  def intervalAntiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightStart: String,
+      rightEnd: String
+  ): DataFrame =
+    joinWithMode(left, right, leftKeys, rightKeys, leftTime, rightStart, rightEnd,
+      IntervalJoinMode.Anti)
+
+  private def joinWithMode(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightStart: String,
+      rightEnd: String,
+      mode: IntervalJoinMode
   ): DataFrame = {
     val spark = left.sparkSession
     graft.GraftExtensions.register(spark)
@@ -370,7 +654,7 @@ object Interval {
         leftTime,
         rightStart,
         rightEnd,
-        outer,
+        mode,
         spark.sessionState.conf.resolver
       )
     )
@@ -387,7 +671,7 @@ object Interval {
       leftTime: String,
       rightStart: String,
       rightEnd: String,
-      outer: Boolean,
+      mode: IntervalJoinMode,
       nameMatches: (String, String) => Boolean
   ): IntervalJoinPlan = {
     val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
@@ -435,7 +719,7 @@ object Interval {
       lt,
       rs,
       re,
-      outer
+      mode
     )
   }
 }

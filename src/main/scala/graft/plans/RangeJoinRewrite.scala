@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   PredicateHelper,
   RowOrdering
 }
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
@@ -30,9 +30,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
   * degree) and does O(input + output) work, measured 20× on a hot key
   * with a gap that grows quadratically in group size.
   *
+  * LeftSemi/LeftAnti joins of the same shape — the `EXISTS` /
+  * `NOT EXISTS (SELECT … WHERE k = rk AND t BETWEEN s AND e)` idioms —
+  * rewrite to the node's existence modes ([[IntervalJoinMode.Semi]] /
+  * [[IntervalJoinMode.Anti]]): same sweep, emit each covered (or
+  * uncovered) point once, left columns only.
+  *
   * Semantics preserved exactly — the rewrite fires only when every piece
   * matches the exec's contract:
-  *  - INNER join, non-streaming, all condition conjuncts deterministic;
+  *  - INNER / LeftSemi / LeftAnti join, non-streaming, all condition
+  *    conjuncts deterministic;
   *  - ≥ 1 `EqualTo` conjunct strictly across the sides (never
   *    null-safe `<=>`: the exec, like SQL equality, never matches NULLs);
   *  - one side expression bracketed INCLUSIVELY by two expressions of the
@@ -72,8 +79,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // outranks stats in Spark's planner, so it must outrank this
         // rewrite too — a user who hinted a side knows something the size
         // estimate doesn't, and the session-wide kill switch is too blunt
-        // an escape for one query
-        case j @ Join(_, _, Inner, Some(cond), hint)
+        // an escape for one query. LeftSemi/LeftAnti are the EXISTS /
+        // NOT EXISTS containment idioms ("keep points covered by some
+        // interval" / "purge points inside any tombstone window") — the
+        // same hot-key SMJ buffering, fixed by the same sweep-line node
+        // in its existence modes. (NOT IN arrives as a null-aware OR
+        // condition whose disjunct structure yields no equi conjunct, so
+        // it falls through untouched — only NOT EXISTS shapes rewrite.)
+        case j @ Join(_, _, Inner | LeftSemi | LeftAnti, Some(cond), hint)
             if !j.isStreaming &&
               hint.leftHint.forall(_.strategy.isEmpty) &&
               hint.rightHint.forall(_.strategy.isEmpty) =>
@@ -123,37 +136,76 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if t1.semanticEquals(t2) && orderableNonFloating(t1.dataType)
     } yield (lo, up)).headOption
 
-    (direct, flipped) match {
-      case (Some((lo, up)), _) =>
-        val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
-        val residual = conjuncts.filterNot(used.contains)
-        val node = IntervalJoinPlan(
-          left,
-          right,
-          leftKeys = equis.map(_._1),
-          rightKeys = equis.map(_._2),
-          leftTime = lo._2,
-          rightStart = lo._1,
-          rightEnd = up._2,
-          outer = false
-        )
-        Some(residual.reduceOption(And).map(Filter(_, node)).getOrElse(node))
-      case (None, Some((lo, up))) =>
-        val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
-        val residual = conjuncts.filterNot(used.contains)
-        val node = IntervalJoinPlan(
-          right,
-          left,
-          leftKeys = equis.map(_._2),
-          rightKeys = equis.map(_._1),
-          leftTime = lo._2,
-          rightStart = lo._1,
-          rightEnd = up._2,
-          outer = false
-        )
-        // restore the original (left ++ right) column order
-        val reordered = Project(j.output, node)
-        Some(residual.reduceOption(And).map(Filter(_, reordered)).getOrElse(reordered))
+    j.joinType match {
+      case Inner =>
+        (direct, flipped) match {
+          case (Some((lo, up)), _) =>
+            val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+            val residual = conjuncts.filterNot(used.contains)
+            val node = IntervalJoinPlan(
+              left,
+              right,
+              leftKeys = equis.map(_._1),
+              rightKeys = equis.map(_._2),
+              leftTime = lo._2,
+              rightStart = lo._1,
+              rightEnd = up._2,
+              mode = IntervalJoinMode.Inner
+            )
+            Some(residual.reduceOption(And).map(Filter(_, node)).getOrElse(node))
+          case (None, Some((lo, up))) =>
+            val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+            val residual = conjuncts.filterNot(used.contains)
+            val node = IntervalJoinPlan(
+              right,
+              left,
+              leftKeys = equis.map(_._2),
+              rightKeys = equis.map(_._1),
+              leftTime = lo._2,
+              rightStart = lo._1,
+              rightEnd = up._2,
+              mode = IntervalJoinMode.Inner
+            )
+            // restore the original (left ++ right) column order
+            val reordered = Project(j.output, node)
+            Some(residual.reduceOption(And).map(Filter(_, reordered)).getOrElse(reordered))
+          case _ => None
+        }
+
+      case LeftSemi | LeftAnti =>
+        // existence modes emit LEFT rows only, so only the points-on-left
+        // orientation can rewrite ("intervals containing some point" is a
+        // different operator). Residual conjuncts are constrained by the
+        // quantifier: a right-only residual filters the EXISTS domain, so
+        // it pushes into the right child for both modes; a left-only
+        // residual c_l factors out of EXISTS (semi: Filter above) but NOT
+        // out of NOT EXISTS — an anti join KEEPS rows failing c_l
+        // (¬∃r: c_l ∧ m is true when ¬c_l), so anti with a left residual
+        // does not rewrite; any cross-side residual blocks both.
+        direct match {
+          case Some((lo, up)) =>
+            val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+            val residual = conjuncts.filterNot(used.contains)
+            val (resLeft, afterLeft) = residual.partition(onLeft)
+            val (resRight, resMixed) = afterLeft.partition(onRight)
+            if (resMixed.nonEmpty) return None
+            if (j.joinType == LeftAnti && resLeft.nonEmpty) return None
+            val newRight = resRight.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+            val node = IntervalJoinPlan(
+              left,
+              newRight,
+              leftKeys = equis.map(_._1),
+              rightKeys = equis.map(_._2),
+              leftTime = lo._2,
+              rightStart = lo._1,
+              rightEnd = up._2,
+              mode =
+                if (j.joinType == LeftSemi) IntervalJoinMode.Semi else IntervalJoinMode.Anti
+            )
+            Some(resLeft.reduceOption(And).map(Filter(_, node)).getOrElse(node))
+          case None => None
+        }
+
       case _ => None
     }
   }

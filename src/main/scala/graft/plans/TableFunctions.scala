@@ -101,15 +101,36 @@ object TableFunctions {
   }
 
   /** `graft_interval_join(TABLE l, TABLE r, lKeys, rKeys, lTime, rStart,
-    * rEnd [, outer])`.
+    * rEnd [, mode])` — `mode` is `true`/`false` (outer/inner, the original
+    * boolean form) or one of `'inner' | 'outer' | 'semi' | 'anti'`.
     */
   val interval: Seq[Expression] => LogicalPlan = { args =>
     val fn = "graft_interval_join"
     if (args.length < 7 || args.length > 8)
       throw new IllegalArgumentException(
         s"$fn takes 7-8 arguments (TABLE left, TABLE right, leftKeys, rightKeys," +
-          s" leftTime, rightStart, rightEnd[, outer]), got ${args.length}"
+          s" leftTime, rightStart, rightEnd[, mode]), got ${args.length}"
       )
+    val mode =
+      if (args.length <= 7) IntervalJoinMode.Inner
+      else
+        args(7) match {
+          case Literal(b: Boolean, BooleanType) =>
+            if (b) IntervalJoinMode.Outer else IntervalJoinMode.Inner
+          case Literal(s: UTF8String, StringType) if s != null =>
+            s.toString.trim.toLowerCase match {
+              case "inner" => IntervalJoinMode.Inner
+              case "outer" => IntervalJoinMode.Outer
+              case "semi"  => IntervalJoinMode.Semi
+              case "anti"  => IntervalJoinMode.Anti
+              case other =>
+                throw new IllegalArgumentException(
+                  s"$fn: mode must be one of inner/outer/semi/anti, got '$other'")
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"$fn: argument 8 must be a boolean or mode-string literal, got $other")
+        }
     Interval.planFor(
       tableArg(fn, args, 0),
       tableArg(fn, args, 1),
@@ -118,7 +139,7 @@ object TableFunctions {
       strArg(fn, args, 4),
       strArg(fn, args, 5),
       strArg(fn, args, 6),
-      boolArg(fn, args, 7, default = false),
+      mode,
       SQLConf.get.resolver
     )
   }

@@ -281,6 +281,125 @@ class IntervalJoinSpec extends SparkSpec {
     } finally spark.conf.unset(IntervalJoinExec.MaxActiveKey)
   }
 
+  test("semi/anti modes: EXISTS/NOT EXISTS semantics incl. NULL and fan-out edges") {
+    import spark.implicits._
+    val points = Seq(
+      ("k1", Some(10L), "in_one"),      // covered by r_a
+      ("k1", Some(20L), "in_two"),      // covered by r_a AND r_b — semi emits ONCE
+      ("k1", Some(26L), "uncovered"),   // no interval
+      ("k2", Some(12L), "inv_only"),    // k2's only interval is inverted → uncovered
+      ("k9", Some(5L), "no_key"),       // key absent on the right
+      (null.asInstanceOf[String], Some(5L), "null_key"), // never matches → anti keeps
+      ("k1", Option.empty[Long], "null_t")               // never matches → anti keeps
+    ).toDF("k", "t", "pname")
+    val ivals = Seq(
+      ("k1", 10L, 20L, "r_a"),
+      ("k1", 15L, 25L, "r_b"),
+      ("k2", 30L, 20L, "r_inv")
+    ).toDF("rk", "s", "e", "rname")
+
+    val semi = Interval
+      .intervalSemiJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+    assert(semi.columns.toSeq == Seq("k", "t", "pname"), "semi emits left columns only")
+    assert(semi.collect().map(_.getString(2)).sorted.toSeq == Seq("in_one", "in_two"),
+      s"semi: ${semi.collect().toSeq}")
+
+    val anti = Interval
+      .intervalAntiJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+    assert(anti.columns.toSeq == Seq("k", "t", "pname"), "anti emits left columns only")
+    assert(
+      anti.collect().map(_.getString(2)).sorted.toSeq ==
+        Seq("inv_only", "no_key", "null_key", "null_t", "uncovered"),
+      s"anti: ${anti.collect().toSeq}"
+    )
+    // semi + anti partition the left side exactly
+    assert(semi.count() + anti.count() == points.count())
+  }
+
+  test("semi/anti randomized differential vs EXISTS/NOT EXISTS on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9876)
+    for (trial <- 1 to 3) {
+      val nKeys = 1 + rnd.nextInt(4)
+      // points span [0, 200) but intervals end below 105: the tail is
+      // always uncovered, so neither side of the partition is vacuous
+      val points = Seq.tabulate(300)(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(200).toLong, i.toLong))
+      val ivals = Seq.fill(100) {
+        val s = rnd.nextInt(80).toLong
+        (rnd.nextInt(nKeys).toLong, s, s + rnd.nextInt(25) - 5L, rnd.nextLong())
+      }
+      val pdf = points.toDF("k", "t", "pid")
+      val idf = ivals.toDF("rk", "s", "e", "rid")
+      def covered(k: Long, t: Long) = ivals.exists(iv => iv._1 == k && iv._2 <= t && t <= iv._3)
+      val semiGot = Interval.intervalSemiJoin(pdf, idf, Seq("k"), Seq("rk"), "t", "s", "e")
+        .collect().map(_.getLong(2)).sorted.toSeq
+      val semiExp = points.collect { case (k, t, pid) if covered(k, t) => pid }.sorted
+      assert(semiGot == semiExp, s"semi trial $trial diverged")
+      val antiGot = Interval.intervalAntiJoin(pdf, idf, Seq("k"), Seq("rk"), "t", "s", "e")
+        .collect().map(_.getLong(2)).sorted.toSeq
+      val antiExp = points.collect { case (k, t, pid) if !covered(k, t) => pid }.sorted
+      assert(antiGot == antiExp, s"anti trial $trial diverged")
+      assert(semiExp.nonEmpty && antiExp.nonEmpty, s"trial $trial vacuous")
+    }
+  }
+
+  test("spillBeyondBudget: an over-budget hot key degrades gracefully, all modes exact") {
+    import graft.plans.IntervalJoinExec
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242)
+    // hot key: 200 wide intervals whose peak overlap (~100+) far exceeds
+    // the budget of 16; cold/post keys around it prove the key enters AND
+    // leaves spill mode cleanly (sort order: cold < hot < post)
+    val ivals =
+      (1 to 200).map { i =>
+        val s = rnd.nextInt(30).toLong
+        ("hot", s, s + 40 + rnd.nextInt(40), i.toLong)
+      } ++
+        (1 to 20).map(i => ("cold", i.toLong, i + 3L, (1000 + i).toLong)) ++
+        (1 to 10).map(i => ("post", i.toLong, i + 2L, (2000 + i).toLong))
+    val points =
+      (0 to 100 by 5).map(t => ("hot", t.toLong, (3000 + t).toLong)) ++
+        (1 to 20).map(i => ("cold", i.toLong, (200 + i).toLong)) ++
+        (1 to 12).map(i => ("post", i.toLong, (400 + i).toLong)) ++
+        // beyond every interval: uncovered on a spilled AND a fast key
+        Seq(("hot", 500L, 9001L), ("post", 500L, 9002L))
+    val pdf = points.toDF("k", "t", "pid")
+    val idf = ivals.toDF("rk", "s", "e", "rid")
+    def cover(k: String, t: Long) = ivals.filter(iv => iv._1 == k && iv._2 <= t && t <= iv._3)
+    spark.conf.set(IntervalJoinExec.MaxActiveKey, "16")
+    spark.conf.set(IntervalJoinExec.SpillKey, "true")
+    try {
+      val inner = Interval.intervalJoin(pdf, idf, Seq("k"), Seq("rk"), "t", "s", "e")
+        .select(col("pid"), col("rid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val innerExp = (for { (k, t, pid) <- points; iv <- cover(k, t) } yield (pid, iv._4)).sorted
+      assert(inner == innerExp, s"inner spill diverged: got ${inner.size}, want ${innerExp.size}")
+      assert(innerExp.size > 16 * points.size / 4, "fixture too thin to exceed the budget")
+
+      val outer = Interval.intervalJoin(pdf, idf, Seq("k"), Seq("rk"), "t", "s", "e", outer = true)
+        .select(col("pid"), col("rid")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      val outerExp = points.flatMap { case (k, t, pid) =>
+        val m = cover(k, t)
+        if (m.isEmpty) Seq((pid, -1L)) else m.map(iv => (pid, iv._4))
+      }.sorted
+      assert(outer == outerExp, "outer spill diverged")
+      assert(outerExp.exists(_._2 == -1L), "outer fixture must include uncovered points")
+
+      val semi = Interval.intervalSemiJoin(pdf, idf, Seq("k"), Seq("rk"), "t", "s", "e")
+        .collect().map(_.getLong(2)).sorted.toSeq
+      assert(semi == points.collect { case (k, t, pid) if cover(k, t).nonEmpty => pid }.sorted)
+
+      val anti = Interval.intervalAntiJoin(pdf, idf, Seq("k"), Seq("rk"), "t", "s", "e")
+        .collect().map(_.getLong(2)).sorted.toSeq
+      assert(anti == points.collect { case (k, t, pid) if cover(k, t).isEmpty => pid }.sorted)
+    } finally {
+      spark.conf.unset(IntervalJoinExec.MaxActiveKey)
+      spark.conf.unset(IntervalJoinExec.SpillKey)
+    }
+  }
+
   test("maxActiveIntervals metric records the per-task peak (max stat, sum headline)") {
     import spark.implicits._
     val points = Seq(("k", 10L, "p1"), ("k", 11L, "p2")).toDF("k", "t", "pname")

@@ -159,6 +159,116 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("LeftSemi/LeftAnti EXISTS-BETWEEN shapes rewrite to the existence modes") {
+    noBroadcast {
+      points.createOrReplaceTempView("rjr_points")
+      ivals.createOrReplaceTempView("rjr_ivals")
+      val semi = spark.sql(
+        """SELECT * FROM rjr_points p WHERE EXISTS (
+          |  SELECT 1 FROM rjr_ivals i WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e)""".stripMargin)
+      assert(hasIntervalExec(semi), s"semi rewrite did not fire:\n${semi.queryExecution.executedPlan}")
+      val anti = spark.sql(
+        """SELECT * FROM rjr_points p WHERE NOT EXISTS (
+          |  SELECT 1 FROM rjr_ivals i WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e)""".stripMargin)
+      assert(hasIntervalExec(anti), s"anti rewrite did not fire:\n${anti.queryExecution.executedPlan}")
+      val (semiGot, antiGot) = (semi.collect().map(_.toSeq).toSet, anti.collect().map(_.toSeq).toSet)
+      val (semiExp, antiExp) = rewriteOff {
+        val s = spark.sql(
+          """SELECT * FROM rjr_points p WHERE EXISTS (
+            |  SELECT 1 FROM rjr_ivals i WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e)""".stripMargin)
+        assert(!hasIntervalExec(s), "kill switch ignored for semi")
+        val a = spark.sql(
+          """SELECT * FROM rjr_points p WHERE NOT EXISTS (
+            |  SELECT 1 FROM rjr_ivals i WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e)""".stripMargin)
+        (s.collect().map(_.toSeq).toSet, a.collect().map(_.toSeq).toSet)
+      }
+      assert(semiGot == semiExp && semiExp.nonEmpty, "semi differential diverged")
+      assert(antiGot == antiExp && antiExp.nonEmpty, "anti differential diverged")
+      // semi + anti partition the points
+      assert(semiGot.size + antiGot.size == points.count())
+    }
+  }
+
+  test("semi/anti residual rules: right residual pushes, anti left residual blocks") {
+    noBroadcast {
+      points.createOrReplaceTempView("rjr_points")
+      ivals.createOrReplaceTempView("rjr_ivals")
+      // right-only residual (rv % 2 = 0) restricts the EXISTS domain —
+      // pushes into the right child, rewrite still fires, for both modes
+      def withRightResidual(not: String) = spark.sql(
+        s"""SELECT * FROM rjr_points p WHERE $not EXISTS (
+           |  SELECT 1 FROM rjr_ivals i
+           |  WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e AND i.rv % 2 = 0)""".stripMargin)
+      Seq("", "NOT").foreach { not =>
+        val q = withRightResidual(not)
+        assert(hasIntervalExec(q), s"[$not] right-residual rewrite did not fire")
+        val expected = rewriteOff(withRightResidual(not).collect().map(_.toSeq).toSet)
+        assert(q.collect().map(_.toSeq).toSet == expected && expected.nonEmpty,
+          s"[$not] right-residual differential diverged")
+      }
+      // left-only residual inside NOT EXISTS does NOT factor out —
+      // the rewrite must stand down (semantics would differ for rows
+      // failing the residual); Spark's plain anti join handles it
+      val antiLeftRes = spark.sql(
+        """SELECT * FROM rjr_points p WHERE NOT EXISTS (
+          |  SELECT 1 FROM rjr_ivals i
+          |  WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e AND p.pv % 2 = 0)""".stripMargin)
+      assert(!hasIntervalExec(antiLeftRes),
+        s"anti with a left residual must not rewrite:\n${antiLeftRes.queryExecution.optimizedPlan}")
+      // ...but the same residual inside EXISTS factors out and rewrites
+      val semiLeftRes = spark.sql(
+        """SELECT * FROM rjr_points p WHERE EXISTS (
+          |  SELECT 1 FROM rjr_ivals i
+          |  WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e AND p.pv % 2 = 0)""".stripMargin)
+      assert(hasIntervalExec(semiLeftRes), "semi with a left residual should rewrite")
+      val semiExp = rewriteOff {
+        spark.sql(
+          """SELECT * FROM rjr_points p WHERE EXISTS (
+            |  SELECT 1 FROM rjr_ivals i
+            |  WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e AND p.pv % 2 = 0)""".stripMargin)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(semiLeftRes.collect().map(_.toSeq).toSet == semiExp && semiExp.nonEmpty)
+      // left-residual anti must still be CORRECT through the non-rewritten path
+      val expectedAnti = rewriteOff(antiLeftRes.collect().map(_.toSeq).toSet)
+      assert(antiLeftRes.collect().map(_.toSeq).toSet == expectedAnti && expectedAnti.nonEmpty)
+    }
+  }
+
+  test("semi/anti null-inclusive randomized differential") {
+    noBroadcast {
+      (1 to 3).foreach { round =>
+        val pts = spark
+          .range(round * 101L, round * 101L + 250L)
+          .selectExpr(
+            "IF(id % 11 = 0, NULL, id % 6) AS k",
+            "IF(id % 13 = 0, NULL, id % 90) AS t",
+            "id AS pv")
+        val ivs = spark
+          .range(round * 37L, round * 37L + 110L)
+          .selectExpr(
+            "IF(id % 9 = 0, NULL, id % 6) AS rk",
+            "IF(id % 17 = 0, NULL, id % 75) AS s",
+            "IF(id % 19 = 0, NULL, id % 75 + 12) AS e",
+            "id AS rv")
+        pts.createOrReplaceTempView("rjr_npts")
+        ivs.createOrReplaceTempView("rjr_nivs")
+        def q(not: String) = spark.sql(
+          s"""SELECT * FROM rjr_npts p WHERE $not EXISTS (
+             |  SELECT 1 FROM rjr_nivs i WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e)""".stripMargin)
+        Seq("", "NOT").foreach { not =>
+          val on = q(not)
+          assert(hasIntervalExec(on), s"round $round [$not]: rewrite did not fire")
+          val got = on.collect().map(_.toSeq).toSet
+          val exp = rewriteOff(q(not).collect().map(_.toSeq).toSet)
+          assert(got == exp, s"round $round [$not] diverged: " +
+            s"on-only=${(got -- exp).take(3)} off-only=${(exp -- got).take(3)}")
+          assert(got.nonEmpty, s"round $round [$not] vacuous")
+        }
+      }
+    }
+  }
+
   test("guards: an explicit join-strategy hint outranks the rewrite") {
     noBroadcast {
       // hint-beats-stats is Spark's contract: a user who wrote
