@@ -42,7 +42,8 @@ object Bench {
       spark: SparkSession,
       rows: Int,
       waves: Int,
-      withBatcher: Boolean = true
+      withBatcher: Boolean = true,
+      rateLimit: Option[(Int, Long)] = None
   ): (Long, Double, Long, Long) = {
     import spark.implicits._
     import graft.config.{BatcherConfig, PipelineConfig}
@@ -51,8 +52,10 @@ object Bench {
     import graft.sources.QueueSource
     import graft.ack.NoopAcknowledger
 
-    val qName = s"bench-throughput-$waves${if (withBatcher) "" else "-single-group"}"
-    val q = QueueSource.create(qName, None)
+    val qName = s"bench-throughput-$waves${if (withBatcher) "" else "-single-group"}" +
+      rateLimit.map { case (a, i) => s"-rl$a-$i" }.getOrElse("")
+    val limiter = rateLimit.map { case (a, i) => new graft.core.RateLimiter(a, i) }
+    val q = QueueSource.create(qName, limiter)
     try {
       val messages = spark.readStream
         .format("graft.sources.QueueSourceProvider")
@@ -97,12 +100,98 @@ object Bench {
           running.processAllAvailable()
           w += 1
         }
+        // under a rate limiter, "all available" is only the ADMITTED
+        // backlog — later replenishes expose more; poll until everything
+        // pushed has actually flowed through (bounded at 120 s)
+        if (limiter.nonEmpty) {
+          val target = perWave.toLong * waves
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (running.stageMetrics.map(_.processorProcessed).getOrElse(-1L) < target &&
+            System.nanoTime() < deadline) {
+            running.processAllAvailable()
+            Thread.sleep(5)
+          }
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         val processed = running.stageMetrics.map(_.processorProcessed).getOrElse(-1L)
         val microBatches = Option(running.query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
         (perWave.toLong * waves, sec, processed, microBatches)
       } finally running.stop()
+    } finally {
+      QueueSource.remove(qName)
+      limiter.foreach(_.shutdown())
+    }
+  }
+
+  /** Drain-guarantee scenario (the reference's graceful-shutdown contract,
+    * topology/terminator.ex:41-60): push a full backlog, then IMMEDIATELY
+    * call the pipeline's graceful stop — the drain must process every
+    * pushed row before the query terminates. Reports the wall time of the
+    * stop() call itself (drain latency) plus the processed count proving
+    * the guarantee held under load.
+    */
+  private def drainScenario(spark: SparkSession, rows: Int): (Long, Double, Long) = {
+    import spark.implicits._
+    import graft.config.{BatcherConfig, PipelineConfig}
+    import graft.core.Pipeline
+    import graft.model.Message
+    import graft.sources.QueueSource
+    import graft.ack.NoopAcknowledger
+
+    val qName = "bench-drain"
+    val q = QueueSource.create(qName, None)
+    try {
+      val messages = spark.readStream
+        .format("graft.sources.QueueSourceProvider")
+        .option("queue", qName)
+        .load()
+        .select(col("offset"), col("value"))
+        .as[(Long, String)]
+        .map { case (off, v) => Message(v, metadata = Map("seq" -> off.toString)) }
+      val cfg = PipelineConfig[String](
+        name = qName,
+        handleMessage = m => m
+          .updateData(d => d.toUpperCase + ":" + d.length)
+          .putBatchKey((math.floorMod(m.data.hashCode, 16)).toString),
+        batchers = Seq(BatcherConfig[String]("default", batchSize = 200))
+      )
+      val running = Pipeline.start(spark, messages, cfg, NoopAcknowledger)
+      q.push((0 until rows).map(i => s"evt-$i-payload-${i % 997}-abcdefghijklmnop"): _*)
+      val t0 = System.nanoTime()
+      running.stop() // graceful: drains the backlog before terminating
+      val drainSec = (System.nanoTime() - t0) / 1e9
+      val processed = running.stageMetrics.map(_.processorProcessed).getOrElse(-1L)
+      (rows.toLong, drainSec, processed)
     } finally QueueSource.remove(qName)
+  }
+
+  /** All five streaming scenarios as one JSON object. burst/sustained/
+    * single_group triangulate the keyed-batching and cadence costs;
+    * rate_limited measures the admission machinery (25k tokens / 100 ms =
+    * 250k rows/s cap — above pipeline throughput, so the delta vs burst
+    * is bookkeeping + replenish cadence, not a binding limit); drain
+    * measures the graceful-shutdown guarantee under a full backlog.
+    */
+  private[graft] def streamingBlockJson(spark: SparkSession, rows: Int): String = {
+    // untimed warmup: the first pipeline run pays streaming codegen,
+    // state-store and sink init (~3-4 s) — without this it all lands on
+    // whichever scenario runs first and corrupts the cross-scenario
+    // deltas the block exists to attribute
+    streamingScenario(spark, math.min(rows / 10, 20000), waves = 1)
+    val (bRows, bSec, bProc, bBatches) = streamingScenario(spark, rows, waves = 1)
+    val (sRows, sSec, sProc, sBatches) = streamingScenario(spark, rows, waves = 8)
+    val (mRows, mSec, mProc, mBatches) =
+      streamingScenario(spark, rows, waves = 1, withBatcher = false)
+    val (rRows, rSec, rProc, rBatches) =
+      streamingScenario(spark, rows, waves = 1, rateLimit = Some((25000, 100L)))
+    val (dRows, dSec, dProc) = drainScenario(spark, rows)
+    def block(r: Long, sec: Double, proc: Long, batches: Long) =
+      s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"processed":$proc,"micro_batches":$batches}"""
+    s"""{"rows":$bRows,"burst":${block(bRows, bSec, bProc, bBatches)},""" +
+      s""""sustained":${block(sRows, sSec, sProc, sBatches)},""" +
+      s""""single_group":${block(mRows, mSec, mProc, mBatches)},""" +
+      s""""rate_limited":${block(rRows, rSec, rProc, rBatches)},""" +
+      s""""drain":{"drain_sec":${math.round(dSec * 1000) / 1000.0},"rows_per_sec":${math.round(dRows / dSec)},"processed":$dProc}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -238,13 +327,7 @@ object Bench {
           // burst = max throughput (one backlog, few big micro-batches);
           // sustained = steady-state cadence (8 drained waves, each paying
           // trigger scheduling + the per-micro-batch ack round trip)
-          val (bRows, bSec, bProc, bBatches) = streamingScenario(spark, rows, waves = 1)
-          val (sRows, sSec, sProc, sBatches) = streamingScenario(spark, rows, waves = 8)
-          val (mRows, mSec, mProc, mBatches) =
-            streamingScenario(spark, rows, waves = 1, withBatcher = false)
-          s"""{"rows":$bRows,"burst":{"sec":${math.round(bSec * 1000) / 1000.0},"rows_per_sec":${math.round(bRows / bSec)},"processed":$bProc,"micro_batches":$bBatches},""" +
-            s""""sustained":{"sec":${math.round(sSec * 1000) / 1000.0},"rows_per_sec":${math.round(sRows / sSec)},"processed":$sProc,"micro_batches":$sBatches},""" +
-            s""""single_group":{"sec":${math.round(mSec * 1000) / 1000.0},"rows_per_sec":${math.round(mRows / mSec)},"processed":$mProc,"micro_batches":$mBatches}}"""
+          streamingBlockJson(spark, rows)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] streaming FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -267,6 +350,30 @@ object Bench {
     println(
       s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowJson,"shared_build_ms":$sharedJson,"queries":$headline,"streaming":$streamingJson,"detail_file":"$detailName"}"""
     )
+    spark.stop()
+  }
+}
+
+/** Streaming-only bench entry for local profiling: the five pipeline
+  * scenarios (burst / sustained / single_group / rate_limited / drain)
+  * without the 238-query registry sweep — iterate on the pipeline's hot
+  * path with a ~30 s loop instead of a ~5 min one.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "1").toInt
+    (1 to reps).foreach { i =>
+      println(s"""{"rep":$i,"streaming":${Bench.streamingBlockJson(spark, rows)}}""")
+    }
     spark.stop()
   }
 }

@@ -36,6 +36,22 @@ import graft.runtime.{PipelineRegistry, StageCounters, StageMetrics}
   */
 object Pipeline {
 
+  /** Arrival order within a group: the ingest-stamped "seq" metadata.
+    * Parsed ONCE per message into a key array before sorting — a plain
+    * `sortBy(_.metadata.get("seq")…)` re-does the Map lookup + Option
+    * allocation + String→Long parse on EVERY comparison (O(n log n)
+    * parses per group), which the 200k-row streaming bench shows as real
+    * per-micro-batch overhead across the processor/batcher/ack stages.
+    */
+  private[graft] def seqSorted[A](it: Iterator[Message[A]]): Vector[Message[A]] = {
+    val arr = it.map(m => (m.metadata.get("seq").map(_.toLong).getOrElse(0L), m)).toArray
+    arr.sortInPlaceBy(_._1)
+    val b = Vector.newBuilder[Message[A]]
+    b.sizeHint(arr.length)
+    arr.foreach(p => b += p._2)
+    b.result()
+  }
+
   /** Process one micro-batch (or one batch DataFrame) through the full
     * stage chain. Returns the messages with final statuses (post-batch).
     */
@@ -114,7 +130,7 @@ object Pipeline {
         implicit val intEnc: Encoder[Int] = Encoders.scalaInt
         ds.groupByKey((m: Message[A]) => math.floorMod(pf(m.data), n))
           .flatMapGroups { (_: Int, it: Iterator[Message[A]]) =>
-            runProcessor(it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L)))
+            runProcessor(seqSorted(it))
           }
       case None =>
         ds.mapPartitions(it => runProcessor(it.toSeq))
@@ -158,7 +174,7 @@ object Pipeline {
               // Stable per-key order: arrival sequence stamped at ingest
               // (the ordered-processing guarantee of partition_by,
               // broadway.ex:524-607; same key ⇒ one group ⇒ serial here).
-              val msgs = it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L))
+              val msgs = seqSorted(it)
               val chunks = splitBatches(msgs, bc)
               chunks.iterator.flatMap { case (chunk, trigger) =>
                 val info = BatchInfo(batcherName, batchKey, TaskContext.getPartitionId(), chunk.size, trigger)
@@ -194,7 +210,7 @@ object Pipeline {
     val acked = afterBatches
       .groupByKey((m: Message[A]) => m.ackRef)
       .mapGroups { (ref: String, it: Iterator[Message[A]]) =>
-        val msgs = it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L))
+        val msgs = seqSorted(it)
         val (ok, failed) = msgs.partition(_.isOk)
         val failedFinal =
           if (failed.nonEmpty) {
@@ -405,6 +421,11 @@ final class RunningPipeline[A](
         }
       } finally {
         rateLimiter.foreach(_.shutdown())
+        // post-mortem metrics: snapshot BEFORE the counters leave the
+        // registry, so callers can still read the final stage totals of a
+        // stopped pipeline (e.g. the drain scenario proving every pushed
+        // row processed) — the reference's telemetry outlives the stages
+        finalMetrics = StageCounters.metricsOf(name)
         StageCounters.remove(name)
         PipelineRegistry.unregister(name)
       }
@@ -418,8 +439,13 @@ final class RunningPipeline[A](
       batchers = config.batchers.map(b => BatcherInfo(b.name, b.batchSize, b.batchTimeoutMs, b.concurrency))
     )
 
-  /** Per-stage counter snapshot (the telemetry-span analog). */
-  def stageMetrics: Option[StageMetrics] = StageCounters.metricsOf(name)
+  @volatile private var finalMetrics: Option[StageMetrics] = None
+
+  /** Per-stage counter snapshot (the telemetry-span analog); after stop(),
+    * the final snapshot taken at teardown.
+    */
+  def stageMetrics: Option[StageMetrics] =
+    StageCounters.metricsOf(name).orElse(finalMetrics)
 
   def getRateLimiting: Option[graft.config.RateLimiting] = rateLimiter.map(_.get)
 

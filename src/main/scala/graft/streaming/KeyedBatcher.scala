@@ -60,7 +60,7 @@ object KeyedBatcher {
           else Iterator.empty
         } else {
           val (buffered, acc0) = state.getOption.map(deserialize[A]).getOrElse((Vector.empty[Message[A]], initAcc(splitter)))
-          val incoming = it.toVector.sortBy(_.metadata.get("seq").map(_.toLong).getOrElse(0L))
+          val incoming = graft.core.Pipeline.seqSorted(it)
           val out = Vector.newBuilder[EmittedBatch[A]]
 
           var rest = buffered

@@ -535,6 +535,12 @@ class PipelineSpec extends SparkSpec {
     tp2.running.stop(graft.core.StopReason.Normal, 10000L)
     assert(drained2.get(), "Normal must invoke prepare_for_draining")
     assert(!PipelineRegistry.allRunning.contains("stop-normal"))
+    // post-mortem metrics: the handle serves the final snapshot taken at
+    // teardown (the drain-latency bench proves its guarantee with this),
+    // while the LIVE counter registry is released
+    assert(tp2.running.stageMetrics.map(_.processorProcessed).contains(1L),
+      s"expected final snapshot with 1 processed, got ${tp2.running.stageMetrics}")
+    assert(graft.runtime.StageCounters.metricsOf("stop-normal").isEmpty, "live counters leaked")
     tp.clearAcks(); tp2.clearAcks()
   }
 
