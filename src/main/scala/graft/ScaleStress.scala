@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** 10× scale stress of the shared-build family and the native joins —
+  * the cheapest way to catch a driver-side bottleneck before a real
+  * cluster does. Generates a deterministic ~sf1-scale synthetic corpus
+  * (same schemas as the driver's testdata: 50k documents with a 1-in-7
+  * near-duplicate rate, 20k 64-dim embeddings in 32 clusters) under /tmp,
+  * then times, at the default 8 g driver heap:
+  *
+  *  - `DedupOps.lshPairs` / `dedupClusters` (MinHash bands → verified
+  *    pairs → connected components),
+  *  - `SimilarityOps.embeddingNeardupPairs` (embedding LSH buckets),
+  *  - the native as-of and interval joins on 1M points × 500k intervals
+  *    over 10k keys (records the peak active-interval metric),
+  *  - the interval join's spill path on an adversarial hot key (100k
+  *    axis-spanning intervals, budget forced to 10k) in inner and semi
+  *    modes.
+  *
+  * Prints one JSON line; results are recorded in NOTES.md round-over-
+  * round. Row counts scale via SPARK_GRAFT_STRESS_X (default 10 = ~sf1).
+  */
+object ScaleStress {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val x = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir = "/tmp/graft_stress_sf1"
+    val docN = 5000L * x
+    val vecN = 2000L * x
+
+    // ---- synthetic corpus (deterministic splitmix-style chains) --------
+    val vocab = ("batch part spark line column order small sort fast value scan slow hash " +
+      "group agg filter query big key window join map plan stage task shuffle block page " +
+      "row file byte disk core node rack zone item user event doc").split(" ")
+    def wordsFor(seed0: Long, n: Int, mutate: Boolean): String = {
+      var s = seed0
+      val sb = new StringBuilder(n * 6)
+      var i = 0
+      while (i < n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val idx0 = (((s >>> 33) % vocab.length).toInt + vocab.length) % vocab.length
+        val idx = if (mutate && i % 37 == 0) (idx0 + 1) % vocab.length else idx0
+        sb.append(vocab(idx)).append(' ')
+        i += 1
+      }
+      sb.result()
+    }
+    val tGen0 = System.nanoTime()
+    spark.range(docN).as[Long].map { id =>
+      val isDup = id % 7 == 0 && id > 0
+      val base = if (isDup) id - 1 else id
+      val n = 100 + (base % 300).toInt
+      val text = wordsFor(base, n, isDup)
+      (id, text, if (id % 5 == 0) "zh" else "en", s"src${id % 8}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // ~vecN/10 micro-clusters of ~10 vectors each: near-dup structure at a
+    // REALISTIC density (Σ|cluster|² ≈ 10·vecN candidate pairs). A first
+    // cut with 32 giant clusters of identical vectors was measured
+    // quadratic by construction — 122M verified pairs from 20k vectors —
+    // which is the documented adversarial bound of bucketed pair search,
+    // not a corpus any dedup pipeline sees
+    spark.range(vecN).as[Long].map { id =>
+      val label = (id % 32).toInt
+      val cluster = id / 10
+      var s = cluster * 0x9E3779B97F4A7C15L + 17
+      val arr = new Array[Float](64)
+      var i = 0
+      while (i < 64) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        // ZERO-CENTERED cluster direction: all-positive coordinates give
+        // any two random vectors a ~0.75 baseline cosine (everything
+        // "near-duplicates" everything); centering puts cross-cluster
+        // cosine near 0 and intra-cluster near 1
+        val base = (((s >>> 40).toInt % 1000) - 500) / 500.0f
+        val noise = (((id * 31 + i) * 6364136223846793005L >>> 45).toInt % 100) / 2000.0f
+        arr(i) = base + noise
+        i += 1
+      }
+      (id, arr.toSeq, label)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+
+    def timed(name: String)(body: => Long): (String, Double, Long) = {
+      graft.ops.Caches.invalidate()
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stress] $name: $sec%.2f s, $n rows")
+      (name, sec, n)
+    }
+
+    // ---- shared-build family at 10× ------------------------------------
+    var hiDefault = -1L
+    var hiWide = -1L
+    val builds = Seq(
+      timed("lsh_pairs")(graft.ops.DedupOps.lshPairs(spark, dir, 0.8).count()),
+      timed("dedup_clusters")(graft.ops.DedupOps.dedupClusters(spark, dir, 0.8).count()),
+      // default geometry (320 bands × 8 bits): exact-recall tuning for the
+      // oracle gate — its random-collision multiset is the superlinear
+      // term this stress exists to expose
+      timed("embedding_neardup_default_geom") {
+        val df = graft.ops.SimilarityOps.embeddingNeardupPairs(spark, dir)
+        hiDefault = df.filter(org.apache.spark.sql.functions.col("cosine") >= 0.9).count()
+        df.count()
+      },
+      // production geometry (64 bands × 16 bits): the scale path for
+      // ≥ 0.9-cosine near-dup corpora — wide-band recall is ≈ 1 for true
+      // near-dups and deliberately sheds the sub-0.9 borderline tail;
+      // hiWide == hiDefault below PROVES no real near-dup was lost while
+      // the multiset shrinks by ~2^8 × 5
+      timed("embedding_neardup_wide_bands") {
+        spark.conf.set(graft.ops.SimilarityOps.BandBitsKey, "16")
+        spark.conf.set(graft.ops.SimilarityOps.NumBandsKey, "64")
+        try {
+          val df = graft.ops.SimilarityOps.embeddingNeardupPairs(spark, dir)
+          hiWide = df.filter(org.apache.spark.sql.functions.col("cosine") >= 0.9).count()
+          df.count()
+        } finally {
+          spark.conf.unset(graft.ops.SimilarityOps.BandBitsKey)
+          spark.conf.unset(graft.ops.SimilarityOps.NumBandsKey)
+        }
+      }
+    )
+
+    // ---- native joins at 10×: 1M points × 500k intervals, 10k keys -----
+    val pts = spark.range(100000L * x)
+      .selectExpr("id % 10000 AS k", "(id * 2654435761) % 10000000 AS t", "id AS pid")
+    val ivs = spark.range(50000L * x)
+      .selectExpr("id % 10000 AS rk", "(id * 40503) % 9990000 AS s",
+        "(id * 40503) % 9990000 + 500 + id % 4000 AS e", "id AS rid")
+    val asofRight = spark.range(50000L * x)
+      .selectExpr("id % 10000 AS rk", "(id * 48271) % 10000000 AS rt", "id AS rv")
+
+    var peakActive = -1L
+    val joins = Seq(
+      timed("asof_join_1m_x_500k") {
+        graft.plans.AsOf.asofJoin(pts.toDF(), asofRight.toDF(),
+          Seq("k"), Seq("rk"), "t", "rt").count()
+      },
+      timed("interval_join_1m_x_500k") {
+        val df = graft.plans.Interval.intervalJoin(pts.toDF(), ivs.toDF(),
+          Seq("k"), Seq("rk"), "t", "s", "e")
+        // execute THIS query execution (count() would plan a fresh one
+        // whose metrics the df never sees), then read the task-peak metric
+        val n = df.queryExecution.toRdd.count()
+        peakActive = maxActiveOf(df)
+        n
+      }
+    )
+
+    // ---- adversarial hot key through the spill path --------------------
+    spark.conf.set(graft.plans.IntervalJoinExec.MaxActiveKey, "10000")
+    spark.conf.set(graft.plans.IntervalJoinExec.SpillKey, "true")
+    val hotIvs = spark.range(10000L * x)
+      .selectExpr("CAST(9999999 AS BIGINT) AS rk", "CAST(0 AS BIGINT) AS s",
+        "CAST(10000000 AS BIGINT) AS e", "id AS rid")
+    val hotPtsInner = spark.range(50)
+      .selectExpr("CAST(9999999 AS BIGINT) AS k", "id * 1000 AS t", "id AS pid")
+    val hotPtsSemi = spark.range(2000)
+      .selectExpr("CAST(9999999 AS BIGINT) AS k", "id * 100 AS t", "id AS pid")
+    val spills = Seq(
+      timed("spill_inner_50pts_x_100k_span") {
+        graft.plans.Interval.intervalJoin(hotPtsInner.toDF(), hotIvs.toDF(),
+          Seq("k"), Seq("rk"), "t", "s", "e").count()
+      },
+      timed("spill_semi_2000pts_x_100k_span") {
+        graft.plans.Interval.intervalSemiJoin(hotPtsSemi.toDF(), hotIvs.toDF(),
+          Seq("k"), Seq("rk"), "t", "s", "e").count()
+      }
+    )
+    spark.conf.unset(graft.plans.IntervalJoinExec.MaxActiveKey)
+    spark.conf.unset(graft.plans.IntervalJoinExec.SpillKey)
+
+    val all = builds ++ joins ++ spills
+    val json = all.map { case (n, sec, rows) =>
+      s""""$n":{"sec":${math.round(sec * 100) / 100.0},"rows":$rows}"""
+    }.mkString(",")
+    println(
+      s"""{"stress_x":$x,"docs":$docN,"vecs":$vecN,"gen_sec":${math.round(genSec * 100) / 100.0},""" +
+        s""""peak_active_intervals":$peakActive,"pairs_cos_ge_090":{"default_geom":$hiDefault,"wide_bands":$hiWide},"heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g",$json}"""
+    )
+    spark.stop()
+  }
+
+  /** Per-task peak of the maxActiveIntervals metric (max statistic) from
+    * an executed interval-join plan, descending through AQE wrappers.
+    */
+  private def maxActiveOf(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Option[graft.plans.IntervalJoinExec] = p match {
+      case e: graft.plans.IntervalJoinExec => Some(e)
+      case a: AdaptiveSparkPlanExec        => find(a.executedPlan)
+      case q: QueryStageExec               => find(q.plan)
+      case other                           => other.children.view.flatMap(find(_)).headOption
+    }
+    find(df.queryExecution.executedPlan).map(_.metrics("maxActiveIntervals").value).getOrElse(-1L)
+  }
+}

@@ -159,12 +159,37 @@ object SimilarityOps {
     * banded candidate pass — one codegen'd evaluation of all
     * NumBands×BandBits planes per row.
     */
-  def packedSig(embedding: Column): Column =
+  def packedSig(embedding: Column): Column = packedSig(embedding, NumBands * BandBits)
+
+  def packedSig(embedding: Column, numPlanes: Int): Column =
     graft.functions.VectorFunctions.hyperplaneSignsPacked(
       embedding,
-      flatPlanes(NumBands * BandBits),
+      flatPlanes(numPlanes),
       Dim
     )
+
+  /** Band-geometry session overrides. The defaults (320 bands × 8 bits)
+    * are tuned for EXACT recall at the 0.45 verify gate on the oracle
+    * corpora — but the random-collision multiset the candidate join
+    * shuffles grows as `numBands × n² / 2^bandBits`, so a FIXED 8-bit
+    * band turns superlinear as the corpus grows (measured by ScaleStress:
+    * 10× vectors → ~37× wall time). At production scale widen the bands
+    * and cut their count: near-dup thresholds there are ≥ 0.9 (per-plane
+    * collision p ≈ 0.95), so e.g. 64 bands × 16 bits keeps per-pair
+    * recall ≈ 1 − (1 − p^16)^64 ≈ 1.0 while dividing the random multiset
+    * by 2^8 × 5 — back to near-linear. Width is the scale knob, count is
+    * the recall knob; both are per-session so the same build serves the
+    * small-corpus oracle gate and the 100 TB path.
+    */
+  val BandBitsKey = "spark.graft.embeddingLsh.bandBits"
+  val NumBandsKey = "spark.graft.embeddingLsh.numBands"
+  private def bandGeometry(s: SparkSession): (Int, Int) = {
+    val bands = s.conf.get(NumBandsKey, NumBands.toString).toInt
+    val bits = s.conf.get(BandBitsKey, BandBits.toString).toInt
+    require(bands > 0 && bits > 0 && bits <= 28,
+      s"$NumBandsKey/$BandBitsKey must be positive (bits <= 28), got $bands/$bits")
+    (bands, bits)
+  }
 
   /** Verified high-similarity pairs (cosine ≥ 0.45), unordered — the
     * banded-LSH candidate pipeline shared by q42 (pair listing) and q47
@@ -209,6 +234,7 @@ object SimilarityOps {
     // pipeline's cold time — the per-row work is trivial), and the two
     // verify legs are built STRUCTURALLY IDENTICAL so Catalyst's
     // ReuseExchange collapses them into one shared broadcast build.
+    val (bands, bits) = bandGeometry(s)
     val posts = Caches.persisted(
       embeddings(s, d)
         .select(col("vec_id"), emb(col("embedding")).as("v"))
@@ -220,7 +246,7 @@ object SimilarityOps {
         .select(
           col("vec_id"),
           explode(
-            graft.functions.VectorFunctions.bandKeys(packedSig(col("v")), BandBits)
+            graft.functions.VectorFunctions.bandKeys(packedSig(col("v"), bands * bits), bits)
           ).as("bk")
         )
     )

@@ -124,6 +124,81 @@ class TableFunctionSpec extends SparkSpec {
     assert(viaSql.filter(col("view_id").isNull).count() > 0L)
   }
 
+  test("graft_interval_join: mode strings semi/anti equal the DataFrame API") {
+    import spark.implicits._
+    (1L to 60L).map(i => (i % 5, i, i * 10)).toDF("k", "t", "pid")
+      .createOrReplaceTempView("tvf_pts")
+    (1L to 25L).map(i => (i % 5, i, i + 8, i * 3)).toDF("rk", "s", "e", "rid")
+      .createOrReplaceTempView("tvf_ivs")
+    def tvf(m: String) = spark.sql(
+      s"""SELECT * FROM graft_interval_join(TABLE(tvf_pts), TABLE(tvf_ivs),
+         |  'k', 'rk', 't', 's', 'e', '$m')""".stripMargin)
+    val semi = tvf("semi")
+    assert(semi.columns.toSeq == Seq("k", "t", "pid"), "semi emits left columns only")
+    val semiApi = Interval.intervalSemiJoin(
+      spark.table("tvf_pts"), spark.table("tvf_ivs"), Seq("k"), Seq("rk"), "t", "s", "e")
+    assert(semi.collect().map(_.toSeq).toSet == semiApi.collect().map(_.toSeq).toSet)
+    val anti = tvf("anti")
+    val antiApi = Interval.intervalAntiJoin(
+      spark.table("tvf_pts"), spark.table("tvf_ivs"), Seq("k"), Seq("rk"), "t", "s", "e")
+    assert(anti.collect().map(_.toSeq).toSet == antiApi.collect().map(_.toSeq).toSet)
+    assert(semi.count() > 0 && anti.count() > 0, "vacuous fixture")
+    assert(semi.count() + anti.count() == 60L, "semi+anti must partition the points")
+    // 'outer' string == legacy boolean true
+    assert(tvf("outer").collect().map(_.toSeq).toSet ==
+      spark.sql(
+        """SELECT * FROM graft_interval_join(TABLE(tvf_pts), TABLE(tvf_ivs),
+          |  'k', 'rk', 't', 's', 'e', true)""".stripMargin).collect().map(_.toSeq).toSet)
+  }
+
+  test("TVF trailing-argument dispatch rejects non-literal and mistyped arguments loudly") {
+    registerEventViews()
+    // as-of 7th argument must be a literal: a column/expression can't
+    // dispatch between (tieBreaks) and (outer) and must say so
+    val nonLit = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_asof_join(
+          |  TABLE(tvf_clicks), TABLE(tvf_views), 'user_id', 'v_user', 'ts', 'vts',
+          |  upper('view_id'))""".stripMargin).collect()
+    }
+    assert(nonLit.getMessage.contains("must be a string literal"), s"got: ${nonLit.getMessage}")
+    // (bool, bool): the 7-th slot is the tie-break CSV once two trailing
+    // args exist — a boolean there must be rejected, not silently treated
+    // as the outer flag
+    val boolAsTieBreak = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_asof_join(
+          |  TABLE(tvf_clicks), TABLE(tvf_views), 'user_id', 'v_user', 'ts', 'vts',
+          |  true, true)""".stripMargin).collect()
+    }
+    assert(boolAsTieBreak.getMessage.contains("must be a string literal"),
+      s"got: ${boolAsTieBreak.getMessage}")
+    // (tieBreaks, 'yes'): the 8th slot must be a boolean literal
+    val badOuter = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_asof_join(
+          |  TABLE(tvf_clicks), TABLE(tvf_views), 'user_id', 'v_user', 'ts', 'vts',
+          |  'view_id', 'yes')""".stripMargin).collect()
+    }
+    assert(badOuter.getMessage.contains("must be a boolean literal"), s"got: ${badOuter.getMessage}")
+    // interval mode: unknown strings and non-literals name the contract
+    val badMode = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_interval_join(
+          |  TABLE(tvf_clicks), TABLE(tvf_views), 'user_id', 'v_user', 'ts', 'ts', 'ts',
+          |  'sideways')""".stripMargin).collect()
+    }
+    assert(badMode.getMessage.contains("inner/outer/semi/anti"), s"got: ${badMode.getMessage}")
+    val nonLitMode = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_interval_join(
+          |  TABLE(tvf_clicks), TABLE(tvf_views), 'user_id', 'v_user', 'ts', 'ts', 'ts',
+          |  1 = 1)""".stripMargin).collect()
+    }
+    assert(nonLitMode.getMessage.contains("boolean or mode-string literal"),
+      s"got: ${nonLitMode.getMessage}")
+  }
+
   test("TVF argument errors are loud and name the problem") {
     registerEventViews()
     val noCol = intercept[Exception] {
