@@ -289,6 +289,51 @@ class JoinOptimizationSpec extends SparkSpec {
     assert(rows.exists(!_.isNullAt(1)), "expected at least one matched click")
   }
 
+  test("interval semi/anti: left predicates push below, transfers prune the right side") {
+    import spark.implicits._
+    val points = (1L to 200L).map(i => (i % 5, i, i * 2)).toDF("k", "t", "pv")
+    // SPARSE width-1 windows so both the covered (semi) and uncovered
+    // (anti) populations are nonempty under the test's time slice
+    val ivals = (1L to 80L).map(i => (i % 5, i * 3, i * 3 + 1, i * 7)).toDF("rk", "s", "e", "rv")
+    Seq(
+      () => graft.plans.Interval.intervalSemiJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e"),
+      () => graft.plans.Interval.intervalAntiJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+    ).foreach { mk =>
+      val joined = mk().filter(col("k") < 3L && col("t") >= 20L && col("t") < 60L)
+      val opt = joined.queryExecution.optimizedPlan
+      // every conjunct references only left columns (semi/anti expose no
+      // others) — all must push below the node...
+      assert(!filterAboveCustomJoin(opt), s"semi/anti left filter not pushed:\n$opt")
+      // ...and the key + time-bound transfers must land on the right child
+      val rf = opt.collect { case i: IntervalJoinPlan => i.right }
+        .flatMap(_.collect { case LFilter(c, _) => c.toString })
+      assert(rf.exists(c => c.contains("rk") && c.contains("< 3")),
+        s"key transfer missing on the right child: $rf\n$opt")
+      assert(rf.exists(_.contains("s#")) && rf.exists(_.contains("e#")),
+        s"time-bound transfers missing on the right child: $rf\n$opt")
+      assert(joined.collect().map(_.toSeq).toSet.nonEmpty, "vacuous fixture")
+    }
+    // soundness differential: the optimized semi/anti equals pre-filtering
+    // the LEFT input by hand with the right side untouched
+    val pre = points.filter(col("k") < 3L && col("t") >= 20L && col("t") < 60L)
+    val semiOpt = graft.plans.Interval
+      .intervalSemiJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("k") < 3L && col("t") >= 20L && col("t") < 60L)
+      .collect().map(_.toSeq).toSet
+    val semiPre = graft.plans.Interval
+      .intervalSemiJoin(pre, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .collect().map(_.toSeq).toSet
+    assert(semiOpt == semiPre && semiPre.nonEmpty, "semi pushdown changed results")
+    val antiOpt = graft.plans.Interval
+      .intervalAntiJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("k") < 3L && col("t") >= 20L && col("t") < 60L)
+      .collect().map(_.toSeq).toSet
+    val antiPre = graft.plans.Interval
+      .intervalAntiJoin(pre, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .collect().map(_.toSeq).toSet
+    assert(antiOpt == antiPre && antiPre.nonEmpty, "anti pushdown changed results")
+  }
+
   test("stats: custom join nodes report sane sizes, not the product-of-children default") {
     import spark.implicits._
     val pts = (1L to 4000L).map(i => (i % 7, i, i * 2)).toDF("k", "t", "pv")

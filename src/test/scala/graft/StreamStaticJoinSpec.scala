@@ -51,6 +51,40 @@ class StreamStaticJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static interval SEMI/ANTI == batch (streaming purge against static windows)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static tombstone windows; streaming points kept (semi: inside some
+    // window) or purged through (anti: outside every window) — stateless
+    // per left row, so per-micro-batch execution is exact
+    val wins = (1L to 20L).map(i => (i % 3, i * 5, i * 5 + 12)).toDF("rk", "s", "e")
+    def run(mode: String): (Seq[String], Seq[String]) = {
+      val stream = MemoryStream[(Long, Long)]
+      def join(df: org.apache.spark.sql.DataFrame) =
+        if (mode == "semi") Interval.intervalSemiJoin(df, wins, Seq("k"), Seq("rk"), "t", "s", "e")
+        else Interval.intervalAntiJoin(df, wins, Seq("k"), Seq("rk"), "t", "s", "e")
+      val joined = join(stream.toDS().toDF("k", "t"))
+      assert(joined.isStreaming, s"$mode over a streaming left must stay streaming")
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(s"ss_ival_$mode").start()
+      try {
+        stream.addData((1L to 40L).map(i => (i % 3, i * 4)))
+        q.processAllAvailable()
+        stream.addData((41L to 80L).map(i => (i % 3, i * 4)))
+        q.processAllAvailable()
+        val got = spark.table(s"ss_ival_$mode").collect().map(_.toSeq.toString).sorted.toSeq
+        val expected = join((1L to 80L).map(i => (i % 3, i * 4)).toDF("k", "t"))
+          .collect().map(_.toSeq.toString).sorted.toSeq
+        (got, expected)
+      } finally q.stop()
+    }
+    val (semiGot, semiExp) = run("semi")
+    assert(semiGot == semiExp && semiExp.nonEmpty, s"semi: stream=${semiGot.size} vs batch=${semiExp.size}")
+    val (antiGot, antiExp) = run("anti")
+    assert(antiGot == antiExp && antiExp.nonEmpty, s"anti: stream=${antiGot.size} vs batch=${antiExp.size}")
+    // the two modes partition each micro-batch's rows exactly
+    assert(semiGot.size + antiGot.size == 80)
+  }
+
   test("stream-static interval enrich == batch over the union of micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ivals = (1L to 30L).map(i => (i % 4, i * 2, i * 2 + 9, i)).toDF("rk", "s", "e", "rv")
