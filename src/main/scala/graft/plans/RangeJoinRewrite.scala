@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   PredicateHelper,
   RowOrdering
 }
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
@@ -38,8 +38,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
   *
   * Semantics preserved exactly — the rewrite fires only when every piece
   * matches the exec's contract:
-  *  - INNER / LeftSemi / LeftAnti join, non-streaming, all condition
-  *    conjuncts deterministic;
+  *  - INNER / LeftOuter / LeftSemi / LeftAnti join, non-streaming, all
+  *    condition conjuncts deterministic (LeftOuter: points on the left,
+  *    residuals right-only — see the mode branch for why);
   *  - ≥ 1 `EqualTo` conjunct strictly across the sides (never
   *    null-safe `<=>`: the exec, like SQL equality, never matches NULLs);
   *  - one side expression bracketed INCLUSIVELY by two expressions of the
@@ -86,7 +87,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // in its existence modes. (NOT IN arrives as a null-aware OR
         // condition whose disjunct structure yields no equi conjunct, so
         // it falls through untouched — only NOT EXISTS shapes rewrite.)
-        case j @ Join(_, _, Inner | LeftSemi | LeftAnti, Some(cond), hint)
+        case j @ Join(_, _, Inner | LeftSemi | LeftAnti | LeftOuter, Some(cond), hint)
             if !j.isStreaming &&
               hint.leftHint.forall(_.strategy.isEmpty) &&
               hint.rightHint.forall(_.strategy.isEmpty) =>
@@ -203,6 +204,34 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 if (j.joinType == LeftSemi) IntervalJoinMode.Semi else IntervalJoinMode.Anti
             )
             Some(resLeft.reduceOption(And).map(Filter(_, node)).getOrElse(node))
+          case None => None
+        }
+
+      case LeftOuter =>
+        // points-on-left only (a right-outer points join would null-extend
+        // INTERVALS, a different operator). ON-condition residuals under
+        // outer semantics: a right-only residual moves into the right
+        // child (a right row failing it can't match; unmatched lefts
+        // still null-extend) — but a LEFT-only (or mixed) residual cannot
+        // leave the condition: a left row failing it must still appear
+        // null-extended, which no Filter placement expresses. Rewrite
+        // only when every residual is right-only.
+        direct match {
+          case Some((lo, up)) =>
+            val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+            val residual = conjuncts.filterNot(used.contains)
+            if (!residual.forall(onRight)) return None
+            val newRight = residual.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+            Some(IntervalJoinPlan(
+              left,
+              newRight,
+              leftKeys = equis.map(_._1),
+              rightKeys = equis.map(_._2),
+              leftTime = lo._2,
+              rightStart = lo._1,
+              rightEnd = up._2,
+              mode = IntervalJoinMode.Outer
+            ))
           case None => None
         }
 

@@ -159,6 +159,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("LeftOuter equi+BETWEEN rewrites to the Outer mode (right-only residual pushes)") {
+    noBroadcast {
+      def q(extra: org.apache.spark.sql.Column) = points.join(
+        ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")) && extra,
+        "left")
+      // plain shape and a right-only ON residual both rewrite
+      Seq(lit(true), col("rv") % 2 === 0).foreach { extra =>
+        val joined = q(extra)
+        assert(hasIntervalExec(joined),
+          s"left-outer rewrite did not fire:\n${joined.queryExecution.executedPlan}")
+        val got = joined.collect().map(_.toSeq).toSet
+        val expected = rewriteOff {
+          val plain = q(extra)
+          assert(!hasIntervalExec(plain), "kill switch ignored")
+          plain.collect().map(_.toSeq).toSet
+        }
+        assert(got == expected && expected.nonEmpty, s"left-outer differential diverged ($extra)")
+        // outer must actually null-extend under the rewrite
+        assert(got.exists(_.last == null), s"no null-extended rows ($extra) — fixture vacuous")
+      }
+    }
+  }
+
   test("LeftSemi/LeftAnti EXISTS-BETWEEN shapes rewrite to the existence modes") {
     noBroadcast {
       points.createOrReplaceTempView("rjr_points")
@@ -265,6 +289,16 @@ class RangeJoinRewriteSpec extends SparkSpec {
             s"on-only=${(got -- exp).take(3)} off-only=${(exp -- got).take(3)}")
           assert(got.nonEmpty, s"round $round [$not] vacuous")
         }
+        // left-outer through the same NULL-laden inputs: NULL-keyed/timed
+        // left rows must null-extend (never match), exactly as Spark's
+        // LeftOuter does — multiset compare (duplicates matter)
+        def qo = spark.sql(
+          """SELECT * FROM rjr_npts p LEFT JOIN rjr_nivs i
+            |ON p.k = i.rk AND p.t BETWEEN i.s AND i.e""".stripMargin)
+        assert(hasIntervalExec(qo), s"round $round: left-outer rewrite did not fire")
+        val gotO = qo.collect().map(_.toSeq.toString).sorted.toSeq
+        val expO = rewriteOff(qo.collect().map(_.toSeq.toString).sorted.toSeq)
+        assert(gotO == expO && gotO.nonEmpty, s"round $round left-outer diverged")
       }
     }
   }
@@ -301,10 +335,22 @@ class RangeJoinRewriteSpec extends SparkSpec {
       val strict = points.join(ivals, col("k") === col("rk") && col("t") > col("s") && col("t") <= col("e"))
       assert(!strict.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
         "strict lower bound must not rewrite (exec is inclusive-only)")
-      val outer = points.join(ivals,
-        col("k") === col("rk") && col("t").between(col("s"), col("e")), "left")
-      assert(!outer.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
-        "outer join must not rewrite")
+      val rightOuter = points.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")), "right")
+      assert(!rightOuter.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "right-outer (null-extends INTERVALS) must not rewrite")
+      val fullOuter = points.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
+      assert(!fullOuter.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "full-outer must not rewrite")
+      // left-outer with a LEFT-only ON-condition residual: a left row
+      // failing it must still null-extend, which no Filter placement
+      // expresses — must not rewrite
+      val leftResidual = points.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")) && col("pv") % 2 === 0,
+        "left")
+      assert(!leftResidual.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "left-outer with a left-only ON residual must not rewrite")
       val noEqui = points.join(ivals, col("t").between(col("s"), col("e")))
       assert(!noEqui.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
         "range-only join without an equi key must not rewrite")
