@@ -3710,6 +3710,79 @@ object Relational {
              |                    AND e.us BETWEEN s.s_start AND s.s_end)
              |GROUP BY 1
              |ORDER BY 1""".stripMargin)
+    ),
+
+    // Interval OUTER join through the TVF's mode argument — the
+    // enrichment twin of q243/q244: every event annotated with its long
+    // session (null-extended when uncovered), rolled up per user to
+    // total events, covered events, and the summed span of the matched
+    // sessions. Long sessions of one user are disjoint by construction,
+    // so each event matches at most one window and the aggregate is
+    // deterministic. This is the same LEFT JOIN ... ON k = rk AND t
+    // BETWEEN s AND e plan shape RangeJoinRewrite now rewrites to the
+    // Outer mode once both sides outgrow the broadcast threshold
+    // (equality pinned by RangeJoinRewriteSpec's null-inclusive
+    // differentials); routing through the TVF runs the native exec's
+    // Outer mode under the DuckDB oracle gate at every scale.
+    Q(
+      "q245_session_enrichment",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .createOrReplaceTempView("g245_events")
+        s.sql(
+          """WITH s1 AS (
+            |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            |    AS prev_us
+            |  FROM g245_events),
+            |s2 AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            |                 THEN 1L ELSE 0L END AS new_s
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                             ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM s2)
+            |SELECT user_id AS s_user, min(us) AS s_start, max(us) AS s_end
+            |FROM s3 GROUP BY user_id, sid
+            |HAVING max(us) - min(us) >= 600000000""".stripMargin
+        ).createOrReplaceTempView("g245_long_sessions")
+        s.sql(
+          """SELECT user_id, count(*) AS n_events,
+            |  count(s_start) AS n_covered,
+            |  coalesce(sum(s_end - s_start), 0L) AS covered_span_us
+            |FROM graft_interval_join(TABLE(g245_events), TABLE(g245_long_sessions),
+            |                         'user_id', 's_user', 'us', 's_start', 's_end',
+            |                         'outer')
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin
+        )
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |longsess AS (
+             |  SELECT user_id, min(us) AS s_start, max(us) AS s_end
+             |  FROM s3 GROUP BY user_id, sid
+             |  HAVING max(us) - min(us) >= 600000000)
+             |SELECT e.user_id, count(*) AS n_events,
+             |  count(s.s_start) AS n_covered,
+             |  CAST(coalesce(sum(s.s_end - s.s_start), 0) AS BIGINT) AS covered_span_us
+             |FROM e LEFT JOIN longsess s
+             |  ON s.user_id = e.user_id AND e.us BETWEEN s.s_start AND s.s_end
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
     )
   )
 }
