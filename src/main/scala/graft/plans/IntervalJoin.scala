@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending,
   Attribute,
+  AttributeSet,
   Expression,
   GenericInternalRow,
   JoinedRow,
@@ -27,6 +28,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    AND e)` — the "keep rows inside a validity window" idiom).
   *  - [[IntervalJoinMode.Anti]]: each point covered by NO interval, once,
   *    left columns only (`NOT EXISTS …` — the purge/tombstone idiom).
+  *  - [[IntervalJoinMode.Existence]]: EVERY point once, left columns plus
+  *    a boolean flag (`attr`) telling whether ≥ 1 interval covers it —
+  *    the shape Spark's `RewritePredicateSubquery` plans for an EXISTS
+  *    that cannot become a semi/anti join (`WHERE p OR EXISTS(…)`, a
+  *    flag consumed by a CASE, …). Same sweep as Semi, but emission is
+  *    unconditional.
   */
 sealed abstract class IntervalJoinMode extends Serializable
 object IntervalJoinMode {
@@ -34,6 +41,7 @@ object IntervalJoinMode {
   case object Outer extends IntervalJoinMode
   case object Semi extends IntervalJoinMode
   case object Anti extends IntervalJoinMode
+  final case class Existence(attr: Attribute) extends IntervalJoinMode
 }
 
 /** Logical keyed INTERVAL-CONTAINMENT join: for every left (point) row,
@@ -77,6 +85,14 @@ final case class IntervalJoinPlan(
     // existence modes emit left rows only — the EXISTS / NOT EXISTS
     // containment idiom (dedup admission, purge)
     case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.output
+    case IntervalJoinMode.Existence(a)                 => left.output :+ a
+  }
+
+  // the existence flag originates HERE, not in a child — without this the
+  // node's missingInput is non-empty and plan integrity checks reject it
+  override def producedAttributes: AttributeSet = mode match {
+    case IntervalJoinMode.Existence(a) => AttributeSet(a)
+    case _                             => AttributeSet.empty
   }
 
   /** Worst case every point of a key matches every interval of that key —
@@ -86,7 +102,8 @@ final case class IntervalJoinPlan(
     * once.
     */
   override def maxRows: Option[Long] = mode match {
-    case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.maxRows
+    case IntervalJoinMode.Semi | IntervalJoinMode.Anti | IntervalJoinMode.Existence(_) =>
+      left.maxRows
     case _ =>
       (left.maxRows, right.maxRows) match {
         case (Some(l), Some(r)) =>
@@ -111,7 +128,9 @@ final case class IntervalJoinPlan(
     * `visitJoin` convention for LeftSemi/LeftAnti.
     */
   override def stats: Statistics = mode match {
-    case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.stats
+    // existence adds one boolean per row — the left side's size class
+    case IntervalJoinMode.Semi | IntervalJoinMode.Anti | IntervalJoinMode.Existence(_) =>
+      left.stats
     case _ =>
       Statistics(sizeInBytes = (left.stats.sizeInBytes + right.stats.sizeInBytes).max(1))
   }
@@ -165,6 +184,12 @@ final case class IntervalJoinExec(
     case IntervalJoinMode.Inner => left.output ++ right.output
     case IntervalJoinMode.Outer => left.output ++ right.output.map(_.withNullability(true))
     case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.output
+    case IntervalJoinMode.Existence(a)                 => left.output :+ a
+  }
+
+  override def producedAttributes: AttributeSet = mode match {
+    case IntervalJoinMode.Existence(a) => AttributeSet(a)
+    case _                             => AttributeSet.empty
   }
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -257,6 +282,10 @@ final case class IntervalJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
+      // existence flag carriers: 1-field boolean rows joined behind the
+      // left row so outProj (bound against lOut :+ flag) can read them
+      val flagTrue = new GenericInternalRow(Array[Any](true))
+      val flagFalse = new GenericInternalRow(Array[Any](false))
       // bind against `out` (right side nullable when outer), NOT the raw
       // child schemas — BoundReference takes nullability from the input
       // schema and a non-nullable binding compiles away the null check
@@ -340,7 +369,8 @@ final case class IntervalJoinExec(
         private def sweepSpilled(l: InternalRow, lTime: InternalRow): Unit = {
           val passIter = spillCur.generateIterator()
           emitMode match {
-            case IntervalJoinMode.Semi | IntervalJoinMode.Anti =>
+            case IntervalJoinMode.Semi | IntervalJoinMode.Anti |
+                IntervalJoinMode.Existence(_) =>
               var any = false
               while (passIter.hasNext) {
                 val r = passIter.next()
@@ -360,10 +390,18 @@ final case class IntervalJoinExec(
                 } else cont = false
               }
               finishSweep()
-              if (emitMode == IntervalJoinMode.Semi && any) {
-                numMatchedRows += 1; numOutputRows += 1; pending = Iterator.single(l)
-              } else if (emitMode == IntervalJoinMode.Anti && !any) {
-                numOutputRows += 1; pending = Iterator.single(l)
+              emitMode match {
+                case IntervalJoinMode.Semi =>
+                  if (any) {
+                    numMatchedRows += 1; numOutputRows += 1; pending = Iterator.single(l)
+                  }
+                case IntervalJoinMode.Anti =>
+                  if (!any) { numOutputRows += 1; pending = Iterator.single(l) }
+                case _ => // Existence: every point emits, flag = any
+                  if (any) numMatchedRows += 1
+                  numOutputRows += 1
+                  pending =
+                    Iterator.single(outProj(joined(l, if (any) flagTrue else flagFalse)))
               }
             case _ =>
               pending = new Iterator[InternalRow] {
@@ -530,12 +568,18 @@ final case class IntervalJoinExec(
                     numOutputRows += 1
                     pending = Iterator.single(l)
                   }
+                case IntervalJoinMode.Existence(_) =>
+                  if (active.nonEmpty) numMatchedRows += 1
+                  numOutputRows += 1
+                  pending = Iterator.single(
+                    outProj(joined(l, if (active.nonEmpty) flagTrue else flagFalse)))
               }
               }
             } else {
               // NULL key/time left rows match nothing: outer null-extends
               // them, anti keeps them (NOT EXISTS over an always-false
-              // condition), inner and semi drop them
+              // condition), existence keeps them with a false flag,
+              // inner and semi drop them
               emitMode match {
                 case IntervalJoinMode.Outer =>
                   numOutputRows += 1
@@ -543,6 +587,9 @@ final case class IntervalJoinExec(
                 case IntervalJoinMode.Anti =>
                   numOutputRows += 1
                   pending = Iterator.single(l)
+                case IntervalJoinMode.Existence(_) =>
+                  numOutputRows += 1
+                  pending = Iterator.single(outProj(joined(l, flagFalse)))
                 case _ => ()
               }
             }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   PredicateHelper,
   RowOrdering
 }
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
@@ -38,9 +38,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
   *
   * Semantics preserved exactly — the rewrite fires only when every piece
   * matches the exec's contract:
-  *  - INNER / LeftOuter / LeftSemi / LeftAnti join, non-streaming, all
-  *    condition conjuncts deterministic (LeftOuter: points on the left,
-  *    residuals right-only — see the mode branch for why);
+  *  - INNER / LeftOuter / RightOuter / LeftSemi / LeftAnti / Existence
+  *    join, non-streaming, all condition conjuncts deterministic.
+  *    Outer shapes rewrite only when the POINTS are the preserved side
+  *    (LeftOuter: points left; RightOuter: points right, sides swap);
+  *    Existence is the `WHERE p OR EXISTS(…)` flag-producing shape.
+  *    Residual-conjunct admissibility is mode-specific — each mode
+  *    branch states its rule and why;
   *  - ≥ 1 `EqualTo` conjunct strictly across the sides (never
   *    null-safe `<=>`: the exec, like SQL equality, never matches NULLs);
   *  - one side expression bracketed INCLUSIVELY by two expressions of the
@@ -87,7 +91,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // in its existence modes. (NOT IN arrives as a null-aware OR
         // condition whose disjunct structure yields no equi conjunct, so
         // it falls through untouched — only NOT EXISTS shapes rewrite.)
-        case j @ Join(_, _, Inner | LeftSemi | LeftAnti | LeftOuter, Some(cond), hint)
+        case j @ Join(
+              _,
+              _,
+              Inner | LeftSemi | LeftAnti | LeftOuter | RightOuter | _: ExistenceJoin,
+              Some(cond),
+              hint)
             if !j.isStreaming &&
               hint.leftHint.forall(_.strategy.isEmpty) &&
               hint.rightHint.forall(_.strategy.isEmpty) =>
@@ -231,6 +240,67 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               rightStart = lo._1,
               rightEnd = up._2,
               mode = IntervalJoinMode.Outer
+            ))
+          case None => None
+        }
+
+      case RightOuter =>
+        // the PRESERVED side is the right, so only the points-on-right
+        // (flipped) orientation is the points-outer shape — after the
+        // swap the preserved points become the node's left and the
+        // INTERVAL side null-extends, exactly Outer mode. (Points-on-left
+        // right-outer would null-extend intervals, a different operator —
+        // it never rewrites.) Residuals mirror LeftOuter with the sides
+        // exchanged: only interval-side (left-child) residuals can move
+        // into the interval child; a points-side residual cannot leave
+        // the condition. A Project restores the original column order.
+        flipped match {
+          case Some((lo, up)) =>
+            val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+            val residual = conjuncts.filterNot(used.contains)
+            if (!residual.forall(onLeft)) return None
+            val newLeft = residual.reduceOption(And).map(Filter(_, left)).getOrElse(left)
+            val node = IntervalJoinPlan(
+              right,
+              newLeft,
+              leftKeys = equis.map(_._2),
+              rightKeys = equis.map(_._1),
+              leftTime = lo._2,
+              rightStart = lo._1,
+              rightEnd = up._2,
+              mode = IntervalJoinMode.Outer
+            )
+            Some(Project(j.output, node))
+          case None => None
+        }
+
+      case ExistenceJoin(attr) =>
+        // the EXISTS-in-a-disjunction shape: RewritePredicateSubquery
+        // plans `WHERE p OR EXISTS(SELECT … WHERE k = rk AND t BETWEEN s
+        // AND e)` as an ExistenceJoin emitting every left row plus a
+        // boolean flag — executed like a semi probe, with the same SMJ
+        // key-group buffering the existence sweep mode fixes. Residuals
+        // follow Semi's quantifier rule for the right (a right-only
+        // residual filters the EXISTS domain, so it pushes into the
+        // right child), but a LEFT-only residual blocks here where Semi
+        // factors it out: every left row is PRESERVED — there is no
+        // Filter above to discharge `c_l`, and no placement expresses
+        // `exists = c_l ∧ ∃r: m` for rows that fail `c_l`.
+        direct match {
+          case Some((lo, up)) =>
+            val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+            val residual = conjuncts.filterNot(used.contains)
+            if (!residual.forall(onRight)) return None
+            val newRight = residual.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+            Some(IntervalJoinPlan(
+              left,
+              newRight,
+              leftKeys = equis.map(_._1),
+              rightKeys = equis.map(_._2),
+              leftTime = lo._2,
+              rightStart = lo._1,
+              rightEnd = up._2,
+              mode = IntervalJoinMode.Existence(attr)
             ))
           case None => None
         }

@@ -394,6 +394,31 @@ class IntervalJoinSpec extends SparkSpec {
       val anti = Interval.intervalAntiJoin(pdf, idf, Seq("k"), Seq("rk"), "t", "s", "e")
         .collect().map(_.getLong(2)).sorted.toSeq
       assert(anti == points.collect { case (k, t, pid) if cover(k, t).isEmpty => pid }.sorted)
+
+      // existence mode (reachable only through the RangeJoinRewrite on a
+      // WHERE p OR EXISTS shape) over the same over-budget hot key: every
+      // point must flag correctly through the spilled sweep — even pids
+      // admit uncovered points via the left disjunct (9002 in, 9001 out)
+      pdf.createOrReplaceTempView("ij_spill_pts")
+      idf.createOrReplaceTempView("ij_spill_ivs")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val ex = spark.sql(
+          """SELECT pid FROM ij_spill_pts p
+            |WHERE pid % 2 = 0 OR EXISTS (
+            |  SELECT 1 FROM ij_spill_ivs i
+            |  WHERE i.rk = p.k AND p.t BETWEEN i.s AND i.e)""".stripMargin)
+        assert(ex.queryExecution.executedPlan.toString.contains("IntervalJoin"),
+          s"existence shape did not rewrite:\n${ex.queryExecution.executedPlan}")
+        val got = ex.collect().map(_.getLong(0)).sorted.toSeq
+        val exp = points.collect {
+          case (k, t, pid) if pid % 2 == 0 || cover(k, t).nonEmpty => pid
+        }.sorted
+        assert(got == exp, s"existence spill diverged: got ${got.size}, want ${exp.size}")
+        assert(exp.contains(9002L) && !exp.contains(9001L),
+          "fixture must exercise both disjuncts on uncovered points")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     } finally {
       spark.conf.unset(IntervalJoinExec.MaxActiveKey)
       spark.conf.unset(IntervalJoinExec.SpillKey)

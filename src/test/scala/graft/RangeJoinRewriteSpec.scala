@@ -183,6 +183,90 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("RightOuter with the points on the right swap-rewrites to the Outer mode") {
+    noBroadcast {
+      def q(extra: org.apache.spark.sql.Column) = ivals.join(
+        points,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")) && extra,
+        "right")
+      // plain shape and an interval-side ON residual both rewrite
+      Seq(lit(true), col("rv") % 2 === 0).foreach { extra =>
+        val joined = q(extra)
+        assert(hasIntervalExec(joined),
+          s"right-outer rewrite did not fire:\n${joined.queryExecution.executedPlan}")
+        assert(joined.columns.toSeq == Seq("rk", "s", "e", "rv", "k", "t", "pv"),
+          "swap must restore the original column order")
+        // multiset compare — outer joins can carry duplicate tuples
+        val got = joined.collect().map(_.toSeq.toString).sorted.toSeq
+        val expected = rewriteOff {
+          val plain = q(extra)
+          assert(!hasIntervalExec(plain), "kill switch ignored")
+          plain.collect().map(_.toSeq.toString).sorted.toSeq
+        }
+        assert(got == expected && got.nonEmpty, s"right-outer differential diverged ($extra)")
+        assert(joined.collect().exists(_.isNullAt(0)),
+          s"no null-extended rows ($extra) — fixture vacuous")
+      }
+      // a points-side residual cannot leave the condition (a point failing
+      // it must still null-extend) — must not rewrite
+      val ptsResidual = ivals.join(points,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")) && col("pv") % 2 === 0,
+        "right")
+      assert(!ptsResidual.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "right-outer with a points-side ON residual must not rewrite")
+    }
+  }
+
+  test("EXISTS in a disjunction (ExistenceJoin) rewrites to the Existence mode") {
+    noBroadcast {
+      points.createOrReplaceTempView("rjr_points")
+      ivals.createOrReplaceTempView("rjr_ivals")
+      // WHERE p OR EXISTS(…): RewritePredicateSubquery plans an
+      // ExistenceJoin (neither semi nor anti applies under a disjunction)
+      // emitting every point plus a coverage flag
+      def q(resid: String) = spark.sql(
+        s"""SELECT k, t, pv FROM rjr_points p
+           |WHERE pv % 10 = 0 OR EXISTS (
+           |  SELECT 1 FROM rjr_ivals i
+           |  WHERE i.rk = p.k AND p.t BETWEEN i.s AND i.e$resid)""".stripMargin)
+      // plain and right-only-residual EXISTS bodies both rewrite
+      Seq("", " AND i.rv % 2 = 0").foreach { resid =>
+        val on = q(resid)
+        assert(hasIntervalExec(on),
+          s"existence rewrite did not fire ($resid):\n${on.queryExecution.executedPlan}")
+        val got = on.collect().map(_.toSeq).toSet
+        val exp = rewriteOff {
+          val plain = q(resid)
+          assert(!hasIntervalExec(plain), "kill switch ignored")
+          plain.collect().map(_.toSeq).toSet
+        }
+        assert(got == exp && got.nonEmpty, s"existence differential diverged ($resid)")
+      }
+      // the flag must feed BOTH disjuncts: some rows admitted only by the
+      // left disjunct (uncovered), and every covered row admitted
+      val kept = q("").collect().map(_.toSeq).toSet
+      val covered = spark.sql(
+        """SELECT k, t, pv FROM rjr_points p WHERE EXISTS (
+          |  SELECT 1 FROM rjr_ivals i WHERE i.rk = p.k AND p.t BETWEEN i.s AND i.e)""".stripMargin)
+        .collect().map(_.toSeq).toSet
+      assert((kept -- covered).nonEmpty, "no rows admitted by the left disjunct alone — vacuous")
+      assert((covered -- kept).isEmpty, "a covered row went missing")
+      // a LEFT-only residual inside the EXISTS body blocks the rewrite:
+      // every left row is preserved (no Filter above discharges it), so
+      // c_l cannot factor out of `exists = ∃r: c_l ∧ m`
+      val leftRes = spark.sql(
+        """SELECT k, t, pv FROM rjr_points p
+          |WHERE pv % 10 = 0 OR EXISTS (
+          |  SELECT 1 FROM rjr_ivals i
+          |  WHERE i.rk = p.k AND p.t BETWEEN i.s AND i.e AND p.pv % 3 = 0)""".stripMargin)
+      assert(!leftRes.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "existence with a left-only residual must not rewrite")
+      // …and must still be CORRECT through the non-rewritten path
+      val expLeftRes = rewriteOff(leftRes.collect().map(_.toSeq).toSet)
+      assert(leftRes.collect().map(_.toSeq).toSet == expLeftRes && expLeftRes.nonEmpty)
+    }
+  }
+
   test("LeftSemi/LeftAnti EXISTS-BETWEEN shapes rewrite to the existence modes") {
     noBroadcast {
       points.createOrReplaceTempView("rjr_points")
@@ -299,6 +383,27 @@ class RangeJoinRewriteSpec extends SparkSpec {
         val gotO = qo.collect().map(_.toSeq.toString).sorted.toSeq
         val expO = rewriteOff(qo.collect().map(_.toSeq.toString).sorted.toSeq)
         assert(gotO == expO && gotO.nonEmpty, s"round $round left-outer diverged")
+        // right-outer (points on the right) through the same inputs —
+        // the swap path's null handling
+        def qr = spark.sql(
+          """SELECT * FROM rjr_nivs i RIGHT JOIN rjr_npts p
+            |ON p.k = i.rk AND p.t BETWEEN i.s AND i.e""".stripMargin)
+        assert(hasIntervalExec(qr), s"round $round: right-outer rewrite did not fire")
+        val gotR = qr.collect().map(_.toSeq.toString).sorted.toSeq
+        val expR = rewriteOff(qr.collect().map(_.toSeq.toString).sorted.toSeq)
+        assert(gotR == expR && gotR.nonEmpty, s"round $round right-outer diverged")
+        // existence through the same inputs: NULL-keyed/timed points get a
+        // FALSE flag (EXISTS over an always-false condition) but are kept
+        // when the left disjunct admits them
+        def qe = spark.sql(
+          """SELECT * FROM rjr_npts p
+            |WHERE p.pv % 4 = 0 OR EXISTS (
+            |  SELECT 1 FROM rjr_nivs i WHERE p.k = i.rk AND p.t BETWEEN i.s AND i.e)""".stripMargin)
+        assert(hasIntervalExec(qe), s"round $round: existence rewrite did not fire")
+        val gotE = qe.collect().map(_.toSeq).toSet
+        val expE = rewriteOff(qe.collect().map(_.toSeq).toSet)
+        assert(gotE == expE && gotE.nonEmpty, s"round $round existence diverged: " +
+          s"on-only=${(gotE -- expE).take(3)} off-only=${(expE -- gotE).take(3)}")
       }
     }
   }
@@ -338,7 +443,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
       val rightOuter = points.join(ivals,
         col("k") === col("rk") && col("t").between(col("s"), col("e")), "right")
       assert(!rightOuter.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
-        "right-outer (null-extends INTERVALS) must not rewrite")
+        "right-outer with the points on the LEFT preserves INTERVALS — not the points-outer operator, must not rewrite")
       val fullOuter = points.join(ivals,
         col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
       assert(!fullOuter.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
