@@ -2583,6 +2583,115 @@ object DedupOps {
            |        LEFT JOIN nk ON nk.split = st.split
            |ORDER BY st.split""".stripMargin
       }
+    ),
+
+    // Exact duplicated-SPAN extraction — the substring-granular dedup
+    // audit the gram/fingerprint family can't express: q37 counts
+    // colliding grams and winnowing samples them, but neither says WHERE
+    // in a document the verbatim duplication sits nor how many tokens it
+    // covers. The exact-substring pass of the "Deduplicating Training
+    // Data Makes Language Models Better" recipe, at 8-token granularity:
+    // positional 8-grams (doc_id, pos, gram) → grams held by ≥ 2
+    // distinct docs → per-doc hit positions merged into MAXIMAL
+    // duplicated regions. The merge rule is pos-gap ≤ 8: two hit
+    // positions p < q cover token intervals [p, p+7] and [q, q+7], which
+    // overlap or touch exactly when q − p ≤ 8, so chaining those gives
+    // each merged span token size (p1 − p0 + 8) and their sum is the
+    // EXACT size of the union of all duplicated windows — no
+    // double-count, no gap inflation. Per doc: span count, duplicated
+    // token coverage, and coverage share in bp — the per-document signal
+    // a span-level scrubber (drop/trim the region, keep the doc) acts
+    // on, where q34's pair dedup can only drop whole documents. Scale
+    // shape: one corpus explode (linear in tokens), two gram-keyed
+    // shuffles (the ≥2-docs rollup and the semi join back), then
+    // per-doc windows; at 100 TB the gram string shrinks to a 64-bit
+    // fingerprint for shuffle width and the ≥2 rollup to a count-
+    // distinct sketch gate — structure unchanged.
+    Q(
+      "q246_duplicated_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tokenized(s, d)
+        // positional (non-distinct) 8-grams, 1-based to match range(1,…)
+        val grams = docs
+          .filter(size(col("tok")) >= 8)
+          .select(
+            col("doc_id"),
+            posexplode(
+              expr("transform(sequence(1, size(tok) - 7), i -> array_join(slice(tok, i, 8), ' '))")
+            ).as(Seq("p", "gram"))
+          )
+          .select(col("doc_id"), (col("p") + 1).as("pos"), col("gram"))
+        val dup = grams
+          .groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("gram"))
+        // DISTINCT: the same gram can recur within one doc at many
+        // positions AND collide with several docs — one hit per position
+        val hits = grams
+          .join(dup, Seq("gram"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+          .distinct()
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val isl = hits.withColumn(
+          "brk",
+          when(col("pos") - lag(col("pos"), 1).over(byDoc) <= 8, 0L).otherwise(1L)
+        )
+        val sp = isl.withColumn(
+          "sid",
+          sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        val spans = sp
+          .groupBy(col("doc_id"), col("sid"))
+          .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+        val agg = spans
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(col("p1") - col("p0") + 8).cast("long").as("dup_tokens")
+          )
+        docs
+          .select(col("doc_id"), size(col("tok")).cast("long").as("total_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            col("total_tokens"),
+            expr("coalesce(dup_tokens, 0L) * 10000 div greatest(total_tokens, 1L)").as("dup_bp")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+              |p AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 6)) AS pos
+              |      FROM t WHERE len(tok) >= 8),
+              |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              |        list_aggregate(tok[pos:pos+7], 'string_agg', ' ') AS gram
+              |      FROM p),
+              |dup AS (SELECT gram FROM g GROUP BY gram
+              |        HAVING count(DISTINCT doc_id) >= 2),
+              |hits AS (SELECT DISTINCT doc_id, pos FROM g SEMI JOIN dup USING (gram)),
+              |isl AS (SELECT doc_id, pos,
+              |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              |               THEN 0 ELSE 1 END AS brk
+              |        FROM hits),
+              |sp AS (SELECT doc_id, pos,
+              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              |                        ROWS UNBOUNDED PRECEDING) AS sid
+              |       FROM isl),
+              |spans AS (SELECT doc_id, sid, min(pos) AS p0, max(pos) AS p1
+              |          FROM sp GROUP BY 1, 2),
+              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |          CAST(sum(p1 - p0 + 8) AS BIGINT) AS dup_tokens
+              |        FROM spans GROUP BY 1)
+              |SELECT t.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+              |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+              |  CAST(len(t.tok) AS BIGINT) AS total_tokens,
+              |  coalesce(a.dup_tokens, 0) * 10000
+              |    // greatest(CAST(len(t.tok) AS BIGINT), 1) AS dup_bp
+              |FROM t LEFT JOIN agg a USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)
     )
   )
 
