@@ -65,6 +65,53 @@ object DedupOps {
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     tokenized(s, d).select(col("doc_id"), shingles(col("tok")).as("s"))
 
+  /** (doc_id, sid, p0, p1): maximal duplicated token regions — positional
+    * (non-distinct, 1-based) 8-grams held by ≥ 2 distinct docs, per-doc
+    * hit positions merged at pos-gap ≤ 8: positions p < q cover token
+    * windows [p, p+7] / [q, q+7], which overlap or touch exactly when
+    * q − p ≤ 8, so each merged region covers exactly p1 − p0 + 8 tokens
+    * and regions are disjoint. Persisted — q246 (the audit) and q247
+    * (the scrubber) share the gram-join materialization, which is the
+    * expensive part (the spans frame itself is region-sized).
+    */
+  private def duplicatedSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = tokenized(s, d)
+      .filter(size(col("tok")) >= 8)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr("transform(sequence(1, size(tok) - 7), i -> array_join(slice(tok, i, 8), ' '))")
+        ).as(Seq("p", "gram"))
+      )
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("gram"))
+    val dup = grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    // DISTINCT: the same gram can recur within one doc at many positions
+    // AND collide with several docs — one hit per position
+    val hits = grams
+      .join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .distinct()
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sp = hits
+      .withColumn(
+        "brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= 8, 0L).otherwise(1L)
+      )
+      .withColumn(
+        "sid",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+    Caches.persisted(
+      sp.groupBy(col("doc_id"), col("sid"))
+        .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+    )
+  }
+
   /** (doc_id, n, s) — distinct word-5gram sets, persisted. Shared by the
     * inverted-index join (q35) and the prefix-filter join (q130): the two
     * plans canonicalize to the same cache entry, so within a session the
@@ -2610,42 +2657,8 @@ object DedupOps {
     Q(
       "q246_duplicated_spans",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = tokenized(s, d)
-        // positional (non-distinct) 8-grams, 1-based to match range(1,…)
-        val grams = docs
-          .filter(size(col("tok")) >= 8)
-          .select(
-            col("doc_id"),
-            posexplode(
-              expr("transform(sequence(1, size(tok) - 7), i -> array_join(slice(tok, i, 8), ' '))")
-            ).as(Seq("p", "gram"))
-          )
-          .select(col("doc_id"), (col("p") + 1).as("pos"), col("gram"))
-        val dup = grams
-          .groupBy(col("gram"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("gram"))
-        // DISTINCT: the same gram can recur within one doc at many
-        // positions AND collide with several docs — one hit per position
-        val hits = grams
-          .join(dup, Seq("gram"), "left_semi")
-          .select(col("doc_id"), col("pos"))
-          .distinct()
-        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val isl = hits.withColumn(
-          "brk",
-          when(col("pos") - lag(col("pos"), 1).over(byDoc) <= 8, 0L).otherwise(1L)
-        )
-        val sp = isl.withColumn(
-          "sid",
-          sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        )
-        val spans = sp
-          .groupBy(col("doc_id"), col("sid"))
-          .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
-        val agg = spans
+        val agg = duplicatedSpans(s, d)
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_spans"),
@@ -2691,6 +2704,88 @@ object DedupOps {
               |  coalesce(a.dup_tokens, 0) * 10000
               |    // greatest(CAST(len(t.tok) AS BIGINT), 1) AS dup_bp
               |FROM t LEFT JOIN agg a USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)
+    ),
+
+    // Span-level SCRUB — the constructive twin of q246's audit, and the
+    // action step of the exact-substring dedup recipe: remove every
+    // token covered by a duplicated region (all occurrences — the
+    // cross-doc repeated boilerplate/template content) while KEEPING the
+    // document, where q34's pair policy can only drop documents whole.
+    // Output is the scrub manifest: per doc the kept-token count and an
+    // md5 of the scrubbed text (reconstructed from kept tokens in
+    // position order on both engines — whitespace-normalized, so the
+    // digests compare exactly). Scale shape: spans ride the persisted
+    // q246 materialization; the scrub itself is one token explode
+    // anti-joined against exploded span positions (both linear, keyed
+    // by (doc, pos)) and one per-doc ordered reassembly.
+    Q(
+      "q247_span_scrub",
+      (s, d) => {
+        val docs = tokenized(s, d)
+        val covered = duplicatedSpans(s, d)
+          .select(col("doc_id"), explode(sequence(col("p0"), col("p1") + 7)).as("pos"))
+        val toksPos = docs
+          .select(col("doc_id"), posexplode(col("tok")).as(Seq("p", "tkn")))
+          .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("tkn"))
+        val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+        val scrub = kept
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("kept_tokens"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("tkn")))),
+                _.getField("tkn")
+              ),
+              " "
+            ).as("st")
+          )
+        docs
+          .select(col("doc_id"), size(col("tok")).cast("long").as("total_tokens"))
+          .join(scrub, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("total_tokens"),
+            // a doc absent from `kept` had EVERY token scrubbed
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+            md5(coalesce(col("st"), lit(""))).as("scrub_md5")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
+              |p AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 6)) AS pos
+              |      FROM t WHERE len(tok) >= 8),
+              |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              |        list_aggregate(tok[pos:pos+7], 'string_agg', ' ') AS gram
+              |      FROM p),
+              |dup AS (SELECT gram FROM g GROUP BY gram
+              |        HAVING count(DISTINCT doc_id) >= 2),
+              |hits AS (SELECT DISTINCT doc_id, pos FROM g SEMI JOIN dup USING (gram)),
+              |isl AS (SELECT doc_id, pos,
+              |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              |               THEN 0 ELSE 1 END AS brk
+              |        FROM hits),
+              |sp AS (SELECT doc_id, pos,
+              |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              |                        ROWS UNBOUNDED PRECEDING) AS sid
+              |       FROM isl),
+              |spans AS (SELECT doc_id, sid, min(pos) AS p0, max(pos) AS p1
+              |          FROM sp GROUP BY 1, 2),
+              |cov AS (SELECT doc_id, CAST(unnest(range(p0, p1 + 8)) AS BIGINT) AS pos
+              |        FROM spans),
+              |tokpos AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok[pos] AS tkn
+              |           FROM (SELECT doc_id, tok,
+              |                   unnest(range(1, len(tok) + 1)) AS pos FROM t)),
+              |kept AS (SELECT tp.doc_id, tp.pos, tp.tkn FROM tokpos tp
+              |         ANTI JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos),
+              |scrub AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+              |            string_agg(tkn, ' ' ORDER BY pos) AS st
+              |          FROM kept GROUP BY 1)
+              |SELECT t.doc_id, CAST(len(t.tok) AS BIGINT) AS total_tokens,
+              |  coalesce(s2.kept_tokens, 0) AS kept_tokens,
+              |  md5(coalesce(s2.st, '')) AS scrub_md5
+              |FROM t LEFT JOIN scrub s2 USING (doc_id)
               |ORDER BY t.doc_id""".stripMargin)
     )
   )
