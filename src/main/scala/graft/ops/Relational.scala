@@ -3783,6 +3783,94 @@ object Relational {
              |  ON s.user_id = e.user_id AND e.us BETWEEN s.s_start AND s.s_end
              |GROUP BY 1
              |ORDER BY 1""".stripMargin)
+    ),
+
+    // Interval FULL OUTER join through the TVF's 'full' mode — two-sided
+    // reconciliation in ONE sweep: purchases attributed to a browse
+    // window, ORPHAN purchases (no browsing nearby — the broken-funnel
+    // signal), and IDLE browse windows (no purchase — abandonment), the
+    // q97/q120 full-outer-reconcile pattern lifted from equi keys to
+    // containment. Browse windows are view/click sessions (2 h gap)
+    // padded ±1 h; consecutive sessions of one user are > 2 h apart, so
+    // padded windows stay disjoint and every purchase matches ≤ 1 window
+    // (counts deterministic). Spark's plan for this FULL JOIN shape is an
+    // SMJ on the key alone with per-group range filtering — hot-key group
+    // buffering on BOTH preserved sides; the sweep holds only active
+    // windows and emits each orphan at its skip site.
+    Q(
+      "q248_attribution_reconcile",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val ev = events(s, d)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            unix_micros(col("ts")).as("us"),
+            col("event_type")
+          )
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us"))
+          .createOrReplaceTempView("g248_purchases")
+        ev.filter(col("event_type").isin("view", "click"))
+          .createOrReplaceTempView("g248_browse")
+        s.sql(
+          """WITH s1 AS (
+            |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            |    AS prev_us
+            |  FROM g248_browse),
+            |s2 AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 7200000000
+            |                 THEN 1L ELSE 0L END AS new_s
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                             ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM s2)
+            |SELECT user_id AS s_user, min(us) - 3600000000 AS s_start,
+            |  max(us) + 3600000000 AS s_end
+            |FROM s3 GROUP BY user_id, sid""".stripMargin
+        ).createOrReplaceTempView("g248_windows")
+        s.sql(
+          """SELECT coalesce(user_id, s_user) AS uid,
+            |  count(CASE WHEN event_id IS NOT NULL AND s_start IS NOT NULL
+            |             THEN 1 END) AS n_attributed,
+            |  count(CASE WHEN s_start IS NULL THEN 1 END) AS n_orphan_purchases,
+            |  count(CASE WHEN event_id IS NULL THEN 1 END) AS n_idle_windows
+            |FROM graft_interval_join(TABLE(g248_purchases), TABLE(g248_windows),
+            |                         'user_id', 's_user', 'us', 's_start', 's_end',
+            |                         'full')
+            |GROUP BY 1
+            |ORDER BY 1""".stripMargin
+        )
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+             |b AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM b),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 7200000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |w AS (
+             |  SELECT user_id AS s_user, min(us) - 3600000000 AS s_start,
+             |    max(us) + 3600000000 AS s_end
+             |  FROM s3 GROUP BY user_id, sid),
+             |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+             |SELECT coalesce(p.user_id, w.s_user) AS uid,
+             |  count(CASE WHEN p.event_id IS NOT NULL AND w.s_start IS NOT NULL
+             |             THEN 1 END) AS n_attributed,
+             |  count(CASE WHEN w.s_start IS NULL THEN 1 END) AS n_orphan_purchases,
+             |  count(CASE WHEN p.event_id IS NULL THEN 1 END) AS n_idle_windows
+             |FROM p FULL JOIN w
+             |  ON w.s_user = p.user_id AND p.us BETWEEN w.s_start AND w.s_end
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
     )
   )
 }

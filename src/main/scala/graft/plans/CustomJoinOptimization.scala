@@ -202,6 +202,16 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
         withRemainder(rest, j.copy(left = Filter(leftOnly.reduce(And), j.left), right = newRight))
       }
 
+    case f @ Filter(_, j: IntervalJoinPlan) if j.mode == IntervalJoinMode.FullOuter =>
+      // NOTHING moves through a full outer join (Spark's own
+      // PushPredicateThroughJoin makes the same refusal): pushing a
+      // left-only predicate would drop left rows whose formerly-matched
+      // intervals must then surface null-extended (rows the filter above
+      // used to eliminate as pairs), and the right-side transfers would
+      // likewise delete rows the mode must preserve. Column pruning
+      // (below) still applies.
+      f
+
     case f @ Filter(cond, j: IntervalJoinPlan) =>
       val (leftOnly, afterLeft) = split(cond, j.left.outputSet)
       // whole-conjunct moves to the right only for INNER (outer would skip

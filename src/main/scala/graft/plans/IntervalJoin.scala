@@ -34,6 +34,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    that cannot become a semi/anti join (`WHERE p OR EXISTS(…)`, a
   *    flag consumed by a CASE, …). Same sweep as Semi, but emission is
   *    unconditional.
+  *  - [[IntervalJoinMode.FullOuter]]: inner plus one null-extended row
+  *    for each uncovered point AND one for each interval containing no
+  *    point — the reconciliation shape ("orphans on both sides in one
+  *    pass"). Costs nothing extra structurally: an interval admitted to
+  *    the active buffer necessarily covers the admitting point, so the
+  *    unmatched intervals are exactly the rows the sweep SKIPS
+  *    (dead-on-arrival, keys between point keys, the post-points tail),
+  *    emitted null-extended at the skip site.
   */
 sealed abstract class IntervalJoinMode extends Serializable
 object IntervalJoinMode {
@@ -42,6 +50,7 @@ object IntervalJoinMode {
   case object Semi extends IntervalJoinMode
   case object Anti extends IntervalJoinMode
   final case class Existence(attr: Attribute) extends IntervalJoinMode
+  case object FullOuter extends IntervalJoinMode
 }
 
 /** Logical keyed INTERVAL-CONTAINMENT join: for every left (point) row,
@@ -82,6 +91,8 @@ final case class IntervalJoinPlan(
   override def output: Seq[Attribute] = mode match {
     case IntervalJoinMode.Inner => left.output ++ right.output
     case IntervalJoinMode.Outer => left.output ++ right.output.map(_.withNullability(true))
+    case IntervalJoinMode.FullOuter =>
+      left.output.map(_.withNullability(true)) ++ right.output.map(_.withNullability(true))
     // existence modes emit left rows only — the EXISTS / NOT EXISTS
     // containment idiom (dedup admission, purge)
     case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.output
@@ -98,12 +109,20 @@ final case class IntervalJoinPlan(
   /** Worst case every point of a key matches every interval of that key —
     * the product, guarded against overflow (Join's convention). Outer
     * additionally emits unmatched points, so a zero-row right side still
-    * yields up to left.maxRows rows. Semi/anti emit each left row at most
+    * yields up to left.maxRows rows; full outer adds unmatched rows of
+    * BOTH sides (≤ l·r + l + r). Semi/anti emit each left row at most
     * once.
     */
   override def maxRows: Option[Long] = mode match {
     case IntervalJoinMode.Semi | IntervalJoinMode.Anti | IntervalJoinMode.Existence(_) =>
       left.maxRows
+    case IntervalJoinMode.FullOuter =>
+      (left.maxRows, right.maxRows) match {
+        case (Some(l), Some(r)) =>
+          val p = BigInt(l) * BigInt(r) + BigInt(l) + BigInt(r)
+          if (p.isValidLong) Some(p.toLong) else None
+        case _ => None
+      }
     case _ =>
       (left.maxRows, right.maxRows) match {
         case (Some(l), Some(r)) =>
@@ -183,6 +202,8 @@ final case class IntervalJoinExec(
   override def output: Seq[Attribute] = mode match {
     case IntervalJoinMode.Inner => left.output ++ right.output
     case IntervalJoinMode.Outer => left.output ++ right.output.map(_.withNullability(true))
+    case IntervalJoinMode.FullOuter =>
+      left.output.map(_.withNullability(true)) ++ right.output.map(_.withNullability(true))
     case IntervalJoinMode.Semi | IntervalJoinMode.Anti => left.output
     case IntervalJoinMode.Existence(a)                 => left.output :+ a
   }
@@ -201,9 +222,21 @@ final case class IntervalJoinExec(
       (rightKeys :+ rightStart).map(SortOrder(_, Ascending))
     )
 
-  // output rows follow left row order within each left partition
-  override def outputPartitioning: Partitioning = left.outputPartitioning
-  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+  // Output rows follow left row order within each left partition — except
+  // under FullOuter, where null-left rows interleave: their LEFT key
+  // columns are null while the row physically sits in the partition its
+  // RIGHT key hashed to, so any left-attribute partitioning/ordering
+  // claim would be false (SMJ's FullOuter makes the same demotion).
+  override def outputPartitioning: Partitioning = mode match {
+    case IntervalJoinMode.FullOuter =>
+      org.apache.spark.sql.catalyst.plans.physical
+        .UnknownPartitioning(left.outputPartitioning.numPartitions)
+    case _ => left.outputPartitioning
+  }
+  override def outputOrdering: Seq[SortOrder] = mode match {
+    case IntervalJoinMode.FullOuter => Nil
+    case _                          => left.outputOrdering
+  }
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
     Map(
@@ -282,6 +315,8 @@ final case class IntervalJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
+      val nullLeft = new GenericInternalRow(lOut.size)
+      val emitFull = emitMode == IntervalJoinMode.FullOuter
       // existence flag carriers: 1-field boolean rows joined behind the
       // left row so outProj (bound against lOut :+ flag) can read them
       val flagTrue = new GenericInternalRow(Array[Any](true))
@@ -300,6 +335,15 @@ final case class IntervalJoinExec(
         // active intervals of the current left key: (copied row, copied
         // end-bound single-field row), insertion-ordered by start
         private val active = new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]
+        // FullOuter only: copies of right rows the sweep skipped — an
+        // admitted interval necessarily covers the admitting point, so
+        // the UNMATCHED intervals are exactly the skipped rows
+        // (dead-on-arrival, keys between point keys, null keys/bounds);
+        // they drain null-extended ahead of the next point's emissions.
+        // Size is output-proportional (each entry IS one output row).
+        private val dropped = new scala.collection.mutable.ArrayBuffer[InternalRow]
+        // FullOuter only: the post-points right tail has been emitted
+        private var drainedRight = false
         private var activeKey: InternalRow = _ // copied key `active` belongs to
         private var peak = 0L
         // projected output rows pending for the current left row; LAZY:
@@ -308,6 +352,21 @@ final case class IntervalJoinExec(
         // the next `next()`), and `active`/`l` cannot mutate while
         // pending drains — advance() only runs once pending is exhausted
         private var pending: Iterator[InternalRow] = Iterator.empty
+
+        // a single-row iterator whose row is produced ONLY when pulled —
+        // used where an eagerly projected row could sit buffered behind
+        // other rows that project through the same reused outProj buffer
+        // (the FullOuter dropped-interval prepend)
+        private def lazySingle(make: => InternalRow): Iterator[InternalRow] =
+          new Iterator[InternalRow] {
+            private var done = false
+            override def hasNext: Boolean = !done
+            override def next(): InternalRow = {
+              if (done) throw new NoSuchElementException("empty lazy single")
+              done = true
+              make
+            }
+          }
 
         // single-field extractors over the 2-field (start, end) bounds
         // row, so timeOrd can compare either bound against a left time;
@@ -406,7 +465,10 @@ final case class IntervalJoinExec(
             case _ =>
               pending = new Iterator[InternalRow] {
                 private var phase = 0 // 0 rebuild, 1 admission, 2 finish, 3 done
-                private var emitted = 0L
+                // true (l, r) matches only — full outer also streams
+                // null-extended SKIPPED intervals through `ready`, and
+                // those must not suppress the point's own null-extension
+                private var matchedEmits = 0L
                 private var ready: InternalRow = _
                 private def computeNext(): Unit = {
                   while (ready == null && phase == 0) {
@@ -414,6 +476,7 @@ final case class IntervalJoinExec(
                       val r = passIter.next()
                       if (timeOrd.compare(endRowOf(rBoundsProj2(r)), lTime) >= 0) {
                         spillNew.add(toUnsafe(r))
+                        matchedEmits += 1
                         // outProj copies into its own buffer, so `ready`
                         // survives the array iterator's row reuse
                         ready = outProj(joined(l, r))
@@ -424,11 +487,21 @@ final case class IntervalJoinExec(
                     if (rNext == null) phase = 2
                     else {
                       val c = keyOrd.compare(rNextKey, activeKey)
-                      if (c < 0) fetchRight()
-                      else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
+                      if (c < 0) {
+                        // skipped key: unmatched — full outer emits it
+                        // null-extended (project BEFORE fetchRight
+                        // clobbers the lookahead)
+                        if (emitFull) ready = outProj(joined(nullLeft, rNext))
+                        fetchRight()
+                      } else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
                         if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
                           spillNew.add(toUnsafe(rNext))
+                          matchedEmits += 1
                           ready = outProj(joined(l, rNext))
+                        } else if (emitFull) {
+                          // dead on arrival: contains no point (see the
+                          // fast-path argument) — unmatched
+                          ready = outProj(joined(nullLeft, rNext))
                         }
                         fetchRight()
                       } else phase = 2
@@ -436,8 +509,8 @@ final case class IntervalJoinExec(
                   }
                   if (ready == null && phase == 2) {
                     finishSweep()
-                    if (emitted > 0) numMatchedRows += 1
-                    else if (emitMode == IntervalJoinMode.Outer) {
+                    if (matchedEmits > 0) numMatchedRows += 1
+                    else if (emitMode == IntervalJoinMode.Outer || emitFull) {
                       ready = outProj(joined(l, nullRight))
                     }
                     phase = 3
@@ -449,7 +522,6 @@ final case class IntervalJoinExec(
                   if (ready == null) throw new NoSuchElementException("empty spill sweep")
                   val r = ready
                   ready = null
-                  emitted += 1
                   numOutputRows += 1
                   r
                 }
@@ -458,7 +530,8 @@ final case class IntervalJoinExec(
         }
 
         // NULL key/start/end right rows can never contain a point — skip
-        // at fetch. Rows are copied only when buffered.
+        // at fetch (full outer preserves them null-extended, like SQL).
+        // Rows are copied only when buffered.
         private def fetchRight(): Unit = {
           rNext = null
           while (rNext == null && rIter.hasNext) {
@@ -469,6 +542,8 @@ final case class IntervalJoinExec(
               rNext = r
               rNextKey = k
               rNextBounds = b
+            } else if (emitFull) {
+              dropped += r.copy()
             }
           }
         }
@@ -510,6 +585,9 @@ final case class IntervalJoinExec(
                 while (cont) {
                   val c = keyOrd.compare(rNextKey, lKey)
                   if (c < 0) {
+                    // a whole right key the points skipped over — under
+                    // full outer every such interval is unmatched
+                    if (emitFull) dropped += rNext.copy()
                     fetchRight(); cont = rNext != null
                   } else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
                     if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
@@ -535,6 +613,12 @@ final case class IntervalJoinExec(
                         fetchRight(); cont = rNext != null
                       }
                     } else {
+                      // dead on arrival: start has passed but end lies
+                      // behind the sweep — since the right side is
+                      // start-sorted and this point is the first with
+                      // start <= time, NO earlier point fell inside it
+                      // either: unmatched under full outer
+                      if (emitFull) dropped += rNext.copy()
                       fetchRight(); cont = rNext != null
                     }
                   } else cont = false
@@ -545,14 +629,21 @@ final case class IntervalJoinExec(
               } else {
               if (peak < active.length) { peak = active.length; maxActive.set(peak) }
               emitMode match {
-                case IntervalJoinMode.Inner | IntervalJoinMode.Outer =>
+                case IntervalJoinMode.Inner | IntervalJoinMode.Outer |
+                    IntervalJoinMode.FullOuter =>
                   if (active.nonEmpty) {
                     numMatchedRows += 1
                     numOutputRows += active.length
                     pending = active.toVector.iterator.map(a => outProj(joined(l, a._1)))
-                  } else if (emitMode == IntervalJoinMode.Outer) {
+                  } else if (emitMode != IntervalJoinMode.Inner) {
                     numOutputRows += 1
-                    pending = Iterator.single(outProj(joined(l, nullRight)))
+                    // LAZY single: under FullOuter the dropped-interval
+                    // drain below prepends rows that project through the
+                    // same reused outProj buffer — an eagerly projected
+                    // row here would be clobbered before it is consumed.
+                    // `l` stays valid until the next lIter.next(), which
+                    // cannot happen before pending is exhausted.
+                    pending = lazySingle(outProj(joined(l, nullRight)))
                   }
                 // existence modes: the left row itself, at most once; `l`
                 // stays valid until the next lIter.next(), which cannot
@@ -575,13 +666,26 @@ final case class IntervalJoinExec(
                     outProj(joined(l, if (active.nonEmpty) flagTrue else flagFalse)))
               }
               }
+              // full outer: intervals the sweep skipped since the last
+              // point drain null-extended AHEAD of this point's rows
+              // (`dropped` only ever grows under FullOuter). Iterator.++
+              // takes its argument BY NAME — snapshot the tail first, or
+              // the concat would lazily re-read the reassigned `pending`
+              // field and chase its own tail forever.
+              if (dropped.nonEmpty) {
+                val batch = dropped.toVector
+                dropped.clear()
+                numOutputRows += batch.size
+                val tail = pending
+                pending = batch.iterator.map(r => outProj(joined(nullLeft, r))) ++ tail
+              }
             } else {
               // NULL key/time left rows match nothing: outer null-extends
-              // them, anti keeps them (NOT EXISTS over an always-false
-              // condition), existence keeps them with a false flag,
-              // inner and semi drop them
+              // them (full outer too), anti keeps them (NOT EXISTS over an
+              // always-false condition), existence keeps them with a false
+              // flag, inner and semi drop them
               emitMode match {
-                case IntervalJoinMode.Outer =>
+                case IntervalJoinMode.Outer | IntervalJoinMode.FullOuter =>
                   numOutputRows += 1
                   pending = Iterator.single(outProj(joined(l, nullRight)))
                 case IntervalJoinMode.Anti =>
@@ -596,10 +700,32 @@ final case class IntervalJoinExec(
           }
         }
 
-        override def hasNext: Boolean = { advance(); pending.hasNext }
+        // full outer: after the last point, every remaining right row —
+        // buffered skips, the lookahead, and the unread tail (including
+        // null-key rows fetchRight would reject) — is unmatched; drain
+        // null-extended exactly once. The tail projects lazily straight
+        // off rIter (no copies: outProj materializes each row on demand).
+        private def drainRightTail(): Unit =
+          if (emitFull && !pending.hasNext && !lIter.hasNext && !drainedRight) {
+            drainedRight = true
+            val head = dropped.toVector
+            dropped.clear()
+            val lookahead = if (rNext != null) Some(rNext.copy()) else None
+            rNext = null
+            numOutputRows += head.size + lookahead.size
+            pending =
+              (head.iterator ++ lookahead.iterator).map(r => outProj(joined(nullLeft, r))) ++
+                rIter.map { r =>
+                  numOutputRows += 1
+                  outProj(joined(nullLeft, r))
+                }
+          }
+
+        override def hasNext: Boolean = { advance(); drainRightTail(); pending.hasNext }
 
         override def next(): InternalRow = {
           advance()
+          drainRightTail()
           if (!pending.hasNext) throw new NoSuchElementException("empty interval iterator")
           pending.next()
         }
@@ -663,6 +789,22 @@ object Interval {
   ): DataFrame =
     joinWithMode(left, right, leftKeys, rightKeys, leftTime, rightStart, rightEnd,
       IntervalJoinMode.Semi)
+
+  /** Full-outer containment join: every (point, covering interval) pair,
+    * plus each uncovered point and each point-free interval null-extended
+    * — two-sided reconciliation ("orphans on both sides") in one sweep.
+    */
+  def intervalFullOuterJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightStart: String,
+      rightEnd: String
+  ): DataFrame =
+    joinWithMode(left, right, leftKeys, rightKeys, leftTime, rightStart, rightEnd,
+      IntervalJoinMode.FullOuter)
 
   /** Points covered by NO same-key interval — `NOT EXISTS …`, the
     * purge/tombstone idiom.

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   PredicateHelper,
   RowOrdering
 }
-import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
@@ -94,7 +94,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case j @ Join(
               _,
               _,
-              Inner | LeftSemi | LeftAnti | LeftOuter | RightOuter | _: ExistenceJoin,
+              Inner | LeftSemi | LeftAnti | LeftOuter | RightOuter | FullOuter |
+              _: ExistenceJoin,
               Some(cond),
               hint)
             if !j.isStreaming &&
@@ -272,6 +273,48 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             )
             Some(Project(j.output, node))
           case None => None
+        }
+
+      case FullOuter =>
+        // BOTH sides are preserved, so no residual conjunct can leave the
+        // condition in ANY direction: a residual is part of the match
+        // predicate, and a row failing it on either side must still
+        // appear null-extended — no Filter placement (above, or inside
+        // either child) expresses that. Rewrite only the pure
+        // equi+BETWEEN shape. Either orientation works (full outer is
+        // symmetric): points-left uses the node directly; points-right
+        // swaps the sides, with a Project restoring the original column
+        // order (both sides null-extend, so nullability already matches
+        // j.output).
+        (direct, flipped) match {
+          case (Some((lo, up)), _) =>
+            val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+            if (conjuncts.exists(c => !used.contains(c))) return None
+            Some(IntervalJoinPlan(
+              left,
+              right,
+              leftKeys = equis.map(_._1),
+              rightKeys = equis.map(_._2),
+              leftTime = lo._2,
+              rightStart = lo._1,
+              rightEnd = up._2,
+              mode = IntervalJoinMode.FullOuter
+            ))
+          case (None, Some((lo, up))) =>
+            val used = (equis.map(_._3) :+ lo._3 :+ up._3).toSet
+            if (conjuncts.exists(c => !used.contains(c))) return None
+            val node = IntervalJoinPlan(
+              right,
+              left,
+              leftKeys = equis.map(_._2),
+              rightKeys = equis.map(_._1),
+              leftTime = lo._2,
+              rightStart = lo._1,
+              rightEnd = up._2,
+              mode = IntervalJoinMode.FullOuter
+            )
+            Some(Project(j.output, node))
+          case _ => None
         }
 
       case ExistenceJoin(attr) =>

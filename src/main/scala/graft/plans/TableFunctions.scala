@@ -102,7 +102,8 @@ object TableFunctions {
 
   /** `graft_interval_join(TABLE l, TABLE r, lKeys, rKeys, lTime, rStart,
     * rEnd [, mode])` — `mode` is `true`/`false` (outer/inner, the original
-    * boolean form) or one of `'inner' | 'outer' | 'semi' | 'anti'`.
+    * boolean form) or one of `'inner' | 'outer' | 'semi' | 'anti' |
+    * 'full'`.
     */
   val interval: Seq[Expression] => LogicalPlan = { args =>
     val fn = "graft_interval_join"
@@ -119,13 +120,14 @@ object TableFunctions {
             if (b) IntervalJoinMode.Outer else IntervalJoinMode.Inner
           case Literal(s: UTF8String, StringType) if s != null =>
             s.toString.trim.toLowerCase match {
-              case "inner" => IntervalJoinMode.Inner
-              case "outer" => IntervalJoinMode.Outer
-              case "semi"  => IntervalJoinMode.Semi
-              case "anti"  => IntervalJoinMode.Anti
+              case "inner"                            => IntervalJoinMode.Inner
+              case "outer"                            => IntervalJoinMode.Outer
+              case "semi"                             => IntervalJoinMode.Semi
+              case "anti"                             => IntervalJoinMode.Anti
+              case "full" | "fullouter" | "full_outer" => IntervalJoinMode.FullOuter
               case other =>
                 throw new IllegalArgumentException(
-                  s"$fn: mode must be one of inner/outer/semi/anti, got '$other'")
+                  s"$fn: mode must be one of inner/outer/semi/anti/full, got '$other'")
             }
           case other =>
             throw new IllegalArgumentException(

@@ -425,6 +425,110 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("full outer: matched pairs plus BOTH orphan classes, every skip site covered") {
+    import spark.implicits._
+    val points = Seq(
+      (Option("k1"), Option(10L), "p1"), // covered by r1
+      (Option("k1"), Option(30L), "p2"), // uncovered (r2 ends at 25)
+      (Option("k2"), Option(50L), "p3"), // k2 interval starts later → both orphan
+      (Option.empty[String], Option(7L), "p4"), // null key
+      (Option("k1"), Option.empty[Long], "p5") // null time
+    ).toDF("k", "t", "pname")
+    val ivals = Seq(
+      (Option("k1"), Option(5L), Option(15L), "r1"), // matched by p1
+      (Option("k1"), Option(16L), Option(25L), "r2"), // dead on arrival at p2
+      (Option("k1"), Option(40L), Option(60L), "r3"), // starts after k1's last point
+      (Option("k0"), Option(1L), Option(99L), "r4"), // key below every point key
+      (Option("k3"), Option(1L), Option(99L), "r5"), // key above every point key (tail drain)
+      (Option("k2"), Option(60L), Option(70L), "r6"), // same key as p3, starts after it
+      (Option("k1"), Option(20L), Option(10L), "r_inv"), // inverted: contains no instant
+      (Option.empty[String], Option(0L), Option(100L), "r_nullk"), // null key
+      (Option("k1"), Option.empty[Long], Option(5L), "r_nulls") // null start
+    ).toDF("rk", "s", "e", "rname")
+
+    val full = Interval
+      .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .select(col("pname"), col("rname"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))))
+      .toSet
+    val expected: Set[(Option[String], Option[String])] =
+      Set((Some("p1"), Some("r1"))) ++
+        Seq("p2", "p3", "p4", "p5").map(p => (Some(p), Option.empty[String])) ++
+        Seq("r2", "r3", "r4", "r5", "r6", "r_inv", "r_nullk", "r_nulls")
+          .map(r => (Option.empty[String], Some(r)))
+    assert(full == expected, s"got $full")
+
+    // differential against Spark's own FULL OUTER join on the same input
+    val viaSpark = points
+      .join(ivals, col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
+      .select(col("pname"), col("rname"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))))
+      .toSet
+    assert(full == viaSpark)
+
+    // empty sides: all rows of the other side null-extend
+    val emptyPts = points.filter(lit(false))
+    val allIvals = Interval
+      .intervalFullOuterJoin(emptyPts, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .select(col("rname")).collect().map(_.getString(0)).toSet
+    assert(allIvals == Set("r1", "r2", "r3", "r4", "r5", "r6", "r_inv", "r_nullk", "r_nulls"))
+    val emptyIvs = ivals.filter(lit(false))
+    val allPts = Interval
+      .intervalFullOuterJoin(points, emptyIvs, Seq("k"), Seq("rk"), "t", "s", "e")
+      .select(col("pname")).collect().map(_.getString(0)).toSet
+    assert(allPts == Set("p1", "p2", "p3", "p4", "p5"))
+  }
+
+  test("full outer through the spill path: over-budget hot key stays exact") {
+    import graft.plans.IntervalJoinExec
+    import spark.implicits._
+    val rnd = new scala.util.Random(171717)
+    val ivals =
+      (1 to 200).map { i =>
+        val s = rnd.nextInt(30).toLong
+        ("hot", s, s + 40 + rnd.nextInt(40), i.toLong)
+      } ++
+        // dead-on-arrival INSIDE spill mode: no point falls in [3, 4]
+        // (points sit at multiples of 5), and by t=5 the ~40 intervals
+        // with s ≤ 5 have blown the budget of 16
+        Seq(("hot", 3L, 4L, 5001L), ("hot", 203L, 204L, 5002L)) ++
+        (1 to 20).map(i => ("cold", i.toLong, i + 3L, (1000 + i).toLong)) ++
+        // a key with no points at all: tail-drained unmatched
+        Seq(("zzz", 1L, 5L, 6001L))
+    val points =
+      (0 to 100 by 5).map(t => ("hot", t.toLong, (3000 + t).toLong)) ++
+        (1 to 20).map(i => ("cold", i.toLong, (200 + i).toLong)) ++
+        Seq(("hot", 500L, 9001L)) // uncovered point on the spilled key
+    val pdf = points.toDF("k", "t", "pid")
+    val idf = ivals.toDF("rk", "s", "e", "rid")
+    def cover(k: String, t: Long) = ivals.filter(iv => iv._1 == k && iv._2 <= t && t <= iv._3)
+    def coveredBy(rk: String, s: Long, e: Long) =
+      points.exists(p => p._1 == rk && s <= p._2 && p._2 <= e)
+    spark.conf.set(IntervalJoinExec.MaxActiveKey, "16")
+    spark.conf.set(IntervalJoinExec.SpillKey, "true")
+    try {
+      val got = Interval
+        .intervalFullOuterJoin(pdf, idf, Seq("k"), Seq("rk"), "t", "s", "e")
+        .select(col("pid"), col("rid")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      val exp = (
+        (for { (k, t, pid) <- points; iv <- cover(k, t) } yield (pid, iv._4)) ++
+          points.collect { case (k, t, pid) if cover(k, t).isEmpty => (pid, -1L) } ++
+          ivals.collect { case (rk, s, e, rid) if !coveredBy(rk, s, e) => (-1L, rid) }
+      ).sorted
+      assert(got == exp, s"full-outer spill diverged: got ${got.size}, want ${exp.size}")
+      assert(exp.contains((9001L, -1L)) && exp.contains((-1L, 5001L)) &&
+        exp.contains((-1L, 5002L)) && exp.contains((-1L, 6001L)),
+        "fixture must exercise uncovered points and all unmatched-interval skip sites")
+    } finally {
+      spark.conf.unset(IntervalJoinExec.MaxActiveKey)
+      spark.conf.unset(IntervalJoinExec.SpillKey)
+    }
+  }
+
   test("maxActiveIntervals metric records the per-task peak (max stat, sum headline)") {
     import spark.implicits._
     val points = Seq(("k", 10L, "p1"), ("k", 11L, "p2")).toDF("k", "t", "pname")

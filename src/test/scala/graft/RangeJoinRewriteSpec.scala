@@ -408,6 +408,78 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("FullOuter equi+BETWEEN rewrites to the FullOuter mode, both orientations") {
+    noBroadcast {
+      // the shared fixture covers every interval (point t=i sits in
+      // [i, i+12] on key i%7), so graft unmatched-interval rows onto it:
+      // key 99 has no points, and [900, 950] lies past every point time
+      val ivals = this.ivals.union(
+        Seq((99L, 1L, 50L, -1L), (3L, 900L, 950L, -2L)).toDF("rk", "s", "e", "rv"))
+      // points-left orientation: direct
+      val fo = points.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
+      assert(hasIntervalExec(fo), s"full-outer rewrite did not fire:\n${fo.queryExecution.executedPlan}")
+      val got = fo.collect().map(_.toSeq).toSet
+      val expected = rewriteOff {
+        val plain = points.join(ivals,
+          col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
+        assert(!hasIntervalExec(plain), "kill switch ignored")
+        plain.collect().map(_.toSeq).toSet
+      }
+      assert(got == expected && expected.nonEmpty)
+      // both orphan classes must be present or the fixture proves nothing
+      assert(expected.exists(r => r.head == null), "no unmatched intervals in fixture")
+      assert(expected.exists(r => r.last == null), "no unmatched points in fixture")
+
+      // points-right orientation: swap + Project restores column order
+      val flipped = ivals.join(points,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
+      assert(hasIntervalExec(flipped),
+        s"flipped full-outer rewrite did not fire:\n${flipped.queryExecution.executedPlan}")
+      assert(flipped.columns.toSeq == Seq("rk", "s", "e", "rv", "k", "t", "pv"))
+      val gotF = flipped.collect().map(_.toSeq).toSet
+      val expF = rewriteOff {
+        ivals.join(points,
+          col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
+          .collect().map(_.toSeq).toSet
+      }
+      assert(gotF == expF && expF.nonEmpty)
+    }
+  }
+
+  test("full-outer null-inclusive randomized differential") {
+    noBroadcast {
+      val rnd = new scala.util.Random(31337)
+      for (trial <- 1 to 3) {
+        val pts = Seq.tabulate(250) { i =>
+          (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(4).toLong),
+           if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(120).toLong),
+           i.toLong)
+        }.toDF("k", "t", "pid")
+        val ivs = Seq.tabulate(120) { i =>
+          val s = rnd.nextInt(100).toLong
+          (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(4).toLong),
+           if (rnd.nextInt(12) == 0) None else Some(s),
+           if (rnd.nextInt(12) == 0) None else Some(s + rnd.nextInt(20) - 4L),
+           (1000 + i).toLong)
+        }.toDF("rk", "s", "e", "rid")
+        val cond = col("k") === col("rk") && col("t").between(col("s"), col("e"))
+        val q = pts.join(ivs, cond, "full").select(col("pid"), col("rid"))
+        assert(hasIntervalExec(q), s"trial $trial did not rewrite")
+        val got = q.collect()
+          .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                     if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+        val exp = rewriteOff {
+          pts.join(ivs, cond, "full").select(col("pid"), col("rid")).collect()
+            .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                       if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+        }
+        assert(got == exp, s"full-outer trial $trial diverged: ${got.size} vs ${exp.size}")
+        assert(exp.exists(_._1 == -1L) && exp.exists(_._2 == -1L), s"trial $trial vacuous")
+      }
+    }
+  }
+
   test("guards: an explicit join-strategy hint outranks the rewrite") {
     noBroadcast {
       // hint-beats-stats is Spark's contract: a user who wrote
@@ -444,10 +516,15 @@ class RangeJoinRewriteSpec extends SparkSpec {
         col("k") === col("rk") && col("t").between(col("s"), col("e")), "right")
       assert(!rightOuter.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
         "right-outer with the points on the LEFT preserves INTERVALS — not the points-outer operator, must not rewrite")
-      val fullOuter = points.join(ivals,
-        col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
-      assert(!fullOuter.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
-        "full-outer must not rewrite")
+      // full-outer WITH a residual conjunct: both sides are preserved, so
+      // the residual can move nowhere (failing rows must still
+      // null-extend) — must not rewrite (the pure shape does; see the
+      // dedicated full-outer test)
+      val fullResidual = points.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")) && col("pv") % 2 === 0,
+        "full")
+      assert(!fullResidual.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
+        "full-outer with any residual conjunct must not rewrite")
       // left-outer with a LEFT-only ON-condition residual: a left row
       // failing it must still null-extend, which no Filter placement
       // expresses — must not rewrite
