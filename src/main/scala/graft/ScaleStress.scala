@@ -158,6 +158,14 @@ object ScaleStress {
         val n = df.queryExecution.toRdd.count()
         peakActive = maxActiveOf(df)
         n
+      },
+      // FullOuter at the same scale: the dropped-interval buffer is
+      // output-proportional (every entry IS one output row), so the mode
+      // must cost ~the inner sweep plus the unmatched-row volume — a
+      // superlinear gap here would mean the skip-site buffering leaks
+      timed("interval_full_outer_1m_x_500k") {
+        graft.plans.Interval.intervalFullOuterJoin(pts.toDF(), ivs.toDF(),
+          Seq("k"), Seq("rk"), "t", "s", "e").count()
       }
     )
 
@@ -176,8 +184,15 @@ object ScaleStress {
         graft.plans.Interval.intervalJoin(hotPtsInner.toDF(), hotIvs.toDF(),
           Seq("k"), Seq("rk"), "t", "s", "e").count()
       },
-      timed("spill_semi_2000pts_x_100k_span") {
+      // semi answers from the O(1) running-max end bound — no buffer, no
+      // spill, so the same adversarial key that once cost a quadratic
+      // rebuild (r10 first session: 13-14 s) is now one linear pass
+      timed("semi_2000pts_x_100k_span_o1") {
         graft.plans.Interval.intervalSemiJoin(hotPtsSemi.toDF(), hotIvs.toDF(),
+          Seq("k"), Seq("rk"), "t", "s", "e").count()
+      },
+      timed("spill_full_outer_50pts_x_100k_span") {
+        graft.plans.Interval.intervalFullOuterJoin(hotPtsInner.toDF(), hotIvs.toDF(),
           Seq("k"), Seq("rk"), "t", "s", "e").count()
       }
     )

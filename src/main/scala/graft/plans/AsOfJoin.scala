@@ -311,6 +311,20 @@ object AsOf {
       outer: Boolean,
       nameMatches: (String, String) => Boolean
   ): AsOfJoinPlan = {
+    // Stream-static soundness boundary: a STREAMING LEFT against a static
+    // right is stateless per left row, so per-micro-batch execution is
+    // exactly correct (StreamStaticJoinSpec). A STREAMING RIGHT is not —
+    // "latest right row ≤ t" depends on right rows from EVERY batch, so a
+    // pair emitted against batch 1's latest is silently superseded by
+    // batch 2 (the stateful variant is streaming/AsOfStream). Refuse
+    // loudly instead of emitting wrong per-batch answers.
+    if (rAnalyzed.isStreaming) {
+      throw new IllegalArgumentException(
+        "as-of join: the right (versions) side cannot be a streaming source — " +
+          "each micro-batch would see only its own slice of the versions and " +
+          "emit matches a later batch supersedes; use graft.streaming.AsOfStream " +
+          "for a growing right side, or swap the sides if the right is the stream")
+    }
     val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)
     val rOut = rAliases.map(_.toAttribute)

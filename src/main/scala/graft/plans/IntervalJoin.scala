@@ -286,6 +286,9 @@ final case class IntervalJoinExec(
     // accompanies). Off by default: the loud abort is the right first
     // answer to an axis-spanning hot key, and the spill path trades it
     // for throughput only when the operator EXPECTS dense overlap.
+    // Budget and spill govern ONLY the pair-emitting modes
+    // (inner/outer/full): the existence family (semi/anti/existence)
+    // answers from an O(1) running-max end bound and never buffers.
     val spillEnabled = conf
       .getConfString(IntervalJoinExec.SpillKey, "false")
       .trim
@@ -335,6 +338,22 @@ final case class IntervalJoinExec(
         // active intervals of the current left key: (copied row, copied
         // end-bound single-field row), insertion-ordered by start
         private val active = new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]
+        // Existence family (Semi/Anti/Existence): containment is
+        // ∃(s,e): s ≤ t ≤ e  ⟺  max{e : s ≤ t, same key} ≥ t, so the sweep
+        // carries ONE copied end bound instead of the active buffer —
+        // O(1) state per key: no budget, no spill, axis-spanning hot keys
+        // cost nothing. Sound because points ascend within a key and
+        // admission is by ascending start: every same-key interval with
+        // s ≤ t has been folded into the max by the time t is tested, and
+        // an end bound that fails t can never cover a later t' > t.
+        private val existenceMode = emitMode match {
+          case IntervalJoinMode.Semi | IntervalJoinMode.Anti |
+              IntervalJoinMode.Existence(_) => true
+          case _ => false
+        }
+        private var existMaxEnd: InternalRow = _ // copied 1-field end row
+        private def existCovered(lTime: InternalRow): Boolean =
+          existMaxEnd != null && timeOrd.compare(existMaxEnd, lTime) >= 0
         // FullOuter only: copies of right rows the sweep skipped — an
         // admitted interval necessarily covers the admitting point, so
         // the UNMATCHED intervals are exactly the skipped rows
@@ -342,6 +361,56 @@ final case class IntervalJoinExec(
         // they drain null-extended ahead of the next point's emissions.
         // Size is output-proportional (each entry IS one output row).
         private val dropped = new scala.collection.mutable.ArrayBuffer[InternalRow]
+        // FullOuter only: past the heap cap, skipped rows overflow to a
+        // disk-spillable array — a point-free stretch of the right side
+        // (e.g. a right table with far more keys than the left partition
+        // holds points) accumulates the WHOLE inter-point gap before the
+        // next drain site, and that gap is bounded by the right side, not
+        // by the output already emitted. Two arrays swap like the spill
+        // sweep's cur/new pair: `droppedDraining` is lazily consumed by
+        // `pending` while fresh skips append to `droppedOverflow`.
+        private var droppedOverflow: org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray = _
+        private var droppedDraining: org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray = _
+
+        private def addDropped(r: InternalRow): Unit =
+          if (droppedOverflow != null && droppedOverflow.length > 0) {
+            droppedOverflow.add(toUnsafe(r))
+          } else if (dropped.length < spillInMemRows) {
+            dropped += r.copy()
+          } else {
+            if (droppedOverflow == null) {
+              droppedOverflow = new org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray(
+                spillInMemRows, spillBytes, spillRows, spillBytes)
+            }
+            droppedOverflow.add(toUnsafe(r))
+          }
+
+        /** Every buffered skipped right row (heap + overflow) as ONE lazy
+          * iterator of null-extended output rows; bumps numOutputRows by
+          * the drained count. Swapping the overflow pair is safe here:
+          * the previous drain's iterator was exhausted before advance()
+          * could run again, so the returning array can be cleared.
+          */
+        private def drainDropped(): Iterator[InternalRow] = {
+          val heapBatch = dropped.toVector
+          dropped.clear()
+          var n = heapBatch.size.toLong
+          val overflowIter: Iterator[InternalRow] =
+            if (droppedOverflow != null && droppedOverflow.length > 0) {
+              val t = droppedDraining
+              droppedDraining = droppedOverflow
+              droppedOverflow = t
+              if (droppedOverflow != null) droppedOverflow.clear()
+              n += droppedDraining.length
+              droppedDraining.generateIterator()
+            } else Iterator.empty
+          numOutputRows += n
+          (heapBatch.iterator ++ overflowIter).map(r => outProj(joined(nullLeft, r)))
+        }
+
+        private def droppedNonEmpty: Boolean =
+          dropped.nonEmpty || (droppedOverflow != null && droppedOverflow.length > 0)
+
         // FullOuter only: the post-points right tail has been emitted
         private var drainedRight = false
         private var activeKey: InternalRow = _ // copied key `active` belongs to
@@ -430,38 +499,11 @@ final case class IntervalJoinExec(
           emitMode match {
             case IntervalJoinMode.Semi | IntervalJoinMode.Anti |
                 IntervalJoinMode.Existence(_) =>
-              var any = false
-              while (passIter.hasNext) {
-                val r = passIter.next()
-                if (timeOrd.compare(endRowOf(rBoundsProj2(r)), lTime) >= 0) {
-                  spillNew.add(toUnsafe(r)); any = true
-                }
-              }
-              var cont = rNext != null
-              while (cont) {
-                val c = keyOrd.compare(rNextKey, activeKey)
-                if (c < 0) { fetchRight(); cont = rNext != null }
-                else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
-                  if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
-                    spillNew.add(toUnsafe(rNext)); any = true
-                  }
-                  fetchRight(); cont = rNext != null
-                } else cont = false
-              }
-              finishSweep()
-              emitMode match {
-                case IntervalJoinMode.Semi =>
-                  if (any) {
-                    numMatchedRows += 1; numOutputRows += 1; pending = Iterator.single(l)
-                  }
-                case IntervalJoinMode.Anti =>
-                  if (!any) { numOutputRows += 1; pending = Iterator.single(l) }
-                case _ => // Existence: every point emits, flag = any
-                  if (any) numMatchedRows += 1
-                  numOutputRows += 1
-                  pending =
-                    Iterator.single(outProj(joined(l, if (any) flagTrue else flagFalse)))
-              }
+              // unreachable: the existence family answers from the O(1)
+              // running-max end bound and never buffers an active set, so
+              // enterSpillMode cannot fire for it
+              throw new IllegalStateException(
+                s"spill sweep reached for existence-family mode $emitMode")
             case _ =>
               pending = new Iterator[InternalRow] {
                 private var phase = 0 // 0 rebuild, 1 admission, 2 finish, 3 done
@@ -543,7 +585,7 @@ final case class IntervalJoinExec(
               rNextKey = k
               rNextBounds = b
             } else if (emitFull) {
-              dropped += r.copy()
+              addDropped(r)
             }
           }
         }
@@ -560,6 +602,7 @@ final case class IntervalJoinExec(
               // key change: the active set belongs to a previous key
               if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
                 active.clear()
+                existMaxEnd = null
                 if (spillMode) { spillCur.clear(); spillMode = false }
                 activeKey = lKey.copy()
               }
@@ -587,10 +630,19 @@ final case class IntervalJoinExec(
                   if (c < 0) {
                     // a whole right key the points skipped over — under
                     // full outer every such interval is unmatched
-                    if (emitFull) dropped += rNext.copy()
+                    if (emitFull) addDropped(rNext)
                     fetchRight(); cont = rNext != null
                   } else if (c == 0 && timeOrd.compare(startRowOf(rNextBounds), lTime) <= 0) {
-                    if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
+                    if (existenceMode) {
+                      // fold into the running max; DOA intervals
+                      // (e < t) are handled naturally — their end can
+                      // never raise the max past any current-or-later t
+                      val endRow = endRowOf(rNextBounds)
+                      if (existMaxEnd == null || timeOrd.compare(endRow, existMaxEnd) > 0) {
+                        existMaxEnd = endRow.copy()
+                      }
+                      fetchRight(); cont = rNext != null
+                    } else if (timeOrd.compare(endRowOf(rNextBounds), lTime) >= 0) {
                       if (active.length >= activeBudget) {
                         if (spillEnabled) {
                           // degrade this key to the spillable buffer; the
@@ -618,7 +670,7 @@ final case class IntervalJoinExec(
                       // start-sorted and this point is the first with
                       // start <= time, NO earlier point fell inside it
                       // either: unmatched under full outer
-                      if (emitFull) dropped += rNext.copy()
+                      if (emitFull) addDropped(rNext)
                       fetchRight(); cont = rNext != null
                     }
                   } else cont = false
@@ -645,39 +697,38 @@ final case class IntervalJoinExec(
                     // cannot happen before pending is exhausted.
                     pending = lazySingle(outProj(joined(l, nullRight)))
                   }
-                // existence modes: the left row itself, at most once; `l`
-                // stays valid until the next lIter.next(), which cannot
-                // happen before this single pending row is consumed
+                // existence modes answer from the O(1) running max; the
+                // left row itself emits at most once and `l` stays valid
+                // until the next lIter.next(), which cannot happen before
+                // this single pending row is consumed
                 case IntervalJoinMode.Semi =>
-                  if (active.nonEmpty) {
+                  if (existCovered(lTime)) {
                     numMatchedRows += 1
                     numOutputRows += 1
                     pending = Iterator.single(l)
                   }
                 case IntervalJoinMode.Anti =>
-                  if (active.isEmpty) {
+                  if (!existCovered(lTime)) {
                     numOutputRows += 1
                     pending = Iterator.single(l)
                   }
                 case IntervalJoinMode.Existence(_) =>
-                  if (active.nonEmpty) numMatchedRows += 1
+                  val covered = existCovered(lTime)
+                  if (covered) numMatchedRows += 1
                   numOutputRows += 1
                   pending = Iterator.single(
-                    outProj(joined(l, if (active.nonEmpty) flagTrue else flagFalse)))
+                    outProj(joined(l, if (covered) flagTrue else flagFalse)))
               }
               }
               // full outer: intervals the sweep skipped since the last
               // point drain null-extended AHEAD of this point's rows
-              // (`dropped` only ever grows under FullOuter). Iterator.++
+              // (skips only ever accumulate under FullOuter). Iterator.++
               // takes its argument BY NAME — snapshot the tail first, or
               // the concat would lazily re-read the reassigned `pending`
               // field and chase its own tail forever.
-              if (dropped.nonEmpty) {
-                val batch = dropped.toVector
-                dropped.clear()
-                numOutputRows += batch.size
+              if (droppedNonEmpty) {
                 val tail = pending
-                pending = batch.iterator.map(r => outProj(joined(nullLeft, r))) ++ tail
+                pending = drainDropped() ++ tail
               }
             } else {
               // NULL key/time left rows match nothing: outer null-extends
@@ -708,13 +759,12 @@ final case class IntervalJoinExec(
         private def drainRightTail(): Unit =
           if (emitFull && !pending.hasNext && !lIter.hasNext && !drainedRight) {
             drainedRight = true
-            val head = dropped.toVector
-            dropped.clear()
+            val head = drainDropped()
             val lookahead = if (rNext != null) Some(rNext.copy()) else None
             rNext = null
-            numOutputRows += head.size + lookahead.size
+            numOutputRows += lookahead.size
             pending =
-              (head.iterator ++ lookahead.iterator).map(r => outProj(joined(nullLeft, r))) ++
+              head ++ lookahead.iterator.map(r => outProj(joined(nullLeft, r))) ++
                 rIter.map { r =>
                   numOutputRows += 1
                   outProj(joined(nullLeft, r))
@@ -740,7 +790,12 @@ final case class IntervalJoinExec(
 }
 
 object IntervalJoinExec {
-  /** Session conf key bounding the per-task active-interval buffer. */
+  /** Session conf key bounding the per-task active-interval buffer.
+    * Applies only to the pair-emitting modes (inner/outer/full): the
+    * existence family (semi/anti/existence) carries O(1) state per key
+    * — a running max of admitted end bounds — and has no buffer to
+    * bound.
+    */
   val MaxActiveKey = "spark.graft.intervalJoin.maxActiveIntervals"
 
   /** Session conf key (boolean, default false): instead of aborting when a
@@ -863,6 +918,30 @@ object Interval {
       mode: IntervalJoinMode,
       nameMatches: (String, String) => Boolean
   ): IntervalJoinPlan = {
+    // Stream-static soundness boundary (StreamStaticJoinSpec pins the
+    // sound cases): a streaming LEFT is stateless per left row for every
+    // left-decided mode, so per-micro-batch execution is exactly correct.
+    // Two shapes are NOT and must fail loudly instead of silently
+    // emitting per-batch-wrong answers:
+    //  - FULL OUTER with a streaming side: the static side's unmatched
+    //    rows would re-emit every micro-batch (and a streaming side's
+    //    unmatched rows can't be decided within one batch);
+    //  - a streaming RIGHT in any left-preserving/left-deciding mode:
+    //    "covered by some interval" quantifies over intervals from EVERY
+    //    batch, so outer/semi/anti/existence answers flip as later
+    //    batches arrive (inner is the one per-pair-decidable exception).
+    if ((lPlan.isStreaming || rAnalyzed.isStreaming) && mode == IntervalJoinMode.FullOuter) {
+      throw new IllegalArgumentException(
+        "interval join: FULL OUTER requires both sides static — unmatched rows " +
+          "of the static side would re-emit every micro-batch; reconcile after " +
+          "the stream lands, or use the outer mode on the streaming (point) side")
+    }
+    if (rAnalyzed.isStreaming && mode != IntervalJoinMode.Inner) {
+      throw new IllegalArgumentException(
+        s"interval join: a streaming right (intervals) side supports only the " +
+          s"inner mode — $mode quantifies over intervals across micro-batches " +
+          "and would answer from each batch's slice alone")
+    }
     val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)
     val rOut = rAliases.map(_.toAttribute)

@@ -106,9 +106,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
     val (left, right) = (j.left, j.right)
-    // cost guard: leave broadcast-sized sides to BroadcastHashJoin
+    // cost guard: leave broadcast-sized sides to BroadcastHashJoin —
+    // EXCEPT full outer, which JoinSelection can never broadcast (no
+    // build side preserves both): standing down would hand even a tiny
+    // input to the key-only SMJ with per-group buffering on both
+    // preserved sides, the exact plan this rewrite replaces
     val threshold = conf.autoBroadcastJoinThreshold
-    if (threshold >= 0 &&
+    if (j.joinType != FullOuter && threshold >= 0 &&
         (left.stats.sizeInBytes <= threshold || right.stats.sizeInBytes <= threshold))
       return None
 

@@ -481,6 +481,63 @@ class IntervalJoinSpec extends SparkSpec {
     assert(allPts == Set("p1", "p2", "p3", "p4", "p5"))
   }
 
+  test("existence family carries O(1) state: axis-spanning hot key passes with NO budget and NO spill") {
+    import graft.plans.IntervalJoinExec
+    import spark.implicits._
+    // the fixture that makes INNER abort under budget 16 (see the budget
+    // test): 64 axis-spanning intervals of one key; semi/anti/existence
+    // answer from the running-max end bound and must not even notice
+    val points = Seq(("hot", 50L, 1L), ("hot", 200L, 2L)).toDF("k", "t", "pid")
+    val ivals = ((1 to 64).map(i => ("hot", 0L, 100L, i.toLong)) ++
+      // DOA noise: ends behind every later point, must not poison the max
+      Seq(("hot", 60L, 61L, 900L))).toDF("rk", "s", "e", "rid")
+    spark.conf.set(IntervalJoinExec.MaxActiveKey, "16")
+    try {
+      val semi = Interval.intervalSemiJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+        .select(col("pid")).collect().map(_.getLong(0)).toSet
+      assert(semi == Set(1L), s"got $semi") // t=200 is past every end
+      val anti = Interval.intervalAntiJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+        .select(col("pid")).collect().map(_.getLong(0)).toSet
+      assert(anti == Set(2L), s"got $anti")
+      // inner still aborts on the same data — the budget exists for the
+      // pair-emitting modes only
+      val ex = intercept[org.apache.spark.SparkException] {
+        Interval.intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e").count()
+      }
+      val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+      assert(msg.contains("active-interval budget exceeded"), s"got: $msg")
+    } finally spark.conf.unset(IntervalJoinExec.MaxActiveKey)
+  }
+
+  test("full outer: a point-free right stretch past the heap cap overflows to the spillable array, exact") {
+    import spark.implicits._
+    // two long gaps of skipped keys (so the overflow pair swaps at least
+    // twice) around sparse points; heap cap forced tiny via the window
+    // buffer threshold the exec shares
+    val points = Seq((500L, 100L, 10L), (1500L, 100L, 20L)).toDF("k", "t", "pid")
+    val ivals =
+      ((1L to 1000L).map(k => (k, 0L, 5L, k)) ++ // skipped keys / DOA at k=500
+        Seq((500L, 0L, 200L, 9500L), (1500L, 0L, 200L, 9501L)) ++ // matched
+        (2000L to 2400L).map(k => (k, 0L, 5L, k))) // tail drain
+        .toDF("rk", "s", "e", "rid")
+    val prev = spark.conf.getOption("spark.sql.windowExec.buffer.in.memory.threshold")
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "8")
+    try {
+      val got = graft.plans.Interval
+        .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+        .select(col("pid"), col("rid")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      val exp = (Seq((10L, 9500L), (20L, 9501L)) ++
+        (1L to 1000L).map(k => (-1L, k)) ++ // incl. DOA [0,5] at the point keys
+        (2000L to 2400L).map(k => (-1L, k))).sorted
+      assert(got == exp, s"overflow path diverged: got ${got.size}, want ${exp.size}")
+    } finally {
+      spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+      prev.foreach(spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", _))
+    }
+  }
+
   test("full outer through the spill path: over-budget hot key stays exact") {
     import graft.plans.IntervalJoinExec
     import spark.implicits._

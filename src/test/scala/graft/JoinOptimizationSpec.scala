@@ -139,6 +139,43 @@ class JoinOptimizationSpec extends SparkSpec {
     assert(joined.count() == 0L, s"outer right-side predicate unsoundly pushed:\n${joined.queryExecution.optimizedPlan}")
   }
 
+  test("interval join (full outer): NO predicate moves through the join") {
+    import spark.implicits._
+    val points = Seq((1L, 5L, 1L), (1L, 50L, 2L)).toDF("k", "t", "pv")
+    val ivals = Seq((1L, 1L, 10L, 0L), (1L, 40L, 60L, 7L)).toDF("rk", "s", "e", "rv")
+    // left-only predicate: pushing pv > 1 below would delete the pv=1
+    // point from the left child, resurfacing its matched interval (rv=0)
+    // as a spurious null-extended row — the filter must stay above
+    val leftPred = Interval
+      .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("pv") > 1L)
+    assert(
+      filterAboveCustomJoin(leftPred.queryExecution.optimizedPlan),
+      s"left-only predicate moved through a FULL OUTER interval join:\n${leftPred.queryExecution.optimizedPlan}"
+    )
+    assert(
+      leftPred.select(col("pv"), col("rv")).collect().map(_.toSeq).toSet ==
+        Set(Seq(2L, 7L)),
+      "full-outer left-predicate semantics broken"
+    )
+    // right-only predicate, behavioral differential: if rv = 0 were pushed
+    // into the right child, the rv=7 interval would vanish from the join
+    // and point pv=2 would null-extend into the output — a row the filter
+    // above correctly rejects (null ≠ 0)
+    val rightPred = Interval
+      .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("rv") === 0L)
+    assert(
+      filterAboveCustomJoin(rightPred.queryExecution.optimizedPlan),
+      s"right-only predicate moved through a FULL OUTER interval join:\n${rightPred.queryExecution.optimizedPlan}"
+    )
+    assert(
+      rightPred.select(col("pv"), col("rv")).collect().map(_.toSeq).toSet ==
+        Set(Seq(1L, 0L)),
+      "full-outer right-predicate semantics broken"
+    )
+  }
+
   private def rightChildFilters(df: DataFrame): Seq[String] =
     df.queryExecution.optimizedPlan
       .collect {

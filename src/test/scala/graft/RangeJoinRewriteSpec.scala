@@ -447,6 +447,25 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("FullOuter rewrites even below the broadcast threshold (no broadcast plan exists for it)") {
+    // the cost guard stands down for broadcast-sized sides expecting
+    // BroadcastHashJoin to win — but JoinSelection can never broadcast a
+    // FULL OUTER equi join (no build side preserves both), so standing
+    // down would hand the query to the key-only SMJ this rewrite replaces;
+    // note: NO noBroadcast wrapper here, local-relation stats are tiny
+    val fo = points.join(ivals,
+      col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
+    assert(hasIntervalExec(fo),
+      s"broadcast-sized full outer did not rewrite:\n${fo.queryExecution.executedPlan}")
+    val got = fo.collect().map(_.toSeq).toSet
+    val exp = rewriteOff {
+      points.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")), "full")
+        .collect().map(_.toSeq).toSet
+    }
+    assert(got == exp && exp.nonEmpty)
+  }
+
   test("full-outer null-inclusive randomized differential") {
     noBroadcast {
       val rnd = new scala.util.Random(31337)

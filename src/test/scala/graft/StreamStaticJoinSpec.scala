@@ -110,4 +110,39 @@ class StreamStaticJoinSpec extends SparkSpec {
       assert(got == expected && expected.nonEmpty, s"stream=${got.size} rows vs batch=${expected.size} rows")
     } finally q.stop()
   }
+
+  test("unsound stream-static shapes are refused loudly at plan time") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticPts = Seq((1L, 5L)).toDF("k", "t")
+    val staticIvs = Seq((1L, 0L, 10L)).toDF("rk", "s", "e")
+    val staticVers = Seq((1L, 3L, 7L)).toDF("rk", "rt", "rv")
+    val streamDf = MemoryStream[(Long, Long)].toDS().toDF("k", "t")
+    val streamIvs = MemoryStream[(Long, Long, Long)].toDS().toDF("rk", "s", "e")
+
+    // as-of: streaming RIGHT (versions) — per-batch latest is superseded later
+    val asofEx = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(staticPts, streamDf.select(col("k").as("rk"),
+        col("t").as("rt")), Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(asofEx.getMessage.contains("streaming"), asofEx.getMessage)
+
+    // interval FULL OUTER with a streaming side — the static side's
+    // unmatched rows would re-emit every micro-batch
+    val foEx = intercept[IllegalArgumentException] {
+      Interval.intervalFullOuterJoin(streamDf, staticIvs,
+        Seq("k"), Seq("rk"), "t", "s", "e")
+    }
+    assert(foEx.getMessage.contains("FULL OUTER"), foEx.getMessage)
+
+    // interval with a streaming RIGHT in a left-deciding mode — "covered
+    // by some interval" quantifies across batches
+    val semiEx = intercept[IllegalArgumentException] {
+      Interval.intervalSemiJoin(staticPts, streamIvs,
+        Seq("k"), Seq("rk"), "t", "s", "e")
+    }
+    assert(semiEx.getMessage.contains("inner mode"), semiEx.getMessage)
+    // suppress unused warnings for the static versions frame kept for
+    // symmetry with the as-of case
+    assert(staticVers.columns.length == 3)
+  }
 }
