@@ -3871,6 +3871,93 @@ object Relational {
              |  ON w.s_user = p.user_id AND p.us BETWEEN w.s_start AND w.s_end
              |GROUP BY 1
              |ORDER BY 1""".stripMargin)
+    ),
+
+    // q248's reconcile written as PLAIN SQL `FULL JOIN … ON k = rk AND t
+    // BETWEEN s AND e` — no TVF: this is the shape RangeJoinRewrite now
+    // rewrites to the FullOuter sweep even at oracle scale, because the
+    // broadcast cost guard is bypassed for FULL OUTER (JoinSelection can
+    // never broadcast it — without the rewrite even a tiny input lands on
+    // the key-only SMJ buffering both preserved sides per key group).
+    // Semantics: incident exposure — clicks during a user's ERROR-burst
+    // windows (error sessions at 1 h gap, padded ±15 min; consecutive
+    // bursts are > 1 h apart so padded windows stay disjoint and every
+    // click matches ≤ 1 window), CLEAN clicks (no incident nearby), and
+    // SILENT incidents (no clicks — the outage-that-nobody-clicked-through
+    // signal), all classified in ONE pass.
+    Q(
+      "q249_incident_exposure",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val ev = events(s, d)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            unix_micros(col("ts")).as("us"),
+            col("event_type")
+          )
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("us"))
+          .createOrReplaceTempView("g249_clicks")
+        ev.filter(col("event_type") === "error")
+          .createOrReplaceTempView("g249_errors")
+        s.sql(
+          """WITH s1 AS (
+            |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            |    AS prev_us
+            |  FROM g249_errors),
+            |s2 AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000
+            |                 THEN 1L ELSE 0L END AS new_s
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                             ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM s2)
+            |SELECT user_id AS w_user, min(us) - 900000000 AS w_start,
+            |  max(us) + 900000000 AS w_end
+            |FROM s3 GROUP BY user_id, sid""".stripMargin
+        ).createOrReplaceTempView("g249_windows")
+        s.sql(
+          """SELECT coalesce(user_id, w_user) AS uid,
+            |  count(CASE WHEN event_id IS NOT NULL AND w_start IS NOT NULL
+            |             THEN 1 END) AS n_exposed_clicks,
+            |  count(CASE WHEN w_start IS NULL THEN 1 END) AS n_clean_clicks,
+            |  count(CASE WHEN event_id IS NULL THEN 1 END) AS n_silent_incidents
+            |FROM g249_clicks FULL JOIN g249_windows
+            |  ON user_id = w_user AND us BETWEEN w_start AND w_end
+            |GROUP BY 1
+            |ORDER BY 1""".stripMargin
+        )
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+             |err AS (SELECT * FROM e WHERE event_type = 'error'),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM err),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |w AS (
+             |  SELECT user_id AS w_user, min(us) - 900000000 AS w_start,
+             |    max(us) + 900000000 AS w_end
+             |  FROM s3 GROUP BY user_id, sid),
+             |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click')
+             |SELECT coalesce(c.user_id, w.w_user) AS uid,
+             |  count(CASE WHEN c.event_id IS NOT NULL AND w.w_start IS NOT NULL
+             |             THEN 1 END) AS n_exposed_clicks,
+             |  count(CASE WHEN w.w_start IS NULL THEN 1 END) AS n_clean_clicks,
+             |  count(CASE WHEN c.event_id IS NULL THEN 1 END) AS n_silent_incidents
+             |FROM c FULL JOIN w
+             |  ON w.w_user = c.user_id AND c.us BETWEEN w.w_start AND w.w_end
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -58,6 +58,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    interval joins, where a right predicate above the join also
   *    evaluates on null-extended rows.
   *
+  *  - **Join-mode demotion (EliminateOuterJoin analog).** A
+  *    null-intolerant predicate above a null-extending mode can never
+  *    pass the null-extended rows, so the preservation is dead weight:
+  *    `Filter(p_right_nullintolerant, Outer)` → `Filter(p, Inner)`,
+  *    `Filter(p_left_nullintolerant, FullOuter)` → `Filter(p, Outer)`
+  *    (both sides → Inner), as-of outer → inner — and the stricter
+  *    mode's own pushdown rules then move the predicate at the
+  *    optimizer's fixpoint.
+  *
   *  - **Column pruning (both nodes).** When a `Project` or `Aggregate`
   *    directly above the join needs only a subset of its output, each
   *    child is narrowed to (columns the parent references) ∪ (columns the
@@ -184,7 +193,71 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
         case LessThanOrEqual(l: Literal, t) if t.semanticEquals(time) => GreaterThanOrEqual(target, l)
       }
 
+  // ---- join-mode demotion (EliminateOuterJoin analog) ------------------
+  // A null-INTOLERANT predicate above a null-extending join can never
+  // pass the null-extended rows, so the preservation that produced them
+  // is dead weight: drop to the stricter mode and let that mode's
+  // pushdown rules (this rule re-fires at the optimizer's fixpoint) move
+  // the predicate the rest of the way. Catalyst's EliminateOuterJoin
+  // does exactly this, but pattern-matches only the built-in Join.
+
+  /** Does some conjunct referencing ONLY `side` filter out a row whose
+    * `side` attributes are all NULL? (Evaluates the conjunct against an
+    * all-null row — null or false means null-extended rows cannot pass.)
+    */
+  private def filtersNullExtended(conjuncts: Seq[Expression], side: AttributeSet): Boolean =
+    conjuncts.exists { e =>
+      e.deterministic && e.references.nonEmpty && e.references.subsetOf(side) && {
+        val attrs = e.references.toSeq
+        val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(e, org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
+        !bound.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable]) &&
+        (try {
+          val v = bound.eval(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(attrs.length))
+          v == null || v == false
+        } catch { case scala.util.control.NonFatal(_) => false })
+      }
+    }
+
+  /** The strictest interval-join mode `cond` permits above `j`:
+    *  - FullOuter: a left-only null-filtering conjunct kills the
+    *    unmatched-RIGHT rows (their left attrs are null) → Outer; one on
+    *    each side kills both unmatched classes → Inner. The mirror case
+    *    (only unmatched-LEFT rows die) has no expressible mode — the
+    *    sweep is point-preserving, never interval-preserving — so the
+    *    node stays FullOuter and the pushdown barrier keeps the filter.
+    *  - Outer: a right-only null-filtering conjunct kills the
+    *    null-extended rows → Inner (whose rules may then push it).
+    */
+  private def demotedMode(cond: Expression, j: IntervalJoinPlan): IntervalJoinMode = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    j.mode match {
+      case IntervalJoinMode.FullOuter =>
+        val killsNullLeft = filtersNullExtended(conjuncts, j.left.outputSet)
+        val killsNullRight = filtersNullExtended(conjuncts, j.right.outputSet)
+        if (killsNullLeft && killsNullRight) IntervalJoinMode.Inner
+        else if (killsNullLeft) IntervalJoinMode.Outer
+        else j.mode
+      case IntervalJoinMode.Outer
+          if filtersNullExtended(conjuncts, j.right.outputSet) =>
+        IntervalJoinMode.Inner
+      case m => m
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+
+    // ---- join-mode demotion (must fire before the pushdown cases, which
+    // would otherwise leave the filter parked above a FullOuter barrier
+    // or refuse the right-side move an Inner node permits) --------------
+    case Filter(cond, j: IntervalJoinPlan) if demotedMode(cond, j) != j.mode =>
+      Filter(cond, j.copy(mode = demotedMode(cond, j)))
+
+    case Filter(cond, j: AsOfJoinPlan)
+        if j.outer &&
+          filtersNullExtended(splitConjunctivePredicates(cond), j.right.outputSet) =>
+      Filter(cond, j.copy(outer = false))
 
     // ---- predicate pushdown -------------------------------------------
     case f @ Filter(cond, j: AsOfJoinPlan) =>

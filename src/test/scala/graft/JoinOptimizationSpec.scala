@@ -139,41 +139,131 @@ class JoinOptimizationSpec extends SparkSpec {
     assert(joined.count() == 0L, s"outer right-side predicate unsoundly pushed:\n${joined.queryExecution.optimizedPlan}")
   }
 
-  test("interval join (full outer): NO predicate moves through the join") {
+  test("interval join (full outer): non-demotable predicates never move through the join") {
     import spark.implicits._
+    import graft.plans.IntervalJoinMode
     val points = Seq((1L, 5L, 1L), (1L, 50L, 2L)).toDF("k", "t", "pv")
     val ivals = Seq((1L, 1L, 10L, 0L), (1L, 40L, 60L, 7L)).toDF("rk", "s", "e", "rv")
-    // left-only predicate: pushing pv > 1 below would delete the pv=1
-    // point from the left child, resurfacing its matched interval (rv=0)
-    // as a spurious null-extended row — the filter must stay above
+    // null-TOLERANT left-only predicate (coalesce passes null-extended
+    // rows): demotion must not fire, and pushing the predicate below
+    // would delete the pv=1 point from the left child, resurfacing its
+    // matched interval (rv=0) as a spurious null-extended row — so the
+    // filter must stay above a still-FullOuter node
     val leftPred = Interval
       .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
-      .filter(col("pv") > 1L)
+      .filter(coalesce(col("pv"), lit(99L)) > 1L)
+    assert(
+      leftPred.queryExecution.optimizedPlan.collect { case j: IntervalJoinPlan => j.mode } ==
+        Seq(IntervalJoinMode.FullOuter),
+      s"null-tolerant predicate demoted the mode:\n${leftPred.queryExecution.optimizedPlan}"
+    )
     assert(
       filterAboveCustomJoin(leftPred.queryExecution.optimizedPlan),
       s"left-only predicate moved through a FULL OUTER interval join:\n${leftPred.queryExecution.optimizedPlan}"
     )
     assert(
-      leftPred.select(col("pv"), col("rv")).collect().map(_.toSeq).toSet ==
-        Set(Seq(2L, 7L)),
+      leftPred.select(col("pv"), col("rv")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).toSet ==
+        Set((2L, 7L)), // a wrongly-pushed filter would ADD (-1, 0): the
+      // pv=1 point would vanish from the left child and its matched
+      // interval (rv=0) would resurface null-extended
       "full-outer left-predicate semantics broken"
     )
-    // right-only predicate, behavioral differential: if rv = 0 were pushed
-    // into the right child, the rv=7 interval would vanish from the join
-    // and point pv=2 would null-extend into the output — a row the filter
-    // above correctly rejects (null ≠ 0)
+    // right-only null-tolerant predicate: selects BOTH the (1, 0) match
+    // and every unmatched point's null-extension — if it were pushed into
+    // the right child, the rv=7 interval would vanish and pv=2 would
+    // null-extend into the output with rv null, which coalesce maps to 0
+    // ≠ the correct (2, 7) pairing; must stay above, mode intact
     val rightPred = Interval
       .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
-      .filter(col("rv") === 0L)
+      .filter(coalesce(col("rv"), lit(0L)) === 0L)
+    assert(
+      rightPred.queryExecution.optimizedPlan.collect { case j: IntervalJoinPlan => j.mode } ==
+        Seq(IntervalJoinMode.FullOuter)
+    )
     assert(
       filterAboveCustomJoin(rightPred.queryExecution.optimizedPlan),
       s"right-only predicate moved through a FULL OUTER interval join:\n${rightPred.queryExecution.optimizedPlan}"
     )
     assert(
-      rightPred.select(col("pv"), col("rv")).collect().map(_.toSeq).toSet ==
-        Set(Seq(1L, 0L)),
+      rightPred.select(col("pv"), col("rv")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).toSet ==
+        Set((1L, 0L)),
       "full-outer right-predicate semantics broken"
     )
+  }
+
+  test("mode demotion: null-intolerant filters strip dead preservation, then push") {
+    import spark.implicits._
+    import graft.plans.IntervalJoinMode
+    val points = Seq((1L, 5L, 1L), (1L, 50L, 2L), (1L, 500L, 3L)).toDF("k", "t", "pv")
+    val ivals = Seq((1L, 1L, 10L, 0L), (1L, 40L, 60L, 7L), (1L, 900L, 950L, 9L))
+      .toDF("rk", "s", "e", "rv")
+    def modesOf(df: DataFrame): Seq[IntervalJoinMode] =
+      df.queryExecution.optimizedPlan.collect { case j: IntervalJoinPlan => j.mode }
+
+    // FULL OUTER + left-only null-intolerant conjunct: unmatched-interval
+    // rows (null left) can't pass -> Outer, and the Outer rules then PUSH
+    // the predicate below the join (no Filter above survives)
+    val toOuter = Interval
+      .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("pv") > 1L)
+    assert(modesOf(toOuter) == Seq(IntervalJoinMode.Outer), s"got ${modesOf(toOuter)}")
+    assert(!filterAboveCustomJoin(toOuter.queryExecution.optimizedPlan),
+      s"demoted filter not pushed:\n${toOuter.queryExecution.optimizedPlan}")
+    assert(toOuter.select(col("pv"), col("rv")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet ==
+      Set((2L, 7L), (3L, -1L)), "FullOuter->Outer semantics broken")
+
+    // FULL OUTER + null-intolerant conjuncts on BOTH sides -> Inner, both pushed
+    val toInner = Interval
+      .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("pv") > 1L && col("rv") >= 0L)
+    assert(modesOf(toInner) == Seq(IntervalJoinMode.Inner), s"got ${modesOf(toInner)}")
+    assert(!filterAboveCustomJoin(toInner.queryExecution.optimizedPlan))
+    assert(toInner.select(col("pv"), col("rv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 7L)))
+
+    // null-TOLERANT predicates must NOT demote: IS NULL passes the
+    // null-extended rows — they are exactly what it selects
+    val keepFull = Interval
+      .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .filter(col("rv").isNull)
+    assert(modesOf(keepFull) == Seq(IntervalJoinMode.FullOuter), s"got ${modesOf(keepFull)}")
+    assert(keepFull.select(col("pv")).collect().map(_.getLong(0)).toSet == Set(3L),
+      "IS NULL over full outer must keep the uncovered point")
+
+    // OUTER + right-only null-intolerant conjunct -> Inner, pushed right
+    val outerToInner = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e", outer = true)
+      .filter(col("rv") > 0L)
+    assert(modesOf(outerToInner) == Seq(IntervalJoinMode.Inner), s"got ${modesOf(outerToInner)}")
+    assert(!filterAboveCustomJoin(outerToInner.queryExecution.optimizedPlan))
+    // point 3 (t=500) matches nothing — its outer null-extension dies on
+    // rv > 0, which is exactly why the demotion to Inner is sound
+    assert(outerToInner.select(col("pv"), col("rv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 7L)))
+
+    // as-of OUTER + right-only null-intolerant conjunct -> inner; the
+    // filter stays ABOVE (as-of never pushes right predicates — they
+    // would change which row is latest) but the dead null-extension goes
+    val (clicks, views) = clicksAndViews
+    val asofDemoted = AsOf
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"), outer = true)
+      .filter(col("view_value") >= 0.0)
+    val asofOuter = asofDemoted.queryExecution.optimizedPlan.collect {
+      case a: AsOfJoinPlan => a.outer
+    }
+    assert(asofOuter == Seq(false), s"as-of outer not demoted: $asofOuter")
+    val asofExpected = AsOf
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+        rightTieBreak = Seq("view_id"), outer = false)
+      .filter(col("view_value") >= 0.0)
+      .collect().map(_.toSeq).toSet
+    assert(asofDemoted.collect().map(_.toSeq).toSet == asofExpected && asofExpected.nonEmpty)
   }
 
   private def rightChildFilters(df: DataFrame): Seq[String] =

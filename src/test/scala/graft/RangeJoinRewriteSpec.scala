@@ -466,6 +466,17 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == exp && exp.nonEmpty)
   }
 
+  test("q249 (plain-SQL FULL JOIN reconcile) plans through the FullOuter sweep on real data") {
+    import graft.plans.{IntervalJoinMode, IntervalJoinPlan}
+    val df = graft.ops.QueryRegistry.byName("q249_incident_exposure")
+      .fn(spark, "/root/testdata/sf0.001")
+    val modes = df.queryExecution.optimizedPlan.collect { case j: IntervalJoinPlan => j.mode }
+    assert(modes == Seq(IntervalJoinMode.FullOuter),
+      s"q249 did not rewrite to the FullOuter sweep: $modes\n${df.queryExecution.optimizedPlan}")
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    assert(df.count() > 0)
+  }
+
   test("full-outer null-inclusive randomized differential") {
     noBroadcast {
       val rnd = new scala.util.Random(31337)
@@ -495,6 +506,33 @@ class RangeJoinRewriteSpec extends SparkSpec {
         }
         assert(got == exp, s"full-outer trial $trial diverged: ${got.size} vs ${exp.size}")
         assert(exp.exists(_._1 == -1L) && exp.exists(_._2 == -1L), s"trial $trial vacuous")
+
+        // demotion differential: a filter above the full-outer join — the
+        // rewrite-on side exercises CustomJoinOptimization's mode
+        // demotion (null-intolerant shapes) or the pushdown barrier
+        // (null-tolerant shapes); the rewrite-off side exercises Spark's
+        // own EliminateOuterJoin on the plain Join. Both must agree.
+        val preds = Seq(
+          col("pid") % 3 === 0,                    // left null-intolerant → Outer
+          col("rid") % 2 === 0,                    // right null-intolerant → (stays Full)
+          col("pid") % 3 === 0 && col("rid") % 2 === 0, // both → Inner
+          col("rid").isNull,                       // null-tolerant → barrier
+          coalesce(col("pid"), lit(0L)) >= 0L      // null-tolerant left → barrier
+        )
+        for ((p, pi) <- preds.zipWithIndex) {
+          val fq = pts.join(ivs, cond, "full").filter(p)
+            .select(col("pid"), col("rid")).collect()
+            .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                       if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+          val fexp = rewriteOff {
+            pts.join(ivs, cond, "full").filter(p)
+              .select(col("pid"), col("rid")).collect()
+              .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                         if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+          }
+          assert(fq == fexp,
+            s"demotion trial $trial pred $pi diverged: ${fq.size} vs ${fexp.size}")
+        }
       }
     }
   }
