@@ -46,11 +46,17 @@ object Bucketing {
     * fix: repartitioning on the partition column alone lands EVERY row of
     * one value on a single task, so a hot value serializes its write and
     * can OOM/straggle at 100 TB. With salt > 1 each value spreads across
-    * up to `salt` writer tasks (keyed by the incoming partition id —
-    * deterministic, no rand() in the plan), trading ≤ `salt` files per
-    * value for parallelism. `maxRecordsPerFile` > 0 additionally caps row
-    * count per emitted file (Spark's own writer option), the knob for
-    * bounding file size when row width is known.
+    * up to `salt` writer tasks, keyed by a hash of the ROW CONTENT —
+    * deterministic (no rand() in the plan) and, crucially, independent of
+    * the incoming layout: a spark_partition_id-derived salt collapses to
+    * 1-2 values exactly when the input is already clustered by the
+    * partition column (read back from a previous partitionBy write),
+    * which is when the spread is needed most. Fully-identical duplicate
+    * rows still co-locate (same content hash) — acceptable, duplicates
+    * are pathological at this layer. Trades ≤ `salt` files per value for
+    * parallelism. `maxRecordsPerFile` > 0 additionally caps row count
+    * per emitted file (Spark's own writer option), the knob for bounding
+    * file size when row width is known.
     */
   def writePartitioned(
       df: DataFrame,
@@ -66,10 +72,14 @@ object Bucketing {
     // the shuffle each partition value is owned by one task (or `salt`
     // tasks), so the write produces one (or ≤ salt) file(s) per value.
     require(hotValueSalt >= 1, s"hotValueSalt must be >= 1, got $hotValueSalt")
-    import org.apache.spark.sql.functions.{lit, pmod, spark_partition_id}
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
     val keyed =
       if (hotValueSalt == 1) df.repartition(col(partitionCol))
-      else df.repartition(col(partitionCol), pmod(spark_partition_id(), lit(hotValueSalt)))
+      else
+        df.repartition(
+          col(partitionCol),
+          pmod(hash(df.columns.map(col): _*), lit(hotValueSalt))
+        )
     keyed.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -3958,6 +3958,65 @@ object Relational {
              |  ON w.w_user = c.user_id AND c.us BETWEEN w.w_start AND w.w_end
              |GROUP BY 1
              |ORDER BY 1""".stripMargin)
+    ),
+
+    // Sessionization through Spark's NATIVE session_window AGGREGATION —
+    // the scale- and streaming-capable path beside q243-q249's
+    // window-function construction: one aggregate with mergeable session
+    // state (no global per-key sort barrier), and the IDENTICAL call
+    // works under `readStream` with a watermark (EventTimeSpec pins the
+    // streaming shape). Semantics (Spark's, verified empirically on this
+    // build): each event opens [t, t + gap) and sessions merge while the
+    // next start is <= the current end — so events EXACTLY gap apart
+    // merge, and a new session starts only when the inter-event gap is
+    // STRICTLY greater than gap; a session ends at last_event + gap. The
+    // DuckDB oracle replays exactly that rule with lag/cumsum: new_s
+    // when us - prev_us > gap, s_end = max(us) + gap.
+    Q(
+      "q250_native_session_window",
+      (s, d) => {
+        val sessions = events(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            unix_micros(col("session_window.start")).as("s_start"),
+            unix_micros(col("session_window.end")).as("s_end"),
+            col("n_events")
+          )
+        sessions
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("s_end") - col("s_start")).as("total_session_us"),
+            max(col("n_events")).as("max_session_events")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |    AS prev_us
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |w AS (
+             |  SELECT user_id, min(us) AS s_start, max(us) + 1800000000 AS s_end,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM s3 GROUP BY user_id, sid)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(s_end - s_start) AS BIGINT) AS total_session_us,
+             |  CAST(max(n_events) AS BIGINT) AS max_session_events
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -246,13 +246,66 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Pushdown through a non-FullOuter interval join: left-only conjuncts
+    * below the left child; whole-conjunct moves to the right only for
+    * INNER (outer would skip null-extended rows' evaluation; semi/anti
+    * expose no right columns above the join, so nothing can reference
+    * them anyway); plus transferred COPIES — key predicates and interval
+    * pruning from literal time bounds (matches need rs <= lt <= re, so
+    * an upper bound on lt bounds rs above and a lower bound bounds re
+    * below).
+    */
+  private def pushThroughInterval(
+      f: Filter,
+      cond: Expression,
+      j: IntervalJoinPlan
+  ): LogicalPlan = {
+    val (leftOnly, afterLeft) = split(cond, j.left.outputSet)
+    val (rightOnly, rest) =
+      if (j.mode != IntervalJoinMode.Inner) (Nil, afterLeft)
+      else afterLeft.partition(e =>
+        e.deterministic && e.references.nonEmpty && e.references.subsetOf(j.right.outputSet)
+      )
+    if (leftOnly.isEmpty && rightOnly.isEmpty) f
+    else {
+      val transfers = keyTransfers(leftOnly, keyAttrMap(j.leftKeys, j.rightKeys)) ++
+        upperBounds(leftOnly, j.leftTime, j.rightStart) ++
+        lowerBounds(leftOnly, j.leftTime, j.rightEnd)
+      val newLeft = leftOnly.reduceOption(And).map(Filter(_, j.left)).getOrElse(j.left)
+      val newRight = (rightOnly ++ transfers)
+        .reduceOption(And)
+        .map(Filter(_, j.right))
+        .getOrElse(j.right)
+      withRemainder(rest, j.copy(left = newLeft, right = newRight))
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
 
-    // ---- join-mode demotion (must fire before the pushdown cases, which
-    // would otherwise leave the filter parked above a FullOuter barrier
-    // or refuse the right-side move an Inner node permits) --------------
-    case Filter(cond, j: IntervalJoinPlan) if demotedMode(cond, j) != j.mode =>
-      Filter(cond, j.copy(mode = demotedMode(cond, j)))
+    // ---- join-mode demotion + the FullOuter pushdown barrier ----------
+    // Demotion must be decided before pushdown (which would otherwise
+    // park the filter above a FullOuter barrier or refuse the right-side
+    // move an Inner node permits); demotedMode is computed ONCE per
+    // matched Filter, and only the two demotable modes pay it.
+    case f @ Filter(cond, j: IntervalJoinPlan)
+        if j.mode == IntervalJoinMode.FullOuter || j.mode == IntervalJoinMode.Outer =>
+      val m = demotedMode(cond, j)
+      if (m != j.mode) {
+        // demote and stop — the stricter mode's own pushdown fires on
+        // the optimizer's next fixpoint pass
+        Filter(cond, j.copy(mode = m))
+      } else if (j.mode == IntervalJoinMode.FullOuter) {
+        // barrier: NOTHING moves through a (non-demotable) full outer
+        // join (Spark's own PushPredicateThroughJoin makes the same
+        // refusal) — pushing a left-only predicate would drop left rows
+        // whose formerly-matched intervals must then surface
+        // null-extended, and right-side transfers would likewise delete
+        // rows the mode must preserve. Column pruning (below) still
+        // applies.
+        f
+      } else {
+        pushThroughInterval(f, cond, j)
+      }
 
     case Filter(cond, j: AsOfJoinPlan)
         if j.outer &&
@@ -275,41 +328,8 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
         withRemainder(rest, j.copy(left = Filter(leftOnly.reduce(And), j.left), right = newRight))
       }
 
-    case f @ Filter(_, j: IntervalJoinPlan) if j.mode == IntervalJoinMode.FullOuter =>
-      // NOTHING moves through a full outer join (Spark's own
-      // PushPredicateThroughJoin makes the same refusal): pushing a
-      // left-only predicate would drop left rows whose formerly-matched
-      // intervals must then surface null-extended (rows the filter above
-      // used to eliminate as pairs), and the right-side transfers would
-      // likewise delete rows the mode must preserve. Column pruning
-      // (below) still applies.
-      f
-
     case f @ Filter(cond, j: IntervalJoinPlan) =>
-      val (leftOnly, afterLeft) = split(cond, j.left.outputSet)
-      // whole-conjunct moves to the right only for INNER (outer would skip
-      // null-extended rows' evaluation; semi/anti expose no right columns
-      // above the join, so afterLeft can't reference them anyway)
-      val (rightOnly, rest) =
-        if (j.mode != IntervalJoinMode.Inner) (Nil, afterLeft)
-        else afterLeft.partition(e =>
-          e.deterministic && e.references.nonEmpty && e.references.subsetOf(j.right.outputSet)
-        )
-      if (leftOnly.isEmpty && rightOnly.isEmpty) f
-      else {
-        // transferred copies: key predicates, plus interval pruning from
-        // literal time bounds — matches need rs <= lt <= re, so an upper
-        // bound on lt bounds rs above and a lower bound bounds re below
-        val transfers = keyTransfers(leftOnly, keyAttrMap(j.leftKeys, j.rightKeys)) ++
-          upperBounds(leftOnly, j.leftTime, j.rightStart) ++
-          lowerBounds(leftOnly, j.leftTime, j.rightEnd)
-        val newLeft = leftOnly.reduceOption(And).map(Filter(_, j.left)).getOrElse(j.left)
-        val newRight = (rightOnly ++ transfers)
-          .reduceOption(And)
-          .map(Filter(_, j.right))
-          .getOrElse(j.right)
-        withRemainder(rest, j.copy(left = newLeft, right = newRight))
-      }
+      pushThroughInterval(f, cond, j)
 
     // ---- column pruning ------------------------------------------------
     case p @ Project(_, j: AsOfJoinPlan) =>

@@ -936,6 +936,18 @@ object Interval {
           "of the static side would re-emit every micro-batch; reconcile after " +
           "the stream lands, or use the outer mode on the streaming (point) side")
     }
+    if (lPlan.isStreaming && rAnalyzed.isStreaming) {
+      // even INNER is only per-pair-decidable when at most one side
+      // streams: per-micro-batch execution joins batch SLICES, so a point
+      // from batch 1 never meets an interval from batch 2
+      // (L1∪L2 ⋈ R1∪R2 ≠ (L1⋈R1) ∪ (L2⋈R2)). The watermark-bounded
+      // stateful path is EventTime.intervalJoin.
+      throw new IllegalArgumentException(
+        "interval join: both sides are streaming — per-micro-batch execution " +
+          "would silently drop every cross-batch (point, interval) pair; use " +
+          "graft.streaming.EventTime.intervalJoin (stream-stream, " +
+          "watermark-bounded state) instead")
+    }
     if (rAnalyzed.isStreaming && mode != IntervalJoinMode.Inner) {
       throw new IllegalArgumentException(
         s"interval join: a streaming right (intervals) side supports only the " +

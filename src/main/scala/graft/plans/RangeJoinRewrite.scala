@@ -106,15 +106,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
     val (left, right) = (j.left, j.right)
-    // cost guard: leave broadcast-sized sides to BroadcastHashJoin —
-    // EXCEPT full outer, which JoinSelection can never broadcast (no
-    // build side preserves both): standing down would hand even a tiny
-    // input to the key-only SMJ with per-group buffering on both
-    // preserved sides, the exact plan this rewrite replaces
+    // cost guard: leave broadcast-sized sides to BroadcastHashJoin — but
+    // only when JoinSelection can actually BUILD that side for this join
+    // type (its own canBuildBroadcastRight/Left rules): the right builds
+    // for Inner/LeftOuter/LeftSemi/LeftAnti/Existence, the left only for
+    // Inner/RightOuter, and FullOuter builds neither. A small side Spark
+    // cannot build is no reason to stand down — the query would land on
+    // the key-only SMJ with per-group buffering, the exact plan this
+    // rewrite replaces.
     val threshold = conf.autoBroadcastJoinThreshold
-    if (j.joinType != FullOuter && threshold >= 0 &&
-        (left.stats.sizeInBytes <= threshold || right.stats.sizeInBytes <= threshold))
-      return None
+    val bhjServesIt = threshold >= 0 && {
+      val rightBuildable = j.joinType match {
+        case Inner | LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin => true
+        case _                                                          => false
+      }
+      val leftBuildable = j.joinType match {
+        case Inner | RightOuter => true
+        case _                  => false
+      }
+      (rightBuildable && right.stats.sizeInBytes <= threshold) ||
+      (leftBuildable && left.stats.sizeInBytes <= threshold)
+    }
+    if (bhjServesIt) return None
 
     val conjuncts = splitConjunctivePredicates(cond)
     if (!conjuncts.forall(_.deterministic)) return None

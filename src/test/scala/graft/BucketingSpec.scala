@@ -93,20 +93,26 @@ class BucketingSpec extends SparkSpec {
   test("partitioned layout: hotValueSalt spreads a value across writers, bounded by the salt") {
     val dir = Files.createTempDirectory("graft_part_salt").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
-    // repartition to many input partitions first so the salt (keyed by the
-    // incoming partition id) actually has distinct values to spread over;
-    // AQE coalescing off, or it would legally re-merge the tiny salted
-    // partitions at this test's scale and hide the spread under test
+    // ADVERSARIAL input layout: pre-clustered by the partition column —
+    // exactly the shape of a frame read back from a previous partitionBy
+    // write, and the shape under which an input-partition-derived salt
+    // collapses to one value. The row-content-hash salt must spread
+    // anyway. AQE coalescing off, or it would legally re-merge the tiny
+    // salted partitions at this test's scale and hide the spread.
     val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try Bucketing.writePartitioned(docs.repartition(8), "source", dir, hotValueSalt = 3)
+    try
+      Bucketing.writePartitioned(
+        docs.repartition(org.apache.spark.sql.functions.col("source")),
+        "source", dir, hotValueSalt = 3)
     finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     val srcDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("source="))
     assert(srcDirs.nonEmpty, s"no partition directories under $dir")
     val counts = srcDirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))
     // every value writes at most `salt` files (parallelism bound holds)...
     assert(counts.forall(c => c >= 1 && c <= 3), s"file counts per value out of [1,3]: ${counts.toSeq}")
-    // ...and at least one value actually used >1 writer (the salt engaged)
+    // ...and at least one value actually used >1 writer (the salt engaged
+    // DESPITE the value-clustered input)
     assert(counts.exists(_ > 1), s"salt never engaged — all values single-file: ${counts.toSeq}")
     // round trip unchanged
     assert(spark.read.parquet(dir).count() == docs.count())

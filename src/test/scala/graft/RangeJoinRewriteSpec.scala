@@ -537,6 +537,36 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("broadcast guard is side-aware: a small side Spark cannot BUILD does not stand the rewrite down") {
+    // LeftSemi can only broadcast-build the RIGHT side. With the left
+    // tiny (under threshold) and the right above it, BroadcastHashJoin
+    // cannot serve the query — standing down would hand it to the
+    // key-only SMJ, so the rewrite must fire. (A side-blind guard stood
+    // down whenever EITHER side was small.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try {
+      val tinyPts = Seq((1L, 5L, 0L)).toDF("k", "t", "pv")
+      val semi = tinyPts.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")), "left_semi")
+      assert(hasIntervalExec(semi),
+        s"small unbuildable left stood the semi rewrite down:\n${semi.queryExecution.executedPlan}")
+      val got = semi.collect().map(_.toSeq).toSet
+      val exp = rewriteOff {
+        tinyPts.join(ivals,
+          col("k") === col("rk") && col("t").between(col("s"), col("e")), "left_semi")
+          .collect().map(_.toSeq).toSet
+      }
+      assert(got == exp && exp.nonEmpty)
+      // control: INNER with the same tiny left CAN build left — the
+      // guard correctly stands down and leaves it to broadcast
+      val inner = tinyPts.join(ivals,
+        col("k") === col("rk") && col("t").between(col("s"), col("e")))
+      assert(!hasIntervalExec(inner),
+        s"buildable small side must stand down:\n${inner.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("guards: an explicit join-strategy hint outranks the rewrite") {
     noBroadcast {
       // hint-beats-stats is Spark's contract: a user who wrote
