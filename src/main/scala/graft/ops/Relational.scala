@@ -4017,6 +4017,78 @@ object Relational {
              |  CAST(sum(s_end - s_start) AS BIGINT) AS total_session_us,
              |  CAST(max(n_events) AS BIGINT) AS max_session_events
              |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // DYNAMIC-gap sessionization: session_window with a per-event gap
+    // EXPRESSION (purchases hold a session open 1 h, errors 5 min,
+    // browsing 15 min — engagement-weighted timeout, the e-commerce
+    // idiom). Verified semantics (empirically, this build): each event
+    // opens [t, t + gap(event)); sessions merge while the next start is
+    // <= the RUNNING MAX of merged ends (exactly-at-end merges), so the
+    // session end is max(t_i + gap_i). The DuckDB oracle replays that
+    // with a running-max window over the previous rows' (us + gap):
+    // new session when us STRICTLY exceeds it. Output adds the
+    // converted-session count (sessions containing a purchase).
+    Q(
+      "q251_dynamic_gap_sessions",
+      (s, d) => {
+        val gap = when(col("event_type") === "purchase", lit("1 hour"))
+          .when(col("event_type") === "error", lit("5 minutes"))
+          .otherwise(lit("15 minutes"))
+        val sessions = events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), gap))
+          .agg(
+            count(lit(1)).as("n_events"),
+            max((col("event_type") === "purchase").cast("long")).as("has_purchase")
+          )
+          .select(
+            col("user_id"),
+            unix_micros(col("session_window.start")).as("s_start"),
+            unix_micros(col("session_window.end")).as("s_end"),
+            col("n_events"),
+            col("has_purchase")
+          )
+        sessions
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("has_purchase")).as("n_purchase_sessions"),
+            sum(col("s_end") - col("s_start")).as("total_session_us"),
+            max(col("n_events")).as("max_session_events")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+             |    CASE WHEN event_type = 'purchase' THEN 3600000000
+             |         WHEN event_type = 'error' THEN 300000000
+             |         ELSE 900000000 END AS gap_us
+             |  FROM events),
+             |s1 AS (
+             |  SELECT *, max(us + gap_us) OVER (
+             |      PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS prev_end
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_end IS NULL OR us > prev_end
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |w AS (
+             |  SELECT user_id, min(us) AS s_start, max(us + gap_us) AS s_end,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS has_purchase
+             |  FROM s3 GROUP BY user_id, sid)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(has_purchase) AS BIGINT) AS n_purchase_sessions,
+             |  CAST(sum(s_end - s_start) AS BIGINT) AS total_session_us,
+             |  CAST(max(n_events) AS BIGINT) AS max_session_events
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
