@@ -72,14 +72,31 @@ object Bucketing {
     // the shuffle each partition value is owned by one task (or `salt`
     // tasks), so the write produces one (or ≤ salt) file(s) per value.
     require(hotValueSalt >= 1, s"hotValueSalt must be >= 1, got $hotValueSalt")
-    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    import org.apache.spark.sql.functions.{hash, lit, monotonically_increasing_id, pmod}
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    // hash() rejects MapType (anywhere in the type tree) since Spark 3.0
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType    => false
+      case a: ArrayType  => hashable(a.elementType)
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case _             => true
+    }
     val keyed =
       if (hotValueSalt == 1) df.repartition(col(partitionCol))
-      else
-        df.repartition(
-          col(partitionCol),
-          pmod(hash(df.columns.map(col): _*), lit(hotValueSalt))
-        )
+      else {
+        // backtick-quoted df.col so dotted/odd top-level names resolve as
+        // literal names, not struct paths
+        val hashCols = df.schema.fields
+          .filter(f => hashable(f.dataType))
+          .map(f => df.col("`" + f.name.replace("`", "``") + "`"))
+        val saltKey =
+          if (hashCols.nonEmpty) pmod(hash(hashCols: _*), lit(hotValueSalt))
+          // degenerate all-map schema: round-robin within each input
+          // split (low bits of the id are the per-partition row index) —
+          // still layout-independent spread, just not content-derived
+          else pmod(monotonically_increasing_id(), lit(hotValueSalt))
+        df.repartition(col(partitionCol), saltKey)
+      }
     keyed.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -116,6 +116,18 @@ class BucketingSpec extends SparkSpec {
     assert(counts.exists(_ > 1), s"salt never engaged — all values single-file: ${counts.toSeq}")
     // round trip unchanged
     assert(spark.read.parquet(dir).count() == docs.count())
+
+    // schema robustness: map columns (unhashable since Spark 3.0) and
+    // dotted top-level names must not break the salt path
+    import spark.implicits._
+    val awkward = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("src", "v")
+      .withColumn("attrs", org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"), org.apache.spark.sql.functions.col("v")))
+      .withColumnRenamed("v", "user.id")
+    val dir2 = Files.createTempDirectory("graft_part_salt2").toString
+    Bucketing.writePartitioned(awkward, "src", dir2, hotValueSalt = 2)
+    assert(spark.read.parquet(dir2).count() == 3)
   }
 
   test("range-sorted layout skips row groups a shuffled layout must read") {
