@@ -4089,6 +4089,86 @@ object Relational {
              |  CAST(sum(s_end - s_start) AS BIGINT) AS total_session_us,
              |  CAST(max(n_events) AS BIGINT) AS max_session_events
              |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Join-mode DEMOTION carried through the oracle gate: the "write the
+    // reconcile once, slice it later" pattern — a shared full-outer
+    // click/incident frame (q249's) narrowed to the click-side report by
+    // a null-intolerant filter. CustomJoinOptimization must demote the
+    // FullOuter sweep to the point-OUTER mode (unmatched intervals can't
+    // pass `event_id IS NOT NULL`) and then push the filter into the
+    // left scan — RangeJoinRewriteSpec pins exactly that optimized plan
+    // on real parquet. Semantically a LEFT JOIN, which is the oracle.
+    Q(
+      "q252_click_exposure_rate",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val ev = events(s, d)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            unix_micros(col("ts")).as("us"),
+            col("event_type")
+          )
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("us"))
+        ev.filter(col("event_type") === "error").createOrReplaceTempView("g252_errors")
+        val windows = s.sql(
+          """WITH s1 AS (
+            |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            |    AS prev_us
+            |  FROM g252_errors),
+            |s2 AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000
+            |                 THEN 1L ELSE 0L END AS new_s
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                             ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM s2)
+            |SELECT user_id AS w_user, min(us) - 900000000 AS w_start,
+            |  max(us) + 900000000 AS w_end
+            |FROM s3 GROUP BY user_id, sid""".stripMargin
+        )
+        graft.plans.Interval
+          .intervalFullOuterJoin(clicks, windows,
+            Seq("user_id"), Seq("w_user"), "us", "w_start", "w_end")
+          .filter(col("event_id").isNotNull) // demotes FullOuter -> Outer
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            count(col("w_start")).as("n_exposed"),
+            (count(col("w_start")) * 10000L / count(lit(1))).cast("long").as("exposed_bp")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+             |err AS (SELECT * FROM e WHERE event_type = 'error'),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM err),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |w AS (
+             |  SELECT user_id AS w_user, min(us) - 900000000 AS w_start,
+             |    max(us) + 900000000 AS w_end
+             |  FROM s3 GROUP BY user_id, sid),
+             |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click')
+             |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+             |  CAST(count(w.w_start) AS BIGINT) AS n_exposed,
+             |  CAST(count(w.w_start) * 10000 // count(*) AS BIGINT) AS exposed_bp
+             |FROM c LEFT JOIN w
+             |  ON w.w_user = c.user_id AND c.us BETWEEN w.w_start AND w.w_end
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
     )
   )
 }

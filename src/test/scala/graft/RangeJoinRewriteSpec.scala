@@ -477,6 +477,24 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q252 (full-outer + null-intolerant filter) plans as the DEMOTED Outer sweep, filter pushed") {
+    import graft.plans.{IntervalJoinMode, IntervalJoinPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val df = graft.ops.QueryRegistry.byName("q252_click_exposure_rate")
+      .fn(spark, "/root/testdata/sf0.001")
+    val modes = df.queryExecution.optimizedPlan.collect { case j: IntervalJoinPlan => j.mode }
+    assert(modes == Seq(IntervalJoinMode.Outer),
+      s"q252 not demoted to the Outer sweep: $modes\n${df.queryExecution.optimizedPlan}")
+    // ...and the demoting predicate did not park above the join — the
+    // Outer rules pushed it below (into the clicks side)
+    val filterAbove = df.queryExecution.optimizedPlan.exists {
+      case LFilter(_, _: IntervalJoinPlan) => true
+      case _                               => false
+    }
+    assert(!filterAbove, s"demoted filter not pushed:\n${df.queryExecution.optimizedPlan}")
+    assert(df.count() > 0)
+  }
+
   test("full-outer null-inclusive randomized differential") {
     noBroadcast {
       val rnd = new scala.util.Random(31337)
