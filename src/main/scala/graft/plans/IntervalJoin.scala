@@ -394,18 +394,21 @@ final case class IntervalJoinExec(
         private def drainDropped(): Iterator[InternalRow] = {
           val heapBatch = dropped.toVector
           dropped.clear()
-          var n = heapBatch.size.toLong
           val overflowIter: Iterator[InternalRow] =
             if (droppedOverflow != null && droppedOverflow.length > 0) {
               val t = droppedDraining
               droppedDraining = droppedOverflow
               droppedOverflow = t
               if (droppedOverflow != null) droppedOverflow.clear()
-              n += droppedDraining.length
               droppedDraining.generateIterator()
             } else Iterator.empty
-          numOutputRows += n
-          (heapBatch.iterator ++ overflowIter).map(r => outProj(joined(nullLeft, r)))
+          // count per pulled row, not eagerly at drain time — a parent
+          // LIMIT may consume only a prefix, and the metric must report
+          // rows actually emitted
+          (heapBatch.iterator ++ overflowIter).map { r =>
+            numOutputRows += 1
+            outProj(joined(nullLeft, r))
+          }
         }
 
         private def droppedNonEmpty: Boolean =
@@ -425,17 +428,11 @@ final case class IntervalJoinExec(
         // a single-row iterator whose row is produced ONLY when pulled —
         // used where an eagerly projected row could sit buffered behind
         // other rows that project through the same reused outProj buffer
-        // (the FullOuter dropped-interval prepend)
+        // (the FullOuter dropped-interval prepend). Iterator.fill takes
+        // its element BY NAME and evaluates per next(), exactly the
+        // laziness needed.
         private def lazySingle(make: => InternalRow): Iterator[InternalRow] =
-          new Iterator[InternalRow] {
-            private var done = false
-            override def hasNext: Boolean = !done
-            override def next(): InternalRow = {
-              if (done) throw new NoSuchElementException("empty lazy single")
-              done = true
-              make
-            }
-          }
+          Iterator.fill(1)(make)
 
         // single-field extractors over the 2-field (start, end) bounds
         // row, so timeOrd can compare either bound against a left time;
@@ -762,13 +759,11 @@ final case class IntervalJoinExec(
             val head = drainDropped()
             val lookahead = if (rNext != null) Some(rNext.copy()) else None
             rNext = null
-            numOutputRows += lookahead.size
             pending =
-              head ++ lookahead.iterator.map(r => outProj(joined(nullLeft, r))) ++
-                rIter.map { r =>
-                  numOutputRows += 1
-                  outProj(joined(nullLeft, r))
-                }
+              head ++ (lookahead.iterator ++ rIter).map { r =>
+                numOutputRows += 1
+                outProj(joined(nullLeft, r))
+              }
           }
 
         override def hasNext: Boolean = { advance(); drainRightTail(); pending.hasNext }
@@ -930,16 +925,13 @@ object Interval {
     //    "covered by some interval" quantifies over intervals from EVERY
     //    batch, so outer/semi/anti/existence answers flip as later
     //    batches arrive (inner is the one per-pair-decidable exception).
-    if ((lPlan.isStreaming || rAnalyzed.isStreaming) && mode == IntervalJoinMode.FullOuter) {
-      throw new IllegalArgumentException(
-        "interval join: FULL OUTER requires both sides static — unmatched rows " +
-          "of the static side would re-emit every micro-batch; reconcile after " +
-          "the stream lands, or use the outer mode on the streaming (point) side")
-    }
     if (lPlan.isStreaming && rAnalyzed.isStreaming) {
-      // even INNER is only per-pair-decidable when at most one side
-      // streams: per-micro-batch execution joins batch SLICES, so a point
-      // from batch 1 never meets an interval from batch 2
+      // checked FIRST so both-streaming inputs get the one actionable
+      // remediation (the FullOuter message's "use the outer mode"
+      // suggestion would itself be rejected for these inputs). Even
+      // INNER is only per-pair-decidable when at most one side streams:
+      // per-micro-batch execution joins batch SLICES, so a point from
+      // batch 1 never meets an interval from batch 2
       // (L1∪L2 ⋈ R1∪R2 ≠ (L1⋈R1) ∪ (L2⋈R2)). The watermark-bounded
       // stateful path is EventTime.intervalJoin.
       throw new IllegalArgumentException(
@@ -947,6 +939,12 @@ object Interval {
           "would silently drop every cross-batch (point, interval) pair; use " +
           "graft.streaming.EventTime.intervalJoin (stream-stream, " +
           "watermark-bounded state) instead")
+    }
+    if ((lPlan.isStreaming || rAnalyzed.isStreaming) && mode == IntervalJoinMode.FullOuter) {
+      throw new IllegalArgumentException(
+        "interval join: FULL OUTER requires both sides static — unmatched rows " +
+          "of the static side would re-emit every micro-batch; reconcile after " +
+          "the stream lands, or use the outer mode on the streaming (point) side")
     }
     if (rAnalyzed.isStreaming && mode != IntervalJoinMode.Inner) {
       throw new IllegalArgumentException(

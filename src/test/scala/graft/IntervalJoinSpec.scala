@@ -446,17 +446,22 @@ class IntervalJoinSpec extends SparkSpec {
       (Option("k1"), Option.empty[Long], Option(5L), "r_nulls") // null start
     ).toDF("rk", "s", "e", "rname")
 
+    // MULTISET comparison (sorted seq, not Set): a Set would hide exactly
+    // the regression class this fixture exists to catch — a skipped
+    // interval re-emitted null-extended by more than one drain site
     val full = Interval
       .intervalFullOuterJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
       .select(col("pname"), col("rname"))
       .collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1))))
-      .toSet
-    val expected: Set[(Option[String], Option[String])] =
-      Set((Some("p1"), Some("r1"))) ++
-        Seq("p2", "p3", "p4", "p5").map(p => (Some(p), Option.empty[String])) ++
+      .sortBy(p => (p._1.getOrElse(""), p._2.getOrElse("")))
+      .toSeq
+    val expected: Seq[(Option[String], Option[String])] =
+      (Seq((Option("p1"), Option("r1"))) ++
+        Seq("p2", "p3", "p4", "p5").map(p => (Option(p), Option.empty[String])) ++
         Seq("r2", "r3", "r4", "r5", "r6", "r_inv", "r_nullk", "r_nulls")
-          .map(r => (Option.empty[String], Some(r)))
+          .map(r => (Option.empty[String], Option(r))))
+        .sortBy(p => (p._1.getOrElse(""), p._2.getOrElse("")))
     assert(full == expected, s"got $full")
 
     // differential against Spark's own FULL OUTER join on the same input
@@ -465,20 +470,22 @@ class IntervalJoinSpec extends SparkSpec {
       .select(col("pname"), col("rname"))
       .collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1))))
-      .toSet
+      .sortBy(p => (p._1.getOrElse(""), p._2.getOrElse("")))
+      .toSeq
     assert(full == viaSpark)
 
-    // empty sides: all rows of the other side null-extend
+    // empty sides: all rows of the other side null-extend, exactly once
     val emptyPts = points.filter(lit(false))
     val allIvals = Interval
       .intervalFullOuterJoin(emptyPts, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
-      .select(col("rname")).collect().map(_.getString(0)).toSet
-    assert(allIvals == Set("r1", "r2", "r3", "r4", "r5", "r6", "r_inv", "r_nullk", "r_nulls"))
+      .select(col("rname")).collect().map(_.getString(0)).sorted.toSeq
+    assert(allIvals ==
+      Seq("r1", "r2", "r3", "r4", "r5", "r6", "r_inv", "r_nullk", "r_nulls").sorted)
     val emptyIvs = ivals.filter(lit(false))
     val allPts = Interval
       .intervalFullOuterJoin(points, emptyIvs, Seq("k"), Seq("rk"), "t", "s", "e")
-      .select(col("pname")).collect().map(_.getString(0)).toSet
-    assert(allPts == Set("p1", "p2", "p3", "p4", "p5"))
+      .select(col("pname")).collect().map(_.getString(0)).sorted.toSeq
+    assert(allPts == Seq("p1", "p2", "p3", "p4", "p5"))
   }
 
   test("existence family carries O(1) state: axis-spanning hot key passes with NO budget and NO spill") {
