@@ -525,6 +525,24 @@ class RangeJoinRewriteSpec extends SparkSpec {
         assert(got == exp, s"full-outer trial $trial diverged: ${got.size} vs ${exp.size}")
         assert(exp.exists(_._1 == -1L) && exp.exists(_._2 == -1L), s"trial $trial vacuous")
 
+        // same trial through the dropped-buffer OVERFLOW path: a heap cap
+        // of 4 forces the skipped-interval buffer through the spillable
+        // array swap on this null-laden random data (the dedicated
+        // overflow test uses a crafted gap fixture; this pins the
+        // machinery under arbitrary interleavings)
+        val prevCap = spark.conf.getOption("spark.sql.windowExec.buffer.in.memory.threshold")
+        spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4")
+        try {
+          val gotCapped = pts.join(ivs, cond, "full").select(col("pid"), col("rid"))
+            .collect()
+            .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                       if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+          assert(gotCapped == exp, s"overflow-path trial $trial diverged")
+        } finally {
+          spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+          prevCap.foreach(spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", _))
+        }
+
         // demotion differential: a filter above the full-outer join — the
         // rewrite-on side exercises CustomJoinOptimization's mode
         // demotion (null-intolerant shapes) or the pushdown barrier
