@@ -72,7 +72,7 @@ object Bucketing {
     // the shuffle each partition value is owned by one task (or `salt`
     // tasks), so the write produces one (or ≤ salt) file(s) per value.
     require(hotValueSalt >= 1, s"hotValueSalt must be >= 1, got $hotValueSalt")
-    import org.apache.spark.sql.functions.{hash, lit, monotonically_increasing_id, pmod}
+    import org.apache.spark.sql.functions.{hash, lit, pmod, struct, to_json}
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
     // hash() rejects MapType (anywhere in the type tree) since Spark 3.0
     def hashable(dt: DataType): Boolean = dt match {
@@ -91,10 +91,18 @@ object Bucketing {
           .map(f => df.col("`" + f.name.replace("`", "``") + "`"))
         val saltKey =
           if (hashCols.nonEmpty) pmod(hash(hashCols: _*), lit(hotValueSalt))
-          // degenerate all-map schema: round-robin within each input
-          // split (low bits of the id are the per-partition row index) —
-          // still layout-independent spread, just not content-derived
-          else pmod(monotonically_increasing_id(), lit(hotValueSalt))
+          else {
+            // degenerate all-map schema (hash() rejects MapType): hash the
+            // JSON rendering instead — still CONTENT-derived, so the salt
+            // stays deterministic under partial stage recomputation. A
+            // monotonically_increasing_id fallback here would re-key rows
+            // after a fetch-failure retry (the id encodes the retry's
+            // partition layout — the SPARK-23207 class of duplicated/lost
+            // output, which Spark fixed only for round-robin).
+            val allCols = df.schema.fields.toIndexedSeq
+              .map(f => df.col("`" + f.name.replace("`", "``") + "`"))
+            pmod(hash(to_json(struct(allCols: _*))), lit(hotValueSalt))
+          }
         df.repartition(col(partitionCol), saltKey)
       }
     keyed.write

@@ -56,7 +56,9 @@ object SimilarityOps {
     (0 until NumPlanes).map(p => Array.tabulate(Dim)(j => planeCoef(p, j)))
 
   // ---- Banded LSH for the near-dup candidate pass ----------------------
-  // 320 bands × 8 sign bits (2560 hyperplanes). Banding trades one long
+  // 320 bands × 8 sign bits (2560 hyperplanes) — the ORACLE geometry,
+  // pinned at the q42/q47 call sites; the runtime default is size-derived
+  // (see derivedGeometry below). Banding trades one long
   // signature (high precision, low recall) for many short ones: a pair is a
   // candidate if it agrees on ALL bits of ANY band.
   //
@@ -168,24 +170,99 @@ object SimilarityOps {
       Dim
     )
 
-  /** Band-geometry session overrides. The defaults (320 bands × 8 bits)
-    * are tuned for EXACT recall at the 0.45 verify gate on the oracle
-    * corpora — but the random-collision multiset the candidate join
-    * shuffles grows as `numBands × n² / 2^bandBits`, so a FIXED 8-bit
-    * band turns superlinear as the corpus grows (measured by ScaleStress:
-    * 10× vectors → ~37× wall time). At production scale widen the bands
-    * and cut their count: near-dup thresholds there are ≥ 0.9 (per-plane
-    * collision p ≈ 0.95), so e.g. 64 bands × 16 bits keeps per-pair
-    * recall ≈ 1 − (1 − p^16)^64 ≈ 1.0 while dividing the random multiset
-    * by 2^8 × 5 — back to near-linear. Width is the scale knob, count is
-    * the recall knob; both are per-session so the same build serves the
-    * small-corpus oracle gate and the 100 TB path.
+  /** Band-geometry resolution, in precedence order:
+    *
+    *  1. an EXPLICIT geometry at the call site (the q42/q47 oracle gate
+    *     pins `OracleGeometry` — correctness queries must not change
+    *     answers under session tuning);
+    *  2. the session confs (`spark.graft.embeddingLsh.numBands`/`.bandBits`)
+    *     when BOTH are set;
+    *  3. a SIZE-DERIVED default (`derivedGeometry`) from a metadata-only
+    *     count of the corpus.
+    *
+    * Why the default is size-derived: the random-collision multiset the
+    * candidate join shuffles grows as `numBands × n² / 2^bandBits`, so any
+    * FIXED geometry turns superlinear as the corpus grows — the old
+    * 320×8-bit default (exact-recall tuning for the 0.45 oracle gate) was
+    * measured ≈ n² by ScaleStress (3× vectors → 6× wall). Width is the
+    * scale knob, count is the recall knob: `derivedGeometry` picks the
+    * narrowest band width whose expected random multiset stays ≈ c·n,
+    * then sizes the band count so a true near-dup pair (cosine ≥ 0.9,
+    * per-plane agreement p ≈ 0.856) is missed with probability ≤ 1e-3.
     */
   val BandBitsKey = "spark.graft.embeddingLsh.bandBits"
   val NumBandsKey = "spark.graft.embeddingLsh.numBands"
-  private def bandGeometry(s: SparkSession): (Int, Int) = {
-    val bands = s.conf.get(NumBandsKey, NumBands.toString).toInt
-    val bits = s.conf.get(BandBitsKey, BandBits.toString).toInt
+
+  /** Exact-recall geometry for the 0.45 oracle gate (320 bands × 8 bits):
+    * per-band hit p⁸ ≈ 0.031 at the threshold, per-pair miss
+    * (1 − p⁸)³²⁰ ≈ 3.7e-5 — measured 100% recall at sf0.001/0.01/0.1.
+    * Quadratic-prone by design (the multiset term above); only oracle
+    * call sites and small corpora should pin it.
+    */
+  val OracleGeometry: (Int, Int) = (NumBands, BandBits)
+
+  /** Production recall target for the size-derived default: pairs at
+    * cosine ≥ 0.9 (the near-dup regime — per-plane agreement
+    * p = 1 − arccos(0.9)/π ≈ 0.856) are missed with probability ≤ 1e-3.
+    */
+  private val DerivedRecallPlaneP = 1.0 - math.acos(0.9) / math.Pi
+  private val DerivedMissTarget = 1e-3
+
+  /** Target random-collision multiset ≈ DerivedMultisetC × n rows. */
+  private val DerivedMultisetC = 128.0
+
+  /** Size-derived band geometry: the smallest band width (8–24 bits) whose
+    * expected random-collision multiset `bands(bits) · n² / 2^bits` stays
+    * ≤ c·n, where `bands(bits)` is the minimal band count holding the
+    * ≥ 0.9-cosine miss probability under `DerivedMissTarget`
+    * ((1 − p^bits)^bands ≤ target). Monotone in n: bigger corpora get
+    * wider bands, keeping the candidate join ~linear all the way to
+    * n ≈ c·2^24/bands ≈ 10⁹ vectors; past that the 24-bit clamp applies
+    * and the multiset grows gently superlinear (document-scale corpora
+    * there shard by partition anyway).
+    */
+  private[graft] def derivedGeometry(n: Long): (Int, Int) = {
+    def bandsFor(bits: Int): Int = {
+      val hit = math.pow(DerivedRecallPlaneP, bits)
+      math.max(8, math.ceil(math.log(DerivedMissTarget) / math.log1p(-hit)).toInt)
+    }
+    val bits = (8 to 24)
+      .find { b =>
+        bandsFor(b).toDouble * math.max(n, 1L) / math.pow(2.0, b) <= DerivedMultisetC
+      }
+      .getOrElse(24)
+    (bandsFor(bits), bits)
+  }
+
+  /** Memoized metadata-only corpus count per table dir (parquet count()
+    * reads footers, not rows). Keyed by dir: the test corpora and stress
+    * corpora are written once per JVM before any query runs.
+    */
+  private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def confInt(s: SparkSession, key: String): Option[Int] =
+    s.conf.getOption(key).map { raw =>
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$key must be an integer, got '$raw'")
+      }
+    }
+
+  private def bandGeometry(s: SparkSession, dir: String): (Int, Int) = {
+    val conf = (confInt(s, NumBandsKey), confInt(s, BandBitsKey)) match {
+      case (Some(bands), Some(bits)) => Some((bands, bits))
+      case (None, None)              => None
+      case (bands, bits) =>
+        throw new IllegalArgumentException(
+          s"$NumBandsKey and $BandBitsKey must be set together " +
+            s"(got numBands=${bands.getOrElse("unset")}, bandBits=${bits.getOrElse("unset")})")
+    }
+    val (bands, bits) = conf.getOrElse {
+      val n: Long = corpusCounts.computeIfAbsent(dir, d => embeddings(s, d).count())
+      derivedGeometry(n)
+    }
     require(bands > 0 && bits > 0 && bits <= 28,
       s"$NumBandsKey/$BandBitsKey must be positive (bits <= 28), got $bands/$bits")
     (bands, bits)
@@ -214,7 +291,20 @@ object SimilarityOps {
     * controlled by band WIDTH — see the BandBits comment above.) No
     * corpus broadcast and no nested-loop join anywhere in the plan.
     */
-  def embeddingNeardupPairs(s: SparkSession, d: String): DataFrame = {
+  def embeddingNeardupPairs(s: SparkSession, d: String): DataFrame =
+    embeddingNeardupPairs(s, d, geometry = None)
+
+  /** As above with the band geometry pinned at the call site — `geometry`
+    * beats the session confs beats the size-derived default. The oracle
+    * queries pin `OracleGeometry` so their answers never move under
+    * session tuning; everything else should pass None and let the
+    * size-derived default keep the candidate join linear.
+    */
+  def embeddingNeardupPairs(
+      s: SparkSession,
+      d: String,
+      geometry: Option[(Int, Int)]
+  ): DataFrame = {
     // The narrow (id, vec, norm) projection is hash-repartitioned before
     // caching: the 2560-plane signature evaluation downstream is the
     // pipeline's compute-heavy map stage, and a small corpus can arrive
@@ -234,7 +324,7 @@ object SimilarityOps {
     // pipeline's cold time — the per-row work is trivial), and the two
     // verify legs are built STRUCTURALLY IDENTICAL so Catalyst's
     // ReuseExchange collapses them into one shared broadcast build.
-    val (bands, bits) = bandGeometry(s)
+    val (bands, bits) = geometry.getOrElse(bandGeometry(s, d))
     val posts = Caches.persisted(
       embeddings(s, d)
         .select(col("vec_id"), emb(col("embedding")).as("v"))
@@ -420,7 +510,11 @@ object SimilarityOps {
     // pairwise cosine is ~0.51, so this keeps the result non-trivial.
     Q(
       "q42_embedding_neardup",
-      (s, d) => embeddingNeardupPairs(s, d).orderBy(col("vec_a"), col("vec_b")),
+      (s, d) =>
+        // geometry PINNED: the exact all-pairs oracle demands 100% recall
+        // at the 0.45 gate, which only the wide 320×8 banding guarantees —
+        // session tuning must not move a correctness query's answer
+        embeddingNeardupPairs(s, d, Some(OracleGeometry)).orderBy(col("vec_a"), col("vec_b")),
       Some(s"""$sqlNeardupCte
               |SELECT vec_a, vec_b, cosine FROM pairs
               |ORDER BY vec_a, vec_b""".stripMargin)
@@ -433,7 +527,8 @@ object SimilarityOps {
     Q(
       "q47_embedding_kept",
       (s, d) => {
-        val dropIds = embeddingNeardupPairs(s, d).select(col("vec_b").as("vec_id")).distinct()
+        val dropIds = embeddingNeardupPairs(s, d, Some(OracleGeometry))
+          .select(col("vec_b").as("vec_id")).distinct()
         embeddings(s, d)
           .join(dropIds, Seq("vec_id"), "left_anti")
           .groupBy(col("label"))

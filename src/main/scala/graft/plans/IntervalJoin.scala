@@ -151,13 +151,48 @@ final case class IntervalJoinPlan(
     case IntervalJoinMode.Semi | IntervalJoinMode.Anti | IntervalJoinMode.Existence(_) =>
       left.stats
     case _ =>
-      Statistics(sizeInBytes = (left.stats.sizeInBytes + right.stats.sizeInBytes).max(1))
+      // SUM of children × a fan-out headroom factor, clamped by the
+      // PRODUCT (the true worst case). The bare sum under-estimates dense
+      // overlap — a parent join could wrongly broadcast a high-fan-out
+      // interval result and OOM before AQE's runtime sizes (which only
+      // correct at shuffle-stage boundaries) can intervene; the bare
+      // product re-creates the default-visitor fiction the override
+      // exists to kill. The factor is a session knob for axes whose
+      // overlap degree is known.
+      val sum = left.stats.sizeInBytes + right.stats.sizeInBytes
+      val product = left.stats.sizeInBytes * right.stats.sizeInBytes
+      val factor = BigInt(IntervalJoinPlan.statsFanoutFactor(conf))
+      Statistics(sizeInBytes = (sum * factor).min(product.max(sum)).max(1))
   }
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan,
       newRight: LogicalPlan
   ): IntervalJoinPlan = copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinPlan {
+  /** Headroom multiplier on the children-sum size estimate for the
+    * pair-emitting modes — the planner sees `min(product, factor × sum)`.
+    * Raise it for axes with known-dense overlap (so parents never
+    * broadcast the join's output); the default keeps a sparse-overlap
+    * result in the same size class as its inputs while staying 8×
+    * more conservative than the bare sum.
+    */
+  val StatsFanoutKey = "spark.graft.intervalJoin.statsFanoutFactor"
+
+  private[plans] def statsFanoutFactor(conf: org.apache.spark.sql.internal.SQLConf): Long = {
+    val raw = conf.getConfString(StatsFanoutKey, "8").trim
+    val parsed =
+      try raw.toLong
+      catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$StatsFanoutKey must be a positive long, got '$raw'", e)
+      }
+    require(parsed > 0, s"$StatsFanoutKey must be positive, got $parsed")
+    parsed
+  }
 }
 
 /** Planner strategy mapping [[IntervalJoinPlan]] to [[IntervalJoinExec]] —
@@ -607,13 +642,22 @@ final case class IntervalJoinExec(
               // budget below counts only truly-concurrent intervals — an
               // admission-before-eviction order would charge already-dead
               // intervals against the budget and abort spuriously
+              // one-pass in-place compaction: copy survivors forward and
+              // trim the tail once. (remove(i) inside the scan shifts the
+              // whole tail per removal — with a large active set a
+              // mass-expiry point paid a quadratic-ish compaction.)
               if (active.nonEmpty) {
                 var i = 0
+                var w = 0
                 while (i < active.length) {
-                  if (timeOrd.compare(endRowOf(active(i)._2), lTime) < 0) {
-                    active.remove(i)
-                  } else i += 1
+                  val a = active(i)
+                  if (timeOrd.compare(endRowOf(a._2), lTime) >= 0) {
+                    if (w != i) active(w) = a
+                    w += 1
+                  }
+                  i += 1
                 }
+                if (w < active.length) active.takeInPlace(w)
               }
               // admit right intervals: skip keys before ours outright;
               // same-key intervals whose start has passed either enter
@@ -682,8 +726,14 @@ final case class IntervalJoinExec(
                     IntervalJoinMode.FullOuter =>
                   if (active.nonEmpty) {
                     numMatchedRows += 1
-                    numOutputRows += active.length
-                    pending = active.toVector.iterator.map(a => outProj(joined(l, a._1)))
+                    // numOutputRows counts per PULL (inside the map), like
+                    // the dropped-drain and spill paths — an eager bump by
+                    // active.length would overstate emissions under a
+                    // parent LIMIT that stops pulling mid-group
+                    pending = active.toVector.iterator.map { a =>
+                      numOutputRows += 1
+                      outProj(joined(l, a._1))
+                    }
                   } else if (emitMode != IntervalJoinMode.Inner) {
                     numOutputRows += 1
                     // LAZY single: under FullOuter the dropped-interval

@@ -618,4 +618,46 @@ class IntervalJoinSpec extends SparkSpec {
     assert(exec.get.metrics("maxActiveIntervals").value == 3L,
       s"got ${exec.get.metrics("maxActiveIntervals").value}")
   }
+
+  test("adversarial mass expiry: whole active sets die on one point, one-pass compaction exact") {
+    import spark.implicits._
+    // three admit/expire cycles on ONE key: each cycle admits 20k
+    // intervals at its opening point, partially expires them mid-cycle,
+    // then a closing point expires the rest at once. The old remove(i)
+    // eviction scan paid a quadratic-ish tail shift exactly here; the
+    // one-pass compaction keeps eviction linear. Correctness is a full
+    // differential against the computed expectation.
+    val n = 20000
+    val cycles = 3
+    val ivals = (0 until cycles).flatMap { c =>
+      val base = c * 1000000L
+      (0 until n).map(i => ("hot", base, base + (i % 500) + 1, c.toLong * n + i))
+    }.toDF("rk", "s", "e", "rid")
+    // per cycle: opening point admits all n; a mid point at +250 sees the
+    // surviving half (ends are base+1..base+500, so ends >= base+250 ⇒
+    // i%500 >= 249 ⇒ 251/500 of each block); a closing point at +600
+    // mass-evicts everything and matches nothing
+    val points = (0 until cycles).flatMap { c =>
+      val base = c * 1000000L
+      Seq(("hot", base, s"open$c"), ("hot", base + 250L, s"mid$c"), ("hot", base + 600L, s"close$c"))
+    }.toDF("k", "t", "pname")
+    val got = Interval
+      .intervalJoin(points, ivals, Seq("k"), Seq("rk"), "t", "s", "e")
+      .groupBy(col("pname"))
+      .agg(count(lit(1)).as("matches"), sum(col("rid")).as("rid_sum"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expected = (0 until cycles).flatMap { c =>
+      val ids = (0 until n).map(i => c.toLong * n + i)
+      val surviving = (0 until n).filter(i => (i % 500) + 1 >= 250).map(i => c.toLong * n + i)
+      Seq(
+        (s"open$c", ids.size.toLong, ids.sum),
+        (s"mid$c", surviving.size.toLong, surviving.sum)
+        // close$c: zero matches — absent under inner join
+      )
+    }.toSet
+    assert(got == expected,
+      s"diff: missing=${expected -- got}, spurious=${(got -- expected).take(3)}")
+  }
 }

@@ -479,8 +479,33 @@ class JoinOptimizationSpec extends SparkSpec {
 
     val ij = Interval.intervalJoin(pts, ivs, Seq("k"), Seq("rk"), "t", "s", "e")
     val iNode = ij.queryExecution.optimizedPlan.collectFirst { case i: IntervalJoinPlan => i }.get
-    assert(iNode.stats.sizeInBytes ==
-      (iNode.left.stats.sizeInBytes + iNode.right.stats.sizeInBytes).max(1))
+    val iSum = iNode.left.stats.sizeInBytes + iNode.right.stats.sizeInBytes
+    val iProduct = iNode.left.stats.sizeInBytes * iNode.right.stats.sizeInBytes
+    // pair-emitting modes: sum × fan-out headroom (default 8), clamped by
+    // the product — conservative against dense overlap without recreating
+    // the product-default fiction
+    assert(iNode.stats.sizeInBytes == (iSum * 8).min(iProduct).max(1),
+      s"interval stats: ${iNode.stats.sizeInBytes} (sum=$iSum, product=$iProduct)")
+    assert(iNode.stats.sizeInBytes < iProduct / 100,
+      s"interval stats look like the product default: ${iNode.stats.sizeInBytes}")
+    // the headroom factor is a session knob for known-dense axes
+    spark.conf.set(IntervalJoinPlan.StatsFanoutKey, "50")
+    try {
+      val ij2 = Interval.intervalJoin(pts, ivs, Seq("k"), Seq("rk"), "t", "s", "e")
+      val iNode2 =
+        ij2.queryExecution.optimizedPlan.collectFirst { case i: IntervalJoinPlan => i }.get
+      assert(iNode2.stats.sizeInBytes == (iSum * 50).min(iProduct).max(1),
+        s"factor=50 stats: ${iNode2.stats.sizeInBytes}")
+    } finally spark.conf.unset(IntervalJoinPlan.StatsFanoutKey)
+    // malformed factor fails loud, naming the conf key
+    spark.conf.set(IntervalJoinPlan.StatsFanoutKey, "eight")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Interval.intervalJoin(pts, ivs, Seq("k"), Seq("rk"), "t", "s", "e")
+          .queryExecution.optimizedPlan.stats
+      }
+      assert(ex.getMessage.contains(IntervalJoinPlan.StatsFanoutKey), ex.getMessage)
+    } finally spark.conf.unset(IntervalJoinPlan.StatsFanoutKey)
   }
 
   test("stats: a parent join over a small as-of result plans as BroadcastHashJoin") {

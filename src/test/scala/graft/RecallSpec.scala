@@ -126,7 +126,9 @@ class RecallSpec extends SparkSpec {
       (lo, hi)
     }).toSet
     val lsh = SimilarityOps
-      .embeddingNeardupPairs(spark, sfDir)
+      // the oracle geometry is what q42 pins — this test proves exactly
+      // that configuration recalls every qualifying pair
+      .embeddingNeardupPairs(spark, sfDir, Some(SimilarityOps.OracleGeometry))
       .select(col("vec_a"), col("vec_b"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
