@@ -165,6 +165,53 @@ object Bench {
     } finally QueueSource.remove(qName)
   }
 
+  /** Stream-stream event-time interval join throughput
+    * (EventTime.intervalJoin — the stateful join the refused stream-static
+    * shapes name as their remediation): `rows/2` clicks × `rows/2` buys
+    * over 1000 keys, event times ascending so the watermark advances and
+    * join state evicts (the steady-state regime), fed in 4 waves per side.
+    * Returns (input rows, wall sec, matched rows, micro-batches).
+    */
+  private def intervalJoinScenario(spark: SparkSession, rows: Int): (Long, Double, Long, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perSide = rows / 2
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val cs = MemoryStream[(Long, java.sql.Timestamp)]
+    val bs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.EventTime.intervalJoin(
+      cs.toDF().toDF("user_id", "click_ts"), "click_ts",
+      bs.toDF().toDF("user_id", "buy_ts", "amount"), "buy_ts",
+      Seq("user_id"), watermarkDelay = "10 minutes", within = "5 minutes")
+    val matched = new java.util.concurrent.atomic.AtomicLong()
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        matched.addAndGet(d.count()); ()
+      }
+      .start()
+    try {
+      val waves = 4
+      val perWave = perSide / waves
+      val t0 = System.nanoTime()
+      var w = 0
+      while (w < waves) {
+        val base = w * perWave
+        // clicks 1/sec across 1000 users; each buy lands 0-299 s after a
+        // click's window opens, so matches are plentiful but bounded
+        cs.addData((0 until perWave).map(i => ((base + i) % 1000L, ts(base + i))))
+        bs.addData((0 until perWave).map(i =>
+          ((base + i) % 1000L, ts(base + i + (i % 300)), (i % 50) + 1.0)))
+        q.processAllAvailable()
+        w += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      (2L * perWave * waves, sec, matched.get(), batches)
+    } finally q.stop()
+  }
+
   /** All five streaming scenarios as one JSON object. burst/sustained/
     * single_group triangulate the keyed-batching and cadence costs;
     * rate_limited measures the admission machinery (25k tokens / 100 ms =
@@ -185,13 +232,15 @@ object Bench {
     val (rRows, rSec, rProc, rBatches) =
       streamingScenario(spark, rows, waves = 1, rateLimit = Some((25000, 100L)))
     val (dRows, dSec, dProc) = drainScenario(spark, rows)
+    val (ijRows, ijSec, ijMatched, ijBatches) = intervalJoinScenario(spark, rows)
     def block(r: Long, sec: Double, proc: Long, batches: Long) =
       s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"processed":$proc,"micro_batches":$batches}"""
     s"""{"rows":$bRows,"burst":${block(bRows, bSec, bProc, bBatches)},""" +
       s""""sustained":${block(sRows, sSec, sProc, sBatches)},""" +
       s""""single_group":${block(mRows, mSec, mProc, mBatches)},""" +
       s""""rate_limited":${block(rRows, rSec, rProc, rBatches)},""" +
-      s""""drain":{"drain_sec":${math.round(dSec * 1000) / 1000.0},"rows_per_sec":${math.round(dRows / dSec)},"processed":$dProc}}"""
+      s""""drain":{"drain_sec":${math.round(dSec * 1000) / 1000.0},"rows_per_sec":${math.round(dRows / dSec)},"processed":$dProc},""" +
+      s""""interval_join":{"sec":${math.round(ijSec * 1000) / 1000.0},"rows_per_sec":${math.round(ijRows / ijSec)},"matched":$ijMatched,"micro_batches":$ijBatches}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -225,7 +274,7 @@ object Bench {
     // the driver always runs the full registry)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timedRuns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // each query pays its own shared-materialization builds (see
@@ -239,8 +288,14 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
               false
           }
-        (name, (System.nanoTime() - t0) / 1e6, ok) // ms
+        // which shared builds this query cold-registered (names only; the
+        // flagged-query decomposition below measures their cost)
+        val builds = graft.ops.Caches.coldBuildTags
+        (name, (System.nanoTime() - t0) / 1e6, ok, builds)
       }
+    val queryBuilds: Map[String, Seq[String]] =
+      timedRuns.collect { case (name, _, _, builds) if builds.nonEmpty => name -> builds }.toMap
+    val results = timedRuns.map(t => (t._1, t._2, t._3))
     graft.ops.Caches.invalidate()
 
     val failed = results.filter(!_._3).map(_._1)
@@ -264,24 +319,44 @@ object Bench {
     val slow = results
       .filter { case (_, v, ok) => ok && median > 0 && v > 4.0 * median }
       .sortBy(-_._2)
-    // cold/warm attribution for flagged queries: several share persisted
-    // intermediates (LSH pairs, CC labels) whose build cost the invalidation
-    // policy charges to every user. warm_ms re-times the query with its
-    // caches already built (one untimed build run first), so
-    // cold − warm ≈ shared-materialization cost, warm ≈ the query itself.
-    val warmMs: Map[String, Long] = slow.map { case (name, _, _) =>
+    // Cold-tail DECOMPOSITION for flagged queries (the r8 rule: every
+    // flagged query must be explicable from its own line). Re-construct
+    // the query cold, then materialize each shared build its construction
+    // registered — registration order is dependency order, so each build
+    // is timed incrementally against its already-warm prerequisites —
+    // then run the query itself with everything cached. The identity to
+    // check: cold ≈ construct + Σ builds + warm (± codegen, estimated
+    // separately below).
+    final case class SlowDetail(constructMs: Long, builds: Seq[(String, Long)], warmMs: Long)
+    val slowDetail: Map[String, SlowDetail] = slow.map { case (name, _, _) =>
       graft.ops.Caches.invalidate()
       val fn = SparkEntry.queries(name)
-      val w =
+      val d =
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save() // build caches
+          val tc0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          val constructMs = (System.nanoTime() - tc0) / 1000000L
+          val perFrame = graft.ops.Caches.registrationLog.map { case (tag, frame) =>
+            val t0 = System.nanoTime()
+            frame.write.mode("overwrite").format("noop").save()
+            tag -> (System.nanoTime() - t0) / 1000000L
+          }
+          // collapse same-tag frames into one charge, order preserved
+          val builds = perFrame.foldLeft(Vector.empty[(String, Long)]) {
+            case (acc, (t, ms)) =>
+              acc.indexWhere(_._1 == t) match {
+                case -1 => acc :+ (t -> ms)
+                case i  => acc.updated(i, t -> (acc(i)._2 + ms))
+              }
+          }
           val t0 = System.nanoTime()
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1000000L
-        } catch { case _: Throwable => -1L }
-      name -> w
+          df.write.mode("overwrite").format("noop").save()
+          SlowDetail(constructMs, builds, (System.nanoTime() - t0) / 1000000L)
+        } catch { case _: Throwable => SlowDetail(-1L, Nil, -1L) }
+      name -> d
     }.toMap
     graft.ops.Caches.invalidate()
+    val warmMs: Map[String, Long] = slowDetail.map { case (n, d) => n -> d.warmMs }
     // the shared materializations that dominate the 4×-flagged tail
     // (verified-pair LSH build, connected-component labels, embedding
     // band postings): timing each build cold on its own line makes the
@@ -303,9 +378,32 @@ object Bench {
         s""""$n":$ms"""
       }.mkString("{", ",", "}")
     graft.ops.Caches.invalidate()
+    // Codegen/planning overhead estimate: a NO-shared-build query timed
+    // cold in the main loop vs re-run now (generated-class and plan caches
+    // warm, no persisted frames involved) — the per-query first-run tax
+    // that is NOT a shared-build charge. Flagged queries' residual
+    // (cold − construct − Σbuilds − warm) should sit near this number.
+    val codegenProbe = "q01_pricing_summary"
+    val codegenMs: Long = results
+      .find(r => r._1 == codegenProbe && r._3)
+      .map { case (_, coldMs, _) =>
+        graft.ops.Caches.invalidate()
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(codegenProbe)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          math.max(0L, math.round(coldMs) - (System.nanoTime() - t0) / 1000000L)
+        } catch { case _: Throwable => -1L }
+      }
+      .getOrElse(-1L)
+    def buildsJson(name: String): String =
+      slowDetail.get(name).map { d =>
+        val b = d.builds.map { case (t, ms) => s""""$t":$ms""" }.mkString("{", ",", "}")
+        s""","construct_ms":${d.constructMs},"builds":$b"""
+      }.getOrElse("")
     val slowJson = slow.take(8)
       .map { case (k, v, _) =>
-        s"""{"q":"$k","ms":${math.round(v)},"x":${math.round(v / median * 10) / 10.0},"warm_ms":${warmMs(k)}}"""
+        s"""{"q":"$k","ms":${math.round(v)},"x":${math.round(v / median * 10) / 10.0},"warm_ms":${warmMs(k)}${buildsJson(k)}}"""
       }
       .mkString("[", ",", "]")
     // headline per-query map kept to the 8 slowest (sec, 3 decimals) so
@@ -337,7 +435,11 @@ object Bench {
     val detail = new StringBuilder
     detail ++= s"""{"sf":"$sfDir","action":"noop-write","cache_invalidated_between_queries":true,"n":${results.size},"total_sec":${math.round(totalSec * 1000) / 1000.0},"median_ms":${math.round(median)},"failed":$failedJson,"streaming":$streamingJson,"queries_ms":"""
     detail ++= results.map { case (k, v, _) => s"\"$k\":${math.round(v)}" }.mkString("{", ",", "}")
-    detail ++= s""","shared_build_ms":$sharedJson,"slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}}""" }.mkString("[", ",", "]")}}"""
+    detail ++= s""","query_builds":${queryBuilds.toSeq.sortBy(_._1).map { case (q, bs) =>
+        s""""$q":${bs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")}"""
+    detail ++= s""","codegen_ms_estimate":$codegenMs"""
+    detail ++= s""","shared_build_ms":$sharedJson,"slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}${buildsJson(k)}}""" }.mkString("[", ",", "]")}}"""
     // full-registry runs own BENCH_DETAIL.json (the committed round-over-
     // round record); filtered profiling runs write a _LOCAL twin so they
     // never clobber the full-run numbers
@@ -348,7 +450,7 @@ object Bench {
     System.err.println(s"[bench-detail] $detail")
 
     println(
-      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowJson,"shared_build_ms":$sharedJson,"queries":$headline,"streaming":$streamingJson,"detail_file":"$detailName"}"""
+      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowJson,"codegen_ms_estimate":$codegenMs,"shared_build_ms":$sharedJson,"queries":$headline,"streaming":$streamingJson,"detail_file":"$detailName"}"""
     )
     spark.stop()
   }

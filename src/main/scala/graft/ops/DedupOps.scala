@@ -74,7 +74,8 @@ object DedupOps {
     * (the scrubber) share the gram-join materialization, which is the
     * expensive part (the spans frame itself is region-sized).
     */
-  private def duplicatedSpans(s: SparkSession, d: String): DataFrame = {
+  private def duplicatedSpans(s: SparkSession, d: String): DataFrame =
+    Caches.buildScope("duplicated_spans") {
     import org.apache.spark.sql.expressions.Window
     val grams = tokenized(s, d)
       .filter(size(col("tok")) >= 8)
@@ -118,10 +119,12 @@ object DedupOps {
     * gram materialization is paid once.
     */
   private def gram5Sets(s: SparkSession, d: String): DataFrame =
-    tokenized(s, d)
-      .select(col("doc_id"), ngrams(col("tok"), 5).as("s"))
-      .select(col("doc_id"), size(col("s")).as("n"), col("s"))
-      .transform(Caches.persisted)
+    Caches.buildScope("gram5_sets") {
+      tokenized(s, d)
+        .select(col("doc_id"), ngrams(col("tok"), 5).as("s"))
+        .select(col("doc_id"), size(col("s")).as("n"), col("s"))
+        .transform(Caches.persisted)
+    }
 
   /** Prefix-filtering candidate pairs (Chaudhuri/Bayardo/Xiao AllPairs-
     * PPJoin family) for Jaccard ≥ 0.5 over word-5gram sets — the EXACT
@@ -224,7 +227,8 @@ object DedupOps {
       )
   }
 
-  def lshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+  def lshPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    Caches.buildScope("lsh_pairs") {
     // The shingle pass is persisted (memory-and-disk): the band join's two
     // legs and the verification joins all re-derive from it — unpersisted,
     // each leg re-ran tokenize→shingle from the source scan (4 parquet
@@ -412,7 +416,8 @@ object DedupOps {
     * routine symmetrizes. Output: (node, lbl) with lbl = min node id of
     * the component.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    Caches.buildScope("connected_components") {
     val edges = pairs
       .toDF("src", "dst")
       .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
@@ -479,7 +484,8 @@ object DedupOps {
     * dropped but their nodes keep a singleton label. Output: (node, lbl)
     * with lbl = min node id of the component.
     */
-  def starComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def starComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    Caches.buildScope("star_components") {
     val raw = pairs.toDF("u", "v")
     val nodes = raw
       .select(col("u").as("node"))
@@ -692,7 +698,7 @@ object DedupOps {
         // all codegen, no per-character work, and the verify fuses into the
         // candidate join with no join-back stages (unlike the text-LSH
         // path, whose shingle sets are too wide to replicate per band).
-        val sims = Caches.persisted(simhash64(s, d))
+        val sims = Caches.buildScope("simhash64")(Caches.persisted(simhash64(s, d)))
         val words = (0 until 4).map(b => conv(substring(col("sh"), b * 16 + 1, 16), 2, 10).cast("int").as(s"w$b"))
         val bands = sims
           .select(col("doc_id") +: words: _*)
@@ -981,7 +987,7 @@ object DedupOps {
     Q(
       "q106_window_dedup",
       (s, d) => {
-        val wins = Caches.persisted(windowFingerprints(documents(s, d)))
+        val wins = Caches.buildScope("window_fps")(Caches.persisted(windowFingerprints(documents(s, d))))
         val owner = wins.groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
         wins
           .join(owner, "fp")
@@ -2430,7 +2436,7 @@ object DedupOps {
     Q(
       "q226_minhash_error",
       (s, d) => {
-        val sh = Caches.persisted(shingleSets(s, d))
+        val sh = Caches.buildScope("shingle_sets")(Caches.persisted(shingleSets(s, d)))
         val sig = graft.functions.TextFunctions.minHashSig(col("s"), NumHashes)
         val sigsets = sh.select(
           col("doc_id") +: col("s").as("s") +:

@@ -304,7 +304,7 @@ object SimilarityOps {
       s: SparkSession,
       d: String,
       geometry: Option[(Int, Int)]
-  ): DataFrame = {
+  ): DataFrame = Caches.buildScope("embedding_neardup_pairs") {
     // The narrow (id, vec, norm) projection is hash-repartitioned before
     // caching: the 2560-plane signature evaluation downstream is the
     // pipeline's compute-heavy map stage, and a small corpus can arrive

@@ -101,8 +101,21 @@ object EventTime {
       within: String,
       joinType: String = "inner"
   ): DataFrame = {
-    val l = left.withWatermark(leftTimeCol, watermarkDelay)
-    val r = right.withWatermark(rightTimeCol, watermarkDelay)
+    // idempotent watermarking: a side that already carries a watermark on
+    // its time column (e.g. composed below a dropDuplicatesWithinWatermark
+    // dedup — the chained stateful pipeline) keeps it; re-marking would
+    // fail Spark's "Redefining watermark is disallowed" check under
+    // multiple-stateful-operator support
+    def marked(df: DataFrame, timeCol: String): DataFrame = {
+      import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+      val already = df.queryExecution.analyzed.exists {
+        case w: EventTimeWatermark => w.eventTime.name == timeCol
+        case _                     => false
+      }
+      if (already) df else df.withWatermark(timeCol, watermarkDelay)
+    }
+    val l = marked(left, leftTimeCol)
+    val r = marked(right, rightTimeCol)
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rightTimeCol) >= l(leftTimeCol) &&
       r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $within")

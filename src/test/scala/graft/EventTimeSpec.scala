@@ -233,6 +233,255 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: randomized redelivery differential vs the static sweep") {
+    // The refused both-streaming static shapes name EventTime.intervalJoin
+    // as their remediation, which makes it load-bearing: prove it against
+    // the NATIVE static sweep on randomized data, delivered out of order
+    // across micro-batches with at-least-once redelivery absorbed by an
+    // upstream dropDuplicatesWithinWatermark (dedup → join is the chained
+    // stateful-operator pipeline Spark supports in append mode).
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    def t(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val users = 12
+    val clicks = (0 until 80).map(i => (rnd.nextInt(users).toLong, i.toLong, t(rnd.nextInt(100))))
+    val buys = (0 until 120).map(i =>
+      (rnd.nextInt(users).toLong, 1000L + i, t(rnd.nextInt(100)), (i % 50) + 1.0))
+
+    val cs = MemoryStream[(Long, Long, Timestamp)]
+    val bs = MemoryStream[(Long, Long, Timestamp, Double)]
+    // watermark far beyond the data span: nothing is ever late-dropped, so
+    // the streaming answer must equal the static sweep EXACTLY
+    val cDedup = EventTime.dedupStream(
+      cs.toDF().toDF("user_id", "click_id", "click_ts"), "click_ts", "500 minutes", Seq("click_id"))
+    val bDedup = EventTime.dedupStream(
+      bs.toDF().toDF("user_id", "buy_id", "buy_ts", "amount"), "buy_ts", "500 minutes", Seq("buy_id"))
+    val joined = EventTime.intervalJoin(
+      cDedup, "click_ts", bDedup, "buy_ts", Seq("user_id"),
+      watermarkDelay = "500 minutes", within = "10 minutes")
+    val out = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.select(col("click_id"), col("buy_id")).collect()
+          .foreach(r => out.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    try {
+      // three shuffled waves per side; each later wave REDELIVERS a random
+      // sample of rows already sent (at-least-once semantics)
+      val cWaves = rnd.shuffle(clicks).grouped(30).toSeq
+      val bWaves = rnd.shuffle(buys).grouped(45).toSeq
+      cWaves.zipAll(bWaves, Seq.empty, Seq.empty).zipWithIndex.foreach {
+        case ((cw, bw), i) =>
+          val cRedeliver = if (i > 0) rnd.shuffle(clicks).take(10) else Nil
+          val bRedeliver = if (i > 0) rnd.shuffle(buys).take(15) else Nil
+          if ((cw ++ cRedeliver).nonEmpty) cs.addData(cw ++ cRedeliver)
+          if ((bw ++ bRedeliver).nonEmpty) bs.addData(bw ++ bRedeliver)
+          q.processAllAvailable()
+      }
+      val streamed = Iterator.continually(out.poll()).takeWhile(_ != null).toSeq.sorted
+      // static sweep: buys are the points, clicks open [ts, ts + within]
+      val got = graft.plans.Interval
+        .intervalJoin(
+          buys.toDF("user_id", "buy_id", "buy_ts", "amount"),
+          clicks.toDF("c_user", "click_id", "click_ts")
+            .withColumn("w_end", col("click_ts") + expr("INTERVAL 10 minutes")),
+          Seq("user_id"), Seq("c_user"), "buy_ts", "click_ts", "w_end")
+        .select(col("click_id"), col("buy_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(streamed.nonEmpty, "differential is vacuous — no joined rows")
+      assert(streamed == got,
+        s"stream != static sweep: missing=${got.diff(streamed).take(5)} spurious=${streamed.diff(got).take(5)}")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: a row later than the watermark horizon is dropped") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val cs = MemoryStream[(Long, Timestamp)]
+    val bs = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventTime.intervalJoin(
+      cs.toDF().toDF("user_id", "click_ts"), "click_ts",
+      bs.toDF().toDF("user_id", "buy_ts", "amount"), "buy_ts",
+      Seq("user_id"), watermarkDelay = "10 minutes", within = "10 minutes")
+    val out = new ConcurrentLinkedQueue[(Long, Double)]()
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach(r => out.add((r.getLong(0), r.getDouble(3))))
+        ()
+      }
+      .start()
+    try {
+      def drain(): Seq[(Long, Double)] =
+        Iterator.continually(out.poll()).takeWhile(_ != null).toSeq
+      cs.addData(Seq((1L, t(0))))
+      q.processAllAvailable()
+      // an on-time buy inside [click, click+10m] joins
+      bs.addData(Seq((1L, t(5), 10.0)))
+      q.processAllAvailable()
+      assert(drain() == Seq((1L, 10.0)))
+      // advance BOTH watermarks far past click@0 + within + delay...
+      cs.addData(Seq((99L, t(600))))
+      bs.addData(Seq((99L, t(500), 1.0)))
+      q.processAllAvailable()
+      drain()
+      // ...then a buy whose event time WOULD match click@0 arrives — it is
+      // behind the watermark horizon: the click's join state is already
+      // evicted, so it must NOT produce a match
+      bs.addData(Seq((1L, t(7), 99.0)))
+      q.processAllAvailable()
+      val late = drain()
+      assert(!late.exists(_._2 == 99.0),
+        s"late buy joined against evicted state: $late")
+    } finally q.stop()
+  }
+
+  test("q250's session_window call is streaming-capable: closed sessions replay the batch answer") {
+    // The q250 design comment claims the IDENTICAL session_window
+    // aggregation runs under readStream with a watermark — prove it on
+    // real events with out-of-order delivery and at-least-once redelivery
+    // (absorbed by dropDuplicatesWithinWatermark on event_id upstream,
+    // the chained stateful pipeline). Closed sessions in append mode must
+    // equal the batch session frame row for row.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("view", "click", "purchase") && col("user_id") < 25)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .toSeq
+    assert(rows.size > 100, s"corpus too small to be meaningful: ${rows.size}")
+    val rnd = new scala.util.Random(7)
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val deduped = EventTime.dedupStream(
+      stream.toDF().toDF("user_id", "event_id", "ts"), "ts", "40 days", Seq("event_id"))
+    val sessions = deduped
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+    val out = new ConcurrentLinkedQueue[(Long, Timestamp, Timestamp, Long)]()
+    val q = sessions.writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach(r =>
+          out.add((r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))))
+        ()
+      }
+      .start()
+    try {
+      // three shuffled waves (out-of-order within the 10-day watermark) +
+      // redelivery of already-seen events in later waves
+      val waves = rnd.shuffle(rows).grouped((rows.size + 2) / 3).toSeq
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val redelivered = if (i > 0) rnd.shuffle(rows).take(20) else Nil
+        stream.addData(w ++ redelivered)
+        q.processAllAvailable()
+      }
+      // a far-future sentinel (fake user) pushes the watermark past every
+      // real session's end + delay; one more batch applies it so every
+      // real session closes and emits
+      val maxTs = rows.map(_._3.getTime).max
+      stream.addData(Seq((999999L, 888888L, new Timestamp(maxTs + 90L * 24 * 3600 * 1000))))
+      q.processAllAvailable()
+      stream.addData(Seq((999999L, 888889L, new Timestamp(maxTs + 91L * 24 * 3600 * 1000))))
+      q.processAllAvailable()
+      val streamed = Iterator.continually(out.poll()).takeWhile(_ != null)
+        .filter(_._1 != 999999L).toSeq.sorted
+      val batch = rows.toDF("user_id", "event_id", "ts")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start"),
+          col("session_window.end"),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSeq.sorted
+      assert(streamed == batch,
+        s"streaming sessions != batch: missing=${batch.diff(streamed).take(3)} spurious=${streamed.diff(batch).take(3)}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("q251's DYNAMIC per-event gap session_window streams: closed sessions replay batch") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .toSeq
+    assert(rows.size > 100, s"corpus too small: ${rows.size}")
+    val gapOf = when(col("event_type") === "purchase", lit("1 hour"))
+      .when(col("event_type") === "error", lit("5 minutes"))
+      .otherwise(lit("15 minutes"))
+    val rnd = new scala.util.Random(11)
+    val stream = MemoryStream[(Long, Long, Timestamp, String)]
+    val deduped = EventTime.dedupStream(
+      stream.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+      "ts", "40 days", Seq("event_id"))
+    val sessions = deduped
+      .groupBy(col("user_id"), session_window(col("ts"), gapOf))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max((col("event_type") === "purchase").cast("long")).as("has_purchase"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"),
+        col("has_purchase"))
+    val out = new ConcurrentLinkedQueue[(Long, Timestamp, Timestamp, Long, Long)]()
+    val q = sessions.writeStream
+      .outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach(r =>
+          out.add((r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getLong(4))))
+        ()
+      }
+      .start()
+    try {
+      val waves = rnd.shuffle(rows).grouped((rows.size + 2) / 3).toSeq
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val redelivered = if (i > 0) rnd.shuffle(rows).take(15) else Nil
+        stream.addData(w ++ redelivered)
+        q.processAllAvailable()
+      }
+      val maxTs = rows.map(_._3.getTime).max
+      stream.addData(Seq((999999L, 888888L, new Timestamp(maxTs + 90L * 24 * 3600 * 1000), "view")))
+      q.processAllAvailable()
+      stream.addData(Seq((999999L, 888889L, new Timestamp(maxTs + 91L * 24 * 3600 * 1000), "view")))
+      q.processAllAvailable()
+      val streamed = Iterator.continually(out.poll()).takeWhile(_ != null)
+        .filter(_._1 != 999999L).toSeq.sorted
+      val batch = rows.toDF("user_id", "event_id", "ts", "event_type")
+        .groupBy(col("user_id"), session_window(col("ts"), gapOf))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max((col("event_type") === "purchase").cast("long")).as("has_purchase"))
+        .select(
+          col("user_id"),
+          col("session_window.start"),
+          col("session_window.end"),
+          col("n_events"),
+          col("has_purchase"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+      assert(streamed == batch,
+        s"dynamic-gap streaming sessions != batch: missing=${batch.diff(streamed).take(3)} spurious=${streamed.diff(batch).take(3)}")
+      assert(batch.exists(_._5 == 1L), "no purchase session — has_purchase leg vacuous")
+    } finally q.stop()
+  }
+
   test("session windows close after the gap and group by key") {
     WindowProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
