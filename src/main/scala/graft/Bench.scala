@@ -44,7 +44,7 @@ object Bench {
       waves: Int,
       withBatcher: Boolean = true,
       rateLimit: Option[(Int, Long)] = None
-  ): (Long, Double, Long, Long) = {
+  ): (Long, Double, Long, Long, Map[String, Long]) = {
     import spark.implicits._
     import graft.config.{BatcherConfig, PipelineConfig}
     import graft.core.Pipeline
@@ -115,7 +115,17 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val processed = running.stageMetrics.map(_.processorProcessed).getOrElse(-1L)
         val microBatches = Option(running.query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-        (perWave.toLong * waves, sec, processed, microBatches)
+        // per-phase attribution: Spark's own per-micro-batch durationMs
+        // (triggerExecution = whole batch; addBatch = the data plan;
+        // walCommit/commitOffsets/latestOffset = per-batch fixed costs) —
+        // summed across the run, this NAMES where a cadence shape spends
+        // its extra wall time relative to the burst shape
+        import scala.jdk.CollectionConverters._
+        val durations: Map[String, Long] = running.query.recentProgress.toSeq
+          .flatMap(_.durationMs.asScala.toSeq)
+          .groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2.longValue).sum }
+        (perWave.toLong * waves, sec, processed, microBatches, durations)
       } finally running.stop()
     } finally {
       QueueSource.remove(qName)
@@ -225,18 +235,22 @@ object Bench {
     // whichever scenario runs first and corrupts the cross-scenario
     // deltas the block exists to attribute
     streamingScenario(spark, math.min(rows / 10, 20000), waves = 1)
-    val (bRows, bSec, bProc, bBatches) = streamingScenario(spark, rows, waves = 1)
-    val (sRows, sSec, sProc, sBatches) = streamingScenario(spark, rows, waves = 8)
-    val (mRows, mSec, mProc, mBatches) =
+    val (bRows, bSec, bProc, bBatches, bDur) = streamingScenario(spark, rows, waves = 1)
+    val (sRows, sSec, sProc, sBatches, sDur) = streamingScenario(spark, rows, waves = 8)
+    val (mRows, mSec, mProc, mBatches, _) =
       streamingScenario(spark, rows, waves = 1, withBatcher = false)
-    val (rRows, rSec, rProc, rBatches) =
+    val (rRows, rSec, rProc, rBatches, _) =
       streamingScenario(spark, rows, waves = 1, rateLimit = Some((25000, 100L)))
     val (dRows, dSec, dProc) = drainScenario(spark, rows)
     val (ijRows, ijSec, ijMatched, ijBatches) = intervalJoinScenario(spark, rows)
+    def durJson(d: Map[String, Long]) =
+      d.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     def block(r: Long, sec: Double, proc: Long, batches: Long) =
       s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"processed":$proc,"micro_batches":$batches}"""
-    s"""{"rows":$bRows,"burst":${block(bRows, bSec, bProc, bBatches)},""" +
-      s""""sustained":${block(sRows, sSec, sProc, sBatches)},""" +
+    def blockD(r: Long, sec: Double, proc: Long, batches: Long, d: Map[String, Long]) =
+      block(r, sec, proc, batches).dropRight(1) + s""","durations_ms":${durJson(d)}}"""
+    s"""{"rows":$bRows,"burst":${blockD(bRows, bSec, bProc, bBatches, bDur)},""" +
+      s""""sustained":${blockD(sRows, sSec, sProc, sBatches, sDur)},""" +
       s""""single_group":${block(mRows, mSec, mProc, mBatches)},""" +
       s""""rate_limited":${block(rRows, rSec, rProc, rBatches)},""" +
       s""""drain":{"drain_sec":${math.round(dSec * 1000) / 1000.0},"rows_per_sec":${math.round(dRows / dSec)},"processed":$dProc},""" +

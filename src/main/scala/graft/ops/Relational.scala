@@ -869,6 +869,73 @@ object Relational {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // As-of SEMI: purchases by users with a PRIOR same-user click — the
+    // single-bound `EXISTS (… WHERE rk = k AND rt <= t)` "has a prior
+    // version" idiom, answered by the as-of merge's O(1) carried state
+    // (no right-group buffering, left columns only). Per-user attribution
+    // gating: a purchase without any preceding click is unattributable.
+    Q(
+      "q253_asof_semi_attributable",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("cts"))
+        graft.plans.AsOf
+          .asofSemiJoin(purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "cts")
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("attributable"),
+            round(sum(col("value")), 4).as("attributable_value")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS attributable,
+             |  round(sum(value), 4) AS attributable_value
+             |FROM events p
+             |WHERE p.event_type = 'purchase'
+             |  AND EXISTS (SELECT 1 FROM events c
+             |              WHERE c.event_type = 'click'
+             |                AND c.user_id = p.user_id AND c.ts <= p.ts)
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
+    ),
+
+    // As-of ANTI through the SQL surface: purchases with NO prior
+    // same-user click (`NOT EXISTS` + a single inclusive bound), written
+    // as plain spark.sql so the ORACLE GATE itself proves the
+    // RangeJoinRewrite single-bound arm — the optimizer must plan the
+    // subquery as the as-of Anti merge (RangeJoinRewriteSpec pins the
+    // plan; this pins the answers on real parquet).
+    Q(
+      "q254_asof_anti_unattributed",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        events(s, d).createOrReplaceTempView("g254_events")
+        s.sql("""SELECT user_id, CAST(count(*) AS BIGINT) AS unattributed,
+                |  round(sum(value), 4) AS unattributed_value
+                |FROM g254_events p
+                |WHERE p.event_type = 'purchase'
+                |  AND NOT EXISTS (SELECT 1 FROM g254_events c
+                |                  WHERE c.event_type = 'click'
+                |                    AND c.user_id = p.user_id AND c.ts <= p.ts)
+                |GROUP BY user_id
+                |ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS unattributed,
+             |  round(sum(value), 4) AS unattributed_value
+             |FROM events p
+             |WHERE p.event_type = 'purchase'
+             |  AND NOT EXISTS (SELECT 1 FROM events c
+             |                  WHERE c.event_type = 'click'
+             |                    AND c.user_id = p.user_id AND c.ts <= p.ts)
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is

@@ -211,26 +211,41 @@ object SimilarityOps {
   /** Target random-collision multiset ≈ DerivedMultisetC × n rows. */
   private val DerivedMultisetC = 128.0
 
-  /** Size-derived band geometry: the smallest band width (8–24 bits) whose
-    * expected random-collision multiset `bands(bits) · n² / 2^bits` stays
-    * ≤ c·n, where `bands(bits)` is the minimal band count holding the
+  /** Size-derived band geometry: the smallest band width whose expected
+    * random-collision multiset `bands(bits) · n² / 2^bits` stays ≤ c·n,
+    * where `bands(bits)` is the minimal band count holding the
     * ≥ 0.9-cosine miss probability under `DerivedMissTarget`
     * ((1 − p^bits)^bands ≤ target). Monotone in n: bigger corpora get
-    * wider bands, keeping the candidate join ~linear all the way to
-    * n ≈ c·2^24/bands ≈ 10⁹ vectors; past that the 24-bit clamp applies
-    * and the multiset grows gently superlinear (document-scale corpora
-    * there shard by partition anyway).
+    * wider bands.
+    *
+    * Widths are restricted to {8, 16}: the packed-signature band extract
+    * (BandKeys) slices whole 64-bit words, so a width must divide 64, and
+    * 32-bit bands are out of reach — holding the ≥ 0.9 miss target at
+    * p^32 ≈ 0.0067 needs ~10³ bands AND the `(band << bits) | nib` int
+    * key encoding has no headroom left. Consequence, stated honestly:
+    * past n ≈ c·2^16/bands ≈ 10⁵ vectors the width caps at 16 and the
+    * multiset grows as bands·n²/65536 — ~10⁹ candidate rows at n = 10⁶
+    * (a shuffle a cluster absorbs; a single node feels it). Corpora
+    * beyond that should coarse-partition first (the q46 IVF path: cluster
+    * assignment, then LSH within cells) rather than stretch one flat
+    * band table across 10⁷+ vectors.
     */
   private[graft] def derivedGeometry(n: Long): (Int, Int) = {
     def bandsFor(bits: Int): Int = {
       val hit = math.pow(DerivedRecallPlaneP, bits)
-      math.max(8, math.ceil(math.log(DerivedMissTarget) / math.log1p(-hit)).toInt)
+      val minBands = math.max(8, math.ceil(math.log(DerivedMissTarget) / math.log1p(-hit)).toInt)
+      // round UP to fill whole 64-bit signature words: a partially-padded
+      // word's zero bits are identical for EVERY vector, so a band built
+      // on padding is one universal collision bucket — the 30× stress
+      // measured 65 s vs 4 s for 79 vs 80 bands at 16 bits before this
+      val perWord = 64 / bits
+      ((minBands + perWord - 1) / perWord) * perWord
     }
-    val bits = (8 to 24)
+    val bits = Seq(8, 16)
       .find { b =>
         bandsFor(b).toDouble * math.max(n, 1L) / math.pow(2.0, b) <= DerivedMultisetC
       }
-      .getOrElse(24)
+      .getOrElse(16)
     (bandsFor(bits), bits)
   }
 
@@ -265,6 +280,11 @@ object SimilarityOps {
     }
     require(bands > 0 && bits > 0 && bits <= 28,
       s"$NumBandsKey/$BandBitsKey must be positive (bits <= 28), got $bands/$bits")
+    // the packed band extract slices whole 64-bit signature words —
+    // validate here so a bad conf names its keys instead of surfacing
+    // from BandKeys mid-plan
+    require(64 % bits == 0,
+      s"$BandBitsKey must divide 64 (bands never straddle signature words), got $bits")
     (bands, bits)
   }
 
@@ -325,6 +345,14 @@ object SimilarityOps {
     // verify legs are built STRUCTURALLY IDENTICAL so Catalyst's
     // ReuseExchange collapses them into one shared broadcast build.
     val (bands, bits) = geometry.getOrElse(bandGeometry(s, d))
+    // every geometry path (explicit, conf, derived) must fill whole
+    // signature words: padded sign bits are 0 for EVERY vector, so a band
+    // overlapping the padding becomes one universal collision bucket —
+    // a silent quadratic cliff, not a correctness bug (verification is
+    // exact), which is why it fails loud here instead
+    require(bands * bits % 64 == 0,
+      s"band geometry ${bands}x$bits leaves a partially-padded signature word " +
+        s"(bands x bits must be a multiple of 64); a padding band collides every vector")
     val posts = Caches.persisted(
       embeddings(s, d)
         .select(col("vec_id"), emb(col("embedding")).as("v"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending,
   Attribute,
+  AttributeSet,
   Expression,
   GenericInternalRow,
   JoinedRow,
@@ -16,6 +17,35 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Sta
 import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.EstimationUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Output mode of the keyed as-of join.
+  *
+  *  - [[AsOfJoinMode.Inner]]: one row per left row with a match (the
+  *    latest right row at or before its time), left ++ right columns.
+  *  - [[AsOfJoinMode.Outer]]: every left row, null-extended when no
+  *    right row precedes it.
+  *  - [[AsOfJoinMode.Semi]]: left rows with ≥ 1 same-key right row at or
+  *    before their time, once, left columns only — the single-bound
+  *    `EXISTS (SELECT … WHERE rk = k AND rt <= t)` "has a prior
+  *    version" idiom.
+  *  - [[AsOfJoinMode.Anti]]: left rows with NO such right row — the
+  *    staleness/orphan idiom (`NOT EXISTS …`).
+  *  - [[AsOfJoinMode.Existence]]: every left row once, plus a boolean
+  *    flag — the shape Spark's `RewritePredicateSubquery` plans for an
+  *    EXISTS that cannot become a semi/anti join.
+  *
+  * The existence family needs no row buffering at all: the merge already
+  * carries O(1) state, and "∃ rt ≤ t" is just "the carried key matches" —
+  * only the matched right KEY is copied, never the row.
+  */
+sealed abstract class AsOfJoinMode extends Serializable
+object AsOfJoinMode {
+  case object Inner extends AsOfJoinMode
+  case object Outer extends AsOfJoinMode
+  case object Semi extends AsOfJoinMode
+  case object Anti extends AsOfJoinMode
+  final case class Existence(attr: Attribute) extends AsOfJoinMode
+}
 
 /** Logical AS-OF join: for every left row, the LATEST right row with the
   * same key and `rightTime <= leftTime` (inclusive — the "state as of this
@@ -43,7 +73,7 @@ final case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    outer: Boolean
+    mode: AsOfJoinMode
 ) extends BinaryNode {
 
   require(
@@ -51,12 +81,27 @@ final case class AsOfJoinPlan(
     s"as-of join key arity mismatch: ${leftKeys.length} vs ${rightKeys.length}"
   )
 
-  override def output: Seq[Attribute] =
-    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+  /** Convenience for rules that only distinguish the pair-emitting modes. */
+  def outer: Boolean = mode == AsOfJoinMode.Outer
+
+  override def output: Seq[Attribute] = mode match {
+    case AsOfJoinMode.Inner => left.output ++ right.output
+    case AsOfJoinMode.Outer => left.output ++ right.output.map(_.withNullability(true))
+    case AsOfJoinMode.Semi | AsOfJoinMode.Anti => left.output
+    case AsOfJoinMode.Existence(a)             => left.output :+ a
+  }
+
+  // the existence flag originates HERE, not in a child — without this the
+  // node's missingInput is non-empty and plan integrity checks reject it
+  override def producedAttributes: AttributeSet = mode match {
+    case AsOfJoinMode.Existence(a) => AttributeSet(a)
+    case _                         => AttributeSet.empty
+  }
 
   /** At most one output row per left row — the join selects the single
-    * latest match (outer: exactly one; inner: one or zero). Without this,
-    * `Optimizer`'s size framework has no case for an unknown BinaryNode.
+    * latest match (outer/existence: exactly one; inner/semi/anti: one or
+    * zero). Without this, `Optimizer`'s size framework has no case for an
+    * unknown BinaryNode.
     */
   override def maxRows: Option[Long] = left.maxRows
 
@@ -69,15 +114,19 @@ final case class AsOfJoinPlan(
     * size-based choices above the node would be skewed. The true output is
     * one row per left row (inner: at most one), widened by the matched
     * right payload — estimate left's bytes scaled to the output row width.
+    * Semi/anti/existence stay in the left side's size class.
     */
-  override def stats: Statistics = {
-    val leftStats = left.stats
-    val leftRow = EstimationUtils.getSizePerRow(left.output)
-    val outRow = EstimationUtils.getSizePerRow(output)
-    Statistics(
-      sizeInBytes = (leftStats.sizeInBytes * outRow / leftRow).max(1),
-      rowCount = leftStats.rowCount
-    )
+  override def stats: Statistics = mode match {
+    case AsOfJoinMode.Semi | AsOfJoinMode.Anti | AsOfJoinMode.Existence(_) =>
+      left.stats
+    case _ =>
+      val leftStats = left.stats
+      val leftRow = EstimationUtils.getSizePerRow(left.output)
+      val outRow = EstimationUtils.getSizePerRow(output)
+      Statistics(
+        sizeInBytes = (leftStats.sizeInBytes * outRow / leftRow).max(1),
+        rowCount = leftStats.rowCount
+      )
   }
 
   override protected def withNewChildrenInternal(
@@ -92,8 +141,8 @@ final case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, mode) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, mode, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -115,13 +164,22 @@ final case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    outer: Boolean,
+    mode: AsOfJoinMode,
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] =
-    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+  override def output: Seq[Attribute] = mode match {
+    case AsOfJoinMode.Inner => left.output ++ right.output
+    case AsOfJoinMode.Outer => left.output ++ right.output.map(_.withNullability(true))
+    case AsOfJoinMode.Semi | AsOfJoinMode.Anti => left.output
+    case AsOfJoinMode.Existence(a)             => left.output :+ a
+  }
+
+  override def producedAttributes: AttributeSet = mode match {
+    case AsOfJoinMode.Existence(a) => AttributeSet(a)
+    case _                         => AttributeSet.empty
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -156,7 +214,7 @@ final case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val out = output
-    val isOuter = outer
+    val emitMode = mode
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -167,6 +225,17 @@ final case class AsOfJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
+      // existence flag carriers: 1-field boolean rows joined behind the
+      // left row so outProj (bound against lOut :+ flag) can read them
+      val flagTrue = new GenericInternalRow(Array[Any](true))
+      val flagFalse = new GenericInternalRow(Array[Any](false))
+      // the existence family (Semi/Anti/Existence) answers "∃ rt ≤ t"
+      // from the carried key alone — the matched right ROW is never
+      // copied in those modes
+      val needMatchRow = emitMode match {
+        case AsOfJoinMode.Inner | AsOfJoinMode.Outer => true
+        case _                                       => false
+      }
       // bind against `out` (right side nullable when outer), NOT the raw
       // child schemas: BoundReference takes nullability from the input
       // schema, and a non-nullable binding compiles away the null check —
@@ -183,8 +252,9 @@ final case class AsOfJoinExec(
         private var rNextKey: InternalRow = _
         private var rNextTime: InternalRow = _
         // most recent right row emitted for some key (copied — it must
-        // outlive its buffer), with its key copy; valid for a left row
-        // iff the keys still compare equal
+        // outlive its buffer; existence modes skip the row copy), with
+        // its key copy; valid for a left row iff the keys still compare
+        // equal
         private var matchRow: InternalRow = _
         private var matchKey: InternalRow = _
         private var ready: InternalRow = _
@@ -193,7 +263,9 @@ final case class AsOfJoinExec(
         // NULL time never satisfies `rightTime <= leftTime` (the rank
         // oracle's `v.ts <= c.ts` discards NULLs) — null-keyed/timed
         // right rows can never match, so skip them at fetch; null-keyed/
-        // timed left rows match nothing (null-extended when outer).
+        // timed left rows match nothing (null-extended when outer,
+        // kept under anti — NOT EXISTS over an always-false condition —
+        // flagged false under existence, dropped by inner and semi).
         private def fetchRight(): Unit = {
           rNext = null
           while (rNext == null && rIter.hasNext) {
@@ -220,18 +292,33 @@ final case class AsOfJoinExec(
             while (cont) {
               val c = keyOrd.compare(rNextKey, lKey)
               if (c < 0 || (c == 0 && timeOrd.compare(rNextTime, lTime) <= 0)) {
-                if (c == 0) { matchRow = rNext.copy(); matchKey = rNextKey.copy() }
+                if (c == 0) {
+                  if (needMatchRow) matchRow = rNext.copy()
+                  matchKey = rNextKey.copy()
+                }
                 fetchRight()
                 cont = rNext != null
               } else cont = false
             }
-            if (!lNull && matchRow != null && keyOrd.compare(matchKey, lKey) == 0) {
-              ready = outProj(joined(l, matchRow))
-              numOutputRows += 1
-              numMatchedRows += 1
-            } else if (isOuter) {
-              ready = outProj(joined(l, nullRight))
-              numOutputRows += 1
+            val matched =
+              !lNull && matchKey != null && keyOrd.compare(matchKey, lKey) == 0
+            if (matched) numMatchedRows += 1
+            emitMode match {
+              case AsOfJoinMode.Inner | AsOfJoinMode.Outer =>
+                if (matched) {
+                  ready = outProj(joined(l, matchRow))
+                  numOutputRows += 1
+                } else if (emitMode == AsOfJoinMode.Outer) {
+                  ready = outProj(joined(l, nullRight))
+                  numOutputRows += 1
+                }
+              case AsOfJoinMode.Semi =>
+                if (matched) { ready = l; numOutputRows += 1 }
+              case AsOfJoinMode.Anti =>
+                if (!matched) { ready = l; numOutputRows += 1 }
+              case AsOfJoinMode.Existence(_) =>
+                ready = outProj(joined(l, if (matched) flagTrue else flagFalse))
+                numOutputRows += 1
             }
           }
         }
@@ -274,6 +361,45 @@ object AsOf {
       rightTime: String,
       rightTieBreak: Seq[String] = Nil,
       outer: Boolean = false
+  ): DataFrame =
+    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, rightTieBreak,
+      if (outer) AsOfJoinMode.Outer else AsOfJoinMode.Inner)
+
+  /** Left rows with ≥ 1 same-key right row at or before their time —
+    * `EXISTS (SELECT … WHERE rk = k AND rt <= t)`, left columns only.
+    */
+  def asofSemiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String
+  ): DataFrame =
+    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, Nil, AsOfJoinMode.Semi)
+
+  /** Left rows with NO same-key right row at or before their time —
+    * `NOT EXISTS …`, the staleness/orphan idiom.
+    */
+  def asofAntiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String
+  ): DataFrame =
+    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, Nil, AsOfJoinMode.Anti)
+
+  private def asofJoinMode(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: Seq[String],
+      mode: AsOfJoinMode
   ): DataFrame = {
     val spark = left.sparkSession
     graft.GraftExtensions.register(spark)
@@ -287,7 +413,7 @@ object AsOf {
         leftTime,
         rightTime,
         rightTieBreak,
-        outer,
+        mode,
         // honor the session's case-sensitivity setting
         // (spark.sql.caseSensitive) like every other DataFrame API
         spark.sessionState.conf.resolver
@@ -308,7 +434,7 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightTieBreak: Seq[String],
-      outer: Boolean,
+      mode: AsOfJoinMode,
       nameMatches: (String, String) => Boolean
   ): AsOfJoinPlan = {
     // Stream-static soundness boundary: a STREAMING LEFT against a static
@@ -348,7 +474,7 @@ object AsOf {
       la(leftTime),
       ra(rightTime),
       rightTieBreak.map(ra),
-      outer
+      mode
     )
   }
 }

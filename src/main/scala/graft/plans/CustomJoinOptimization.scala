@@ -308,9 +308,9 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
       }
 
     case Filter(cond, j: AsOfJoinPlan)
-        if j.outer &&
+        if j.mode == AsOfJoinMode.Outer &&
           filtersNullExtended(splitConjunctivePredicates(cond), j.right.outputSet) =>
-      Filter(cond, j.copy(outer = false))
+      Filter(cond, j.copy(mode = AsOfJoinMode.Inner))
 
     // ---- predicate pushdown -------------------------------------------
     case f @ Filter(cond, j: AsOfJoinPlan) =>

@@ -164,6 +164,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if t1.semanticEquals(t2) && orderableNonFloating(t1.dataType)
     } yield (lo, up)).headOption
 
+    // single INCLUSIVE lower bound, right-side expr ≤ left-side expr —
+    // the half-open "∃ right row at or before t" shape the as-of
+    // existence family answers with O(1) carried state (only meaningful
+    // when no BETWEEN pair matched)
+    lazy val singleLower = bounds.collectFirst {
+      case b @ (s, t, _)
+          if onRight(s) && onLeft(t) && orderableNonFloating(t.dataType) => b
+    }
+
     j.joinType match {
       case Inner =>
         (direct, flipped) match {
@@ -231,7 +240,37 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 if (j.joinType == LeftSemi) IntervalJoinMode.Semi else IntervalJoinMode.Anti
             )
             Some(resLeft.reduceOption(And).map(Filter(_, node)).getOrElse(node))
-          case None => None
+          case None =>
+            // single-bound EXISTS / NOT EXISTS: `rk = k AND rt <= t` with
+            // no upper bound — "has a same-key right row at or before t"
+            // (prior-version / staleness idiom). Spark plans this as a
+            // key-only SMJ buffering whole right key groups; the as-of
+            // merge answers it with O(1) carried state. Residuals follow
+            // the same quantifier rules as the BETWEEN family above.
+            singleLower match {
+              case Some(lo @ (s, t, _)) =>
+                val used = (equis.map(_._3) :+ lo._3).toSet
+                val residual = conjuncts.filterNot(used.contains)
+                val (resLeft, afterLeft) = residual.partition(onLeft)
+                val (resRight, resMixed) = afterLeft.partition(onRight)
+                if (resMixed.nonEmpty) return None
+                if (j.joinType == LeftAnti && resLeft.nonEmpty) return None
+                val newRight =
+                  resRight.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+                val node = AsOfJoinPlan(
+                  left,
+                  newRight,
+                  leftKeys = equis.map(_._1),
+                  rightKeys = equis.map(_._2),
+                  leftTime = t,
+                  rightTime = s,
+                  rightTieBreak = Nil,
+                  mode =
+                    if (j.joinType == LeftSemi) AsOfJoinMode.Semi else AsOfJoinMode.Anti
+                )
+                Some(resLeft.reduceOption(And).map(Filter(_, node)).getOrElse(node))
+              case None => None
+            }
         }
 
       case LeftOuter =>
@@ -362,7 +401,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               rightEnd = up._2,
               mode = IntervalJoinMode.Existence(attr)
             ))
-          case None => None
+          case None =>
+            // single-bound flagged EXISTS → the as-of Existence mode;
+            // residual rules as above (left-only blocks — every left row
+            // is preserved, nothing above discharges it)
+            singleLower match {
+              case Some(lo @ (s, t, _)) =>
+                val used = (equis.map(_._3) :+ lo._3).toSet
+                val residual = conjuncts.filterNot(used.contains)
+                if (!residual.forall(onRight)) return None
+                val newRight =
+                  residual.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+                Some(AsOfJoinPlan(
+                  left,
+                  newRight,
+                  leftKeys = equis.map(_._1),
+                  rightKeys = equis.map(_._2),
+                  leftTime = t,
+                  rightTime = s,
+                  rightTieBreak = Nil,
+                  mode = AsOfJoinMode.Existence(attr)
+                ))
+              case None => None
+            }
         }
 
       case _ => None

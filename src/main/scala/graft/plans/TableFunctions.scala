@@ -80,12 +80,39 @@ object TableFunctions {
         s"$fn takes 6-8 arguments (TABLE left, TABLE right, leftKeys, rightKeys," +
           s" leftTime, rightTime[, tieBreaks][, outer]), got ${args.length}"
       )
+    // the trailing mode is `true`/`false` (outer/inner, the original
+    // boolean form) or one of 'inner' | 'outer' | 'semi' | 'anti'; a
+    // lone trailing string that isn't a mode is the tie-break list
+    def modeOf(raw: Any): Option[AsOfJoinMode] = raw match {
+      case b: Boolean => Some(if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner)
+      case s: String =>
+        s.toLowerCase match {
+          case "inner" => Some(AsOfJoinMode.Inner)
+          case "outer" => Some(AsOfJoinMode.Outer)
+          case "semi"  => Some(AsOfJoinMode.Semi)
+          case "anti"  => Some(AsOfJoinMode.Anti)
+          case _       => None
+        }
+      case _ => None
+    }
     val trailing = args.drop(6)
-    val (tieBreaks, outer) = trailing match {
-      case Seq()                                       => (Nil, false)
-      case Seq(Literal(b: Boolean, BooleanType))       => (Nil, b)
-      case Seq(_)                                      => (csvArg(fn, args, 6), false)
-      case Seq(_, _)                                   => (csvArg(fn, args, 6), boolArg(fn, args, 7, default = false))
+    val (tieBreaks, mode) = trailing match {
+      case Seq() => (Nil, AsOfJoinMode.Inner)
+      case Seq(Literal(b: Boolean, BooleanType)) =>
+        (Nil, if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner)
+      case Seq(Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType))
+          if modeOf(s.toString).isDefined =>
+        (Nil, modeOf(s.toString).get)
+      case Seq(_) => (csvArg(fn, args, 6), AsOfJoinMode.Inner)
+      case Seq(_, last) =>
+        val m = last match {
+          case Literal(b: Boolean, BooleanType) => modeOf(b)
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            modeOf(s.toString)
+          case _ => None
+        }
+        (csvArg(fn, args, 6), m.getOrElse(throw new IllegalArgumentException(
+          s"$fn: argument 8 must be a boolean or one of 'inner'|'outer'|'semi'|'anti', got $last")))
     }
     AsOf.planFor(
       tableArg(fn, args, 0),
@@ -95,7 +122,7 @@ object TableFunctions {
       strArg(fn, args, 4),
       strArg(fn, args, 5),
       tieBreaks,
-      outer,
+      mode,
       SQLConf.get.resolver
     )
   }

@@ -248,4 +248,69 @@ class AsOfJoinSpec extends SparkSpec {
       .count() // row at t=1 matches itself; t=2 matches t=2 (inclusive)
     assert(joinedCount == 2)
   }
+
+  test("semi/anti modes: single-bound EXISTS/NOT EXISTS semantics incl. NULL edges") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(10L), "has_prior"),   // r@10 (inclusive bound)
+      (Some(1L), Some(5L), "before_all"),   // earliest r@10 > 5
+      (Some(2L), Some(99L), "no_key"),      // key 2 has no right rows
+      (None: Option[Long], Some(7L), "null_key"),
+      (Some(1L), None: Option[Long], "null_time")
+    ).toDF("k", "t", "name")
+    val right = Seq((1L, 10L), (1L, 20L), (3L, 1L)).toDF("rk", "rt")
+    val semi = AsOf.asofSemiJoin(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("name")).collect().map(_.getString(0)).toSet
+    // EXISTS: only left rows with a same-key right row at or before t;
+    // null key/time rows never satisfy the bound
+    assert(semi == Set("has_prior"), s"semi got $semi")
+    val anti = AsOf.asofAntiJoin(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("name")).collect().map(_.getString(0)).toSet
+    // NOT EXISTS keeps the complement INCLUDING null key/time rows (the
+    // condition is always false for them)
+    assert(anti == Set("before_all", "no_key", "null_key", "null_time"), s"anti got $anti")
+    // left columns only, left's schema untouched
+    assert(AsOf.asofSemiJoin(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .columns.toSeq == Seq("k", "t", "name"))
+  }
+
+  test("semi/anti randomized differential vs EXISTS/NOT EXISTS on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val left = Seq.fill(200)((rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+      val right = Seq.fill(120)((rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong))
+      val lDf = left.toDF("k", "t", "payload")
+      val rDf = right.toDF("rk", "rt")
+      val semi = AsOf.asofSemiJoin(lDf, rDf, Seq("k"), Seq("rk"), "t", "rt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val anti = AsOf.asofAntiJoin(lDf, rDf, Seq("k"), Seq("rk"), "t", "rt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val expectSemi = left
+        .filter { case (k, t, _) => right.exists(r => r._1 == k && r._2 <= t) }
+        .sorted
+      val expectAnti = left
+        .filterNot { case (k, t, _) => right.exists(r => r._1 == k && r._2 <= t) }
+        .sorted
+      assert(semi.toSeq == expectSemi, s"semi trial $trial diverged (nKeys=$nKeys)")
+      assert(anti.toSeq == expectAnti, s"anti trial $trial diverged (nKeys=$nKeys)")
+      // partition: every left row lands in exactly one of the two outputs
+      assert(semi.length + anti.length == left.size)
+    }
+  }
+
+  test("semi/anti prune the right side to keys+time and never shuffle the payload") {
+    import spark.implicits._
+    val left = (1L to 1000L).map(i => (i % 7, i, i * 2)).toDF("k", "t", "pv")
+    val right = (1L to 1000L).map(i => (i % 7, i, s"payload$i", i * 3)).toDF("rk", "rt", "junk", "rv")
+    val semi = AsOf.asofSemiJoin(left, right, Seq("k"), Seq("rk"), "t", "rt")
+    // output is left-only, so CustomJoinOptimization's pruning narrows the
+    // right child to (rk, rt) — the payload never reaches the exchange
+    val agg = semi.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val optimized = agg.queryExecution.optimizedPlan
+    val asofNode = optimized.collectFirst { case a: graft.plans.AsOfJoinPlan => a }.get
+    assert(asofNode.right.output.map(_.name).toSet == Set("rk", "rt"),
+      s"right side not pruned: ${asofNode.right.output.map(_.name)}")
+  }
 }

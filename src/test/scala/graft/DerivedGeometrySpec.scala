@@ -19,13 +19,17 @@ class DerivedGeometrySpec extends SparkSpec {
       20000000L, 200000000L, 2000000000L)
     sizes.foreach { n =>
       val (bands, bits) = SimilarityOps.derivedGeometry(n)
-      assert(bands >= 8 && bits >= 8 && bits <= 24, s"n=$n got ($bands, $bits)")
+      // widths are {8, 16}: BandKeys slices whole 64-bit signature words
+      assert(bands >= 8 && (bits == 8 || bits == 16), s"n=$n got ($bands, $bits)")
+      // whole words only: a partially-padded word is a universal bucket
+      assert(bands * bits % 64 == 0, s"n=$n ($bands x $bits) straddles a word")
       // recall bound: a true >=0.9-cosine pair is missed with prob <= 1e-3
       val miss = math.pow(1.0 - math.pow(p09, bits), bands)
       assert(miss <= 1e-3 + 1e-12, s"n=$n ($bands x $bits): miss=$miss")
-      // multiset bound: expected random collisions <= c*n (except past the
-      // 24-bit clamp, which starts around n ~ 1e9 for this band count)
-      if (bits < 24) {
+      // multiset bound: expected random collisions <= c*n up to the 16-bit
+      // width cap (~1e5 vectors; beyond it the documented remediation is
+      // IVF coarse partitioning, not a wider flat band table)
+      if (n <= 100000L) {
         val perN = bands.toDouble * n / math.pow(2.0, bits)
         assert(perN <= 128.0 + 1e-9, s"n=$n ($bands x $bits): multiset/n=$perN")
       }
@@ -41,10 +45,26 @@ class DerivedGeometrySpec extends SparkSpec {
   test("anchor points: oracle corpora stay narrow, stress corpora widen") {
     // sf0.001/sf0.01 (~150-300 vectors): narrowest band, generous recall
     assert(SimilarityOps.derivedGeometry(200L)._2 == 8)
-    // the 30x ScaleStress corpus (60k vectors) lands on ~16-bit bands —
+    // the 30x ScaleStress corpus (60k vectors) lands on 16-bit bands —
     // the same regime as the hand-tuned 64x16 production geometry
     val (b60k, bits60k) = SimilarityOps.derivedGeometry(60000L)
-    assert(bits60k >= 14 && bits60k <= 18, s"60k vecs got ($b60k, $bits60k)")
+    assert(bits60k == 16, s"60k vecs got ($b60k, $bits60k)")
+    assert(b60k >= 64 && b60k <= 128, s"60k vecs band count out of family: $b60k")
+  }
+
+  test("a conf width that straddles signature words fails loud, naming the key") {
+    spark.conf.set(SimilarityOps.NumBandsKey, "100")
+    spark.conf.set(SimilarityOps.BandBitsKey, "12")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        SimilarityOps.embeddingNeardupPairs(spark, "/root/testdata/sf0.001")
+      }
+      assert(ex.getMessage.contains(SimilarityOps.BandBitsKey) &&
+        ex.getMessage.contains("divide 64"), ex.getMessage)
+    } finally {
+      spark.conf.unset(SimilarityOps.NumBandsKey)
+      spark.conf.unset(SimilarityOps.BandBitsKey)
+    }
   }
 
   test("malformed band confs fail loud naming the offending key") {

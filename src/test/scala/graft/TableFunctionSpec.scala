@@ -173,14 +173,15 @@ class TableFunctionSpec extends SparkSpec {
     }
     assert(boolAsTieBreak.getMessage.contains("must be a string literal"),
       s"got: ${boolAsTieBreak.getMessage}")
-    // (tieBreaks, 'yes'): the 8th slot must be a boolean literal
+    // (tieBreaks, 'yes'): the 8th slot must be a boolean or a mode string
     val badOuter = intercept[Exception] {
       spark.sql(
         """SELECT * FROM graft_asof_join(
           |  TABLE(tvf_clicks), TABLE(tvf_views), 'user_id', 'v_user', 'ts', 'vts',
           |  'view_id', 'yes')""".stripMargin).collect()
     }
-    assert(badOuter.getMessage.contains("must be a boolean literal"), s"got: ${badOuter.getMessage}")
+    assert(badOuter.getMessage.contains("'inner'|'outer'|'semi'|'anti'"),
+      s"got: ${badOuter.getMessage}")
     // interval mode: unknown strings and non-literals name the contract
     val badMode = intercept[Exception] {
       spark.sql(

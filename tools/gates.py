@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Regenerate the NOTES.md round-gate block from committed artifacts, so
+final-round claims always match what a judge reproduces (round-10 lesson:
+NOTES said "551 tests / slow_4x=2" while the artifacts said 547 / 19).
+
+Usage:
+    python tools/gates.py CORRECTNESS_rN.json BENCH_rN.json [sbt_test.log]
+
+Prints a markdown bullet block derived ONLY from the named artifacts —
+paste it into NOTES.md verbatim. The sbt log is optional; when given, the
+test count is parsed from its final "Tests: succeeded N" line.
+"""
+import json
+import re
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        return 2
+    correctness_path, bench_path = sys.argv[1], sys.argv[2]
+    sbt_log = sys.argv[3] if len(sys.argv) > 3 else None
+
+    with open(correctness_path) as f:
+        corr = json.load(f)
+    ok = sum(
+        1 for v in corr.values()
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+        and not v.get("err")
+    )
+    total = len(corr)
+
+    with open(bench_path) as f:
+        bench = json.load(f)
+    # the driver's BENCH_rN.json wraps the bench's stdout line in a "tail"
+    # string — unwrap it; BENCH_DETAIL.json / raw stdout parse directly
+    if "tail" in bench and "metric" not in bench:
+        tail = bench["tail"]
+        i = tail.rfind('{"metric"')
+        if i < 0:
+            print("no metric line inside the tail wrapper", file=sys.stderr)
+            return 2
+        bench = json.loads(tail[i:].strip().splitlines()[0])
+    if "value" not in bench and "total_sec" in bench:  # BENCH_DETAIL shape
+        bench["value"] = bench["total_sec"]
+        bench["failed"] = len(bench.get("failed", []))
+        slow4 = bench.get("slow_4x") or []
+        bench.setdefault("slow_n", len(slow4))
+        bench.setdefault("slow", slow4)
+
+    tests_line = "tests: (no sbt log given)"
+    if sbt_log:
+        text = open(sbt_log, errors="replace").read()
+        m = re.findall(r"Tests: succeeded (\d+), failed (\d+)", text)
+        if m:
+            succ, failed = m[-1]
+            tests_line = f"**{succ} tests green** ({failed} failed)"
+        else:
+            tests_line = "tests: (no 'Tests: succeeded' line in log)"
+
+    streaming = bench.get("streaming") or {}
+
+    def rps(name):
+        blk = streaming.get(name) or {}
+        v = blk.get("rows_per_sec")
+        return f"{v/1000:.1f}k" if isinstance(v, (int, float)) else "n/a"
+
+    slow = bench.get("slow") or []
+    slow_lines = []
+    for s in slow:
+        builds = s.get("builds") or {}
+        charges = " + ".join(f"{k} {v} ms" for k, v in builds.items()) or "no builds"
+        slow_lines.append(
+            f"    - {s['q']}: cold {s['ms']} ms = construct {s.get('construct_ms', '?')}"
+            f" + [{charges}] + warm {s.get('warm_ms', '?')} ms"
+        )
+
+    print(f"- **GATES (artifact-derived; tools/gates.py over {correctness_path}, "
+          f"{bench_path}{', ' + sbt_log if sbt_log else ''})**:")
+    print(f"  - oracle: **{ok}/{total} green** ({correctness_path})")
+    print(f"  - {tests_line}")
+    print(f"  - bench ({bench.get('sf')}, cache-invalidated, {bench.get('action')}): "
+          f"**{bench.get('n')} queries / {bench.get('failed')} failed / "
+          f"median {bench.get('median_ms')} ms / total {bench.get('value')} s**; "
+          f"p90 {bench.get('p90_ms')} ms, p99 {bench.get('p99_ms')} ms, "
+          f"slow_n={bench.get('slow_n')}, codegen est {bench.get('codegen_ms_estimate')} ms")
+    shared = bench.get("shared_build_ms") or {}
+    if shared:
+        print("  - shared builds (cold, standalone): "
+              + ", ".join(f"{k} {v} ms" for k, v in shared.items()))
+    if slow_lines:
+        print("  - slow_4x decomposition (cold = construct + builds + warm):")
+        print("\n".join(slow_lines))
+    if streaming:
+        print(f"  - streaming: burst {rps('burst')}, sustained {rps('sustained')}, "
+              f"single_group {rps('single_group')}, rate_limited {rps('rate_limited')}, "
+              f"interval_join {rps('interval_join')} rows/s; "
+              f"drain {((streaming.get('drain') or {}).get('drain_sec', 'n/a'))} s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
