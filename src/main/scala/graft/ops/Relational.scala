@@ -936,6 +936,54 @@ object Relational {
              |ORDER BY user_id""".stripMargin)
     ),
 
+    // BACKWARD (next-event) as-of join: each click matched to the
+    // EARLIEST same-user purchase at or after it — forward-looking
+    // attribution (click → next conversion), the mirror of q180's
+    // point-in-time lookup, answered by the same O(1) merge run over
+    // descending-time sorted runs. Ties (equal purchase ts) resolve to
+    // the smallest event_id, matching row_number ASC in the oracle.
+    Q(
+      "q255_next_purchase",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("p_id"),
+            col("user_id").as("p_user"),
+            col("ts").as("pts"),
+            col("value").as("p_value")
+          )
+        graft.plans.AsOf
+          .asofNextJoin(clicks, purchases, Seq("user_id"), Seq("p_user"), "ts", "pts",
+            rightTieBreak = Seq("p_id"))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("p_id"),
+            (unix_micros(col("pts")) - unix_micros(col("ts"))).as("wait_us"),
+            col("p_value")
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id AS p_id, user_id AS p_user, ts AS pts, value AS p_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, p_id, wait_us, p_value FROM (
+             |  SELECT c.event_id, c.user_id, p.p_id,
+             |    epoch_us(p.pts) - epoch_us(c.ts) AS wait_us, p.p_value,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |                       ORDER BY p.pts ASC, p.p_id ASC) AS rk
+             |  FROM c JOIN p ON p.p_user = c.user_id AND p.pts >= c.ts) t
+             |WHERE rk = 1
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is

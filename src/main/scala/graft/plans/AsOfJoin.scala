@@ -4,6 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending,
+  Descending,
   Attribute,
   AttributeSet,
   Expression,
@@ -73,7 +74,8 @@ final case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    mode: AsOfJoinMode
+    mode: AsOfJoinMode,
+    forward: Boolean = true
 ) extends BinaryNode {
 
   require(
@@ -141,8 +143,8 @@ final case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, mode) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, mode, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, mode, forward) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, mode, forward, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -165,6 +167,7 @@ final case class AsOfJoinExec(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     mode: AsOfJoinMode,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
@@ -186,8 +189,14 @@ final case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(
-      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-      ((rightKeys :+ rightTime) ++ rightTieBreak).map(SortOrder(_, Ascending))
+      {
+        val timeDir = if (forward) Ascending else Descending
+        Seq(
+          leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
+          rightKeys.map(SortOrder(_, Ascending)) ++
+            ((rightTime +: rightTieBreak).map(SortOrder(_, timeDir)))
+        )
+      }: _*
     )
 
   // one output row per surviving left row, in left order, left partitions
@@ -215,6 +224,10 @@ final case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val out = output
     val emitMode = mode
+    // +1: forward merge (latest rt <= t); -1: backward merge over
+    // descending-time sorted runs (earliest rt >= t) — the comparison and
+    // the scan direction flip together, everything else is identical
+    val dirSign = if (forward) 1 else -1
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -291,7 +304,7 @@ final case class AsOfJoinExec(
             var cont = !lNull && rNext != null
             while (cont) {
               val c = keyOrd.compare(rNextKey, lKey)
-              if (c < 0 || (c == 0 && timeOrd.compare(rNextTime, lTime) <= 0)) {
+              if (c < 0 || (c == 0 && dirSign * timeOrd.compare(rNextTime, lTime) <= 0)) {
                 if (c == 0) {
                   if (needMatchRow) matchRow = rNext.copy()
                   matchKey = rNextKey.copy()
@@ -365,6 +378,26 @@ object AsOf {
     asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, rightTieBreak,
       if (outer) AsOfJoinMode.Outer else AsOfJoinMode.Inner)
 
+  /** BACKWARD (next-event) as-of join: for every left row, the EARLIEST
+    * right row with the same key and `rightTime >= leftTime` (inclusive) —
+    * the forward-looking attribution shape ("click → next purchase",
+    * "alert → next heartbeat"). Same merge, run over descending-time
+    * sorted runs; equal-time right rows resolve to the LAST in the
+    * descending tie-break scan (the smallest tie-break value).
+    */
+  def asofNextJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: Seq[String] = Nil,
+      outer: Boolean = false
+  ): DataFrame =
+    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, rightTieBreak,
+      if (outer) AsOfJoinMode.Outer else AsOfJoinMode.Inner, forward = false)
+
   /** Left rows with ≥ 1 same-key right row at or before their time —
     * `EXISTS (SELECT … WHERE rk = k AND rt <= t)`, left columns only.
     */
@@ -399,7 +432,8 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightTieBreak: Seq[String],
-      mode: AsOfJoinMode
+      mode: AsOfJoinMode,
+      forward: Boolean = true
   ): DataFrame = {
     val spark = left.sparkSession
     graft.GraftExtensions.register(spark)
@@ -416,7 +450,8 @@ object AsOf {
         mode,
         // honor the session's case-sensitivity setting
         // (spark.sql.caseSensitive) like every other DataFrame API
-        spark.sessionState.conf.resolver
+        spark.sessionState.conf.resolver,
+        forward
       )
     )
   }
@@ -435,7 +470,8 @@ object AsOf {
       rightTime: String,
       rightTieBreak: Seq[String],
       mode: AsOfJoinMode,
-      nameMatches: (String, String) => Boolean
+      nameMatches: (String, String) => Boolean,
+      forward: Boolean = true
   ): AsOfJoinPlan = {
     // Stream-static soundness boundary: a STREAMING LEFT against a static
     // right is stateless per left row, so per-micro-batch execution is
@@ -474,7 +510,8 @@ object AsOf {
       la(leftTime),
       ra(rightTime),
       rightTieBreak.map(ra),
-      mode
+      mode,
+      forward
     )
   }
 }

@@ -165,12 +165,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     } yield (lo, up)).headOption
 
     // single INCLUSIVE lower bound, right-side expr ≤ left-side expr —
-    // the half-open "∃ right row at or before t" shape the as-of
+    // the half-open "∃ right row at or before t" shape the FORWARD as-of
     // existence family answers with O(1) carried state (only meaningful
     // when no BETWEEN pair matched)
     lazy val singleLower = bounds.collectFirst {
       case b @ (s, t, _)
           if onRight(s) && onLeft(t) && orderableNonFloating(t.dataType) => b
+    }
+    // ...and the mirror: left-side expr ≤ right-side expr — "∃ right row
+    // at or AFTER t", the BACKWARD (next-event) merge
+    lazy val singleUpper = bounds.collectFirst {
+      case b @ (t, s, _)
+          if onLeft(t) && onRight(s) && orderableNonFloating(t.dataType) => b
     }
 
     j.joinType match {
@@ -241,36 +247,39 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             )
             Some(resLeft.reduceOption(And).map(Filter(_, node)).getOrElse(node))
           case None =>
-            // single-bound EXISTS / NOT EXISTS: `rk = k AND rt <= t` with
-            // no upper bound — "has a same-key right row at or before t"
-            // (prior-version / staleness idiom). Spark plans this as a
-            // key-only SMJ buffering whole right key groups; the as-of
-            // merge answers it with O(1) carried state. Residuals follow
-            // the same quantifier rules as the BETWEEN family above.
-            singleLower match {
-              case Some(lo @ (s, t, _)) =>
-                val used = (equis.map(_._3) :+ lo._3).toSet
-                val residual = conjuncts.filterNot(used.contains)
-                val (resLeft, afterLeft) = residual.partition(onLeft)
-                val (resRight, resMixed) = afterLeft.partition(onRight)
-                if (resMixed.nonEmpty) return None
-                if (j.joinType == LeftAnti && resLeft.nonEmpty) return None
-                val newRight =
-                  resRight.reduceOption(And).map(Filter(_, right)).getOrElse(right)
-                val node = AsOfJoinPlan(
-                  left,
-                  newRight,
-                  leftKeys = equis.map(_._1),
-                  rightKeys = equis.map(_._2),
-                  leftTime = t,
-                  rightTime = s,
-                  rightTieBreak = Nil,
-                  mode =
-                    if (j.joinType == LeftSemi) AsOfJoinMode.Semi else AsOfJoinMode.Anti
-                )
-                Some(resLeft.reduceOption(And).map(Filter(_, node)).getOrElse(node))
-              case None => None
+            // single-bound EXISTS / NOT EXISTS: `rk = k AND rt <= t`
+            // ("has a same-key right row at or before t" — the forward
+            // merge) or `rk = k AND rt >= t` (at or AFTER — the backward
+            // merge). Spark plans both as a key-only SMJ buffering whole
+            // right key groups; the as-of merge answers them with O(1)
+            // carried state. Residuals follow the same quantifier rules
+            // as the BETWEEN family above.
+            def asofArm(bound: Option[(Expression, Expression, Expression)],
+                fwd: Boolean): Option[LogicalPlan] = bound.flatMap { lo =>
+              val (rTime, lTime) = if (fwd) (lo._1, lo._2) else (lo._2, lo._1)
+              val used = (equis.map(_._3) :+ lo._3).toSet
+              val residual = conjuncts.filterNot(used.contains)
+              val (resLeft, afterLeft) = residual.partition(onLeft)
+              val (resRight, resMixed) = afterLeft.partition(onRight)
+              if (resMixed.nonEmpty) return None
+              if (j.joinType == LeftAnti && resLeft.nonEmpty) return None
+              val newRight =
+                resRight.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+              val node = AsOfJoinPlan(
+                left,
+                newRight,
+                leftKeys = equis.map(_._1),
+                rightKeys = equis.map(_._2),
+                leftTime = lTime,
+                rightTime = rTime,
+                rightTieBreak = Nil,
+                mode =
+                  if (j.joinType == LeftSemi) AsOfJoinMode.Semi else AsOfJoinMode.Anti,
+                forward = fwd
+              )
+              Some(resLeft.reduceOption(And).map(Filter(_, node)).getOrElse(node))
             }
+            asofArm(singleLower, fwd = true).orElse(asofArm(singleUpper, fwd = false))
         }
 
       case LeftOuter =>
@@ -402,28 +411,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               mode = IntervalJoinMode.Existence(attr)
             ))
           case None =>
-            // single-bound flagged EXISTS → the as-of Existence mode;
-            // residual rules as above (left-only blocks — every left row
-            // is preserved, nothing above discharges it)
-            singleLower match {
-              case Some(lo @ (s, t, _)) =>
-                val used = (equis.map(_._3) :+ lo._3).toSet
-                val residual = conjuncts.filterNot(used.contains)
-                if (!residual.forall(onRight)) return None
-                val newRight =
-                  residual.reduceOption(And).map(Filter(_, right)).getOrElse(right)
-                Some(AsOfJoinPlan(
-                  left,
-                  newRight,
-                  leftKeys = equis.map(_._1),
-                  rightKeys = equis.map(_._2),
-                  leftTime = t,
-                  rightTime = s,
-                  rightTieBreak = Nil,
-                  mode = AsOfJoinMode.Existence(attr)
-                ))
-              case None => None
+            // single-bound flagged EXISTS → the as-of Existence mode
+            // (forward for `rt <= t`, backward for `rt >= t`); residual
+            // rules as above (left-only blocks — every left row is
+            // preserved, nothing above discharges it)
+            def existArm(bound: Option[(Expression, Expression, Expression)],
+                fwd: Boolean): Option[LogicalPlan] = bound.flatMap { lo =>
+              val (rTime, lTime) = if (fwd) (lo._1, lo._2) else (lo._2, lo._1)
+              val used = (equis.map(_._3) :+ lo._3).toSet
+              val residual = conjuncts.filterNot(used.contains)
+              if (!residual.forall(onRight)) return None
+              val newRight =
+                residual.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+              Some(AsOfJoinPlan(
+                left,
+                newRight,
+                leftKeys = equis.map(_._1),
+                rightKeys = equis.map(_._2),
+                leftTime = lTime,
+                rightTime = rTime,
+                rightTieBreak = Nil,
+                mode = AsOfJoinMode.Existence(attr),
+                forward = fwd
+              ))
             }
+            existArm(singleLower, fwd = true).orElse(existArm(singleUpper, fwd = false))
         }
 
       case _ => None

@@ -300,6 +300,51 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("backward (next-event) join: earliest at-or-after match, ties to the smallest tie-break") {
+    import spark.implicits._
+    val left = Seq(("k", 10L, "a"), ("k", 21L, "b"), ("k", 99L, "c")).toDF("k", "t", "name")
+    val right = Seq(
+      ("k", 10L, 1L), // == t of 'a' (inclusive)
+      ("k", 20L, 2L),
+      ("k", 21L, 3L), ("k", 21L, 4L), // tie at 21: smallest rid wins
+      ("x", 100L, 9L) // other key — never matches
+    ).toDF("rk", "rt", "rid")
+    val got = graft.plans.AsOf
+      .asofNextJoin(left, right, Seq("k"), Seq("rk"), "t", "rt",
+        rightTieBreak = Seq("rid"), outer = true)
+      .select(col("name"), col("rid"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(got == Set(("a", Some(1L)), ("b", Some(3L)), ("c", None)), s"got $got")
+  }
+
+  test("backward join randomized differential: earliest rt >= t, smallest (rt, tie) wins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 4) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val left = Seq.fill(200)((rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+      val right = Seq.fill(150)((rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+      val got = graft.plans.AsOf
+        .asofNextJoin(left.toDF("k", "t", "payload"), right.toDF("rk", "rt", "rid"),
+          Seq("k"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"), outer = true)
+        .select(col("k"), col("t"), col("payload"), col("rid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sorted(Ordering.by((x: (Long, Long, Long, Option[Long])) => (x._1, x._2, x._3, x._4)))
+      val expected = left
+        .map { case (k, t, p) =>
+          val m = right.filter(r => r._1 == k && r._2 >= t)
+          val best = if (m.isEmpty) None else Some(m.minBy(r => (r._2, r._3))._3)
+          (k, t, p, best)
+        }
+        .sorted(Ordering.by((x: (Long, Long, Long, Option[Long])) => (x._1, x._2, x._3, x._4)))
+      assert(got.toSeq == expected, s"trial $trial diverged (nKeys=$nKeys)")
+    }
+  }
+
   test("semi/anti prune the right side to keys+time and never shuffle the payload") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i % 7, i, i * 2)).toDF("k", "t", "pv")

@@ -386,12 +386,36 @@ class RangeJoinRewriteSpec extends SparkSpec {
           |  SELECT 1 FROM rjr_aivals i WHERE p.k = i.rk AND i.s < p.t)""".stripMargin)
       assert(!hasAsOfExec(strict) && !hasIntervalExec(strict),
         s"strict single bound must not rewrite:\n${strict.queryExecution.executedPlan}")
-      // EXISTS-at-or-AFTER (∃ rt >= t) is the reverse-time operator —
-      // the forward merge cannot answer it; must not rewrite
+      // EXISTS-at-or-AFTER (∃ rt >= t) rewrites to the BACKWARD merge
+      // (descending-time runs, earliest rt >= t) — differential vs the
+      // un-rewritten subquery plan
       val after = spark.sql(
         """SELECT * FROM rjr_points p WHERE EXISTS (
           |  SELECT 1 FROM rjr_aivals i WHERE p.k = i.rk AND i.s >= p.t)""".stripMargin)
-      assert(!hasAsOfExec(after), "at-or-after bound wrongly rewrote to the forward as-of")
+      assert(hasAsOfExec(after),
+        s"at-or-after bound did not rewrite to the backward as-of:\n${after.queryExecution.executedPlan}")
+      val afterGot = after.collect().map(_.toSeq).toSet
+      val afterExp = rewriteOff {
+        spark.sql(
+          """SELECT * FROM rjr_points p WHERE EXISTS (
+            |  SELECT 1 FROM rjr_aivals i WHERE p.k = i.rk AND i.s >= p.t)""".stripMargin)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(afterGot == afterExp && afterExp.nonEmpty, "backward as-of semi differential diverged")
+      // backward NOT EXISTS too (points past every same-key interval start)
+      val afterAnti = spark.sql(
+        """SELECT * FROM rjr_points p WHERE NOT EXISTS (
+          |  SELECT 1 FROM rjr_aivals i WHERE p.k = i.rk AND i.s >= p.t)""".stripMargin)
+      assert(hasAsOfExec(afterAnti), "backward anti did not rewrite")
+      val afterAntiGot = afterAnti.collect().map(_.toSeq).toSet
+      val afterAntiExp = rewriteOff {
+        spark.sql(
+          """SELECT * FROM rjr_points p WHERE NOT EXISTS (
+            |  SELECT 1 FROM rjr_aivals i WHERE p.k = i.rk AND i.s >= p.t)""".stripMargin)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(afterAntiGot == afterAntiExp, "backward as-of anti differential diverged")
+      assert(afterGot.size + afterAntiGot.size == points.count())
       // flagged EXISTS in a disjunction → as-of Existence mode
       val exist = spark.sql(
         """SELECT k, t, pv FROM rjr_points p
