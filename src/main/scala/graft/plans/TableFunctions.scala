@@ -81,29 +81,35 @@ object TableFunctions {
           s" leftTime, rightTime[, tieBreaks][, outer]), got ${args.length}"
       )
     // the trailing mode is `true`/`false` (outer/inner, the original
-    // boolean form) or one of 'inner' | 'outer' | 'semi' | 'anti'; a
-    // lone trailing string that isn't a mode is the tie-break list
-    def modeOf(raw: Any): Option[AsOfJoinMode] = raw match {
-      case b: Boolean => Some(if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner)
+    // boolean form), one of 'inner' | 'outer' | 'semi' | 'anti', or the
+    // BACKWARD (next-event) variants 'next' | 'next_outer' |
+    // 'next_semi' | 'next_anti'; a lone trailing string that isn't a
+    // mode is the tie-break list
+    def modeOf(raw: Any): Option[(AsOfJoinMode, Boolean)] = raw match {
+      case b: Boolean => Some((if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner, true))
       case s: String =>
         s.toLowerCase match {
-          case "inner" => Some(AsOfJoinMode.Inner)
-          case "outer" => Some(AsOfJoinMode.Outer)
-          case "semi"  => Some(AsOfJoinMode.Semi)
-          case "anti"  => Some(AsOfJoinMode.Anti)
-          case _       => None
+          case "inner"      => Some((AsOfJoinMode.Inner, true))
+          case "outer"      => Some((AsOfJoinMode.Outer, true))
+          case "semi"       => Some((AsOfJoinMode.Semi, true))
+          case "anti"       => Some((AsOfJoinMode.Anti, true))
+          case "next"       => Some((AsOfJoinMode.Inner, false))
+          case "next_outer" => Some((AsOfJoinMode.Outer, false))
+          case "next_semi"  => Some((AsOfJoinMode.Semi, false))
+          case "next_anti"  => Some((AsOfJoinMode.Anti, false))
+          case _            => None
         }
       case _ => None
     }
     val trailing = args.drop(6)
-    val (tieBreaks, mode) = trailing match {
-      case Seq() => (Nil, AsOfJoinMode.Inner)
+    val (tieBreaks, (mode, forward)) = trailing match {
+      case Seq() => (Nil, (AsOfJoinMode.Inner: AsOfJoinMode, true))
       case Seq(Literal(b: Boolean, BooleanType)) =>
-        (Nil, if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner)
+        (Nil, (if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner, true))
       case Seq(Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType))
           if modeOf(s.toString).isDefined =>
         (Nil, modeOf(s.toString).get)
-      case Seq(_) => (csvArg(fn, args, 6), AsOfJoinMode.Inner)
+      case Seq(_) => (csvArg(fn, args, 6), (AsOfJoinMode.Inner: AsOfJoinMode, true))
       case Seq(_, last) =>
         val m = last match {
           case Literal(b: Boolean, BooleanType) => modeOf(b)
@@ -112,7 +118,8 @@ object TableFunctions {
           case _ => None
         }
         (csvArg(fn, args, 6), m.getOrElse(throw new IllegalArgumentException(
-          s"$fn: argument 8 must be a boolean or one of 'inner'|'outer'|'semi'|'anti', got $last")))
+          s"$fn: argument 8 must be a boolean or one of " +
+            s"'inner'|'outer'|'semi'|'anti'|'next'|'next_outer'|'next_semi'|'next_anti', got $last")))
     }
     AsOf.planFor(
       tableArg(fn, args, 0),
@@ -123,7 +130,8 @@ object TableFunctions {
       strArg(fn, args, 5),
       tieBreaks,
       mode,
-      SQLConf.get.resolver
+      SQLConf.get.resolver,
+      forward
     )
   }
 

@@ -60,6 +60,48 @@ class TableFunctionSpec extends SparkSpec {
     assert(s.nonEmpty)
   }
 
+  test("graft_asof_join TVF mode strings: 'semi'/'anti'/'next'/'next_semi' equal the API") {
+    registerEventViews()
+    // semi: left columns only
+    val semiSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'semi')""".stripMargin)
+    val semiApi = AsOf.asofSemiJoin(
+      spark.table("tvf_clicks"), spark.table("tvf_views"),
+      Seq("user_id"), Seq("v_user"), "ts", "vts")
+    assert(semiSql.columns.toSeq == Seq("event_id", "user_id", "ts"))
+    assert(semiSql.collect().map(_.toSeq).toSet == semiApi.collect().map(_.toSeq).toSet)
+    // anti is the complement
+    val antiSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'anti')""".stripMargin)
+    assert(semiSql.count() + antiSql.count() == spark.table("tvf_clicks").count())
+    // next (backward): earliest at-or-after view per click
+    val nextSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'view_id', 'next')""".stripMargin)
+    assert(nextSql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val nextApi = AsOf.asofNextJoin(
+      spark.table("tvf_clicks"), spark.table("tvf_views"),
+      Seq("user_id"), Seq("v_user"), "ts", "vts", rightTieBreak = Seq("view_id"))
+    val (ns, na) = (nextSql.collect().map(_.toSeq).toSet, nextApi.collect().map(_.toSeq).toSet)
+    assert(ns == na && ns.nonEmpty, s"next TVF != API: ${(ns -- na).take(3)} / ${(na -- ns).take(3)}")
+    // next_semi: has a view at or AFTER the click
+    val nextSemiSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'next_semi')""".stripMargin)
+    // differential vs the EXISTS formulation (rewrite may or may not
+    // fire at this size; semantics must agree either way)
+    val existsRef = spark.sql(
+      """SELECT * FROM tvf_clicks c WHERE EXISTS (
+        |  SELECT 1 FROM tvf_views v WHERE v.v_user = c.user_id AND v.vts >= c.ts)""".stripMargin)
+    assert(nextSemiSql.collect().map(_.toSeq).toSet == existsRef.collect().map(_.toSeq).toSet)
+  }
+
   test("graft_interval_join TVF equals the DataFrame API") {
     import spark.implicits._
     (1L to 60L).map(i => (i % 5, i)).toDF("k", "t").createOrReplaceTempView("tvf_points")
