@@ -26,9 +26,13 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val x = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
+    // shuffle width is the per-task-pressure knob at the biggest decades:
+    // wider shuffles shrink each sort/join task's working set (the
+    // shingle rows are fat), trading scheduling overhead
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_STRESS_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
