@@ -98,7 +98,10 @@ object Bucketing {
             // monotonically_increasing_id fallback here would re-key rows
             // after a fetch-failure retry (the id encodes the retry's
             // partition layout — the SPARK-23207 class of duplicated/lost
-            // output, which Spark fixed only for round-robin).
+            // output, which Spark fixed only for round-robin). Like the
+            // main path above, fully-identical duplicate rows co-locate
+            // (same content hash) — determinism over spread, the
+            // documented trade of this layer.
             val allCols = df.schema.fields.toIndexedSeq
               .map(f => df.col("`" + f.name.replace("`", "``") + "`"))
             pmod(hash(to_json(struct(allCols: _*))), lit(hotValueSalt))

@@ -86,11 +86,6 @@ object Caches {
     */
   def coldBuildTags: Seq[String] = registrationLog.map(_._1).distinct
 
-  /** Clear the registration log WITHOUT unpersisting (the bench drains
-    * per query while keeping intra-query caches warm).
-    */
-  def drainRegistrationLog(): Unit = regLog.clear()
-
   /** Drop entries whose owning SparkContext has stopped — their cached
     * blocks are already gone, keeping the handle only pins dead plans.
     */

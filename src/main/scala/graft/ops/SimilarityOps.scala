@@ -250,10 +250,20 @@ object SimilarityOps {
   }
 
   /** Memoized metadata-only corpus count per table dir (parquet count()
-    * reads footers, not rows). Keyed by dir: the test corpora and stress
-    * corpora are written once per JVM before any query runs.
+    * reads footers, not rows). The memo key includes the table
+    * directory's modification stamp, so a corpus that is appended to or
+    * rewritten in-place in a long-lived session derives FRESH geometry —
+    * a stale count would silently keep a narrow band width while n
+    * grows, the quadratic cliff the derived default exists to prevent.
+    * Bounded: cleared past 256 entries (repeated rewrites of one dir).
     */
   private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def corpusCount(s: SparkSession, dir: String): Long = {
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    if (corpusCounts.size > 256) corpusCounts.clear()
+    corpusCounts.computeIfAbsent(s"$dir@$stamp", _ => embeddings(s, dir).count())
+  }
 
   private def confInt(s: SparkSession, key: String): Option[Int] =
     s.conf.getOption(key).map { raw =>
@@ -274,10 +284,7 @@ object SimilarityOps {
           s"$NumBandsKey and $BandBitsKey must be set together " +
             s"(got numBands=${bands.getOrElse("unset")}, bandBits=${bits.getOrElse("unset")})")
     }
-    val (bands, bits) = conf.getOrElse {
-      val n: Long = corpusCounts.computeIfAbsent(dir, d => embeddings(s, d).count())
-      derivedGeometry(n)
-    }
+    val (bands, bits) = conf.getOrElse(derivedGeometry(corpusCount(s, dir)))
     require(bands > 0 && bits > 0 && bits <= 28,
       s"$NumBandsKey/$BandBitsKey must be positive (bits <= 28), got $bands/$bits")
     // the packed band extract slices whole 64-bit signature words —

@@ -321,8 +321,16 @@ object CustomJoinOptimization extends Rule[LogicalPlan] with PredicateHelper {
         // rk = lk) and upper time bounds (matches need rt <= lt); the
         // originals stay pushed on the left. No whole-conjunct move to
         // the right EVER — that would change which row is "latest".
+        // time-bound transfer is DIRECTION-aware: the forward merge
+        // guarantees rt <= lt at every match, so upper bounds on lt carry
+        // to rt; the backward merge guarantees rt >= lt, so only LOWER
+        // bounds carry — transferring an upper bound there would delete
+        // right rows that are valid next-event matches
+        val timeBounds =
+          if (j.forward) upperBounds(leftOnly, j.leftTime, j.rightTime)
+          else lowerBounds(leftOnly, j.leftTime, j.rightTime)
         val transfers = keyTransfers(leftOnly, keyAttrMap(j.leftKeys, j.rightKeys)) ++
-          upperBounds(leftOnly, j.leftTime, j.rightTime)
+          timeBounds
         val newRight =
           transfers.reduceOption(And).map(Filter(_, j.right)).getOrElse(j.right)
         withRemainder(rest, j.copy(left = Filter(leftOnly.reduce(And), j.left), right = newRight))

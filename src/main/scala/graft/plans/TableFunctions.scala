@@ -88,7 +88,9 @@ object TableFunctions {
     def modeOf(raw: Any): Option[(AsOfJoinMode, Boolean)] = raw match {
       case b: Boolean => Some((if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner, true))
       case s: String =>
-        s.toLowerCase match {
+        // Locale.ROOT: mode literals must parse identically under every
+        // default locale (tr/az lowercase 'I' to a dotless ı)
+        s.toLowerCase(java.util.Locale.ROOT) match {
           case "inner"      => Some((AsOfJoinMode.Inner, true))
           case "outer"      => Some((AsOfJoinMode.Outer, true))
           case "semi"       => Some((AsOfJoinMode.Semi, true))
@@ -101,13 +103,21 @@ object TableFunctions {
         }
       case _ => None
     }
+    // a lone 7th string is ambiguous between a tie-break list and a mode
+    // name: it reads as a MODE only when it parses as one AND does not
+    // resolve as a right-side column (a tie-break column literally named
+    // 'next'/'semi'/… keeps its pre-mode-string meaning)
+    def isRightColumn(name: String): Boolean = {
+      val resolver = SQLConf.get.resolver
+      tableArg(fn, args, 1).output.exists(a => resolver(a.name, name))
+    }
     val trailing = args.drop(6)
     val (tieBreaks, (mode, forward)) = trailing match {
       case Seq() => (Nil, (AsOfJoinMode.Inner: AsOfJoinMode, true))
       case Seq(Literal(b: Boolean, BooleanType)) =>
         (Nil, (if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner, true))
       case Seq(Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType))
-          if modeOf(s.toString).isDefined =>
+          if modeOf(s.toString).isDefined && !isRightColumn(s.toString) =>
         (Nil, modeOf(s.toString).get)
       case Seq(_) => (csvArg(fn, args, 6), (AsOfJoinMode.Inner: AsOfJoinMode, true))
       case Seq(_, last) =>
@@ -154,7 +164,7 @@ object TableFunctions {
           case Literal(b: Boolean, BooleanType) =>
             if (b) IntervalJoinMode.Outer else IntervalJoinMode.Inner
           case Literal(s: UTF8String, StringType) if s != null =>
-            s.toString.trim.toLowerCase match {
+            s.toString.trim.toLowerCase(java.util.Locale.ROOT) match {
               case "inner"                            => IntervalJoinMode.Inner
               case "outer"                            => IntervalJoinMode.Outer
               case "semi"                             => IntervalJoinMode.Semi

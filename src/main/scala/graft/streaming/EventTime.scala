@@ -101,17 +101,20 @@ object EventTime {
       within: String,
       joinType: String = "inner"
   ): DataFrame = {
-    // idempotent watermarking: a side that already carries a watermark on
-    // its time column (e.g. composed below a dropDuplicatesWithinWatermark
-    // dedup — the chained stateful pipeline) keeps it; re-marking would
-    // fail Spark's "Redefining watermark is disallowed" check under
-    // multiple-stateful-operator support
+    // idempotent watermarking: a side whose time column already CARRIES
+    // watermark metadata (e.g. composed below a
+    // dropDuplicatesWithinWatermark dedup — the chained stateful
+    // pipeline) keeps it; re-marking would fail Spark's "Redefining
+    // watermark is disallowed" check under multiple-stateful-operator
+    // support. The check reads the OUTPUT attribute's delay metadata —
+    // not plan-tree node names — so a projection that rebuilt the column
+    // (dropping the metadata) correctly re-marks, and resolution follows
+    // the session's resolver like every named-column API here.
     def marked(df: DataFrame, timeCol: String): DataFrame = {
       import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
-      val already = df.queryExecution.analyzed.exists {
-        case w: EventTimeWatermark => w.eventTime.name == timeCol
-        case _                     => false
-      }
+      val resolver = df.sparkSession.sessionState.conf.resolver
+      val already = df.queryExecution.analyzed.output.exists(a =>
+        resolver(a.name, timeCol) && a.metadata.contains(EventTimeWatermark.delayKey))
       if (already) df else df.withWatermark(timeCol, watermarkDelay)
     }
     val l = marked(left, leftTimeCol)

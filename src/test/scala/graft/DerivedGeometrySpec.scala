@@ -91,6 +91,23 @@ class DerivedGeometrySpec extends SparkSpec {
     } finally spark.conf.unset(SimilarityOps.BandBitsKey)
   }
 
+  test("corpus count memo invalidates when the table is rewritten in place") {
+    import spark.implicits._
+    val dir = "/tmp/graft_corpus_count_spec"
+    def write(n: Int): Unit =
+      spark.range(n).map(i => (i, Seq.fill(64)(0.1f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(100)
+    assert(SimilarityOps.corpusCount(spark, dir) == 100L)
+    // in-place rewrite (append/regeneration in a long-lived session) must
+    // re-derive — a stale count silently keeps a too-narrow band width
+    Thread.sleep(5) // ensure the directory mtime stamp moves
+    write(300)
+    assert(SimilarityOps.corpusCount(spark, dir) == 300L,
+      "stale memoized corpus count survived an in-place rewrite")
+  }
+
   test("default (derived) pipeline recalls every planted >=0.9-cosine pair") {
     import spark.implicits._
     val dir = "/tmp/graft_derived_geom_spec"

@@ -305,6 +305,38 @@ class JoinOptimizationSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture produced no rows — test would be vacuous")
   }
 
+  test("BACKWARD as-of: upper time bounds stay on the left; lower bounds transfer") {
+    import spark.implicits._
+    val pts = (1L to 300L).map(i => (i % 5, i, i * 2)).toDF("k", "t", "pv")
+    val nxt = (1L to 300L).map(i => (i % 5, i + 3, i * 3)).toDF("rk", "rt", "rv")
+    // a LEFT upper bound above a backward join: matches need rt >= t, so
+    // `t <= 50` implies NOTHING that caps rt — a transferred rt <= 50
+    // would delete valid next-event matches (e.g. t=50 → next rt=53).
+    val upper = AsOf
+      .asofNextJoin(pts, nxt, Seq("k"), Seq("rk"), "t", "rt")
+      .filter(col("t") <= 50L)
+    val upperExpected = AsOf
+      .asofNextJoin(pts.filter(col("t") <= 50L), nxt, Seq("k"), Seq("rk"), "t", "rt")
+      .collect().map(_.toSeq).toSet
+    assert(upper.collect().map(_.toSeq).toSet == upperExpected)
+    assert(upperExpected.exists(r => r(4).asInstanceOf[Long] > 50L),
+      s"fixture has no boundary-straddling match — transfer bug would be invisible: $upperExpected")
+    val upperRf = rightChildFilters(upper)
+    assert(!upperRf.exists(_.contains("rt#")) || !upperRf.exists(_.contains("<=")),
+      s"an upper bound leaked onto the backward join's right side: $upperRf")
+    // ...and a LOWER bound does transfer (matches need rt >= t >= 100)
+    val lower = AsOf
+      .asofNextJoin(pts, nxt, Seq("k"), Seq("rk"), "t", "rt")
+      .filter(col("t") >= 100L)
+    val lowerRf = rightChildFilters(lower)
+    assert(lowerRf.exists(c => c.contains("rt") && c.contains(">=")),
+      s"lower bound not transferred below the backward join: $lowerRf\n${lower.queryExecution.optimizedPlan}")
+    val lowerExpected = AsOf
+      .asofNextJoin(pts.filter(col("t") >= 100L), nxt, Seq("k"), Seq("rk"), "t", "rt")
+      .collect().map(_.toSeq).toSet
+    assert(lower.collect().map(_.toSeq).toSet == lowerExpected && lowerExpected.nonEmpty)
+  }
+
   test("interval join: left-time bounds prune the right side's start and end") {
     import spark.implicits._
     val points = (1L to 50L).map(i => (i % 5, i)).toDF("k", "t")
