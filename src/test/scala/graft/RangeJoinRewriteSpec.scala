@@ -431,6 +431,24 @@ class RangeJoinRewriteSpec extends SparkSpec {
           .collect().map(_.toSeq).toSet
       }
       assert(existGot == existExp && existExp.nonEmpty, "as-of existence differential diverged")
+      // backward flagged EXISTS (disjunction + rt >= t) → as-of Existence
+      // with forward = false
+      val afterExist = spark.sql(
+        """SELECT k, t, pv FROM rjr_points p
+          |WHERE pv % 10 = 0 OR EXISTS (
+          |  SELECT 1 FROM rjr_aivals i WHERE p.k = i.rk AND i.s >= p.t)""".stripMargin)
+      assert(hasAsOfExec(afterExist),
+        s"backward flagged EXISTS did not rewrite:\n${afterExist.queryExecution.executedPlan}")
+      val afterExistGot = afterExist.collect().map(_.toSeq).toSet
+      val afterExistExp = rewriteOff {
+        spark.sql(
+          """SELECT k, t, pv FROM rjr_points p
+            |WHERE pv % 10 = 0 OR EXISTS (
+            |  SELECT 1 FROM rjr_aivals i WHERE p.k = i.rk AND i.s >= p.t)""".stripMargin)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(afterExistGot == afterExistExp && afterExistExp.nonEmpty,
+        "backward existence differential diverged")
       // residual rules: right-only residual pushes (rewrites); a left-only
       // residual inside NOT EXISTS blocks
       val rightRes = spark.sql(
