@@ -51,6 +51,36 @@ class StreamStaticJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static BACKWARD as-of (next-event vs static schedule) == batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the backward merge is stateless per left row against an IMMUTABLE
+    // right table by the same argument as forward: "earliest static
+    // rt >= t" never changes across micro-batches — the "match each
+    // event to the next scheduled maintenance window" shape
+    val right = (1L to 40L).map(i => (i % 5, i * 3, i)).toDF("rk", "rt", "rv")
+    val stream = MemoryStream[(Long, Long)]
+    val joined = AsOf.asofNextJoin(
+      stream.toDS().toDF("k", "t"), right,
+      Seq("k"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rv"), outer = true)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ss_next").start()
+    try {
+      stream.addData((1L to 30L).map(i => (i % 5, i * 4)))
+      q.processAllAvailable()
+      stream.addData((31L to 60L).map(i => (i % 5, i * 4)))
+      q.processAllAvailable()
+      val got = spark.table("ss_next").collect().map(_.toSeq.toString).sorted.toSeq
+      val expected = AsOf
+        .asofNextJoin(
+          (1L to 60L).map(i => (i % 5, i * 4)).toDF("k", "t"),
+          right, Seq("k"), Seq("rk"), "t", "rt",
+          rightTieBreak = Seq("rv"), outer = true)
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == expected && expected.nonEmpty,
+        s"stream=${got.size} rows, batch=${expected.size} rows")
+    } finally q.stop()
+  }
+
   test("stream-static interval SEMI/ANTI == batch (streaming purge against static windows)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // static tombstone windows; streaming points kept (semi: inside some
