@@ -48,6 +48,14 @@ def main() -> int:
         slow4 = bench.get("slow_4x") or []
         bench.setdefault("slow_n", len(slow4))
         bench.setdefault("slow", slow4)
+        times = sorted((bench.get("queries_ms") or {}).values())
+        if times:  # nearest-rank percentiles, matching the bench's own math
+            import math
+            def pct(p):
+                return times[max(0, min(len(times) - 1,
+                                        math.ceil(p * len(times)) - 1))]
+            bench.setdefault("p90_ms", pct(0.90))
+            bench.setdefault("p99_ms", pct(0.99))
 
     tests_line = "tests: (no sbt log given)"
     if sbt_log:
