@@ -31,6 +31,63 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Per-phase duration accumulation via a StreamingQueryListener, not
+    * `query.recentProgress`: recentProgress is a ring buffer capped at
+    * spark.sql.streaming.numRecentProgressUpdates (default 100) entries,
+    * so runs with more micro-batches silently undercount the attribution
+    * this exists to provide. The listener sees EVERY progress event.
+    * Events are delivered asynchronously on the listener bus; `drainTo`
+    * polls until the attached query's last executed batchId has been
+    * seen (bounded), so a scenario can read its totals right after
+    * stop() without racing the bus.
+    */
+  private final class ProgressAccumulator
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val durations = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    @volatile private var maxBatchId = -1L
+    @volatile private var filter: java.util.UUID = null
+    def attach(id: java.util.UUID): Unit = {
+      durations.clear(); maxBatchId = -1L; filter = id
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      if (filter != null && e.progress.id == filter) {
+        e.progress.durationMs.forEach { (k, v) =>
+          durations.merge(k, v, (a, b) => java.lang.Long.valueOf(a + b))
+        }
+        if (e.progress.batchId > maxBatchId) maxBatchId = e.progress.batchId
+      }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    /** Totals once every batch up to `lastBatchId` has been delivered
+      * (or a 5 s drain bound passes — partial totals beat a hang).
+      */
+    def drainTo(lastBatchId: Long): Map[String, Long] = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (maxBatchId < lastBatchId && System.nanoTime() < deadline) Thread.sleep(10)
+      import scala.jdk.CollectionConverters._
+      durations.asScala.map { case (k, v) => k -> v.longValue }.toMap
+    }
+  }
+
+  /** Run `body` with session confs temporarily overridden — streaming
+    * queries clone the session conf at start(), so an override set here
+    * binds the QUERY (state-store provider, stateful shuffle width) and
+    * the restore cannot disturb it mid-run.
+    */
+  private def withConfs[A](spark: SparkSession, confs: Seq[(String, String)])(body: => A): A = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** One end-to-end pipeline throughput scenario over `rows` messages:
     * `waves` pushes of `rows/waves` each, drained by processAllAvailable
     * between pushes. waves=1 is the BURST shape (whole backlog admitted
@@ -43,7 +100,8 @@ object Bench {
       rows: Int,
       waves: Int,
       withBatcher: Boolean = true,
-      rateLimit: Option[(Int, Long)] = None
+      rateLimit: Option[(Int, Long)] = None,
+      acc: Option[ProgressAccumulator] = None
   ): (Long, Double, Long, Long, Map[String, Long]) = {
     import spark.implicits._
     import graft.config.{BatcherConfig, PipelineConfig}
@@ -88,6 +146,7 @@ object Bench {
           Seq(BatcherConfig[String]("default", batchSize = if (withBatcher) 200 else 1 << 20))
       )
       val running = Pipeline.start(spark, messages, cfg, NoopAcknowledger)
+      acc.foreach(_.attach(running.query.id))
       try {
         val perWave = rows / waves
         // payloads ~48 chars: enough bytes that serialization is visible,
@@ -118,13 +177,11 @@ object Bench {
         // per-phase attribution: Spark's own per-micro-batch durationMs
         // (triggerExecution = whole batch; addBatch = the data plan;
         // walCommit/commitOffsets/latestOffset = per-batch fixed costs) —
-        // summed across the run, this NAMES where a cadence shape spends
-        // its extra wall time relative to the burst shape
-        import scala.jdk.CollectionConverters._
-        val durations: Map[String, Long] = running.query.recentProgress.toSeq
-          .flatMap(_.durationMs.asScala.toSeq)
-          .groupBy(_._1)
-          .map { case (k, vs) => k -> vs.map(_._2.longValue).sum }
+        // summed across the run via the listener (every batch, not the
+        // capped recentProgress ring), this NAMES where a cadence shape
+        // spends its extra wall time relative to the burst shape
+        val durations: Map[String, Long] =
+          acc.map(_.drainTo(microBatches - 1)).getOrElse(Map.empty)
         (perWave.toLong * waves, sec, processed, microBatches, durations)
       } finally running.stop()
     } finally {
@@ -140,7 +197,11 @@ object Bench {
     * stop() call itself (drain latency) plus the processed count proving
     * the guarantee held under load.
     */
-  private def drainScenario(spark: SparkSession, rows: Int): (Long, Double, Long) = {
+  private def drainScenario(
+      spark: SparkSession,
+      rows: Int,
+      acc: Option[ProgressAccumulator] = None
+  ): (Long, Double, Long, Map[String, Long]) = {
     import spark.implicits._
     import graft.config.{BatcherConfig, PipelineConfig}
     import graft.core.Pipeline
@@ -166,12 +227,15 @@ object Bench {
         batchers = Seq(BatcherConfig[String]("default", batchSize = 200))
       )
       val running = Pipeline.start(spark, messages, cfg, NoopAcknowledger)
+      acc.foreach(_.attach(running.query.id))
       q.push((0 until rows).map(i => s"evt-$i-payload-${i % 997}-abcdefghijklmnop"): _*)
       val t0 = System.nanoTime()
       running.stop() // graceful: drains the backlog before terminating
       val drainSec = (System.nanoTime() - t0) / 1e9
       val processed = running.stageMetrics.map(_.processorProcessed).getOrElse(-1L)
-      (rows.toLong, drainSec, processed)
+      val batches = Option(running.query.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      val durations = acc.map(_.drainTo(batches - 1)).getOrElse(Map.empty)
+      (rows.toLong, drainSec, processed, durations)
     } finally QueueSource.remove(qName)
   }
 
@@ -182,7 +246,13 @@ object Bench {
     * join state evicts (the steady-state regime), fed in 4 waves per side.
     * Returns (input rows, wall sec, matched rows, micro-batches).
     */
-  private def intervalJoinScenario(spark: SparkSession, rows: Int): (Long, Double, Long, Long) = {
+  private def intervalJoinScenario(
+      spark: SparkSession,
+      rows: Int,
+      acc: Option[ProgressAccumulator] = None,
+      provider: Option[String] = None,
+      statefulPartitions: Option[Int] = None
+  ): (Long, Double, Long, Long, Map[String, Long]) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -195,12 +265,21 @@ object Bench {
       bs.toDF().toDF("user_id", "buy_ts", "amount"), "buy_ts",
       Seq("user_id"), watermarkDelay = "10 minutes", within = "5 minutes")
     val matched = new java.util.concurrent.atomic.AtomicLong()
-    val q = joined.writeStream
-      .outputMode("append")
-      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
-        matched.addAndGet(d.count()); ()
-      }
-      .start()
+    // provider / stateful shuffle width bind at start() (the query clones
+    // the session conf); a stream-stream join runs 4 state stores per
+    // partition per micro-batch, so BOTH knobs gate the per-batch fixed
+    // cost this scenario exists to attribute
+    val confs = provider.map("spark.sql.streaming.stateStore.providerClass" -> _).toSeq ++
+      statefulPartitions.map("spark.sql.shuffle.partitions" -> _.toString).toSeq
+    val q = withConfs(spark, confs) {
+      joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          matched.addAndGet(d.count()); ()
+        }
+        .start()
+    }
+    acc.foreach(_.attach(q.id))
     try {
       val waves = 4
       val perWave = perSide / waves
@@ -218,7 +297,8 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-      (2L * perWave * waves, sec, matched.get(), batches)
+      val durations = acc.map(_.drainTo(batches - 1)).getOrElse(Map.empty)
+      (2L * perWave * waves, sec, matched.get(), batches, durations)
     } finally q.stop()
   }
 
@@ -230,31 +310,73 @@ object Bench {
     * measures the graceful-shutdown guarantee under a full backlog.
     */
   private[graft] def streamingBlockJson(spark: SparkSession, rows: Int): String = {
-    // untimed warmup: the first pipeline run pays streaming codegen,
-    // state-store and sink init (~3-4 s) — without this it all lands on
-    // whichever scenario runs first and corrupts the cross-scenario
-    // deltas the block exists to attribute
-    streamingScenario(spark, math.min(rows / 10, 20000), waves = 1)
-    val (bRows, bSec, bProc, bBatches, bDur) = streamingScenario(spark, rows, waves = 1)
-    val (sRows, sSec, sProc, sBatches, sDur) = streamingScenario(spark, rows, waves = 8)
-    val (mRows, mSec, mProc, mBatches, _) =
-      streamingScenario(spark, rows, waves = 1, withBatcher = false)
-    val (rRows, rSec, rProc, rBatches, _) =
-      streamingScenario(spark, rows, waves = 1, rateLimit = Some((25000, 100L)))
-    val (dRows, dSec, dProc) = drainScenario(spark, rows)
-    val (ijRows, ijSec, ijMatched, ijBatches) = intervalJoinScenario(spark, rows)
-    def durJson(d: Map[String, Long]) =
-      d.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    def block(r: Long, sec: Double, proc: Long, batches: Long) =
-      s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"processed":$proc,"micro_batches":$batches}"""
-    def blockD(r: Long, sec: Double, proc: Long, batches: Long, d: Map[String, Long]) =
-      block(r, sec, proc, batches).dropRight(1) + s""","durations_ms":${durJson(d)}}"""
-    s"""{"rows":$bRows,"burst":${blockD(bRows, bSec, bProc, bBatches, bDur)},""" +
-      s""""sustained":${blockD(sRows, sSec, sProc, sBatches, sDur)},""" +
-      s""""single_group":${block(mRows, mSec, mProc, mBatches)},""" +
-      s""""rate_limited":${block(rRows, rSec, rProc, rBatches)},""" +
-      s""""drain":{"drain_sec":${math.round(dSec * 1000) / 1000.0},"rows_per_sec":${math.round(dRows / dSec)},"processed":$dProc},""" +
-      s""""interval_join":{"sec":${math.round(ijSec * 1000) / 1000.0},"rows_per_sec":${math.round(ijRows / ijSec)},"matched":$ijMatched,"micro_batches":$ijBatches}}"""
+    val acc = new ProgressAccumulator
+    spark.streams.addListener(acc)
+    try streamingBlockJsonInner(spark, rows, acc)
+    finally spark.streams.removeListener(acc)
+  }
+
+  private def streamingBlockJsonInner(
+      spark: SparkSession,
+      rows: Int,
+      acc0: ProgressAccumulator
+  ): String = {
+    val acc = Some(acc0)
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb runs the WHOLE block (the
+    // pipeline scenarios' batcher state included) on the RocksDB state
+    // store — the provider a 100 TB-state deployment would pick; default
+    // stays the HDFS-backed heap provider so round-over-round numbers
+    // keep their meaning. interval_join always benches BOTH providers.
+    val blockProvider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map {
+      case "rocksdb" => RocksDbProvider
+      case other     => other
+    }
+    val blockConfs =
+      blockProvider.map("spark.sql.streaming.stateStore.providerClass" -> _).toSeq
+    withConfs(spark, blockConfs) {
+      // untimed warmup: the first pipeline run pays streaming codegen,
+      // state-store and sink init (~3-4 s) — without this it all lands on
+      // whichever scenario runs first and corrupts the cross-scenario
+      // deltas the block exists to attribute
+      streamingScenario(spark, math.min(rows / 10, 20000), waves = 1)
+      val (bRows, bSec, bProc, bBatches, bDur) = streamingScenario(spark, rows, waves = 1, acc = acc)
+      val (sRows, sSec, sProc, sBatches, sDur) = streamingScenario(spark, rows, waves = 8, acc = acc)
+      val (mRows, mSec, mProc, mBatches, mDur) =
+        streamingScenario(spark, rows, waves = 1, withBatcher = false, acc = acc)
+      val (rRows, rSec, rProc, rBatches, rDur) =
+        streamingScenario(spark, rows, waves = 1, rateLimit = Some((25000, 100L)), acc = acc)
+      val (dRows, dSec, dProc, dDur) = drainScenario(spark, rows, acc = acc)
+      // the stream-stream join, attributed: default provider/width as the
+      // headline, then the two knobs a deployment would turn — RocksDB
+      // state store and a narrower stateful shuffle (the join pays
+      // 4 state-store commits × partitions × micro-batches regardless of
+      // data volume, so at bench scale store fixed costs dominate; the
+      // variants put numbers on exactly that)
+      val (ijRows, ijSec, ijMatched, ijBatches, ijDur) = intervalJoinScenario(spark, rows, acc = acc)
+      val (_, rkSec, rkMatched, _, rkDur) =
+        intervalJoinScenario(spark, rows, acc = acc, provider = Some(RocksDbProvider))
+      val (_, p8Sec, p8Matched, _, p8Dur) =
+        intervalJoinScenario(spark, rows, acc = acc, statefulPartitions = Some(8))
+      val (_, rkp8Sec, rkp8Matched, _, rkp8Dur) =
+        intervalJoinScenario(spark, rows, acc = acc,
+          provider = Some(RocksDbProvider), statefulPartitions = Some(8))
+      def durJson(d: Map[String, Long]) =
+        d.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      def block(r: Long, sec: Double, proc: Long, batches: Long, d: Map[String, Long]) =
+        s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"processed":$proc,"micro_batches":$batches,"durations_ms":${durJson(d)}}"""
+      def ijBlock(sec: Double, m: Long, d: Map[String, Long]) =
+        s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(ijRows / sec)},"matched":$m,"durations_ms":${durJson(d)}}"""
+      s"""{"rows":$bRows,"state_provider":"${blockProvider.map(_.split('.').last).getOrElse("HDFSBackedStateStoreProvider")}",""" +
+        s""""burst":${block(bRows, bSec, bProc, bBatches, bDur)},""" +
+        s""""sustained":${block(sRows, sSec, sProc, sBatches, sDur)},""" +
+        s""""single_group":${block(mRows, mSec, mProc, mBatches, mDur)},""" +
+        s""""rate_limited":${block(rRows, rSec, rProc, rBatches, rDur)},""" +
+        s""""drain":{"drain_sec":${math.round(dSec * 1000) / 1000.0},"rows_per_sec":${math.round(dRows / dSec)},"processed":$dProc,"durations_ms":${durJson(dDur)}},""" +
+        s""""interval_join":${ijBlock(ijSec, ijMatched, ijDur).dropRight(1)},"micro_batches":$ijBatches},""" +
+        s""""interval_join_rocksdb":${ijBlock(rkSec, rkMatched, rkDur)},""" +
+        s""""interval_join_p8":${ijBlock(p8Sec, p8Matched, p8Dur)},""" +
+        s""""interval_join_rocksdb_p8":${ijBlock(rkp8Sec, rkp8Matched, rkp8Dur)}}"""
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -416,14 +538,25 @@ object Bench {
         } catch { case _: Throwable => -1L }
       }
       .getOrElse(-1L)
-    def buildsJson(name: String): String =
+    // Per-query codegen charge (the controlled-rerun method): the flagged
+    // rerun above re-times the SAME work with the JVM's generated classes
+    // and plan fragments warm, decomposed as construct + Σbuilds + warm —
+    // so cold − that sum IS the first-in-JVM codegen/classloading premium
+    // for THIS query's expression family, measured per query rather than
+    // assumed from the global light-family probe (which undercharges the
+    // heavy LSH/CC families by ~2-3 s). With the charge on each line,
+    // every slow_4x entry decomposes from numbers in the artifact alone.
+    def buildsJson(name: String, coldMs: Double): String =
       slowDetail.get(name).map { d =>
         val b = d.builds.map { case (t, ms) => s""""$t":$ms""" }.mkString("{", ",", "}")
-        s""","construct_ms":${d.constructMs},"builds":$b"""
+        val accounted = d.constructMs + d.builds.map(_._2).sum + d.warmMs
+        val codegen =
+          if (d.constructMs < 0) -1L else math.max(0L, math.round(coldMs) - accounted)
+        s""","construct_ms":${d.constructMs},"builds":$b,"codegen_ms":$codegen"""
       }.getOrElse("")
     val slowJson = slow.take(8)
       .map { case (k, v, _) =>
-        s"""{"q":"$k","ms":${math.round(v)},"x":${math.round(v / median * 10) / 10.0},"warm_ms":${warmMs(k)}${buildsJson(k)}}"""
+        s"""{"q":"$k","ms":${math.round(v)},"x":${math.round(v / median * 10) / 10.0},"warm_ms":${warmMs(k)}${buildsJson(k, v)}}"""
       }
       .mkString("[", ",", "]")
     // headline per-query map kept to the 8 slowest (sec, 3 decimals) so
@@ -459,7 +592,7 @@ object Bench {
         s""""$q":${bs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")}"""
     detail ++= s""","codegen_ms_estimate":$codegenMs"""
-    detail ++= s""","shared_build_ms":$sharedJson,"slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}${buildsJson(k)}}""" }.mkString("[", ",", "]")}}"""
+    detail ++= s""","shared_build_ms":$sharedJson,"slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}${buildsJson(k, v)}}""" }.mkString("[", ",", "]")}}"""
     // full-registry runs own BENCH_DETAIL.json (the committed round-over-
     // round record); filtered profiling runs write a _LOCAL twin so they
     // never clobber the full-run numbers

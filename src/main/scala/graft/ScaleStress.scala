@@ -112,6 +112,20 @@ object ScaleStress {
     val builds = Seq(
       timed("lsh_pairs")(graft.ops.DedupOps.lshPairs(spark, dir, 0.8).count()),
       timed("dedup_clusters")(graft.ops.DedupOps.dedupClusters(spark, dir, 0.8).count()),
+      // Text-LSH geometry evidence (the DedupOps.textGeometry Scaladoc's
+      // claim, measured): unlike embedding-LSH there is NO random-collision
+      // geometry term at 64-bit+ band signatures, so the default is the
+      // threshold-matched 4×2 and the supporting fact is EMPIRICAL —
+      // candidates per doc must stay ≈ constant across the 1×-100×
+      // decades. The 6×3 line demos the suppression knob for template-
+      // heavy corpora (rowsPerBand↑ cuts J<t mass as J^r; numBands re-
+      // sized for recall) and its verified-pair count vs the default's
+      // bounds the recall cost of turning it.
+      timed("lsh_cand_default_4x2")(graft.ops.DedupOps.lshCandidates(spark, dir).count()),
+      timed("lsh_cand_wide_6x3")(
+        graft.ops.DedupOps.lshCandidates(spark, dir, Some((6, 3))).count()),
+      timed("lsh_pairs_wide_6x3")(
+        graft.ops.DedupOps.lshPairs(spark, dir, 0.8, Some((6, 3))).count()),
       // DEFAULT geometry — since round 11 this is SIZE-DERIVED from the
       // corpus count (the shipped 320×8 exact-recall tuning is now pinned
       // only at the q42/q47 oracle call sites): the stress proves the

@@ -28,6 +28,64 @@ object DedupOps {
   val NumHashes = 8 // 4 bands × 2 rows (LSH banding)
   val NumBands = 4
 
+  /** Text MinHash-LSH band geometry (numBands, rowsPerBand) — an explicit
+    * knob + session confs, ORACLE-DEFAULTED, deliberately NOT size-derived
+    * the way embedding-LSH's is. The physics differ: an embedding band key
+    * is `bits` projected sign bits, so unrelated vectors collide at
+    * 2^-bits and the multiset carries a pure GEOMETRY term
+    * bands·n²/2^bits that grows with n no matter what the data is — width
+    * must be derived from n. A text band signature is rowsPerBand
+    * CONCATENATED 32-bit minhashes: the random term is bands·n²/2^(32·r),
+    * < 1 collision even at n = 10⁹ with r = 2 — already zero. Every
+    * remaining collision is similarity-driven, Σ_pairs bands·J(x,y)^r, a
+    * property of the corpus's Jaccard distribution that a row count
+    * cannot see. So there is nothing for n to derive; the honest default
+    * is the threshold-matched recall geometry (4 bands × 2 rows: miss at
+    * J = 0.8 is (1−0.8²)⁴ ≈ 1.7%), ScaleStress MEASURES that this
+    * corpus family's candidate multiset stays ≈ c·n across the 1×-100×
+    * decades (`lsh_cand_per_doc`), and template-heavy corpora whose
+    * moderate-J mass DOES grow superlinearly get the knob: raise
+    * rowsPerBand (suppresses J < t mass as J^r) and re-size numBands for
+    * recall ((1−t^r)^bands ≤ target). q244-family band calibration
+    * measures the tradeoff in-engine.
+    */
+  val TextNumBandsKey = "spark.graft.textLsh.numBands"
+  val TextRowsPerBandKey = "spark.graft.textLsh.rowsPerBand"
+
+  /** The geometry every oracle query pins implicitly (it is the default):
+    * 4 bands × 2 rows over 8 minhashes, mirrored verbatim by the DuckDB
+    * CTE prefix ([[sqlPairsCte]]).
+    */
+  val OracleTextGeometry: (Int, Int) = (NumBands, NumHashes / NumBands)
+
+  private def confInt(s: SparkSession, key: String): Option[Int] =
+    s.conf.getOption(key).map { raw =>
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key must be an integer, got '$raw'")
+      }
+    }
+
+  private[graft] def textGeometry(
+      s: SparkSession,
+      geometry: Option[(Int, Int)]
+  ): (Int, Int) = {
+    val conf = (confInt(s, TextNumBandsKey), confInt(s, TextRowsPerBandKey)) match {
+      case (Some(b), Some(r)) => Some((b, r))
+      case (None, None)       => None
+      case (b, r) =>
+        throw new IllegalArgumentException(
+          s"$TextNumBandsKey and $TextRowsPerBandKey must be set together " +
+            s"(got numBands=${b.getOrElse("unset")}, rowsPerBand=${r.getOrElse("unset")})")
+    }
+    val (bands, rows) = geometry.orElse(conf).getOrElse(OracleTextGeometry)
+    require(bands > 0 && rows > 0 && bands * rows <= 256,
+      s"$TextNumBandsKey/$TextRowsPerBandKey must be positive with ≤ 256 total hashes " +
+        s"(signature cost is linear in bands×rows), got $bands×$rows")
+    (bands, rows)
+  }
+
   /** Whitespace tokens (shared with TextOps). */
   private def toks: Column = split(trim(col("text")), "\\s+")
 
@@ -227,8 +285,14 @@ object DedupOps {
       )
   }
 
-  def lshPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+  def lshPairs(
+      s: SparkSession,
+      d: String,
+      threshold: Double,
+      geometry: Option[(Int, Int)] = None
+  ): DataFrame =
     Caches.buildScope("lsh_pairs") {
+    val (numBands, rowsPerBand) = textGeometry(s, geometry)
     // The shingle pass is persisted (memory-and-disk): the band join's two
     // legs and the verification joins all re-derive from it — unpersisted,
     // each leg re-ran tokenize→shingle from the source scan (4 parquet
@@ -241,27 +305,7 @@ object DedupOps {
     // between workloads (a long-lived service would materialize signatures
     // as a table instead).
     val sh = Caches.persisted(shingleSets(s, d))
-    // signatures are NOT persisted: since MinHashSig they are a cheap
-    // map-only projection of the cached shingle pass — re-deriving them
-    // for the band join's two legs beats encoding 16 hash columns into
-    // the cache (same persist-vs-recompute call as the LSH postings)
-    val sigs = minhashFromShingles(sh, NumHashes)
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(
-        array((0 until NumBands).map { b =>
-          struct(
-            lit(b).as("band"),
-            concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bsig")
-          )
-        }: _*)
-      ).as("bk")
-    ).select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
-    val cand = bands.as("a")
-      .join(bands.as("b"), Seq("band", "bsig"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = candidatesFrom(sh, numBands, rowsPerBand)
     // Verification joins the shingle sets directly: the join itself only
     // materializes candidate rows. (A semi-join prune of the shingle side
     // by candidate ids helps when candidates ≪ corpus AND the candidate
@@ -276,6 +320,56 @@ object DedupOps {
       // verified pairs are tiny; persisting them lets the kept-set query
       // (q34) skip the band join + verify instead of just their inputs
       .transform(Caches.persisted)
+  }
+
+  /** Unverified banded candidates for a table dir — the measurement
+    * entrypoint for ScaleStress's candidates-per-doc curve (the claim the
+    * oracle-defaulted geometry rests on: this corpus family's candidate
+    * multiset stays ≈ c·n across decades).
+    */
+  private[graft] def lshCandidates(
+      s: SparkSession,
+      d: String,
+      geometry: Option[(Int, Int)] = None
+  ): DataFrame = {
+    val (numBands, rowsPerBand) = textGeometry(s, geometry)
+    candidatesFrom(Caches.persisted(shingleSets(s, d)), numBands, rowsPerBand)
+  }
+
+  /** Unverified banded candidates (doc_a < doc_b, distinct) from a
+    * (doc_id, s) shingle frame at an explicit geometry — the pre-verify
+    * stage of [[lshPairs]], factored so ScaleStress can measure the
+    * candidate MULTISET (the Σ|bucket|² term the geometry controls)
+    * separately from verification cost.
+    */
+  private[graft] def candidatesFrom(
+      sh: DataFrame,
+      numBands: Int,
+      rowsPerBand: Int
+  ): DataFrame = {
+    // signatures are NOT persisted: since MinHashSig they are a cheap
+    // map-only projection of the cached shingle pass — re-deriving them
+    // for the band join's two legs beats encoding the hash columns into
+    // the cache (same persist-vs-recompute call as the LSH postings)
+    val sigs = minhashFromShingles(sh, numBands * rowsPerBand)
+    // a band signature is rowsPerBand concatenated 8-hex-char minhashes;
+    // shingle-less docs carry NULL hashes → NULL bsig → never equi-match
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(
+        array((0 until numBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            concat((0 until rowsPerBand).map(j => col(s"mh${rowsPerBand * b + j}")): _*).as("bsig")
+          )
+        }: _*)
+      ).as("bk")
+    ).select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    bands.as("a")
+      .join(bands.as("b"), Seq("band", "bsig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Shared oracle CTE prefix: tokens → shingles → signatures → bands →
@@ -569,8 +663,13 @@ object DedupOps {
   /** Near-dup cluster map for the corpus: (node, lbl) over the verified
     * LSH pairs at the given threshold.
     */
-  def dedupClusters(s: SparkSession, d: String, threshold: Double): DataFrame =
-    connectedComponents(lshPairs(s, d, threshold).select(col("doc_a"), col("doc_b")))
+  def dedupClusters(
+      s: SparkSession,
+      d: String,
+      threshold: Double,
+      geometry: Option[(Int, Int)] = None
+  ): DataFrame =
+    connectedComponents(lshPairs(s, d, threshold, geometry).select(col("doc_a"), col("doc_b")))
 
   /** Oracle fragment: recursive min-reachable-label over the pairs CTE —
     * `reach` enumerates every (node, reachable node) and the GROUP BY

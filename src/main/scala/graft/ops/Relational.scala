@@ -984,6 +984,68 @@ object Relational {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // BACKWARD as-of SEMI through the Scala API (forward = false): clicks
+    // with ≥ 1 same-user purchase AT OR AFTER them — the "converting
+    // click" existence test, `EXISTS (… pts >= ts)` answered by the
+    // descending-run merge's O(1) carried state. Completes the API's
+    // mode×direction lattice (the rewrite path is gated by q254; this
+    // gates the direct entry point).
+    Q(
+      "q256_converting_clicks",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pts"))
+        graft.plans.AsOf
+          .asofSemiJoin(clicks, purchases, Seq("user_id"), Seq("p_user"), "ts", "pts",
+            forward = false)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("converting_clicks"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS converting_clicks
+             |FROM events c
+             |WHERE c.event_type = 'click'
+             |  AND EXISTS (SELECT 1 FROM events p
+             |              WHERE p.event_type = 'purchase'
+             |                AND p.user_id = c.user_id AND p.ts >= c.ts)
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
+    ),
+
+    // BACKWARD as-of ANTI through the Scala API (forward = false): clicks
+    // with NO later same-user purchase — dead-end sessions, `NOT EXISTS
+    // (… pts >= ts)`. The row-level projection (not an aggregate) also
+    // pins that Anti emits left columns only, unchanged.
+    Q(
+      "q257_dead_end_clicks",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pts"))
+        graft.plans.AsOf
+          .asofAntiJoin(clicks, purchases, Seq("user_id"), Seq("p_user"), "ts", "pts",
+            forward = false)
+          .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, round(value, 4) AS value
+             |FROM events c
+             |WHERE c.event_type = 'click'
+             |  AND NOT EXISTS (SELECT 1 FROM events p
+             |                  WHERE p.event_type = 'purchase'
+             |                    AND p.user_id = c.user_id AND p.ts >= c.ts)
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is

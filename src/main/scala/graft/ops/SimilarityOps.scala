@@ -260,7 +260,22 @@ object SimilarityOps {
   private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[graft] def corpusCount(s: SparkSession, dir: String): Long = {
-    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    // Resolve the stamp through the Hadoop FileSystem API, not
+    // java.io.File: lastModified() on a non-local URI (hdfs://, s3a://)
+    // returns 0, so every rewrite would share one stale memo entry — the
+    // quadratic cliff this memo's invalidation exists to prevent. The key
+    // also folds in file count + total bytes from one getContentSummary
+    // metadata call, so a same-second in-place rewrite (mtime granularity
+    // is 1 s on some filesystems) still misses the memo when content
+    // actually changed. Stamp failures (path not yet written) fall through
+    // to a never-matching key, i.e. a fresh count.
+    val stamp =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val cs = fs.getContentSummary(p)
+        s"${fs.getFileStatus(p).getModificationTime}:${cs.getFileCount}:${cs.getLength}"
+      } catch { case _: java.io.IOException => s"unstat-${System.nanoTime()}" }
     if (corpusCounts.size > 256) corpusCounts.clear()
     corpusCounts.computeIfAbsent(s"$dir@$stamp", _ => embeddings(s, dir).count())
   }

@@ -400,6 +400,10 @@ object AsOf {
 
   /** Left rows with ≥ 1 same-key right row at or before their time —
     * `EXISTS (SELECT … WHERE rk = k AND rt <= t)`, left columns only.
+    * `forward = false` flips the bound to `rt >= t` (the "has a NEXT
+    * event" existence test), mirroring the full mode×direction lattice
+    * the merge implements — the SQL rewrite and the TVF ('next_semi')
+    * already reach it; this closes the Scala API gap.
     */
   def asofSemiJoin(
       left: DataFrame,
@@ -407,12 +411,16 @@ object AsOf {
       leftKeys: Seq[String],
       rightKeys: Seq[String],
       leftTime: String,
-      rightTime: String
+      rightTime: String,
+      forward: Boolean = true
   ): DataFrame =
-    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, Nil, AsOfJoinMode.Semi)
+    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, Nil,
+      AsOfJoinMode.Semi, forward)
 
   /** Left rows with NO same-key right row at or before their time —
-    * `NOT EXISTS …`, the staleness/orphan idiom.
+    * `NOT EXISTS …`, the staleness/orphan idiom. `forward = false`
+    * flips the bound to `rt >= t` (no later event — the dead-end /
+    * last-event idiom).
     */
   def asofAntiJoin(
       left: DataFrame,
@@ -420,9 +428,11 @@ object AsOf {
       leftKeys: Seq[String],
       rightKeys: Seq[String],
       leftTime: String,
-      rightTime: String
+      rightTime: String,
+      forward: Boolean = true
   ): DataFrame =
-    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, Nil, AsOfJoinMode.Anti)
+    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, Nil,
+      AsOfJoinMode.Anti, forward)
 
   private def asofJoinMode(
       left: DataFrame,

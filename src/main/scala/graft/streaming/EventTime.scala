@@ -90,6 +90,16 @@ object EventTime {
     * streams forever (the unbounded-state killer on a 100 TB stream).
     * Key columns must be named identically on both sides and are emitted
     * once (`usingColumns` semantics via an explicit condition).
+    *
+    * Sizing: a stream-stream join runs FOUR state stores per shuffle
+    * partition (left/right × keyToNumValues/keyWithIndexToValue), each
+    * paying load/commit/maintenance every micro-batch regardless of data
+    * volume — so set `spark.sql.shuffle.partitions` at query start to the
+    * STATE volume, not the core count. Bench-measured (BENCH r12
+    * interval_join variants, 100k×100k rows / 1000 keys / 9 batches):
+    * width 32 → 8 quadruples throughput at identical results; the
+    * RocksDB provider (`spark.sql.streaming.stateStore.providerClass`) is
+    * the 100 TB-state deployment choice and costs nothing at small state.
     */
   def intervalJoin(
       left: DataFrame,
@@ -113,9 +123,28 @@ object EventTime {
     def marked(df: DataFrame, timeCol: String): DataFrame = {
       import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
       val resolver = df.sparkSession.sessionState.conf.resolver
-      val already = df.queryExecution.analyzed.output.exists(a =>
-        resolver(a.name, timeCol) && a.metadata.contains(EventTimeWatermark.delayKey))
-      if (already) df else df.withWatermark(timeCol, watermarkDelay)
+      val existingDelayMs = df.queryExecution.analyzed.output.collectFirst {
+        case a if resolver(a.name, timeCol) && a.metadata.contains(EventTimeWatermark.delayKey) =>
+          a.metadata.getLong(EventTimeWatermark.delayKey)
+      }
+      existingDelayMs match {
+        case Some(delayMs) =>
+          // the RETAINED delay governs late-drop and state eviction, not
+          // the argument — compare and say so out loud when they differ
+          // (a composed upstream, e.g. a dedup stage, may legitimately
+          // carry a wider horizon; a silent mismatch is the bug)
+          val requestedMs = EventTimeWatermark.getDelayMs(
+            org.apache.spark.sql.catalyst.util.IntervalUtils.fromIntervalString(watermarkDelay))
+          if (delayMs != requestedMs) {
+            org.slf4j.LoggerFactory.getLogger(EventTime.getClass).warn(
+              s"intervalJoin: '$timeCol' already carries a ${delayMs} ms watermark; " +
+                s"keeping it (requested '$watermarkDelay' = $requestedMs ms would redefine " +
+                "the watermark, disallowed under multi-stateful-operator support). " +
+                "Late-drop/state-eviction follow the RETAINED delay.")
+          }
+          df
+        case None => df.withWatermark(timeCol, watermarkDelay)
+      }
     }
     val l = marked(left, leftTimeCol)
     val r = marked(right, rightTimeCol)

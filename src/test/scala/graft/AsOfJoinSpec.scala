@@ -345,6 +345,33 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("backward semi/anti (forward = false): EXISTS/NOT EXISTS over rt >= t, API-symmetric") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val left = Seq.fill(200)((rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, rnd.nextLong()))
+      val right = Seq.fill(120)((rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong))
+      val lDf = left.toDF("k", "t", "payload")
+      val rDf = right.toDF("rk", "rt")
+      val semi = AsOf.asofSemiJoin(lDf, rDf, Seq("k"), Seq("rk"), "t", "rt", forward = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val anti = AsOf.asofAntiJoin(lDf, rDf, Seq("k"), Seq("rk"), "t", "rt", forward = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val expectSemi = left
+        .filter { case (k, t, _) => right.exists(r => r._1 == k && r._2 >= t) }
+        .sorted
+      assert(semi.toSeq == expectSemi, s"backward semi trial $trial diverged (nKeys=$nKeys)")
+      assert(anti.toSeq == left.filterNot(expectSemi.contains).sorted,
+        s"backward anti trial $trial diverged (nKeys=$nKeys)")
+      // partition: every left row lands in exactly one of the two outputs
+      assert(semi.length + anti.length == left.size)
+      // left columns only, like the forward family
+      assert(AsOf.asofSemiJoin(lDf, rDf, Seq("k"), Seq("rk"), "t", "rt", forward = false)
+        .columns.toSeq == Seq("k", "t", "payload"))
+    }
+  }
+
   test("semi/anti prune the right side to keys+time and never shuffle the payload") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i % 7, i, i * 2)).toDF("k", "t", "pv")

@@ -100,6 +100,24 @@ class TableFunctionSpec extends SparkSpec {
       """SELECT * FROM tvf_clicks c WHERE EXISTS (
         |  SELECT 1 FROM tvf_views v WHERE v.v_user = c.user_id AND v.vts >= c.ts)""".stripMargin)
     assert(nextSemiSql.collect().map(_.toSeq).toSet == existsRef.collect().map(_.toSeq).toSet)
+    // next_semi TVF == the API's forward=false semi; next_anti is the
+    // complement and equals the API too — the full backward existence
+    // family, reachable from BOTH surfaces
+    val nextSemiApi = AsOf.asofSemiJoin(
+      spark.table("tvf_clicks"), spark.table("tvf_views"),
+      Seq("user_id"), Seq("v_user"), "ts", "vts", forward = false)
+    assert(nextSemiSql.collect().map(_.toSeq).toSet ==
+      nextSemiApi.collect().map(_.toSeq).toSet)
+    val nextAntiSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'next_anti')""".stripMargin)
+    val nextAntiApi = AsOf.asofAntiJoin(
+      spark.table("tvf_clicks"), spark.table("tvf_views"),
+      Seq("user_id"), Seq("v_user"), "ts", "vts", forward = false)
+    assert(nextAntiSql.collect().map(_.toSeq).toSet ==
+      nextAntiApi.collect().map(_.toSeq).toSet)
+    assert(nextSemiSql.count() + nextAntiSql.count() == spark.table("tvf_clicks").count())
   }
 
   test("graft_interval_join TVF equals the DataFrame API") {

@@ -44,11 +44,15 @@ def main() -> int:
         bench = json.loads(tail[i:].strip().splitlines()[0])
     if "value" not in bench and "total_sec" in bench:  # BENCH_DETAIL shape
         bench["value"] = bench["total_sec"]
-        bench["failed"] = len(bench.get("failed", []))
+        failed_names = set(bench.get("failed") or [])
+        bench["failed"] = len(failed_names)
         slow4 = bench.get("slow_4x") or []
         bench.setdefault("slow_n", len(slow4))
         bench.setdefault("slow", slow4)
-        times = sorted((bench.get("queries_ms") or {}).values())
+        # PASSING queries only, matching Bench.scala's own percentile
+        # math — failed queries report ~0 ms and would deflate the tail
+        times = sorted(v for k, v in (bench.get("queries_ms") or {}).items()
+                       if k not in failed_names)
         if times:  # nearest-rank percentiles, matching the bench's own math
             import math
             def pct(p):
@@ -82,6 +86,7 @@ def main() -> int:
         slow_lines.append(
             f"    - {s['q']}: cold {s['ms']} ms = construct {s.get('construct_ms', '?')}"
             f" + [{charges}] + warm {s.get('warm_ms', '?')} ms"
+            f" + codegen {s.get('codegen_ms', '?')} ms"
         )
 
     print(f"- **GATES (artifact-derived; tools/gates.py over {correctness_path}, "
@@ -101,9 +106,11 @@ def main() -> int:
         print("  - slow_4x decomposition (cold = construct + builds + warm):")
         print("\n".join(slow_lines))
     if streaming:
-        print(f"  - streaming: burst {rps('burst')}, sustained {rps('sustained')}, "
+        print(f"  - streaming ({streaming.get('state_provider', 'default')}): "
+              f"burst {rps('burst')}, sustained {rps('sustained')}, "
               f"single_group {rps('single_group')}, rate_limited {rps('rate_limited')}, "
-              f"interval_join {rps('interval_join')} rows/s; "
+              f"interval_join {rps('interval_join')} "
+              f"(rocksdb {rps('interval_join_rocksdb')}, p8 {rps('interval_join_p8')}) rows/s; "
               f"drain {((streaming.get('drain') or {}).get('drain_sec', 'n/a'))} s")
     return 0
 
