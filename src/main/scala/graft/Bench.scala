@@ -316,6 +316,38 @@ object Bench {
     finally spark.streams.removeListener(acc)
   }
 
+  /** Just the stream-stream interval-join variants (default / RocksDB /
+    * width-8 / both), for scale runs where the pipeline scenarios would
+    * dominate the wall clock — `StreamBench` dispatches here when
+    * SPARK_GRAFT_STREAM_ONLY=interval_join. At 10× the bench row count
+    * this is the stress evidence that the width knob's win is a fixed-
+    * cost story (it must SHRINK as real data volume grows) and that
+    * RocksDB holds at bigger state.
+    */
+  private[graft] def intervalJoinBlockJson(spark: SparkSession, rows: Int): String = {
+    val acc0 = new ProgressAccumulator
+    spark.streams.addListener(acc0)
+    try {
+      val acc = Some(acc0)
+      // untimed warmup at a fraction of the size: codegen + state-store
+      // init otherwise lands on the first variant
+      intervalJoinScenario(spark, math.min(rows / 10, 20000))
+      val variants = Seq(
+        ("interval_join", None, None),
+        ("interval_join_rocksdb", Some(RocksDbProvider), None),
+        ("interval_join_p8", None, Some(8)),
+        ("interval_join_rocksdb_p8", Some(RocksDbProvider), Some(8))
+      ).map { case (name, prov, parts) =>
+        val (r, sec, matched, batches, dur) =
+          intervalJoinScenario(spark, rows, acc = acc, provider = prov, statefulPartitions = parts)
+        val durJson =
+          dur.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"matched":$matched,"micro_batches":$batches,"durations_ms":$durJson}"""
+      }
+      s"""{"rows":$rows,${variants.mkString(",")}}"""
+    } finally spark.streams.removeListener(acc0)
+  }
+
   private def streamingBlockJsonInner(
       spark: SparkSession,
       rows: Int,
@@ -626,8 +658,13 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "1").toInt
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
     (1 to reps).foreach { i =>
-      println(s"""{"rep":$i,"streaming":${Bench.streamingBlockJson(spark, rows)}}""")
+      val block = only match {
+        case Some("interval_join") => Bench.intervalJoinBlockJson(spark, rows)
+        case _                     => Bench.streamingBlockJson(spark, rows)
+      }
+      println(s"""{"rep":$i,"streaming":$block}""")
     }
     spark.stop()
   }

@@ -112,20 +112,21 @@ object ScaleStress {
     val builds = Seq(
       timed("lsh_pairs")(graft.ops.DedupOps.lshPairs(spark, dir, 0.8).count()),
       timed("dedup_clusters")(graft.ops.DedupOps.dedupClusters(spark, dir, 0.8).count()),
-      // Text-LSH geometry evidence (the DedupOps.textGeometry Scaladoc's
-      // claim, measured): unlike embedding-LSH there is NO random-collision
-      // geometry term at 64-bit+ band signatures, so the default is the
-      // threshold-matched 4×2 and the supporting fact is EMPIRICAL —
-      // candidates per doc must stay ≈ constant across the 1×-100×
-      // decades. The 6×3 line demos the suppression knob for template-
-      // heavy corpora (rowsPerBand↑ cuts J<t mass as J^r; numBands re-
-      // sized for recall) and its verified-pair count vs the default's
-      // bounds the recall cost of turning it.
-      timed("lsh_cand_default_4x2")(graft.ops.DedupOps.lshCandidates(spark, dir).count()),
-      timed("lsh_cand_wide_6x3")(
-        graft.ops.DedupOps.lshCandidates(spark, dir, Some((6, 3))).count()),
-      timed("lsh_pairs_wide_6x3")(
-        graft.ops.DedupOps.lshPairs(spark, dir, 0.8, Some((6, 3))).count()),
+      // Text-LSH geometry evidence (DedupOps.NumHashes Scaladoc): the
+      // shipped default is whatever THIS curve supports — candidates per
+      // doc at the default geometry must stay ≈ constant across the
+      // 1×-100× decades. This curve is how the original 4×2 default was
+      // DISCONFIRMED (0.21 → 0.89 → 2.28 cand/doc across 1×/10×/30×,
+      // multiset ∝ n^1.8) and the 6×3 default chosen (≈ 0.15/doc flat,
+      // equal-or-better recall at the 0.8 gate, 3.2× less wall at 30×);
+      // the legacy lines keep the before/after measurable round-over-
+      // round and demo the rowsPerBand suppression knob (J<t mass cut
+      // as J^r).
+      timed("lsh_cand_default_6x3")(graft.ops.DedupOps.lshCandidates(spark, dir).count()),
+      timed("lsh_cand_legacy_4x2")(
+        graft.ops.DedupOps.lshCandidates(spark, dir, Some((4, 2))).count()),
+      timed("lsh_pairs_legacy_4x2")(
+        graft.ops.DedupOps.lshPairs(spark, dir, 0.8, Some((4, 2))).count()),
       // DEFAULT geometry — since round 11 this is SIZE-DERIVED from the
       // corpus count (the shipped 320×8 exact-recall tuning is now pinned
       // only at the q42/q47 oracle call sites): the stress proves the

@@ -25,8 +25,25 @@ object DedupOps {
 
   import Tables._
 
-  val NumHashes = 8 // 4 bands × 2 rows (LSH banding)
-  val NumBands = 4
+  /** MinHash-LSH banding: 6 bands × 3 rows over 18 hashes — a MEASURED
+    * re-tuning (round 12) of the original 4 bands × 2 rows. ScaleStress's
+    * candidate-volume curve disconfirmed the old default at scale:
+    * candidates/doc at 4×2 grew 0.21 → 0.89 → 2.28 across the 1×/10×/30×
+    * decades (total candidate multiset ∝ n^1.8 — the moderate-Jaccard
+    * mass of a templated corpus caught by a band whose S-curve midpoint
+    * (1/4)^(1/2) = 0.50 sits far below the 0.8 verification gate), while
+    * 6×3 stays flat at ≈ 0.15/doc (= c·n) because sub-gate mass is
+    * suppressed as J³ instead of J². Recall at the gate IMPROVES
+    * (per-pair miss at J = 0.84: (1−0.84³)⁶ ≈ 0.5% vs (1−0.84²)⁴ ≈ 0.8%;
+    * 30× stress verified 21 371 vs 21 322 pairs) and end-to-end verified-
+    * pair wall time drops 3.2× at 30×. Cost: 18 hashes ≈ 5 md5 calls per
+    * shingle vs 2 — map-only, dominated by the candidate-volume win. The
+    * DuckDB oracle CTEs are generated from these constants, so both
+    * engines move together.
+    */
+  val NumHashes = 18 // 6 bands × 3 rows (LSH banding)
+  val NumBands = 6
+  val RowsPerBand = 3
 
   /** Text MinHash-LSH band geometry (numBands, rowsPerBand) — an explicit
     * knob + session confs, ORACLE-DEFAULTED, deliberately NOT size-derived
@@ -40,23 +57,25 @@ object DedupOps {
     * remaining collision is similarity-driven, Σ_pairs bands·J(x,y)^r, a
     * property of the corpus's Jaccard distribution that a row count
     * cannot see. So there is nothing for n to derive; the honest default
-    * is the threshold-matched recall geometry (4 bands × 2 rows: miss at
-    * J = 0.8 is (1−0.8²)⁴ ≈ 1.7%), ScaleStress MEASURES that this
-    * corpus family's candidate multiset stays ≈ c·n across the 1×-100×
-    * decades (`lsh_cand_per_doc`), and template-heavy corpora whose
-    * moderate-J mass DOES grow superlinearly get the knob: raise
-    * rowsPerBand (suppresses J < t mass as J^r) and re-size numBands for
-    * recall ((1−t^r)^bands ≤ target). q244-family band calibration
-    * measures the tradeoff in-engine.
+    * is the threshold-matched recall geometry chosen by MEASURING the
+    * candidate-volume curve across decades (ScaleStress `lsh_cand_*`
+    * lines — how the shipped 6×3 displaced the original 4×2, see
+    * [[NumHashes]]), and corpora whose moderate-J mass still grows
+    * superlinearly get the knob: raise rowsPerBand (suppresses J < t
+    * mass as J^r) and re-size numBands for recall ((1−t^r)^bands ≤
+    * target). q226's band calibration curve measures the estimator
+    * in-engine.
     */
   val TextNumBandsKey = "spark.graft.textLsh.numBands"
   val TextRowsPerBandKey = "spark.graft.textLsh.rowsPerBand"
 
   /** The geometry every oracle query pins implicitly (it is the default):
-    * 4 bands × 2 rows over 8 minhashes, mirrored verbatim by the DuckDB
-    * CTE prefix ([[sqlPairsCte]]).
+    * [[NumBands]] bands × [[RowsPerBand]] rows, mirrored verbatim by the
+    * DuckDB CTE prefix ([[sqlPairsCte]]).
     */
-  val OracleTextGeometry: (Int, Int) = (NumBands, NumHashes / NumBands)
+  val OracleTextGeometry: (Int, Int) = (NumBands, RowsPerBand)
+  require(NumBands * RowsPerBand == NumHashes,
+    s"LSH banding constants disagree: $NumBands bands × $RowsPerBand rows != $NumHashes hashes")
 
   private def confInt(s: SparkSession, key: String): Option[Int] =
     s.conf.getOption(key).map { raw =>
@@ -377,12 +396,19 @@ object DedupOps {
     * `WITH RECURSIVE` so callers can append a recursive CTE (DuckDB scopes
     * the RECURSIVE keyword to the whole WITH clause).
     */
+  /** The band-signature concatenation over [[RowsPerBand]] 1-based sig
+    * slots — generated from the constants so the oracle CTE can never
+    * drift from the engine's banding.
+    */
+  private def sqlBsig: String =
+    (1 to RowsPerBand).map(j => s"sig[$RowsPerBand*b + $j]").mkString(" || ")
+
   private[ops] def sqlPairsCte(threshold: Double, recursive: Boolean = false): String = {
     val sigList = (0 until NumHashes).map(sqlMinhash).mkString("[", ", ", "]")
     s"""WITH ${if (recursive) "RECURSIVE " else ""}t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
        |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
        |mh AS (SELECT doc_id, s, $sigList AS sig FROM sh),
-       |bands AS (SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
+       |bands AS (SELECT doc_id, b AS band, $sqlBsig AS bsig
        |          FROM mh CROSS JOIN (SELECT unnest(range($NumBands)) AS b) r),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
@@ -2516,18 +2542,18 @@ object DedupOps {
     // sketch-audit family (q99 HLL 3σ, q212 quantile rank bound, q219
     // bloom FPR, q109 CMS ε·N): before trusting signature agreement as a
     // Jaccard proxy anywhere (band thresholds, streaming admission), audit
-    // how the k=8-component estimate tracks EXACT Jaccard across the
+    // how the k=18-component estimate tracks EXACT Jaccard across the
     // similarity range. Per LSH candidate pair: est_bp = matching
-    // signature components · 10⁴/k (granularity 1250 bp at k=8) vs
+    // signature components · ⌊10⁴/k⌋ (granularity 555 bp at k=18) vs
     // exact_bp = ⌊10⁴·|A∩B|/|A∪B|⌋, rolled up per exact-Jaccard decile as
     // a calibration curve (pairs, avg est vs avg exact, mean/max abs
     // error) — all int64, no libm, no statistical-bound boolean (a
-    // per-pair 3σ assertion at k=8 would gamble on the corpus; the curve
+    // per-pair 3σ assertion at k=18 would gamble on the corpus; the curve
     // itself is the audit artifact and the cross-engine hash proves both
     // engines compute the identical signatures). Deliberately measured ON
     // THE CANDIDATE SET, where the estimator is actually consulted — so
     // the low-Jaccard deciles exhibit the collision-conditioning bias
-    // (colliding on a band forces ≥ 2 matching components, est_bp ≥ 2500
+    // (colliding on a band forces ≥ 3 matching components, est_bp ≥ 1665
     // however dissimilar the pair), which is exactly the effect a band
     // threshold tuner needs to see. Scale shape: candidates from the band
     // equi-join (never all-pairs), signatures ride the cached shingle
@@ -2547,7 +2573,8 @@ object DedupOps {
             array((0 until NumBands).map { b =>
               struct(
                 lit(b).as("band"),
-                concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bsig")
+                concat((0 until RowsPerBand).map(j => col(s"mh${RowsPerBand * b + j}")): _*)
+                  .as("bsig")
               )
             }: _*)
           ).as("bk")
@@ -2597,7 +2624,7 @@ object DedupOps {
         s"""WITH t AS (SELECT doc_id, $sqlTok AS tok FROM documents),
            |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
            |mh AS (SELECT doc_id, s, $sigList AS sig FROM sh),
-           |bands AS (SELECT doc_id, b AS band, sig[2*b + 1] || sig[2*b + 2] AS bsig
+           |bands AS (SELECT doc_id, b AS band, $sqlBsig AS bsig
            |          FROM mh CROSS JOIN (SELECT unnest(range($NumBands)) AS b) r),
            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |         FROM bands a JOIN bands b

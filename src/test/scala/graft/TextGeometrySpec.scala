@@ -14,8 +14,8 @@ class TextGeometrySpec extends SparkSpec {
 
   test("default geometry IS the oracle geometry — the DuckDB CTE constants cannot drift") {
     assert(DedupOps.textGeometry(spark, None) == DedupOps.OracleTextGeometry)
-    assert(DedupOps.OracleTextGeometry ==
-      (DedupOps.NumBands, DedupOps.NumHashes / DedupOps.NumBands))
+    assert(DedupOps.OracleTextGeometry == (DedupOps.NumBands, DedupOps.RowsPerBand))
+    assert(DedupOps.NumBands * DedupOps.RowsPerBand == DedupOps.NumHashes)
   }
 
   test("explicit parameter wins over confs; confs win over the default") {
@@ -78,7 +78,7 @@ class TextGeometrySpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val planted = (0L until 60L).collect { case id if id % 5 == 0 && id > 0 => (id - 1, id) }.toSet
-    Seq(None, Some((6, 3)), Some((8, 4))).foreach { geom =>
+    Seq(None, Some((4, 2)), Some((8, 4))).foreach { geom =>
       graft.ops.Caches.invalidate()
       val got = DedupOps.lshPairs(spark, dir, 0.8, geom)
         .select(col("doc_a"), col("doc_b"))
