@@ -42,6 +42,15 @@ object ScaleStress {
     val dir = "/tmp/graft_stress_sf1"
     val docN = 5000L * x
     val vecN = 2000L * x
+    // SPARK_GRAFT_STRESS_ONLY=name[,name…] runs just those lines (isolated
+    // re-measurement of one suspect number without the run-order effects —
+    // first-in-JVM codegen, page-cache state — of the full sweep);
+    // SPARK_GRAFT_STRESS_REUSE=1 skips corpus regeneration (the generator
+    // is deterministic in x, so an existing dir at the same x is the same
+    // corpus)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").toSet)
+    val reuse = sys.env.get("SPARK_GRAFT_STRESS_REUSE").contains("1")
 
     // ---- synthetic corpus (deterministic splitmix-style chains) --------
     val vocab = ("batch part spark line column order small sort fast value scan slow hash " +
@@ -61,6 +70,10 @@ object ScaleStress {
       sb.result()
     }
     val tGen0 = System.nanoTime()
+    val genNeeded = !reuse ||
+      !new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists() ||
+      !new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()
+    if (genNeeded) {
     spark.range(docN).as[Long].map { id =>
       val isDup = id % 7 == 0 && id > 0
       val base = if (isDup) id - 1 else id
@@ -95,16 +108,19 @@ object ScaleStress {
       (id, arr.toSeq, label)
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
     val genSec = (System.nanoTime() - tGen0) / 1e9
 
-    def timed(name: String)(body: => Long): (String, Double, Long) = {
-      graft.ops.Caches.invalidate()
-      val t0 = System.nanoTime()
-      val n = body
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[stress] $name: $sec%.2f s, $n rows")
-      (name, sec, n)
-    }
+    def timed(name: String)(body: => Long): Option[(String, Double, Long)] =
+      if (only.exists(!_.contains(name))) None
+      else {
+        graft.ops.Caches.invalidate()
+        val t0 = System.nanoTime()
+        val n = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[stress] $name: $sec%.2f s, $n rows")
+        Some((name, sec, n))
+      }
 
     // ---- shared-build family at 10× ------------------------------------
     var hiDefault = -1L
@@ -219,7 +235,7 @@ object ScaleStress {
     spark.conf.unset(graft.plans.IntervalJoinExec.MaxActiveKey)
     spark.conf.unset(graft.plans.IntervalJoinExec.SpillKey)
 
-    val all = builds ++ joins ++ spills
+    val all = (builds ++ joins ++ spills).flatten
     val json = all.map { case (n, sec, rows) =>
       s""""$n":{"sec":${math.round(sec * 100) / 100.0},"rows":$rows}"""
     }.mkString(",")
