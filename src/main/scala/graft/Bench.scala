@@ -47,14 +47,25 @@ object Bench {
     private val durations = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     @volatile private var maxBatchId = -1L
     @volatile private var filter: java.util.UUID = null
+    // peak state footprint across batches (sum over the query's state
+    // operators): rows + provider memory — the evidence behind the
+    // "size shuffle width to state volume / RocksDB for state beyond
+    // heap" guidance, straight from Spark's own progress metrics
+    @volatile var stateRowsMax = -1L
+    @volatile var stateMemMax = -1L
     def attach(id: java.util.UUID): Unit = {
-      durations.clear(); maxBatchId = -1L; filter = id
+      durations.clear(); maxBatchId = -1L; stateRowsMax = -1L; stateMemMax = -1L; filter = id
     }
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit =
       if (filter != null && e.progress.id == filter) {
         e.progress.durationMs.forEach { (k, v) =>
           durations.merge(k, v, (a, b) => java.lang.Long.valueOf(a + b))
+        }
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) {
+          stateRowsMax = math.max(stateRowsMax, ops.map(_.numRowsTotal).sum)
+          stateMemMax = math.max(stateMemMax, ops.map(_.memoryUsedBytes).sum)
         }
         if (e.progress.batchId > maxBatchId) maxBatchId = e.progress.batchId
       }
@@ -251,7 +262,8 @@ object Bench {
       rows: Int,
       acc: Option[ProgressAccumulator] = None,
       provider: Option[String] = None,
-      statefulPartitions: Option[Int] = None
+      statefulPartitions: Option[Int] = None,
+      extraConfs: Seq[(String, String)] = Nil
   ): (Long, Double, Long, Long, Map[String, Long]) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -270,7 +282,7 @@ object Bench {
     // partition per micro-batch, so BOTH knobs gate the per-batch fixed
     // cost this scenario exists to attribute
     val confs = provider.map("spark.sql.streaming.stateStore.providerClass" -> _).toSeq ++
-      statefulPartitions.map("spark.sql.shuffle.partitions" -> _.toString).toSeq
+      statefulPartitions.map("spark.sql.shuffle.partitions" -> _.toString).toSeq ++ extraConfs
     val q = withConfs(spark, confs) {
       joined.writeStream
         .outputMode("append")
@@ -332,17 +344,25 @@ object Bench {
       // untimed warmup at a fraction of the size: codegen + state-store
       // init otherwise lands on the first variant
       intervalJoinScenario(spark, math.min(rows / 10, 20000))
+      // changelog checkpointing is the deployment flag that amortizes
+      // RocksDB's per-commit cost (upload a changelog, snapshot in the
+      // background) — the scale path measures whether it closes the
+      // provider's throughput gap at heap-sized state
+      val changelog = Seq(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
       val variants = Seq(
-        ("interval_join", None, None),
-        ("interval_join_rocksdb", Some(RocksDbProvider), None),
-        ("interval_join_p8", None, Some(8)),
-        ("interval_join_rocksdb_p8", Some(RocksDbProvider), Some(8))
-      ).map { case (name, prov, parts) =>
+        ("interval_join", None, None, Nil),
+        ("interval_join_rocksdb", Some(RocksDbProvider), None, Nil),
+        ("interval_join_p8", None, Some(8), Nil),
+        ("interval_join_rocksdb_p8", Some(RocksDbProvider), Some(8), Nil),
+        ("interval_join_rocksdb_p8_changelog", Some(RocksDbProvider), Some(8), changelog)
+      ).map { case (name, prov, parts, extra) =>
         val (r, sec, matched, batches, dur) =
-          intervalJoinScenario(spark, rows, acc = acc, provider = prov, statefulPartitions = parts)
+          intervalJoinScenario(spark, rows, acc = acc, provider = prov,
+            statefulPartitions = parts, extraConfs = extra)
         val durJson =
           dur.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"matched":$matched,"micro_batches":$batches,"durations_ms":$durJson}"""
+        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"matched":$matched,"micro_batches":$batches,"state_rows_max":${acc0.stateRowsMax},"state_mem_mb":${acc0.stateMemMax / (1 << 20)},"durations_ms":$durJson}"""
       }
       s"""{"rows":$rows,${variants.mkString(",")}}"""
     } finally spark.streams.removeListener(acc0)
@@ -384,30 +404,35 @@ object Bench {
       // 4 state-store commits × partitions × micro-batches regardless of
       // data volume, so at bench scale store fixed costs dominate; the
       // variants put numbers on exactly that)
+      def state() = (acc0.stateRowsMax, acc0.stateMemMax)
       val (ijRows, ijSec, ijMatched, ijBatches, ijDur) = intervalJoinScenario(spark, rows, acc = acc)
+      val ijState = state()
       val (_, rkSec, rkMatched, _, rkDur) =
         intervalJoinScenario(spark, rows, acc = acc, provider = Some(RocksDbProvider))
+      val rkState = state()
       val (_, p8Sec, p8Matched, _, p8Dur) =
         intervalJoinScenario(spark, rows, acc = acc, statefulPartitions = Some(8))
+      val p8State = state()
       val (_, rkp8Sec, rkp8Matched, _, rkp8Dur) =
         intervalJoinScenario(spark, rows, acc = acc,
           provider = Some(RocksDbProvider), statefulPartitions = Some(8))
+      val rkp8State = state()
       def durJson(d: Map[String, Long]) =
         d.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       def block(r: Long, sec: Double, proc: Long, batches: Long, d: Map[String, Long]) =
         s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"processed":$proc,"micro_batches":$batches,"durations_ms":${durJson(d)}}"""
-      def ijBlock(sec: Double, m: Long, d: Map[String, Long]) =
-        s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(ijRows / sec)},"matched":$m,"durations_ms":${durJson(d)}}"""
+      def ijBlock(sec: Double, m: Long, d: Map[String, Long], st: (Long, Long)) =
+        s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(ijRows / sec)},"matched":$m,"state_rows_max":${st._1},"state_mem_mb":${st._2 / (1 << 20)},"durations_ms":${durJson(d)}}"""
       s"""{"rows":$bRows,"state_provider":"${blockProvider.map(_.split('.').last).getOrElse("HDFSBackedStateStoreProvider")}",""" +
         s""""burst":${block(bRows, bSec, bProc, bBatches, bDur)},""" +
         s""""sustained":${block(sRows, sSec, sProc, sBatches, sDur)},""" +
         s""""single_group":${block(mRows, mSec, mProc, mBatches, mDur)},""" +
         s""""rate_limited":${block(rRows, rSec, rProc, rBatches, rDur)},""" +
         s""""drain":{"drain_sec":${math.round(dSec * 1000) / 1000.0},"rows_per_sec":${math.round(dRows / dSec)},"processed":$dProc,"durations_ms":${durJson(dDur)}},""" +
-        s""""interval_join":${ijBlock(ijSec, ijMatched, ijDur).dropRight(1)},"micro_batches":$ijBatches},""" +
-        s""""interval_join_rocksdb":${ijBlock(rkSec, rkMatched, rkDur)},""" +
-        s""""interval_join_p8":${ijBlock(p8Sec, p8Matched, p8Dur)},""" +
-        s""""interval_join_rocksdb_p8":${ijBlock(rkp8Sec, rkp8Matched, rkp8Dur)}}"""
+        s""""interval_join":${ijBlock(ijSec, ijMatched, ijDur, ijState).dropRight(1)},"micro_batches":$ijBatches},""" +
+        s""""interval_join_rocksdb":${ijBlock(rkSec, rkMatched, rkDur, rkState)},""" +
+        s""""interval_join_p8":${ijBlock(p8Sec, p8Matched, p8Dur, p8State)},""" +
+        s""""interval_join_rocksdb_p8":${ijBlock(rkp8Sec, rkp8Matched, rkp8Dur, rkp8State)}}"""
     }
   }
 

@@ -96,10 +96,13 @@ object EventTime {
     * paying load/commit/maintenance every micro-batch regardless of data
     * volume — so set `spark.sql.shuffle.partitions` at query start to the
     * STATE volume, not the core count. Bench-measured (BENCH r12
-    * interval_join variants, 100k×100k rows / 1000 keys / 9 batches):
-    * width 32 → 8 quadruples throughput at identical results; the
-    * RocksDB provider (`spark.sql.streaming.stateStore.providerClass`) is
-    * the 100 TB-state deployment choice and costs nothing at small state.
+    * interval_join variants): width 32 → 8 quadruples throughput at the
+    * 200k-row shape and still wins 2.2× at 1M rows (73k vs 33k rows/s) —
+    * the fixed cost amortizes with batch size but never disappears. The
+    * RocksDB provider (`spark.sql.streaming.stateStore.providerClass`)
+    * costs ~1.4× throughput at heap-sized state (1M-row run: 27k vs 33k
+    * at width 32); pick it for state CAPACITY (state beyond executor
+    * heap — the 100 TB deployment), not speed.
     */
   def intervalJoin(
       left: DataFrame,

@@ -6,6 +6,13 @@ import sys, os, json, math
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+# optional 3rd arg: write a driver-shaped correctness JSON ({name:
+# {rows_match, schema_match, hash_match}}) so tools/finalize.py can sync
+# the NOTES gate block from the builder's own final-chain run before the
+# driver's CORRECTNESS_rN.json exists — same comparison, same shape,
+# reproducible by re-running this script.
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
+results = {}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -16,11 +23,17 @@ ok = fail = 0
 for name, sql in sorted(oracle.items()):
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
-        print(f"MISSING {name}: no spark output"); fail += 1; continue
+        print(f"MISSING {name}: no spark output"); fail += 1
+        results[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "err": "missing spark output"}
+        continue
     try:
         odf = con.sql(sql).df()
     except Exception as e:
-        print(f"ORACLE-ERR {name}: {e}"); fail += 1; continue
+        print(f"ORACLE-ERR {name}: {e}"); fail += 1
+        results[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "err": f"oracle: {e}"}
+        continue
     sdf = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
     def normalize(df):
         df = df.reindex(sorted(df.columns), axis=1)
@@ -32,9 +45,13 @@ for name, sql in sorted(oracle.items()):
     s = normalize(sdf)
     if list(o.columns) != list(s.columns):
         print(f"SCHEMA {name}: oracle={list(o.columns)} spark={list(s.columns)}")
-        fail += 1; continue
+        fail += 1
+        results[name] = {"rows_match": False, "schema_match": False, "hash_match": False}
+        continue
     if len(o) != len(s):
-        print(f"ROWS {name}: oracle={len(o)} spark={len(s)}"); fail += 1; continue
+        print(f"ROWS {name}: oracle={len(o)} spark={len(s)}"); fail += 1
+        results[name] = {"rows_match": False, "schema_match": True, "hash_match": False}
+        continue
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     mismatch = None
@@ -52,7 +69,13 @@ for name, sql in sorted(oracle.items()):
         c, i, a, b = mismatch
         print(f"VALUE {name}: col={c} row={i} oracle={a!r} spark={b!r}")
         fail += 1
+        results[name] = {"rows_match": True, "schema_match": True, "hash_match": False}
     else:
         print(f"OK {name} ({len(o)} rows)"); ok += 1
+        results[name] = {"rows_match": True, "schema_match": True, "hash_match": True}
 print(f"\n{ok} ok, {fail} failed, {len(oracle)} total (+{len([1 for _ in os.listdir(out_dir) if _ != 'oracle_sql.json']) - len(oracle)} rows-only)")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
 sys.exit(1 if fail else 0)
