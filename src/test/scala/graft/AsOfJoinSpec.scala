@@ -372,6 +372,26 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("backward semi/anti NULL edges: null key/time rows fail EXISTS, survive NOT EXISTS") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(10L), "has_next"),   // r@10 (inclusive bound)
+      (Some(1L), Some(25L), "after_all"),  // latest r@20 < 25
+      (Some(2L), Some(1L), "no_key"),      // key 2 has no right rows
+      (None: Option[Long], Some(7L), "null_key"),
+      (Some(1L), None: Option[Long], "null_time")
+    ).toDF("k", "t", "name")
+    val right = Seq((1L, 10L), (1L, 20L), (3L, 99L)).toDF("rk", "rt")
+    val semi = AsOf.asofSemiJoin(left, right, Seq("k"), Seq("rk"), "t", "rt", forward = false)
+      .select(col("name")).collect().map(_.getString(0)).toSet
+    assert(semi == Set("has_next"), s"backward semi got $semi")
+    val anti = AsOf.asofAntiJoin(left, right, Seq("k"), Seq("rk"), "t", "rt", forward = false)
+      .select(col("name")).collect().map(_.getString(0)).toSet
+    // NOT EXISTS keeps the complement INCLUDING null key/time rows (the
+    // bound is always false for them), same as the forward family
+    assert(anti == Set("after_all", "no_key", "null_key", "null_time"), s"backward anti got $anti")
+  }
+
   test("semi/anti prune the right side to keys+time and never shuffle the payload") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i % 7, i, i * 2)).toDF("k", "t", "pv")
