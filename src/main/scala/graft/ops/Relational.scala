@@ -1046,6 +1046,60 @@ object Relational {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // Bounded-lookback as-of through EventTime.asofJoinBounded — the
+    // both-streams as-of remediation, here gated on BATCH frames (the
+    // watermark is a no-op in batch, the interval-join + max_by
+    // composition is identical): each click's latest same-user view
+    // within a 15-minute lookback, outer so lookback-misses survive
+    // null-extended. The oracle is the rank formulation over the same
+    // bounded window (ties: latest ts, then largest view_id — the batch
+    // as-of's forward tie-break).
+    Q(
+      "q258_bounded_asof",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev
+          .filter(col("event_type") === "view")
+          .select(
+            col("user_id"),
+            col("event_id").as("view_id"),
+            col("ts").as("vts"),
+            col("value").as("view_value")
+          )
+        graft.streaming.EventTime
+          .asofJoinBounded(clicks, "ts", views, "vts", Seq("user_id"),
+            watermarkDelay = "1 hour", lookback = "15 minutes",
+            rightTieBreak = Seq("view_id"), outer = true)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("view_id"),
+            (unix_micros(col("ts")) - unix_micros(col("vts"))).as("gap_us"),
+            round(col("view_value"), 4).as("view_value")
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |v AS (
+             |  SELECT user_id, event_id AS view_id, ts AS vts, value AS view_value
+             |  FROM events WHERE event_type = 'view')
+             |SELECT event_id, user_id, view_id, gap_us, view_value FROM (
+             |  SELECT c.event_id, c.user_id, v.view_id,
+             |    epoch_us(c.ts) - epoch_us(v.vts) AS gap_us,
+             |    round(v.view_value, 4) AS view_value,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |                       ORDER BY v.vts DESC, v.view_id DESC) AS rk
+             |  FROM c LEFT JOIN v
+             |    ON v.user_id = c.user_id
+             |   AND v.vts <= c.ts AND v.vts >= c.ts - INTERVAL 15 MINUTE) t
+             |WHERE rk = 1
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is

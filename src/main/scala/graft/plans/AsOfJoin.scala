@@ -495,7 +495,9 @@ object AsOf {
         "as-of join: the right (versions) side cannot be a streaming source — " +
           "each micro-batch would see only its own slice of the versions and " +
           "emit matches a later batch supersedes; use graft.streaming.AsOfStream " +
-          "for a growing right side, or swap the sides if the right is the stream")
+          "for a growing right side, graft.streaming.EventTime.asofJoinBounded " +
+          "when BOTH sides stream (bounded-lookback as-of — the bound is what " +
+          "makes the state finite), or swap the sides if the right is the stream")
     }
     val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)

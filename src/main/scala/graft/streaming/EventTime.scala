@@ -104,6 +104,41 @@ object EventTime {
     * at width 32); pick it for state CAPACITY (state beyond executor
     * heap — the 100 TB deployment), not speed.
     */
+  /** Idempotent watermarking: a side whose time column already CARRIES
+    * watermark metadata (e.g. composed below a
+    * dropDuplicatesWithinWatermark dedup — the chained stateful
+    * pipeline) keeps it; re-marking would fail Spark's "Redefining
+    * watermark is disallowed" check under multiple-stateful-operator
+    * support. The check reads the OUTPUT attribute's delay metadata —
+    * not plan-tree node names — so a projection that rebuilt the column
+    * (dropping the metadata) correctly re-marks, and resolution follows
+    * the session's resolver like every named-column API here. When a
+    * watermark is retained, ITS delay governs late-drop and state
+    * eviction, not the argument — the mismatch is logged.
+    */
+  private def marked(df: DataFrame, timeCol: String, watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val existingDelayMs = df.queryExecution.analyzed.output.collectFirst {
+      case a if resolver(a.name, timeCol) && a.metadata.contains(EventTimeWatermark.delayKey) =>
+        a.metadata.getLong(EventTimeWatermark.delayKey)
+    }
+    existingDelayMs match {
+      case Some(delayMs) =>
+        val requestedMs = EventTimeWatermark.getDelayMs(
+          org.apache.spark.sql.catalyst.util.IntervalUtils.fromIntervalString(watermarkDelay))
+        if (delayMs != requestedMs) {
+          org.slf4j.LoggerFactory.getLogger(EventTime.getClass).warn(
+            s"'$timeCol' already carries a ${delayMs} ms watermark; " +
+              s"keeping it (requested '$watermarkDelay' = $requestedMs ms would redefine " +
+              "the watermark, disallowed under multi-stateful-operator support). " +
+              "Late-drop/state-eviction follow the RETAINED delay.")
+        }
+        df
+      case None => df.withWatermark(timeCol, watermarkDelay)
+    }
+  }
+
   def intervalJoin(
       left: DataFrame,
       leftTimeCol: String,
@@ -114,49 +149,87 @@ object EventTime {
       within: String,
       joinType: String = "inner"
   ): DataFrame = {
-    // idempotent watermarking: a side whose time column already CARRIES
-    // watermark metadata (e.g. composed below a
-    // dropDuplicatesWithinWatermark dedup — the chained stateful
-    // pipeline) keeps it; re-marking would fail Spark's "Redefining
-    // watermark is disallowed" check under multiple-stateful-operator
-    // support. The check reads the OUTPUT attribute's delay metadata —
-    // not plan-tree node names — so a projection that rebuilt the column
-    // (dropping the metadata) correctly re-marks, and resolution follows
-    // the session's resolver like every named-column API here.
-    def marked(df: DataFrame, timeCol: String): DataFrame = {
-      import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
-      val resolver = df.sparkSession.sessionState.conf.resolver
-      val existingDelayMs = df.queryExecution.analyzed.output.collectFirst {
-        case a if resolver(a.name, timeCol) && a.metadata.contains(EventTimeWatermark.delayKey) =>
-          a.metadata.getLong(EventTimeWatermark.delayKey)
-      }
-      existingDelayMs match {
-        case Some(delayMs) =>
-          // the RETAINED delay governs late-drop and state eviction, not
-          // the argument — compare and say so out loud when they differ
-          // (a composed upstream, e.g. a dedup stage, may legitimately
-          // carry a wider horizon; a silent mismatch is the bug)
-          val requestedMs = EventTimeWatermark.getDelayMs(
-            org.apache.spark.sql.catalyst.util.IntervalUtils.fromIntervalString(watermarkDelay))
-          if (delayMs != requestedMs) {
-            org.slf4j.LoggerFactory.getLogger(EventTime.getClass).warn(
-              s"intervalJoin: '$timeCol' already carries a ${delayMs} ms watermark; " +
-                s"keeping it (requested '$watermarkDelay' = $requestedMs ms would redefine " +
-                "the watermark, disallowed under multi-stateful-operator support). " +
-                "Late-drop/state-eviction follow the RETAINED delay.")
-          }
-          df
-        case None => df.withWatermark(timeCol, watermarkDelay)
-      }
-    }
-    val l = marked(left, leftTimeCol)
-    val r = marked(right, rightTimeCol)
-    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+    val l = marked(left, leftTimeCol, watermarkDelay)
+    val r0 = marked(right, rightTimeCol, watermarkDelay)
+    // Rename the right key columns BEFORE the join (fresh exprIds): when
+    // both sides derive from the same frame (a self-join — clicks and
+    // views filtered from one events table), the un-aliased right key
+    // carries the LEFT key's exprId; the analyzer's self-join dedup then
+    // re-aliases the right side and a post-join `drop(r(k))` resolves to
+    // the LEFT attribute — silently keeping the null-extended RIGHT key,
+    // so every OUTER-unmatched row emits a NULL key. (Inner modes never
+    // see it: matched keys are equal. Found by q258's oracle gate.)
+    val r = keys.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"__graft_rk_$k"))
+    val cond = keys.map(k => l(k) === r(s"__graft_rk_$k")).reduce(_ && _) &&
       r(rightTimeCol) >= l(leftTimeCol) &&
       r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $within")
     // outer variants emit the null-extended row once the watermark proves
     // no match can still arrive — late emission, but exactly once; the
     // right-side key copies are dropped (usingColumns semantics)
-    keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
+    l.join(r, cond, joinType).drop(keys.map(k => s"__graft_rk_$k"): _*)
+  }
+
+  /** Stream-stream AS-OF join with a bounded lookback — the remediation
+    * for the refused both-streaming as-of shape (plans/AsOfJoin refuses a
+    * streaming right because "latest rt ≤ t" quantifies over every
+    * batch). For each left row: the LATEST same-key right row with
+    * rightTime ∈ [leftTime − lookback, leftTime]; ties on rightTime
+    * resolve to the LARGEST `rightTieBreak`, matching the batch
+    * [[graft.plans.AsOf.asofJoin]]. The lookback bound is not a
+    * compromise — it is what makes both-streaming as-of state FINITE (an
+    * unbounded as-of must buffer every right row forever), and with it
+    * the operator composes from two watermark-evicted primitives Spark
+    * runs in append mode: a two-sided time-bound stream-stream join
+    * (rt ≤ t ∧ rt ≥ t − lookback bounds each side against the other's
+    * watermark, so join state evicts) followed by an event-time-keyed
+    * aggregation whose group finalizes when the watermark passes
+    * leftTime — at which point no rt ≤ leftTime row can still arrive,
+    * so "latest" is final and emitted exactly once.
+    *
+    * `outer = true` keeps matchless left rows null-extended (the
+    * left-outer interval join emits them once the watermark proves no
+    * match; their single null-rt group aggregates to null fields).
+    *
+    * Contract: non-key column names must be disjoint across the sides
+    * (the final group-by resolves left columns by name on the joined
+    * frame), and left rows identical in EVERY column collapse to one
+    * output row — carry a unique id column when exact multiplicity
+    * matters.
+    */
+  def asofJoinBounded(
+      left: DataFrame,
+      leftTimeCol: String,
+      right: DataFrame,
+      rightTimeCol: String,
+      keys: Seq[String],
+      watermarkDelay: String,
+      lookback: String,
+      rightTieBreak: Seq[String] = Nil,
+      outer: Boolean = false
+  ): DataFrame = {
+    val l = marked(left, leftTimeCol, watermarkDelay)
+    val r0 = marked(right, rightTimeCol, watermarkDelay)
+    // same self-join exprId hazard as intervalJoin (see its comment):
+    // rename right keys pre-join, drop the unambiguous names post-join
+    val r = keys.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"__graft_rk_$k"))
+    val cond = keys.map(k => l(k) === r(s"__graft_rk_$k")).reduce(_ && _) &&
+      r(rightTimeCol) <= l(leftTimeCol) &&
+      r(rightTimeCol) >= l(leftTimeCol) - expr(s"INTERVAL $lookback")
+    val joined = l.join(r, cond, if (outer) "left_outer" else "inner")
+      .drop(keys.map(k => s"__graft_rk_$k"): _*)
+    // latest-match selection: max_by over the right payload, ordered by
+    // (rightTime, tieBreak…) — struct ordering is lexicographic, so the
+    // largest rightTime wins and ties fall to the tie-break columns, the
+    // batch as-of's forward semantics. leftTimeCol keeps its watermark
+    // through the join, so the append-mode aggregation finalizes per
+    // left row and state evicts.
+    val rightPayload = right.columns.filterNot(keys.contains)
+    val ord = struct((col(rightTimeCol) +: rightTieBreak.map(col)): _*)
+    joined
+      .groupBy(left.columns.map(col): _*)
+      .agg(max_by(struct(rightPayload.map(col): _*), ord).as("__asof_m"))
+      .select(
+        left.columns.map(col) ++
+          rightPayload.map(c => col("__asof_m").getField(c).as(c)): _*)
   }
 }

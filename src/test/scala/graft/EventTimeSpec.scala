@@ -562,6 +562,113 @@ class EventTimeSpec extends SparkSpec {
     (streamed.sorted, expected)
   }
 
+  test("self-join outer keys survive: both sides from ONE frame keep the LEFT key on unmatched rows") {
+    // Regression: when both join inputs derive from the same frame, the
+    // un-aliased right key shares the left key's exprId; the analyzer's
+    // self-join dedup re-aliases the right side and a post-join
+    // drop(r(k)) resolved to the LEFT attribute — every outer-unmatched
+    // row emitted a NULL key (inner modes mask it: matched keys are
+    // equal). Found by q258's oracle gate; both intervalJoin and
+    // asofJoinBounded now rename right keys pre-join.
+    import spark.implicits._
+    val base = Seq(
+      (1L, "click", ts(0), 101L),  // view@min2 is AFTER → interval match, asof miss
+      (1L, "click", ts(5), 103L),  // view@min2 is 3 min before → asof match, interval miss
+      (2L, "click", ts(10), 102L), // user 2 has no views → outer null in both
+      (1L, "view", ts(2), 201L)
+    ).toDF("user_id", "kind", "ts", "id")
+    val clicks = base.filter(col("kind") === "click")
+      .select(col("user_id"), col("id").as("click_id"), col("ts").as("cts"))
+    val views = base.filter(col("kind") === "view")
+      .select(col("user_id"), col("id").as("view_id"), col("ts").as("vts"))
+    def collect3(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("click_id"), col("view_id"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val ij = collect3(EventTime.intervalJoin(clicks, "cts", views, "vts",
+      Seq("user_id"), watermarkDelay = "1 hour", within = "5 minutes",
+      joinType = "left_outer"))
+    assert(ij == Set(
+      (Some(1L), 101L, Some(201L)), (Some(1L), 103L, None), (Some(2L), 102L, None)),
+      s"intervalJoin self-join outer got $ij")
+    val asof = collect3(EventTime.asofJoinBounded(clicks, "cts", views, "vts",
+      Seq("user_id"), watermarkDelay = "1 hour", lookback = "5 minutes",
+      outer = true))
+    assert(asof == Set(
+      (Some(1L), 101L, None), (Some(1L), 103L, Some(201L)), (Some(2L), 102L, None)),
+      s"asofJoinBounded self-join outer got $asof")
+  }
+
+  test("both-streams bounded-lookback as-of: randomized differential vs brute force, inner and outer") {
+    // The LAST refused stream shape's remediation (plans/AsOfJoin names
+    // it): latest same-key right row with rt ∈ [t − lookback, t], ties
+    // to the largest tie-break — proven against a driver-side brute
+    // force over shuffled out-of-order waves on BOTH streams. The far-
+    // future sentinel on both sides advances both watermarks past every
+    // real left time so every group finalizes (sentinel rows themselves
+    // stay open and are excluded).
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(131)
+    def t(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val users = 8
+    val clicks = (0 until 70).map(i => (rnd.nextInt(users).toLong, i.toLong, t(1 + rnd.nextInt(90))))
+    val imps = (0 until 110).map(i =>
+      (rnd.nextInt(users).toLong, 1000L + i, t(1 + rnd.nextInt(90)), (i % 40) + 1.0))
+    val lookbackMin = 15
+    def expected(outerMode: Boolean): Set[(Long, Long, Option[Long])] =
+      clicks.flatMap { case (u, cid, ts) =>
+        val cand = imps.filter(r => r._1 == u &&
+          !r._3.after(ts) && r._3.getTime >= ts.getTime - lookbackMin * 60000L)
+        if (cand.isEmpty) { if (outerMode) Some((u, cid, None)) else None }
+        else Some((u, cid, Some(cand.maxBy(r => (r._3.getTime, r._2))._2)))
+      }.toSet
+    for (outerMode <- Seq(false, true)) {
+      val cs = MemoryStream[(Long, Long, Timestamp)]
+      val is = MemoryStream[(Long, Long, Timestamp, Double)]
+      val joined = EventTime.asofJoinBounded(
+        cs.toDF().toDF("user_id", "click_id", "click_ts"), "click_ts",
+        is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost"), "imp_ts",
+        // watermark far beyond the data span: the shuffled waves deliver
+        // 90-min-old rows after much newer ones, and the differential
+        // must see NOTHING late-dropped to equal brute force exactly
+        // (late-drop behavior itself is pinned by the interval-join
+        // lateness spec; the lookback bound below is independent of it)
+        Seq("user_id"), watermarkDelay = "500 minutes", lookback = s"$lookbackMin minutes",
+        rightTieBreak = Seq("imp_id"), outer = outerMode)
+      val out = new ConcurrentLinkedQueue[(Long, Long, Option[Long])]()
+      val q = joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          d.select(col("user_id"), col("click_id"), col("imp_id")).collect().foreach { r =>
+            out.add((r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          }
+          ()
+        }
+        .start()
+      try {
+        val cW = rnd.shuffle(clicks).grouped(24).toSeq
+        val iW = rnd.shuffle(imps).grouped(37).toSeq
+        cW.zipAll(iW, Seq.empty, Seq.empty).foreach { case (cw, iw) =>
+          if (cw.nonEmpty) cs.addData(cw)
+          if (iw.nonEmpty) is.addData(iw)
+          q.processAllAvailable()
+        }
+        // sentinel wave: push both watermarks past every real left time
+        cs.addData(Seq((99L, 9999L, t(4000))))
+        is.addData(Seq((99L, 9999L, t(4000), 0.0)))
+        q.processAllAvailable()
+        val got = Iterator.continually(out.poll()).takeWhile(_ != null)
+          .filter(_._2 != 9999L).toSet
+        val exp = expected(outerMode)
+        assert(got.nonEmpty, "bounded as-of differential is vacuous")
+        assert(got == exp,
+          s"outer=$outerMode: missing=${exp.diff(got).take(5)} spurious=${got.diff(exp).take(5)}")
+      } finally q.stop()
+    }
+  }
+
   test("checkpoint RESTART: the chained stateful pipeline resumes and the cumulative output equals one-shot, multiset-exact") {
     // The exactly-once story so far covers sinks (manifest/replay) and
     // at-least-once REDELIVERY; this covers checkpoint RECOVERY: stop the
