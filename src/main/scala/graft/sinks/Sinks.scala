@@ -57,15 +57,28 @@ object Sinks {
       spark.sparkContext.hadoopConfiguration
     )
     val dst = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$dir.precompact")
+    // Crash recovery BEFORE anything else (self-review r12: the original
+    // delete-then-rename swap had a window where the data existed only
+    // under `.compacting`, contradicting the crash-safety claim): a
+    // missing dst with `.precompact` present is a crash between the two
+    // renames — restore the original, deterministic and loss-free. A
+    // stale `.compacting`/`.precompact` beside an intact dst is a crash
+    // before/after the swap respectively — drop the leftover.
+    if (!hfs.exists(dst) && hfs.exists(old)) hfs.rename(old, dst)
+    if (hfs.exists(tmp)) hfs.delete(tmp, true)
+    if (hfs.exists(old)) hfs.delete(old, true)
     // size from the file index — no data pass
     val bytes = hfs.getContentSummary(dst).getLength
     val parts = (bytes.toDouble / targetBytes).ceil.toInt.max(1)
-    val tmp = s"$dir.compacting"
-    spark.read.parquet(dir).coalesce(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: the rewrite is atomic-per-directory (rename), so a crashed
-    // compaction leaves the original intact
-    hfs.delete(dst, true)
-    hfs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    spark.read.parquet(dir).coalesce(parts).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // two-rename swap: the unprotected window is only BETWEEN the
+    // renames (metadata ops, no data rewrite inside it) and the recovery
+    // preamble above heals it; every other crash point leaves dst intact
+    hfs.rename(dst, old)
+    hfs.rename(tmp, dst)
+    hfs.delete(old, true)
     parts
   }
 

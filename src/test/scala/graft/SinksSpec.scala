@@ -114,4 +114,35 @@ class SinksSpec extends SparkSpec {
       .head().getLong(0)
     assert(sumAfter == sumBefore, "compaction changed the data")
   }
+
+  test("compactParquet heals every crash state of its rename swap, loss-free") {
+    // The original swap was delete-then-rename: a crash between the two
+    // left the data only under `.compacting` with the directory GONE —
+    // contradicting the Scaladoc's crash-safety claim (self-review r12).
+    // The two-rename swap's windows are each simulated here and the next
+    // compactParquet call must heal them before compacting.
+    val root = Files.createTempDirectory("graft-compact-crash").toString
+    val dir = root + "/data"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def sum() = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+    spark.range(5000).repartition(16).write.parquet(dir)
+    val expected = sum()
+    // crash BETWEEN the renames: dst missing, original under .precompact
+    fs.rename(p(dir), p(s"$dir.precompact"))
+    Sinks.compactParquet(spark, dir, targetBytes = 8L * 1024 * 1024)
+    assert(sum() == expected, "between-renames crash state lost data")
+    assert(!fs.exists(p(s"$dir.precompact")) && !fs.exists(p(s"$dir.compacting")))
+    // crash BEFORE the swap: stale .compacting beside an intact dst
+    spark.range(3).write.parquet(s"$dir.compacting")
+    Sinks.compactParquet(spark, dir, targetBytes = 8L * 1024 * 1024)
+    assert(sum() == expected, "stale .compacting leaked into the data")
+    // crash AFTER the second rename (cleanup missed): stale .precompact
+    spark.range(3).write.parquet(s"$dir.precompact")
+    Sinks.compactParquet(spark, dir, targetBytes = 8L * 1024 * 1024)
+    assert(sum() == expected, "stale .precompact overwrote an intact dst")
+    assert(!fs.exists(p(s"$dir.precompact")) && !fs.exists(p(s"$dir.compacting")))
+  }
 }
