@@ -314,6 +314,65 @@ object Bench {
     } finally q.stop()
   }
 
+  /** Stream-stream bounded-lookback AS-OF throughput
+    * (EventTime.asofJoinBounded — the three-stateful-op composition:
+    * time-bound join → watermark-finalized max_by): same feed shape as
+    * the interval scenario; the delta against it prices the added
+    * aggregation state. Emitted rows trail input by the un-finalized
+    * watermark tail (groups close when the watermark passes their left
+    * time), so `matched` ≈ left rows − delay·rate.
+    */
+  private def asofBoundedScenario(
+      spark: SparkSession,
+      rows: Int,
+      acc: Option[ProgressAccumulator] = None,
+      statefulPartitions: Option[Int] = None
+  ): (Long, Double, Long, Long, Map[String, Long]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perSide = rows / 2
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val cs = MemoryStream[(Long, java.sql.Timestamp)]
+    val is = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.EventTime.asofJoinBounded(
+      cs.toDF().toDF("user_id", "click_ts"), "click_ts",
+      is.toDF().toDF("user_id", "imp_ts", "cost"), "imp_ts",
+      Seq("user_id"), watermarkDelay = "10 minutes", lookback = "5 minutes",
+      outer = true)
+    val emitted = new java.util.concurrent.atomic.AtomicLong()
+    val confs =
+      statefulPartitions.map("spark.sql.shuffle.partitions" -> _.toString).toSeq
+    val q = withConfs(spark, confs) {
+      joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.addAndGet(d.count()); ()
+        }
+        .start()
+    }
+    acc.foreach(_.attach(q.id))
+    try {
+      val waves = 4
+      val perWave = perSide / waves
+      val t0 = System.nanoTime()
+      var w = 0
+      while (w < waves) {
+        val base = w * perWave
+        cs.addData((0 until perWave).map(i => ((base + i) % 1000L, ts(base + i))))
+        // each impression lands 0-299 s BEFORE some click's lookback opens
+        is.addData((0 until perWave).map(i =>
+          ((base + i) % 1000L, ts(math.max(0, base + i - (i % 300))), (i % 50) + 1.0)))
+        q.processAllAvailable()
+        w += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      val durations = acc.map(_.drainTo(batches - 1)).getOrElse(Map.empty)
+      (2L * perWave * waves, sec, emitted.get(), batches, durations)
+    } finally q.stop()
+  }
+
   /** All five streaming scenarios as one JSON object. burst/sustained/
     * single_group triangulate the keyed-batching and cadence costs;
     * rate_limited measures the admission machinery (25k tokens / 100 ms =
@@ -326,6 +385,29 @@ object Bench {
     spark.streams.addListener(acc)
     try streamingBlockJsonInner(spark, rows, acc)
     finally spark.streams.removeListener(acc)
+  }
+
+  /** The bounded as-of variants (default width / width 8) for scale runs —
+    * `StreamBench` dispatches here when SPARK_GRAFT_STREAM_ONLY=asof_bounded.
+    */
+  private[graft] def asofBoundedBlockJson(spark: SparkSession, rows: Int): String = {
+    val acc0 = new ProgressAccumulator
+    spark.streams.addListener(acc0)
+    try {
+      val acc = Some(acc0)
+      asofBoundedScenario(spark, math.min(rows / 10, 20000))
+      val variants = Seq(
+        ("asof_bounded", None),
+        ("asof_bounded_p8", Some(8))
+      ).map { case (name, parts) =>
+        val (r, sec, emitted, batches, dur) =
+          asofBoundedScenario(spark, rows, acc = acc, statefulPartitions = parts)
+        val durJson =
+          dur.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"emitted":$emitted,"micro_batches":$batches,"state_rows_max":${acc0.stateRowsMax},"state_mem_mb":${acc0.stateMemMax / (1 << 20)},"durations_ms":$durJson}"""
+      }
+      s"""{"rows":$rows,${variants.mkString(",")}}"""
+    } finally spark.streams.removeListener(acc0)
   }
 
   /** Just the stream-stream interval-join variants (default / RocksDB /
@@ -687,6 +769,7 @@ object StreamBench {
     (1 to reps).foreach { i =>
       val block = only match {
         case Some("interval_join") => Bench.intervalJoinBlockJson(spark, rows)
+        case Some("asof_bounded")  => Bench.asofBoundedBlockJson(spark, rows)
         case _                     => Bench.streamingBlockJson(spark, rows)
       }
       println(s"""{"rep":$i,"streaming":$block}""")
