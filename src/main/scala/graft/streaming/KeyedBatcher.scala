@@ -54,28 +54,50 @@ object KeyedBatcher {
       ) { (key: (String, String), it: Iterator[Message[A]], state: GroupState[Array[Byte]]) =>
         val (batcher, batchKey) = key
         if (state.hasTimedOut) {
-          val (buffered, _) = state.getOption.map(deserialize[A]).getOrElse((Vector.empty[Message[A]], 0L))
+          val (buffered, _, _) =
+            state.getOption.map(deserialize[A]).getOrElse((Vector.empty[Message[A]], 0L, 0L))
           state.remove()
           if (buffered.nonEmpty) Iterator.single(EmittedBatch(batcher, batchKey, "timeout", buffered))
           else Iterator.empty
         } else {
-          val (buffered, acc0) = state.getOption.map(deserialize[A]).getOrElse((Vector.empty[Message[A]], initAcc(splitter)))
+          val now = state.getCurrentProcessingTimeMs()
+          val (buffered, acc0, deadline0) = state.getOption
+            .map(deserialize[A])
+            .getOrElse((Vector.empty[Message[A]], initAcc(splitter), 0L))
           val incoming = graft.core.Pipeline.seqSorted(it)
           val out = Vector.newBuilder[EmittedBatch[A]]
 
           var rest = buffered
           var acc = acc0
+          // The timeout clock starts when a batch OPENS (its first message),
+          // batcher_stage.ex:80-89 — NOT at the latest append. Re-arming a
+          // full batchTimeoutMs on every data-carrying micro-batch (the
+          // original code) let a steady trickle defer the timer forever:
+          // messages every 200 ms under a 1 s timeout would never flush
+          // until the size trigger. The open batch's absolute deadline
+          // rides in state; appends keep it.
+          var deadline = if (buffered.nonEmpty) deadline0 else 0L
           def emit(trigger: String): Unit =
             if (rest.nonEmpty) {
               out += EmittedBatch(batcher, batchKey, trigger, rest)
               rest = Vector.empty
               acc = initAcc(splitter)
+              deadline = 0L
             }
+          // The deadline must ALSO be enforced here, on the data path:
+          // Spark invokes the hasTimedOut callback only for groups that
+          // received NO input in a micro-batch, so a group fed every
+          // batch never hears its timer at all — the inline check flushes
+          // an overdue open batch BEFORE this batch's messages append
+          // (they belong to the next batch, exactly as if the reference's
+          // timer had fired between deliveries).
+          if (rest.nonEmpty && now >= deadline) emit("timeout")
           // Flush is checked PER MESSAGE inside the fold: the batch is
           // delivered at the flush message itself (batcher_stage.ex:178-179)
           // — messages arriving later in the same trigger start a new batch
           // instead of riding along in the flushed one.
           incoming.foreach { m =>
+            if (rest.isEmpty) deadline = now + batchTimeoutMs // batch opens here
             rest :+= m
             splitter match {
               case Some(sp) =>
@@ -92,8 +114,8 @@ object KeyedBatcher {
 
           if (rest.isEmpty) state.remove()
           else {
-            state.update(serialize((rest, acc)))
-            state.setTimeoutDuration(batchTimeoutMs)
+            state.update(serialize((rest, acc, deadline)))
+            state.setTimeoutDuration(math.max(1L, deadline - now))
           }
           out.result().iterator
         }
@@ -106,7 +128,9 @@ object KeyedBatcher {
   // Open-batch state is serialized with plain Java serialization: the
   // payload type A is opaque to Spark here (arbitrary user type, like the
   // reference's `term` payloads), so a product encoder is not available.
-  private def serialize[A](state: (Vector[Message[A]], Long)): Array[Byte] = {
+  // Tuple: (open buffer, splitter accumulator, the open batch's absolute
+  // processing-time deadline).
+  private def serialize[A](state: (Vector[Message[A]], Long, Long)): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)
     oos.writeObject(state)
@@ -114,8 +138,8 @@ object KeyedBatcher {
     bos.toByteArray
   }
 
-  private def deserialize[A](bytes: Array[Byte]): (Vector[Message[A]], Long) = {
+  private def deserialize[A](bytes: Array[Byte]): (Vector[Message[A]], Long, Long) = {
     val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-    ois.readObject().asInstanceOf[(Vector[Message[A]], Long)]
+    ois.readObject().asInstanceOf[(Vector[Message[A]], Long, Long)]
   }
 }

@@ -65,6 +65,50 @@ class KeyedBatcherSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("timeout clock starts at batch OPEN: a steady trickle cannot defer the flush forever") {
+    // Regression (self-review r12): the timer was re-armed a full
+    // batchTimeoutMs on every data-carrying micro-batch, so messages
+    // trickling faster than the timeout deferred the flush until the
+    // size trigger — unbounded latency for the batch's FIRST message.
+    // The reference starts the clock when the batch opens
+    // (batcher_stage.ex:80-89). With a 600 ms timeout and a ~200 ms
+    // trickle (size trigger far away), the open batch must flush on
+    // timeout WHILE the trickle continues: at least two timeout batches
+    // across the run, none holding all the messages.
+    EmitProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Message[Int]]
+    val batches = KeyedBatcher(stream.toDS(), batchSize = 100, batchTimeoutMs = 600)
+    val query = batches.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[Int]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbe.emitted.add((b.batcher, b.batchKey, b.trigger, b.messages.map(_.data)))
+        }
+        ()
+      }
+      .start()
+    try {
+      // warm the query first: the FIRST micro-batch pays seconds of
+      // codegen/state-store init and would swallow the whole trickle
+      // into one batch, making the assertion vacuous on a cold JVM
+      stream.addData(Message(0, metadata = Map("seq" -> "0")))
+      awaitEmitted(atLeast = 1)
+      EmitProbe.clear()
+      (1 to 14).foreach { i =>
+        stream.addData(Message(i, metadata = Map("seq" -> i.toString)))
+        Thread.sleep(250)
+      }
+      val got = awaitEmitted(atLeast = 2)
+      assert(got.forall(_._3 == "timeout"), s"expected timeout flushes, got $got")
+      assert(got.size >= 2, s"trickle deferred the timeout to one terminal flush: $got")
+      assert(got.head._4.size < 14, s"first flush held the whole trickle: ${got.head}")
+      // nothing lost, nothing duplicated, arrival order preserved
+      assert(got.flatMap(_._4) == got.flatMap(_._4).sorted)
+    } finally query.stop()
+  }
+
   test("custom splitter accumulator spans micro-batches") {
     EmitProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
