@@ -107,7 +107,17 @@ object Supervisor {
           st.running.replaceQuery(q)
           restartCounts.merge(st.pipelineName, 1, (a, b) => a + b)
           entries.put(q.runId, st)
-          recheckEarlyTermination(q)
+          if (cancelledNames.contains(st.pipelineName)) {
+            // a stop() landed BETWEEN the post-build check and
+            // replaceQuery: it read the pre-replace (already-dead) query,
+            // so its own stop was a no-op and the fresh run would be a
+            // zombie. forget() always sets the cancel flag FIRST, so
+            // either this check sees it (kill the fresh run here) or the
+            // stop() read the post-replace query and stopped it itself.
+            entries.remove(q.runId)
+            q.stop()
+            ()
+          } else recheckEarlyTermination(q)
         }
       } catch {
         case NonFatal(_) => giveUp(st)
