@@ -1100,6 +1100,58 @@ object Relational {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // The NEXT-EVENT direction of the bounded as-of (forward = false):
+    // each click's EARLIEST same-user purchase within a 30-minute
+    // lookahead, outer — conversion attribution with an explicit horizon
+    // (the bound that makes the both-streams twin's state finite). Ties:
+    // earliest pts, then smallest p_id — the batch next-event merge's
+    // tie-break, mirrored by the oracle's row_number ASC.
+    Q(
+      "q259_bounded_next",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"),
+            col("event_id").as("p_id"),
+            col("ts").as("pts"),
+            col("value").as("p_value")
+          )
+        graft.streaming.EventTime
+          .asofJoinBounded(clicks, "ts", purchases, "pts", Seq("user_id"),
+            watermarkDelay = "1 hour", lookback = "30 minutes",
+            rightTieBreak = Seq("p_id"), outer = true, forward = false)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("p_id"),
+            (unix_micros(col("pts")) - unix_micros(col("ts"))).as("wait_us"),
+            round(col("p_value"), 4).as("p_value")
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id, event_id AS p_id, ts AS pts, value AS p_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, p_id, wait_us, p_value FROM (
+             |  SELECT c.event_id, c.user_id, p.p_id,
+             |    epoch_us(p.pts) - epoch_us(c.ts) AS wait_us,
+             |    round(p.p_value, 4) AS p_value,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |                       ORDER BY p.pts ASC, p.p_id ASC) AS rk
+             |  FROM c LEFT JOIN p
+             |    ON p.user_id = c.user_id
+             |   AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 30 MINUTE) t
+             |WHERE rk = 1
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is

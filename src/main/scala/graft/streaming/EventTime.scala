@@ -195,6 +195,17 @@ object EventTime {
     * frame), and left rows identical in EVERY column collapse to one
     * output row — carry a unique id column when exact multiplicity
     * matters.
+    *
+    * `forward = false` flips the direction to the NEXT-EVENT shape
+    * (the batch asofNextJoin's streaming twin): the EARLIEST right row
+    * with rightTime ∈ [leftTime, leftTime + lookback] — `lookback`
+    * then reads as a lookAHEAD horizon — ties to the smallest
+    * tie-break (min_by), matching the batch backward merge. Here the
+    * horizon bound earns its keep twice: finite join state AND a
+    * finalization point (the group closes when the watermark passes
+    * leftTime + lookback… in fact when it passes the group key's
+    * leftTime plus the join's buffered range — Spark derives it from
+    * the same condition that bounds the state).
     */
   def asofJoinBounded(
       left: DataFrame,
@@ -205,29 +216,39 @@ object EventTime {
       watermarkDelay: String,
       lookback: String,
       rightTieBreak: Seq[String] = Nil,
-      outer: Boolean = false
+      outer: Boolean = false,
+      forward: Boolean = true
   ): DataFrame = {
     val l = marked(left, leftTimeCol, watermarkDelay)
     val r0 = marked(right, rightTimeCol, watermarkDelay)
     // same self-join exprId hazard as intervalJoin (see its comment):
     // rename right keys pre-join, drop the unambiguous names post-join
     val r = keys.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"__graft_rk_$k"))
-    val cond = keys.map(k => l(k) === r(s"__graft_rk_$k")).reduce(_ && _) &&
-      r(rightTimeCol) <= l(leftTimeCol) &&
-      r(rightTimeCol) >= l(leftTimeCol) - expr(s"INTERVAL $lookback")
+    val keyCond = keys.map(k => l(k) === r(s"__graft_rk_$k")).reduce(_ && _)
+    val cond =
+      if (forward)
+        keyCond && r(rightTimeCol) <= l(leftTimeCol) &&
+          r(rightTimeCol) >= l(leftTimeCol) - expr(s"INTERVAL $lookback")
+      else
+        keyCond && r(rightTimeCol) >= l(leftTimeCol) &&
+          r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $lookback")
     val joined = l.join(r, cond, if (outer) "left_outer" else "inner")
       .drop(keys.map(k => s"__graft_rk_$k"): _*)
-    // latest-match selection: max_by over the right payload, ordered by
-    // (rightTime, tieBreak…) — struct ordering is lexicographic, so the
-    // largest rightTime wins and ties fall to the tie-break columns, the
-    // batch as-of's forward semantics. leftTimeCol keeps its watermark
-    // through the join, so the append-mode aggregation finalizes per
-    // left row and state evicts.
+    // best-match selection over the right payload, ordered by
+    // (rightTime, tieBreak…) — struct ordering is lexicographic. Forward
+    // (latest ≤ t): max_by, ties to the LARGEST tie-break — the batch
+    // as-of's forward semantics. Backward (earliest ≥ t): min_by, ties
+    // to the SMALLEST — the batch next-event merge's. leftTimeCol keeps
+    // its watermark through the join, so the append-mode aggregation
+    // finalizes per left row and state evicts.
     val rightPayload = right.columns.filterNot(keys.contains)
     val ord = struct((col(rightTimeCol) +: rightTieBreak.map(col)): _*)
+    val pick =
+      if (forward) max_by(struct(rightPayload.map(col): _*), ord)
+      else min_by(struct(rightPayload.map(col): _*), ord)
     joined
       .groupBy(left.columns.map(col): _*)
-      .agg(max_by(struct(rightPayload.map(col): _*), ord).as("__asof_m"))
+      .agg(pick.as("__asof_m"))
       .select(
         left.columns.map(col) ++
           rightPayload.map(c => col("__asof_m").getField(c).as(c)): _*)

@@ -616,14 +616,20 @@ class EventTimeSpec extends SparkSpec {
     val imps = (0 until 110).map(i =>
       (rnd.nextInt(users).toLong, 1000L + i, t(1 + rnd.nextInt(90)), (i % 40) + 1.0))
     val lookbackMin = 15
-    def expected(outerMode: Boolean): Set[(Long, Long, Option[Long])] =
+    // fwd=true: latest rt in [t-lookback, t], ties to the LARGEST id;
+    // fwd=false: earliest rt in [t, t+lookback], ties to the SMALLEST —
+    // both directions of the batch as-of's tie-break contract
+    def expected(outerMode: Boolean, fwd: Boolean): Set[(Long, Long, Option[Long])] =
       clicks.flatMap { case (u, cid, ts) =>
-        val cand = imps.filter(r => r._1 == u &&
-          !r._3.after(ts) && r._3.getTime >= ts.getTime - lookbackMin * 60000L)
+        val cand = imps.filter(r => r._1 == u && (
+          if (fwd) !r._3.after(ts) && r._3.getTime >= ts.getTime - lookbackMin * 60000L
+          else !r._3.before(ts) && r._3.getTime <= ts.getTime + lookbackMin * 60000L))
         if (cand.isEmpty) { if (outerMode) Some((u, cid, None)) else None }
-        else Some((u, cid, Some(cand.maxBy(r => (r._3.getTime, r._2))._2)))
+        else Some((u, cid, Some(
+          if (fwd) cand.maxBy(r => (r._3.getTime, r._2))._2
+          else cand.minBy(r => (r._3.getTime, r._2))._2)))
       }.toSet
-    for (outerMode <- Seq(false, true)) {
+    for ((outerMode, fwd) <- Seq((false, true), (true, true), (false, false), (true, false))) {
       val cs = MemoryStream[(Long, Long, Timestamp)]
       val is = MemoryStream[(Long, Long, Timestamp, Double)]
       val joined = EventTime.asofJoinBounded(
@@ -635,7 +641,7 @@ class EventTimeSpec extends SparkSpec {
         // (late-drop behavior itself is pinned by the interval-join
         // lateness spec; the lookback bound below is independent of it)
         Seq("user_id"), watermarkDelay = "500 minutes", lookback = s"$lookbackMin minutes",
-        rightTieBreak = Seq("imp_id"), outer = outerMode)
+        rightTieBreak = Seq("imp_id"), outer = outerMode, forward = fwd)
       val out = new ConcurrentLinkedQueue[(Long, Long, Option[Long])]()
       val q = joined.writeStream
         .outputMode("append")
@@ -661,10 +667,10 @@ class EventTimeSpec extends SparkSpec {
         q.processAllAvailable()
         val got = Iterator.continually(out.poll()).takeWhile(_ != null)
           .filter(_._2 != 9999L).toSet
-        val exp = expected(outerMode)
+        val exp = expected(outerMode, fwd)
         assert(got.nonEmpty, "bounded as-of differential is vacuous")
         assert(got == exp,
-          s"outer=$outerMode: missing=${exp.diff(got).take(5)} spurious=${got.diff(exp).take(5)}")
+          s"outer=$outerMode fwd=$fwd: missing=${exp.diff(got).take(5)} spurious=${got.diff(exp).take(5)}")
       } finally q.stop()
     }
   }
