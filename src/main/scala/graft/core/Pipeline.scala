@@ -398,6 +398,15 @@ final class RunningPipeline[A](
   def stop(reason: StopReason, timeoutMs: Long): Unit = {
     val graceful = reason != StopReason.Kill
     if (graceful) config.prepareForDraining()
+    // Set the cancel flag BEFORE settling on which query to stop (forget
+    // adds the name to cancelledNames first): a restart that swaps in a
+    // fresh query AFTER the re-read below sees the flag at its
+    // post-registration check and kills the fresh run itself; a swap that
+    // completed BEFORE is exactly the query the re-read returns. Reading
+    // the query first (the original order) left a window where stop()
+    // tore down an already-replaced dead query and the fresh run survived
+    // as a zombie. The second forget is a no-op when nothing swapped.
+    graft.runtime.Supervisor.forget(name, query.runId)
     val q = query
     graft.runtime.Supervisor.forget(name, q.runId)
     try { if (graceful) q.processAllAvailable() }
