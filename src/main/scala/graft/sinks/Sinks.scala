@@ -66,7 +66,13 @@ object Sinks {
     // renames — restore the original, deterministic and loss-free. A
     // stale `.compacting`/`.precompact` beside an intact dst is a crash
     // before/after the swap respectively — drop the leftover.
-    if (!hfs.exists(dst) && hfs.exists(old)) hfs.rename(old, dst)
+    // Hadoop rename signals most failures by RETURNING FALSE, not
+    // throwing; an unchecked false here would let the next rename move a
+    // directory INSIDE a still-existing destination (HDFS mv-into-dir
+    // semantics), silently mixing compacted files with originals. Every
+    // metadata op in the swap must abort loudly instead.
+    if (!hfs.exists(dst) && hfs.exists(old))
+      require(hfs.rename(old, dst), s"compaction recovery failed: cannot restore $old to $dst")
     if (hfs.exists(tmp)) hfs.delete(tmp, true)
     if (hfs.exists(old)) hfs.delete(old, true)
     // size from the file index — no data pass
@@ -76,8 +82,10 @@ object Sinks {
     // two-rename swap: the unprotected window is only BETWEEN the
     // renames (metadata ops, no data rewrite inside it) and the recovery
     // preamble above heals it; every other crash point leaves dst intact
-    hfs.rename(dst, old)
-    hfs.rename(tmp, dst)
+    require(hfs.rename(dst, old), s"compaction aborted: cannot move $dst aside to $old")
+    // a failure HERE leaves dst missing + old intact — exactly the state
+    // the recovery preamble restores on the next call, loss-free
+    require(hfs.rename(tmp, dst), s"compaction aborted: cannot publish $tmp at $dst")
     hfs.delete(old, true)
     parts
   }
@@ -187,27 +195,138 @@ object Sinks {
       }
   }
 
-  /** Every data file the manifests under `root` name (driver-side metadata). */
+  /** Every data file the LIVE manifests under `root` name (driver-side
+    * metadata). A compaction manifest ([[compactManifested]]) retires the
+    * manifests it rewrote via `#supersedes:` header lines, so a reader
+    * that lists while retired manifest files still exist (the window
+    * between the compaction's atomic publish and its cleanup) sees the
+    * compacted set once — never old + new.
+    */
   private def manifestFiles(
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String
   ): Seq[String] = {
+    val (live, _) = manifestState(hfs, root)
+    live.flatMap(_._2)
+  }
+
+  /** Parse the manifest directory: (live manifests with their data files,
+    * the union of superseded manifest names). A manifest is live iff no
+    * compaction manifest names it in a `#supersedes:` line. Lines starting
+    * with `#` are metadata, never file paths.
+    */
+  private def manifestState(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String
+  ): (Seq[(String, Vector[String])], Set[String]) = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
-    if (!hfs.exists(dir)) Seq.empty
-    else
-      hfs
-        .listStatus(dir)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-        .toSeq
-        .flatMap { st =>
-          val in = hfs.open(st.getPath)
-          try
-            scala.io.Source
-              .fromInputStream(in, "UTF-8")
-              .getLines()
-              .filter(_.nonEmpty)
-              .toVector
+    if (!hfs.exists(dir)) return (Seq.empty, Set.empty)
+    val parsed = hfs
+      .listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .toSeq
+      .map { st =>
+        val in = hfs.open(st.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
           finally in.close()
-        }
+        st.getPath.getName -> lines
+      }
+    val superseded: Set[String] = parsed.flatMap {
+      case (_, lines) => lines.collect { case l if l.startsWith("#supersedes:") => l.stripPrefix("#supersedes:") }
+    }.toSet
+    val live = parsed.collect {
+      case (name, lines) if !superseded.contains(name) =>
+        name -> lines.filterNot(_.startsWith("#"))
+    }
+    (live, superseded)
+  }
+
+  /** Compact a [[manifestedParquet]] root — the housekeeping the engine's
+    * own recommended exactly-once sink needs: every micro-batch leaves one
+    * staging dir + one manifest forever, so a long-running pipeline turns
+    * the reader's metadata pass into a storm of tiny manifests and
+    * trigger-sized files. Rewrites the union of all LIVE manifested data
+    * into `ceil(bytes/targetBytes)` sized files and publishes ONE
+    * superseding compaction manifest ATOMICALLY (single rename, same
+    * discipline as the batch publish): the new manifest both names the new
+    * files and retires — via `#supersedes:` headers — every manifest file
+    * that existed when the rewrite started, so a concurrent
+    * [[readManifested]] sees the old set (before the rename) or the new
+    * set (after), never a mix and never a duplicate. Retired manifest
+    * files and their data dirs are then deleted; a crash anywhere leaves a
+    * state a reader handles and a later call heals:
+    *  - before the rename: staging data + dot-tmp manifest are invisible;
+    *    [[vacuumUnmanifested]] reclaims the staging dir;
+    *  - after the rename, before cleanup: retired manifests still on disk
+    *    are ignored (superseded), and the next compaction — which
+    *    supersedes EVERY existing manifest file, retired leftovers
+    *    included, exactly so deleting an old compaction manifest can never
+    *    resurrect the batches it had retired — or [[vacuumUnmanifested]]
+    *    finishes the cleanup.
+    * Batches published DURING the compaction are untouched: their
+    * manifests postdate the superseded snapshot and stay live alongside
+    * the compacted set. Like vacuum, run ONE compactor at a time (a
+    * concurrent compactor loses the publish rename and aborts cleanly).
+    * Returns the number of compacted files, or 0 when there is nothing to
+    * compact.
+    */
+  def compactManifested(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      targetBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val (live, _) = manifestState(hfs, root)
+    val liveFiles = live.flatMap(_._2)
+    if (liveFiles.isEmpty) return 0
+    // snapshot EVERY manifest file name present now (live + leftover
+    // retired): all become superseded by the new compaction manifest
+    val snapshot = hfs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+      .sorted
+    val gen = snapshot
+      .collect { case n if n.startsWith("compact-") => n.stripPrefix("compact-").takeWhile(_.isDigit) }
+      .collect { case d if d.nonEmpty => d.toLong }
+      .maxOption.getOrElse(0L) + 1
+    val bytes = liveFiles.map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val parts = (bytes.toDouble / targetBytes).ceil.toInt.max(1)
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$root/data/compact-$gen-$attempt"
+    spark.read.parquet(liveFiles: _*).coalesce(parts)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val newFiles = hfs
+      .globStatus(new org.apache.hadoop.fs.Path(s"$dataDir/*.parquet"))
+      .map(_.getPath.toString)
+      .sorted
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/compact-$gen")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.compact-$gen-$attempt.tmp")
+    val body = (snapshot.map("#supersedes:" + _) ++ newFiles).mkString("\n")
+    val out = hfs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val published = !hfs.exists(manifest) && hfs.rename(tmp, manifest)
+    if (!published) {
+      // a concurrent compactor won the same generation: drop our rewrite
+      // entirely — the winner's manifest names the winner's files
+      hfs.delete(tmp, false)
+      hfs.delete(new org.apache.hadoop.fs.Path(dataDir), true)
+      throw new IllegalStateException(
+        s"compactManifested lost the publish race for generation $gen on $root — " +
+          "run one compactor at a time; no data was changed")
+    }
+    // cleanup AFTER the atomic publish: retire the superseded manifest
+    // files and reclaim their data. Best-effort — any crash here leaves
+    // only ignored leftovers that the next call or vacuum removes.
+    snapshot.foreach(n => hfs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifests/$n"), false))
+    vacuumUnmanifested(spark, root)
+    parts
   }
 }

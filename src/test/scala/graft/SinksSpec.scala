@@ -145,4 +145,85 @@ class SinksSpec extends SparkSpec {
     assert(sum() == expected, "stale .precompact overwrote an intact dst")
     assert(!fs.exists(p(s"$dir.precompact")) && !fs.exists(p(s"$dir.compacting")))
   }
+
+  test("compactManifested: one atomic superseding manifest, data preserved, old batches reclaimed") {
+    val root = Files.createTempDirectory("graft-mcompact").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def manifests() = fs.listStatus(p(s"$root/_manifests"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".")).map(_.getPath.getName).sorted
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    (0 until 6).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    val expected = (0 until 60).sum.toLong
+    assert(total() == expected && manifests().length == 6)
+
+    // crash BEFORE the publish: orphan compact staging + dot-tmp manifest
+    // are invisible to readers and reclaimed by vacuum
+    (100 to 103).toDF("v").write.parquet(s"$root/data/compact-9-dead")
+    val tmpOut = fs.create(p(s"$root/_manifests/.compact-9-dead.tmp"), true)
+    tmpOut.write("junk".getBytes("UTF-8")); tmpOut.close()
+    assert(total() == expected, "a crashed compaction attempt leaked into readers")
+    assert(Sinks.vacuumUnmanifested(spark, root) == 1)
+
+    val parts = Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
+    assert(parts == 1)
+    assert(total() == expected, "compaction changed the data")
+    assert(manifests().toSeq == Seq("compact-1"), s"retired manifests not cleaned: ${manifests().toSeq}")
+    val dataDirs = fs.listStatus(p(s"$root/data")).filter(_.isDirectory).map(_.getPath.getName)
+    assert(dataDirs.length == 1 && dataDirs.head.startsWith("compact-1-"),
+      s"old batch staging not reclaimed: ${dataDirs.toSeq}")
+
+    // a batch published AFTER the compaction stays live alongside it
+    Sinks.manifestedParquet((60 until 70).toDF("v"), root, batchId = 6)
+    assert(total() == (0 until 70).sum.toLong)
+  }
+
+  test("compactManifested window + leftovers: superseded manifests on disk are ignored, never resurrected") {
+    val root = Files.createTempDirectory("graft-mcompact-win").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    val expected = (0 until 30).sum.toLong
+    // freeze the pre-compaction manifest contents so the crash window
+    // (publish done, cleanup not) can be reconstructed exactly
+    val frozen = fs.listStatus(p(s"$root/_manifests")).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false); buf.toByteArray
+      } finally in.close()
+      st.getPath.getName -> bytes
+    }
+    Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
+    // reconstruct "publish done, cleanup crashed": retired batch manifests
+    // back on disk beside compact-1 — the exact state a concurrent reader
+    // can observe between the rename and the deletes
+    frozen.foreach { case (name, bytes) =>
+      val out = fs.create(p(s"$root/_manifests/$name"), true)
+      out.write(bytes); out.close()
+    }
+    assert(total() == expected,
+      "reader in the publish-to-cleanup window double-counted superseded batches")
+    // a second compaction over the leftover state must supersede EVERY
+    // manifest file — retired leftovers included — so that deleting the
+    // old compaction manifest can never resurrect the batches it retired
+    Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
+    val names = fs.listStatus(p(s"$root/_manifests"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".")).map(_.getPath.getName).sorted
+    assert(names.toSeq == Seq("compact-2"), s"second compaction left leftovers: ${names.toSeq}")
+    val in = fs.open(p(s"$root/_manifests/compact-2"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(body.contains("#supersedes:compact-1"))
+    frozen.foreach { case (name, _) =>
+      assert(body.contains(s"#supersedes:$name"), s"leftover $name not superseded by compact-2")
+    }
+    assert(total() == expected)
+  }
 }
