@@ -139,6 +139,74 @@ object EventTime {
     }
   }
 
+  /** Stateful shuffle width as a FIRST-CLASS operator parameter.
+    *
+    * A stateful operator's shuffle width is pinned by
+    * `spark.sql.shuffle.partitions` AT QUERY START (then forever by the
+    * checkpoint) — session-conf folklore a deployment gets wrong once and
+    * can never revise. `Some(n)` rebases the plan onto a cloned session
+    * carrying the override, so the width binds THIS query only: the
+    * caller's session conf is untouched, concurrent queries keep their
+    * own widths, and the streaming runtime records n in the checkpoint's
+    * offset log so a restart keeps it regardless of the session it
+    * restarts from. `None` inherits the session conf (today's behavior).
+    *
+    * Choosing n: see [[statePartitionsForVolume]] — width follows STATE
+    * volume, not core count (BENCH r12: 32 → 8 quadrupled interval-join
+    * throughput at 200k rows; every partition pays 4 state-store
+    * load/commit cycles per micro-batch whether or not it holds data).
+    *
+    * Caveat: because the returned frame belongs to the CLONED session,
+    * `StreamingQueryListener`s registered on the original session do not
+    * receive this query's events — register on the returned frame's
+    * `sparkSession` (or the started query's `q.sparkSession`) instead.
+    */
+  private def bindStatePartitions(df: DataFrame, statePartitions: Option[Int]): DataFrame =
+    statePartitions match {
+      case None    => df
+      case Some(p) => withStatePartitions(df, p)
+    }
+
+  /** The same binding as the operators' `statePartitions` parameter, for
+    * ANY stateful frame (tumbling/session aggregations, dedup streams, a
+    * composed pipeline): rebase `df` onto a cloned session whose
+    * `spark.sql.shuffle.partitions` is `p`, so the width binds at THIS
+    * query's start (and is then pinned by its checkpoint) without touching
+    * the caller's session or concurrent queries. Apply ONCE, to the final
+    * frame, just before `writeStream` — the width is a query-level
+    * property, not per-operator. Same listener caveat as the parameter:
+    * register `StreamingQueryListener`s on the returned frame's session.
+    */
+  def withStatePartitions(df: DataFrame, p: Int): DataFrame = {
+    require(p > 0, s"statePartitions must be positive, got $p")
+    val bound = org.apache.spark.sql.GraftColumns.cloneWithConf(
+      df.sparkSession, "spark.sql.shuffle.partitions" -> p.toString)
+    org.apache.spark.sql.GraftColumns.ofRows(bound, df.queryExecution.logical)
+  }
+
+  /** The documented state-volume sizing heuristic, executable: one shuffle
+    * partition per `targetBytesPerPartition` of peak operator state
+    * (default 32 MB — comfortably in-heap per task for the default
+    * provider, large enough that per-partition store fixed costs are
+    * amortized), floored at `minPartitions` (default 8 — the bench-
+    * measured small-state optimum: below it commit parallelism and
+    * failure granularity degrade faster than fixed costs shrink). Peak
+    * state for an interval join ≈ rows arriving within
+    * (watermarkDelay + within) × input rate, times ~2 (both sides
+    * buffer); read it off a probe run's `state_rows_max`/`state_mem_mb`
+    * progress metrics when in doubt.
+    */
+  def statePartitionsForVolume(
+      stateBytes: Long,
+      targetBytesPerPartition: Long = 32L * 1024 * 1024,
+      minPartitions: Int = 8
+  ): Int = {
+    require(stateBytes >= 0 && targetBytesPerPartition > 0 && minPartitions > 0,
+      s"invalid sizing inputs: bytes=$stateBytes target=$targetBytesPerPartition min=$minPartitions")
+    math.max(minPartitions.toLong,
+      (stateBytes + targetBytesPerPartition - 1) / targetBytesPerPartition).toInt
+  }
+
   def intervalJoin(
       left: DataFrame,
       leftTimeCol: String,
@@ -147,7 +215,8 @@ object EventTime {
       keys: Seq[String],
       watermarkDelay: String,
       within: String,
-      joinType: String = "inner"
+      joinType: String = "inner",
+      statePartitions: Option[Int] = None
   ): DataFrame = {
     val l = marked(left, leftTimeCol, watermarkDelay)
     val r0 = marked(right, rightTimeCol, watermarkDelay)
@@ -165,8 +234,20 @@ object EventTime {
       r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $within")
     // outer variants emit the null-extended row once the watermark proves
     // no match can still arrive — late emission, but exactly once; the
-    // right-side key copies are dropped (usingColumns semantics)
-    l.join(r, cond, joinType).drop(keys.map(k => s"__graft_rk_$k"): _*)
+    // right-side key copies are dropped (usingColumns semantics). For
+    // right-preserving modes (right/full outer) a right-unmatched row has
+    // NULL left keys, so dropping the renamed right copy alone would
+    // discard the join key entirely — coalesce the sides first, the
+    // usingColumns contract.
+    val joined = l.join(r, cond, joinType)
+    val rightPreserving =
+      Set("right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer")
+        .contains(joinType.toLowerCase)
+    val keyed =
+      if (rightPreserving)
+        keys.foldLeft(joined)((df, k) => df.withColumn(k, coalesce(l(k), r(s"__graft_rk_$k"))))
+      else joined
+    bindStatePartitions(keyed.drop(keys.map(k => s"__graft_rk_$k"): _*), statePartitions)
   }
 
   /** Stream-stream AS-OF join with a bounded lookback — the remediation
@@ -194,7 +275,13 @@ object EventTime {
     * (the final group-by resolves left columns by name on the joined
     * frame), and left rows identical in EVERY column collapse to one
     * output row — carry a unique id column when exact multiplicity
-    * matters.
+    * matters (a stable id from the source; NOT `uuid()`/
+    * `monotonically_increasing_id()`, whose values change on micro-batch
+    * replay and would double-count redelivered rows). Because the
+    * best-match aggregation groups by every left column, a left side
+    * carrying a `MapType` column is rejected up front with the column
+    * named (Spark cannot group by maps) — project the map away, or
+    * `map_entries` it into an (orderable) array of structs first.
     *
     * `forward = false` flips the direction to the NEXT-EVENT shape
     * (the batch asofNextJoin's streaming twin): the EARLIEST right row
@@ -217,8 +304,19 @@ object EventTime {
       lookback: String,
       rightTieBreak: Seq[String] = Nil,
       outer: Boolean = false,
-      forward: Boolean = true
+      forward: Boolean = true,
+      statePartitions: Option[Int] = None
   ): DataFrame = {
+    // fail fast with the column named, not a deep analyzer error from the
+    // final group-by (which spans every left column)
+    val mapCols = left.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name)
+    require(
+      mapCols.isEmpty,
+      s"asofJoinBounded groups by every left column, and Spark cannot group by MapType " +
+        s"column(s) ${mapCols.mkString("'", "', '", "'")} — project them away or convert " +
+        "with map_entries() before the join")
     val l = marked(left, leftTimeCol, watermarkDelay)
     val r0 = marked(right, rightTimeCol, watermarkDelay)
     // same self-join exprId hazard as intervalJoin (see its comment):
@@ -246,11 +344,12 @@ object EventTime {
     val pick =
       if (forward) max_by(struct(rightPayload.map(col): _*), ord)
       else min_by(struct(rightPayload.map(col): _*), ord)
-    joined
+    val picked = joined
       .groupBy(left.columns.map(col): _*)
       .agg(pick.as("__asof_m"))
       .select(
         left.columns.map(col) ++
           rightPayload.map(c => col("__asof_m").getField(c).as(c)): _*)
+    bindStatePartitions(picked, statePartitions)
   }
 }

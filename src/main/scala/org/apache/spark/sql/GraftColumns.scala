@@ -23,6 +23,18 @@ object GraftColumns {
       plan
     )
 
+  /** Clone a session with conf overrides — the per-query conf-binding
+    * primitive (`SparkSession.cloneSession` is private[sql], hence here).
+    * A streaming query clones the session state of the DataFrame it starts
+    * from, so a plan rebased onto the returned session carries the
+    * overrides for ITS query only; the caller's session is untouched.
+    */
+  def cloneWithConf(spark: SparkSession, confs: (String, String)*): SparkSession = {
+    val cloned = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    confs.foreach { case (k, v) => cloned.conf.set(k, v) }
+    cloned
+  }
+
   /** Imperative SQL-function registration on an existing session (the
     * extensions-config path is `graft.GraftExtensions`).
     */

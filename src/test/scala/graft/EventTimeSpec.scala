@@ -600,6 +600,158 @@ class EventTimeSpec extends SparkSpec {
       s"asofJoinBounded self-join outer got $asof")
   }
 
+  test("statePartitions binds THIS query's stateful width, leaves the session alone, and the checkpoint pins it") {
+    // The r12 measurement (width 32→8 = 4.1× on the interval join) was
+    // session-conf folklore: the caller had to set
+    // spark.sql.shuffle.partitions before start(), and got every
+    // concurrent query's width changed as a side effect. The operator
+    // parameter rebases the plan onto a cloned session, so: (a) the
+    // query's state operator runs at the requested width; (b) the
+    // caller's session conf is untouched; (c) the width rides the
+    // checkpoint — a restart WITHOUT the parameter (or with a different
+    // one) keeps the original width, because Spark pins it in the offset
+    // log at first start.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-sp-ckpt").toString
+    val cs = MemoryStream[(Long, Timestamp)]
+    val bs = MemoryStream[(Long, Timestamp, Double)]
+    def joined(width: Option[Int]) = EventTime.intervalJoin(
+      cs.toDF().toDF("user_id", "cts"), "cts",
+      bs.toDF().toDF("user_id", "bts", "amount"), "bts",
+      Seq("user_id"), watermarkDelay = "10 minutes", within = "5 minutes",
+      statePartitions = width)
+    def start(width: Option[Int]) = joined(width).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("noop")
+      .start()
+    def widthOf(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.map(_.numShufflePartitions).max
+
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val q1 = start(Some(3))
+    try {
+      cs.addData((1L, ts(0))); bs.addData((1L, ts(2), 5.0))
+      q1.processAllAvailable()
+      assert(widthOf(q1) == 3L, s"operator width not bound: ${widthOf(q1)}")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == sessionWidth,
+        "operator parameter leaked into the session conf")
+    } finally q1.stop()
+    // restart from the same checkpoint with NO parameter: the pinned
+    // width (3), not the session's 4, governs — proving a deployment can
+    // drop the knob after first start without a silent width change
+    val q2 = start(None)
+    try {
+      cs.addData((2L, ts(10))); bs.addData((2L, ts(12), 7.0))
+      q2.processAllAvailable()
+      assert(widthOf(q2) == 3L, s"checkpoint-pinned width not honored on restart: ${widthOf(q2)}")
+    } finally q2.stop()
+  }
+
+  test("withStatePartitions binds any stateful frame's width (tumbling agg)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val es = MemoryStream[(Long, Timestamp)]
+    val agg = EventTime.tumblingAgg(
+      es.toDF().toDF("user_id", "ets"), "ets", "10 minutes", "1 hour",
+      keys = Seq(col("user_id")), aggs = Seq(count(lit(1)).as("n")))
+    val bound = EventTime.withStatePartitions(agg, 2)
+    val q = bound.writeStream.outputMode("append").format("noop").start()
+    try {
+      es.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      val widths = q.recentProgress.flatMap(_.stateOperators).map(_.numShufflePartitions)
+      assert(widths.nonEmpty && widths.max == 2L, s"width not bound: ${widths.toSeq}")
+    } finally q.stop()
+  }
+
+  test("StateInspect reads a real checkpoint: operators listed, hot key found, partition profile sums") {
+    // The 100 TB ops tool: find the hot key from the CHECKPOINT, before
+    // it aborts the state budget — no query restart, no stream replay.
+    // Build a deliberately skewed interval join (key 7 gets 40 right rows
+    // buffered, every other key 2), stop the query, then read its state
+    // through Spark's state data source.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-inspect").toString
+    val cs = MemoryStream[(Long, Timestamp)]
+    val bs = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventTime.intervalJoin(
+      cs.toDF().toDF("user_id", "cts"), "cts",
+      bs.toDF().toDF("user_id", "bts", "amount"), "bts",
+      Seq("user_id"), watermarkDelay = "10 minutes", within = "5 minutes",
+      statePartitions = Some(3))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint).format("noop").start()
+    try {
+      cs.addData((0L until 10L).map(k => (k, ts(0))))
+      bs.addData((0L until 10L).flatMap(k =>
+        (0 until (if (k == 7L) 40 else 2)).map(i => (k, ts(1), i.toDouble))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ops = graft.streaming.StateInspect.operators(spark, checkpoint)
+    assert(ops.count() >= 1, "state-metadata listed no operators")
+    val opId = ops.selectExpr("operatorId").head().getLong(0).toInt
+    val hot = graft.streaming.StateInspect
+      .hotKeys(spark, checkpoint, operatorId = opId, joinSide = Some("right"), topK = 3)
+      .collect()
+    // join-state key fields are positional (field0 = first key column)
+    assert(hot.head.getAs[Long]("field0") == 7L,
+      s"hot key not ranked first: ${hot.map(_.mkString(",")).toSeq}")
+    assert(hot.head.getAs[Long]("state_rows") == 40L,
+      s"hot key row count wrong: ${hot.head}")
+    val profile = graft.streaming.StateInspect
+      .partitionProfile(spark, checkpoint, operatorId = opId, joinSide = Some("right"))
+      .collect()
+    assert(profile.map(_.getAs[Long]("state_rows")).sum == 40L + 9 * 2,
+      s"partition profile does not sum to the buffered right rows: ${profile.toSeq}")
+    // the profile ranges over the checkpoint-pinned width (statePartitions=3)
+    assert(profile.forall(_.getAs[Int]("partition_id") < 3),
+      s"partition ids exceed the pinned width: ${profile.toSeq}")
+  }
+
+  test("asofJoinBounded rejects a MapType left column up front with the column named") {
+    import spark.implicits._
+    val clicks = Seq((1L, ts(0), Map("a" -> 1)))
+      .toDF("user_id", "cts", "attrs")
+    val views = Seq((1L, 201L, ts(2))).toDF("user_id", "view_id", "vts")
+    val e = intercept[IllegalArgumentException](
+      EventTime.asofJoinBounded(clicks, "cts", views, "vts", Seq("user_id"),
+        watermarkDelay = "1 hour", lookback = "5 minutes"))
+    assert(e.getMessage.contains("attrs"), s"column not named: ${e.getMessage}")
+    assert(e.getMessage.contains("map_entries"))
+  }
+
+  test("right-preserving interval-join modes coalesce the key: right-unmatched rows keep it") {
+    // Regression (ADVICE r12): the pre-join right-key rename fixed
+    // left_outer, but for right/full outer the post-join drop of the
+    // renamed right keys discarded the join key entirely on
+    // right-unmatched rows (left key is NULL there) — not the
+    // usingColumns semantics the Scaladoc claims. The key must now be
+    // COALESCEd across the sides before the drop.
+    import spark.implicits._
+    val clicks = Seq((1L, 101L, ts(0)), (2L, 102L, ts(10)))
+      .toDF("user_id", "click_id", "cts")
+    val views = Seq((1L, 201L, ts(2)), (3L, 203L, ts(4)))
+      .toDF("user_id", "view_id", "vts")
+    def keysOf(joinType: String): Set[(Option[Long], Option[Long], Option[Long])] =
+      EventTime.intervalJoin(clicks, "cts", views, "vts", Seq("user_id"),
+        watermarkDelay = "1 hour", within = "5 minutes", joinType = joinType)
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .collect().map(r => (
+          if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(keysOf("full_outer") == Set(
+      (Some(1L), Some(101L), Some(201L)), // matched
+      (Some(2L), Some(102L), None),       // left-unmatched keeps its key
+      (Some(3L), None, Some(203L))),      // right-unmatched MUST keep user_id=3
+      s"full_outer keys wrong: ${keysOf("full_outer")}")
+    assert(keysOf("right_outer") == Set(
+      (Some(1L), Some(101L), Some(201L)),
+      (Some(3L), None, Some(203L))),
+      s"right_outer keys wrong: ${keysOf("right_outer")}")
+  }
+
   test("both-streams bounded-lookback as-of: randomized differential vs brute force, inner and outer") {
     // The LAST refused stream shape's remediation (plans/AsOfJoin names
     // it): latest same-key right row with rt ∈ [t − lookback, t], ties
