@@ -37,16 +37,36 @@ final case class EmittedBatch[A](
   */
 object KeyedBatcher {
 
+  /** `statePartitions`: stateful shuffle width for THIS batcher query —
+    * `Some(n)` rebases the plan onto a cloned session so
+    * `spark.sql.shuffle.partitions`=n binds at query start (and is then
+    * pinned by the checkpoint) without touching the caller's session or
+    * other queries; `None` inherits the session conf. Size to the number
+    * of concurrently-open (batcher, batchKey) groups, not core count —
+    * every partition pays a state-store load/commit per micro-batch
+    * whether or not it holds an open batch
+    * ([[graft.streaming.EventTime.statePartitionsForVolume]] is the
+    * executable heuristic).
+    */
   def apply[A](
       messages: Dataset[Message[A]],
       batchSize: Int = 100,
       batchTimeoutMs: Long = 1000L,
-      splitter: Option[BatchSplitter[A]] = None
+      splitter: Option[BatchSplitter[A]] = None,
+      statePartitions: Option[Int] = None
   )(implicit enc: Encoder[Message[A]], outEnc: Encoder[EmittedBatch[A]]): Dataset[EmittedBatch[A]] = {
     implicit val keyEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
 
-    messages
+    val src = statePartitions match {
+      case None => messages
+      case Some(p) =>
+        require(p > 0, s"statePartitions must be positive, got $p")
+        val bound = org.apache.spark.sql.GraftColumns.cloneWithConf(
+          messages.sparkSession, "spark.sql.shuffle.partitions" -> p.toString)
+        org.apache.spark.sql.GraftColumns.ofRows(bound, messages.queryExecution.logical).as[Message[A]]
+    }
+    src
       .groupByKey((m: Message[A]) => (m.batcher, m.batchKey))
       .flatMapGroupsWithState[Array[Byte], EmittedBatch[A]](
         OutputMode.Append(),
@@ -55,14 +75,16 @@ object KeyedBatcher {
         val (batcher, batchKey) = key
         if (state.hasTimedOut) {
           val (buffered, _, _) =
-            state.getOption.map(deserialize[A]).getOrElse((Vector.empty[Message[A]], 0L, 0L))
+            state.getOption
+              .map(deserialize[A](_, 0L))
+              .getOrElse((Vector.empty[Message[A]], 0L, 0L))
           state.remove()
           if (buffered.nonEmpty) Iterator.single(EmittedBatch(batcher, batchKey, "timeout", buffered))
           else Iterator.empty
         } else {
           val now = state.getCurrentProcessingTimeMs()
           val (buffered, acc0, deadline0) = state.getOption
-            .map(deserialize[A])
+            .map(deserialize[A](_, now + batchTimeoutMs))
             .getOrElse((Vector.empty[Message[A]], initAcc(splitter), 0L))
           val incoming = graft.core.Pipeline.seqSorted(it)
           val out = Vector.newBuilder[EmittedBatch[A]]
@@ -138,8 +160,39 @@ object KeyedBatcher {
     bos.toByteArray
   }
 
-  private def deserialize[A](bytes: Array[Byte]): (Vector[Message[A]], Long, Long) = {
+  /** Deserialize open-batch state, migrating pre-deadline checkpoints.
+    *
+    * The blob grew a third field (the open batch's absolute deadline) when
+    * the trickle-starvation fix landed; a checkpoint written before that
+    * commit holds a `(buffer, acc)` pair. Rather than an opaque
+    * ClassCastException at state read — at odds with the restart guarantee
+    * — the old shape is migrated in place: the open batch's clock restarts
+    * at `fallbackDeadline` (recovery time + timeout), the same grace the
+    * reference gives a batch whose timer died with its stage. Any OTHER
+    * shape fails with an explicit message.
+    *
+    * Payload-class stability: the buffered `Message[A]` payloads are
+    * Java-serialized (A is an opaque user type, like the reference's
+    * `term`), so changing the payload CLASS between restarts fails the
+    * checkpoint read (serialVersionUID mismatch). Keep `A` binary-stable
+    * across deploys, or drain (`stop()`) before upgrading it.
+    */
+  private[graft] def deserialize[A](
+      bytes: Array[Byte],
+      fallbackDeadline: Long
+  ): (Vector[Message[A]], Long, Long) = {
     val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-    ois.readObject().asInstanceOf[(Vector[Message[A]], Long, Long)]
+    ois.readObject() match {
+      case (buf, acc, deadline) =>
+        (buf.asInstanceOf[Vector[Message[A]]],
+          acc.asInstanceOf[Long],
+          deadline.asInstanceOf[Long])
+      case (buf, acc) => // pre-deadline checkpoint shape
+        (buf.asInstanceOf[Vector[Message[A]]], acc.asInstanceOf[Long], fallbackDeadline)
+      case other =>
+        throw new IllegalStateException(
+          s"unrecognized KeyedBatcher checkpoint state shape: ${other.getClass.getName} " +
+            "(expected (buffer, acc, deadline) or the legacy (buffer, acc))")
+    }
   }
 }

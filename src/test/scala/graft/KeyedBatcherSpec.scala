@@ -179,6 +179,60 @@ class KeyedBatcherSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("statePartitions binds the batcher's stateful width without touching the session") {
+    EmitProbe.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Message[Int]]
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val query = KeyedBatcher(stream.toDS(), batchSize = 2, batchTimeoutMs = 600000,
+      statePartitions = Some(2)).writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[Int]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbe.emitted.add((b.batcher, b.batchKey, b.trigger, b.messages.map(_.data)))
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(Seq(Message(1, metadata = Map("seq" -> "1")), Message(2, metadata = Map("seq" -> "2"))))
+      assert(awaitEmitted(atLeast = 1).nonEmpty)
+      // progress events trail the foreachBatch callback (and idle events
+      // carry no stateOperators) — poll the recent ring for the
+      // data-carrying batch
+      def widths() = query.recentProgress.flatMap(_.stateOperators).map(_.numShufflePartitions)
+      val deadline = System.currentTimeMillis() + 20000
+      while (widths().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(widths().nonEmpty && widths().max == 2L,
+        s"batcher state width not bound to the operator parameter: ${widths().toSeq}")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == sessionWidth)
+    } finally query.stop()
+  }
+
+  test("legacy (buffer, acc) checkpoint blobs migrate instead of ClassCastException") {
+    // The state blob grew a third field (absolute deadline) with the
+    // trickle-starvation fix; a checkpoint written before that commit must
+    // restore with the clock restarted at recovery, not crash the query.
+    def javaSer(o: AnyRef): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.toByteArray
+    }
+    val msgs = Vector(Message(7, metadata = Map("seq" -> "1")))
+    val legacy = javaSer((msgs, 42L)) // pre-deadline Tuple2 shape
+    val (buf, acc, deadline) = KeyedBatcher.deserialize[Int](legacy, fallbackDeadline = 9999L)
+    assert(buf.map(_.data) == Seq(7))
+    assert(acc == 42L)
+    assert(deadline == 9999L, "migrated open batch must restart its clock at the fallback")
+    // current shape round-trips unchanged
+    val cur = javaSer((msgs, 42L, 123L))
+    assert(KeyedBatcher.deserialize[Int](cur, fallbackDeadline = 0L) == ((msgs, 42L, 123L)))
+    // anything else fails loudly with the shape named
+    val bad = intercept[IllegalStateException](KeyedBatcher.deserialize[Int](javaSer("junk"), 0L))
+    assert(bad.getMessage.contains("state shape"))
+  }
+
   test("flush-mode message flushes its open batch immediately") {
     EmitProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
