@@ -1152,6 +1152,54 @@ object Relational {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // The bounded as-of through PLAIN SQL — the hand-written idiom
+    // (row_number OVER (PARTITION BY left ORDER BY rt DESC, tb DESC) = 1
+    // above an equi + two-sided-range LEFT JOIN) that users actually
+    // write for "latest within a horizon". The ORACLE GATE itself proves
+    // the RangeJoinRewrite window-top-1 arm: the optimizer must reduce
+    // the join under the window to the as-of merge (RangeJoinRewriteSpec
+    // pins the plan; this pins the answers on real parquet). Same
+    // numbers as q258, which reaches the bounded as-of through the API.
+    Q(
+      "q260_bounded_asof_sql",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        events(s, d).createOrReplaceTempView("g260_events")
+        s.sql("""WITH c AS (
+                |  SELECT event_id, user_id, ts FROM g260_events WHERE event_type = 'click'),
+                |v AS (
+                |  SELECT user_id, event_id AS view_id, ts AS vts, value AS view_value
+                |  FROM g260_events WHERE event_type = 'view')
+                |SELECT event_id, user_id, view_id, gap_us, view_value FROM (
+                |  SELECT c.event_id, c.user_id, v.view_id,
+                |    unix_micros(c.ts) - unix_micros(v.vts) AS gap_us,
+                |    round(v.view_value, 4) AS view_value,
+                |    row_number() OVER (PARTITION BY c.event_id
+                |                       ORDER BY v.vts DESC, v.view_id DESC) AS rk
+                |  FROM c LEFT JOIN v
+                |    ON v.user_id = c.user_id
+                |   AND v.vts <= c.ts AND v.vts >= c.ts - INTERVAL 15 MINUTE) t
+                |WHERE rk = 1
+                |ORDER BY event_id""".stripMargin)
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |v AS (
+             |  SELECT user_id, event_id AS view_id, ts AS vts, value AS view_value
+             |  FROM events WHERE event_type = 'view')
+             |SELECT event_id, user_id, view_id, gap_us, view_value FROM (
+             |  SELECT c.event_id, c.user_id, v.view_id,
+             |    epoch_us(c.ts) - epoch_us(v.vts) AS gap_us,
+             |    round(v.view_value, 4) AS view_value,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |                       ORDER BY v.vts DESC, v.view_id DESC) AS rk
+             |  FROM c LEFT JOIN v
+             |    ON v.user_id = c.user_id
+             |   AND v.vts <= c.ts AND v.vts >= c.ts - INTERVAL 15 MINUTE) t
+             |WHERE rk = 1
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is

@@ -1,16 +1,30 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
+  Alias,
   And,
+  Ascending,
+  Attribute,
+  AttributeReference,
+  Descending,
   EqualTo,
   Expression,
+  GreaterThan,
   GreaterThanOrEqual,
+  If,
+  LessThan,
   LessThanOrEqual,
+  Literal,
+  NullsFirst,
+  NullsLast,
   PredicateHelper,
-  RowOrdering
+  RowNumber,
+  RowOrdering,
+  SortOrder,
+  WindowExpression
 }
 import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
@@ -102,6 +116,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               hint.leftHint.forall(_.strategy.isEmpty) &&
               hint.rightHint.forall(_.strategy.isEmpty) =>
           rewrite(j, cond).getOrElse(j)
+
+        // the hand-written "latest/next within a horizon" SQL idiom:
+        //   SELECT … FROM (SELECT …, row_number() OVER (PARTITION BY <left
+        //   cols> ORDER BY rt DESC[, tb DESC…]) rk FROM l [LEFT] JOIN r ON
+        //   keys AND rt <= t AND rt >= t - h) WHERE rk = 1
+        // Spark plans the inner query as a full pair-emitting join feeding
+        // a window over EVERY match; the as-of merge reduces each left row
+        // to its single best match FIRST (O(1) carried state), leaving the
+        // kept window a ≤|left|-row arbiter instead of an |matches|-row
+        // sort. See rewriteWindowTop1 for the exact soundness argument.
+        case f @ Filter(_, _: Window) =>
+          rewriteWindowTop1(f).getOrElse(f)
       }
 
   private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
@@ -440,5 +466,204 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
       case _ => None
     }
+  }
+
+  /** Rewrite the top-1-per-group window-over-join idiom by REDUCING the
+    * join under the window to the as-of merge, keeping the window + filter
+    * on top as the final arbiter.
+    *
+    * Soundness (exact, for ANY partition granularity): with the ORDER BY
+    * referencing only right-side columns, the rank-1 row of a partition is
+    * some (l, r̂) where r̂ is the ordering-max over the partition's
+    * matches; r̂ ∈ matches(l) and r̂ dominates all of matches(l) ⊆
+    * partition, so r̂ is ALSO l's per-row best — i.e. the group max
+    * survives the per-left-row reduction, and rows the reduction drops
+    * (non-best matches of each left row) can never be rank 1. The window
+    * stays, so partition granularity, null ordering, and rank-tie
+    * arbitration behave exactly as before — just over ≤ |left| rows
+    * instead of every match. The reduction must agree with the ordering on
+    * WHICH row is each left row's best, hence the preconditions: uniform
+    * sort direction with default null placement (DESC ⇒ the as-of forward
+    * max-by-(time, tiebreak…) pick; ASC ⇒ the backward min-by), order
+    * head = the bounded right-side time, tail = the node's tie-breaks.
+    *
+    * The horizon (two-sided bound) rides ABOVE the as-of node: the
+    * anchored best (latest rt ≤ b) is in [a, b] iff ANY match is — all
+    * other matches are older still — so Inner filters `rt ≥ a` and
+    * LeftOuter null-extends via a projection (a left row whose best fails
+    * the horizon must surface null-extended, exactly as the original
+    * outer join with zero in-horizon matches).
+    *
+    * Shape handled: Filter(rk = 1 ∧ …, Window([row_number() AS rk], P ⊆
+    * left, O ⊆ right, [WindowGroupLimit] ([Project-of-attributes])
+    * Join(Inner | LeftOuter, keys ∧ bound(s)))) — WindowGroupLimit (Spark's
+    * own top-k pruning, subsumed by the reduction) and an attribute-only
+    * pruning Project are transparent.
+    */
+  private def rewriteWindowTop1(f: Filter): Option[LogicalPlan] = {
+    val w = f.child.asInstanceOf[Window]
+
+    // exactly one window expression: row_number as `rk`
+    val rk: Attribute = w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => a.toAttribute
+      case _                                                   => return None
+    }
+    // the filter must pin rk to exactly 1 (rank-2+ rows of the original
+    // window may not exist after the reduction, so any looser bound is
+    // unsound); other conjuncts must not touch rk (they survive verbatim)
+    def isOne(e: Expression) = e match {
+      case Literal(1, _) => true
+      case _             => false
+    }
+    def isTwo(e: Expression) = e match {
+      case Literal(2, _) => true
+      case _             => false
+    }
+    val fConjuncts = splitConjunctivePredicates(f.condition)
+    val top1 = fConjuncts.exists {
+      case EqualTo(a, one) if a.semanticEquals(rk) && isOne(one)            => true
+      case EqualTo(one, a) if a.semanticEquals(rk) && isOne(one)            => true
+      case LessThanOrEqual(a, one) if a.semanticEquals(rk) && isOne(one)    => true
+      case GreaterThanOrEqual(one, a) if a.semanticEquals(rk) && isOne(one) => true
+      case LessThan(a, two) if a.semanticEquals(rk) && isTwo(two)           => true
+      case GreaterThan(two, a) if a.semanticEquals(rk) && isTwo(two)        => true
+      case _                                                                => false
+    }
+    if (!top1) return None
+
+    // unwrap transparent operators between the window and the join:
+    // WindowGroupLimit (Spark's own top-k pruning — subsumed by the
+    // reduction) and a projection. The projection may carry computed
+    // ALIASES (e.g. `t - rt AS gap`): it stays ABOVE the reduced join
+    // (the reduction preserves every join-output exprId), and window
+    // partition/order expressions that reference its aliases are
+    // substituted down to join-level expressions before the side checks.
+    var rewrap: LogicalPlan => LogicalPlan = identity
+    var substitute: Expression => Expression = identity
+    var cur: LogicalPlan = w.child
+    cur match {
+      case WindowGroupLimit(_, _, _, limit, inner) if limit >= 1 =>
+        cur = inner // pure pruning; the reduction subsumes it
+      case _ => ()
+    }
+    cur match {
+      case p @ Project(list, inner) if list.forall(_.deterministic) =>
+        val aliasMap: Map[Long, Expression] =
+          list.collect { case a: Alias => a.toAttribute.exprId.id -> a.child }.toMap
+        rewrap = child => p.copy(child = child)
+        if (aliasMap.nonEmpty)
+          substitute = e =>
+            e.transformUp {
+              case ar: AttributeReference if aliasMap.contains(ar.exprId.id) =>
+                aliasMap(ar.exprId.id)
+            }
+        cur = inner
+      case _ => ()
+    }
+    val j = cur match {
+      case j: Join if !j.isStreaming &&
+          (j.joinType == Inner || j.joinType == LeftOuter) &&
+          j.condition.isDefined &&
+          j.hint.leftHint.forall(_.strategy.isEmpty) &&
+          j.hint.rightHint.forall(_.strategy.isEmpty) => j
+      case _ => return None
+    }
+    val (left, right) = (j.left, j.right)
+    def onLeft(e: Expression) = e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def onRight(e: Expression) = e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+
+    // partition on the left side only (a right-reference would slice
+    // groups by match values — not a per-left-row reduction)
+    if (!w.partitionSpec.forall(e => substitute(e).references.subsetOf(left.outputSet)))
+      return None
+    // ordering: non-empty, uniform direction, DEFAULT null placement (the
+    // reduction's pick must be the ordering's first row per left row; the
+    // as-of tie semantics are lexicographic max/min with Spark's default
+    // null ordering), every expression right-only and deterministic
+    if (w.orderSpec.isEmpty) return None
+    val forward = w.orderSpec.head.direction == Descending
+    val defaultNulls = if (forward) NullsLast else NullsFirst
+    val ordExprs = w.orderSpec.map(so => substitute(so.child))
+    val uniform = w.orderSpec.zip(ordExprs).forall { case (so, e) =>
+      so.direction == (if (forward) Descending else Ascending) &&
+      so.nullOrdering == defaultNulls &&
+      e.deterministic && onRight(e) &&
+      RowOrdering.isOrderable(e.dataType)
+    }
+    if (!uniform) return None
+    val rt = ordExprs.head
+    if (!orderableNonFloating(rt.dataType)) return None
+    val tieBreaks = ordExprs.tail
+
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    if (!conjuncts.forall(_.deterministic)) return None
+    val equis: Seq[(Expression, Expression, Expression)] = conjuncts.collect {
+      case e @ EqualTo(a, b) if onLeft(a) && onRight(b) && RowOrdering.isOrderable(a.dataType) =>
+        (a, b, e)
+      case e @ EqualTo(a, b) if onRight(a) && onLeft(b) && RowOrdering.isOrderable(a.dataType) =>
+        (b, a, e)
+    }
+    if (equis.isEmpty) return None
+
+    // bounds on THE ordered right time rt, each against a left-only
+    // expression: lower `a <= rt`, upper `rt <= b` (inclusive only — the
+    // merge and the horizon check are inclusive)
+    val lowers = conjuncts.collect {
+      case e @ GreaterThanOrEqual(r, a) if r.semanticEquals(rt) && onLeft(a) => (a, e)
+      case e @ LessThanOrEqual(a, r) if r.semanticEquals(rt) && onLeft(a)    => (a, e)
+    }
+    val uppers = conjuncts.collect {
+      case e @ LessThanOrEqual(r, b) if r.semanticEquals(rt) && onLeft(b)    => (b, e)
+      case e @ GreaterThanOrEqual(b, r) if r.semanticEquals(rt) && onLeft(b) => (b, e)
+    }
+    if (lowers.length > 1 || uppers.length > 1) return None
+    // the merge anchors on the bound in the sort direction: DESC (latest)
+    // needs `rt <= b`, ASC (earliest) needs `a <= rt`; the opposite bound,
+    // when present, becomes the horizon check above the node
+    val (anchor, horizon) =
+      if (forward) (uppers.headOption, lowers.headOption)
+      else (lowers.headOption, uppers.headOption)
+    if (anchor.isEmpty) return None
+
+    val used: Set[Expression] =
+      (equis.map(_._3) ++ anchor.map(_._2) ++ horizon.map(_._2)).toSet
+    val residual = conjuncts.filterNot(used.contains)
+    // a right-only residual narrows the match domain identically on both
+    // forms (push into the right child; unmatched lefts still null-extend
+    // under LeftOuter); anything else cannot leave an outer condition and
+    // under Inner would change which rows reach the window — decline
+    if (!residual.forall(onRight)) return None
+    val newRight = residual.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+
+    val node = AsOfJoinPlan(
+      left,
+      newRight,
+      leftKeys = equis.map(_._1),
+      rightKeys = equis.map(_._2),
+      leftTime = anchor.get._1,
+      rightTime = rt,
+      rightTieBreak = tieBreaks,
+      mode = if (j.joinType == LeftOuter) AsOfJoinMode.Outer else AsOfJoinMode.Inner,
+      forward = forward
+    )
+    val horizonPred = horizon.map { case (bound, _) =>
+      if (forward) GreaterThanOrEqual(rt, bound) else LessThanOrEqual(rt, bound)
+    }
+    val reduced: LogicalPlan = (horizonPred, j.joinType) match {
+      case (None, _) => node
+      case (Some(pred), Inner) => Filter(pred, node)
+      case (Some(pred), _) =>
+        // LeftOuter: a best match failing the horizon must surface
+        // NULL-extended (the original join had no in-horizon match for
+        // that left row) — a projection nulls the right side out; `pred`
+        // over a null rt is null ⇒ branch-else ⇒ stays null
+        val rightOut = node.output.drop(left.output.length)
+        val kept = left.output ++ rightOut.map { a =>
+          Alias(If(pred, a, Literal(null, a.dataType)), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        }
+        Project(kept, node)
+    }
+    Some(f.copy(child = w.copy(child = rewrap(reduced))))
   }
 }

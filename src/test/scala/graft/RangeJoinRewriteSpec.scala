@@ -640,6 +640,21 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q260 (plain-SQL bounded-as-of window idiom) plans through the as-of Outer merge on real data") {
+    import graft.plans.{AsOfJoinMode, AsOfJoinPlan}
+    val df = graft.ops.QueryRegistry.byName("q260_bounded_asof_sql")
+      .fn(spark, "/root/testdata/sf0.001")
+    val nodes = df.queryExecution.optimizedPlan.collect { case j: AsOfJoinPlan => j }
+    assert(nodes.map(_.mode) == Seq(AsOfJoinMode.Outer) && nodes.head.forward,
+      s"q260 did not reduce to the forward as-of Outer merge:\n${df.queryExecution.optimizedPlan}")
+    // the horizon rides as the null-out projection ABOVE the node, the
+    // window stays as the ≤|left|-row arbiter
+    assert(df.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"),
+      "the arbiter window must remain above the reduction")
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(df.count() > 0)
+  }
+
   test("q249 (plain-SQL FULL JOIN reconcile) plans through the FullOuter sweep on real data") {
     import graft.plans.{IntervalJoinMode, IntervalJoinPlan}
     val df = graft.ops.QueryRegistry.byName("q249_incident_exposure")
@@ -840,5 +855,93 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!small.queryExecution.optimizedPlan.toString.contains("IntervalJoin"),
       "broadcast-sized side must stay with BroadcastHashJoin")
     assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  // ---- the window-top-1 ("latest/next within a horizon") idiom ----
+
+  private def clicksT = (1L to 300L).map(i => (i, i % 9, i * 10)).toDF("event_id", "u", "t")
+  private def viewsT =
+    (1L to 500L).map(i => (i % 9, 1000L + i, i * 6 + (i % 4), (i % 50) + 1.0))
+      .toDF("vu", "view_id", "vt", "vv")
+
+  private def hasAsOf(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("AsOfJoin")
+
+  test("window-top-1 over a bounded LEFT JOIN (the hand-written bounded-as-of SQL) reduces through the as-of merge") {
+    noBroadcast {
+      clicksT.createOrReplaceTempView("wt_clicks")
+      viewsT.createOrReplaceTempView("wt_views")
+      // the q258 oracle shape: latest same-key right row within a horizon,
+      // outer, ties to the largest view_id
+      def sql() = spark.sql(
+        """SELECT event_id, u, view_id, vv FROM (
+          |  SELECT c.event_id, c.u, v.view_id, v.vv,
+          |    row_number() OVER (PARTITION BY c.event_id
+          |                       ORDER BY v.vt DESC, v.view_id DESC) AS rk
+          |  FROM wt_clicks c LEFT JOIN wt_views v
+          |    ON v.vu = c.u AND v.vt <= c.t AND v.vt >= c.t - 40) x
+          |WHERE rk = 1""".stripMargin)
+      val q = sql()
+      assert(hasAsOf(q), s"window-top-1 rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(_.toSeq).toSet
+      val expected = rewriteOff {
+        val plain = sql()
+        assert(!hasAsOf(plain), "kill switch ignored for the window-top-1 arm")
+        plain.collect().map(_.toSeq).toSet
+      }
+      assert(got == expected && expected.nonEmpty)
+      // outer: lefts with no in-horizon match surface null-extended
+      assert(got.exists(r => r(2) == null), "horizon-miss rows lost their null extension")
+    }
+  }
+
+  test("window-top-1 backward (ASC order, lookahead horizon) and INNER variants reduce too") {
+    noBroadcast {
+      clicksT.createOrReplaceTempView("wt_clicks")
+      viewsT.createOrReplaceTempView("wt_views")
+      def sql(join: String) = spark.sql(
+        s"""SELECT event_id, u, view_id, vv FROM (
+           |  SELECT c.event_id, c.u, v.view_id, v.vv,
+           |    row_number() OVER (PARTITION BY c.event_id
+           |                       ORDER BY v.vt ASC, v.view_id ASC) AS rk
+           |  FROM wt_clicks c $join wt_views v
+           |    ON v.vu = c.u AND v.vt >= c.t AND v.vt <= c.t + 25) x
+           |WHERE rk = 1""".stripMargin)
+      Seq("JOIN", "LEFT JOIN").foreach { join =>
+        val q = sql(join)
+        assert(hasAsOf(q), s"$join backward rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+        val expected = rewriteOff(sql(join).collect().map(_.toSeq).toSet)
+        assert(q.collect().map(_.toSeq).toSet == expected && expected.nonEmpty, s"$join mismatch")
+      }
+    }
+  }
+
+  test("window-top-1 guards: rank bound, mixed directions, right-side partition, left residual all block") {
+    noBroadcast {
+      clicksT.createOrReplaceTempView("wt_clicks")
+      viewsT.createOrReplaceTempView("wt_views")
+      def sql(partition: String, order: String, where: String, extra: String = "") = spark.sql(
+        s"""SELECT event_id, u, view_id FROM (
+           |  SELECT c.event_id, c.u, v.view_id,
+           |    row_number() OVER (PARTITION BY $partition ORDER BY $order) AS rk
+           |  FROM wt_clicks c LEFT JOIN wt_views v
+           |    ON v.vu = c.u AND v.vt <= c.t AND v.vt >= c.t - 40$extra) x
+           |WHERE $where""".stripMargin)
+      // rk <= 2 keeps rank-2 rows the reduction would destroy
+      assert(!hasAsOf(sql("c.event_id", "v.vt DESC", "rk <= 2")),
+        "a non-top-1 rank bound must not rewrite")
+      // mixed sort directions have no single as-of pick
+      assert(!hasAsOf(sql("c.event_id", "v.vt DESC, v.view_id ASC", "rk = 1")),
+        "mixed sort directions must not rewrite")
+      // a right-side partition column slices groups by match values
+      assert(!hasAsOf(sql("v.view_id", "v.vt DESC", "rk = 1")),
+        "right-side partition must not rewrite")
+      // a LEFT-side residual conjunct cannot leave an outer condition
+      assert(!hasAsOf(sql("c.event_id", "v.vt DESC", "rk = 1", " AND c.u > 2")),
+        "left residual under LeftOuter must not rewrite")
+      // but the top-1 shape with a RIGHT-side residual still fires
+      assert(hasAsOf(sql("c.event_id", "v.vt DESC", "rk = 1", " AND v.vv > 5")),
+        "right-side residual should push into the right child and rewrite")
+    }
   }
 }
