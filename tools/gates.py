@@ -97,7 +97,10 @@ def main() -> int:
           f"**{bench.get('n')} queries / {bench.get('failed')} failed / "
           f"median {bench.get('median_ms')} ms / total {bench.get('value')} s**; "
           f"p90 {bench.get('p90_ms')} ms, p99 {bench.get('p99_ms')} ms, "
-          f"slow_n={bench.get('slow_n')}, codegen est {bench.get('codegen_ms_estimate')} ms")
+          f"slow_n={bench.get('slow_n')}, codegen est {bench.get('codegen_ms_estimate')} ms, "
+          f"calibration {bench.get('calibration_ms', 'n/a')} ms "
+          f"(divide cross-round ratios by the calibration ratio before "
+          f"calling a delta a regression)")
     shared = bench.get("shared_build_ms") or {}
     if shared:
         print("  - shared builds (cold, standalone): "
@@ -110,7 +113,9 @@ def main() -> int:
               f"burst {rps('burst')}, sustained {rps('sustained')}, "
               f"single_group {rps('single_group')}, rate_limited {rps('rate_limited')}, "
               f"interval_join {rps('interval_join')} "
-              f"(rocksdb {rps('interval_join_rocksdb')}, p8 {rps('interval_join_p8')}) rows/s; "
+              f"(rocksdb {rps('interval_join_rocksdb')}, p8 {rps('interval_join_p8')}, "
+              f"auto[w{(streaming.get('interval_join_auto') or {}).get('width', '?')}] "
+              f"{rps('interval_join_auto')}) rows/s; "
               f"drain {((streaming.get('drain') or {}).get('drain_sec', 'n/a'))} s")
     return 0
 
