@@ -181,6 +181,16 @@ object ScaleStress {
       .selectExpr("id % 10000 AS rk", "(id * 48271) % 10000000 AS rt", "id AS rv")
 
     var peakActive = -1L
+    // untimed warmup of BOTH window-top-1 paths at x=1: first-in-JVM
+    // codegen (~4 s) otherwise lands on whichever on/off line runs first
+    // and corrupts the comparison those lines exist to make
+    if (only.forall(_.exists(_.startsWith("window_top1")))) {
+      graft.GraftExtensions.register(spark)
+      windowTop1Sql(spark, 1).count()
+      spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+      try windowTop1Sql(spark, 1).count()
+      finally spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "true")
+    }
     val joins = Seq(
       timed("asof_join_1m_x_500k") {
         graft.plans.AsOf.asofJoin(pts.toDF(), asofRight.toDF(),
@@ -202,6 +212,32 @@ object ScaleStress {
       timed("interval_full_outer_1m_x_500k") {
         graft.plans.Interval.intervalFullOuterJoin(pts.toDF(), ivs.toDF(),
           Seq("k"), Seq("rk"), "t", "s", "e").count()
+      },
+      // The window-top-1 reduction's perf claim, measured at scale: the
+      // hand-written "latest within a horizon" SQL (row_number = 1 over a
+      // bounded LEFT JOIN) with vs without the rewrite. 1M left rows ×
+      // 500k right rows on 1k keys; ~5 in-horizon matches per left row at
+      // the default time range — the rewrite's window arbitrates ≤1M
+      // reduced rows, the plain plan sorts every match per partition.
+      timed("window_top1_rewrite_on_fanout5") {
+        graft.GraftExtensions.register(spark)
+        windowTop1Sql(spark, x).count()
+      },
+      timed("window_top1_rewrite_off_fanout5") {
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+        try windowTop1Sql(spark, x).count()
+        finally spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "true")
+      },
+      // tighter time range → ~50 in-horizon matches per left row: the
+      // window-over-every-match plan sorts ~50M rows, the reduction ~1M
+      timed("window_top1_rewrite_on_fanout50") {
+        graft.GraftExtensions.register(spark)
+        windowTop1Sql(spark, x, timeRange = 100000L).count()
+      },
+      timed("window_top1_rewrite_off_fanout50") {
+        spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+        try windowTop1Sql(spark, x, timeRange = 100000L).count()
+        finally spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "true")
       }
     )
 
@@ -244,6 +280,32 @@ object ScaleStress {
         s""""peak_active_intervals":$peakActive,"pairs_cos_ge_090":{"default_geom":$hiDefault,"wide_bands":$hiWide},"heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g",$json}"""
     )
     spark.stop()
+  }
+
+  /** The hand-written bounded-as-of idiom at x-scale: left 100k·x rows /
+    * right 50k·x rows over 1000 keys; in-horizon fanout per left row =
+    * (50·x rows/key) × 10000/timeRange — ~5 at the 1M default, ~50 at
+    * timeRange=100k. Same text with the rewrite on and off — the delta
+    * is the window-over-every-match cost the reduction removes.
+    */
+  private def windowTop1Sql(
+      spark: SparkSession,
+      x: Int,
+      timeRange: Long = 1000000L
+  ): org.apache.spark.sql.DataFrame = {
+    spark.range(100000L * x)
+      .selectExpr(s"id % 1000 AS k", s"(id * 2654435761) % $timeRange AS t", "id AS lid")
+      .createOrReplaceTempView("wt1_l")
+    spark.range(50000L * x)
+      .selectExpr(s"id % 1000 AS k", s"(id * 48271) % $timeRange AS rt", "id AS rid")
+      .createOrReplaceTempView("wt1_r")
+    spark.sql(
+      """SELECT lid, k, rid, rt FROM (
+        |  SELECT l.lid, l.k, r.rid, r.rt,
+        |    row_number() OVER (PARTITION BY l.lid ORDER BY r.rt DESC, r.rid DESC) AS rk
+        |  FROM wt1_l l LEFT JOIN wt1_r r
+        |    ON r.k = l.k AND r.rt <= l.t AND r.rt >= l.t - 10000) s
+        |WHERE rk = 1""".stripMargin)
   }
 
   /** Per-task peak of the maxActiveIntervals metric (max statistic) from

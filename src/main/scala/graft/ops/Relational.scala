@@ -1200,6 +1200,51 @@ object Relational {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // The BACKWARD direction of q260 through plain SQL: earliest
+    // same-user purchase within a lookahead horizon (row_number ASC over
+    // the mirrored bound pair) — the rewrite's min_by/backward arm,
+    // oracle-gated end to end like the forward one. Same numbers as
+    // q259, which reaches it through the API.
+    Q(
+      "q261_bounded_next_sql",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        events(s, d).createOrReplaceTempView("g261_events")
+        s.sql("""WITH c AS (
+                |  SELECT event_id, user_id, ts FROM g261_events WHERE event_type = 'click'),
+                |p AS (
+                |  SELECT user_id, event_id AS p_id, ts AS pts, value AS p_value
+                |  FROM g261_events WHERE event_type = 'purchase')
+                |SELECT event_id, user_id, p_id, wait_us, p_value FROM (
+                |  SELECT c.event_id, c.user_id, p.p_id,
+                |    unix_micros(p.pts) - unix_micros(c.ts) AS wait_us,
+                |    round(p.p_value, 4) AS p_value,
+                |    row_number() OVER (PARTITION BY c.event_id
+                |                       ORDER BY p.pts ASC, p.p_id ASC) AS rk
+                |  FROM c LEFT JOIN p
+                |    ON p.user_id = c.user_id
+                |   AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 30 MINUTE) t
+                |WHERE rk = 1
+                |ORDER BY event_id""".stripMargin)
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id, event_id AS p_id, ts AS pts, value AS p_value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, p_id, wait_us, p_value FROM (
+             |  SELECT c.event_id, c.user_id, p.p_id,
+             |    epoch_us(p.pts) - epoch_us(c.ts) AS wait_us,
+             |    round(p.p_value, 4) AS p_value,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |                       ORDER BY p.pts ASC, p.p_id ASC) AS rk
+             |  FROM c LEFT JOIN p
+             |    ON p.user_id = c.user_id
+             |   AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 30 MINUTE) t
+             |WHERE rk = 1
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is

@@ -655,6 +655,16 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q261 (plain-SQL backward bounded-as-of) plans through the backward as-of Outer merge") {
+    import graft.plans.{AsOfJoinMode, AsOfJoinPlan}
+    val df = graft.ops.QueryRegistry.byName("q261_bounded_next_sql")
+      .fn(spark, "/root/testdata/sf0.001")
+    val nodes = df.queryExecution.optimizedPlan.collect { case j: AsOfJoinPlan => j }
+    assert(nodes.map(_.mode) == Seq(AsOfJoinMode.Outer) && !nodes.head.forward,
+      s"q261 did not reduce to the backward as-of Outer merge:\n${df.queryExecution.optimizedPlan}")
+    assert(df.count() > 0)
+  }
+
   test("q249 (plain-SQL FULL JOIN reconcile) plans through the FullOuter sweep on real data") {
     import graft.plans.{IntervalJoinMode, IntervalJoinPlan}
     val df = graft.ops.QueryRegistry.byName("q249_incident_exposure")
@@ -912,6 +922,63 @@ class RangeJoinRewriteSpec extends SparkSpec {
         assert(hasAsOf(q), s"$join backward rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
         val expected = rewriteOff(sql(join).collect().map(_.toSeq).toSet)
         assert(q.collect().map(_.toSeq).toSet == expected && expected.nonEmpty, s"$join mismatch")
+      }
+    }
+  }
+
+  test("window-top-1 randomized differential: nulls, duplicate lefts, coarse partitions, horizon edges") {
+    // Adversarial shapes for the reduction's soundness claims:
+    //  - tie-break values that are NULL (default null placement must
+    //    agree between the kept window and the as-of pick)
+    //  - duplicate left rows (per-left-row reduction emits each; the
+    //    window collapses them exactly as the original did)
+    //  - partitions COARSER than the left row (the group max must
+    //    survive the per-row reduction)
+    //  - horizon hits exactly on both inclusive edges
+    noBroadcast {
+      val rnd = new scala.util.Random(1319)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val lSchema = StructType(Seq(
+        StructField("lid", LongType), StructField("k", LongType), StructField("t", LongType)))
+      val rSchema = StructType(Seq(
+        StructField("k", LongType), StructField("rt", LongType),
+        StructField("tb", LongType, nullable = true), StructField("pay", LongType)))
+      val lefts = (1 to 160).map { i =>
+        Row(i.toLong % 150, rnd.nextInt(5).toLong, rnd.nextInt(60).toLong) // lid%150 => dup lefts
+      }
+      val rights = (1 to 400).map { i =>
+        Row(rnd.nextInt(5).toLong, rnd.nextInt(60).toLong,
+          if (rnd.nextInt(4) == 0) null else rnd.nextInt(3).toLong, // heavy tb ties + nulls
+          i.toLong)
+      }
+      val l = spark.createDataFrame(spark.sparkContext.parallelize(lefts), lSchema)
+      val r = spark.createDataFrame(spark.sparkContext.parallelize(rights), rSchema)
+      l.createOrReplaceTempView("wtr_l"); r.createOrReplaceTempView("wtr_r")
+      for {
+        join <- Seq("JOIN", "LEFT JOIN")
+        (order, bound) <- Seq(
+          ("rt DESC, tb DESC, pay DESC", "r.rt <= l.t AND r.rt >= l.t - 7"), // forward, full tiebreak
+          ("rt ASC, tb ASC, pay ASC", "r.rt >= l.t AND r.rt <= l.t + 7"),    // backward
+          ("rt DESC, tb DESC, pay DESC", "r.rt <= l.t")                       // unbounded forward
+        )
+        partition <- Seq("l.lid, l.k, l.t", "l.k") // exact and COARSE groups
+      } {
+        def sql() = spark.sql(
+          s"""SELECT * FROM (
+             |  SELECT l.lid, l.k, l.t, r.rt, r.tb, r.pay,
+             |    row_number() OVER (PARTITION BY $partition ORDER BY $order) AS rk
+             |  FROM wtr_l l $join wtr_r r ON r.k = l.k AND $bound) x
+             |WHERE rk = 1""".stripMargin)
+        val q = sql()
+        assert(hasAsOf(q),
+          s"rewrite did not fire for ($join, $order, $bound, $partition):\n${q.queryExecution.optimizedPlan}")
+        val got = q.collect().map(_.toSeq).toSet
+        val expected = rewriteOff(sql().collect().map(_.toSeq).toSet)
+        assert(got == expected,
+          s"differential mismatch for ($join, $order, $bound, $partition): " +
+            s"got-only=${(got -- expected).take(3)} exp-only=${(expected -- got).take(3)}")
+        assert(expected.nonEmpty)
       }
     }
   }
