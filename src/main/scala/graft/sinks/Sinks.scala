@@ -247,14 +247,20 @@ object Sinks {
     * own recommended exactly-once sink needs: every micro-batch leaves one
     * staging dir + one manifest forever, so a long-running pipeline turns
     * the reader's metadata pass into a storm of tiny manifests and
-    * trigger-sized files. Rewrites the union of all LIVE manifested data
-    * into `ceil(bytes/targetBytes)` sized files and publishes ONE
-    * superseding compaction manifest ATOMICALLY (single rename, same
-    * discipline as the batch publish): the new manifest both names the new
-    * files and retires — via `#supersedes:` headers — every manifest file
-    * that existed when the rewrite started, so a concurrent
-    * [[readManifested]] sees the old set (before the rename) or the new
-    * set (after), never a mix and never a duplicate. Retired manifest
+    * trigger-sized files. INCREMENTAL by design — the 100 TB contract is
+    * that a compaction pass costs proportional to the small-file (recent
+    * trigger) volume, not the corpus: only live files under
+    * `targetBytes / 2` are rewritten into `ceil(bytes/targetBytes)` sized
+    * files; already-full-size files are carried into the new manifest BY
+    * REFERENCE, untouched on disk. The new manifest is published
+    * ATOMICALLY (single rename, same discipline as the batch publish): it
+    * names the kept + new files and retires — via `#supersedes:` headers
+    * — every manifest file that existed when the rewrite started, so a
+    * concurrent [[readManifested]] sees the old set (before the rename)
+    * or the new set (after), never a mix and never a duplicate. Fewer
+    * than two small files → no rewrite (returns 0), but interrupted
+    * cleanup is still finished (retired leftovers deleted + vacuum), so
+    * calling it in a housekeeping loop is idempotent and self-healing. Retired manifest
     * files and their data dirs are then deleted; a crash anywhere leaves a
     * state a reader handles and a later call heals:
     *  - before the rename: staging data + dot-tmp manifest are invisible;
@@ -285,6 +291,29 @@ object Sinks {
     val (live, _) = manifestState(hfs, root)
     val liveFiles = live.flatMap(_._2)
     if (liveFiles.isEmpty) return 0
+    // INCREMENTAL: rewrite only the under-sized files — at scale the
+    // corpus is mostly already-compacted full-size files, and a
+    // compaction pass must cost proportional to the small-file (recent
+    // trigger) volume, not the corpus. Full-size files are carried into
+    // the new manifest BY REFERENCE, unchanged on disk; only files below
+    // half the target merge. Fewer than two small files → nothing to
+    // merge → no-op (idempotent housekeeping loop).
+    val sized = liveFiles.map(f =>
+      f -> hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+    val (small, kept) = sized.partition(_._2 < targetBytes / 2)
+    if (small.length < 2) {
+      // nothing to merge — but still finish any interrupted cleanup:
+      // every retired (superseded) manifest leftover is named by a LIVE
+      // manifest (each compaction supersedes everything on disk at its
+      // publish), so deleting the leftovers and vacuuming is always safe
+      val liveNames = live.map(_._1).toSet
+      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+          !liveNames.contains(s.getPath.getName))
+        .foreach(s => hfs.delete(s.getPath, false))
+      vacuumUnmanifested(spark, root)
+      return 0
+    }
     // snapshot EVERY manifest file name present now (live + leftover
     // retired): all become superseded by the new compaction manifest
     val snapshot = hfs
@@ -296,11 +325,11 @@ object Sinks {
       .collect { case n if n.startsWith("compact-") => n.stripPrefix("compact-").takeWhile(_.isDigit) }
       .collect { case d if d.nonEmpty => d.toLong }
       .maxOption.getOrElse(0L) + 1
-    val bytes = liveFiles.map(f => hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val bytes = small.map(_._2).sum
     val parts = (bytes.toDouble / targetBytes).ceil.toInt.max(1)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/compact-$gen-$attempt"
-    spark.read.parquet(liveFiles: _*).coalesce(parts)
+    spark.read.parquet(small.map(_._1): _*).coalesce(parts)
       .write.mode(SaveMode.Overwrite).parquet(dataDir)
     val newFiles = hfs
       .globStatus(new org.apache.hadoop.fs.Path(s"$dataDir/*.parquet"))
@@ -308,7 +337,12 @@ object Sinks {
       .sorted
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/compact-$gen")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.compact-$gen-$attempt.tmp")
-    val body = (snapshot.map("#supersedes:" + _) ++ newFiles).mkString("\n")
+    // kept (already-sized) files ride into the new manifest by reference:
+    // their staging dirs stay referenced, so vacuum leaves them alone. A
+    // dir mixing kept and rewritten files is reclaimed only once ALL its
+    // files age out of the manifests — correctness is unaffected (readers
+    // open exactly the files a manifest names), the space follows later.
+    val body = (snapshot.map("#supersedes:" + _) ++ kept.map(_._1) ++ newFiles).mkString("\n")
     val out = hfs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -205,25 +205,71 @@ class SinksSpec extends SparkSpec {
     // reconstruct "publish done, cleanup crashed": retired batch manifests
     // back on disk beside compact-1 — the exact state a concurrent reader
     // can observe between the rename and the deletes
-    frozen.foreach { case (name, bytes) =>
+    def restoreFrozen(): Unit = frozen.foreach { case (name, bytes) =>
       val out = fs.create(p(s"$root/_manifests/$name"), true)
       out.write(bytes); out.close()
     }
+    restoreFrozen()
     assert(total() == expected,
       "reader in the publish-to-cleanup window double-counted superseded batches")
-    // a second compaction over the leftover state must supersede EVERY
-    // manifest file — retired leftovers included — so that deleting the
-    // old compaction manifest can never resurrect the batches it retired
+    // two fresh batches make the next compaction REAL (≥ 2 small files);
+    // it must supersede EVERY manifest file — retired leftovers included —
+    // so that deleting the old compaction manifest can never resurrect
+    // the batches it retired
+    Sinks.manifestedParquet((30 until 40).toDF("v"), root, batchId = 3)
+    Sinks.manifestedParquet((40 until 50).toDF("v"), root, batchId = 4)
+    val expected2 = (0 until 50).sum.toLong
     Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
-    val names = fs.listStatus(p(s"$root/_manifests"))
+    def names() = fs.listStatus(p(s"$root/_manifests"))
       .filter(s => s.isFile && !s.getPath.getName.startsWith(".")).map(_.getPath.getName).sorted
-    assert(names.toSeq == Seq("compact-2"), s"second compaction left leftovers: ${names.toSeq}")
+    assert(names().toSeq == Seq("compact-2"), s"second compaction left leftovers: ${names().toSeq}")
     val in = fs.open(p(s"$root/_manifests/compact-2"))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     assert(body.contains("#supersedes:compact-1"))
     frozen.foreach { case (name, _) =>
       assert(body.contains(s"#supersedes:$name"), s"leftover $name not superseded by compact-2")
     }
+    assert(total() == expected2)
+    // the NO-OP path (nothing worth merging) still heals interrupted
+    // cleanup: leftovers are deleted, the live manifest survives
+    restoreFrozen()
+    assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 0)
+    assert(names().toSeq == Seq("compact-2"),
+      s"no-op compaction did not heal leftovers: ${names().toSeq}")
+    assert(total() == expected2)
+  }
+
+  test("compactManifested is incremental: full-size files ride by reference, only small ones rewrite") {
+    val root = Files.createTempDirectory("graft-mcompact-incr").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    // one big batch (~tens of KB) + three trigger-sized ones (~1 KB each)
+    Sinks.manifestedParquet(spark.range(20000).selectExpr("id AS v"), root, batchId = 0)
+    (1 to 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).map(_.toLong).toDF("v"), root, batchId = b.toLong))
+    val expected = (0L until 20000L).sum + (10 until 40).sum
+    val bigFiles = fs.globStatus(p(s"$root/data/batch-0-*/*.parquet")).map(_.getPath.toString)
+    assert(bigFiles.nonEmpty)
+    // threshold between the two sizes: big kept by reference, small merged
+    val parts = Sinks.compactManifested(spark, root, targetBytes = 16L * 1024)
+    assert(parts == 1, s"three ~1 KB files should merge into one, got $parts")
+    assert(total() == expected, "incremental compaction changed the data")
+    val manifest = fs.listStatus(p(s"$root/_manifests")).filter(_.isFile).head.getPath
+    val in = fs.open(manifest)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    bigFiles.foreach(f =>
+      assert(body.contains(f), s"full-size file not carried by reference: $f"))
+    // the big batch's staging dir is still referenced → untouched on disk;
+    // the rewritten small batches' dirs are reclaimed
+    val dataDirs = fs.listStatus(p(s"$root/data")).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    assert(dataDirs.exists(_.startsWith("batch-0-")), s"referenced dir vacuumed: ${dataDirs.toSeq}")
+    assert(!dataDirs.exists(_.startsWith("batch-1-")), s"rewritten dir kept: ${dataDirs.toSeq}")
+    // second call: nothing small enough to merge twice → idempotent no-op
+    assert(Sinks.compactManifested(spark, root, targetBytes = 16L * 1024) == 0)
     assert(total() == expected)
   }
 }
