@@ -562,32 +562,52 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     val j = cur match {
       case j: Join if !j.isStreaming &&
-          (j.joinType == Inner || j.joinType == LeftOuter) &&
           j.condition.isDefined &&
           j.hint.leftHint.forall(_.strategy.isEmpty) &&
           j.hint.rightHint.forall(_.strategy.isEmpty) => j
       case _ => return None
     }
-    val (left, right) = (j.left, j.right)
-    def onLeft(e: Expression) = e.references.nonEmpty && e.references.subsetOf(left.outputSet)
-    def onRight(e: Expression) = e.references.nonEmpty && e.references.subsetOf(right.outputSet)
-
-    // partition on the left side only (a right-reference would slice
-    // groups by match values — not a per-left-row reduction)
-    if (!w.partitionSpec.forall(e => substitute(e).references.subsetOf(left.outputSet)))
-      return None
-    // ordering: non-empty, uniform direction, DEFAULT null placement (the
-    // reduction's pick must be the ordering's first row per left row; the
-    // as-of tie semantics are lexicographic max/min with Spark's default
-    // null ordering), every expression right-only and deterministic
     if (w.orderSpec.isEmpty) return None
+    val ordExprs = w.orderSpec.map(so => substitute(so.child))
+    val partExprs = w.partitionSpec.map(substitute)
+
+    // ORIENTATION: the ANCHOR side hosts the window partition (one best
+    // match picked per anchor row — the as-of probe side); the MATCH side
+    // hosts the ordering. Partition on the join's left is the written
+    // idiom; partition on the join's RIGHT is the same idiom with the
+    // FROM order flipped — swap the sides into the node and restore the
+    // original column order with a Project. A partition referencing the
+    // match side would slice groups by match values (not a per-anchor-row
+    // reduction) and never rewrites. The outer variant must preserve the
+    // anchor: LeftOuter with the anchor left, RightOuter with the anchor
+    // right; the cross cases null-extend MATCHES, a different operator.
+    val partLeft = partExprs.forall(_.references.subsetOf(j.left.outputSet)) &&
+      ordExprs.forall(e => e.references.nonEmpty && e.references.subsetOf(j.right.outputSet))
+    val partRight = partExprs.forall(_.references.subsetOf(j.right.outputSet)) &&
+      ordExprs.forall(e => e.references.nonEmpty && e.references.subsetOf(j.left.outputSet))
+    val (anchorSide, matchSide, swapped) =
+      if (partLeft && (j.joinType == Inner || j.joinType == LeftOuter))
+        (j.left, j.right, false)
+      else if (partRight && (j.joinType == Inner || j.joinType == RightOuter))
+        (j.right, j.left, true)
+      else return None
+    val outerMode = j.joinType != Inner
+    def onAnchor(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(anchorSide.outputSet)
+    def onMatch(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(matchSide.outputSet)
+
+    // ordering: uniform direction, DEFAULT null placement (the
+    // reduction's pick must be the ordering's first row per anchor row;
+    // the as-of tie semantics are lexicographic max/min with Spark's
+    // default null ordering), every expression match-side and
+    // deterministic
     val forward = w.orderSpec.head.direction == Descending
     val defaultNulls = if (forward) NullsLast else NullsFirst
-    val ordExprs = w.orderSpec.map(so => substitute(so.child))
     val uniform = w.orderSpec.zip(ordExprs).forall { case (so, e) =>
       so.direction == (if (forward) Descending else Ascending) &&
       so.nullOrdering == defaultNulls &&
-      e.deterministic && onRight(e) &&
+      e.deterministic &&
       RowOrdering.isOrderable(e.dataType)
     }
     if (!uniform) return None
@@ -597,24 +617,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     val conjuncts = splitConjunctivePredicates(j.condition.get)
     if (!conjuncts.forall(_.deterministic)) return None
+    // equi keys oriented (anchorExpr, matchExpr, original conjunct)
     val equis: Seq[(Expression, Expression, Expression)] = conjuncts.collect {
-      case e @ EqualTo(a, b) if onLeft(a) && onRight(b) && RowOrdering.isOrderable(a.dataType) =>
+      case e @ EqualTo(a, b)
+          if onAnchor(a) && onMatch(b) && RowOrdering.isOrderable(a.dataType) =>
         (a, b, e)
-      case e @ EqualTo(a, b) if onRight(a) && onLeft(b) && RowOrdering.isOrderable(a.dataType) =>
+      case e @ EqualTo(a, b)
+          if onMatch(a) && onAnchor(b) && RowOrdering.isOrderable(a.dataType) =>
         (b, a, e)
     }
     if (equis.isEmpty) return None
 
-    // bounds on THE ordered right time rt, each against a left-only
+    // bounds on THE ordered match time rt, each against an anchor-side
     // expression: lower `a <= rt`, upper `rt <= b` (inclusive only — the
     // merge and the horizon check are inclusive)
     val lowers = conjuncts.collect {
-      case e @ GreaterThanOrEqual(r, a) if r.semanticEquals(rt) && onLeft(a) => (a, e)
-      case e @ LessThanOrEqual(a, r) if r.semanticEquals(rt) && onLeft(a)    => (a, e)
+      case e @ GreaterThanOrEqual(r, a) if r.semanticEquals(rt) && onAnchor(a) => (a, e)
+      case e @ LessThanOrEqual(a, r) if r.semanticEquals(rt) && onAnchor(a)    => (a, e)
     }
     val uppers = conjuncts.collect {
-      case e @ LessThanOrEqual(r, b) if r.semanticEquals(rt) && onLeft(b)    => (b, e)
-      case e @ GreaterThanOrEqual(b, r) if r.semanticEquals(rt) && onLeft(b) => (b, e)
+      case e @ LessThanOrEqual(r, b) if r.semanticEquals(rt) && onAnchor(b)    => (b, e)
+      case e @ GreaterThanOrEqual(b, r) if r.semanticEquals(rt) && onAnchor(b) => (b, e)
     }
     if (lowers.length > 1 || uppers.length > 1) return None
     // the merge anchors on the bound in the sort direction: DESC (latest)
@@ -628,42 +651,48 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val used: Set[Expression] =
       (equis.map(_._3) ++ anchor.map(_._2) ++ horizon.map(_._2)).toSet
     val residual = conjuncts.filterNot(used.contains)
-    // a right-only residual narrows the match domain identically on both
-    // forms (push into the right child; unmatched lefts still null-extend
-    // under LeftOuter); anything else cannot leave an outer condition and
-    // under Inner would change which rows reach the window — decline
-    if (!residual.forall(onRight)) return None
-    val newRight = residual.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+    // a match-side residual narrows the match domain identically on both
+    // forms (push into the match child; unmatched anchors still
+    // null-extend under the outer variant); anything else cannot leave an
+    // outer condition and under Inner would change which rows reach the
+    // window — decline
+    if (!residual.forall(onMatch)) return None
+    val newMatch = residual.reduceOption(And).map(Filter(_, matchSide)).getOrElse(matchSide)
 
     val node = AsOfJoinPlan(
-      left,
-      newRight,
+      anchorSide,
+      newMatch,
       leftKeys = equis.map(_._1),
       rightKeys = equis.map(_._2),
       leftTime = anchor.get._1,
       rightTime = rt,
       rightTieBreak = tieBreaks,
-      mode = if (j.joinType == LeftOuter) AsOfJoinMode.Outer else AsOfJoinMode.Inner,
+      mode = if (outerMode) AsOfJoinMode.Outer else AsOfJoinMode.Inner,
       forward = forward
     )
     val horizonPred = horizon.map { case (bound, _) =>
       if (forward) GreaterThanOrEqual(rt, bound) else LessThanOrEqual(rt, bound)
     }
-    val reduced: LogicalPlan = (horizonPred, j.joinType) match {
+    val reduced0: LogicalPlan = (horizonPred, outerMode) match {
       case (None, _) => node
-      case (Some(pred), Inner) => Filter(pred, node)
-      case (Some(pred), _) =>
-        // LeftOuter: a best match failing the horizon must surface
+      case (Some(pred), false) => Filter(pred, node)
+      case (Some(pred), true) =>
+        // outer: a best match failing the horizon must surface
         // NULL-extended (the original join had no in-horizon match for
-        // that left row) — a projection nulls the right side out; `pred`
-        // over a null rt is null ⇒ branch-else ⇒ stays null
-        val rightOut = node.output.drop(left.output.length)
-        val kept = left.output ++ rightOut.map { a =>
+        // that anchor row) — a projection nulls the match side out;
+        // `pred` over a null rt is null ⇒ branch-else ⇒ stays null
+        val matchOut = node.output.drop(anchorSide.output.length)
+        val kept = anchorSide.output ++ matchOut.map { a =>
           Alias(If(pred, a, Literal(null, a.dataType)), a.name)(
             exprId = a.exprId, qualifier = a.qualifier)
         }
         Project(kept, node)
     }
+    // swapped orientation: restore the join's original (left ++ right)
+    // column order. The node's outer mode already marks the match side
+    // nullable, so j.output's nullability is satisfied either way.
+    val reduced =
+      if (swapped) Project(j.output, reduced0) else reduced0
     Some(f.copy(child = w.copy(child = rewrap(reduced))))
   }
 }

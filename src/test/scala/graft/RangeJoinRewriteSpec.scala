@@ -983,6 +983,36 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("window-top-1 swapped orientation: anchor on the join's RIGHT rewrites with column order restored") {
+    // the same idiom with the FROM order flipped — matches first, anchor
+    // second — and RIGHT JOIN as the anchor-preserving outer variant
+    noBroadcast {
+      clicksT.createOrReplaceTempView("wt_clicks")
+      viewsT.createOrReplaceTempView("wt_views")
+      def sql(join: String) = spark.sql(
+        s"""SELECT event_id, u, view_id, vv FROM (
+           |  SELECT c.event_id, c.u, v.view_id, v.vv,
+           |    row_number() OVER (PARTITION BY c.event_id
+           |                       ORDER BY v.vt DESC, v.view_id DESC) AS rk
+           |  FROM wt_views v $join wt_clicks c
+           |    ON v.vu = c.u AND v.vt <= c.t AND v.vt >= c.t - 40) x
+           |WHERE rk = 1""".stripMargin)
+      Seq("JOIN", "RIGHT JOIN").foreach { join =>
+        val q = sql(join)
+        assert(hasAsOf(q), s"swapped $join rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+        val expected = rewriteOff {
+          val plain = sql(join)
+          assert(!hasAsOf(plain), "kill switch ignored for the swapped arm")
+          plain.collect().map(_.toSeq).toSet
+        }
+        assert(q.collect().map(_.toSeq).toSet == expected && expected.nonEmpty, s"$join mismatch")
+      }
+      // LEFT JOIN with the anchor on the right null-extends MATCHES — a
+      // different operator; must not rewrite
+      assert(!hasAsOf(sql("LEFT JOIN")), "match-preserving outer must not rewrite")
+    }
+  }
+
   test("window-top-1 guards: rank bound, mixed directions, right-side partition, left residual all block") {
     noBroadcast {
       clicksT.createOrReplaceTempView("wt_clicks")
