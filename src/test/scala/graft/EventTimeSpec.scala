@@ -709,6 +709,41 @@ class EventTimeSpec extends SparkSpec {
       s"partition ids exceed the pinned width: ${profile.toSeq}")
   }
 
+  test("StateInspect reads a RocksDB-provider checkpoint identically (the 100 TB provider)") {
+    // the ops tool must not care which provider wrote the state — a
+    // RocksDB deployment (state beyond heap) gets the same hot-key
+    // answer from its checkpoint files
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-inspect-rdb").toString
+    val cs = MemoryStream[(Long, Timestamp)]
+    val bs = MemoryStream[(Long, Timestamp, Double)]
+    val bound = EventTime.withStatePartitions(
+      EventTime.intervalJoin(
+        cs.toDF().toDF("user_id", "cts"), "cts",
+        bs.toDF().toDF("user_id", "bts", "amount"), "bts",
+        Seq("user_id"), watermarkDelay = "10 minutes", within = "5 minutes"), 3)
+    // the provider binds at query start from the frame's (cloned) session
+    bound.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = bound.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint).format("noop").start()
+    try {
+      cs.addData((0L until 6L).map(k => (k, ts(0))))
+      bs.addData((0L until 6L).flatMap(k =>
+        (0 until (if (k == 2L) 25 else 3)).map(i => (k, ts(1), i.toDouble))))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+    val hot = graft.streaming.StateInspect
+      .hotKeys(spark, checkpoint, joinSide = Some("right"), topK = 2).collect()
+    assert(hot.head.getAs[Long]("field0") == 2L && hot.head.getAs[Long]("state_rows") == 25L,
+      s"RocksDB checkpoint hot key wrong: ${hot.map(_.mkString(",")).toSeq}")
+    val profile = graft.streaming.StateInspect
+      .partitionProfile(spark, checkpoint, joinSide = Some("right")).collect()
+    assert(profile.map(_.getAs[Long]("state_rows")).sum == 25L + 5 * 3)
+  }
+
   test("asofJoinBounded rejects a MapType left column up front with the column named") {
     import spark.implicits._
     val clicks = Seq((1L, ts(0), Map("a" -> 1)))
