@@ -329,7 +329,12 @@ object Sinks {
     val parts = (bytes.toDouble / targetBytes).ceil.toInt.max(1)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/compact-$gen-$attempt"
-    spark.read.parquet(small.map(_._1): _*).coalesce(parts)
+    // mergeSchema: batches may have evolved additively; without it the
+    // rewrite would take one file's schema and silently DROP columns the
+    // other batches carry. The compacted files get the union schema
+    // (absent columns null-filled), which also makes later plain reads
+    // deterministic where mixed per-file schemas were not.
+    spark.read.option("mergeSchema", "true").parquet(small.map(_._1): _*).coalesce(parts)
       .write.mode(SaveMode.Overwrite).parquet(dataDir)
     val newFiles = hfs
       .globStatus(new org.apache.hadoop.fs.Path(s"$dataDir/*.parquet"))

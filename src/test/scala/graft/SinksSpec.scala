@@ -239,6 +239,21 @@ class SinksSpec extends SparkSpec {
     assert(total() == expected2)
   }
 
+  test("compactManifested merges evolved schemas instead of dropping the newer columns") {
+    val root = Files.createTempDirectory("graft-mcompact-schema").toString
+    // batch 0: (v); batch 1 evolved additively: (v, tag)
+    Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
+    Sinks.manifestedParquet(
+      Seq((6, "a"), (7, "b")).toDF("v", "tag"), root, batchId = 1)
+    Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
+    val back = Sinks.readManifested(spark, root)
+    assert(back.columns.toSet == Set("v", "tag"),
+      s"compaction dropped evolved columns: ${back.columns.toSeq}")
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 28L)
+    assert(back.filter(org.apache.spark.sql.functions.col("tag").isNotNull).count() == 2)
+    assert(back.filter(org.apache.spark.sql.functions.col("tag").isNull).count() == 5)
+  }
+
   test("compactManifested is incremental: full-size files ride by reference, only small ones rewrite") {
     val root = Files.createTempDirectory("graft-mcompact-incr").toString
     val fs = org.apache.hadoop.fs.FileSystem.get(
