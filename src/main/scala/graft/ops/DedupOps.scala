@@ -2673,7 +2673,7 @@ object DedupOps {
           expr(s"cast(conv(substring(md5(cast($c as string)), 1, 4), 16, 10) as bigint) % 10")
         def splitOf(c: String) =
           when(gate(c) < 8, "train").when(gate(c) === 8, "val").otherwise("test")
-        val assigned = Caches.persisted(
+        val assigned = Caches.buildScope("q227_split_assign")(Caches.persisted(
           documents(s, d)
             .select(col("doc_id"))
             .join(labels, Seq("doc_id"), "left")
@@ -2684,14 +2684,14 @@ object DedupOps {
               splitOf("ckey").as("split"),
               splitOf("doc_id").as("naive_split")
             )
-        )
+        ))
         val stats = assigned
           .groupBy(col("split"))
           .agg(count(lit(1)).as("docs"), countDistinct(col("ckey")).as("clusters"))
         // ONE pair↔assignment join carrying BOTH split columns per
         // endpoint (was: two joins per leak metric = 4 total); the two
         // leak rollups aggregate the same persisted pair-sized frame
-        val joinedPairs = Caches.persisted(
+        val joinedPairs = Caches.buildScope("q227_pair_splits")(Caches.persisted(
           pairs
             .join(
               assigned.select(
@@ -2709,7 +2709,7 @@ object DedupOps {
               ),
               "doc_b"
             )
-        )
+        ))
         def leakOf(a: String, b: String, out: String) =
           joinedPairs
             .filter(col(a) =!= col(b))

@@ -251,7 +251,7 @@ object QualityOps {
     Q(
       "q121_price_outliers",
       (s, d) => {
-        val base = Caches.persisted(
+        val base = Caches.buildScope("q121_flag_cents")(Caches.persisted(
           lineitem(s, d)
             .select(
               col("l_returnflag").as("flag"),
@@ -262,7 +262,7 @@ object QualityOps {
             .withColumn("mid", monotonically_increasing_id())
             .withColumn("pid", shiftright(col("mid"), 33))
             .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-        )
+        ))
         val meta = base
           .groupBy(col("pid"), col("flag"))
           .agg(count(lit(1)).as("cnt"), min(col("loc")).as("minloc"))

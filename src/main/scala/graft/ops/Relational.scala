@@ -3175,7 +3175,7 @@ object Relational {
         // persisted for the same reason as q232's `tot`: the stats scalar
         // feeds the normalization pass, the file assignment AND the
         // predicate bands — five references, one aggregate
-        val stats = Caches.persisted(
+        val stats = Caches.buildScope("q235_stats")(Caches.persisted(
           o.agg(
             count(lit(1)).as("n"),
             min(col("dk")).as("d_min"),
@@ -3183,7 +3183,7 @@ object Relational {
             min(col("ck")).as("c_min"),
             max(col("ck")).as("c_max")
           )
-        )
+        ))
         // bit-interleave via div/%: bit i of x lands at position 2i, of y
         // at 2i+1; `divOp` abstracts Spark `div` vs DuckDB `//`
         def zTerms(x: String, y: String, divOp: String): String =
@@ -3197,7 +3197,7 @@ object Relational {
         // without the cache the scalar-stats aggregate and the 32-term
         // z-interleave projection would re-run per layout (measured 8.5 s
         // cold vs 1.2 s warm on the full-suite bench)
-        val norm = Caches.persisted(
+        val norm = Caches.buildScope("q235_znorm")(Caches.persisted(
           o
             .crossJoin(broadcast(stats))
             .select(
@@ -3208,7 +3208,7 @@ object Relational {
               expr("(ck - c_min) * 65535L div greatest(1L, c_max - c_min)").as("c16")
             )
             .withColumn("zv", expr(zTerms("d16", "c16", "div")))
-        )
+        ))
         val layouts = Seq(
           ("orderdate", "dk"),
           ("custkey", "ck"),
@@ -3345,13 +3345,13 @@ object Relational {
           col("l_partkey")
         )
         val cols = Seq("shipday", "l_returnflag", "qty", "l_partkey")
-        val stamped = Caches.persisted(
+        val stamped = Caches.buildScope("q236_stamped")(Caches.persisted(
           base
             .repartitionByRange(32, col("shipday"), col("l_orderkey"), col("l_linenumber"))
             .sortWithinPartitions(col("shipday"), col("l_orderkey"), col("l_linenumber"))
             .withColumn("mid", monotonically_increasing_id())
             .withColumn("pid", shiftright(col("mid"), 33))
-        )
+        ))
         val wLag = Window.partitionBy(col("pid")).orderBy(col("mid"))
         val lagged = stamped.select(
           cols.map(c => col(c)) ++
