@@ -343,7 +343,8 @@ object Bench {
       spark: SparkSession,
       rows: Int,
       acc: Option[ProgressAccumulator] = None,
-      statefulPartitions: Option[Int] = None
+      statefulPartitions: Option[Int] = None,
+      opStatePartitions: Option[Int] = None
   ): (Long, Double, Long, Long, Map[String, Long]) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -356,7 +357,7 @@ object Bench {
       cs.toDF().toDF("user_id", "click_ts"), "click_ts",
       is.toDF().toDF("user_id", "imp_ts", "cost"), "imp_ts",
       Seq("user_id"), watermarkDelay = "10 minutes", lookback = "5 minutes",
-      outer = true)
+      outer = true, statePartitions = opStatePartitions)
     val emitted = new java.util.concurrent.atomic.AtomicLong()
     val confs =
       statefulPartitions.map("spark.sql.shuffle.partitions" -> _.toString).toSeq
@@ -368,6 +369,10 @@ object Bench {
         }
         .start()
     }
+    // operator-level width ⇒ cloned session ⇒ per-session listener events
+    val qSession = joined.sparkSession
+    val crossSession = opStatePartitions.isDefined && (qSession ne spark)
+    if (crossSession) acc.foreach(qSession.streams.addListener)
     acc.foreach(_.attach(q.id))
     try {
       val waves = 4
@@ -387,7 +392,10 @@ object Bench {
       val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
       val durations = acc.map(_.drainTo(batches - 1)).getOrElse(Map.empty)
       (2L * perWave * waves, sec, emitted.get(), batches, durations)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      if (crossSession) acc.foreach(qSession.streams.removeListener)
+    }
   }
 
   /** All five streaming scenarios as one JSON object. burst/sustained/
@@ -413,15 +421,24 @@ object Bench {
     try {
       val acc = Some(acc0)
       asofBoundedScenario(spark, math.min(rows / 10, 20000))
+      var defaultStateBytes = -1L
       val variants = Seq(
-        ("asof_bounded", None),
-        ("asof_bounded_p8", Some(8))
-      ).map { case (name, parts) =>
+        ("asof_bounded", None, None),
+        ("asof_bounded_p8", Some(8), None),
+        // closed loop: width from the DEFAULT run's measured peak state
+        // via the heuristic, applied through the operator parameter
+        ("asof_bounded_auto", None, Some(())) // resolved below once defaultStateBytes is known
+      ).map { case (name, parts, auto) =>
+        val opParts = auto.map(_ =>
+          graft.streaming.EventTime.statePartitionsForVolume(math.max(0L, defaultStateBytes)))
         val (r, sec, emitted, batches, dur) =
-          asofBoundedScenario(spark, rows, acc = acc, statefulPartitions = parts)
+          asofBoundedScenario(spark, rows, acc = acc, statefulPartitions = parts,
+            opStatePartitions = opParts)
+        if (name == "asof_bounded") defaultStateBytes = acc0.stateMemMax
+        val widthJson = opParts.map(p => s""","width":$p""").getOrElse("")
         val durJson =
           dur.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"emitted":$emitted,"micro_batches":$batches,"state_rows_max":${acc0.stateRowsMax},"state_mem_mb":${acc0.stateMemMax / (1 << 20)},"durations_ms":$durJson}"""
+        s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"emitted":$emitted,"micro_batches":$batches,"state_rows_max":${acc0.stateRowsMax},"state_mem_mb":${acc0.stateMemMax / (1 << 20)}$widthJson,"durations_ms":$durJson}"""
       }
       s"""{"rows":$rows,${variants.mkString(",")}}"""
     } finally spark.streams.removeListener(acc0)
