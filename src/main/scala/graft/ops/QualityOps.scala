@@ -36,7 +36,8 @@ object QualityOps {
       v: String,
       rkName: String
   ): org.apache.spark.sql.DataFrame = {
-    val stamped = Caches.persisted(
+    // innermost scope wins, so this charge is always named global_ranks
+    val stamped = Caches.buildScope("global_ranks")(Caches.persisted(
       base
         .select(col("doc_id"), col(v))
         // Spark sorts NULLs first while the DuckDB oracles' ORDER BY
@@ -49,7 +50,7 @@ object QualityOps {
         .withColumn("mid", monotonically_increasing_id())
         .withColumn("pid", shiftright(col("mid"), 33))
         .withColumn("loc", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-    )
+    ))
     val w = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = stamped
       .groupBy(col("pid"))
