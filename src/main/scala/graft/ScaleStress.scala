@@ -70,7 +70,17 @@ object ScaleStress {
       sb.result()
     }
     val tGen0 = System.nanoTime()
+    // REUSE guard: the generator is deterministic in x, but an existing
+    // dir generated at a DIFFERENT x is a different corpus — reusing it
+    // silently mislabels every line (caught in round 13: a 100× corpus
+    // ran under a "stress_x":10 header). A marker file pins the x the
+    // corpus was built at; mismatch ⇒ regenerate.
+    val marker = new java.io.File(s"$dir/STRESS_X")
+    val markerX = if (marker.exists())
+      scala.util.Try(scala.io.Source.fromFile(marker).mkString.trim.toInt).toOption
+    else None
     val genNeeded = !reuse ||
+      !markerX.contains(x) ||
       !new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists() ||
       !new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()
     if (genNeeded) {
@@ -108,6 +118,8 @@ object ScaleStress {
       (id, arr.toSeq, label)
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val mw = new java.io.PrintWriter(marker, "UTF-8")
+    try mw.print(x.toString) finally mw.close()
     }
     val genSec = (System.nanoTime() - tGen0) / 1e9
 
