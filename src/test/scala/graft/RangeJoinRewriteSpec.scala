@@ -960,7 +960,10 @@ class RangeJoinRewriteSpec extends SparkSpec {
         (order, bound) <- Seq(
           ("rt DESC, tb DESC, pay DESC", "r.rt <= l.t AND r.rt >= l.t - 7"), // forward, full tiebreak
           ("rt ASC, tb ASC, pay ASC", "r.rt >= l.t AND r.rt <= l.t + 7"),    // backward
-          ("rt DESC, tb DESC, pay DESC", "r.rt <= l.t")                       // unbounded forward
+          ("rt DESC, tb DESC, pay DESC", "r.rt <= l.t"),                      // unbounded forward
+          // COMPUTED tie-break expression (not a bare column) — the node's
+          // rightTieBreak must evaluate arbitrary expressions
+          ("rt DESC, pay % 7 DESC, pay DESC", "r.rt <= l.t AND r.rt >= l.t - 7")
         )
         partition <- Seq("l.lid, l.k, l.t", "l.k") // exact and COARSE groups
       } {
