@@ -179,14 +179,22 @@ object Sinks {
   def readManifested(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
-      schema: Option[org.apache.spark.sql.types.StructType] = None
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      mergeSchema: Boolean = true
   ): DataFrame = {
     val hfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration
     )
     val files = manifestFiles(hfs, root)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+    // mergeSchema by default: batches may have evolved additively, and
+    // without it the read resolves to whichever footer wins — silently
+    // dropping the newer batches' columns until a compaction happens to
+    // union them. Footer-merge cost is distributed (one footer per file,
+    // in parallel); pass mergeSchema = false only for schema-stable roots
+    // on a metadata-latency budget.
+    if (files.nonEmpty)
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
     else
       schema match {
         case Some(sc) =>
@@ -205,23 +213,44 @@ object Sinks {
   private def manifestFiles(
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String
-  ): Seq[String] = {
-    val (live, _) = manifestState(hfs, root)
-    live.flatMap(_._2)
+  ): Seq[String] =
+    manifestState(hfs, root).live.flatMap(_.files)
+
+  /** One parsed manifest file: its data file paths, its `#supersedes:`
+    * headers, and its on-disk modification time (the retirement clock for
+    * everything it supersedes).
+    */
+  private case class ManifestEntry(
+      name: String,
+      modTime: Long,
+      files: Vector[String],
+      supersedes: Vector[String]
+  )
+
+  /** The manifest directory as seen by ONE `listStatus` — every consumer
+    * (reader file set, compaction snapshot, retired-leftover cleanup) must
+    * derive from the SAME listing, never from a second one taken later: a
+    * batch manifest published between two listings would appear in the
+    * later listing without its files appearing in the earlier one's live
+    * set, and treating it as a leftover deletes a just-published batch.
+    */
+  private case class ManifestDir(entries: Seq[ManifestEntry], superseded: Set[String]) {
+    def live: Seq[ManifestEntry] = entries.filterNot(e => superseded.contains(e.name))
+    def retired: Seq[ManifestEntry] = entries.filter(e => superseded.contains(e.name))
   }
 
-  /** Parse the manifest directory: (live manifests with their data files,
-    * the union of superseded manifest names). A manifest is live iff no
-    * compaction manifest names it in a `#supersedes:` line. Lines starting
-    * with `#` are metadata, never file paths.
+  /** Parse the manifest directory from a single listing. A manifest is
+    * live iff no manifest (in the same listing) names it in a
+    * `#supersedes:` line. Lines starting with `#` are metadata, never
+    * file paths.
     */
   private def manifestState(
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String
-  ): (Seq[(String, Vector[String])], Set[String]) = {
+  ): ManifestDir = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
-    if (!hfs.exists(dir)) return (Seq.empty, Set.empty)
-    val parsed = hfs
+    if (!hfs.exists(dir)) return ManifestDir(Seq.empty, Set.empty)
+    val entries = hfs
       .listStatus(dir)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
@@ -231,16 +260,56 @@ object Sinks {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
           finally in.close()
-        st.getPath.getName -> lines
+        ManifestEntry(
+          st.getPath.getName,
+          st.getModificationTime,
+          lines.filterNot(_.startsWith("#")),
+          lines.collect { case l if l.startsWith("#supersedes:") => l.stripPrefix("#supersedes:") }
+        )
       }
-    val superseded: Set[String] = parsed.flatMap {
-      case (_, lines) => lines.collect { case l if l.startsWith("#supersedes:") => l.stripPrefix("#supersedes:") }
-    }.toSet
-    val live = parsed.collect {
-      case (name, lines) if !superseded.contains(name) =>
-        name -> lines.filterNot(_.startsWith("#"))
+    ManifestDir(entries, entries.flatMap(_.supersedes).toSet)
+  }
+
+  /** Delete retired (superseded) manifests and exactly the data they —
+    * and nothing else — reference, honoring `retainMillis`. This is the
+    * ONLY deletion compaction performs; it never touches a directory no
+    * superseded manifest names, so a concurrent writer's in-flight
+    * staging dir (data written, manifest not yet renamed — unreferenced
+    * by construction) is always safe. Unreferenced orphans from crashed
+    * attempts remain for an explicitly quiescent [[vacuumUnmanifested]].
+    *
+    * A retired manifest's retirement clock is the earliest modification
+    * time of a live manifest superseding it; it is reclaimed only once
+    * that age exceeds `retainMillis`. Data dirs still carrying files a
+    * LIVE manifest references (kept-by-reference files of a compaction)
+    * are excluded from deletion. Dirs are deleted before their manifest
+    * file, so a crash mid-cleanup leaves only ignored (still-superseded)
+    * leftovers for the next pass — never an orphan data dir.
+    */
+  private def cleanupRetired(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      st: ManifestDir,
+      retainMillis: Long
+  ): Unit = {
+    if (st.retired.isEmpty) return
+    val now = System.currentTimeMillis()
+    def dirKey(f: String) = new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath
+    val protectedDirs: Set[String] = st.live.flatMap(_.files).map(dirKey).toSet
+    st.retired.foreach { r =>
+      val retiredAt = st.live
+        .collect { case e if e.supersedes.contains(r.name) => e.modTime }
+        .minOption
+        .getOrElse(now)
+      if (now - retiredAt >= retainMillis) {
+        r.files
+          .map(f => new org.apache.hadoop.fs.Path(f).getParent)
+          .distinctBy(_.toUri.getPath)
+          .filterNot(d => protectedDirs.contains(d.toUri.getPath))
+          .foreach(d => hfs.delete(d, true))
+        hfs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifests/${r.name}"), false)
+      }
     }
-    (live, superseded)
   }
 
   /** Compact a [[manifestedParquet]] root — the housekeeping the engine's
@@ -259,38 +328,75 @@ object Sinks {
     * concurrent [[readManifested]] sees the old set (before the rename)
     * or the new set (after), never a mix and never a duplicate. Fewer
     * than two small files → no rewrite (returns 0), but interrupted
-    * cleanup is still finished (retired leftovers deleted + vacuum), so
-    * calling it in a housekeeping loop is idempotent and self-healing. Retired manifest
-    * files and their data dirs are then deleted; a crash anywhere leaves a
-    * state a reader handles and a later call heals:
+    * cleanup of aged-out retired leftovers still runs, so calling it in a
+    * housekeeping loop is idempotent and self-healing. Retired manifest
+    * files and exactly the data dirs they reference are then deleted
+    * (after `retainMillis`); a crash anywhere leaves a state a reader
+    * handles and a later call heals:
     *  - before the rename: staging data + dot-tmp manifest are invisible;
-    *    [[vacuumUnmanifested]] reclaims the staging dir;
+    *    a quiescent [[vacuumUnmanifested]] reclaims the staging dir;
     *  - after the rename, before cleanup: retired manifests still on disk
-    *    are ignored (superseded), and the next compaction — which
-    *    supersedes EVERY existing manifest file, retired leftovers
-    *    included, exactly so deleting an old compaction manifest can never
-    *    resurrect the batches it had retired — or [[vacuumUnmanifested]]
-    *    finishes the cleanup.
-    * Batches published DURING the compaction are untouched: their
-    * manifests postdate the superseded snapshot and stay live alongside
-    * the compacted set. Like vacuum, run ONE compactor at a time (a
+    *    are ignored (superseded), and the next call — the no-op path
+    *    included — finishes the cleanup; the next compaction supersedes
+    *    EVERY manifest file in its listing, retired leftovers included,
+    *    exactly so deleting an old compaction manifest can never
+    *    resurrect the batches it had retired.
+    * Batches published DURING the compaction are untouched — and that
+    * claim is structural, not probabilistic: the supersedes snapshot, the
+    * live file set, and the leftover-cleanup set all derive from ONE
+    * `listStatus`, so a manifest published after that listing can never
+    * be superseded or treated as a leftover; and compaction deletes ONLY
+    * data dirs a superseded manifest references, so a concurrent writer's
+    * in-flight staging dir (unreferenced by construction — every attempt
+    * writes a fresh UUID dir) is never touched. Safe to call blindly from
+    * a housekeeping loop while writers are active; unreferenced orphans
+    * from CRASHED attempts are left for an explicitly quiescent
+    * [[vacuumUnmanifested]]. Like vacuum, run ONE compactor at a time (a
     * concurrent compactor loses the publish rename and aborts cleanly).
+    *
+    * `retainMillis` is the reader grace window (Delta-style retention):
+    * retired manifests and their data dirs are reclaimed only once the
+    * superseding manifest is at least that old. [[readManifested]]
+    * resolves concrete file paths at call time but scans lazily, so a
+    * reader whose job outlives a compaction by more than `retainMillis`
+    * can hit FileNotFoundException mid-scan on the pre-compaction file
+    * set — size the window to your longest reader (or 0 to reclaim
+    * immediately when readers are known to resolve-and-scan quickly).
     * Returns the number of compacted files, or 0 when there is nothing to
-    * compact.
+    * compact (cleanup of aged-out retired leftovers still runs).
     */
   def compactManifested(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
-      targetBytes: Long = 128L * 1024 * 1024
+      targetBytes: Long = 128L * 1024 * 1024,
+      retainMillis: Long = 0L
+  ): Int = compactManifestedHooked(spark, root, targetBytes, retainMillis, () => ())
+
+  /** [[compactManifested]] with a test seam: `afterSnapshot` fires after
+    * the single manifest-directory listing and before the rewrite — the
+    * window a concurrent batch publish (or in-flight write) lands in.
+    */
+  private[graft] def compactManifestedHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      targetBytes: Long,
+      retainMillis: Long,
+      afterSnapshot: () => Unit
   ): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(retainMillis >= 0, s"retainMillis must be non-negative, got $retainMillis")
     val hfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration
     )
-    val (live, _) = manifestState(hfs, root)
-    val liveFiles = live.flatMap(_._2)
-    if (liveFiles.isEmpty) return 0
+    // THE single listing: live files, the supersedes snapshot, and the
+    // leftover-cleanup set must all come from this one view (see
+    // ManifestDir). A second listing here is how a batch published
+    // mid-compaction gets superseded without its files being carried.
+    val st = manifestState(hfs, root)
+    afterSnapshot()
+    val liveFiles = st.live.flatMap(_.files)
+    if (liveFiles.isEmpty) { cleanupRetired(hfs, root, st, retainMillis); return 0 }
     // INCREMENTAL: rewrite only the under-sized files — at scale the
     // corpus is mostly already-compacted full-size files, and a
     // compaction pass must cost proportional to the small-file (recent
@@ -302,25 +408,17 @@ object Sinks {
       f -> hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
     val (small, kept) = sized.partition(_._2 < targetBytes / 2)
     if (small.length < 2) {
-      // nothing to merge — but still finish any interrupted cleanup:
-      // every retired (superseded) manifest leftover is named by a LIVE
-      // manifest (each compaction supersedes everything on disk at its
-      // publish), so deleting the leftovers and vacuuming is always safe
-      val liveNames = live.map(_._1).toSet
-      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
-        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-          !liveNames.contains(s.getPath.getName))
-        .foreach(s => hfs.delete(s.getPath, false))
-      vacuumUnmanifested(spark, root)
+      // nothing to merge — but still finish any interrupted cleanup of
+      // retired leftovers, from the SAME listing (a manifest published
+      // after it is invisible here, hence untouchable)
+      cleanupRetired(hfs, root, st, retainMillis)
       return 0
     }
-    // snapshot EVERY manifest file name present now (live + leftover
-    // retired): all become superseded by the new compaction manifest
-    val snapshot = hfs
-      .listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.getName)
-      .sorted
+    // supersedes snapshot = EVERY manifest file name in the single
+    // listing (live + leftover retired): all are retired by the new
+    // compaction manifest, so deleting an old compaction manifest can
+    // never resurrect the batches it had retired
+    val snapshot = st.entries.map(_.name)
     val gen = snapshot
       .collect { case n if n.startsWith("compact-") => n.stripPrefix("compact-").takeWhile(_.isDigit) }
       .collect { case d if d.nonEmpty => d.toLong }
@@ -361,11 +459,20 @@ object Sinks {
         s"compactManifested lost the publish race for generation $gen on $root — " +
           "run one compactor at a time; no data was changed")
     }
-    // cleanup AFTER the atomic publish: retire the superseded manifest
-    // files and reclaim their data. Best-effort — any crash here leaves
-    // only ignored leftovers that the next call or vacuum removes.
-    snapshot.foreach(n => hfs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifests/$n"), false))
-    vacuumUnmanifested(spark, root)
+    // cleanup AFTER the atomic publish, honoring retention: reclaim the
+    // superseded manifests and exactly the data dirs they reference
+    // (minus dirs kept-by-reference files still live in). Synthesized
+    // from the snapshot listing + the just-published manifest — no
+    // re-listing, so a batch published at ANY point during this call is
+    // structurally untouchable. Best-effort — a crash here leaves only
+    // ignored (superseded) leftovers the next call finishes.
+    val newEntry = ManifestEntry(
+      manifest.getName,
+      hfs.getFileStatus(manifest).getModificationTime,
+      (kept.map(_._1) ++ newFiles).toVector,
+      snapshot.toVector
+    )
+    cleanupRetired(hfs, root, ManifestDir(st.entries :+ newEntry, snapshot.toSet), retainMillis)
     parts
   }
 }

@@ -239,6 +239,87 @@ class SinksSpec extends SparkSpec {
     assert(total() == expected2)
   }
 
+  test("compactManifested: a batch published INSIDE the compaction window survives, data intact") {
+    // The r13 hazard: the supersedes snapshot / leftover-cleanup set came
+    // from a SECOND listing taken after the live-file set, so a manifest
+    // published between the listings was superseded (or deleted as a
+    // leftover) without its files being carried — silent batch loss. Now
+    // everything derives from one listing; this interleaves a publish AND
+    // an in-flight (manifest-less) write into the exact window and
+    // asserts both survive.
+    val root = Files.createTempDirectory("graft-mcompact-race").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    val parts = Sinks.compactManifestedHooked(
+      spark, root, targetBytes = 512L * 1024 * 1024, retainMillis = 0L,
+      afterSnapshot = () => {
+        // a full publish landing mid-compaction...
+        Sinks.manifestedParquet((30 until 40).toDF("v"), root, batchId = 3)
+        // ...and a writer still in flight: data staged, manifest not yet
+        // renamed — the dir the old blanket vacuum used to destroy
+        (40 until 50).toDF("v").write.parquet(s"$root/data/batch-4-inflight")
+      })
+    assert(parts == 1)
+    // the mid-window batch is live alongside the compacted set, its data intact
+    assert(total() == (0 until 40).sum.toLong,
+      "a batch published during compaction was superseded or its data deleted")
+    val manifests = fs.listStatus(p(s"$root/_manifests"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".")).map(_.getPath.getName).sorted
+    assert(manifests.toSeq == Seq("batch-3", "compact-1"), s"got ${manifests.toSeq}")
+    // the in-flight writer's staging dir was NOT vacuumed: finishing the
+    // publish (replay writes its own attempt dir, manifest renames) works
+    assert(fs.exists(p(s"$root/data/batch-4-inflight")),
+      "compaction deleted a concurrent writer's in-flight staging dir")
+    Sinks.manifestedParquet((40 until 50).toDF("v"), root, batchId = 4)
+    assert(total() == (0 until 50).sum.toLong)
+  }
+
+  test("compactManifested retention: retired state outlives the publish by retainMillis for lazy readers") {
+    val root = Files.createTempDirectory("graft-mcompact-retain").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    val expected = (0 until 30).sum.toLong
+    // a reader that resolved its file list BEFORE the compaction...
+    val preResolved = fs.globStatus(p(s"$root/data/batch-*/*.parquet")).map(_.getPath.toString)
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 3600L * 1000) == 1)
+    // ...can still scan it inside the grace window (Delta-style retention)
+    assert(spark.read.parquet(preResolved.toIndexedSeq: _*)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == expected,
+      "retention did not protect a pre-compaction reader's resolved file set")
+    // a fresh reader sees the compacted set exactly once, never old + new
+    assert(total() == expected)
+    val dataDirs = fs.listStatus(p(s"$root/data")).filter(_.isDirectory).map(_.getPath.getName)
+    assert(dataDirs.count(_.startsWith("batch-")) == 3, s"retention violated: ${dataDirs.toSeq}")
+    // a later housekeeping pass with the window elapsed reclaims everything
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 0L) == 0)
+    val after = fs.listStatus(p(s"$root/data")).filter(_.isDirectory).map(_.getPath.getName)
+    assert(after.count(_.startsWith("batch-")) == 0, s"aged-out dirs not reclaimed: ${after.toSeq}")
+    assert(total() == expected)
+  }
+
+  test("readManifested merges evolved batch schemas BEFORE any compaction") {
+    val root = Files.createTempDirectory("graft-manifest-merge").toString
+    Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
+    Sinks.manifestedParquet(Seq((6, "a"), (7, "b")).toDF("v", "tag"), root, batchId = 1)
+    val back = Sinks.readManifested(spark, root)
+    assert(back.columns.toSet == Set("v", "tag"),
+      s"uncompacted evolved batches dropped columns: ${back.columns.toSeq}")
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 28L)
+    assert(back.filter(org.apache.spark.sql.functions.col("tag").isNotNull).count() == 2)
+  }
+
   test("compactManifested merges evolved schemas instead of dropping the newer columns") {
     val root = Files.createTempDirectory("graft-mcompact-schema").toString
     // batch 0: (v); batch 1 evolved additively: (v, tag)
