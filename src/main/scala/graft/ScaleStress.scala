@@ -77,7 +77,7 @@ object ScaleStress {
     // corpus was built at; mismatch ⇒ regenerate.
     val marker = new java.io.File(s"$dir/STRESS_X")
     val markerX = if (marker.exists())
-      scala.util.Try(scala.io.Source.fromFile(marker).mkString.trim.toInt).toOption
+      scala.util.Using(scala.io.Source.fromFile(marker, "UTF-8"))(_.mkString.trim.toInt).toOption
     else None
     val genNeeded = !reuse ||
       !markerX.contains(x) ||
