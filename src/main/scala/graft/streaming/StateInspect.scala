@@ -54,28 +54,54 @@ object StateInspect {
     r.load(checkpoint)
   }
 
-  /** Per-key state row counts, heaviest first — the skew finder. The key
-    * struct is exploded into its fields for a readable report; state_rows
-    * is the number of buffered state entries under that key (for a join
-    * side: buffered rows awaiting matches/eviction). NOTE: join-state key
-    * fields carry POSITIONAL names (`field0`, `field1`, …) in the order of
-    * the join's key columns — Spark's internal key schema drops the user
-    * names; match them back by position.
+  /** Per-key state footprint, heaviest first — the skew finder. Reports
+    * BOTH axes per key and ranks on `rankBy`:
+    *  - `state_rows`: buffered state entries under the key (for a join
+    *    side: rows awaiting matches/eviction);
+    *  - `state_bytes_est`: estimated value payload bytes (serialized-JSON
+    *    octet length of each value row, summed) — a key buffering FEW but
+    *    WIDE rows (a giant collect_list buffer, long strings) hides from
+    *    the row count but not from this. JSON length is an estimate, not
+    *    the provider's on-disk encoding, but it is monotone in the
+    *    variable-width fields that actually cause value-size skew, which
+    *    is all a ranking needs.
+    * Default ranking is bytes (the budget that aborts a state store is
+    * memory, not row count); pass `rankBy = "rows"` for the row view.
+    * NOTE: join-state key fields carry POSITIONAL names (`field0`,
+    * `field1`, …) in the order of the join's key columns — Spark's
+    * internal key schema drops the user names; match them back by
+    * position.
     */
   def hotKeys(
       spark: SparkSession,
       checkpoint: String,
       operatorId: Int = 0,
       joinSide: Option[String] = None,
-      topK: Int = 20
+      topK: Int = 20,
+      rankBy: String = "bytes"
   ): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    stateRows(spark, checkpoint, operatorId, joinSide)
+    require(rankBy == "bytes" || rankBy == "rows",
+      s"rankBy must be 'bytes' or 'rows', got '$rankBy'")
+    val rank = if (rankBy == "bytes") "state_bytes_est" else "state_rows"
+    val rows = stateRows(spark, checkpoint, operatorId, joinSide)
+    // rebuild the value struct from its DECLARED fields before
+    // serializing: join-state value rows physically carry an internal
+    // trailing field (the matched flag) beyond the declared schema, and
+    // to_json over the raw struct walks the row's arity into an
+    // ArrayIndexOutOfBounds — the explicit field projection reads
+    // exactly the declared ones
+    val valueFields = rows.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    val declared = struct(valueFields.map(f => col(s"value.`$f`")).toIndexedSeq: _*)
+    rows
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("state_rows"))
-      .orderBy(col("state_rows").desc)
+      .agg(
+        count(lit(1)).as("state_rows"),
+        sum(octet_length(to_json(declared))).as("state_bytes_est"))
+      .orderBy(col(rank).desc)
       .limit(topK)
-      .select(col("key.*"), col("state_rows"))
+      .select(col("key.*"), col("state_rows"), col("state_bytes_est"))
   }
 
   /** State rows per checkpoint-pinned shuffle partition — the footprint of

@@ -744,6 +744,34 @@ class EventTimeSpec extends SparkSpec {
     assert(profile.map(_.getAs[Long]("state_rows")).sum == 25L + 5 * 3)
   }
 
+  test("StateInspect hotKeys ranks by bytes: a few-but-WIDE-rows key outranks an equal-count narrow one") {
+    // r13 prescription #7: a key buffering one giant aggregation buffer
+    // (collect_list of long strings) hides completely from a row-count
+    // ranking — both keys below hold exactly ONE state row — but it is
+    // the one about to abort the memory budget. The bytes estimate ranks
+    // it first; rankBy = "rows" remains available for the row view.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-inspect-bytes").toString
+    val ms = MemoryStream[(String, String)]
+    val agg = ms.toDF().toDF("k", "payload")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.collect_list("payload").as("payloads"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint).format("noop").start()
+    try {
+      ms.addData(("wide", "x" * 4000), ("narrow", "y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hot = graft.streaming.StateInspect.hotKeys(spark, checkpoint, topK = 2).collect()
+    assert(hot.length == 2)
+    assert(hot.head.getAs[String]("k") == "wide",
+      s"bytes ranking did not surface the wide-value key: ${hot.map(_.mkString(",")).toSeq}")
+    assert(hot.forall(_.getAs[Long]("state_rows") == 1L),
+      s"both keys should hold exactly one state row: ${hot.map(_.mkString(",")).toSeq}")
+    assert(hot.head.getAs[Long]("state_bytes_est") > 10L * hot(1).getAs[Long]("state_bytes_est"),
+      s"bytes estimate not separating 4 KB from 1 B: ${hot.map(_.mkString(",")).toSeq}")
+  }
+
   test("asofJoinBounded rejects a MapType left column up front with the column named") {
     import spark.implicits._
     val clicks = Seq((1L, ts(0), Map("a" -> 1)))
