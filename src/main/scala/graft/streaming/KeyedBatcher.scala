@@ -83,65 +83,193 @@ object KeyedBatcher {
           else Iterator.empty
         } else {
           val now = state.getCurrentProcessingTimeMs()
-          val (buffered, acc0, deadline0) = state.getOption
-            .map(deserialize[A](_, now + batchTimeoutMs))
-            .getOrElse((Vector.empty[Message[A]], initAcc(splitter), 0L))
-          val incoming = graft.core.Pipeline.seqSorted(it)
-          val out = Vector.newBuilder[EmittedBatch[A]]
-
-          var rest = buffered
-          var acc = acc0
-          // The timeout clock starts when a batch OPENS (its first message),
-          // batcher_stage.ex:80-89 — NOT at the latest append. Re-arming a
-          // full batchTimeoutMs on every data-carrying micro-batch (the
-          // original code) let a steady trickle defer the timer forever:
-          // messages every 200 ms under a 1 s timeout would never flush
-          // until the size trigger. The open batch's absolute deadline
-          // rides in state; appends keep it.
-          var deadline = if (buffered.nonEmpty) deadline0 else 0L
-          def emit(trigger: String): Unit =
-            if (rest.nonEmpty) {
-              out += EmittedBatch(batcher, batchKey, trigger, rest)
-              rest = Vector.empty
-              acc = initAcc(splitter)
-              deadline = 0L
-            }
-          // The deadline must ALSO be enforced here, on the data path:
-          // Spark invokes the hasTimedOut callback only for groups that
-          // received NO input in a micro-batch, so a group fed every
-          // batch never hears its timer at all — the inline check flushes
-          // an overdue open batch BEFORE this batch's messages append
-          // (they belong to the next batch, exactly as if the reference's
-          // timer had fired between deliveries).
-          if (rest.nonEmpty && now >= deadline) emit("timeout")
-          // Flush is checked PER MESSAGE inside the fold: the batch is
-          // delivered at the flush message itself (batcher_stage.ex:178-179)
-          // — messages arriving later in the same trigger start a new batch
-          // instead of riding along in the flushed one.
-          incoming.foreach { m =>
-            if (rest.isEmpty) deadline = now + batchTimeoutMs // batch opens here
-            rest :+= m
-            splitter match {
-              case Some(sp) =>
-                // dynamic boundary: fold the NEW messages through the user
-                // accumulator (buffered ones were folded in prior batches)
-                val (emitNow, next) = sp.step(m, acc)
-                acc = next
-                if (emitNow) emit("size")
-              case None =>
-                if (rest.size >= batchSize) emit("size")
-            }
-            if (m.batchMode == BatchMode.Flush) emit("flush")
+          val prior = state.getOption.map(deserialize[A](_, now + batchTimeoutMs))
+          val (emitted, next) = foldGroup(batcher, batchKey, prior, now,
+            graft.core.Pipeline.seqSorted(it), batchSize, batchTimeoutMs, splitter)
+          next match {
+            case None => state.remove()
+            case Some(s @ (_, _, deadline)) =>
+              state.update(serialize(s))
+              state.setTimeoutDuration(math.max(1L, deadline - now))
           }
-
-          if (rest.isEmpty) state.remove()
-          else {
-            state.update(serialize((rest, acc, deadline)))
-            state.setTimeoutDuration(math.max(1L, deadline - now))
-          }
-          out.result().iterator
+          emitted.iterator
         }
       }
+  }
+
+  /** The shared BatcherStage fold — prior open state + this trigger's
+    * messages → (emitted batches, state to persist; None = group closed).
+    * Pure, so the two state backends ([[apply]]'s Java-serialized blob and
+    * [[encoded]]'s row-encoded [[OpenBatch]]) drive IDENTICAL semantics
+    * and cannot diverge.
+    *
+    * The timeout clock starts when a batch OPENS (its first message),
+    * batcher_stage.ex:80-89 — NOT at the latest append. Re-arming a full
+    * batchTimeoutMs on every data-carrying micro-batch (the original
+    * code) let a steady trickle defer the timer forever: messages every
+    * 200 ms under a 1 s timeout would never flush until the size trigger.
+    * The open batch's absolute deadline rides in state; appends keep it.
+    *
+    * The deadline is ALSO enforced here, on the data path: Spark invokes
+    * the timeout callback only for groups that received NO input in a
+    * micro-batch, so a group fed every batch never hears its timer at all
+    * — the inline check flushes an overdue open batch BEFORE this batch's
+    * messages append (they belong to the next batch, exactly as if the
+    * reference's timer had fired between deliveries).
+    *
+    * Flush is checked PER MESSAGE inside the fold: the batch is delivered
+    * at the flush message itself (batcher_stage.ex:178-179) — messages
+    * arriving later in the same trigger start a new batch instead of
+    * riding along in the flushed one.
+    */
+  private[graft] def foldGroup[A](
+      batcher: String,
+      batchKey: String,
+      prior: Option[(Vector[Message[A]], Long, Long)],
+      now: Long,
+      incoming: Seq[Message[A]],
+      batchSize: Int,
+      batchTimeoutMs: Long,
+      splitter: Option[BatchSplitter[A]]
+  ): (Vector[EmittedBatch[A]], Option[(Vector[Message[A]], Long, Long)]) = {
+    val (buffered, acc0, deadline0) =
+      prior.getOrElse((Vector.empty[Message[A]], initAcc(splitter), 0L))
+    val out = Vector.newBuilder[EmittedBatch[A]]
+    var rest = buffered
+    var acc = acc0
+    var deadline = if (buffered.nonEmpty) deadline0 else 0L
+    def emit(trigger: String): Unit =
+      if (rest.nonEmpty) {
+        out += EmittedBatch(batcher, batchKey, trigger, rest)
+        rest = Vector.empty
+        acc = initAcc(splitter)
+        deadline = 0L
+      }
+    if (rest.nonEmpty && now >= deadline) emit("timeout")
+    incoming.foreach { m =>
+      if (rest.isEmpty) deadline = now + batchTimeoutMs // batch opens here
+      rest :+= m
+      splitter match {
+        case Some(sp) =>
+          // dynamic boundary: fold the NEW messages through the user
+          // accumulator (buffered ones were folded in prior batches)
+          val (emitNow, next) = sp.step(m, acc)
+          acc = next
+          if (emitNow) emit("size")
+        case None =>
+          if (rest.size >= batchSize) emit("size")
+      }
+      if (m.batchMode == BatchMode.Flush) emit("flush")
+    }
+    (out.result(), if (rest.isEmpty) None else Some((rest, acc, deadline)))
+  }
+
+  /** Row-encoded open-batch state for [[KeyedBatcher.encoded]]: Spark
+    * encodes it with the payload's own Encoder (Avro on disk), so the
+    * checkpoint's value schema IS the payload schema — and evolves with
+    * it — instead of an opaque Java-serialized blob.
+    */
+  final case class OpenBatch[A](buffer: Seq[Message[A]], acc: Long, deadline: Long)
+
+  /** [[apply]] with ROW-ENCODED state (`transformWithState`): for payload
+    * types `A` with a product Encoder, the open-batch state is stored as
+    * encoded rows instead of a Java-serialized blob, which upgrades the
+    * restart contract from "keep `A` binary-stable across deploys or
+    * drain" to real schema evolution — ADD a (nullable / defaultable)
+    * field to the payload case class between checkpoint and resume and
+    * the buffered batch still drains, the new field null-filled on old
+    * rows. Identical batching semantics to [[apply]] (same [[foldGroup]]
+    * core; same size / timeout / flush triggers and deadline rules; the
+    * timeout timer is a real per-group processing-time timer, checked
+    * against the open batch's deadline so a stale timer of an
+    * already-emitted batch is a no-op).
+    *
+    * Requirements (bound automatically onto the query via a cloned
+    * session, leaving the caller's session untouched):
+    * `transformWithState` runs only on the RocksDB state-store provider,
+    * and schema evolution needs the Avro state encoding — exactly the
+    * 100 TB deployment posture (state beyond heap) anyway. Java-ser
+    * [[apply]] remains the fallback for opaque payload types.
+    */
+  def encoded[A](
+      messages: Dataset[Message[A]],
+      batchSize: Int = 100,
+      batchTimeoutMs: Long = 1000L,
+      splitter: Option[BatchSplitter[A]] = None,
+      statePartitions: Option[Int] = None
+  )(implicit
+      enc: Encoder[Message[A]],
+      outEnc: Encoder[EmittedBatch[A]],
+      stateEnc: Encoder[OpenBatch[A]]
+  ): Dataset[EmittedBatch[A]] = {
+    implicit val keyEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    statePartitions.foreach(p => require(p > 0, s"statePartitions must be positive, got $p"))
+    val confs =
+      Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.encodingFormat" -> "avro"
+      ) ++ statePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+    val bound = org.apache.spark.sql.GraftColumns.cloneWithConf(messages.sparkSession, confs: _*)
+    org.apache.spark.sql.GraftColumns.ofRows(bound, messages.queryExecution.logical).as[Message[A]]
+      .groupByKey((m: Message[A]) => (m.batcher, m.batchKey))
+      .transformWithState(
+        new BatcherProcessor[A](batchSize, batchTimeoutMs, splitter, stateEnc),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** The `transformWithState` processor behind [[encoded]] — a thin state
+    * adapter around [[foldGroup]].
+    */
+  private final class BatcherProcessor[A](
+      batchSize: Int,
+      batchTimeoutMs: Long,
+      splitter: Option[BatchSplitter[A]],
+      stateEnc: Encoder[OpenBatch[A]]
+  ) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (String, String), Message[A], EmittedBatch[A]] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenBatch[A]] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenBatch[A]](
+        "open", stateEnc, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, String),
+        rows: Iterator[Message[A]],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[EmittedBatch[A]] = {
+      val now = timers.getCurrentProcessingTimeInMs()
+      val prior =
+        if (open.exists()) { val s = open.get(); Some((s.buffer.toVector, s.acc, s.deadline)) }
+        else None
+      val (emitted, next) = foldGroup(key._1, key._2, prior, now,
+        graft.core.Pipeline.seqSorted(rows), batchSize, batchTimeoutMs, splitter)
+      next match {
+        case None => open.clear()
+        case Some((buf, acc, deadline)) =>
+          open.update(OpenBatch(buf, acc, deadline))
+          // re-registering the same expiry is idempotent; a superseded
+          // timer (batch emitted, new one opened later) fires as a stale
+          // no-op — handleExpiredTimer checks the LIVE deadline
+          getHandle.registerTimer(deadline)
+      }
+      emitted.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: (String, String),
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[EmittedBatch[A]] = {
+      if (!open.exists()) return Iterator.empty // stale timer of a closed batch
+      val s = open.get()
+      if (info.getExpiryTimeInMs >= s.deadline && s.buffer.nonEmpty) {
+        open.clear()
+        Iterator.single(EmittedBatch(key._1, key._2, "timeout", s.buffer))
+      } else Iterator.empty // stale timer of an earlier batch under this key
+    }
   }
 
   private def initAcc[A](splitter: Option[BatchSplitter[A]]): Long =

@@ -13,6 +13,23 @@ object EmitProbe {
   def clear(): Unit = emitted.clear()
 }
 
+/** String-rendered probe for the encoded-state specs (payloads are case
+  * classes there, rendered to stable strings at emit time).
+  */
+object EmitProbeS {
+  val emitted = new ConcurrentLinkedQueue[(String, Seq[String])]()
+  def drain(): Seq[(String, Seq[String])] =
+    Iterator.continually(emitted.poll()).takeWhile(_ != null).toSeq
+  def clear(): Unit = emitted.clear()
+}
+
+/** The evolution pair: V2 is V1 plus an added nullable field — the exact
+  * payload change [[KeyedBatcher.encoded]]'s row-encoded state exists to
+  * survive across a checkpoint restart.
+  */
+case class PayV1(s: String)
+case class PayV2(s: String, n: Option[Long] = None)
+
 /** Streaming-state batching: size batches within and across micro-batches,
   * timeout flush of open batches (batcher_stage.ex:80-89,106-257).
   *
@@ -231,6 +248,100 @@ class KeyedBatcherSpec extends SparkSpec {
     // anything else fails loudly with the shape named
     val bad = intercept[IllegalStateException](KeyedBatcher.deserialize[Int](javaSer("junk"), 0L))
     assert(bad.getMessage.contains("state shape"))
+  }
+
+  test("encoded: same size/timeout semantics on row-encoded state (shared foldGroup core)") {
+    EmitProbeS.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Message[PayV1]]
+    val batches = KeyedBatcher.encoded(stream.toDS(), batchSize = 10, batchTimeoutMs = 300)
+    val query = batches.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[PayV1]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbeS.emitted.add((b.trigger, b.messages.map(_.data.s)))
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData((1 to 15).map(i => Message(PayV1(s"m$i"), metadata = Map("seq" -> i.toString))))
+      val deadline = System.currentTimeMillis() + 20000
+      var got = Seq.empty[(String, Seq[String])]
+      while (got.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); got = got ++ EmitProbeS.drain()
+      }
+      assert(got.size == 2, s"expected size+timeout batches, got $got")
+      assert(got.head._1 == "size" && got.head._2 == (1 to 10).map(i => s"m$i"))
+      assert(got(1)._1 == "timeout" && got(1)._2 == (11 to 15).map(i => s"m$i"))
+    } finally query.stop()
+  }
+
+  test("encoded: ADDING a payload field between checkpoint and resume still drains the open batch") {
+    // The upgrade apply()'s Java-ser state cannot make: state written with
+    // Message[PayV1] is read back by a query compiled against
+    // Message[PayV2] (one added nullable field) — Avro-encoded state
+    // evolves the schema, old rows null-fill the new field, and the
+    // buffered batch drains. With the blob backend this restart dies on
+    // serialVersionUID mismatch ("keep A binary-stable or drain").
+    EmitProbeS.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+
+    val s1 = MemoryStream[Message[PayV1]]
+    val q1 = KeyedBatcher.encoded(s1.toDS(), batchSize = 10, batchTimeoutMs = 600000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[PayV1]], _: Long) =>
+        ds.collect().foreach(b => EmitProbeS.emitted.add((b.trigger, b.messages.map(_.data.s))))
+        ()
+      }
+      .start()
+    try {
+      s1.addData((1 to 7).map(i => Message(PayV1(s"m$i"), metadata = Map("seq" -> i.toString))))
+      // wait until a committed micro-batch has actually CONSUMED the 7
+      // (cold RocksDB+Avro startup can exceed seconds; stopping earlier
+      // kills batch 0 mid-flight and checkpoints nothing)
+      val deadline = System.currentTimeMillis() + 60000
+      def consumed(): Long = q1.recentProgress.map(_.numInputRows).sum
+      while (consumed() < 7 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(consumed() >= 7, "first query never buffered the batch into state")
+      Thread.sleep(500) // let the commit finish before stop
+      assert(EmitProbeS.drain().isEmpty)
+    } finally q1.stop()
+
+    // "deploy": the payload class gained a field; resume the SAME checkpoint.
+    // The new-typed MemoryStream needs a placeholder block 0 — the
+    // checkpoint already committed the old stream's block 0, so the
+    // restarted query resumes reading at block 1 (offset alignment, not
+    // an engine concern)
+    val s2 = MemoryStream[Message[PayV2]]
+    s2.addData(Seq.empty[Message[PayV2]])
+    val q2 = KeyedBatcher.encoded(s2.toDS(), batchSize = 10, batchTimeoutMs = 600000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[PayV2]], _: Long) =>
+        ds.collect().foreach(b =>
+          EmitProbeS.emitted.add((b.trigger, b.messages.map(m => s"${m.data.s}/${m.data.n}"))))
+        ()
+      }
+      .start()
+    try {
+      s2.addData((8 to 10).map(i =>
+        Message(PayV2(s"m$i", Some(i.toLong)), metadata = Map("seq" -> i.toString))))
+      val deadline = System.currentTimeMillis() + 30000
+      var got = Seq.empty[(String, Seq[String])]
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); got = got ++ EmitProbeS.drain()
+      }
+      assert(got.map(_._1) == Seq("size"), s"open batch did not drain after evolution: $got")
+      assert(got.head._2 ==
+        (1 to 7).map(i => s"m$i/None") ++ (8 to 10).map(i => s"m$i/Some($i)"),
+        s"evolved payloads wrong: ${got.head._2}")
+    } finally q2.stop()
   }
 
   test("flush-mode message flushes its open batch immediately") {
