@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // equi+BETWEEN inner joins rewrite to the native sweep-line interval
     // join (stats-guarded — broadcast-sized sides stay with Spark's BHJ)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // STREAMING arm of the window-top-1 idiom: must run during ANALYSIS
+    // (UnsupportedOperationChecker rejects the streaming window at
+    // start(), before any optimizer rule fires) — builder-time extensions
+    // only; see StreamingTop1Rewrite's scaladoc
+    ext.injectPostHocResolutionRule(_ => graft.plans.StreamingTop1Rewrite)
     // planner surface: the native sort-merge as-of join (whole-operator
     // semantics Spark's built-ins can't express without a union+window
     // re-encoding — SURVEY §2.9 preference (c))
@@ -194,6 +199,10 @@ object GraftExtensions {
 
   /** Imperative registration on a live session: the SQL functions plus the
     * KernelFusion optimizer rule (idempotent — the rule is added once).
+    * NOTE: the streaming window-top-1 arm (StreamingTop1Rewrite) is an
+    * ANALYZER rule and cannot be added to a live session — sessions that
+    * need it must be built with `spark.sql.extensions=graft.GraftExtensions`
+    * (or `builder.withExtensions(new GraftExtensions()(_))`).
     */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>

@@ -1,0 +1,212 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming window-top-1 arm (r13 prescription #5): the hand-written
+  * `row_number() = 1` over a two-sided-bounded stream-stream join — a
+  * shape Spark REFUSES outright ("non-time-based windows are not
+  * supported on streaming DataFrames") — rewrites at analysis time onto
+  * the bounded-as-of composition (join kept verbatim + watermark-
+  * finalized max_by/min_by) and runs refusal-free with finite state.
+  *
+  * Needs a session built WITH the extensions (analyzer rules cannot be
+  * added to a live session), so this suite builds its own over the
+  * shared SparkContext.
+  */
+class StreamingTop1RewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    SparkSpec.session // materialize the shared context first
+    // builder.create() (NOT getOrCreate): a brand-new session over the
+    // existing context, with builder-time extensions, leaving the
+    // suite-shared default session alone — suites run in parallel, so
+    // clearing/restoring the default here would race them
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-top1")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions()(_))
+      .create()
+  }
+
+  override def afterAll(): Unit = ()
+
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private def idiomSql(joinKind: String, dir: String, tieDir: String) =
+    s"""SELECT user_id, click_id, imp_id, rk FROM (
+       |  SELECT l.user_id, l.click_id, l.click_ts, r.imp_id, r.cost,
+       |         row_number() OVER (
+       |           PARTITION BY l.user_id, l.click_id, l.click_ts
+       |           ORDER BY r.imp_ts $dir, r.imp_id $tieDir) AS rk
+       |  FROM clicks_s l $joinKind imps_s r
+       |    ON l.user_id = r.user_id
+       |   AND r.imp_ts <= l.click_ts
+       |   AND r.imp_ts >= l.click_ts - INTERVAL 15 MINUTES
+       |) WHERE rk = 1""".stripMargin
+
+  test("refused streaming SQL runs: randomized-redelivery differential vs brute force, inner and left-outer") {
+    val rnd = new scala.util.Random(2024)
+    val users = 8
+    val clicks = (0 until 60).map(i => (rnd.nextInt(users).toLong, i.toLong, t(1 + rnd.nextInt(90))))
+    val imps = (0 until 100).map(i =>
+      (rnd.nextInt(users).toLong, 1000L + i, t(1 + rnd.nextInt(90)), (i % 40) + 1.0))
+    // brute force: latest imp_ts in [click_ts - 15 min, click_ts], ties
+    // to the LARGEST imp_id (the DESC, DESC ordering below)
+    def expected(outerMode: Boolean): Set[(Long, Long, Option[Long])] =
+      clicks.flatMap { case (u, cid, ts) =>
+        val cand = imps.filter(r => r._1 == u &&
+          !r._3.after(ts) && r._3.getTime >= ts.getTime - 15 * 60000L)
+        if (cand.isEmpty) { if (outerMode) Some((u, cid, None)) else None }
+        else Some((u, cid, Some(cand.maxBy(r => (r._3.getTime, r._2))._2)))
+      }.toSet
+
+    for (outerMode <- Seq(false, true)) {
+      implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val cs = MemoryStream[(Long, Long, Timestamp)]
+      val is = MemoryStream[(Long, Long, Timestamp, Double)]
+      cs.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "500 minutes")
+        .createOrReplaceTempView("clicks_s")
+      is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost")
+        .withWatermark("imp_ts", "500 minutes")
+        .createOrReplaceTempView("imps_s")
+      val df = spark.sql(idiomSql(if (outerMode) "LEFT JOIN" else "JOIN", "DESC", "DESC"))
+      // the rewrite FIRED: no Window survives analysis (Spark would
+      // refuse it at start), an Aggregate carries the top-1 pick
+      val analyzed = df.queryExecution.analyzed
+      assert(!analyzed.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+        s"window not rewritten:\n$analyzed")
+      assert(analyzed.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
+
+      val out = new ConcurrentLinkedQueue[(Long, Long, Option[Long], Int)]()
+      val q = df.writeStream
+        .outputMode("append")
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          d.select(col("user_id"), col("click_id"), col("imp_id"), col("rk"))
+            .collect().foreach { r =>
+              out.add((r.getLong(0), r.getLong(1),
+                if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3)))
+            }
+          ()
+        }
+        .start()
+      try {
+        // shuffled out-of-order waves on both sides; later waves REDELIVER
+        // random earlier rows (at-least-once sources) — the per-anchor
+        // groups absorb duplicates, so the answer must not change
+        val cW = rnd.shuffle(clicks).grouped(20).toSeq
+        val iW = rnd.shuffle(imps).grouped(34).toSeq
+        cW.zipAll(iW, Seq.empty, Seq.empty).zipWithIndex.foreach { case ((cw, iw), i) =>
+          val cwAll = cw ++ (if (i > 0) rnd.shuffle(clicks).take(8) else Nil)
+          val iwAll = iw ++ (if (i > 0) rnd.shuffle(imps).take(12) else Nil)
+          if (cwAll.nonEmpty) cs.addData(cwAll)
+          if (iwAll.nonEmpty) is.addData(iwAll)
+          q.processAllAvailable()
+        }
+        // sentinel: advance both watermarks past every real click so all
+        // groups finalize (sentinel's own group stays open, excluded)
+        cs.addData(Seq((99L, 9999L, t(4000))))
+        is.addData(Seq((99L, 9999L, t(4000), 0.0)))
+        q.processAllAvailable()
+        val rows = Iterator.continually(out.poll()).takeWhile(_ != null)
+          .filter(_._2 != 9999L).toSeq
+        assert(rows.nonEmpty, "differential is vacuous — nothing emitted")
+        assert(rows.forall(_._4 == 1), "rk must read 1 on every emitted row")
+        val got = rows.map(r => (r._1, r._2, r._3)).toSet
+        assert(rows.size == got.size, s"duplicate per-anchor emissions: ${rows.size} vs ${got.size}")
+        val exp = expected(outerMode)
+        assert(got == exp,
+          s"outer=$outerMode: missing=${exp.diff(got).take(5)} spurious=${got.diff(exp).take(5)}")
+      } finally q.stop()
+    }
+  }
+
+  test("ASC orientation picks the EARLIEST (min_by twin): next-event semantics") {
+    // same idiom with ASC ordering and the bounds flipped to the
+    // look-AHEAD horizon: earliest imp in [click_ts, click_ts + 15 min],
+    // ties to the smallest imp_id
+    val rnd = new scala.util.Random(77)
+    val clicks = (0 until 40).map(i => (rnd.nextInt(5).toLong, i.toLong, t(1 + rnd.nextInt(60))))
+    val imps = (0 until 70).map(i =>
+      (rnd.nextInt(5).toLong, 1000L + i, t(1 + rnd.nextInt(60)), 1.0))
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cs = MemoryStream[(Long, Long, Timestamp)]
+    val is = MemoryStream[(Long, Long, Timestamp, Double)]
+    cs.toDF().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "500 minutes").createOrReplaceTempView("clicks_s")
+    is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost")
+      .withWatermark("imp_ts", "500 minutes").createOrReplaceTempView("imps_s")
+    val df = spark.sql(
+      """SELECT user_id, click_id, imp_id FROM (
+        |  SELECT l.user_id, l.click_id, l.click_ts, r.imp_id,
+        |         row_number() OVER (
+        |           PARTITION BY l.user_id, l.click_id, l.click_ts
+        |           ORDER BY r.imp_ts ASC, r.imp_id ASC) AS rk
+        |  FROM clicks_s l JOIN imps_s r
+        |    ON l.user_id = r.user_id
+        |   AND r.imp_ts >= l.click_ts
+        |   AND r.imp_ts <= l.click_ts + INTERVAL 15 MINUTES
+        |) WHERE rk = 1""".stripMargin)
+    assert(!df.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]))
+    val out = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach(r => out.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+        ()
+      }.start()
+    try {
+      cs.addData(clicks); is.addData(imps); q.processAllAvailable()
+      cs.addData(Seq((99L, 9999L, t(4000)))); is.addData(Seq((99L, 9999L, t(4000), 0.0)))
+      q.processAllAvailable()
+      val got = Iterator.continually(out.poll()).takeWhile(_ != null)
+        .filter(_._2 != 9999L).toSet
+      val exp = clicks.flatMap { case (u, cid, ts) =>
+        val cand = imps.filter(r => r._1 == u &&
+          !r._3.before(ts) && r._3.getTime <= ts.getTime + 15 * 60000L)
+        if (cand.isEmpty) None
+        else Some((u, cid, cand.minBy(r => (r._3.getTime, r._2))._2))
+      }.toSet
+      assert(got.nonEmpty && got == exp,
+        s"missing=${exp.diff(got).take(5)} spurious=${got.diff(exp).take(5)}")
+    } finally q.stop()
+  }
+
+  test("decline guards: no watermark, one-sided bound, rank<=2, mixed directions keep the Window") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def hasWindow(q: String): Boolean =
+      spark.sql(q).queryExecution.analyzed
+        .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
+    val cs = MemoryStream[(Long, Long, Timestamp)]
+    val is = MemoryStream[(Long, Long, Timestamp, Double)]
+    // watermarked views (the admissible baseline)
+    cs.toDF().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "1 hour").createOrReplaceTempView("clicks_s")
+    is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost")
+      .withWatermark("imp_ts", "1 hour").createOrReplaceTempView("imps_s")
+    assert(!hasWindow(idiomSql("JOIN", "DESC", "DESC")), "baseline shape must rewrite")
+    // rank <= 2 admits non-best rows the reduction cannot produce
+    assert(hasWindow(idiomSql("JOIN", "DESC", "DESC").replace("rk = 1", "rk <= 2")))
+    // mixed sort directions: max_by/min_by cannot reproduce the ordering
+    assert(hasWindow(idiomSql("JOIN", "DESC", "ASC")))
+    // one-sided bound: state would be unbounded — decline
+    assert(hasWindow(idiomSql("JOIN", "DESC", "DESC")
+      .replace("AND r.imp_ts >= l.click_ts - INTERVAL 15 MINUTES", "")))
+    // unwatermarked sides: no state-eviction story — decline
+    cs.toDF().toDF("user_id", "click_id", "click_ts").createOrReplaceTempView("clicks_s")
+    is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost").createOrReplaceTempView("imps_s")
+    assert(hasWindow(idiomSql("JOIN", "DESC", "DESC")))
+  }
+}
