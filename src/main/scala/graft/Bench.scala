@@ -544,12 +544,31 @@ object Bench {
       val (_, autoSec, autoMatched, _, autoDur) =
         intervalJoinScenario(spark, rows, acc = acc, opStatePartitions = Some(autoWidth))
       val autoState = state()
+      // bounded as-of (the three-stateful-op composition: time-bound join →
+      // watermark-finalized max_by), folded into the default block so the
+      // numbers the NOTES gate cites live in COMMITTED artifacts (r13
+      // finding #4: they previously ran only under a STREAM_ONLY env the
+      // driver never sets). Same default / hand-tuned p8 / closed-loop
+      // auto triangle as interval_join.
+      asofBoundedScenario(spark, math.min(rows / 10, 20000)) // untimed: agg-state codegen
+      val (abRows, abSec, abEmitted, abBatches, abDur) = asofBoundedScenario(spark, rows, acc = acc)
+      val abState = state()
+      val (_, abp8Sec, abp8Emitted, _, abp8Dur) =
+        asofBoundedScenario(spark, rows, acc = acc, statefulPartitions = Some(8))
+      val abp8State = state()
+      val abAutoWidth = graft.streaming.EventTime.statePartitionsForVolume(
+        math.max(0L, abState._2))
+      val (_, abAutoSec, abAutoEmitted, _, abAutoDur) =
+        asofBoundedScenario(spark, rows, acc = acc, opStatePartitions = Some(abAutoWidth))
+      val abAutoState = state()
       def durJson(d: Map[String, Long]) =
         d.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       def block(r: Long, sec: Double, proc: Long, batches: Long, d: Map[String, Long]) =
         s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"processed":$proc,"micro_batches":$batches,"durations_ms":${durJson(d)}}"""
       def ijBlock(sec: Double, m: Long, d: Map[String, Long], st: (Long, Long)) =
         s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(ijRows / sec)},"matched":$m,"state_rows_max":${st._1},"state_mem_mb":${st._2 / (1 << 20)},"durations_ms":${durJson(d)}}"""
+      def abBlock(sec: Double, e: Long, d: Map[String, Long], st: (Long, Long)) =
+        s"""{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(abRows / sec)},"emitted":$e,"state_rows_max":${st._1},"state_mem_mb":${st._2 / (1 << 20)},"durations_ms":${durJson(d)}}"""
       s"""{"rows":$bRows,"state_provider":"${blockProvider.map(_.split('.').last).getOrElse("HDFSBackedStateStoreProvider")}",""" +
         s""""burst":${block(bRows, bSec, bProc, bBatches, bDur)},""" +
         s""""sustained":${block(sRows, sSec, sProc, sBatches, sDur)},""" +
@@ -560,7 +579,10 @@ object Bench {
         s""""interval_join_rocksdb":${ijBlock(rkSec, rkMatched, rkDur, rkState)},""" +
         s""""interval_join_p8":${ijBlock(p8Sec, p8Matched, p8Dur, p8State)},""" +
         s""""interval_join_rocksdb_p8":${ijBlock(rkp8Sec, rkp8Matched, rkp8Dur, rkp8State)},""" +
-        s""""interval_join_auto":${ijBlock(autoSec, autoMatched, autoDur, autoState).dropRight(1)},"width":$autoWidth}}"""
+        s""""interval_join_auto":${ijBlock(autoSec, autoMatched, autoDur, autoState).dropRight(1)},"width":$autoWidth},""" +
+        s""""asof_bounded":${abBlock(abSec, abEmitted, abDur, abState).dropRight(1)},"micro_batches":$abBatches},""" +
+        s""""asof_bounded_p8":${abBlock(abp8Sec, abp8Emitted, abp8Dur, abp8State)},""" +
+        s""""asof_bounded_auto":${abBlock(abAutoSec, abAutoEmitted, abAutoDur, abAutoState).dropRight(1)},"width":$abAutoWidth}}"""
     }
   }
 
@@ -661,6 +683,14 @@ object Bench {
       if (times.isEmpty) 0.0
       else if (times.size % 2 == 1) times(times.size / 2)
       else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+    // COLD-flagged candidates: wall time in the main loop > 4× median.
+    // Cold time bundles first-in-JVM codegen/classloading charges that
+    // vary with JVM and run order (r13: the driver's run flagged 7, the
+    // same code's committed chain 3 — every delta decomposed into
+    // codegen_ms). The GATE therefore ranks on warm_ms — the controlled
+    // re-run below with generated classes and shared builds hot, i.e. the
+    // steady-state number that actually predicts 100 TB behavior — and the
+    // cold decomposition rides along as info.
     val slow = results
       .filter { case (_, v, ok) => ok && median > 0 && v > 4.0 * median }
       .sortBy(-_._2)
@@ -763,13 +793,22 @@ object Bench {
           if (d.constructMs < 0) -1L else math.max(0L, math.round(coldMs) - accounted)
         s""","construct_ms":${d.constructMs},"builds":$b,"codegen_ms":$codegen"""
       }.getOrElse("")
-    // stdout gets the IDENTIFICATION only (query, ms, ×median); the full
-    // decomposition (warm/construct/builds/codegen) lives in BENCH_DETAIL's
-    // slow_4x — r12's driver-side parse failure was this line outgrowing
-    // the driver's 2 KB tail window
-    val slowJson = slow.take(8)
-      .map { case (k, v, _) =>
-        s"""{"q":"$k","ms":${math.round(v)},"x":${math.round(v / median * 10) / 10.0}}"""
+    // THE slow gate: a cold-flagged query stays flagged only if its WARM
+    // re-run also breaks the 4× budget (decomposition failure ⇒ stays
+    // flagged, conservatively). Queries that fall out here were pure
+    // JIT-state noise — their full decomposition remains in BENCH_DETAIL's
+    // slow_4x as info lines.
+    val warmSlow = slow
+      .map { case (k, v, _) => (k, v, warmMs(k)) }
+      .filter { case (_, _, w) => w < 0 || w > 4.0 * median }
+      .sortBy { case (_, v, w) => -(if (w < 0) math.round(v) else w) }
+    // stdout gets the IDENTIFICATION only (query, cold/warm ms, ×median on
+    // warm); the full decomposition (construct/builds/codegen) lives in
+    // BENCH_DETAIL's slow_4x — r12's driver-side parse failure was this
+    // line outgrowing the driver's 2 KB tail window
+    val slowJson = warmSlow.take(8)
+      .map { case (k, v, w) =>
+        s"""{"q":"$k","cold_ms":${math.round(v)},"warm_ms":$w,"x":${math.round((if (w < 0) v else w.toDouble) / median * 10) / 10.0}}"""
       }
       .mkString("[", ",", "]")
     // headline per-query map kept to the 8 slowest (sec, 3 decimals) so
@@ -805,6 +844,9 @@ object Bench {
         s""""$q":${bs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")}"""
     detail ++= s""","codegen_ms_estimate":$codegenMs"""
+    // slow_n = WARM-gated (the stdout gate); slow_4x = every cold-flagged
+    // candidate with its full decomposition, info regardless of the gate
+    detail ++= s""","slow_n":${warmSlow.size},"cold_flagged_n":${slow.size}"""
     detail ++= s""","shared_build_ms":$sharedJson,"slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}${buildsJson(k, v)}}""" }.mkString("[", ",", "]")}}"""
     // full-registry runs own BENCH_DETAIL.json (the committed round-over-
     // round record); filtered profiling runs write a _LOCAL twin so they
@@ -823,7 +865,7 @@ object Bench {
     // block entirely rather than ever emitting an unparseable truncation.
     val stdoutLine = {
       def line(streamingPart: String, slowPart: String) =
-        s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${slow.size},"slow":$slowPart,"codegen_ms_estimate":$codegenMs,"calibration_ms":$calibrationMs,"queries":$headline,"streaming":$streamingPart,"detail_file":"$detailName"}"""
+        s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","action":"noop-write","cache_invalidated":true,"n":${results.size},"failed":${failed.size},"failed_queries":$failedJson,"median_ms":${math.round(median)},"p90_ms":${pct(0.90)},"p99_ms":${pct(0.99)},"max_ms":${pct(1.0)},"slow_budget_x":4.0,"slow_n":${warmSlow.size},"cold_flagged_n":${slow.size},"slow":$slowPart,"codegen_ms_estimate":$codegenMs,"calibration_ms":$calibrationMs,"queries":$headline,"streaming":$streamingPart,"detail_file":"$detailName"}"""
       val candidates = Seq(
         line(compactStreamingJson(streamingJson), slowJson),
         line(compactStreamingJson(streamingJson), "\"see_detail\""),
@@ -848,6 +890,7 @@ object Bench {
       .replaceAll(""","processed":-?\d+""", "")
       .replaceAll(""","matched":-?\d+""", "")
       .replaceAll(""","emitted":-?\d+""", "")
+      .replaceAll(""","state_rows_max":-?\d+""", "")
 }
 
 /** Streaming-only bench entry for local profiling: the five pipeline

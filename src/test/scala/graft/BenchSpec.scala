@@ -21,7 +21,10 @@ class BenchSpec extends AnyFunSuite {
     assert(!compact.contains("processed"))
     assert(!compact.contains("\"matched\""))
     assert(compact.contains("\"rows_per_sec\":84500"))
-    assert(compact.contains("\"state_rows_max\":51700"))
+    // state_rows_max is stripped too since r14 (the asof_bounded triple
+    // joined the default block; mem stays, rows ride in BENCH_DETAIL)
+    assert(!compact.contains("state_rows_max"))
+    assert(compact.contains("\"state_mem_mb\":14"))
     assert(compact.contains("\"drain_sec\":2.412"))
     // still structurally valid JSON: balanced braces, no dangling commas
     assert(compact.count(_ == '{') == compact.count(_ == '}'))

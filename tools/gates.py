@@ -47,7 +47,18 @@ def main() -> int:
         failed_names = set(bench.get("failed") or [])
         bench["failed"] = len(failed_names)
         slow4 = bench.get("slow_4x") or []
-        bench.setdefault("slow_n", len(slow4))
+        # slow_n is WARM-gated (r13 finding #3): a cold-flagged query only
+        # counts once its controlled warm re-run also breaks the budget.
+        # Newer BENCH_DETAILs carry slow_n directly; reconstruct for older
+        # ones (warm_ms missing/negative => conservatively flagged).
+        if "slow_n" not in bench:
+            med = bench.get("median_ms") or 0
+            bench["slow_n"] = sum(
+                1 for s in slow4
+                if not isinstance(s.get("warm_ms"), (int, float))
+                or s["warm_ms"] < 0 or (med and s["warm_ms"] > 4.0 * med)
+            )
+        bench.setdefault("cold_flagged_n", len(slow4))
         bench.setdefault("slow", slow4)
         # PASSING queries only, matching Bench.scala's own percentile
         # math — failed queries report ~0 ms and would deflate the tail
@@ -83,8 +94,9 @@ def main() -> int:
     for s in slow:
         builds = s.get("builds") or {}
         charges = " + ".join(f"{k} {v} ms" for k, v in builds.items()) or "no builds"
+        cold = s.get("ms", s.get("cold_ms", "?"))
         slow_lines.append(
-            f"    - {s['q']}: cold {s['ms']} ms = construct {s.get('construct_ms', '?')}"
+            f"    - {s['q']}: cold {cold} ms = construct {s.get('construct_ms', '?')}"
             f" + [{charges}] + warm {s.get('warm_ms', '?')} ms"
             f" + codegen {s.get('codegen_ms', '?')} ms"
         )
@@ -97,7 +109,9 @@ def main() -> int:
           f"**{bench.get('n')} queries / {bench.get('failed')} failed / "
           f"median {bench.get('median_ms')} ms / total {bench.get('value')} s**; "
           f"p90 {bench.get('p90_ms')} ms, p99 {bench.get('p99_ms')} ms, "
-          f"slow_n={bench.get('slow_n')}, codegen est {bench.get('codegen_ms_estimate')} ms, "
+          f"slow_n={bench.get('slow_n')} (warm-gated; cold-flagged "
+          f"{bench.get('cold_flagged_n', 'n/a')}), "
+          f"codegen est {bench.get('codegen_ms_estimate')} ms, "
           f"calibration {bench.get('calibration_ms', 'n/a')} ms "
           f"(divide cross-round ratios by the calibration ratio before "
           f"calling a delta a regression)")
@@ -116,6 +130,10 @@ def main() -> int:
               f"(rocksdb {rps('interval_join_rocksdb')}, p8 {rps('interval_join_p8')}, "
               f"auto[w{(streaming.get('interval_join_auto') or {}).get('width', '?')}] "
               f"{rps('interval_join_auto')}) rows/s; "
+              f"asof_bounded {rps('asof_bounded')} "
+              f"(p8 {rps('asof_bounded_p8')}, "
+              f"auto[w{(streaming.get('asof_bounded_auto') or {}).get('width', '?')}] "
+              f"{rps('asof_bounded_auto')}) rows/s; "
               f"drain {((streaming.get('drain') or {}).get('drain_sec', 'n/a'))} s")
     return 0
 
