@@ -35,6 +35,11 @@ object ScaleStress {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // builder-time extensions: the streaming window-top-1 arm is an
+      // ANALYZER rule (StreamingTop1Rewrite) and cannot be registered on
+      // a live session; the later imperative register() calls stay for
+      // the optimizer rules (idempotent — conf-guarded and convergent)
+      .withExtensions(new graft.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -283,13 +288,92 @@ object ScaleStress {
     spark.conf.unset(graft.plans.IntervalJoinExec.MaxActiveKey)
     spark.conf.unset(graft.plans.IntervalJoinExec.SpillKey)
 
-    val all = (builds ++ joins ++ spills).flatten
+    // ---- streaming window-top-1 arm at x-scale --------------------------
+    // The refusal-free path's scale evidence: the SAME hand-written SQL
+    // over streams (rewritten to join + watermark-finalized max_by) runs
+    // 100k·x anchors × 50k·x matches over 1000 keys in 10 ascending time
+    // waves. The number that matters is state_rows_max: a bounded fraction
+    // of the corpus (watermark window + open groups), NOT the full input —
+    // the eviction the two-sided bound + watermark buy. Width 8 via
+    // withStatePartitions composes with the rewritten plan (the knob works
+    // on plans the user never built by hand).
+    var top1StateRowsMax = -1L
+    val streamingTop1 = timed("streaming_top1_rewritten") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val leftN = 100000L * x
+      val rightN = 50000L * x
+      val cs = MemoryStream[(Long, Long, Long)] // (k, t_ms_offset, lid)
+      val is = MemoryStream[(Long, Long, Long)] // (k, rt_ms_offset, rid)
+      cs.toDF().toDF("k", "tms", "lid")
+        .selectExpr("k", "timestamp_millis(1700000000000 + tms) AS t", "lid")
+        .withWatermark("t", "200 seconds")
+        .createOrReplaceTempView("swt1_l")
+      is.toDF().toDF("k", "rtms", "rid")
+        .selectExpr("k", "timestamp_millis(1700000000000 + rtms) AS rt", "rid")
+        .withWatermark("rt", "200 seconds")
+        .createOrReplaceTempView("swt1_r")
+      val df0 = spark.sql(
+        """SELECT lid, k, rid, rt FROM (
+          |  SELECT l.lid, l.k, l.t, r.rid, r.rt,
+          |    row_number() OVER (PARTITION BY l.lid, l.k, l.t
+          |                       ORDER BY r.rt DESC, r.rid DESC) AS rk
+          |  FROM swt1_l l JOIN swt1_r r
+          |    ON r.k = l.k AND r.rt <= l.t
+          |   AND r.rt >= l.t - INTERVAL 10 SECONDS) s
+          |WHERE rk = 1""".stripMargin)
+      require(
+        !df0.queryExecution.analyzed.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+        "streaming window-top-1 did not rewrite — builder extensions missing?")
+      val df = graft.streaming.EventTime.withStatePartitions(df0, 8)
+      val emitted = new java.util.concurrent.atomic.AtomicLong()
+      val q = df.writeStream
+        .outputMode("append")
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.addAndGet(d.count()); ()
+        }
+        .start()
+      try {
+        val waves = 10
+        val lPerWave = leftN / waves
+        val rPerWave = rightN / waves
+        var w = 0L
+        while (w < waves) {
+          // wave w's event times live in [w·100 s, (w+1)·100 s): ascending
+          // waves + the 200 s watermark delay let groups finalize and
+          // state evict as the run progresses — the steady-state regime
+          cs.addData((0L until lPerWave).map { i =>
+            val id = w * lPerWave + i
+            (id % 1000, (id * 2654435761L) % 100000 + w * 100000L, id)
+          })
+          is.addData((0L until rPerWave).map { i =>
+            val id = w * rPerWave + i
+            (id % 1000, (id * 48271L) % 100000 + w * 100000L, id)
+          })
+          q.processAllAvailable()
+          w += 1
+        }
+        // far-future sentinels push BOTH watermarks past every real
+        // anchor so the tail finalizes (sentinel groups stay open)
+        cs.addData(Seq((9999L, waves * 100000L + 600000L, -1L)))
+        is.addData(Seq((9999L, waves * 100000L + 600000L, -1L)))
+        q.processAllAvailable()
+        top1StateRowsMax = q.recentProgress
+          .flatMap(p => Option(p.stateOperators))
+          .map(_.map(_.numRowsTotal).sum)
+          .foldLeft(-1L)(math.max)
+        emitted.get()
+      } finally q.stop()
+    }
+
+    val all = (builds ++ joins ++ spills ++ Seq(streamingTop1)).flatten
     val json = all.map { case (n, sec, rows) =>
       s""""$n":{"sec":${math.round(sec * 100) / 100.0},"rows":$rows}"""
     }.mkString(",")
     println(
       s"""{"stress_x":$x,"docs":$docN,"vecs":$vecN,"gen_sec":${math.round(genSec * 100) / 100.0},""" +
-        s""""peak_active_intervals":$peakActive,"pairs_cos_ge_090":{"default_geom":$hiDefault,"wide_bands":$hiWide},"heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g",$json}"""
+        s""""peak_active_intervals":$peakActive,"streaming_top1_state_rows_max":$top1StateRowsMax,"pairs_cos_ge_090":{"default_geom":$hiDefault,"wide_bands":$hiWide},"heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g",$json}"""
     )
     spark.stop()
   }

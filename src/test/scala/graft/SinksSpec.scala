@@ -279,6 +279,53 @@ class SinksSpec extends SparkSpec {
     assert(total() == (0 until 50).sum.toLong)
   }
 
+  test("compactManifested under a CONCURRENT writer thread: every published batch survives, total exact") {
+    // The seam test pins the exact r13 hazard window; this one runs the
+    // real race: a writer thread publishing batches flat-out while the
+    // main thread compacts in a housekeeping loop ("call it blindly").
+    // No timing assertions — only end-state integrity: every batch's sum
+    // present exactly once, readable mid-run and after.
+    val root = Files.createTempDirectory("graft-mcompact-conc").toString
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    val batches = 24
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val published = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = new Thread(() => {
+      try {
+        (0 until batches).foreach { b =>
+          Sinks.manifestedParquet(((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong)
+          published.incrementAndGet()
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    }, "graft-conc-writer")
+    writer.start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (writer.isAlive && System.currentTimeMillis() < deadline) {
+      Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
+      // a reader racing both: whatever set it resolves must sum to a
+      // prefix-consistent value (each batch is all-or-nothing); the
+      // pre-first-publish window resolves an empty columnless frame —
+      // the documented schema-param case, typed here explicitly
+      val sc = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType)))
+      val seen = Sinks.readManifested(spark, root, Some(sc))
+        .agg(org.apache.spark.sql.functions.sum("v")).head()
+      if (!seen.isNullAt(0)) {
+        val s = seen.getLong(0)
+        val valid = (0 to batches).map(n => (0 until n * 10).sum.toLong).toSet
+        assert(valid.contains(s), s"mid-run reader saw a non-batch-atomic sum: $s")
+      }
+    }
+    writer.join(10000)
+    assert(failure.get() == null, s"writer thread failed: ${failure.get()}")
+    assert(published.get() == batches)
+    // final compaction pass, then the invariant: nothing lost, nothing doubled
+    Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
+    assert(total() == (0 until batches * 10).sum.toLong,
+      "a batch published concurrently with compaction was lost or doubled")
+  }
+
   test("compactManifested retention: retired state outlives the publish by retainMillis for lazy readers") {
     val root = Files.createTempDirectory("graft-mcompact-retain").toString
     val fs = org.apache.hadoop.fs.FileSystem.get(
