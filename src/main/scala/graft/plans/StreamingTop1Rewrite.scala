@@ -208,7 +208,14 @@ object StreamingTop1Rewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _                => ()
     }
     val j = below match {
-      case j: Join if j.isStreaming && j.condition.isDefined &&
+      // BOTH children streaming — the both-streams bounded-as-of shape.
+      // A stream-static join with a STATIC anchor would rewrite into an
+      // aggregation whose groups never finalize (no event-time key):
+      // "top-1 over all matches ever" has no append-mode meaning, so it
+      // stays with Spark's refusal rather than silently becoming
+      // update-mode running-max semantics.
+      case j: Join if j.left.isStreaming && j.right.isStreaming &&
+          j.condition.isDefined &&
           j.hint.leftHint.forall(_.strategy.isEmpty) &&
           j.hint.rightHint.forall(_.strategy.isEmpty) => j
       case _ => return None

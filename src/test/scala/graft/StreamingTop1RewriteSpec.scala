@@ -204,6 +204,11 @@ class StreamingTop1RewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one-sided bound: state would be unbounded — decline
     assert(hasWindow(idiomSql("JOIN", "DESC", "DESC")
       .replace("AND r.imp_ts >= l.click_ts - INTERVAL 15 MINUTES", "")))
+    // stream-STATIC join (static anchor side): the aggregation's groups
+    // would never finalize — decline, stay with Spark's refusal
+    Seq((1L, 10L, t(5))).toDF("user_id", "click_id", "click_ts")
+      .createOrReplaceTempView("clicks_static")
+    assert(hasWindow(idiomSql("JOIN", "DESC", "DESC").replace("clicks_s l", "clicks_static l")))
     // unwatermarked sides: no state-eviction story — decline
     cs.toDF().toDF("user_id", "click_id", "click_ts").createOrReplaceTempView("clicks_s")
     is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost").createOrReplaceTempView("imps_s")
