@@ -35,7 +35,11 @@ object StateInspect {
     * For stream-stream join state pass `joinSide` ("left"/"right") and
     * Spark assembles the user-facing key/value view across the side's
     * paired internal stores; `storeName` addresses one internal store
-    * directly when the raw layout is the question.
+    * directly when the raw layout is the question. For
+    * `transformWithState` operators (e.g. [[KeyedBatcher.encoded]]'s
+    * checkpoint) pass `stateVarName` — the processor's state variable
+    * name ("open" for the encoded batcher); TWS stores are addressed by
+    * variable, not store name.
     */
   def stateRows(
       spark: SparkSession,
@@ -43,7 +47,8 @@ object StateInspect {
       operatorId: Int = 0,
       joinSide: Option[String] = None,
       storeName: Option[String] = None,
-      batchId: Option[Long] = None
+      batchId: Option[Long] = None,
+      stateVarName: Option[String] = None
   ): DataFrame = {
     require(joinSide.isEmpty || storeName.isEmpty,
       "pass joinSide OR storeName, not both (Spark rejects the combination)")
@@ -51,6 +56,7 @@ object StateInspect {
     joinSide.foreach(s => r = r.option("joinSide", s))
     storeName.foreach(s => r = r.option("storeName", s))
     batchId.foreach(b => r = r.option("batchId", b.toString))
+    stateVarName.foreach(s => r = r.option("stateVarName", s))
     r.load(checkpoint)
   }
 
@@ -78,13 +84,15 @@ object StateInspect {
       operatorId: Int = 0,
       joinSide: Option[String] = None,
       topK: Int = 20,
-      rankBy: String = "bytes"
+      rankBy: String = "bytes",
+      stateVarName: Option[String] = None
   ): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     require(rankBy == "bytes" || rankBy == "rows",
       s"rankBy must be 'bytes' or 'rows', got '$rankBy'")
     val rank = if (rankBy == "bytes") "state_bytes_est" else "state_rows"
-    val rows = stateRows(spark, checkpoint, operatorId, joinSide)
+    val rows = stateRows(spark, checkpoint, operatorId, joinSide,
+      stateVarName = stateVarName)
     // rebuild the value struct from its DECLARED fields before
     // serializing: join-state value rows physically carry an internal
     // trailing field (the matched flag) beyond the declared schema, and
@@ -113,9 +121,10 @@ object StateInspect {
       spark: SparkSession,
       checkpoint: String,
       operatorId: Int = 0,
-      joinSide: Option[String] = None
+      joinSide: Option[String] = None,
+      stateVarName: Option[String] = None
   ): DataFrame =
-    stateRows(spark, checkpoint, operatorId, joinSide)
+    stateRows(spark, checkpoint, operatorId, joinSide, stateVarName = stateVarName)
       .groupBy(col("partition_id"))
       .agg(count(lit(1)).as("state_rows"))
       .orderBy(col("partition_id"))

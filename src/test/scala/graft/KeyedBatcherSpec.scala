@@ -344,6 +344,44 @@ class KeyedBatcherSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("encoded: the open-batch state is INSPECTABLE via StateInspect stateVarName") {
+    // The ops loop closes over the new variant too: a stuck/overgrown
+    // encoded batcher's checkpoint answers "which (batcher, batchKey)
+    // holds the open buffer, and how big" offline — TWS stores are
+    // addressed by state VARIABLE name ("open"), not store name.
+    EmitProbeS.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-enc-inspect").toString
+    val s1 = MemoryStream[Message[PayV1]]
+    val q1 = KeyedBatcher.encoded(s1.toDS(), batchSize = 100, batchTimeoutMs = 600000).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[PayV1]], _: Long) =>
+        ds.collect().foreach(b => EmitProbeS.emitted.add((b.trigger, b.messages.map(_.data.s))))
+        ()
+      }
+      .start()
+    try {
+      s1.addData((1 to 5).map(i =>
+        Message(PayV1(s"m$i"), metadata = Map("seq" -> i.toString), batchKey = "hot")))
+      val deadline = System.currentTimeMillis() + 60000
+      def consumed(): Long = q1.recentProgress.map(_.numInputRows).sum
+      while (consumed() < 5 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(consumed() >= 5)
+      Thread.sleep(500)
+    } finally q1.stop()
+    val rows = graft.streaming.StateInspect
+      .stateRows(spark, checkpoint, stateVarName = Some("open")).collect()
+    assert(rows.length == 1, s"expected the one open group, got ${rows.toSeq}")
+    val key = rows.head.getStruct(rows.head.fieldIndex("key"))
+    assert(key.toSeq.contains("hot"), s"group key not visible: $key")
+    val hot = graft.streaming.StateInspect
+      .hotKeys(spark, checkpoint, stateVarName = Some("open"), topK = 1).collect()
+    assert(hot.length == 1 && hot.head.getAs[Long]("state_rows") == 1L)
+    assert(hot.head.getAs[Long]("state_bytes_est") > 0L)
+  }
+
   test("flush-mode message flushes its open batch immediately") {
     EmitProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
