@@ -296,19 +296,30 @@ object Sinks {
     val now = System.currentTimeMillis()
     def dirKey(f: String) = new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath
     val protectedDirs: Set[String] = st.live.flatMap(_.files).map(dirKey).toSet
-    st.retired.foreach { r =>
-      val retiredAt = st.live
-        .collect { case e if e.supersedes.contains(r.name) => e.modTime }
-        .minOption
-        .getOrElse(now)
-      if (now - retiredAt >= retainMillis) {
-        r.files
-          .map(f => new org.apache.hadoop.fs.Path(f).getParent)
-          .distinctBy(_.toUri.getPath)
-          .filterNot(d => protectedDirs.contains(d.toUri.getPath))
-          .foreach(d => hfs.delete(d, true))
-        hfs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifests/${r.name}"), false)
-      }
+    def retiredAt(r: ManifestEntry): Long = st.live
+      .collect { case e if e.supersedes.contains(r.name) => e.modTime }
+      .minOption
+      .getOrElse(now)
+    val (agedOut, inGrace) = st.retired.partition(r => now - retiredAt(r) >= retainMillis)
+    // a dir is deletable only when EVERY retired manifest referencing it
+    // has aged out: a kept-by-reference file shares its dir across
+    // manifest generations, and a long-aged batch manifest must not
+    // collapse the grace window of a freshly retired compaction manifest
+    // naming the same dir (the reader who resolved THAT list is the one
+    // the window protects)
+    val inGraceDirs: Set[String] = inGrace.flatMap(_.files).map(dirKey).toSet
+    agedOut.foreach { r =>
+      r.files
+        .map(f => new org.apache.hadoop.fs.Path(f).getParent)
+        .distinctBy(_.toUri.getPath)
+        .filterNot(d => protectedDirs.contains(d.toUri.getPath) ||
+          inGraceDirs.contains(d.toUri.getPath))
+        .foreach(d => hfs.delete(d, true))
+      // the manifest file itself can go as soon as ITS grace elapses —
+      // readers resolve files at manifest-read time, and a dir kept
+      // alive by an in-grace sibling is reclaimed on a later pass once
+      // that sibling ages (its refs carry the dir until then)
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifests/${r.name}"), false)
     }
   }
 

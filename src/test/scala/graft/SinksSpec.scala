@@ -356,6 +356,53 @@ class SinksSpec extends SparkSpec {
     assert(total() == expected)
   }
 
+  test("retention: a dir shared by an AGED and an in-grace retired manifest survives until BOTH age") {
+    // A kept-by-reference file shares its dir across manifest
+    // generations: the batch manifest that first wrote it and the later
+    // compaction manifest that carried it by reference can be retired at
+    // DIFFERENT times. The long-aged batch manifest must not collapse
+    // the grace window of the freshly retired compaction manifest naming
+    // the same dir — the reader the window protects resolved the
+    // compaction manifest's list.
+    val root = Files.createTempDirectory("graft-mcompact-shared").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    // batch 0 big (kept by reference at the first compaction), 1-2 small
+    Sinks.manifestedParquet(spark.range(20000).selectExpr("id AS v"), root, batchId = 0)
+    (1 to 2).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).map(_.toLong).toDF("v"), root, batchId = b.toLong))
+    val expected = (0L until 20000L).sum + (10 until 30).sum
+    val bigDir = fs.globStatus(p(s"$root/data/batch-0-*")).head.getPath
+    val bigFiles = fs.globStatus(p(s"$root/data/batch-0-*/*.parquet")).map(_.getPath.toString)
+    // compact-1 with retention: batch manifests retire IN GRACE (stay on
+    // disk), big file rides into compact-1 by reference
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 16L * 1024, retainMillis = 3600L * 1000) == 1)
+    Thread.sleep(2000) // age gap between the two retirement generations
+    // compact-2 with a huge target: the big file is now "small" and gets
+    // REWRITTEN — its dir loses live protection, held only by retired refs
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 3600L * 1000) == 1)
+    // cleanup pass where the batch manifests (retired ~2 s ago) are aged
+    // but compact-1 (retired just now) is still in grace
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 1000L) == 0)
+    assert(fs.exists(bigDir),
+      "aged batch manifest collapsed the in-grace compaction manifest's dir")
+    // the in-grace reader's resolved list still scans
+    assert(spark.read.parquet(bigFiles.toIndexedSeq: _*).count() == 20000L)
+    assert(total() == expected)
+    // once compact-1 ages too, the dir is reclaimed via ITS refs
+    Thread.sleep(1500)
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 1000L) == 0)
+    assert(!fs.exists(bigDir), "dir not reclaimed after every referencer aged")
+    assert(total() == expected)
+  }
+
   test("readManifested merges evolved batch schemas BEFORE any compaction") {
     val root = Files.createTempDirectory("graft-manifest-merge").toString
     Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
