@@ -1245,6 +1245,64 @@ object Relational {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // The BACKWARD (next-event) direction through the TABLE-function SQL
+    // surface — graft_asof_join(..., 'next'): earliest same-user purchase
+    // at or after each click, ties to the SMALLEST purchase id (the
+    // backward merge's min-by contract), aggregated per user like q241.
+    // q241 oracle-gates the TVF's forward arm and q259 the backward arm
+    // through the API; this closes the last SQL-surface × direction cell
+    // against the DuckDB ASC-rank oracle.
+    Q(
+      "q262_next_tvf_sql",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val ev = events(s, d)
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .createOrReplaceTempView("g262_clicks")
+        ev.filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("p_id"),
+            col("user_id").as("p_user"),
+            col("ts").as("pts"),
+            col("value").as("p_value")
+          )
+          .createOrReplaceTempView("g262_purch")
+        s.sql(
+          """SELECT user_id,
+            |  count(*) AS clicks,
+            |  sum((unix_micros(pts) - unix_micros(ts)) div 1000000L) AS wait_seconds,
+            |  sum(CAST(round(p_value * 100) AS BIGINT)) AS bought_cents
+            |FROM graft_asof_join(TABLE(g262_clicks), TABLE(g262_purch),
+            |                     'user_id', 'p_user', 'ts', 'pts', 'p_id', 'next')
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin
+        )
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id AS p_id, user_id AS p_user, ts AS pts,
+             |    value AS p_value
+             |  FROM events WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT * FROM (
+             |    SELECT c.user_id, c.ts, p.pts, p.p_value,
+             |      row_number() OVER (PARTITION BY c.event_id
+             |                         ORDER BY p.pts ASC, p.p_id ASC) AS rk
+             |    FROM c JOIN p ON p.p_user = c.user_id AND p.pts >= c.ts) t
+             |  WHERE rk = 1)
+             |SELECT user_id,
+             |  CAST(count(*) AS BIGINT) AS clicks,
+             |  CAST(sum((epoch_us(pts) - epoch_us(ts)) // 1000000) AS BIGINT)
+             |    AS wait_seconds,
+             |  CAST(sum(CAST(round(p_value * 100) AS BIGINT)) AS BIGINT)
+             |    AS bought_cents
+             |FROM m
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is
