@@ -72,8 +72,17 @@ class StreamingTop1RewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         else Some((u, cid, Some(cand.maxBy(r => (r._3.getTime, r._2))._2)))
       }.toSet
 
-    for (outerMode <- Seq(false, true)) {
+    // provider axis: the rewritten composition must answer identically
+    // from the heap provider and RocksDB (the 100 TB state posture) —
+    // inner on both, outer on the default (the provider binds at
+    // start() from the session conf)
+    val rocksDb =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for ((outerMode, provider) <- Seq(
+        (false, None), (true, None), (false, Some(rocksDb)))) {
       implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val savedProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      provider.foreach(spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
       val cs = MemoryStream[(Long, Long, Timestamp)]
       val is = MemoryStream[(Long, Long, Timestamp, Double)]
       cs.toDF().toDF("user_id", "click_id", "click_ts")
@@ -128,8 +137,15 @@ class StreamingTop1RewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(rows.size == got.size, s"duplicate per-anchor emissions: ${rows.size} vs ${got.size}")
         val exp = expected(outerMode)
         assert(got == exp,
-          s"outer=$outerMode: missing=${exp.diff(got).take(5)} spurious=${got.diff(exp).take(5)}")
-      } finally q.stop()
+          s"outer=$outerMode provider=$provider: " +
+            s"missing=${exp.diff(got).take(5)} spurious=${got.diff(exp).take(5)}")
+      } finally {
+        q.stop()
+        savedProvider match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     }
   }
 
