@@ -200,6 +200,79 @@ class StreamingTop1RewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("residual WHERE conjuncts and the flipped FROM orientation both rewrite correctly") {
+    val rnd = new scala.util.Random(555)
+    val clicks = (0 until 50).map(i => (rnd.nextInt(6).toLong, i.toLong, t(1 + rnd.nextInt(80))))
+    val imps = (0 until 90).map(i =>
+      (rnd.nextInt(6).toLong, 1000L + i, t(1 + rnd.nextInt(80)), 1.0))
+    def best(u: Long, ts: Timestamp): Option[Long] = {
+      val cand = imps.filter(r => r._1 == u &&
+        !r._3.after(ts) && r._3.getTime >= ts.getTime - 15 * 60000L)
+      if (cand.isEmpty) None else Some(cand.maxBy(r => (r._3.getTime, r._2))._2)
+    }
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def run(q: String): Set[(Long, Long, Long)] = {
+      val cs = MemoryStream[(Long, Long, Timestamp)]
+      val is = MemoryStream[(Long, Long, Timestamp, Double)]
+      cs.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "500 minutes").createOrReplaceTempView("clicks_s")
+      is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost")
+        .withWatermark("imp_ts", "500 minutes").createOrReplaceTempView("imps_s")
+      val df = spark.sql(q)
+      assert(!df.queryExecution.analyzed.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+        s"shape did not rewrite:\n$q")
+      val out = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+      val qq = df.writeStream.outputMode("append")
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          d.select(col("user_id"), col("click_id"), col("imp_id")).collect()
+            .foreach(r => out.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+          ()
+        }.start()
+      try {
+        cs.addData(clicks); is.addData(imps); qq.processAllAvailable()
+        cs.addData(Seq((99L, 9999L, t(4000)))); is.addData(Seq((99L, 9999L, t(4000), 0.0)))
+        qq.processAllAvailable()
+        Iterator.continually(out.poll()).takeWhile(_ != null).filter(_._2 != 9999L).toSet
+      } finally qq.stop()
+    }
+
+    // residual conjunct beside the rk pin: filters AFTER the top-1 pick
+    // (commutes with the rank in both forms — it references no rk)
+    val gotResidual = run(
+      """SELECT user_id, click_id, imp_id FROM (
+        |  SELECT l.user_id, l.click_id, l.click_ts, r.imp_id,
+        |         row_number() OVER (PARTITION BY l.user_id, l.click_id, l.click_ts
+        |                            ORDER BY r.imp_ts DESC, r.imp_id DESC) AS rk
+        |  FROM clicks_s l JOIN imps_s r
+        |    ON l.user_id = r.user_id
+        |   AND r.imp_ts <= l.click_ts
+        |   AND r.imp_ts >= l.click_ts - INTERVAL 15 MINUTES
+        |) WHERE rk = 1 AND imp_id % 2 = 0""".stripMargin)
+    val expResidual = clicks.flatMap { case (u, cid, ts) =>
+      best(u, ts).filter(_ % 2 == 0).map(b => (u, cid, b))
+    }.toSet
+    assert(gotResidual.nonEmpty && gotResidual == expResidual,
+      s"missing=${expResidual.diff(gotResidual).take(5)} spurious=${gotResidual.diff(expResidual).take(5)}")
+
+    // flipped FROM order: the anchor (partition side) is the join's RIGHT
+    // — same idiom, same answer
+    val gotFlipped = run(
+      """SELECT user_id, click_id, imp_id FROM (
+        |  SELECT l.user_id, l.click_id, l.click_ts, r.imp_id,
+        |         row_number() OVER (PARTITION BY l.user_id, l.click_id, l.click_ts
+        |                            ORDER BY r.imp_ts DESC, r.imp_id DESC) AS rk
+        |  FROM imps_s r JOIN clicks_s l
+        |    ON l.user_id = r.user_id
+        |   AND r.imp_ts <= l.click_ts
+        |   AND r.imp_ts >= l.click_ts - INTERVAL 15 MINUTES
+        |) WHERE rk = 1""".stripMargin)
+    val expAll = clicks.flatMap { case (u, cid, ts) => best(u, ts).map(b => (u, cid, b)) }.toSet
+    assert(gotFlipped.nonEmpty && gotFlipped == expAll,
+      s"missing=${expAll.diff(gotFlipped).take(5)} spurious=${gotFlipped.diff(expAll).take(5)}")
+  }
+
   test("decline guards: no watermark, one-sided bound, rank<=2, mixed directions keep the Window") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     def hasWindow(q: String): Boolean =
