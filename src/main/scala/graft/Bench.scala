@@ -895,7 +895,7 @@ object Bench {
 
 /** Streaming-only bench entry for local profiling: the five pipeline
   * scenarios (burst / sustained / single_group / rate_limited / drain)
-  * without the 238-query registry sweep — iterate on the pipeline's hot
+  * without the full registry sweep — iterate on the pipeline's hot
   * path with a ~30 s loop instead of a ~5 min one.
   */
 object StreamBench {
