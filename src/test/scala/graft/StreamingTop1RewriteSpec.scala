@@ -273,6 +273,70 @@ class StreamingTop1RewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${expAll.diff(gotFlipped).take(5)} spurious=${gotFlipped.diff(expAll).take(5)}")
   }
 
+  test("checkpoint RESTART: the rewritten plan resumes mid-stream, cumulative output equals brute force") {
+    // The analyzer-rewrite's restart story: the plan Spark checkpoints
+    // is the REWRITTEN one (join + aggregation), so a restart re-plans
+    // the same SQL, lines its stateful operators up with the
+    // checkpoint, and carries phase-1 join/agg state into phase 2. The
+    // 500-minute watermark keeps everything un-finalized until the
+    // post-restart sentinel, so EVERY emission crosses the restart
+    // boundary — the strongest version of the claim.
+    val rnd = new scala.util.Random(909)
+    val clicks = (0 until 60).map(i => (rnd.nextInt(6).toLong, i.toLong, t(1 + rnd.nextInt(80))))
+    val imps = (0 until 100).map(i =>
+      (rnd.nextInt(6).toLong, 1000L + i, t(1 + rnd.nextInt(80)), 1.0))
+    val (c1, c2) = rnd.shuffle(clicks).splitAt(30)
+    val (i1, i2) = rnd.shuffle(imps).splitAt(50)
+    val expected = clicks.flatMap { case (u, cid, ts) =>
+      val cand = imps.filter(r => r._1 == u &&
+        !r._3.after(ts) && r._3.getTime >= ts.getTime - 15 * 60000L)
+      if (cand.isEmpty) None else Some((u, cid, cand.maxBy(r => (r._3.getTime, r._2))._2))
+    }.toSet
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-top1-restart").toString
+    val out = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def start(
+        cs: MemoryStream[(Long, Long, Timestamp)],
+        is: MemoryStream[(Long, Long, Timestamp, Double)]) = {
+      cs.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "500 minutes").createOrReplaceTempView("rst_clicks")
+      is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost")
+        .withWatermark("imp_ts", "500 minutes").createOrReplaceTempView("rst_imps")
+      val df = spark.sql(idiomSql("JOIN", "DESC", "DESC")
+        .replace("clicks_s", "rst_clicks").replace("imps_s", "rst_imps"))
+      assert(!df.queryExecution.analyzed.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]))
+      df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          d.select(col("user_id"), col("click_id"), col("imp_id")).collect()
+            .foreach(r => out.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+          ()
+        }.start()
+    }
+    // phase 1: half the data, nothing finalizes, stop
+    val cs1 = MemoryStream[(Long, Long, Timestamp)]
+    val is1 = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q1 = start(cs1, is1)
+    try { cs1.addData(c1); is1.addData(i1); q1.processAllAvailable() } finally q1.stop()
+    // phase 2: NEW MemoryStreams with one placeholder block each (the
+    // checkpoint committed the old streams' block 0 — offset alignment)
+    val cs2 = MemoryStream[(Long, Long, Timestamp)]
+    val is2 = MemoryStream[(Long, Long, Timestamp, Double)]
+    cs2.addData(Seq.empty[(Long, Long, Timestamp)])
+    is2.addData(Seq.empty[(Long, Long, Timestamp, Double)])
+    val q2 = start(cs2, is2)
+    try {
+      cs2.addData(c2); is2.addData(i2); q2.processAllAvailable()
+      cs2.addData(Seq((99L, 9999L, t(4000)))); is2.addData(Seq((99L, 9999L, t(4000), 0.0)))
+      q2.processAllAvailable()
+      val got = Iterator.continually(out.poll()).takeWhile(_ != null)
+        .filter(_._2 != 9999L).toSet
+      assert(got.nonEmpty && got == expected,
+        s"missing=${expected.diff(got).take(5)} spurious=${got.diff(expected).take(5)}")
+    } finally q2.stop()
+  }
+
   test("decline guards: no watermark, one-sided bound, rank<=2, mixed directions keep the Window") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     def hasWindow(q: String): Boolean =
