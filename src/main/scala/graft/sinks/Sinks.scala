@@ -36,6 +36,27 @@ object Sinks {
   def deadLetterParquet(failed: DataFrame, root: String, batchId: Long): Unit =
     idempotentParquet(failed, root, batchId)
 
+  /** [[routedParquet]] with the manifested (atomic-publication) layout:
+    * each route's slice publishes through [[manifestedParquet]] under its
+    * own root, so every route gets the recommended exactly-once contract
+    * (readers never see a partial batch; replays are no-ops) instead of
+    * the weaker idempotent-directory one. Atomicity is PER ROUTE — a
+    * crash mid-fanout leaves earlier routes published and later ones
+    * invisible-until-replay, exactly like independent sinks; the replay
+    * re-publishes only the missing routes (per-route manifests make the
+    * check free). Compact each route's root independently with
+    * [[compactManifested]].
+    */
+  def routedManifested(
+      df: DataFrame,
+      routes: Seq[String],
+      rootFor: String => String,
+      batchId: Long
+  ): Unit =
+    routes.foreach { route =>
+      manifestedParquet(df.filter(col("batcher") === route), rootFor(route), batchId)
+    }
+
   /** Compact a parquet directory toward `targetBytes` per output file —
     * the small-file housekeeping pass every micro-batch sink eventually
     * needs: thousands of trigger-sized files turn the NEXT reader's scan

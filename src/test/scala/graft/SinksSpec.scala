@@ -25,6 +25,25 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/b/batch_id=0").count() == 1)
   }
 
+  test("routedManifested: per-route atomic publication, replay re-publishes only missing routes") {
+    val root = Files.createTempDirectory("graft-routes-m").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "batcher")
+    Sinks.routedManifested(df, Seq("a", "b"), r => s"$root/$r", batchId = 0)
+    assert(Sinks.readManifested(spark, s"$root/a").count() == 2)
+    assert(Sinks.readManifested(spark, s"$root/b").count() == 1)
+    // full replay of the batch: both routes already manifested → no-ops
+    Sinks.routedManifested(df, Seq("a", "b"), r => s"$root/$r", batchId = 0)
+    assert(Sinks.readManifested(spark, s"$root/a").count() == 2)
+    assert(Sinks.readManifested(spark, s"$root/b").count() == 1)
+    // crash-mid-fanout analog: batch 1 published route a only; the
+    // replay fills in route b without duplicating route a
+    Sinks.routedManifested(df.filter(org.apache.spark.sql.functions.col("batcher") === "a"),
+      Seq("a"), r => s"$root/$r", batchId = 1)
+    Sinks.routedManifested(df, Seq("a", "b"), r => s"$root/$r", batchId = 1)
+    assert(Sinks.readManifested(spark, s"$root/a").count() == 4)
+    assert(Sinks.readManifested(spark, s"$root/b").count() == 2)
+  }
+
   test("manifestedParquet publishes atomically: unmanifested data is invisible, replay is a no-op") {
     val root = Files.createTempDirectory("graft-manifest").toString
     // batch 0 published normally
