@@ -335,7 +335,13 @@ object ScaleStress {
         }
         .start()
       try {
-        val waves = 10
+        // SPARK_GRAFT_STRESS_WAVES (default 10): more waves = the SAME
+        // total volume arriving as a LONGER stream of smaller waves.
+        // State tracks the watermark horizon (a fixed number of waves),
+        // so state_rows_max must DROP ~proportionally as the wave count
+        // rises — the "state is time-windowed, not corpus-proportional"
+        // claim, measurable by turning one knob.
+        val waves = sys.env.getOrElse("SPARK_GRAFT_STRESS_WAVES", "10").toInt
         val lPerWave = leftN / waves
         val rPerWave = rightN / waves
         var w = 0L
