@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Sink helpers (the `handle_batch` → storage leg of SURVEY §2.3/§2.6):
@@ -9,6 +9,32 @@ import org.apache.spark.sql.functions._
   * exactly-once (re-running a failed micro-batch overwrites its own
   * directory instead of duplicating output — the delivery stance discussed
   * at broadway.ex:28-30 mapped to Spark's recovery model).
+  *
+  * == Manifested-sink lifecycle (publish → retire → grace → reclaim) ==
+  *
+  * {{{
+  *   write staging dir            rename manifest           #supersedes in a
+  *   data/batch-N-<att>   ──────▶ _manifests/batch-N ──────▶ later compact-G
+  *      (invisible)               (LIVE: readers see it)     (RETIRED: ignored
+  *          │                          ▲                      by readers; file
+  *          │ crash before rename      │ replay: manifest      still on disk)
+  *          ▼                          │ exists → no-op            │
+  *   orphan staging dir ───────────────┘                           │ age >
+  *   (vacuumUnmanifested                                           │ retainMillis
+  *    reclaims, quiescent only)   replay AFTER reclaim:            ▼
+  *                                #retired: tombstone in      manifest file +
+  *                                compact-G → no-op ◀──────── its data dirs
+  *                                (publish-once is durable)   RECLAIMED
+  * }}}
+  *
+  * Publish-once per batchId is durable: a compaction manifest records every
+  * batch it retires in `#retired:` tombstone lines and FOLDS the tombstones
+  * of every manifest it supersedes into its own, so the record of "batch N
+  * was published" survives arbitrarily many compaction generations — a
+  * batch replayed long after its own manifest was reclaimed is still a
+  * no-op. `retainMillis` is therefore purely a reader-latency grace window
+  * (how long a resolved-but-still-scanning reader keeps its file set), not
+  * a correctness knob.
   */
 object Sinks {
 
@@ -45,7 +71,10 @@ object Sinks {
     * invisible-until-replay, exactly like independent sinks; the replay
     * re-publishes only the missing routes (per-route manifests make the
     * check free). Compact each route's root independently with
-    * [[compactManifested]].
+    * [[compactManifested]]. Consumers that JOIN across routes and must
+    * never observe route A's slice of batch N without route B's should
+    * use [[routedManifestedComposite]] instead (one manifest rename
+    * covering every route — all-or-nothing).
     */
   def routedManifested(
       df: DataFrame,
@@ -56,6 +85,75 @@ object Sinks {
     routes.foreach { route =>
       manifestedParquet(df.filter(col("batcher") === route), rootFor(route), batchId)
     }
+
+  /** [[routedManifested]] with CROSS-ROUTE atomicity: all routes of a
+    * micro-batch share ONE root and publish under ONE manifest, so a
+    * single rename makes every route's slice visible together. A crash
+    * mid-fanout (any point before the rename) leaves NO route visible;
+    * the replay publishes all routes or nothing. Use when a consumer
+    * joins across routes and a half-fanned-out batch would be a torn
+    * read; [[routedManifested]] (independent roots, per-route atomicity)
+    * recovers route-by-route and is the right default otherwise.
+    *
+    * Layout: one Spark pass writes the batch partitioned by route —
+    * `data/batch-<id>-<attempt>/route=<r>/part-*.parquet` — one job and
+    * one scan regardless of route count (the per-route variant pays one
+    * filtered pass per route). The `batcher` column is retained in the
+    * data files; the `route=` path segment exists for per-route file
+    * selection ([[readRoutedManifested]]) and for route-aware compaction
+    * ([[compactManifested]] groups rewrites by the segment, so compacted
+    * files never mix routes). Route names must be path-safe
+    * (`[A-Za-z0-9._-]+`). Rows whose `batcher` is not in `routes` are
+    * dropped (same as the per-route variant's filters).
+    */
+  def routedManifestedComposite(
+      df: DataFrame,
+      routes: Seq[String],
+      root: String,
+      batchId: Long
+  ): Unit = {
+    routes.foreach(r =>
+      require(r.matches("[A-Za-z0-9._-]+"), s"route name not path-safe: '$r'"))
+    val spark = df.sparkSession
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/batch-$batchId")
+    if (hfs.exists(manifest)) return // already published — replay is a no-op
+    if (manifestState(hfs, root).tombstoned(batchId)) return // published + retired — no-op
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$root/data/batch-$batchId-$attempt"
+    df.filter(col("batcher").isin(routes: _*))
+      .withColumn("route", col("batcher"))
+      .write.mode(SaveMode.Overwrite).partitionBy("route").parquet(dataDir)
+    val files = hfs
+      .globStatus(new org.apache.hadoop.fs.Path(s"$dataDir/route=*/*.parquet"))
+      .map(_.getPath.toString)
+      .sorted
+    publishManifest(hfs, root, batchId, attempt, dataDir, files.toIndexedSeq)
+  }
+
+  /** Read one route of a [[routedManifestedComposite]] root: exactly the
+    * manifested files under that route's `route=<r>` path segment (batch
+    * and compacted files both carry it). The `batcher` column is in the
+    * data, so the result is identical in shape to reading the per-route
+    * variant's root.
+    */
+  def readRoutedManifested(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      route: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      mergeSchema: Boolean = true
+  ): DataFrame = {
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val files = manifestFiles(hfs, root).filter(_.contains(s"/route=$route/"))
+    readFiles(spark, files, schema, mergeSchema)
+  }
 
   /** Compact a parquet directory toward `targetBytes` per output file —
     * the small-file housekeeping pass every micro-batch sink eventually
@@ -122,7 +220,19 @@ object Sinks {
     * overwrites the same staging directory then publishes the same
     * manifest path — effectively-once end to end on top of Spark's
     * at-least-once recovery, with no lock and no reader coordination.
-    * A re-publish of an already-manifested batch is a no-op.
+    *
+    * Publish-once is DURABLE, not just manifest-file-deep: a re-publish
+    * of an already-manifested batch is a no-op while the manifest file
+    * exists (fast `exists` check), and stays a no-op after a compaction
+    * retires and reclaims that manifest, because the batch's id lives on
+    * as a `#retired:` tombstone folded forward through every later
+    * compaction manifest (see [[compactManifested]]). Without the
+    * tombstone, a batch replayed after its manifest was reclaimed (driver
+    * died between the publish and the checkpoint commit; housekeeping
+    * compaction ran before the restart) would re-publish and silently
+    * duplicate its rows. The tombstone lookup costs one manifest-dir
+    * listing + parse on the first-publish path only — driver-side
+    * metadata, bounded by compaction keeping the directory small.
     *
     * Concurrency: each ATTEMPT writes to its own staging directory
     * (`data/batch-<id>-<attempt>`), so an overlapping zombie attempt of
@@ -140,6 +250,7 @@ object Sinks {
     )
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/batch-$batchId")
     if (hfs.exists(manifest)) return // already published — replay is a no-op
+    if (manifestState(hfs, root).tombstoned(batchId)) return // published + retired — no-op
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/batch-$batchId-$attempt"
     df.write.mode(SaveMode.Overwrite).parquet(dataDir)
@@ -147,6 +258,24 @@ object Sinks {
       .globStatus(new org.apache.hadoop.fs.Path(s"$dataDir/*.parquet"))
       .map(_.getPath.toString)
       .sorted
+    publishManifest(hfs, root, batchId, attempt, dataDir, files.toIndexedSeq)
+  }
+
+  /** The shared atomic-publish tail of [[manifestedParquet]] and
+    * [[routedManifestedComposite]]: write the manifest body to a dot-tmp
+    * (invisible to the listing), then one rename. The loser of a
+    * duplicate-attempt race deletes only its own staging dir — the
+    * winner's manifest names the winner's files, untouched.
+    */
+  private def publishManifest(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      batchId: Long,
+      attempt: String,
+      dataDir: String,
+      files: Seq[String]
+  ): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/batch-$batchId")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.batch-$batchId-$attempt.tmp")
     val out = hfs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -167,7 +296,12 @@ object Sinks {
   /** Delete staging directories no manifest references — the garbage a
     * crashed or race-losing attempt leaves behind. Safe only while no
     * writer is active on `root` (an in-flight attempt's staging dir is
-    * indistinguishable from a crashed one's). Returns the reclaimed count.
+    * indistinguishable from a crashed one's). Protection covers the dirs
+    * referenced by ANY on-disk manifest — retired ones included — so a
+    * vacuum running inside a compaction's `retainMillis` grace window
+    * cannot delete the retired-but-in-grace dirs a lazy reader is still
+    * scanning (those dirs are [[cleanupRetired]]'s to reclaim, on ITS
+    * clock). Returns the reclaimed count.
     */
   def vacuumUnmanifested(spark: org.apache.spark.sql.SparkSession, root: String): Int = {
     val hfs = org.apache.hadoop.fs.FileSystem.get(
@@ -176,13 +310,25 @@ object Sinks {
     )
     val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
     if (!hfs.exists(dataRoot)) return 0
-    val referenced: Set[String] = manifestFiles(hfs, root)
+    // ALL entries, not just live: a retired manifest still on disk is in
+    // its retention grace window and its data dirs are still readable
+    val referenced: Set[String] = manifestState(hfs, root).entries
+      .flatMap(_.files)
       .map(f => new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath)
       .toSet
-    val orphans = hfs
-      .listStatus(dataRoot)
-      .filter(_.isDirectory)
-      .filterNot(st => referenced.contains(st.getPath.toUri.getPath))
+    def orphanDirs(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      hfs
+        .listStatus(d)
+        .filter(_.isDirectory)
+        .filterNot(st => referenced.contains(st.getPath.toUri.getPath))
+        .toSeq
+    // composite-routed staging dirs hold their files one level down
+    // (route=<r> subdirs): a staging dir whose direct children are all
+    // unreferenced route dirs is itself an orphan
+    val orphans = orphanDirs(dataRoot).filterNot { st =>
+      hfs.listStatus(st.getPath).exists(c =>
+        c.isDirectory && referenced.contains(c.getPath.toUri.getPath))
+    }
     orphans.foreach(st => hfs.delete(st.getPath, true))
     orphans.length
   }
@@ -207,13 +353,25 @@ object Sinks {
       new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration
     )
-    val files = manifestFiles(hfs, root)
-    // mergeSchema by default: batches may have evolved additively, and
-    // without it the read resolves to whichever footer wins — silently
-    // dropping the newer batches' columns until a compaction happens to
-    // union them. Footer-merge cost is distributed (one footer per file,
-    // in parallel); pass mergeSchema = false only for schema-stable roots
-    // on a metadata-latency budget.
+    readFiles(spark, manifestFiles(hfs, root), schema, mergeSchema)
+  }
+
+  /** Shared read tail: the manifested file set as a frame, or a typed
+    * empty frame before the first publish.
+    *
+    * mergeSchema by default: batches may have evolved additively, and
+    * without it the read resolves to whichever footer wins — silently
+    * dropping the newer batches' columns until a compaction happens to
+    * union them. Footer-merge cost is distributed (one footer per file,
+    * in parallel); pass mergeSchema = false only for schema-stable roots
+    * on a metadata-latency budget.
+    */
+  private def readFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      mergeSchema: Boolean
+  ): DataFrame =
     if (files.nonEmpty)
       spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
     else
@@ -222,7 +380,6 @@ object Sinks {
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
         case None => spark.emptyDataFrame
       }
-  }
 
   /** Every data file the LIVE manifests under `root` name (driver-side
     * metadata). A compaction manifest ([[compactManifested]]) retires the
@@ -238,14 +395,17 @@ object Sinks {
     manifestState(hfs, root).live.flatMap(_.files)
 
   /** One parsed manifest file: its data file paths, its `#supersedes:`
-    * headers, and its on-disk modification time (the retirement clock for
+    * headers, its `#retired:` tombstone ranges (batch ids whose manifests
+    * any ancestor compaction reclaimed — the durable publish-once
+    * record), and its on-disk modification time (the retirement clock for
     * everything it supersedes).
     */
   private case class ManifestEntry(
       name: String,
       modTime: Long,
       files: Vector[String],
-      supersedes: Vector[String]
+      supersedes: Vector[String],
+      retired: Vector[(Long, Long)]
   )
 
   /** The manifest directory as seen by ONE `listStatus` — every consumer
@@ -258,7 +418,50 @@ object Sinks {
   private case class ManifestDir(entries: Seq[ManifestEntry], superseded: Set[String]) {
     def live: Seq[ManifestEntry] = entries.filterNot(e => superseded.contains(e.name))
     def retired: Seq[ManifestEntry] = entries.filter(e => superseded.contains(e.name))
+
+    /** Was `batch-<batchId>` ever published, even though its manifest file
+      * is gone? True iff any manifest's `#retired:` ranges cover the id or
+      * any `#supersedes:` line names it (the on-disk-but-retired case).
+      */
+    def tombstoned(batchId: Long): Boolean =
+      superseded.contains(s"batch-$batchId") ||
+        entries.exists(_.retired.exists(r => r._1 <= batchId && batchId <= r._2))
+
+    /** The transitive publish-once record to fold into a NEW compaction
+      * manifest: every id in any entry's `#retired:` ranges, plus every
+      * batch id a `#supersedes:` line names, plus every batch manifest in
+      * the listing itself — coalesced into ranges so the record stays
+      * compact (micro-batch ids are sequential; a year of per-minute
+      * batches collapses to one line).
+      */
+    def tombstoneRanges(): Vector[(Long, Long)] = {
+      val batchName = """batch-(\d+)""".r
+      val fromNames = (entries.map(_.name) ++ entries.flatMap(_.supersedes)).collect {
+        case batchName(d) => (d.toLong, d.toLong)
+      }
+      coalesceRanges(entries.flatMap(_.retired) ++ fromNames)
+    }
   }
+
+  /** Sort + merge overlapping/adjacent id ranges. */
+  private def coalesceRanges(ranges: Seq[(Long, Long)]): Vector[(Long, Long)] =
+    ranges.sortBy(_._1).foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc, (lo, hi)) =>
+        acc.lastOption match {
+          case Some((plo, phi)) if lo <= phi + 1 => acc.init :+ ((plo, math.max(phi, hi)))
+          case _                                 => acc :+ ((lo, hi))
+        }
+    }
+
+  private val RetiredRangeLine = """#retired:batch-(\d+)\.\.(\d+)""".r
+  private val RetiredOneLine = """#retired:batch-(\d+)""".r
+
+  /** Render tombstone ranges as manifest lines. */
+  private def retiredLines(ranges: Seq[(Long, Long)]): Seq[String] =
+    ranges.map {
+      case (lo, hi) if lo == hi => s"#retired:batch-$lo"
+      case (lo, hi)             => s"#retired:batch-$lo..$hi"
+    }
 
   /** Parse the manifest directory from a single listing. A manifest is
     * live iff no manifest (in the same listing) names it in a
@@ -285,10 +488,33 @@ object Sinks {
           st.getPath.getName,
           st.getModificationTime,
           lines.filterNot(_.startsWith("#")),
-          lines.collect { case l if l.startsWith("#supersedes:") => l.stripPrefix("#supersedes:") }
+          lines.collect { case l if l.startsWith("#supersedes:") => l.stripPrefix("#supersedes:") },
+          lines.collect {
+            case RetiredRangeLine(lo, hi) => (lo.toLong, hi.toLong)
+            case RetiredOneLine(id)       => (id.toLong, id.toLong)
+          }
         )
       }
     ManifestDir(entries, entries.flatMap(_.supersedes).toSet)
+  }
+
+  /** "Now" on the FILESYSTEM's clock, for retention aging: retirement
+    * timestamps are server-side modification times, and a driver clock
+    * running AHEAD of the store would silently shrink the effective grace
+    * window below `retainMillis` (deleting files a reader inside the
+    * documented window still needs). One dot-probe write (invisible to
+    * the manifest listing) reads the store's own clock; falls back to the
+    * driver clock where the probe can't be written.
+    */
+  private def fsNow(hfs: org.apache.hadoop.fs.FileSystem, root: String): Long = {
+    val probe = new org.apache.hadoop.fs.Path(s"$root/_manifests/.clock-probe")
+    try {
+      val out = hfs.create(probe, true)
+      out.close()
+      val t = hfs.getFileStatus(probe).getModificationTime
+      hfs.delete(probe, false)
+      t
+    } catch { case _: Exception => System.currentTimeMillis() }
   }
 
   /** Delete retired (superseded) manifests and exactly the data they —
@@ -301,11 +527,27 @@ object Sinks {
     *
     * A retired manifest's retirement clock is the earliest modification
     * time of a live manifest superseding it; it is reclaimed only once
-    * that age exceeds `retainMillis`. Data dirs still carrying files a
-    * LIVE manifest references (kept-by-reference files of a compaction)
-    * are excluded from deletion. Dirs are deleted before their manifest
-    * file, so a crash mid-cleanup leaves only ignored (still-superseded)
-    * leftovers for the next pass — never an orphan data dir.
+    * that age exceeds `retainMillis` — ages are measured against the
+    * FILESYSTEM's clock ([[fsNow]]), not the driver's, so driver/store
+    * clock skew cannot shrink the grace window. Data dirs still carrying
+    * files a LIVE manifest references (kept-by-reference files of a
+    * compaction) are excluded from deletion. Dirs are deleted before
+    * their manifest file, so a crash mid-cleanup leaves only ignored
+    * (still-superseded) leftovers for the next pass — never an orphan
+    * data dir. Deleting a retired manifest never erases the record that
+    * its batches were published: the superseding compaction manifest
+    * carries them in `#retired:` tombstones (see [[compactManifested]]).
+    *
+    * Known space-only leak (correctness unaffected): an aged-out retired
+    * manifest whose dirs are ALL protected (shared with kept-by-reference
+    * files a live manifest still names) has its manifest file deleted but
+    * those superseded data FILES are never individually reclaimed — the
+    * dir stays referenced, so [[vacuumUnmanifested]] skips it too. The
+    * files become unreachable garbage inside a live dir until the whole
+    * dir eventually loses live protection (every kept file rewritten by a
+    * later compaction) and is reclaimed wholesale. Bounded by one
+    * compaction generation's small-file volume; accepted in exchange for
+    * never deleting individual files out from under a resolved reader.
     */
   private def cleanupRetired(
       hfs: org.apache.hadoop.fs.FileSystem,
@@ -314,7 +556,7 @@ object Sinks {
       retainMillis: Long
   ): Unit = {
     if (st.retired.isEmpty) return
-    val now = System.currentTimeMillis()
+    val now = fsNow(hfs, root)
     def dirKey(f: String) = new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath
     val protectedDirs: Set[String] = st.live.flatMap(_.files).map(dirKey).toSet
     def retiredAt(r: ManifestEntry): Long = st.live
@@ -335,7 +577,18 @@ object Sinks {
         .distinctBy(_.toUri.getPath)
         .filterNot(d => protectedDirs.contains(d.toUri.getPath) ||
           inGraceDirs.contains(d.toUri.getPath))
-        .foreach(d => hfs.delete(d, true))
+        .foreach { d =>
+          // composite-routed layout: files live under route=<r> subdirs of
+          // the staging dir — delete the whole staging dir once none of
+          // its route dirs is live or in grace (checked per route dir
+          // above via dirKey = the route dir itself); a route dir is
+          // deleted individually when its siblings are still referenced
+          hfs.delete(d, true)
+          val parent = d.getParent
+          if (d.getName.startsWith("route=") &&
+            hfs.exists(parent) && hfs.listStatus(parent).isEmpty)
+            hfs.delete(parent, true)
+        }
       // the manifest file itself can go as soon as ITS grace elapses —
       // readers resolve files at manifest-read time, and a dir kept
       // alive by an in-grace sibling is reclaimed on a later pass once
@@ -359,12 +612,12 @@ object Sinks {
     * — every manifest file that existed when the rewrite started, so a
     * concurrent [[readManifested]] sees the old set (before the rename)
     * or the new set (after), never a mix and never a duplicate. Fewer
-    * than two small files → no rewrite (returns 0), but interrupted
-    * cleanup of aged-out retired leftovers still runs, so calling it in a
-    * housekeeping loop is idempotent and self-healing. Retired manifest
-    * files and exactly the data dirs they reference are then deleted
-    * (after `retainMillis`); a crash anywhere leaves a state a reader
-    * handles and a later call heals:
+    * than two small files (per route group) → no rewrite (returns 0), but
+    * interrupted cleanup of aged-out retired leftovers still runs, so
+    * calling it in a housekeeping loop is idempotent and self-healing.
+    * Retired manifest files and exactly the data dirs they reference are
+    * then deleted (after `retainMillis`); a crash anywhere leaves a state
+    * a reader handles and a later call heals:
     *  - before the rename: staging data + dot-tmp manifest are invisible;
     *    a quiescent [[vacuumUnmanifested]] reclaims the staging dir;
     *  - after the rename, before cleanup: retired manifests still on disk
@@ -373,6 +626,25 @@ object Sinks {
     *    EVERY manifest file in its listing, retired leftovers included,
     *    exactly so deleting an old compaction manifest can never
     *    resurrect the batches it had retired.
+    *
+    * PUBLISH-ONCE TOMBSTONES: the new manifest also records — as
+    * `#retired:batch-<lo>[..<hi>]` range lines — every batch id it
+    * retires AND every id any superseded manifest had already recorded,
+    * folded forward transitively. The durable record of "batch N was
+    * published" therefore survives the reclamation of batch N's own
+    * manifest and of every intermediate compaction manifest, which is
+    * what makes [[manifestedParquet]]'s replay no-op check correct after
+    * ANY number of compaction generations (batch ids are sequential, so
+    * the folded record coalesces to a handful of ranges, not a line per
+    * batch).
+    *
+    * ROUTE-AWARE: small files are grouped by their `route=<r>` path
+    * segment (the [[routedManifestedComposite]] layout) and each group is
+    * rewritten separately into the same segment of the new staging dir —
+    * compaction never mixes routes' rows into one file, so per-route
+    * reads stay exact. Non-routed files form one group; a lone small file
+    * in a group rides by reference like a full-size one.
+    *
     * Batches published DURING the compaction are untouched — and that
     * claim is structural, not probabilistic: the supersedes snapshot, the
     * live file set, and the leftover-cleanup set all derive from ONE
@@ -381,21 +653,29 @@ object Sinks {
     * data dirs a superseded manifest references, so a concurrent writer's
     * in-flight staging dir (unreferenced by construction — every attempt
     * writes a fresh UUID dir) is never touched. Safe to call blindly from
-    * a housekeeping loop while writers are active; unreferenced orphans
-    * from CRASHED attempts are left for an explicitly quiescent
-    * [[vacuumUnmanifested]]. Like vacuum, run ONE compactor at a time (a
-    * concurrent compactor loses the publish rename and aborts cleanly).
+    * a housekeeping loop while writers are active — INCLUDING a
+    * recovering writer replaying an old batch (the tombstone makes the
+    * replay a no-op even if this compaction reclaims the batch's manifest
+    * first). Unreferenced orphans from CRASHED attempts are left for an
+    * explicitly quiescent [[vacuumUnmanifested]]. Like vacuum, run ONE
+    * compactor at a time (a concurrent compactor loses the publish rename
+    * and aborts cleanly).
     *
     * `retainMillis` is the reader grace window (Delta-style retention):
     * retired manifests and their data dirs are reclaimed only once the
-    * superseding manifest is at least that old. [[readManifested]]
-    * resolves concrete file paths at call time but scans lazily, so a
-    * reader whose job outlives a compaction by more than `retainMillis`
-    * can hit FileNotFoundException mid-scan on the pre-compaction file
-    * set — size the window to your longest reader (or 0 to reclaim
-    * immediately when readers are known to resolve-and-scan quickly).
-    * Returns the number of compacted files, or 0 when there is nothing to
-    * compact (cleanup of aged-out retired leftovers still runs).
+    * superseding manifest is at least that old — on the FILESYSTEM's
+    * clock, so driver/store skew cannot shrink the window.
+    * [[readManifested]] resolves concrete file paths at call time but
+    * scans lazily, so a reader whose job outlives a compaction by more
+    * than `retainMillis` can hit FileNotFoundException mid-scan on the
+    * pre-compaction file set — size the window to your longest reader.
+    * The default 0 reclaims immediately; with tombstones that is SAFE for
+    * replay correctness (publish-once no longer depends on retention),
+    * it only assumes readers resolve-and-scan quickly. Do not run
+    * [[vacuumUnmanifested]] concurrently with writers regardless of the
+    * window. Returns the number of compacted files, or 0 when there is
+    * nothing to compact (cleanup of aged-out retired leftovers still
+    * runs).
     */
   def compactManifested(
       spark: org.apache.spark.sql.SparkSession,
@@ -434,18 +714,27 @@ object Sinks {
     // compaction pass must cost proportional to the small-file (recent
     // trigger) volume, not the corpus. Full-size files are carried into
     // the new manifest BY REFERENCE, unchanged on disk; only files below
-    // half the target merge. Fewer than two small files → nothing to
-    // merge → no-op (idempotent housekeeping loop).
+    // half the target merge. Fewer than two small files in every route
+    // group → nothing to merge → no-op (idempotent housekeeping loop).
     val sized = liveFiles.map(f =>
       f -> hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
-    val (small, kept) = sized.partition(_._2 < targetBytes / 2)
-    if (small.length < 2) {
+    val (small, keptFull) = sized.partition(_._2 < targetBytes / 2)
+    // route-aware grouping: a file under the composite layout sits in a
+    // `route=<r>` dir; rewrites must never merge across routes
+    def routeSeg(f: String): String = {
+      val parent = new org.apache.hadoop.fs.Path(f).getParent.getName
+      if (parent.startsWith("route=")) parent else ""
+    }
+    val groups = small.groupBy(g => routeSeg(g._1))
+    val (mergeGroups, loneGroups) = groups.partition(_._2.length >= 2)
+    if (mergeGroups.isEmpty) {
       // nothing to merge — but still finish any interrupted cleanup of
       // retired leftovers, from the SAME listing (a manifest published
       // after it is invisible here, hence untouchable)
       cleanupRetired(hfs, root, st, retainMillis)
       return 0
     }
+    val kept = keptFull ++ loneGroups.values.flatten
     // supersedes snapshot = EVERY manifest file name in the single
     // listing (live + leftover retired): all are retired by the new
     // compaction manifest, so deleting an old compaction manifest can
@@ -455,21 +744,26 @@ object Sinks {
       .collect { case n if n.startsWith("compact-") => n.stripPrefix("compact-").takeWhile(_.isDigit) }
       .collect { case d if d.nonEmpty => d.toLong }
       .maxOption.getOrElse(0L) + 1
-    val bytes = small.map(_._2).sum
-    val parts = (bytes.toDouble / targetBytes).ceil.toInt.max(1)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/compact-$gen-$attempt"
     // mergeSchema: batches may have evolved additively; without it the
     // rewrite would take one file's schema and silently DROP columns the
     // other batches carry. The compacted files get the union schema
     // (absent columns null-filled), which also makes later plain reads
-    // deterministic where mixed per-file schemas were not.
-    spark.read.option("mergeSchema", "true").parquet(small.map(_._1): _*).coalesce(parts)
-      .write.mode(SaveMode.Overwrite).parquet(dataDir)
-    val newFiles = hfs
-      .globStatus(new org.apache.hadoop.fs.Path(s"$dataDir/*.parquet"))
-      .map(_.getPath.toString)
-      .sorted
+    // deterministic where mixed per-file schemas were not. Per route
+    // group (sorted, "" first so the flat group's dir-level Overwrite
+    // cannot clobber a route subdir written before it).
+    var parts = 0
+    val newFiles = mergeGroups.toSeq.sortBy(_._1).flatMap { case (seg, grp) =>
+      val gBytes = grp.map(_._2).sum
+      val gParts = (gBytes.toDouble / targetBytes).ceil.toInt.max(1)
+      parts += gParts
+      val outDir = if (seg.isEmpty) dataDir else s"$dataDir/$seg"
+      spark.read.option("mergeSchema", "true").parquet(grp.map(_._1): _*).coalesce(gParts)
+        .write.mode(SaveMode.Overwrite).parquet(outDir)
+      hfs.globStatus(new org.apache.hadoop.fs.Path(s"$outDir/*.parquet"))
+        .map(_.getPath.toString)
+    }.sorted
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/compact-$gen")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.compact-$gen-$attempt.tmp")
     // kept (already-sized) files ride into the new manifest by reference:
@@ -477,7 +771,11 @@ object Sinks {
     // dir mixing kept and rewritten files is reclaimed only once ALL its
     // files age out of the manifests — correctness is unaffected (readers
     // open exactly the files a manifest names), the space follows later.
-    val body = (snapshot.map("#supersedes:" + _) ++ kept.map(_._1) ++ newFiles).mkString("\n")
+    // Tombstones: every batch id this compaction retires + every id the
+    // superseded manifests had recorded, folded forward (see scaladoc).
+    val tombstones = st.tombstoneRanges()
+    val body = (snapshot.map("#supersedes:" + _) ++ retiredLines(tombstones) ++
+      kept.map(_._1) ++ newFiles).mkString("\n")
     val out = hfs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -502,7 +800,8 @@ object Sinks {
       manifest.getName,
       hfs.getFileStatus(manifest).getModificationTime,
       (kept.map(_._1) ++ newFiles).toVector,
-      snapshot.toVector
+      snapshot.toVector,
+      tombstones
     )
     cleanupRetired(hfs, root, ManifestDir(st.entries :+ newEntry, snapshot.toSet), retainMillis)
     parts

@@ -422,6 +422,159 @@ class SinksSpec extends SparkSpec {
     assert(total() == expected)
   }
 
+  test("replay AFTER compaction reclaimed the batch manifest is a no-op: tombstones make publish-once durable") {
+    // The r14 hazard: the replay no-op check was solely exists(manifest),
+    // so a batch replayed after compaction retired AND reclaimed its
+    // manifest (default retainMillis = 0) re-published and silently
+    // duplicated its rows. Tombstones (`#retired:` ranges, folded forward
+    // across generations) make the publish-once record durable.
+    val root = Files.createTempDirectory("graft-mcompact-tomb").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    def names() = fs.listStatus(p(s"$root/_manifests"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".")).map(_.getPath.getName).sorted
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    val expected = (0 until 30).sum.toLong
+    // retention 0: batch manifests retired AND reclaimed immediately
+    assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 1)
+    assert(names().toSeq == Seq("compact-1"))
+    // the exact r14 interleaving: Spark replays batch 1 (checkpoint commit
+    // never landed) — the manifest file is GONE, only the tombstone knows
+    Sinks.manifestedParquet((10 until 20).toDF("v"), root, batchId = 1)
+    assert(total() == expected, "replayed-after-retirement batch duplicated its rows")
+    assert(names().toSeq == Seq("compact-1"), s"replay re-published a retired batch: ${names().toSeq}")
+    // TWO generations: compact-2 retires compact-1; batch-0's tombstone
+    // must survive compact-1's reclamation (folded forward)
+    Sinks.manifestedParquet((30 until 40).toDF("v"), root, batchId = 3)
+    Sinks.manifestedParquet((40 until 50).toDF("v"), root, batchId = 4)
+    assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 1)
+    assert(names().toSeq == Seq("compact-2"))
+    val in = fs.open(p(s"$root/_manifests/compact-2"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(body.contains("#retired:batch-0..4"),
+      s"tombstones not folded forward into one coalesced range:\n$body")
+    val expected2 = (0 until 50).sum.toLong
+    Sinks.manifestedParquet((0 until 10).toDF("v"), root, batchId = 0) // replay, 2 gens later
+    Sinks.manifestedParquet((30 until 40).toDF("v"), root, batchId = 3) // replay, 1 gen later
+    assert(total() == expected2, "a tombstoned batch re-published after two compaction generations")
+    // a genuinely NEW batch still publishes normally
+    Sinks.manifestedParquet((50 until 60).toDF("v"), root, batchId = 5)
+    assert(total() == (0 until 60).sum.toLong)
+  }
+
+  test("vacuumUnmanifested inside the retention grace window protects retired-but-in-grace dirs") {
+    // ADVICE r14: vacuum used to protect only LIVE manifests' dirs, so
+    // running it during a compaction's retainMillis window deleted the
+    // retired dirs a lazy reader was still scanning — silently violating
+    // the retention guarantee. Protection now covers dirs referenced by
+    // ANY on-disk manifest, retired included.
+    val root = Files.createTempDirectory("graft-vac-grace").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    val expected = (0 until 30).sum.toLong
+    val preResolved = fs.globStatus(p(s"$root/data/batch-*/*.parquet")).map(_.getPath.toString)
+    // retire the batch manifests with a long grace window — they and
+    // their dirs stay on disk for lazy readers
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 3600L * 1000) == 1)
+    // a genuine orphan (crashed attempt) beside them
+    (99 to 99).toDF("v").write.parquet(s"$root/data/batch-7-deadbeef")
+    val reclaimed = Sinks.vacuumUnmanifested(spark, root)
+    assert(reclaimed == 1, s"vacuum must reclaim ONLY the orphan, got $reclaimed")
+    // the in-grace reader's resolved file set still scans
+    assert(spark.read.parquet(preResolved.toIndexedSeq: _*)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == expected,
+      "vacuum deleted retired-but-in-grace dirs a lazy reader still needs")
+    assert(total() == expected)
+  }
+
+  test("routedManifestedComposite: one manifest covers all routes — crash mid-fanout leaves NO route visible") {
+    val root = Files.createTempDirectory("graft-routes-comp").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "batcher")
+    Sinks.routedManifestedComposite(df, Seq("a", "b"), root, batchId = 0)
+    assert(Sinks.readRoutedManifested(spark, root, "a").count() == 2)
+    assert(Sinks.readRoutedManifested(spark, root, "b").count() == 1)
+    // the batcher column rides in the data (route= is only a path segment)
+    assert(Sinks.readRoutedManifested(spark, root, "a")
+      .filter(org.apache.spark.sql.functions.col("batcher") === "a").count() == 2)
+    // full replay: one manifest, one no-op
+    Sinks.routedManifestedComposite(df, Seq("a", "b"), root, batchId = 0)
+    assert(Sinks.readManifested(spark, root).count() == 3)
+
+    // crash mid-fanout: batch 1's data staged (all routes written), the
+    // manifest never renamed — NO route may see any slice
+    df.withColumn("route", org.apache.spark.sql.functions.col("batcher"))
+      .write.partitionBy("route").parquet(s"$root/data/batch-1-deadbeef")
+    assert(Sinks.readRoutedManifested(spark, root, "a").count() == 2,
+      "route a saw a slice of an unpublished (crashed) composite batch")
+    assert(Sinks.readRoutedManifested(spark, root, "b").count() == 1,
+      "route b saw a slice of an unpublished (crashed) composite batch")
+    // the replay publishes ALL routes with one rename — all-or-nothing
+    Sinks.routedManifestedComposite(df, Seq("a", "b"), root, batchId = 1)
+    assert(Sinks.readRoutedManifested(spark, root, "a").count() == 4)
+    assert(Sinks.readRoutedManifested(spark, root, "b").count() == 2)
+    // the crashed attempt's staging dir is an orphan; vacuum reclaims it
+    // without touching the published attempts' route dirs
+    assert(Sinks.vacuumUnmanifested(spark, root) == 1)
+    assert(!fs.exists(p(s"$root/data/batch-1-deadbeef")))
+    assert(Sinks.readRoutedManifested(spark, root, "a").count() == 4)
+    // rows outside the declared routes are dropped, same as the per-route
+    // variant's filters
+    Sinks.routedManifestedComposite(
+      Seq((9, "a"), (10, "zz")).toDF("v", "batcher"), Seq("a", "b"), root, batchId = 2)
+    assert(Sinks.readManifested(spark, root).count() == 7)
+  }
+
+  test("composite root compaction is route-aware: rewrites never mix routes; tombstones apply") {
+    val root = Files.createTempDirectory("graft-routes-comp-c").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    (0 until 4).foreach { b =>
+      val df = Seq((b * 10 + 1, "a"), (b * 10 + 2, "b"), (b * 10 + 3, "a")).toDF("v", "batcher")
+      Sinks.routedManifestedComposite(df, Seq("a", "b"), root, batchId = b.toLong)
+    }
+    def sumRoute(r: String) = Sinks.readRoutedManifested(spark, root, r)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    val (sumA, sumB) = (sumRoute("a"), sumRoute("b"))
+    val parts = Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
+    assert(parts == 2, s"expected one rewrite per route group, got $parts")
+    // per-route reads are exact after compaction
+    assert(sumRoute("a") == sumA, "route a changed under route-aware compaction")
+    assert(sumRoute("b") == sumB, "route b changed under route-aware compaction")
+    // no compacted file mixes routes: every manifested file carries its
+    // route segment, and each reads back route-pure
+    val manifested = fs.listStatus(p(s"$root/_manifests")).filter(_.isFile)
+    assert(manifested.length == 1 && manifested.head.getPath.getName == "compact-1")
+    val in = fs.open(manifested.head.getPath)
+    val files = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(_.startsWith("#")).toVector finally in.close()
+    assert(files.nonEmpty && files.forall(_.contains("/route=")),
+      s"compacted files lost their route segment: $files")
+    files.foreach { f =>
+      val routes = spark.read.parquet(f)
+        .select("batcher").distinct().collect().map(_.getString(0)).toSet
+      assert(routes.size == 1, s"compacted file $f mixes routes: $routes")
+    }
+    // replay of a retired composite batch is a tombstone no-op too
+    Sinks.routedManifestedComposite(
+      Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "batcher"), Seq("a", "b"), root, batchId = 0)
+    assert(sumRoute("a") == sumA && sumRoute("b") == sumB,
+      "a retired composite batch re-published on replay")
+  }
+
   test("readManifested merges evolved batch schemas BEFORE any compaction") {
     val root = Files.createTempDirectory("graft-manifest-merge").toString
     Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
