@@ -367,4 +367,60 @@ class StreamingTop1RewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     is.toDF().toDF("user_id", "imp_id", "imp_ts", "cost").createOrReplaceTempView("imps_s")
     assert(hasWindow(idiomSql("JOIN", "DESC", "DESC")))
   }
+
+  test("explainRefusal: names BOTH escape hatches on a plain session, stays silent where the rewrite runs") {
+    import graft.plans.StreamingTop1Rewrite
+    // a session WITHOUT builder-time extensions: the analyzer keeps the
+    // refused window; start() would throw Spark's generic refusal with no
+    // pointer to the engine's solution — the diagnostic is that pointer
+    val plain = SparkSpec.session
+    locally {
+      implicit val plainSql: org.apache.spark.sql.SQLContext = plain.sqlContext
+      val pc = MemoryStream[(Long, Long, Timestamp)]
+      val pi = MemoryStream[(Long, Long, Timestamp, Double)]
+      pc.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "1 hour").createOrReplaceTempView("clicks_plain")
+      pi.toDF().toDF("user_id", "imp_id", "imp_ts", "cost")
+        .withWatermark("imp_ts", "1 hour").createOrReplaceTempView("imps_plain")
+    }
+    val refusedSql = idiomSql("JOIN", "DESC", "DESC")
+      .replace("clicks_s", "clicks_plain").replace("imps_s", "imps_plain")
+    val refused = plain.sql(refusedSql)
+    assert(refused.queryExecution.analyzed
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      "precondition: plain session must NOT have rewritten the window")
+    val msg = StreamingTop1Rewrite.explainRefusal(refused)
+    assert(msg.isDefined, "diagnostic must fire on the admissible refused shape")
+    assert(msg.get.contains("spark.sql.extensions=graft.GraftExtensions"),
+      s"diagnostic must name the builder-time extensions hatch:\n${msg.get}")
+    assert(msg.get.contains("asofJoinBounded"),
+      s"diagnostic must name the manual composition hatch:\n${msg.get}")
+
+    // a shape the rewrite would DECLINE even with extensions (one-sided
+    // bound): the diagnostic names the guard matrix + the manual hatch
+    val declined = plain.sql(refusedSql
+      .replace("AND r.imp_ts >= l.click_ts - INTERVAL 15 MINUTES", ""))
+    val dmsg = StreamingTop1Rewrite.explainRefusal(declined)
+    assert(dmsg.isDefined, "diagnostic must fire on the declined refused shape")
+    assert(dmsg.get.contains("guard matrix") && dmsg.get.contains("asofJoinBounded"),
+      s"declined diagnostic must name the guards and the manual hatch:\n${dmsg.get}")
+
+    // on THIS suite's extensions session the same idiom rewrites away at
+    // analysis — nothing to diagnose, the query simply runs
+    locally {
+      implicit val extSql: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ec = MemoryStream[(Long, Long, Timestamp)]
+      val ei = MemoryStream[(Long, Long, Timestamp, Double)]
+      ec.toDF().toDF("user_id", "click_id", "click_ts")
+        .withWatermark("click_ts", "1 hour").createOrReplaceTempView("clicks_s")
+      ei.toDF().toDF("user_id", "imp_id", "imp_ts", "cost")
+        .withWatermark("imp_ts", "1 hour").createOrReplaceTempView("imps_s")
+    }
+    assert(StreamingTop1Rewrite.explainRefusal(spark.sql(idiomSql("JOIN", "DESC", "DESC"))).isEmpty,
+      "diagnostic must stay silent where the rewrite already ran")
+    // batch frames are never refused — silent
+    import plain.implicits._
+    assert(StreamingTop1Rewrite.explainRefusal(
+      Seq((1L, 2L)).toDF("a", "b")).isEmpty)
+  }
 }
