@@ -64,13 +64,18 @@ object StateInspect {
     * BOTH axes per key and ranks on `rankBy`:
     *  - `state_rows`: buffered state entries under the key (for a join
     *    side: rows awaiting matches/eviction);
-    *  - `state_bytes_est`: estimated value payload bytes (serialized-JSON
-    *    octet length of each value row, summed) — a key buffering FEW but
-    *    WIDE rows (a giant collect_list buffer, long strings) hides from
-    *    the row count but not from this. JSON length is an estimate, not
-    *    the provider's on-disk encoding, but it is monotone in the
-    *    variable-width fields that actually cause value-size skew, which
-    *    is all a ranking needs.
+    *  - `state_bytes_est`: estimated value payload bytes per value row,
+    *    summed — PHYSICAL widths, not serialization-format artifacts:
+    *    binary and string fields charge their exact octet length (a
+    *    Java-serialized batcher blob ranks by its true size, not the
+    *    4/3×-inflated base64 a JSON dump would charge), fixed-width
+    *    scalars their storage width, arrays of variable-width elements
+    *    the sum of element octet lengths, and only residual shapes
+    *    (maps, UDTs) fall back to JSON octet length. The estimate is an
+    *    estimate of the VALUE PAYLOAD — the provider adds per-entry
+    *    overhead (RocksDB key prefixes, version headers) that is
+    *    per-row-constant, so ranking and growth attribution track the
+    *    actual checkpoint bytes (spec'd against real file growth).
     * Default ranking is bytes (the budget that aborts a state store is
     * memory, not row count); pass `rankBy = "rows"` for the row view.
     * NOTE: join-state key fields carry POSITIONAL names (`field0`,
@@ -93,23 +98,69 @@ object StateInspect {
     val rank = if (rankBy == "bytes") "state_bytes_est" else "state_rows"
     val rows = stateRows(spark, checkpoint, operatorId, joinSide,
       stateVarName = stateVarName)
-    // rebuild the value struct from its DECLARED fields before
-    // serializing: join-state value rows physically carry an internal
-    // trailing field (the matched flag) beyond the declared schema, and
-    // to_json over the raw struct walks the row's arity into an
-    // ArrayIndexOutOfBounds — the explicit field projection reads
-    // exactly the declared ones
-    val valueFields = rows.schema("value").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
-    val declared = struct(valueFields.map(f => col(s"value.`$f`")).toIndexedSeq: _*)
+    // estimate over the DECLARED fields only: join-state value rows
+    // physically carry an internal trailing field (the matched flag)
+    // beyond the declared schema, and walking the raw struct's arity
+    // (e.g. to_json) trips an ArrayIndexOutOfBounds — the explicit
+    // per-field expressions read exactly the declared ones
+    val valueType = rows.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val perRowBytes = valueType.fields
+      .map(f => fieldBytes(f.dataType, col(s"value.`${f.name}`")))
+      .reduceOption(_ + _)
+      .getOrElse(lit(0L))
     rows
       .groupBy(col("key"))
       .agg(
         count(lit(1)).as("state_rows"),
-        sum(octet_length(to_json(declared))).as("state_bytes_est"))
+        sum(perRowBytes).as("state_bytes_est"))
       .orderBy(col(rank).desc)
       .limit(topK)
       .select(col("key.*"), col("state_rows"), col("state_bytes_est"))
+  }
+
+  /** Physical byte width of one state-value field — exact octet lengths
+    * for the variable-width types that actually cause value-size skew
+    * (binary blobs, strings), storage widths for fixed scalars, recursion
+    * for structs, element-summing for arrays; JSON octet length only as
+    * the residual fallback (maps, UDTs). Null variable-width fields
+    * charge 0; null fixed-width fields still charge their slot (UnsafeRow
+    * and the Avro encoding both reserve it).
+    */
+  private def fieldBytes(
+      dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    def fixedWidth(t: DataType): Int = t match {
+      case BooleanType | ByteType                                => 1
+      case ShortType                                             => 2
+      case IntegerType | FloatType | DateType                    => 4
+      case LongType | DoubleType | TimestampType                 => 8
+      case TimestampNTZType                                      => 8
+      case _: DecimalType                                        => 16
+      case _                                                     => -1
+    }
+    dt match {
+      case BinaryType | StringType => coalesce(octet_length(c), lit(0)).cast("long")
+      case t if fixedWidth(t) > 0  => lit(fixedWidth(t).toLong)
+      case st: StructType =>
+        st.fields
+          .map(f => fieldBytes(f.dataType, c.getField(f.name)))
+          .reduceOption(_ + _)
+          .getOrElse(lit(0L))
+      case ArrayType(BinaryType, _) | ArrayType(StringType, _) =>
+        coalesce(
+          aggregate(c, lit(0L),
+            (acc, x) => acc + coalesce(octet_length(x), lit(0)).cast("long")),
+          lit(0L))
+      case ArrayType(et, _) if fixedWidth(et) > 0 =>
+        coalesce(size(c).cast("long"), lit(0L)) * lit(fixedWidth(et).toLong)
+      case _ =>
+        // maps, UDTs, nested arrays: JSON octet length — monotone in the
+        // variable-width content, which is all a ranking needs here
+        coalesce(octet_length(to_json(struct(c))), lit(0)).cast("long")
+    }
   }
 
   /** State rows per checkpoint-pinned shuffle partition — the footprint of

@@ -382,6 +382,82 @@ class KeyedBatcherSpec extends SparkSpec {
     assert(hot.head.getAs[Long]("state_bytes_est") > 0L)
   }
 
+  test("hotKeys byte estimate tracks ACTUAL checkpoint state-file growth for binary-blob values") {
+    // Java-ser KeyedBatcher state is one binary field per open group —
+    // the value shape a JSON-length estimate inflates by 4/3 (base64)
+    // plus framing. The physical estimator charges the blob's exact
+    // octet length, so the estimate's DELTA between a narrow-payload run
+    // and a wide-payload run must track the checkpoint state dir's
+    // actual on-disk growth, and the wide key must top the ranking.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def du(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    def run(checkpoint: String, wideA: Boolean): Unit = {
+      val s = MemoryStream[Message[String]]
+      val q = KeyedBatcher(s.toDS(), batchSize = 100, batchTimeoutMs = 600000).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime(100))
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[String]], _: Long) =>
+          ds.collect() // consume every partition (commit validation); nothing emits here
+          ()
+        }
+        .start()
+      try {
+        // INCOMPRESSIBLE wide payloads (deterministic random alnum): the
+        // provider LZ4-compresses its delta files, so a repeated-char
+        // payload would vanish on disk and the growth comparison below
+        // would measure the codec, not the state
+        val rnd = new scala.util.Random(7)
+        def blob(n: Int): String = {
+          val alnum = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+          Iterator.fill(n)(alnum(rnd.nextInt(alnum.length))).mkString
+        }
+        s.addData(
+          (1 to 3).map(i => Message(blob(if (wideA) 40000 else 16),
+            metadata = Map("seq" -> i.toString), batchKey = "a")) ++
+            (1 to 3).map(i => Message(blob(16),
+              metadata = Map("seq" -> i.toString), batchKey = "b")))
+        val deadline = System.currentTimeMillis() + 60000
+        def consumed(): Long = q.recentProgress.map(_.numInputRows).sum
+        while (consumed() < 6 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(consumed() >= 6)
+        Thread.sleep(300)
+      } finally q.stop()
+    }
+    def estSum(checkpoint: String): Long = graft.streaming.StateInspect
+      .hotKeys(spark, checkpoint, topK = 10)
+      .agg(org.apache.spark.sql.functions.sum("state_bytes_est")).head().getLong(0)
+    val ckNarrow = java.nio.file.Files.createTempDirectory("graft-bytes-narrow").toString
+    val ckWide = java.nio.file.Files.createTempDirectory("graft-bytes-wide").toString
+    run(ckNarrow, wideA = false)
+    run(ckWide, wideA = true)
+    // ranking: the wide key tops the bytes ranking, not just the row count
+    val top = graft.streaming.StateInspect.hotKeys(spark, ckWide, topK = 2).collect()
+    assert(top.length == 2 && top.head.getAs[String]("_2") == "a",
+      s"wide-blob key must rank first by bytes: ${top.toSeq}")
+    assert(top.head.getAs[Long]("state_rows") == top(1).getAs[Long]("state_rows"),
+      "precondition: both keys hold ONE open group — only bytes separate them")
+    // growth attribution: estimate delta vs actual state-file growth
+    // (identical runs except the payload width, so per-run provider
+    // overhead cancels in the delta)
+    val dEst = estSum(ckWide) - estSum(ckNarrow)
+    val dDu = du(s"$ckWide/state") - du(s"$ckNarrow/state")
+    assert(dEst > 50000, s"estimate delta must see the ~120 KB payload, got $dEst")
+    assert(dDu > 0, s"state files must actually have grown, got $dDu")
+    val ratio = dEst.toDouble / dDu.toDouble
+    assert(ratio > 0.5 && ratio < 2.0,
+      s"estimate delta ($dEst) must track actual state-file growth ($dDu), ratio $ratio")
+  }
+
   test("flush-mode message flushes its open batch immediately") {
     EmitProbe.clear()
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
