@@ -641,12 +641,22 @@ object Bench {
     // the driver always runs the full registry)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // MEASURED per-query codegen charge: Janino compile time from Spark's
+    // own JVM-lifetime accumulator (CodeGenerator.compileTime, ns), read
+    // as a delta around each query. This replaces inference — the r14
+    // cold-flag decomposition ATTRIBUTED the residual
+    // (cold − construct − Σbuilds − warm) to first-run codegen; the delta
+    // here is that charge measured at the compiler itself, so every
+    // slow_4x line carries both and they can be cross-checked in-artifact.
+    def compileNs(): Long =
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compileTime
     val timedRuns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // each query pays its own shared-materialization builds (see
         // scaladoc) — numbers reproduce under single-query runs
         graft.ops.Caches.invalidate()
+        val cg0 = compileNs()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -658,10 +668,12 @@ object Bench {
         // which shared builds this query cold-registered (names only; the
         // flagged-query decomposition below measures their cost)
         val builds = graft.ops.Caches.coldBuildTags
-        (name, (System.nanoTime() - t0) / 1e6, ok, builds)
+        (name, (System.nanoTime() - t0) / 1e6, ok, builds, (compileNs() - cg0) / 1000000L)
       }
     val queryBuilds: Map[String, Seq[String]] =
-      timedRuns.collect { case (name, _, _, builds) if builds.nonEmpty => name -> builds }.toMap
+      timedRuns.collect { case (name, _, _, builds, _) if builds.nonEmpty => name -> builds }.toMap
+    val queryCodegenMs: Map[String, Long] = timedRuns.map(t => t._1 -> t._5).toMap
+    val codegenMeasuredTotalMs = timedRuns.map(_._5).sum
     val results = timedRuns.map(t => (t._1, t._2, t._3))
     graft.ops.Caches.invalidate()
 
@@ -791,7 +803,18 @@ object Bench {
         val accounted = d.constructMs + d.builds.map(_._2).sum + d.warmMs
         val codegen =
           if (d.constructMs < 0) -1L else math.max(0L, math.round(coldMs) - accounted)
-        s""","construct_ms":${d.constructMs},"builds":$b,"codegen_ms":$codegen"""
+        // derived (cold − accounted; WALL residual) AND measured (compiler
+        // accumulator delta; CPU-SUMMED across concurrently compiling task
+        // threads) side by side. They bound each other, not equal each
+        // other: measured ≫ derived = the query compiles many fragments in
+        // parallel (the wall charge is smaller than the compile CPU);
+        // measured ≪ derived = the residual is NOT Janino — generated-class
+        // loading, JIT warmup, GC — and should be read as such (first
+        // full-suite run: q42 derived 2084 ms vs measured 151 ms, q236
+        // derived 153 ms vs measured 3490 ms — both decompositions now
+        // read from the artifact alone)
+        s""","construct_ms":${d.constructMs},"builds":$b,"codegen_ms":$codegen""" +
+          s""","codegen_measured_ms":${queryCodegenMs.getOrElse(name, -1L)}"""
       }.getOrElse("")
     // THE slow gate: a cold-flagged query stays flagged only if its WARM
     // re-run also breaks the 4× budget (decomposition failure ⇒ stays
@@ -840,10 +863,17 @@ object Bench {
     val detail = new StringBuilder
     detail ++= s"""{"sf":"$sfDir","action":"noop-write","cache_invalidated_between_queries":true,"n":${results.size},"total_sec":${math.round(totalSec * 1000) / 1000.0},"median_ms":${math.round(median)},"calibration_ms":$calibrationMs,"failed":$failedJson,"streaming":$streamingJson,"queries_ms":"""
     detail ++= results.map { case (k, v, _) => s"\"$k\":${math.round(v)}" }.mkString("{", ",", "}")
+    // measured Janino compile ms per query (main-loop accumulator deltas):
+    // nonzero only where the query actually compiled something new —
+    // first-in-JVM expression families — which is exactly the cold-run
+    // charge the decomposition needs to separate from real work
+    detail ++= s""","queries_codegen_ms":${results
+        .map { case (k, _, _) => s"\"$k\":${queryCodegenMs.getOrElse(k, -1L)}" }
+        .mkString("{", ",", "}")}"""
     detail ++= s""","query_builds":${queryBuilds.toSeq.sortBy(_._1).map { case (q, bs) =>
         s""""$q":${bs.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")}"""
-    detail ++= s""","codegen_ms_estimate":$codegenMs"""
+    detail ++= s""","codegen_ms_estimate":$codegenMs,"codegen_measured_total_ms":$codegenMeasuredTotalMs"""
     // slow_n = WARM-gated (the stdout gate); slow_4x = every cold-flagged
     // candidate with its full decomposition, info regardless of the gate
     detail ++= s""","slow_n":${warmSlow.size},"cold_flagged_n":${slow.size}"""
