@@ -84,10 +84,16 @@ object ScaleStress {
     val markerX = if (marker.exists())
       scala.util.Using(scala.io.Source.fromFile(marker, "UTF-8"))(_.mkString.trim.toInt).toOption
     else None
-    val genNeeded = !reuse ||
+    // corpus generation only when a corpus-consuming line will run: a
+    // STRESS_ONLY run of the streaming/join lines (which synthesize their
+    // own in-memory feeds) must not pay a multi-minute x-scale corpus
+    // rebuild it never reads
+    val corpusNeeded = only.forall(_.exists(n =>
+      n.startsWith("lsh_") || n.startsWith("dedup_") || n.startsWith("embedding_")))
+    val genNeeded = corpusNeeded && (!reuse ||
       !markerX.contains(x) ||
       !new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists() ||
-      !new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()
+      !new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
     if (genNeeded) {
     spark.range(docN).as[Long].map { id =>
       val isDup = id % 7 == 0 && id > 0
@@ -344,6 +350,18 @@ object ScaleStress {
         val waves = sys.env.getOrElse("SPARK_GRAFT_STRESS_WAVES", "10").toInt
         val lPerWave = leftN / waves
         val rPerWave = rightN / waves
+        // RUNNING max, folded after every wave: recentProgress is a ring
+        // buffer capped at numRecentProgressUpdates (default 100), so a
+        // single read at the END of a high-wave-count run would have
+        // evicted the early (often peak) entries — exactly the bias that
+        // would flatter the "state is time-windowed" claim the wave knob
+        // exists to test (ADVICE r14). Per-wave reads see every batch
+        // (a wave runs far fewer than 100 micro-batches).
+        def foldStateMax(): Unit =
+          top1StateRowsMax = q.recentProgress
+            .flatMap(p => Option(p.stateOperators))
+            .map(_.map(_.numRowsTotal).sum)
+            .foldLeft(top1StateRowsMax)(math.max)
         var w = 0L
         while (w < waves) {
           // wave w's event times live in [w·100 s, (w+1)·100 s): ascending
@@ -358,6 +376,7 @@ object ScaleStress {
             (id % 1000, (id * 48271L) % 100000 + w * 100000L, id)
           })
           q.processAllAvailable()
+          foldStateMax()
           w += 1
         }
         // far-future sentinels push BOTH watermarks past every real
@@ -365,10 +384,7 @@ object ScaleStress {
         cs.addData(Seq((9999L, waves * 100000L + 600000L, -1L)))
         is.addData(Seq((9999L, waves * 100000L + 600000L, -1L)))
         q.processAllAvailable()
-        top1StateRowsMax = q.recentProgress
-          .flatMap(p => Option(p.stateOperators))
-          .map(_.map(_.numRowsTotal).sum)
-          .foldLeft(-1L)(math.max)
+        foldStateMax()
         emitted.get()
       } finally q.stop()
     }
