@@ -121,7 +121,7 @@ object Sinks {
     )
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/batch-$batchId")
     if (hfs.exists(manifest)) return // already published — replay is a no-op
-    if (manifestState(hfs, root).tombstoned(batchId)) return // published + retired — no-op
+    if (tombstonedFast(hfs, root, batchId)) return // published + retired — no-op
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/batch-$batchId-$attempt"
     df.filter(col("batcher").isin(routes: _*))
@@ -250,7 +250,7 @@ object Sinks {
     )
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/batch-$batchId")
     if (hfs.exists(manifest)) return // already published — replay is a no-op
-    if (manifestState(hfs, root).tombstoned(batchId)) return // published + retired — no-op
+    if (tombstonedFast(hfs, root, batchId)) return // published + retired — no-op
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/batch-$batchId-$attempt"
     df.write.mode(SaveMode.Overwrite).parquet(dataDir)
@@ -456,6 +456,43 @@ object Sinks {
   private val RetiredRangeLine = """#retired:batch-(\d+)\.\.(\d+)""".r
   private val RetiredOneLine = """#retired:batch-(\d+)""".r
 
+  /** The publish-path tombstone check, header-only: every manifest writes
+    * its `#…` metadata lines FIRST (batch manifests have none), so this
+    * stops reading each file at its first non-`#` line — a compaction
+    * manifest naming 10⁵ data files costs a few hundred bytes here, not a
+    * full parse. Runs once per FIRST publish of a batch (replays of
+    * still-manifested batches exit on the `exists` fast path before it).
+    */
+  private def tombstonedFast(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      batchId: Long
+  ): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    if (!hfs.exists(dir)) return false
+    val target = s"batch-$batchId"
+    hfs.listStatus(dir)
+      .iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .exists { st =>
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(hfs.open(st.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = in.readLine()
+          var hit = false
+          while (line != null && !hit && (line.isEmpty || line.startsWith("#"))) {
+            hit = line match {
+              case RetiredRangeLine(lo, hi) => lo.toLong <= batchId && batchId <= hi.toLong
+              case RetiredOneLine(id)       => id.toLong == batchId
+              case _ => line.startsWith("#supersedes:") && line.stripPrefix("#supersedes:") == target
+            }
+            line = in.readLine()
+          }
+          hit
+        } finally in.close()
+      }
+  }
+
   /** Render tombstone ranges as manifest lines. */
   private def retiredLines(ranges: Seq[(Long, Long)]): Seq[String] =
     ranges.map {
@@ -538,16 +575,15 @@ object Sinks {
     * its batches were published: the superseding compaction manifest
     * carries them in `#retired:` tombstones (see [[compactManifested]]).
     *
-    * Known space-only leak (correctness unaffected): an aged-out retired
-    * manifest whose dirs are ALL protected (shared with kept-by-reference
-    * files a live manifest still names) has its manifest file deleted but
-    * those superseded data FILES are never individually reclaimed — the
-    * dir stays referenced, so [[vacuumUnmanifested]] skips it too. The
-    * files become unreachable garbage inside a live dir until the whole
-    * dir eventually loses live protection (every kept file rewritten by a
-    * later compaction) and is reclaimed wholesale. Bounded by one
-    * compaction generation's small-file volume; accepted in exchange for
-    * never deleting individual files out from under a resolved reader.
+    * Aged-out files inside PROTECTED dirs are reclaimed individually: a
+    * dir shared with kept-by-reference files a live (or in-grace)
+    * manifest still names cannot be deleted wholesale, but the aged
+    * manifest's OWN files in it — rewritten by the compaction, referenced
+    * by nothing younger — would otherwise leak as unreachable garbage
+    * ([[vacuumUnmanifested]] skips referenced dirs). File-level deletion
+    * is exactly as safe as the dir-level one: readers open only
+    * manifest-named files, and every file a live or in-grace manifest
+    * names is excluded.
     */
   private def cleanupRetired(
       hfs: org.apache.hadoop.fs.FileSystem,
@@ -571,24 +607,40 @@ object Sinks {
     // naming the same dir (the reader who resolved THAT list is the one
     // the window protects)
     val inGraceDirs: Set[String] = inGrace.flatMap(_.files).map(dirKey).toSet
+    // file-level protection for the shared-dir case: every file a live or
+    // in-grace manifest names (normalized path), so an aged manifest's
+    // rewritten files inside a kept dir can be reclaimed individually
+    val protectedFiles: Set[String] = (st.live ++ inGrace).flatMap(_.files)
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
     agedOut.foreach { r =>
-      r.files
+      val (keptDirs, deletableDirs) = r.files
         .map(f => new org.apache.hadoop.fs.Path(f).getParent)
         .distinctBy(_.toUri.getPath)
-        .filterNot(d => protectedDirs.contains(d.toUri.getPath) ||
+        .partition(d => protectedDirs.contains(d.toUri.getPath) ||
           inGraceDirs.contains(d.toUri.getPath))
-        .foreach { d =>
-          // composite-routed layout: files live under route=<r> subdirs of
-          // the staging dir — delete the whole staging dir once none of
-          // its route dirs is live or in grace (checked per route dir
-          // above via dirKey = the route dir itself); a route dir is
-          // deleted individually when its siblings are still referenced
-          hfs.delete(d, true)
-          val parent = d.getParent
-          if (d.getName.startsWith("route=") &&
-            hfs.exists(parent) && hfs.listStatus(parent).isEmpty)
-            hfs.delete(parent, true)
-        }
+      deletableDirs.foreach { d =>
+        // composite-routed layout: files live under route=<r> subdirs of
+        // the staging dir — delete the whole staging dir once none of
+        // its route dirs is live or in grace (checked per route dir
+        // above via dirKey = the route dir itself); a route dir is
+        // deleted individually when its siblings are still referenced
+        hfs.delete(d, true)
+        val parent = d.getParent
+        if (d.getName.startsWith("route=") &&
+          hfs.exists(parent) && hfs.listStatus(parent).isEmpty)
+          hfs.delete(parent, true)
+      }
+      // shared dirs survive (kept-by-reference files live there), but the
+      // aged manifest's own unreferenced files inside them go now —
+      // without this they leaked until the whole dir lost protection
+      if (keptDirs.nonEmpty) {
+        val keptDirKeys = keptDirs.map(_.toUri.getPath).toSet
+        r.files
+          .map(f => new org.apache.hadoop.fs.Path(f))
+          .filter(p => keptDirKeys.contains(p.getParent.toUri.getPath))
+          .filterNot(p => protectedFiles.contains(p.toUri.getPath))
+          .foreach(p => hfs.delete(p, false))
+      }
       // the manifest file itself can go as soon as ITS grace elapses —
       // readers resolve files at manifest-read time, and a dir kept
       // alive by an in-grace sibling is reclaimed on a later pass once

@@ -575,6 +575,52 @@ class SinksSpec extends SparkSpec {
       "a retired composite batch re-published on replay")
   }
 
+  test("aged-out files inside a kept (shared) dir are reclaimed individually — no space leak") {
+    // ADVICE r14: a batch whose staging dir holds BOTH a kept-by-reference
+    // file (still named by the live compaction manifest) and a rewritten
+    // small file used to leak the small file forever — the dir stays
+    // protected, so neither dir-level cleanup nor vacuum could touch it.
+    // File-level reclamation deletes exactly the aged manifest's files no
+    // live/in-grace manifest names, inside dirs that must survive.
+    val root = Files.createTempDirectory("graft-mcompact-leak").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    // batch 0: TWO partitions of wildly different sizes in ONE staging dir
+    // (RDD union preserves partitioning: 1 tiny + 1 fat = 2 files)
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, when}
+    val tiny = spark.sparkContext.parallelize(0L until 100L, 1)
+    val fat = spark.sparkContext.parallelize(100L until 10100L, 1)
+    val df0 = spark.createDataset(tiny.union(fat))(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("v")
+      .withColumn("pad", when(col("v") < 100, lit("")).otherwise(
+        concat(md5(col("v").cast("string")), md5((col("v") + 7).cast("string")))))
+    Sinks.manifestedParquet(df0, root, batchId = 0)
+    val b0Files = fs.globStatus(p(s"$root/data/batch-0-*/*.parquet"))
+    assert(b0Files.length == 2, s"need two files in one dir, got ${b0Files.length}")
+    val bigFile = b0Files.maxBy(_.getLen).getPath
+    val smallFile = b0Files.minBy(_.getLen).getPath
+    val target = 2L * b0Files.minBy(_.getLen).getLen + 1024 // small rewrites, big keeps
+    assert(bigFile.toString != smallFile.toString && b0Files.maxBy(_.getLen).getLen > target)
+    (1 to 2).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).map(_.toLong).toDF("v"), root, batchId = b.toLong))
+    val expected = (0L until 10100L).sum + (10 until 30).sum
+    assert(total() == expected)
+    assert(Sinks.compactManifested(spark, root, targetBytes = target) >= 1)
+    // the shared dir survives (big file rides by reference in compact-1)…
+    assert(fs.exists(bigFile), "kept-by-reference file must survive")
+    // …but the aged batch-0 manifest's rewritten small file inside it is
+    // individually reclaimed instead of leaking
+    assert(!fs.exists(smallFile),
+      "aged-out rewritten file inside the kept dir leaked (the r14 ADVICE case)")
+    assert(total() == expected, "file-level reclamation changed the data")
+    // and vacuum still sees the dir as referenced — nothing to do
+    assert(Sinks.vacuumUnmanifested(spark, root) == 0)
+    assert(total() == expected)
+  }
+
   test("readManifested merges evolved batch schemas BEFORE any compaction") {
     val root = Files.createTempDirectory("graft-manifest-merge").toString
     Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
