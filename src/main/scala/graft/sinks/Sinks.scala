@@ -381,6 +381,78 @@ object Sinks {
         case None => spark.emptyDataFrame
       }
 
+  /** One observability snapshot of a manifested root — what a
+    * housekeeping loop reads to decide its next move (all driver-side
+    * metadata, one listing + one file-index pass, no data scan):
+    *  - `liveManifests` / `liveFiles` / `liveBytes`: the reader-visible
+    *    set; many small manifests ⇒ the metadata pass is degrading;
+    *  - `smallFiles(targetBytes)`: live files under `targetBytes / 2` —
+    *    ≥ 2 in one route group means [[compactManifested]] will rewrite;
+    *  - `retiredInGrace`: superseded manifests still inside their
+    *    retention window (their dirs are protected — expected transient
+    *    state, not garbage);
+    *  - `tombstoneRanges` / `tombstonedBatches`: the durable
+    *    publish-once record's shape (ranges stay few while batch ids are
+    *    sequential; a fragmenting range list means ids are arriving out
+    *    of order);
+    *  - `orphanDirs`: staging dirs no manifest references — crashed or
+    *    in-flight attempts; reclaim with a QUIESCENT
+    *    [[vacuumUnmanifested]] (a live writer's in-flight dir counts
+    *    here too, so a nonzero value alone is not a leak signal).
+    */
+  final case class ManifestStats(
+      liveManifests: Int,
+      liveFiles: Int,
+      liveBytes: Long,
+      smallFiles: Int,
+      retiredInGrace: Int,
+      tombstoneRanges: Int,
+      tombstonedBatches: Long,
+      orphanDirs: Int
+  )
+
+  /** Compute [[ManifestStats]] for `root`. `targetBytes` only shapes the
+    * `smallFiles` census (same threshold [[compactManifested]] uses).
+    */
+  def manifestStats(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      targetBytes: Long = 128L * 1024 * 1024
+  ): ManifestStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val st = manifestState(hfs, root)
+    val liveFiles = st.live.flatMap(_.files)
+    val sizes = liveFiles.map { f =>
+      try hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+      catch { case _: java.io.FileNotFoundException => 0L } // racing a cleanup
+    }
+    val ranges = st.tombstoneRanges()
+    val referenced: Set[String] = st.entries.flatMap(_.files)
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
+    val orphans =
+      if (!hfs.exists(dataRoot)) 0
+      else hfs.listStatus(dataRoot).count { d =>
+        d.isDirectory && !referenced.contains(d.getPath.toUri.getPath) &&
+        !hfs.listStatus(d.getPath).exists(c =>
+          c.isDirectory && referenced.contains(c.getPath.toUri.getPath))
+      }
+    ManifestStats(
+      liveManifests = st.live.size,
+      liveFiles = liveFiles.size,
+      liveBytes = sizes.sum,
+      smallFiles = sizes.count(_ < targetBytes / 2),
+      retiredInGrace = st.retired.size,
+      tombstoneRanges = ranges.size,
+      tombstonedBatches = ranges.map { case (lo, hi) => hi - lo + 1 }.sum,
+      orphanDirs = orphans
+    )
+  }
+
   /** Every data file the LIVE manifests under `root` name (driver-side
     * metadata). A compaction manifest ([[compactManifested]]) retires the
     * manifests it rewrote via `#supersedes:` header lines, so a reader
@@ -467,7 +539,7 @@ object Sinks {
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String,
       batchId: Long
-  ): Boolean = {
+  ): Boolean = retryOnVanishedManifest {
     val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     if (!hfs.exists(dir)) return false
     val target = s"batch-$batchId"
@@ -500,6 +572,30 @@ object Sinks {
       case (lo, hi)             => s"#retired:batch-$lo..$hi"
     }
 
+  /** Retry `body` with a FRESH listing when a listed manifest file
+    * vanishes before its open — the race a retention-0 housekeeping
+    * compactor's cleanup creates for any concurrent list-then-read
+    * (reader, stats, or the publish-path tombstone check). SKIPPING the
+    * vanished file would be unsound on both paths: a reader would
+    * resolve a torn set (the deleted batch manifest's superseding
+    * compaction manifest may postdate the listing), and the tombstone
+    * check could miss a record whose carrier moved the same way. A
+    * re-list always converges to a consistent view (the superseding
+    * manifest is on disk BEFORE cleanup deletes anything); five
+    * generations of compaction inside one parse means something is
+    * genuinely wrong, so the last attempt's failure propagates loudly.
+    */
+  private def retryOnVanishedManifest[A](body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case _: java.io.FileNotFoundException if attempt < 5 => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Parse the manifest directory from a single listing. A manifest is
     * live iff no manifest (in the same listing) names it in a
     * `#supersedes:` line. Lines starting with `#` are metadata, never
@@ -508,7 +604,7 @@ object Sinks {
   private def manifestState(
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String
-  ): ManifestDir = {
+  ): ManifestDir = retryOnVanishedManifest {
     val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     if (!hfs.exists(dir)) return ManifestDir(Seq.empty, Set.empty)
     val entries = hfs

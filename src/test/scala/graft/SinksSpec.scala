@@ -621,6 +621,105 @@ class SinksSpec extends SparkSpec {
     assert(total() == expected)
   }
 
+  test("END-TO-END recovery: Spark's own replay after compaction reclaimed the manifest is a no-op") {
+    // The full r14 interleaving on the REAL recovery mechanism, not a
+    // simulated replay call: a streaming query publishes batches through
+    // manifestedParquet; the driver "dies" after the sink published
+    // batch 1 but before the checkpoint commit (we delete commits/1 —
+    // offsets/1 survives, exactly that crash point); the housekeeping
+    // compactor runs during the outage with retention 0, retiring AND
+    // reclaiming batch manifests; the query restarts and Spark genuinely
+    // re-executes batch 1 (at-least-once side effects). The tombstone in
+    // compact-1 must make the re-publish a no-op — before round 15 this
+    // silently doubled batch 1's rows.
+    val root = Files.createTempDirectory("graft-e2e-recovery").toString
+    val ck = Files.createTempDirectory("graft-e2e-recovery-ck").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    def names() = fs.listStatus(p(s"$root/_manifests"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".")).map(_.getPath.getName).sorted
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val seenBatchIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start(stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]) =
+      stream.toDS().toDF("v").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          seenBatchIds.add(batchId)
+          Sinks.manifestedParquet(df, root, batchId)
+        }
+        .start()
+    // phase 1: two committed batches
+    val s1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q1 = start(s1)
+    try {
+      s1.addData(1 to 4); q1.processAllAvailable() // batch 0
+      s1.addData(5 to 6); q1.processAllAvailable() // batch 1
+    } finally q1.stop()
+    assert(total() == 21L && names().length == 2)
+    // the crash: batch 1's sink effect landed, its checkpoint commit did
+    // not — on restart Spark MUST re-run batch 1 from the offset log
+    assert(fs.delete(p(s"$ck/commits/1"), false), "commit marker to delete must exist")
+    // housekeeping during the outage: retention 0 retires + reclaims the
+    // batch manifests; only compact-1 (carrying the tombstones) remains
+    assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 1)
+    assert(names().toSeq == Seq("compact-1"))
+    // restart: a NEW MemoryStream whose blocks 0/1 mirror the committed
+    // offsets (the checkpoint's offset log addresses block ordinals)
+    val s2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    s2.addData(1 to 4)
+    s2.addData(5 to 6)
+    seenBatchIds.clear()
+    val q2 = start(s2)
+    try {
+      q2.processAllAvailable() // replays batch 1 — the genuine recovery path
+      assert(seenBatchIds.contains(1L),
+        s"precondition: the restart must actually REPLAY batch 1, saw $seenBatchIds")
+      assert(total() == 21L,
+        "Spark's replayed batch re-published after its manifest was reclaimed (rows doubled)")
+      assert(names().toSeq == Seq("compact-1"),
+        s"replay re-created a retired batch manifest: ${names().toSeq}")
+      // life goes on: a genuinely new batch still publishes normally
+      s2.addData(7 to 9); q2.processAllAvailable()
+      assert(total() == 45L)
+      assert(names().toSeq == Seq("batch-2", "compact-1"), s"got ${names().toSeq}")
+    } finally q2.stop()
+  }
+
+  test("manifestStats: the housekeeping-loop view tracks every lifecycle stage") {
+    val root = Files.createTempDirectory("graft-mstats").toString
+    def stats(t: Long = 512L * 1024 * 1024) = Sinks.manifestStats(spark, root, t)
+    // empty root
+    assert(stats() == Sinks.ManifestStats(0, 0, 0L, 0, 0, 0, 0L, 0))
+    // three live batches + one crashed attempt
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    (99 to 99).toDF("v").write.parquet(s"$root/data/batch-7-deadbeef")
+    val s1 = stats()
+    assert(s1.liveManifests == 3 && s1.liveFiles >= 3 && s1.liveBytes > 0)
+    assert(s1.smallFiles == s1.liveFiles, "trigger-sized files must all census as small")
+    assert(s1.retiredInGrace == 0 && s1.orphanDirs == 1)
+    // compaction with a grace window: batches retire IN GRACE, the
+    // publish-once record covers ids 0..2
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 3600L * 1000) == 1)
+    val s2 = stats()
+    assert(s2.liveManifests == 1 && s2.retiredInGrace == 3)
+    assert(s2.tombstoneRanges == 1 && s2.tombstonedBatches == 3,
+      s"publish-once record must cover batch-0..2 as one range: $s2")
+    assert(s2.smallFiles == 1, "the compacted file at this target is still small-classed")
+    // nothing small enough to merge twice → compaction would no-op; the
+    // stats say so up front (smallFiles < 2)
+    assert(s2.smallFiles < 2)
+    assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 0)
+    // vacuum reclaims the orphan; the stats converge to steady state
+    assert(Sinks.vacuumUnmanifested(spark, root) == 1)
+    assert(stats().orphanDirs == 0)
+  }
+
   test("readManifested merges evolved batch schemas BEFORE any compaction") {
     val root = Files.createTempDirectory("graft-manifest-merge").toString
     Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
