@@ -98,17 +98,25 @@ object StateInspect {
     val rank = if (rankBy == "bytes") "state_bytes_est" else "state_rows"
     val rows = stateRows(spark, checkpoint, operatorId, joinSide,
       stateVarName = stateVarName)
+    // value column: `value` for value/blob state, `list_element` for a
+    // transformWithState ListState variable (one state row per element —
+    // the per-key aggregation below then counts buffered elements, which
+    // is exactly the hot-key question for a list-state buffer)
+    val vName =
+      if (rows.schema.fieldNames.contains("value")) "value" else "list_element"
     // estimate over the DECLARED fields only: join-state value rows
     // physically carry an internal trailing field (the matched flag)
     // beyond the declared schema, and walking the raw struct's arity
     // (e.g. to_json) trips an ArrayIndexOutOfBounds — the explicit
     // per-field expressions read exactly the declared ones
-    val valueType = rows.schema("value").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val perRowBytes = valueType.fields
-      .map(f => fieldBytes(f.dataType, col(s"value.`${f.name}`")))
-      .reduceOption(_ + _)
-      .getOrElse(lit(0L))
+    val perRowBytes = rows.schema(vName).dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields
+          .map(f => fieldBytes(f.dataType, col(s"$vName.`${f.name}`")))
+          .reduceOption(_ + _)
+          .getOrElse(lit(0L))
+      case dt => fieldBytes(dt, col(vName))
+    }
     rows
       .groupBy(col("key"))
       .agg(

@@ -382,6 +382,150 @@ class KeyedBatcherSpec extends SparkSpec {
     assert(hot.head.getAs[Long]("state_bytes_est") > 0L)
   }
 
+  test("incremental: same size/timeout semantics on list state (shared foldGroup core)") {
+    EmitProbeS.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Message[PayV1]]
+    val batches = KeyedBatcher.incremental(stream.toDS(), batchSize = 10, batchTimeoutMs = 300)
+    val query = batches.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[PayV1]], _: Long) =>
+        ds.collect().foreach { b =>
+          EmitProbeS.emitted.add((b.trigger, b.messages.map(_.data.s)))
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData((1 to 15).map(i => Message(PayV1(s"m$i"), metadata = Map("seq" -> i.toString))))
+      val deadline = System.currentTimeMillis() + 20000
+      var got = Seq.empty[(String, Seq[String])]
+      while (got.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); got = got ++ EmitProbeS.drain()
+      }
+      assert(got.size == 2, s"expected size+timeout batches, got $got")
+      assert(got.head._1 == "size" && got.head._2 == (1 to 10).map(i => s"m$i"))
+      assert(got(1)._1 == "timeout" && got(1)._2 == (11 to 15).map(i => s"m$i"))
+    } finally query.stop()
+  }
+
+  test("incremental == encoded: deterministic differential across keys, flush modes, and wave splits") {
+    // Same message sequence (3 batch keys, interleaved, flush messages,
+    // size boundaries straddling waves) through BOTH transformWithState
+    // backends with an unreachable timeout — emitted batches must be
+    // identical per key, in order, trigger included. The append fast
+    // path must be invisible in the output.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msgs = (1 to 60).map { i =>
+      Message(
+        PayV1(s"m$i"),
+        metadata = Map("seq" -> i.toString),
+        batchKey = s"k${i % 3}",
+        batchMode = if (i % 17 == 0) graft.model.BatchMode.Flush else graft.model.BatchMode.Bulk)
+    }
+    def run(
+        mk: org.apache.spark.sql.Dataset[Message[PayV1]] => org.apache.spark.sql.Dataset[EmittedBatch[PayV1]]
+    ): Seq[(String, String, Seq[String])] = {
+      val out = new ConcurrentLinkedQueue[(String, String, Seq[String])]()
+      val s = MemoryStream[Message[PayV1]]
+      val q = mk(s.toDS()).writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(50))
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[PayV1]], _: Long) =>
+          ds.collect().foreach(b => out.add((b.batchKey, b.trigger, b.messages.map(_.data.s))))
+          ()
+        }
+        .start()
+      try {
+        msgs.grouped(20).foreach { wave =>
+          s.addData(wave)
+          val target = out.size // just ensure progress; emissions counted below
+          val deadline = System.currentTimeMillis() + 20000
+          while (q.recentProgress.map(_.numInputRows).sum <
+            msgs.indexOf(wave.last) + 1 && System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
+          assert(target >= 0)
+        }
+        Thread.sleep(500)
+      } finally q.stop()
+      Iterator.continually(out.poll()).takeWhile(_ != null).toSeq
+        .sortBy(b => (b._1, b._3.head.drop(1).toInt))
+    }
+    val enc = run(ds => KeyedBatcher.encoded(ds, batchSize = 7, batchTimeoutMs = 600000))
+    val inc = run(ds => KeyedBatcher.incremental(ds, batchSize = 7, batchTimeoutMs = 600000))
+    assert(enc.nonEmpty, "differential is vacuous — nothing emitted")
+    assert(inc == enc, s"backends diverged:\nencoded=$enc\nincremental=$inc")
+  }
+
+  test("incremental: buffered rows are per-message list state, inspectable and restart-drainable") {
+    // One open group of 6 messages: StateInspect over stateVarName "buf"
+    // must see SIX rows (one per buffered message — the inspectability
+    // the blob/row backends cannot give), and a RESTART against the same
+    // checkpoint must drain the buffer intact on timeout.
+    EmitProbeS.clear()
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-inc-inspect").toString
+    val s1 = MemoryStream[Message[PayV1]]
+    val q1 = KeyedBatcher.incremental(s1.toDS(), batchSize = 100, batchTimeoutMs = 600000)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[PayV1]], _: Long) =>
+        ds.collect().foreach(b => EmitProbeS.emitted.add((b.trigger, b.messages.map(_.data.s))))
+        ()
+      }
+      .start()
+    try {
+      // two waves — the second rides the append FAST PATH (no emission)
+      s1.addData((1 to 4).map(i =>
+        Message(PayV1(s"m$i"), metadata = Map("seq" -> i.toString), batchKey = "hot")))
+      val deadline = System.currentTimeMillis() + 60000
+      def consumed(): Long = q1.recentProgress.map(_.numInputRows).sum
+      while (consumed() < 4 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      s1.addData((5 to 6).map(i =>
+        Message(PayV1(s"m$i"), metadata = Map("seq" -> i.toString), batchKey = "hot")))
+      while (consumed() < 6 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(consumed() >= 6)
+      Thread.sleep(500)
+    } finally q1.stop()
+    val rows = graft.streaming.StateInspect
+      .stateRows(spark, checkpoint, stateVarName = Some("buf")).collect()
+    assert(rows.length == 6, s"expected one state row per buffered message, got ${rows.length}")
+    val hot = graft.streaming.StateInspect
+      .hotKeys(spark, checkpoint, stateVarName = Some("buf"), topK = 1, rankBy = "rows").collect()
+    assert(hot.length == 1 && hot.head.getAs[Long]("state_rows") == 6L)
+    // restart with batchSize 7: one more message tips the recovered
+    // 6-message buffer over the size trigger — the checkpointed list
+    // state must drain in order (placeholder blocks align the offsets)
+    EmitProbeS.clear()
+    val s2 = MemoryStream[Message[PayV1]]
+    s2.addData(Seq.empty[Message[PayV1]])
+    s2.addData(Seq.empty[Message[PayV1]])
+    val q2 = KeyedBatcher.incremental(s2.toDS(), batchSize = 7, batchTimeoutMs = 600000)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EmittedBatch[PayV1]], _: Long) =>
+        ds.collect().foreach(b => EmitProbeS.emitted.add((b.trigger, b.messages.map(_.data.s))))
+        ()
+      }
+      .start()
+    try {
+      s2.addData(Seq(Message(PayV1("m7"), metadata = Map("seq" -> "7"), batchKey = "hot")))
+      val deadline = System.currentTimeMillis() + 60000
+      var got = Seq.empty[(String, Seq[String])]
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); got = got ++ EmitProbeS.drain()
+      }
+      assert(got.nonEmpty, "restart did not drain the list-state buffer")
+      assert(got.head._1 == "size" && got.head._2 == (1 to 7).map(i => s"m$i"),
+        s"buffer content/order lost across restart: $got")
+    } finally q2.stop()
+  }
+
   test("hotKeys byte estimate tracks ACTUAL checkpoint state-file growth for binary-blob values") {
     // Java-ser KeyedBatcher state is one binary field per open group —
     // the value shape a JSON-length estimate inflates by 4/3 (base64)
