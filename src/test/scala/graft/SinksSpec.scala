@@ -720,6 +720,57 @@ class SinksSpec extends SparkSpec {
     assert(stats().orphanDirs == 0)
   }
 
+  test("randomized lifecycle model: any publish/replay/compact/vacuum interleaving keeps totals exact") {
+    // Model-based check of the publish-once machinery: a seeded random
+    // walk over the sink's whole operation alphabet — publish a new
+    // batch, REPLAY a random already-published batch (the at-least-once
+    // recovery event; must be a no-op whether its manifest is live,
+    // retired-in-grace, or long reclaimed), compact at retention 0 or
+    // with a grace window, vacuum — asserting after EVERY step that
+    // readManifested's sum equals the model's (each batch counted once).
+    // Three seeds x 30 steps; any violation prints the exact op trace.
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"graft-model-$seed").toString
+      var nextId = 0L
+      var published = Vector.empty[Long]
+      def rowsOf(b: Long): Seq[Int] = (b * 10 until b * 10 + 10).map(_.toInt)
+      def expected: Long = published.map(b => rowsOf(b).map(_.toLong).sum).sum
+      def total(): Long = {
+        val r = Sinks.readManifested(spark, root)
+          .agg(org.apache.spark.sql.functions.sum("v")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val trace = new StringBuilder
+      (0 until 30).foreach { step =>
+        val op = rnd.nextInt(10)
+        if (op < 4 || published.isEmpty) {
+          trace ++= s"publish($nextId); "
+          Sinks.manifestedParquet(rowsOf(nextId).toDF("v"), root, nextId)
+          published :+= nextId
+          nextId += 1
+        } else if (op < 7) {
+          val b = published(rnd.nextInt(published.size))
+          trace ++= s"replay($b); "
+          Sinks.manifestedParquet(rowsOf(b).toDF("v"), root, b)
+        } else if (op < 9) {
+          val retain = if (rnd.nextBoolean()) 0L else 3600L * 1000
+          trace ++= s"compact(retain=$retain); "
+          Sinks.compactManifested(spark, root,
+            targetBytes = 512L * 1024 * 1024, retainMillis = retain)
+        } else {
+          trace ++= "vacuum; "
+          Sinks.vacuumUnmanifested(spark, root)
+        }
+        assert(total() == expected,
+          s"seed $seed step $step: total ${total()} != expected $expected after: $trace")
+      }
+      // end state: exact row count too (no partial batches, no dups)
+      assert(Sinks.readManifested(spark, root).count() == published.size * 10L,
+        s"seed $seed final row count wrong after: $trace")
+    }
+  }
+
   test("readManifested merges evolved batch schemas BEFORE any compaction") {
     val root = Files.createTempDirectory("graft-manifest-merge").toString
     Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
