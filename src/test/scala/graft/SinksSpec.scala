@@ -771,6 +771,73 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("randomized lifecycle model, COMPOSITE root: per-route sums stay exact and route-pure") {
+    // Same model walk over the cross-route-atomic layout: composite
+    // publishes, replays, route-aware compactions, vacuums — after every
+    // step EACH route's sum must match the model and every manifested
+    // file must stay route-pure (compaction must never mix routes).
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"graft-model-comp-$seed").toString
+      val routes = Seq("a", "b")
+      var nextId = 0L
+      var published = Vector.empty[Long]
+      def dfOf(b: Long) =
+        (b * 10 until b * 10 + 10).map(v => (v.toInt, routes((v % 2).toInt))).toDF("v", "batcher")
+      def expected(r: String): Long = published.flatMap(b =>
+        (b * 10 until b * 10 + 10).filter(v => routes((v % 2).toInt) == r)).sum
+      def routeSum(r: String): Long = {
+        val row = Sinks.readRoutedManifested(spark, root, r)
+          .agg(org.apache.spark.sql.functions.sum("v")).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }
+      val trace = new StringBuilder
+      (0 until 20).foreach { step =>
+        val op = rnd.nextInt(10)
+        if (op < 4 || published.isEmpty) {
+          trace ++= s"publish($nextId); "
+          Sinks.routedManifestedComposite(dfOf(nextId), routes, root, nextId)
+          published :+= nextId
+          nextId += 1
+        } else if (op < 7) {
+          val b = published(rnd.nextInt(published.size))
+          trace ++= s"replay($b); "
+          Sinks.routedManifestedComposite(dfOf(b), routes, root, b)
+        } else if (op < 9) {
+          val retain = if (rnd.nextBoolean()) 0L else 3600L * 1000
+          trace ++= s"compact(retain=$retain); "
+          Sinks.compactManifested(spark, root,
+            targetBytes = 512L * 1024 * 1024, retainMillis = retain)
+        } else {
+          trace ++= "vacuum; "
+          Sinks.vacuumUnmanifested(spark, root)
+        }
+        routes.foreach { r =>
+          assert(routeSum(r) == expected(r),
+            s"seed $seed step $step route $r: ${routeSum(r)} != ${expected(r)} after: $trace")
+        }
+      }
+      // route purity of the end state: every manifested file carries its
+      // route segment and reads back single-route
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".")).flatMap { st =>
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filterNot(_.startsWith("#")).filter(_.nonEmpty).toVector
+          finally in.close()
+        }
+      assert(files.nonEmpty && files.forall(_.contains("/route=")),
+        s"seed $seed: manifested file without a route segment after: $trace")
+      files.foreach { f =>
+        val rs = spark.read.parquet(f).select("batcher").distinct()
+          .collect().map(_.getString(0)).toSet
+        assert(rs.size == 1, s"seed $seed: file $f mixes routes $rs after: $trace")
+      }
+    }
+  }
+
   test("readManifested merges evolved batch schemas BEFORE any compaction") {
     val root = Files.createTempDirectory("graft-manifest-merge").toString
     Sinks.manifestedParquet((1 to 5).toDF("v"), root, batchId = 0)
