@@ -175,7 +175,9 @@ object StreamingTop1Rewrite extends Rule[LogicalPlan] with PredicateHelper {
           "rewrite is an analyzer rule; GraftExtensions.register on a live session " +
           "cannot add it); or (2) compose it manually with " +
           "graft.streaming.EventTime.asofJoinBounded, the same finite-state " +
-          "max_by/min_by aggregation the rewrite produces.")
+          "max_by/min_by aggregation the rewrite produces. If this session " +
+          "ALREADY has the extensions, the kill switch is off: check " +
+          s"$EnabledKey (the rewrite declines when it is set false).")
     else if (rankedWindow)
       Some(
         "This streaming plan carries a row_number() window Spark refuses at start(), " +

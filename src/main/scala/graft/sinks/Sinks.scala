@@ -392,9 +392,11 @@ object Sinks {
     *    retention window (their dirs are protected — expected transient
     *    state, not garbage);
     *  - `tombstoneRanges` / `tombstonedBatches`: the durable
-    *    publish-once record's shape (ranges stay few while batch ids are
-    *    sequential; a fragmenting range list means ids are arriving out
-    *    of order);
+    *    publish-once records that exist ON DISK (`#retired:` ranges +
+    *    `#supersedes:`-named batches) — live, never-compacted batches
+    *    are NOT counted (their protection is the manifest file itself).
+    *    Ranges stay few while batch ids are sequential; a fragmenting
+    *    range list means ids are arriving out of order;
     *  - `orphanDirs`: staging dirs no manifest references — crashed or
     *    in-flight attempts; reclaim with a QUIESCENT
     *    [[vacuumUnmanifested]] (a live writer's in-flight dir counts
@@ -430,7 +432,7 @@ object Sinks {
       try hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
       catch { case _: java.io.FileNotFoundException => 0L } // racing a cleanup
     }
-    val ranges = st.tombstoneRanges()
+    val ranges = st.recordedTombstoneRanges()
     val referenced: Set[String] = st.entries.flatMap(_.files)
       .map(f => new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath).toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
@@ -491,20 +493,14 @@ object Sinks {
     def live: Seq[ManifestEntry] = entries.filterNot(e => superseded.contains(e.name))
     def retired: Seq[ManifestEntry] = entries.filter(e => superseded.contains(e.name))
 
-    /** Was `batch-<batchId>` ever published, even though its manifest file
-      * is gone? True iff any manifest's `#retired:` ranges cover the id or
-      * any `#supersedes:` line names it (the on-disk-but-retired case).
-      */
-    def tombstoned(batchId: Long): Boolean =
-      superseded.contains(s"batch-$batchId") ||
-        entries.exists(_.retired.exists(r => r._1 <= batchId && batchId <= r._2))
-
     /** The transitive publish-once record to fold into a NEW compaction
       * manifest: every id in any entry's `#retired:` ranges, plus every
       * batch id a `#supersedes:` line names, plus every batch manifest in
-      * the listing itself — coalesced into ranges so the record stays
-      * compact (micro-batch ids are sequential; a year of per-minute
-      * batches collapses to one line).
+      * the listing itself (all retired by the new manifest) — coalesced
+      * into ranges so the record stays compact (micro-batch ids are
+      * sequential; a year of per-minute batches collapses to one line).
+      * The publish-path check is [[tombstonedFast]], not this — this is
+      * the fold for WRITING the next record.
       */
     def tombstoneRanges(): Vector[(Long, Long)] = {
       val batchName = """batch-(\d+)""".r
@@ -512,6 +508,21 @@ object Sinks {
         case batchName(d) => (d.toLong, d.toLong)
       }
       coalesceRanges(entries.flatMap(_.retired) ++ fromNames)
+    }
+
+    /** The tombstone records that EXIST on disk right now (a census, not
+      * the fold above): `#retired:` ranges plus batch ids `#supersedes:`
+      * lines name. Live, never-compacted batch manifests are NOT counted
+      * — their publish-once protection is the manifest file itself, and
+      * reporting them as tombstoned would claim a durable record that is
+      * not yet written ([[manifestStats]] reads this one).
+      */
+    def recordedTombstoneRanges(): Vector[(Long, Long)] = {
+      val batchName = """batch-(\d+)""".r
+      val fromSupersedes = entries.flatMap(_.supersedes).collect {
+        case batchName(d) => (d.toLong, d.toLong)
+      }
+      coalesceRanges(entries.flatMap(_.retired) ++ fromSupersedes)
     }
   }
 
@@ -719,11 +730,16 @@ object Sinks {
         // the staging dir — delete the whole staging dir once none of
         // its route dirs is live or in grace (checked per route dir
         // above via dirKey = the route dir itself); a route dir is
-        // deleted individually when its siblings are still referenced
+        // deleted individually when its siblings are still referenced.
+        // "Empty" means NO REMAINING SUBDIRECTORIES: Spark leaves a
+        // _SUCCESS marker (+ .crc on checksum filesystems) at the
+        // staging-dir root, so a bare listStatus-isEmpty check would
+        // never fire and retired composite staging dirs would accumulate
+        // forever (each holding only its marker files)
         hfs.delete(d, true)
         val parent = d.getParent
         if (d.getName.startsWith("route=") &&
-          hfs.exists(parent) && hfs.listStatus(parent).isEmpty)
+          hfs.exists(parent) && !hfs.listStatus(parent).exists(_.isDirectory))
           hfs.delete(parent, true)
       }
       // shared dirs survive (kept-by-reference files live there), but the

@@ -312,14 +312,18 @@ object KeyedBatcher {
     /** Mirror [[foldGroup]]'s emission decisions from the meta row + the
       * incoming messages alone: overdue prior deadline, per-message
       * splitter emit, size threshold, flush mode — in foldGroup's exact
-      * order. True ⇒ the buffer must be read (emission path); false ⇒
-      * foldGroup would only have appended, so the fast path is exact.
+      * order. `None` ⇒ something fires, the buffer must be read (emission
+      * path); `Some(accAfter)` ⇒ foldGroup would only have appended, and
+      * `accAfter` is the folded splitter accumulator — returned so the
+      * fast path reuses it instead of stepping the user splitter a
+      * second time over the same messages (once-per-message is the
+      * contract the other backends honor).
       */
-    private def wouldEmit(
+    private def appendOnlyAcc(
         m0: Option[OpenMeta],
         now: Long,
-        incoming: Seq[Message[A]]): Boolean = {
-      if (m0.exists(m => m.count > 0 && now >= m.deadline)) return true
+        incoming: Seq[Message[A]]): Option[Long] = {
+      if (m0.exists(m => m.count > 0 && now >= m.deadline)) return None
       var cnt = m0.map(_.count).getOrElse(0L)
       var acc = m0.map(_.acc).getOrElse(initAcc(splitter))
       var fire = false
@@ -337,7 +341,7 @@ object KeyedBatcher {
         }
         if (!fire && m.batchMode == BatchMode.Flush) fire = true
       }
-      fire
+      if (fire) None else Some(acc)
     }
 
     override def handleInputRows(
@@ -347,36 +351,38 @@ object KeyedBatcher {
       val now = timers.getCurrentProcessingTimeInMs()
       val incoming = graft.core.Pipeline.seqSorted(rows)
       val m0 = if (meta.exists()) Some(meta.get()) else None
-      if (!wouldEmit(m0, now, incoming)) {
-        if (incoming.isEmpty) return Iterator.empty
-        // FAST PATH — O(new): append the messages, rewrite only the
-        // 3-field meta row; the buffer is never read or re-encoded.
-        // Appends keep the open batch's deadline (foldGroup's rule); a
-        // batch OPENS at its first message.
-        var acc = m0.map(_.acc).getOrElse(initAcc(splitter))
-        splitter.foreach(sp => incoming.foreach(m => acc = sp.step(m, acc)._2))
-        val count = m0.map(_.count).getOrElse(0L)
-        val deadline = if (count > 0) m0.get.deadline else now + batchTimeoutMs
-        appendAll(incoming)
-        meta.update(OpenMeta(count + incoming.size, acc, deadline))
-        getHandle.registerTimer(deadline)
-        Iterator.empty
-      } else {
-        // EMISSION PATH — read the buffer ONCE, run the shared fold,
-        // rewrite the (small) remainder
-        val buffered = if (buf.exists()) buf.get().toVector else Vector.empty[Message[A]]
-        val prior = m0.map(m => (buffered, m.acc, m.deadline))
-        val (emitted, next) = foldGroup(key._1, key._2, prior, now,
-          incoming, batchSize, batchTimeoutMs, splitter)
-        buf.clear()
-        next match {
-          case None => meta.clear()
-          case Some((rest, acc, deadline)) =>
-            appendAll(rest)
-            meta.update(OpenMeta(rest.size.toLong, acc, deadline))
-            getHandle.registerTimer(deadline)
-        }
-        emitted.iterator
+      appendOnlyAcc(m0, now, incoming) match {
+        case Some(acc) =>
+          if (incoming.isEmpty) return Iterator.empty
+          // FAST PATH — O(new): append the messages, rewrite only the
+          // 3-field meta row; the buffer is never read or re-encoded and
+          // the splitter accumulator comes folded from the pre-decision.
+          // Appends keep the open batch's deadline (foldGroup's rule); a
+          // batch OPENS at its first message.
+          val count = m0.map(_.count).getOrElse(0L)
+          val deadline = if (count > 0) m0.get.deadline else now + batchTimeoutMs
+          appendAll(incoming)
+          meta.update(OpenMeta(count + incoming.size, acc, deadline))
+          getHandle.registerTimer(deadline)
+          Iterator.empty
+        case None =>
+          // EMISSION PATH — read the buffer ONCE, run the shared fold,
+          // rewrite the (small) remainder (the splitter re-folds inside
+          // foldGroup here, which is authoritative for WHERE each batch
+          // splits — the decision probe's partial fold is discarded)
+          val buffered = if (buf.exists()) buf.get().toVector else Vector.empty[Message[A]]
+          val prior = m0.map(m => (buffered, m.acc, m.deadline))
+          val (emitted, next) = foldGroup(key._1, key._2, prior, now,
+            incoming, batchSize, batchTimeoutMs, splitter)
+          buf.clear()
+          next match {
+            case None => meta.clear()
+            case Some((rest, acc, deadline)) =>
+              appendAll(rest)
+              meta.update(OpenMeta(rest.size.toLong, acc, deadline))
+              getHandle.registerTimer(deadline)
+          }
+          emitted.iterator
       }
     }
 

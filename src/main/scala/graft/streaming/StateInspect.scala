@@ -163,7 +163,10 @@ object StateInspect {
             (acc, x) => acc + coalesce(octet_length(x), lit(0)).cast("long")),
           lit(0L))
       case ArrayType(et, _) if fixedWidth(et) > 0 =>
-        coalesce(size(c).cast("long"), lit(0L)) * lit(fixedWidth(et).toLong)
+        // explicit null guard, not coalesce: with ANSI off (the pre-4.x
+        // default many sessions still set) size(null) returns -1, not
+        // null, and would charge NEGATIVE bytes per null-array row
+        when(c.isNull, lit(0L)).otherwise(size(c).cast("long") * lit(fixedWidth(et).toLong))
       case _ =>
         // maps, UDTs, nested arrays: JSON octet length — monotone in the
         // variable-width content, which is all a ranking needs here

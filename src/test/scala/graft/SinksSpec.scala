@@ -568,6 +568,14 @@ class SinksSpec extends SparkSpec {
         .select("batcher").distinct().collect().map(_.getString(0)).toSet
       assert(routes.size == 1, s"compacted file $f mixes routes: $routes")
     }
+    // retired composite staging dirs are FULLY reclaimed — including the
+    // staging parent that holds only Spark's _SUCCESS marker once its
+    // route= subdirs are deleted (a bare emptiness check would leave one
+    // marker-only dir per batch forever)
+    val leftovers = fs.listStatus(p(s"$root/data")).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch-"))
+    assert(leftovers.isEmpty,
+      s"retired composite staging dirs not reclaimed: ${leftovers.toSeq}")
     // replay of a retired composite batch is a tombstone no-op too
     Sinks.routedManifestedComposite(
       Seq((1, "a"), (2, "b"), (3, "a")).toDF("v", "batcher"), Seq("a", "b"), root, batchId = 0)
