@@ -309,41 +309,6 @@ object KeyedBatcher {
         "meta", Encoders.product[OpenMeta], org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
-    /** Mirror [[foldGroup]]'s emission decisions from the meta row + the
-      * incoming messages alone: overdue prior deadline, per-message
-      * splitter emit, size threshold, flush mode — in foldGroup's exact
-      * order. `None` ⇒ something fires, the buffer must be read (emission
-      * path); `Some(accAfter)` ⇒ foldGroup would only have appended, and
-      * `accAfter` is the folded splitter accumulator — returned so the
-      * fast path reuses it instead of stepping the user splitter a
-      * second time over the same messages (once-per-message is the
-      * contract the other backends honor).
-      */
-    private def appendOnlyAcc(
-        m0: Option[OpenMeta],
-        now: Long,
-        incoming: Seq[Message[A]]): Option[Long] = {
-      if (m0.exists(m => m.count > 0 && now >= m.deadline)) return None
-      var cnt = m0.map(_.count).getOrElse(0L)
-      var acc = m0.map(_.acc).getOrElse(initAcc(splitter))
-      var fire = false
-      val it = incoming.iterator
-      while (!fire && it.hasNext) {
-        val m = it.next()
-        cnt += 1
-        splitter match {
-          case Some(sp) =>
-            val (emitNow, next) = sp.step(m, acc)
-            acc = next
-            fire = emitNow
-          case None =>
-            fire = cnt >= batchSize
-        }
-        if (!fire && m.batchMode == BatchMode.Flush) fire = true
-      }
-      if (fire) None else Some(acc)
-    }
-
     override def handleInputRows(
         key: (String, String),
         rows: Iterator[Message[A]],
@@ -351,7 +316,8 @@ object KeyedBatcher {
       val now = timers.getCurrentProcessingTimeInMs()
       val incoming = graft.core.Pipeline.seqSorted(rows)
       val m0 = if (meta.exists()) Some(meta.get()) else None
-      appendOnlyAcc(m0, now, incoming) match {
+      appendOnlyAcc(m0.map(m => (m.count, m.acc, m.deadline)), now, incoming,
+        batchSize, splitter) match {
         case Some(acc) =>
           if (incoming.isEmpty) return Iterator.empty
           // FAST PATH — O(new): append the messages, rewrite only the
@@ -456,6 +422,46 @@ object KeyedBatcher {
 
   private def initAcc[A](splitter: Option[BatchSplitter[A]]): Long =
     splitter.map(_.init).getOrElse(0L)
+
+  /** [[IncrementalProcessor]]'s append-only pre-decision: mirror
+    * [[foldGroup]]'s emission decisions from the meta triple
+    * (count, acc, deadline) + the incoming messages alone — overdue
+    * prior deadline, per-message splitter emit, size threshold, flush
+    * mode, in foldGroup's exact order. `None` ⇒ something fires, the
+    * buffer must be read (emission path); `Some(accAfter)` ⇒ foldGroup
+    * would only have appended, and `accAfter` is the folded splitter
+    * accumulator — returned so the fast path reuses it instead of
+    * stepping the user splitter a second time over the same messages.
+    * Object-level (not a processor method) so SplitterPropSpec can
+    * property-check its agreement with foldGroup directly — this is the
+    * ONE piece of decision logic the incremental backend reimplements.
+    */
+  private[graft] def appendOnlyAcc[A](
+      prior: Option[(Long, Long, Long)],
+      now: Long,
+      incoming: Seq[Message[A]],
+      batchSize: Int,
+      splitter: Option[BatchSplitter[A]]): Option[Long] = {
+    if (prior.exists(m => m._1 > 0 && now >= m._3)) return None
+    var cnt = prior.map(_._1).getOrElse(0L)
+    var acc = prior.map(_._2).getOrElse(initAcc(splitter))
+    var fire = false
+    val it = incoming.iterator
+    while (!fire && it.hasNext) {
+      val m = it.next()
+      cnt += 1
+      splitter match {
+        case Some(sp) =>
+          val (emitNow, next) = sp.step(m, acc)
+          acc = next
+          fire = emitNow
+        case None =>
+          fire = cnt >= batchSize
+      }
+      if (!fire && m.batchMode == BatchMode.Flush) fire = true
+    }
+    if (fire) None else Some(acc)
+  }
 
   // Open-batch state is serialized with plain Java serialization: the
   // payload type A is opaque to Spark here (arbitrary user type, like the
