@@ -447,6 +447,14 @@ object ScaleStress {
           val deadline = System.currentTimeMillis() + 120000
           while (consumed.get() < pushed && System.currentTimeMillis() < deadline)
             Thread.sleep(10)
+          // a silent give-up here would let the encoded-vs-incremental
+          // wall ratio (the entire claim of these lines) be computed over
+          // DIFFERENT effective workloads — fail the line loudly instead
+          if (consumed.get() < pushed)
+            throw new IllegalStateException(
+              s"batcher_trickle wave $w stalled: consumed ${consumed.get()} of " +
+                s"$pushed pushed rows after 120 s — backend wedged or machine " +
+                "overloaded; this line's wall time would not correspond to its workload")
           w += 1
         }
         pushed

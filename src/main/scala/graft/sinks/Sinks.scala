@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   * (how long a resolved-but-still-scanning reader keeps its file set), not
   * a correctness knob.
   */
+/** Thrown by [[Sinks.compactManifested]] when another compactor holds a
+  * fresh lease on the root — the one-compactor-at-a-time rule is a fenced
+  * guarantee, not a convention (two interleaved housekeeping loops could
+  * otherwise double-retire and interleave snapshots). A crashed holder's
+  * lease goes stale after the timeout and the next call takes over.
+  */
+final class CompactorLeaseHeldException(message: String)
+    extends IllegalStateException(message)
+
 object Sinks {
 
   /** Write one micro-batch idempotently: output lands under
@@ -266,6 +275,16 @@ object Sinks {
     * (invisible to the listing), then one rename. The loser of a
     * duplicate-attempt race deletes only its own staging dir — the
     * winner's manifest names the winner's files, untouched.
+    *
+    * `!exists && rename` alone is NOT atomic on stores whose rename
+    * replaces an existing destination (POSIX local FS, some object-store
+    * connectors): two racing attempts can both pass the exists check and
+    * both see their rename "succeed" — the second silently replacing the
+    * first. Every manifest therefore opens with an `#attempt:` header,
+    * and the winner is decided by RE-READING the on-disk manifest after
+    * the rename: only the attempt whose header survived won; anyone else
+    * treats it as a lost race and reclaims their own staging dir (data is
+    * unaffected either way — all attempts of a batch carry the same rows).
     */
   private def publishManifest(
       hfs: org.apache.hadoop.fs.FileSystem,
@@ -277,21 +296,36 @@ object Sinks {
   ): Unit = {
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/batch-$batchId")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.batch-$batchId-$attempt.tmp")
+    val body = (s"#attempt:$attempt" +: files).mkString("\n")
     val out = hfs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     hfs.mkdirs(manifest.getParent)
-    val published =
-      !hfs.exists(manifest) && hfs.rename(tmp, manifest)
-    if (!published) {
+    val renamed = !hfs.exists(manifest) && hfs.rename(tmp, manifest)
+    val won = renamed && manifestAttempt(hfs, manifest).contains(attempt)
+    if (!won) {
       // lost the publish race (another attempt of the same batch renamed
-      // first): the winner's manifest names the winner's OWN staging files,
-      // untouched by us — drop our staging dir and temp manifest entirely
+      // first, or replaced our rename): the winner's manifest names the
+      // winner's OWN staging files, untouched by us — drop our staging
+      // dir and temp manifest entirely
       hfs.delete(tmp, false)
       hfs.delete(new org.apache.hadoop.fs.Path(dataDir), true)
       ()
     }
   }
+
+  /** The `#attempt:` header of a manifest file, read from its first line
+    * only (every manifest this writer produces opens with it). */
+  private def manifestAttempt(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path
+  ): Option[String] =
+    try {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        hfs.open(manifest), java.nio.charset.StandardCharsets.UTF_8))
+      try Option(in.readLine()).filter(_.startsWith("#attempt:")).map(_.stripPrefix("#attempt:"))
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Delete staging directories no manifest references — the garbage a
     * crashed or race-losing attempt leaves behind. Safe only while no
@@ -440,8 +474,12 @@ object Sinks {
       if (!hfs.exists(dataRoot)) 0
       else hfs.listStatus(dataRoot).count { d =>
         d.isDirectory && !referenced.contains(d.getPath.toUri.getPath) &&
-        !hfs.listStatus(d.getPath).exists(c =>
+        // a concurrent cleanup/vacuum can delete the dir between the
+        // dataRoot listing and this per-dir listing — a vanished dir is
+        // not an orphan (same stance as the sizes loop above)
+        (try !hfs.listStatus(d.getPath).exists(c =>
           c.isDirectory && referenced.contains(c.getPath.toUri.getPath))
+        catch { case _: java.io.FileNotFoundException => false })
       }
     ManifestStats(
       liveManifests = st.live.size,
@@ -471,15 +509,18 @@ object Sinks {
   /** One parsed manifest file: its data file paths, its `#supersedes:`
     * headers, its `#retired:` tombstone ranges (batch ids whose manifests
     * any ancestor compaction reclaimed — the durable publish-once
-    * record), and its on-disk modification time (the retirement clock for
-    * everything it supersedes).
+    * record), its `#retiredat:` stamps (the ORIGINAL retirement time of
+    * each manifest it supersedes — see [[cleanupRetired]]), and its
+    * on-disk modification time (the retirement-clock fallback for
+    * stampless entries).
     */
   private case class ManifestEntry(
       name: String,
       modTime: Long,
       files: Vector[String],
       supersedes: Vector[String],
-      retired: Vector[(Long, Long)]
+      retired: Vector[(Long, Long)],
+      retiredAtStamps: Map[String, Long] = Map.empty
   )
 
   /** The manifest directory as seen by ONE `listStatus` — every consumer
@@ -524,6 +565,15 @@ object Sinks {
       }
       coalesceRanges(entries.flatMap(_.retired) ++ fromSupersedes)
     }
+
+    /** The ORIGINAL retirement time of each superseded manifest: the
+      * earliest `#retiredat:` stamp any entry records for it. Folded with
+      * `min` because every later compaction re-stamps what it supersedes
+      * — the first stamp is the true retirement; later ones are
+      * re-retirements of an already-retired leftover.
+      */
+    def retiredAtStamps: Map[String, Long] =
+      entries.flatMap(_.retiredAtStamps).groupMapReduce(_._1)(_._2)(math.min)
   }
 
   /** Sort + merge overlapping/adjacent id ranges. */
@@ -538,6 +588,7 @@ object Sinks {
 
   private val RetiredRangeLine = """#retired:batch-(\d+)\.\.(\d+)""".r
   private val RetiredOneLine = """#retired:batch-(\d+)""".r
+  private val RetiredAtLine = """#retiredat:([A-Za-z0-9._-]+)=(\d+)""".r
 
   /** The publish-path tombstone check, header-only: every manifest writes
     * its `#…` metadata lines FIRST (batch manifests have none), so this
@@ -636,11 +687,103 @@ object Sinks {
           lines.collect {
             case RetiredRangeLine(lo, hi) => (lo.toLong, hi.toLong)
             case RetiredOneLine(id)       => (id.toLong, id.toLong)
-          }
+          },
+          lines.collect { case RetiredAtLine(n, ts) => n -> ts.toLong }.toMap
         )
       }
     ManifestDir(entries, entries.flatMap(_.supersedes).toSet)
   }
+
+  /** Acquire the per-root compactor lease, or throw
+    * [[CompactorLeaseHeldException]] if another compactor holds a fresh
+    * one. The lease is a dotfile (`_manifests/.compactor-lease` —
+    * invisible to every manifest listing) created with
+    * create-fails-if-exists semantics; its content is the holder's token
+    * and its modification time is the heartbeat. A lease older than
+    * `timeoutMillis` (filesystem clock — [[fsNow]]) is STALE: the holder
+    * crashed without releasing, and takeover is via rename to a
+    * taker-unique tombstone name, so exactly one of any number of racing
+    * takers wins (the rename source vanishes for everyone else) before
+    * re-attempting the create. Returns (leasePath, holderToken).
+    */
+  private def acquireCompactorLease(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      timeoutMillis: Long
+  ): (org.apache.hadoop.fs.Path, String) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    hfs.mkdirs(dir)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/_manifests/.compactor-lease")
+    val holder = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val created =
+        try {
+          val out = hfs.create(lease, false) // throws if the lease exists
+          try out.write(holder.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) return (lease, holder)
+      val status =
+        try Some(hfs.getFileStatus(lease))
+        catch { case _: java.io.FileNotFoundException => None } // released meanwhile — retry
+      status.foreach { st =>
+        val age = fsNow(hfs, root) - st.getModificationTime
+        if (age <= timeoutMillis)
+          throw new CompactorLeaseHeldException(
+            s"compactor lease on $root is held by another compactor " +
+              s"(heartbeat age $age ms ≤ timeout $timeoutMillis ms) — run one " +
+              "compactor at a time; a crashed holder's lease goes stale after " +
+              "the timeout and the next call takes over")
+        // stale: exactly one racing taker wins this rename
+        val tomb =
+          new org.apache.hadoop.fs.Path(s"$root/_manifests/.compactor-lease.stale-$holder")
+        if (hfs.rename(lease, tomb)) hfs.delete(tomb, false)
+      }
+    }
+    throw new CompactorLeaseHeldException(
+      s"compactor lease on $root could not be acquired after 3 attempts " +
+        "(lease churn — more than one competing compactor?)")
+  }
+
+  /** Touch the lease heartbeat if (and only if) we still hold it —
+    * best-effort, called after the long Spark rewrite so a compaction
+    * outliving the timeout is not silently taken over mid-publish.
+    */
+  private def heartbeatLease(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      lease: org.apache.hadoop.fs.Path,
+      holder: String
+  ): Unit =
+    try {
+      if (leaseHolder(hfs, lease).contains(holder))
+        hfs.setTimes(lease, fsNow(hfs, root), -1)
+    } catch { case _: Exception => () }
+
+  /** Release the lease — deletes it only if OUR token is still inside
+    * (after a stale takeover the file belongs to the new holder).
+    */
+  private def releaseCompactorLease(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path,
+      holder: String
+  ): Unit =
+    try {
+      if (leaseHolder(hfs, lease).contains(holder)) hfs.delete(lease, false)
+    } catch { case _: Exception => () }
+
+  private def leaseHolder(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path
+  ): Option[String] =
+    try {
+      val in = hfs.open(lease)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** "Now" on the FILESYSTEM's clock, for retention aging: retirement
     * timestamps are server-side modification times, and a driver clock
@@ -669,9 +812,20 @@ object Sinks {
     * by construction) is always safe. Unreferenced orphans from crashed
     * attempts remain for an explicitly quiescent [[vacuumUnmanifested]].
     *
-    * A retired manifest's retirement clock is the earliest modification
-    * time of a live manifest superseding it; it is reclaimed only once
-    * that age exceeds `retainMillis` — ages are measured against the
+    * A retired manifest's retirement clock is its ORIGINAL retirement
+    * time — the `#retiredat:` stamp the first compaction to supersede it
+    * recorded, folded forward (min) through every later generation. The
+    * stamp matters because each compaction supersedes EVERY manifest in
+    * its listing (required for tombstone folding), so "modification time
+    * of the live superseder" would RESET each leftover's age on every
+    * pass: under continuous small-batch arrivals with `retainMillis`
+    * above the compaction cadence (the normal streaming regime), aged-out
+    * would never fire and retired manifests + data dirs would accumulate
+    * without bound. With the stamp, age is measured from the moment
+    * readers stopped being handed the manifest, which is the only clock
+    * the grace window is about. Stampless retired entries (hand-restored
+    * leftovers, pre-stamp manifests) fall back to the earliest LIVE
+    * superseder's modification time. Ages are measured against the
     * FILESYSTEM's clock ([[fsNow]]), not the driver's, so driver/store
     * clock skew cannot shrink the grace window. Data dirs still carrying
     * files a LIVE manifest references (kept-by-reference files of a
@@ -702,10 +856,14 @@ object Sinks {
     val now = fsNow(hfs, root)
     def dirKey(f: String) = new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath
     val protectedDirs: Set[String] = st.live.flatMap(_.files).map(dirKey).toSet
-    def retiredAt(r: ManifestEntry): Long = st.live
-      .collect { case e if e.supersedes.contains(r.name) => e.modTime }
-      .minOption
-      .getOrElse(now)
+    val stamps = st.retiredAtStamps
+    def retiredAt(r: ManifestEntry): Long = stamps.getOrElse(
+      r.name,
+      st.live
+        .collect { case e if e.supersedes.contains(r.name) => e.modTime }
+        .minOption
+        .getOrElse(now)
+    )
     val (agedOut, inGrace) = st.retired.partition(r => now - retiredAt(r) >= retainMillis)
     // a dir is deletable only when EVERY retired manifest referencing it
     // has aged out: a kept-by-reference file shares its dir across
@@ -821,9 +979,15 @@ object Sinks {
     * recovering writer replaying an old batch (the tombstone makes the
     * replay a no-op even if this compaction reclaims the batch's manifest
     * first). Unreferenced orphans from CRASHED attempts are left for an
-    * explicitly quiescent [[vacuumUnmanifested]]. Like vacuum, run ONE
-    * compactor at a time (a concurrent compactor loses the publish rename
-    * and aborts cleanly).
+    * explicitly quiescent [[vacuumUnmanifested]]. ONE compactor at a time
+    * is a FENCED guarantee: a per-root lease file (create-fails-if-exists
+    * + heartbeat mtime) is acquired before the snapshot and released on
+    * every exit; a second housekeeping loop (the redundant-cron ops
+    * failure) refuses loudly with [[CompactorLeaseHeldException]] instead
+    * of interleaving snapshots, and a crashed holder's lease goes stale
+    * after `leaseTimeoutMillis` (filesystem clock) so the next call takes
+    * over — no operator intervention. The publish rename remains a
+    * second, independent guard (attempt-verified) behind the lease.
     *
     * `retainMillis` is the reader grace window (Delta-style retention):
     * retired manifests and their data dirs are reclaimed only once the
@@ -845,8 +1009,10 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession,
       root: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      retainMillis: Long = 0L
-  ): Int = compactManifestedHooked(spark, root, targetBytes, retainMillis, () => ())
+      retainMillis: Long = 0L,
+      leaseTimeoutMillis: Long = 15L * 60 * 1000
+  ): Int =
+    compactManifestedHooked(spark, root, targetBytes, retainMillis, () => (), leaseTimeoutMillis)
 
   /** [[compactManifested]] with a test seam: `afterSnapshot` fires after
     * the single manifest-directory listing and before the rewrite — the
@@ -857,14 +1023,36 @@ object Sinks {
       root: String,
       targetBytes: Long,
       retainMillis: Long,
-      afterSnapshot: () => Unit
+      afterSnapshot: () => Unit,
+      leaseTimeoutMillis: Long = 15L * 60 * 1000
   ): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(retainMillis >= 0, s"retainMillis must be non-negative, got $retainMillis")
+    require(leaseTimeoutMillis > 0, s"leaseTimeoutMillis must be positive, got $leaseTimeoutMillis")
     val hfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration
     )
+    // ONE compactor at a time is a fenced guarantee: acquire the lease
+    // before the snapshot listing, release on every exit path. A second
+    // housekeeping loop refuses loudly (CompactorLeaseHeldException)
+    // instead of interleaving snapshots / double-retiring.
+    val (lease, holder) = acquireCompactorLease(hfs, root, leaseTimeoutMillis)
+    try compactManifestedLeased(
+      spark, hfs, root, targetBytes, retainMillis, afterSnapshot, lease, holder)
+    finally releaseCompactorLease(hfs, lease, holder)
+  }
+
+  private def compactManifestedLeased(
+      spark: org.apache.spark.sql.SparkSession,
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      targetBytes: Long,
+      retainMillis: Long,
+      afterSnapshot: () => Unit,
+      lease: org.apache.hadoop.fs.Path,
+      holder: String
+  ): Int = {
     // THE single listing: live files, the supersedes snapshot, and the
     // leftover-cleanup set must all come from this one view (see
     // ManifestDir). A second listing here is how a batch published
@@ -928,6 +1116,9 @@ object Sinks {
       hfs.globStatus(new org.apache.hadoop.fs.Path(s"$outDir/*.parquet"))
         .map(_.getPath.toString)
     }.sorted
+    // the Spark rewrite is the long pole — refresh the lease heartbeat so
+    // a compaction outliving the timeout is not taken over mid-publish
+    heartbeatLease(hfs, root, lease, holder)
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/compact-$gen")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.compact-$gen-$attempt.tmp")
     // kept (already-sized) files ride into the new manifest by reference:
@@ -938,12 +1129,36 @@ object Sinks {
     // Tombstones: every batch id this compaction retires + every id the
     // superseded manifests had recorded, folded forward (see scaladoc).
     val tombstones = st.tombstoneRanges()
-    val body = (snapshot.map("#supersedes:" + _) ++ retiredLines(tombstones) ++
-      kept.map(_._1) ++ newFiles).mkString("\n")
+    // Retirement stamps: each superseded manifest keeps its ORIGINAL
+    // retirement time — the first stamp ever recorded for it, folded
+    // forward — so the grace-window clock does not reset every time a
+    // later compaction re-supersedes a leftover (see [[cleanupRetired]]).
+    // A name retired for the FIRST time by this compaction is stamped
+    // "now" (filesystem clock); an already-retired stampless leftover
+    // falls back to its live superseder's modTime (the best record that
+    // exists for pre-stamp manifests).
+    val stampNow = fsNow(hfs, root)
+    val priorStamps = st.retiredAtStamps
+    val stamps = snapshot.map { n =>
+      n -> priorStamps.getOrElse(
+        n,
+        if (st.superseded.contains(n))
+          st.live.collect { case e if e.supersedes.contains(n) => e.modTime }
+            .minOption.getOrElse(stampNow)
+        else stampNow
+      )
+    }
+    val body = (s"#attempt:$attempt" +: (snapshot.map("#supersedes:" + _) ++
+      retiredLines(tombstones) ++ stamps.map { case (n, t) => s"#retiredat:$n=$t" } ++
+      kept.map(_._1) ++ newFiles)).mkString("\n")
     val out = hfs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val published = !hfs.exists(manifest) && hfs.rename(tmp, manifest)
+    val renamed = !hfs.exists(manifest) && hfs.rename(tmp, manifest)
+    // verify-after-rename: rename may REPLACE an existing destination on
+    // POSIX-semantics stores, so winning is decided by whose #attempt:
+    // header is on disk (same discipline as publishManifest)
+    val published = renamed && manifestAttempt(hfs, manifest).contains(attempt)
     if (!published) {
       // a concurrent compactor won the same generation: drop our rewrite
       // entirely — the winner's manifest names the winner's files
@@ -965,7 +1180,8 @@ object Sinks {
       hfs.getFileStatus(manifest).getModificationTime,
       (kept.map(_._1) ++ newFiles).toVector,
       snapshot.toVector,
-      tombstones
+      tombstones,
+      stamps.toMap
     )
     cleanupRetired(hfs, root, ManifestDir(st.entries :+ newEntry, snapshot.toSet), retainMillis)
     parts

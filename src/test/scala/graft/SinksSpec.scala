@@ -905,4 +905,120 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.compactManifested(spark, root, targetBytes = 16L * 1024) == 0)
     assert(total() == expected)
   }
+
+  test("compactor lease: a second compactor refuses loudly while the first holds the lease") {
+    // One-compactor-at-a-time is a fenced guarantee, not a scaladoc
+    // convention: the realistic ops failure is a redundant housekeeping
+    // cron. The seam fires INSIDE the first compactor's lease window.
+    val root = Files.createTempDirectory("graft-lease").toString
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    var refusal: Option[Throwable] = None
+    val parts = Sinks.compactManifestedHooked(
+      spark, root, targetBytes = 512L * 1024 * 1024, retainMillis = 0L,
+      afterSnapshot = () => {
+        refusal = Some(intercept[graft.sinks.CompactorLeaseHeldException] {
+          Sinks.compactManifested(spark, root)
+        })
+      })
+    assert(parts == 1)
+    assert(refusal.exists(_.getMessage.contains("lease")),
+      s"second compactor was not refused by the lease: $refusal")
+    assert(total() == (0 until 30).sum.toLong)
+    // the lease was released on exit: a later housekeeping pass proceeds
+    assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 0)
+    assert(total() == (0 until 30).sum.toLong)
+  }
+
+  test("compactor lease: stale lease (crashed holder) is taken over; fresh foreign lease refuses") {
+    val root = Files.createTempDirectory("graft-lease-stale").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    val lease = p(s"$root/_manifests/.compactor-lease")
+    def writeLease(holder: String, ageMillis: Long): Unit = {
+      val out = fs.create(lease, true)
+      out.write(holder.getBytes("UTF-8")); out.close()
+      fs.setTimes(lease, System.currentTimeMillis() - ageMillis, -1)
+    }
+    // a holder that crashed an hour ago: takeover, compaction proceeds
+    writeLease("dead-holder", 3600L * 1000)
+    assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 1)
+    assert(!fs.exists(lease), "takeover compaction did not release the lease")
+    assert(total() == (0 until 30).sum.toLong)
+    // a live foreign holder (fresh heartbeat): refuse loudly, change nothing
+    writeLease("live-holder", 0L)
+    intercept[graft.sinks.CompactorLeaseHeldException] {
+      Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024)
+    }
+    assert(fs.exists(lease), "refused compactor must not touch a live foreign lease")
+    // the foreign holder releases; housekeeping resumes
+    fs.delete(lease, false)
+    assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 0)
+    assert(total() == (0 until 30).sum.toLong)
+  }
+
+  test("retention clock: original retirement time survives re-supersession (no per-pass reset)") {
+    // ADVICE r15 (medium): every compaction supersedes EVERY manifest in
+    // its listing (required for tombstone folding), so a clock based on
+    // the live superseder's modTime RESETS each leftover's age every
+    // pass — under continuous arrivals with retainMillis above the
+    // compaction cadence, aged-out never fires and retired state grows
+    // without bound. The fix: each superseded manifest's ORIGINAL
+    // retirement time rides forward as a `#retiredat:` stamp.
+    val root = Files.createTempDirectory("graft-retire-clock").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    def body(name: String): String = {
+      val in = fs.open(p(s"$root/_manifests/$name"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 3600L * 1000) == 1)
+    // compact-1 stamps every batch manifest it retires
+    val stamped = body("compact-1")
+    (0 until 3).foreach(b => assert(stamped.contains(s"#retiredat:batch-$b="),
+      s"compact-1 did not stamp batch-$b:\n$stamped"))
+    // simulate the stamps being two hours old (continuous-arrival regime:
+    // many compaction passes have re-superseded these leftovers since)
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    val rewritten = stamped.replaceAll("#retiredat:(batch-\\d+)=\\d+", s"#retiredat:$$1=$old")
+    val out = fs.create(p(s"$root/_manifests/compact-1"), true)
+    out.write(rewritten.getBytes("UTF-8")); out.close()
+    // two fresh batches make the next compaction real
+    Sinks.manifestedParquet((30 until 40).toDF("v"), root, batchId = 3)
+    Sinks.manifestedParquet((40 until 50).toDF("v"), root, batchId = 4)
+    assert(Sinks.compactManifested(spark, root,
+      targetBytes = 512L * 1024 * 1024, retainMillis = 3600L * 1000) == 1)
+    val names = fs.listStatus(p(s"$root/_manifests"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".")).map(_.getPath.getName).sorted
+    // batch-0..2: retired 2 h ago on the preserved clock → aged out and
+    // reclaimed NOW, even though compact-2 (their latest re-superseder)
+    // was published this instant. batch-3/4 + compact-1: freshly retired
+    // → in grace. Under the old live-superseder clock nothing would age.
+    assert(names.toSeq == Seq("batch-3", "batch-4", "compact-1", "compact-2"),
+      s"preserved retirement clock not honored: ${names.toSeq}")
+    val dataDirs = fs.listStatus(p(s"$root/data")).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    assert(!dataDirs.exists(d => d.startsWith("batch-0") || d.startsWith("batch-1-") || d.startsWith("batch-2")),
+      s"aged-out batch dirs not reclaimed: ${dataDirs.toSeq}")
+    assert(dataDirs.exists(_.startsWith("compact-1-")),
+      s"in-grace compaction dir wrongly reclaimed: ${dataDirs.toSeq}")
+    // the fold carried the ORIGINAL stamps into compact-2 (min, not re-now)
+    val b2 = body("compact-2")
+    (0 until 3).foreach(b => assert(b2.contains(s"#retiredat:batch-$b=$old"),
+      s"compact-2 did not fold batch-$b's original retirement time forward:\n$b2"))
+    assert(total() == (0 until 50).sum.toLong)
+  }
 }
