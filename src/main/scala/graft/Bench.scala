@@ -267,8 +267,11 @@ object Bench {
       // width via the OPERATOR parameter (EventTime.intervalJoin
       // statePartitions) instead of the session conf — the
       // interval_join_auto variant proves the first-class knob reproduces
-      // the hand-tuned conf number
-      opStatePartitions: Option[Int] = None
+      // the hand-tuned conf number. The DEFAULT here is the operator's
+      // own default (AutoStatePartitions), so the headline axis measures
+      // what a user on defaults actually gets; conf-posture axes pass
+      // None explicitly to preserve their historical meaning.
+      opStatePartitions: Option[Int] = graft.streaming.EventTime.AutoStatePartitions
   ): (Long, Double, Long, Long, Map[String, Long]) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -303,7 +306,7 @@ object Bench {
     // state metrics) are invisible (the exact caveat bindStatePartitions
     // documents for users)
     val qSession = joined.sparkSession
-    val crossSession = opStatePartitions.isDefined && (qSession ne spark)
+    val crossSession = qSession ne spark
     if (crossSession) acc.foreach(qSession.streams.addListener)
     acc.foreach(_.attach(q.id))
     try {
@@ -344,7 +347,8 @@ object Bench {
       rows: Int,
       acc: Option[ProgressAccumulator] = None,
       statefulPartitions: Option[Int] = None,
-      opStatePartitions: Option[Int] = None
+      // defaults to the operator's own default posture (see intervalJoinScenario)
+      opStatePartitions: Option[Int] = graft.streaming.EventTime.AutoStatePartitions
   ): (Long, Double, Long, Long, Map[String, Long]) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -371,7 +375,7 @@ object Bench {
     }
     // operator-level width ⇒ cloned session ⇒ per-session listener events
     val qSession = joined.sparkSession
-    val crossSession = opStatePartitions.isDefined && (qSession ne spark)
+    val crossSession = qSession ne spark
     if (crossSession) acc.foreach(qSession.streams.addListener)
     acc.foreach(_.attach(q.id))
     try {
@@ -429,13 +433,24 @@ object Bench {
         // via the heuristic, applied through the operator parameter
         ("asof_bounded_auto", None, Some(())) // resolved below once defaultStateBytes is known
       ).map { case (name, parts, auto) =>
-        val opParts = auto.map(_ =>
-          graft.streaming.EventTime.statePartitionsForVolume(math.max(0L, defaultStateBytes)))
+        val opParts: Option[Int] = (name, auto) match {
+          case (_, Some(_)) => Some(
+            graft.streaming.EventTime.statePartitionsForVolume(math.max(0L, defaultStateBytes)))
+          // the headline axis runs the operator DEFAULT (auto floor) —
+          // proving default == auto is the point of the triangle now
+          case ("asof_bounded", _) => graft.streaming.EventTime.AutoStatePartitions
+          // hand-set session-conf axes keep the conf posture (None = inherit)
+          case _ => None
+        }
         val (r, sec, emitted, batches, dur) =
           asofBoundedScenario(spark, rows, acc = acc, statefulPartitions = parts,
             opStatePartitions = opParts)
         if (name == "asof_bounded") defaultStateBytes = acc0.stateMemMax
-        val widthJson = opParts.map(p => s""","width":$p""").getOrElse("")
+        val widthJson = opParts match {
+          case graft.streaming.EventTime.AutoStatePartitions => ""","width":"auto""""
+          case Some(p) => s""","width":$p"""
+          case None => ""
+        }
         val durJson =
           dur.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         s""""$name":{"sec":${math.round(sec * 1000) / 1000.0},"rows_per_sec":${math.round(r / sec)},"emitted":$emitted,"micro_batches":$batches,"state_rows_max":${acc0.stateRowsMax},"state_mem_mb":${acc0.stateMemMax / (1 << 20)}$widthJson,"durations_ms":$durJson}"""
@@ -524,14 +539,17 @@ object Bench {
       val (ijRows, ijSec, ijMatched, ijBatches, ijDur) = intervalJoinScenario(spark, rows, acc = acc)
       val ijState = state()
       val (_, rkSec, rkMatched, _, rkDur) =
-        intervalJoinScenario(spark, rows, acc = acc, provider = Some(RocksDbProvider))
+        intervalJoinScenario(spark, rows, acc = acc, provider = Some(RocksDbProvider),
+          opStatePartitions = None)
       val rkState = state()
       val (_, p8Sec, p8Matched, _, p8Dur) =
-        intervalJoinScenario(spark, rows, acc = acc, statefulPartitions = Some(8))
+        intervalJoinScenario(spark, rows, acc = acc, statefulPartitions = Some(8),
+          opStatePartitions = None)
       val p8State = state()
       val (_, rkp8Sec, rkp8Matched, _, rkp8Dur) =
         intervalJoinScenario(spark, rows, acc = acc,
-          provider = Some(RocksDbProvider), statefulPartitions = Some(8))
+          provider = Some(RocksDbProvider), statefulPartitions = Some(8),
+          opStatePartitions = None)
       val rkp8State = state()
       // the first-class knob, closed-loop: width derived from the DEFAULT
       // run's measured peak state via the documented heuristic, applied
@@ -554,7 +572,8 @@ object Bench {
       val (abRows, abSec, abEmitted, abBatches, abDur) = asofBoundedScenario(spark, rows, acc = acc)
       val abState = state()
       val (_, abp8Sec, abp8Emitted, _, abp8Dur) =
-        asofBoundedScenario(spark, rows, acc = acc, statefulPartitions = Some(8))
+        asofBoundedScenario(spark, rows, acc = acc, statefulPartitions = Some(8),
+          opStatePartitions = None)
       val abp8State = state()
       val abAutoWidth = graft.streaming.EventTime.statePartitionsForVolume(
         math.max(0L, abState._2))
@@ -584,6 +603,48 @@ object Bench {
         s""""asof_bounded_p8":${abBlock(abp8Sec, abp8Emitted, abp8Dur, abp8State)},""" +
         s""""asof_bounded_auto":${abBlock(abAutoSec, abAutoEmitted, abAutoDur, abAutoState).dropRight(1)},"width":$abAutoWidth}}"""
     }
+  }
+
+  /** VERDICT r15 #6 measurement: the custom AsOfJoinExec against the
+    * equivalent SMJ + per-key window shape at matched output — the
+    * decision input for whether implementing CodegenSupport on the custom
+    * node (SMJ-class effort) would pay. The custom node's merge loop runs
+    * at an iterator boundary (no whole-stage codegen); the SMJ form fuses
+    * into generated code but pays a fan-out join + window dedup. If
+    * custom ≲ SMJ, the boundary is NOT the dominant cost and the codegen
+    * idea retires with a number; custom ≫ SMJ at equal output would
+    * justify it. Median of three warm noop-writes each, matched row
+    * counts reported so the comparison is verifiably apples-to-apples.
+    */
+  private def asofExecVsSmjJson(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.ops.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("vts"), col("value").as("v_value"))
+    def custom() = graft.plans.AsOf.asofJoin(
+      clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts",
+      rightTieBreak = Seq("v_id"))
+    def smj() = {
+      val j = clicks.join(views, col("user_id") === col("v_user") && col("vts") <= col("ts"))
+      val w = Window.partitionBy(col("event_id")).orderBy(col("vts").desc, col("v_id").desc)
+      j.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1).drop("__rk")
+    }
+    def time(f: () => org.apache.spark.sql.DataFrame): (Long, Long) = {
+      f().write.mode("overwrite").format("noop").save() // codegen + warmup, untimed
+      val rows = f().count()
+      val ms = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        f().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1000000L
+      }.sorted.apply(1)
+      (ms, rows)
+    }
+    val (cMs, cRows) = time(() => custom())
+    val (sMs, sRows) = time(() => smj())
+    s"""{"custom_ms":$cMs,"smj_ms":$sMs,"custom_rows":$cRows,"smj_rows":$sRows}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -676,6 +737,8 @@ object Bench {
     val codegenMeasuredTotalMs = timedRuns.map(_._5).sum
     val results = timedRuns.map(t => (t._1, t._2, t._3))
     graft.ops.Caches.invalidate()
+    // custom-exec iterator-boundary measurement (BENCH_DETAIL only)
+    val asofVsSmj = asofExecVsSmjJson(spark, sfDir)
 
     val failed = results.filter(!_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -876,6 +939,7 @@ object Bench {
     detail ++= s""","codegen_ms_estimate":$codegenMs,"codegen_measured_total_ms":$codegenMeasuredTotalMs"""
     // slow_n = WARM-gated (the stdout gate); slow_4x = every cold-flagged
     // candidate with its full decomposition, info regardless of the gate
+    detail ++= s""","asof_exec_vs_smj":$asofVsSmj"""
     detail ++= s""","slow_n":${warmSlow.size},"cold_flagged_n":${slow.size}"""
     detail ++= s""","shared_build_ms":$sharedJson,"slow_4x":${slow.map { case (k, v, _) => s"""{"q":"$k","ms":${math.round(v)},"warm_ms":${warmMs(k)}${buildsJson(k, v)}}""" }.mkString("[", ",", "]")}}"""
     // full-registry runs own BENCH_DETAIL.json (the committed round-over-

@@ -142,6 +142,18 @@ object DedupOps {
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     tokenized(s, d).select(col("doc_id"), shingles(col("tok")).as("s"))
 
+  /** (doc_id, s, h): shingle sets plus their xxhash64 images, computed
+    * once at cache-materialization time. ONE cached pass serves both
+    * consumers: the signature/band legs select only `s`, the verify join
+    * selects only `h` — Spark's in-memory cache is columnar and prunes to
+    * the selected columns, so each leg deserializes only what it reads.
+    * `h` is what makes the verify join's shuffle payload hash-sized
+    * instead of string-sized (see [[jaccardHashed]] for the collision
+    * bound that keeps it oracle-exact).
+    */
+  private def shingleSetsHashed(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d).withColumn("h", expr("transform(s, x -> xxhash64(x))"))
+
   /** (doc_id, sid, p0, p1): maximal duplicated token regions — positional
     * (non-distinct, 1-based) 8-grams held by ≥ 2 distinct docs, per-doc
     * hit positions merged at pos-gap ≤ 8: positions p < q cover token
@@ -277,6 +289,20 @@ object DedupOps {
   def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
 
+  /** Jaccard over 64-bit HASHED shingle sets — same formula, ~2.5×
+    * lighter verify-join payload (a ~250-shingle doc ships ~2 KB of
+    * longs instead of ~5 KB of strings, and long equality beats string
+    * equality inside intersect/union). Exactness: equals the string
+    * Jaccard unless two DISTINCT shingles inside one pair's union collide
+    * in xxhash64 — P ≤ u²/2⁶⁵ per pair (u = |union|; u ≈ 500 ⇒ ~7·10⁻¹⁵),
+    * and a single collision shifts the ratio by ≤ 1/u, under the 4-decimal
+    * rounding for u > 10⁴'s reciprocal. The oracle family (q32/q34/q35/
+    * q101/…) gates the equality at sf0.01 and sf0.1 — same stance as
+    * q226_minhash_error's estimator calibration.
+    */
+  def jaccardHashed(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+
   /** MinHash-LSH candidate-pair pipeline: returns (doc_a, doc_b, jaccard)
     * for verified near-dup pairs at the given threshold.
     */
@@ -323,18 +349,22 @@ object DedupOps {
     // Caches are session-scoped; `Caches.invalidate()` releases them
     // between workloads (a long-lived service would materialize signatures
     // as a table instead).
-    val sh = Caches.persisted(shingleSets(s, d))
+    val sh = Caches.persisted(shingleSetsHashed(s, d))
     val cand = candidatesFrom(sh, numBands, rowsPerBand)
-    // Verification joins the shingle sets directly: the join itself only
-    // materializes candidate rows. (A semi-join prune of the shingle side
+    // Verification joins the HASHED shingle sets: the join itself only
+    // materializes candidate rows, and each side ships ~2 KB of longs per
+    // doc instead of ~5 KB of strings — the one measured 100× residual of
+    // this chain (replicating ~250-element string sets per candidate
+    // pair). jaccardHashed documents the collision bound that keeps the
+    // hashed ratio oracle-exact. (A semi-join prune of the shingle side
     // by candidate ids helps when candidates ≪ corpus AND the candidate
     // DAG is cached — without caching it recomputes the signature subtree
     // and measures slower at this scale; revisit with a persisted
     // candidate set if the corpus/candidate ratio grows.)
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccardHashed(col("ha"), col("hb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       // verified pairs are tiny; persisting them lets the kept-set query
       // (q34) skip the band join + verify instead of just their inputs
@@ -352,7 +382,9 @@ object DedupOps {
       geometry: Option[(Int, Int)] = None
   ): DataFrame = {
     val (numBands, rowsPerBand) = textGeometry(s, geometry)
-    candidatesFrom(Caches.persisted(shingleSets(s, d)), numBands, rowsPerBand)
+    // same augmented frame as lshPairs so the two share one CacheManager
+    // entry (plan-keyed) when measured in the same session
+    candidatesFrom(Caches.persisted(shingleSetsHashed(s, d)), numBands, rowsPerBand)
   }
 
   /** Unverified banded candidates (doc_a < doc_b, distinct) from a

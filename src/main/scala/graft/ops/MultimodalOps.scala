@@ -43,28 +43,87 @@ object MultimodalOps {
       ).as("meta")
     )
 
-  /** STUB decoder: a real deployment would decode image/audio bytes here
-    * (e.g. JPEG → HxWxC tensor) inside `mapPartitions` so codec setup is
-    * amortized per partition. The container has no codec libs, so the
-    * "decode" is a deterministic fake derived from the md5 of the bytes —
-    * the partitioning, batch shape and output schema are the real contract.
-    */
   final case class MediaFeatures(media_id: Long, width: Int, height: Int, featNorm: Double)
 
-  def extractFeaturesStub(media: DataFrame): Dataset[MediaFeatures] = {
+  /** Pluggable codec seam: the decode step of [[extractFeatures]].
+    * Implementations are FACTORIES — serializable, shipped to executors
+    * once; `open()` is called once per PARTITION on the executor and
+    * returns that partition's [[MediaDecoder.Session]] (codec contexts,
+    * native handles, scratch buffers). A fresh session per partition is
+    * what makes codec state safe without locking: concurrent tasks in
+    * one executor JVM never share a session, so a non-thread-safe codec
+    * context (the normal kind) needs no synchronization. `Session.close`
+    * runs after the partition's last row.
+    *
+    * The offline default is [[StubDecoder]] (this container has no
+    * image/audio codec libraries); a cluster with codecs present plugs a
+    * real implementation into the SAME mapPartitions contract — schema,
+    * partitioning, and batch shape identical, so q50–q54's plumbing
+    * covers the real path's Spark side.
+    */
+  trait MediaDecoder extends Serializable {
+    def open(): MediaDecoder.Session
+  }
+  object MediaDecoder {
+    trait Session {
+      def decode(mediaId: Long, bytes: Array[Byte]): MediaFeatures
+      def close(): Unit = ()
+    }
+  }
+
+  /** STUB decoder: a real deployment would decode image/audio bytes
+    * (e.g. JPEG → HxWxC tensor); the container has no codec libs, so the
+    * "decode" is a deterministic fake derived from the md5 of the bytes —
+    * the partitioning, batch shape and output schema are the real
+    * contract, and the per-session md5 instance plays the per-partition
+    * codec context (created in `open`, reused across the partition's
+    * rows, never shared between tasks).
+    */
+  object StubDecoder extends MediaDecoder {
+    override def open(): MediaDecoder.Session = new MediaDecoder.Session {
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      override def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+        val h = md.digest(bytes).map("%02x".format(_)).mkString
+        val w = java.lang.Long.parseLong(h.substring(0, 4), 16).toInt % 640
+        val hh = java.lang.Long.parseLong(h.substring(4, 8), 16).toInt % 480
+        MediaFeatures(id, w, hh, (w.toLong * hh).toDouble)
+      }
+    }
+  }
+
+  /** Feature extraction over `mapPartitions` with a pluggable decoder —
+    * [[StubDecoder]] offline, a real codec on clusters that have one.
+    * `open()` runs once per partition before the first decode; the
+    * session's `close()` runs after the last row (exactly-once per
+    * partition under normal iteration — Spark fully consumes
+    * mapPartitions iterators).
+    */
+  def extractFeatures(
+      media: DataFrame,
+      decoder: MediaDecoder = StubDecoder
+  ): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "codec" setup happens once here
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val h = md.digest(bytes).map("%02x".format(_)).mkString
-          val w = java.lang.Long.parseLong(h.substring(0, 4), 16).toInt % 640
-          val hh = java.lang.Long.parseLong(h.substring(4, 8), 16).toInt % 480
-          MediaFeatures(id, w, hh, (w.toLong * hh).toDouble)
+        val session = decoder.open() // per-partition codec setup, once
+        new Iterator[MediaFeatures] {
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { closed = true; session.close() }
+            h
+          }
+          def next(): MediaFeatures = {
+            val (id, bytes) = it.next()
+            session.decode(id, bytes)
+          }
         }
       }
   }
+
+  /** The offline default path, kept by name for the oracle queries. */
+  def extractFeaturesStub(media: DataFrame): Dataset[MediaFeatures] =
+    extractFeatures(media, StubDecoder)
 
   /** One content-defined chunk of a binary payload. */
   final case class CdcChunk(media_id: Long, chunk_idx: Int, offset: Int, len: Int, hash: String)

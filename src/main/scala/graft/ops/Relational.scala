@@ -1303,6 +1303,153 @@ object Relational {
              |ORDER BY 1""".stripMargin)
     ),
 
+    // Flagged-EXISTS through the TVF mode argument — graft_asof_join(…,
+    // 'exists'): every click once plus a boolean `matched` ("has a prior
+    // same-user purchase"), so ONE pass answers both the semi and the
+    // anti question (q253/q254 need two). Completes the SQL-surface mode
+    // lattice's forward existence cell; the exec's cost shape is semi's
+    // (merge stops at the first qualifying right row per left row).
+    // Scale shape: one shuffle per side on user_id, sort-merge sweep,
+    // no fan-out — the flag aggregates map-side.
+    Q(
+      "q264_exists_tvf_sql",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val ev = events(s, d)
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .createOrReplaceTempView("g264_clicks")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pts"))
+          .createOrReplaceTempView("g264_purch")
+        s.sql(
+          """SELECT user_id, count(*) AS clicks,
+            |  sum(CASE WHEN matched THEN 1L ELSE 0L END) AS attributed
+            |FROM graft_asof_join(TABLE(g264_clicks), TABLE(g264_purch),
+            |                     'user_id', 'p_user', 'ts', 'pts', 'exists')
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin
+        )
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id AS p_user, ts AS pts FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS clicks,
+             |  CAST(sum(CASE WHEN EXISTS (
+             |    SELECT 1 FROM p WHERE p.p_user = c.user_id AND p.pts <= c.ts)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS attributed
+             |FROM c
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
+    ),
+
+    // The BACKWARD existence cell — graft_asof_join(…, 'next_exists'):
+    // every click once plus "a later same-user purchase exists" (the
+    // will-this-click-ever-convert flag, q256/q257's two queries as one
+    // column). With q264 this closes the full mode × direction TVF
+    // lattice: {inner,outer,semi,anti,exists} × {asof,next}.
+    Q(
+      "q265_next_exists_tvf_sql",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val ev = events(s, d)
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .createOrReplaceTempView("g265_clicks")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pts"))
+          .createOrReplaceTempView("g265_purch")
+        s.sql(
+          """SELECT user_id, count(*) AS clicks,
+            |  sum(CASE WHEN matched THEN 1L ELSE 0L END) AS converting
+            |FROM graft_asof_join(TABLE(g265_clicks), TABLE(g265_purch),
+            |                     'user_id', 'p_user', 'ts', 'pts', 'next_exists')
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin
+        )
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id AS p_user, ts AS pts FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS clicks,
+             |  CAST(sum(CASE WHEN EXISTS (
+             |    SELECT 1 FROM p WHERE p.p_user = c.user_id AND p.pts >= c.ts)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS converting
+             |FROM c
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
+    ),
+
+    // Interval flagged-EXISTS — graft_interval_join(…, 'exists'): every
+    // event once plus "covered by a LONG (≥ 10 min) session of its user"
+    // (q243's semi and its complement in one sweep; the uncovered count
+    // is n_events − in_long with no second join). Closes the interval
+    // TVF's existence cell.
+    Q(
+      "q266_interval_exists_tvf_sql",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .createOrReplaceTempView("g266_events")
+        s.sql(
+          """WITH s1 AS (
+            |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            |    AS prev_us
+            |  FROM g266_events),
+            |s2 AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+            |                 THEN 1L ELSE 0L END AS new_s
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            |                             ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM s2)
+            |SELECT user_id AS s_user, min(us) AS s_start, max(us) AS s_end
+            |FROM s3 GROUP BY user_id, sid
+            |HAVING max(us) - min(us) >= 600000000""".stripMargin
+        ).createOrReplaceTempView("g266_long_sessions")
+        s.sql(
+          """SELECT user_id, count(*) AS n_events,
+            |  sum(CASE WHEN matched THEN 1L ELSE 0L END) AS in_long
+            |FROM graft_interval_join(TABLE(g266_events), TABLE(g266_long_sessions),
+            |                         'user_id', 's_user', 'us', 's_start', 's_end',
+            |                         'exists')
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin
+        )
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+             |s1 AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+             |  FROM e),
+             |s2 AS (
+             |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s2),
+             |sess AS (
+             |  SELECT user_id, min(us) AS s_start, max(us) AS s_end
+             |  FROM s3 GROUP BY user_id, sid
+             |  HAVING max(us) - min(us) >= 600000000)
+             |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN EXISTS (
+             |    SELECT 1 FROM sess WHERE sess.user_id = e.user_id
+             |      AND e.us >= sess.s_start AND e.us <= sess.s_end)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS in_long
+             |FROM e
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
+    ),
+
     // Exact linear-interpolation percentiles per group (the OLAP quantile
     // surface; Spark's `percentile` sorts within each group — at 100 TB
     // you'd reach for approx_percentile's t-digest sketch, whose merge is
@@ -3074,7 +3221,7 @@ object Relational {
     // Scale shape: one orderkey equi-join (lineitem shuffles once),
     // per-priority sort only within each group's percentile aggregate.
     Q(
-      "q226_ship_delay",
+      "q263_ship_delay", // renumbered from q226 (id collided with DedupOps' q226_minhash_error; the qNNN namespace is the cross-artifact join key)
       (s, d) =>
         lineitem(s, d)
           .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
@@ -3451,22 +3598,30 @@ object Relational {
           cols.map(c => countDistinct(col(c)).as(s"nd_$c")): _*
         )
         val one = within.crossJoin(broadcast(boundary)).crossJoin(broadcast(nd))
-        cols
-          .map { c =>
-            one.select(
-              lit(c).as("col_name"),
-              col(s"nd_$c").as("n_distinct"),
-              (col(s"w_$c") + col(s"b_$c") + 1L).as("runs"),
-              expr(s"n div (w_$c + b_$c + 1L)").as("avg_run_len"),
-              expr(s"(nd_$c * 10000L) div n").as("distinct_bp"),
-              expr(
-                s"""CASE WHEN n div (w_$c + b_$c + 1L) >= 8L THEN 'rle'
-                   |     WHEN nd_$c * 100L <= n THEN 'dict'
-                   |     ELSE 'plain' END""".stripMargin
-              ).as("encoding")
-            )
-          }
-          .reduce(_.unionByName(_))
+        // ONE plan, not a 4-arm union: the union form compiled four
+        // whole-stage codegen passes over the same three aggregates (and
+        // re-planned each aggregate per arm — 11.8 s measured Janino time,
+        // the worst in the suite). `one` is a single row; exploding an
+        // array of per-column structs emits the same four rows from one
+        // compiled stage, and the aggregates plan exactly once.
+        one
+          .select(
+            explode(array(cols.map { c =>
+              struct(
+                lit(c).as("col_name"),
+                col(s"nd_$c").as("n_distinct"),
+                (col(s"w_$c") + col(s"b_$c") + 1L).as("runs"),
+                expr(s"n div (w_$c + b_$c + 1L)").as("avg_run_len"),
+                expr(s"(nd_$c * 10000L) div n").as("distinct_bp"),
+                expr(
+                  s"""CASE WHEN n div (w_$c + b_$c + 1L) >= 8L THEN 'rle'
+                     |     WHEN nd_$c * 100L <= n THEN 'dict'
+                     |     ELSE 'plain' END""".stripMargin
+                ).as("encoding")
+              )
+            }: _*)).as("r")
+          )
+          .select(col("r.*"))
           .orderBy(col("col_name"))
       },
       Some("""WITH base AS (

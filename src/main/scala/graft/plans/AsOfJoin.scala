@@ -434,6 +434,30 @@ object AsOf {
     asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, Nil,
       AsOfJoinMode.Anti, forward)
 
+  /** Every left row once, plus a boolean `existsCol` flagging whether a
+    * same-key right row at or before its time exists — the FLAGGED form
+    * of [[asofSemiJoin]]/[[asofAntiJoin]] (EXISTS as a column, not a
+    * filter; one pass answers both "attributed?" and "orphan?" without a
+    * union of semi + anti). `forward = false` flips the bound to
+    * `rt >= t` ("has a NEXT event"). Same cost shape as semi: the merge
+    * stops at the first qualifying right row per left row.
+    */
+  def asofExistsJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      existsCol: String = "matched",
+      forward: Boolean = true
+  ): DataFrame =
+    asofJoinMode(left, right, leftKeys, rightKeys, leftTime, rightTime, Nil,
+      AsOfJoinMode.Existence(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          existsCol, org.apache.spark.sql.types.BooleanType, nullable = false)()),
+      forward)
+
   private def asofJoinMode(
       left: DataFrame,
       right: DataFrame,

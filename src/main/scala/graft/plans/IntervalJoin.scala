@@ -921,6 +921,26 @@ object Interval {
     joinWithMode(left, right, leftKeys, rightKeys, leftTime, rightStart, rightEnd,
       IntervalJoinMode.Anti)
 
+  /** Every point once, plus a boolean `existsCol` flagging whether ANY
+    * same-key interval covers it — the flagged form of
+    * [[intervalSemiJoin]]/[[intervalAntiJoin]] (EXISTS as a column; one
+    * pass answers both "covered?" and "uncovered?").
+    */
+  def intervalExistsJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightStart: String,
+      rightEnd: String,
+      existsCol: String = "matched"
+  ): DataFrame =
+    joinWithMode(left, right, leftKeys, rightKeys, leftTime, rightStart, rightEnd,
+      IntervalJoinMode.Existence(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          existsCol, org.apache.spark.sql.types.BooleanType, nullable = false)()))
+
   private def joinWithMode(
       left: DataFrame,
       right: DataFrame,

@@ -81,25 +81,32 @@ object TableFunctions {
           s" leftTime, rightTime[, tieBreaks][, outer]), got ${args.length}"
       )
     // the trailing mode is `true`/`false` (outer/inner, the original
-    // boolean form), one of 'inner' | 'outer' | 'semi' | 'anti', or the
-    // BACKWARD (next-event) variants 'next' | 'next_outer' |
-    // 'next_semi' | 'next_anti'; a lone trailing string that isn't a
-    // mode is the tie-break list
+    // boolean form), one of 'inner' | 'outer' | 'semi' | 'anti' |
+    // 'exists', or the BACKWARD (next-event) variants 'next' |
+    // 'next_outer' | 'next_semi' | 'next_anti' | 'next_exists' — the
+    // full AsOfJoinMode × direction lattice; a lone trailing string that
+    // isn't a mode is the tie-break list. 'exists' emits every left row
+    // plus a boolean `matched` column (the flagged EXISTS form).
+    def existsMode(): AsOfJoinMode = AsOfJoinMode.Existence(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "matched", org.apache.spark.sql.types.BooleanType, nullable = false)())
     def modeOf(raw: Any): Option[(AsOfJoinMode, Boolean)] = raw match {
       case b: Boolean => Some((if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner, true))
       case s: String =>
         // Locale.ROOT: mode literals must parse identically under every
         // default locale (tr/az lowercase 'I' to a dotless ı)
         s.toLowerCase(java.util.Locale.ROOT) match {
-          case "inner"      => Some((AsOfJoinMode.Inner, true))
-          case "outer"      => Some((AsOfJoinMode.Outer, true))
-          case "semi"       => Some((AsOfJoinMode.Semi, true))
-          case "anti"       => Some((AsOfJoinMode.Anti, true))
-          case "next"       => Some((AsOfJoinMode.Inner, false))
-          case "next_outer" => Some((AsOfJoinMode.Outer, false))
-          case "next_semi"  => Some((AsOfJoinMode.Semi, false))
-          case "next_anti"  => Some((AsOfJoinMode.Anti, false))
-          case _            => None
+          case "inner"       => Some((AsOfJoinMode.Inner, true))
+          case "outer"       => Some((AsOfJoinMode.Outer, true))
+          case "semi"        => Some((AsOfJoinMode.Semi, true))
+          case "anti"        => Some((AsOfJoinMode.Anti, true))
+          case "exists"      => Some((existsMode(), true))
+          case "next"        => Some((AsOfJoinMode.Inner, false))
+          case "next_outer"  => Some((AsOfJoinMode.Outer, false))
+          case "next_semi"   => Some((AsOfJoinMode.Semi, false))
+          case "next_anti"   => Some((AsOfJoinMode.Anti, false))
+          case "next_exists" => Some((existsMode(), false))
+          case _             => None
         }
       case _ => None
     }
@@ -129,7 +136,8 @@ object TableFunctions {
         }
         (csvArg(fn, args, 6), m.getOrElse(throw new IllegalArgumentException(
           s"$fn: argument 8 must be a boolean or one of " +
-            s"'inner'|'outer'|'semi'|'anti'|'next'|'next_outer'|'next_semi'|'next_anti', got $last")))
+            s"'inner'|'outer'|'semi'|'anti'|'exists'|'next'|'next_outer'|" +
+            s"'next_semi'|'next_anti'|'next_exists', got $last")))
     }
     AsOf.planFor(
       tableArg(fn, args, 0),
@@ -170,9 +178,13 @@ object TableFunctions {
               case "semi"                             => IntervalJoinMode.Semi
               case "anti"                             => IntervalJoinMode.Anti
               case "full" | "fullouter" | "full_outer" => IntervalJoinMode.FullOuter
+              case "exists" => // flagged EXISTS: every point + boolean `matched`
+                IntervalJoinMode.Existence(
+                  org.apache.spark.sql.catalyst.expressions.AttributeReference(
+                    "matched", org.apache.spark.sql.types.BooleanType, nullable = false)())
               case other =>
                 throw new IllegalArgumentException(
-                  s"$fn: mode must be one of inner/outer/semi/anti/full, got '$other'")
+                  s"$fn: mode must be one of inner/outer/semi/anti/full/exists, got '$other'")
             }
           case other =>
             throw new IllegalArgumentException(

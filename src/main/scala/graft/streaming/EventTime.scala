@@ -149,7 +149,9 @@ object EventTime {
     * caller's session conf is untouched, concurrent queries keep their
     * own widths, and the streaming runtime records n in the checkpoint's
     * offset log so a restart keeps it regardless of the session it
-    * restarts from. `None` inherits the session conf (today's behavior).
+    * restarts from. `None` inherits the session conf; the bounded joins'
+    * DEFAULT is [[AutoStatePartitions]] (auto-size to the heuristic's
+    * floor — see its scaladoc for why defaults stopped inheriting).
     *
     * Choosing n: see [[statePartitionsForVolume]] — width follows STATE
     * volume, not core count (BENCH r12: 32 → 8 quadrupled interval-join
@@ -163,9 +165,35 @@ object EventTime {
     */
   private def bindStatePartitions(df: DataFrame, statePartitions: Option[Int]): DataFrame =
     statePartitions match {
-      case None    => df
+      case None => df
+      case AutoStatePartitions =>
+        // auto is meaningful only for STREAMING frames (stateful shuffle
+        // width); a batch invocation of the same operator keeps the
+        // session's width — AQE already sizes batch shuffles, and
+        // clamping a large batch job to the stateful floor would be a
+        // parallelism regression
+        if (df.isStreaming) withStatePartitions(df, statePartitionsForVolume(0L)) else df
       case Some(p) => withStatePartitions(df, p)
     }
+
+  /** The DEFAULT `statePartitions` posture of the bounded stateful joins
+    * ([[intervalJoin]], [[asofJoinBounded]]): auto-size the stateful
+    * shuffle width to [[statePartitionsForVolume]]'s floor (8) instead of
+    * inheriting `spark.sql.shuffle.partitions`. Defaults are what users
+    * run, and the bench triangle measured the inherited session width as
+    * a ~3× throughput tax at typical bounded-join state (every partition
+    * pays fixed state-store load/commit cycles per micro-batch whether or
+    * not it holds rows) — the floor is the measured small-state optimum,
+    * and the BOUNDED joins' state is watermark-horizon-sized by
+    * construction (ScaleStress pinned the flat-state asymptote), so
+    * "small" is the typical regime, not an assumption. Deployments with
+    * genuinely larger bounded state should pass
+    * `Some(statePartitionsForVolume(measuredPeakStateBytes))` from a
+    * probe run's `state_mem_mb`. Pass `None` to inherit the session conf
+    * (the pre-auto posture); existing checkpoints are unaffected either
+    * way (width is pinned by the checkpoint's offset log at first start).
+    */
+  val AutoStatePartitions: Option[Int] = Some(0)
 
   /** The same binding as the operators' `statePartitions` parameter, for
     * ANY stateful frame (tumbling/session aggregations, dedup streams, a
@@ -216,7 +244,7 @@ object EventTime {
       watermarkDelay: String,
       within: String,
       joinType: String = "inner",
-      statePartitions: Option[Int] = None
+      statePartitions: Option[Int] = AutoStatePartitions
   ): DataFrame = {
     val l = marked(left, leftTimeCol, watermarkDelay)
     val r0 = marked(right, rightTimeCol, watermarkDelay)
@@ -305,7 +333,7 @@ object EventTime {
       rightTieBreak: Seq[String] = Nil,
       outer: Boolean = false,
       forward: Boolean = true,
-      statePartitions: Option[Int] = None
+      statePartitions: Option[Int] = AutoStatePartitions
   ): DataFrame = {
     // fail fast with the column named, not a deep analyzer error from the
     // final group-by (which spans every left column)

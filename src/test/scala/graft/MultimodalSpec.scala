@@ -88,4 +88,42 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L).sortBy(_.chunk_idx).map(_.len).sum == original.length)
     assert(byId(2L).sortBy(_.chunk_idx).map(_.len).sum == edited.length)
   }
+
+  test("MediaDecoder seam: custom decoder rides the same mapPartitions contract with per-partition lifecycle") {
+    // The pluggable-codec contract a cluster WITH codec libs exercises:
+    // open() once per non-empty partition before the first decode, every
+    // payload decoded exactly once, close() after the partition's last
+    // row — counted via accumulators because the decoder runs on
+    // executor threads.
+    val sfDir = "/root/testdata/sf0.001"
+    val media = MultimodalOps.asMedia(spark, sfDir).repartition(4)
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val decodes = spark.sparkContext.longAccumulator("decodes")
+    class CountingDecoder extends MultimodalOps.MediaDecoder {
+      override def open(): MultimodalOps.MediaDecoder.Session = {
+        opens.add(1)
+        new MultimodalOps.MediaDecoder.Session {
+          override def decode(id: Long, bytes: Array[Byte]): MultimodalOps.MediaFeatures = {
+            decodes.add(1)
+            MultimodalOps.MediaFeatures(id, bytes.length, 1, bytes.length.toDouble)
+          }
+          override def close(): Unit = closes.add(1)
+        }
+      }
+    }
+    val out = MultimodalOps.extractFeatures(media, new CountingDecoder).collect()
+    val n = media.count()
+    assert(out.length == n.toInt)
+    assert(decodes.value == n, s"decode ran ${decodes.value} times for $n payloads")
+    assert(opens.value == 4, s"open() should run once per partition, ran ${opens.value}")
+    assert(closes.value == opens.value,
+      s"close() (${closes.value}) must pair with open() (${opens.value})")
+    // the custom decoder's output flowed through (not the stub's)
+    val one = out.head
+    assert(one.height == 1 && one.featNorm == one.width.toDouble)
+    // and the stub default still matches its columnar twin (schema stable)
+    assert(MultimodalOps.extractFeatures(media).schema ==
+      MultimodalOps.extractFeaturesStub(media).schema)
+  }
 }

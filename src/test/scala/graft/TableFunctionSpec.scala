@@ -120,6 +120,83 @@ class TableFunctionSpec extends SparkSpec {
     assert(nextSemiSql.count() + nextAntiSql.count() == spark.table("tvf_clicks").count())
   }
 
+  test("TVF 'exists'/'next_exists' modes: flagged EXISTS equals the API and splits into semi/anti") {
+    registerEventViews()
+    val clicks = spark.table("tvf_clicks")
+    // forward: every click once + boolean `matched`
+    val exSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'exists')""".stripMargin)
+    assert(exSql.columns.toSeq == Seq("event_id", "user_id", "ts", "matched"))
+    assert(exSql.count() == clicks.count(), "exists mode must preserve every left row once")
+    assert(exSql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val exApi = graft.plans.AsOf.asofExistsJoin(
+      clicks, spark.table("tvf_views"), Seq("user_id"), Seq("v_user"), "ts", "vts")
+    assert(exSql.collect().map(_.toSeq).toSet == exApi.collect().map(_.toSeq).toSet)
+    // matched==true projects to exactly the semi set; false to the anti set
+    val semi = spark.sql(
+      """SELECT * FROM graft_asof_join(TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'semi')""".stripMargin)
+    assert(exSql.filter(col("matched")).drop("matched").collect().map(_.toSeq).toSet ==
+      semi.collect().map(_.toSeq).toSet)
+    val anti = spark.sql(
+      """SELECT * FROM graft_asof_join(TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'anti')""".stripMargin)
+    assert(exSql.filter(!col("matched")).drop("matched").collect().map(_.toSeq).toSet ==
+      anti.collect().map(_.toSeq).toSet)
+    // backward: 'next_exists' == API forward=false; same split invariant
+    val nexSql = spark.sql(
+      """SELECT * FROM graft_asof_join(
+        |  TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'next_exists')""".stripMargin)
+    assert(nexSql.count() == clicks.count())
+    val nexApi = graft.plans.AsOf.asofExistsJoin(
+      clicks, spark.table("tvf_views"), Seq("user_id"), Seq("v_user"), "ts", "vts",
+      forward = false)
+    assert(nexSql.collect().map(_.toSeq).toSet == nexApi.collect().map(_.toSeq).toSet)
+    val nextSemi = spark.sql(
+      """SELECT * FROM graft_asof_join(TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'next_semi')""".stripMargin)
+    assert(nexSql.filter(col("matched")).drop("matched").collect().map(_.toSeq).toSet ==
+      nextSemi.collect().map(_.toSeq).toSet)
+    // custom flag-column name through the API
+    val named = graft.plans.AsOf.asofExistsJoin(
+      clicks, spark.table("tvf_views"), Seq("user_id"), Seq("v_user"), "ts", "vts",
+      existsCol = "has_view")
+    assert(named.columns.last == "has_view")
+  }
+
+  test("graft_interval_join 'exists' mode: flagged coverage equals the API and splits into semi/anti") {
+    import spark.implicits._
+    (1L to 60L).map(i => (i % 5, i)).toDF("k", "t").createOrReplaceTempView("tvx_points")
+    Seq((0L, 10L, 20L), (1L, 5L, 8L), (2L, 100L, 200L))
+      .toDF("ik", "lo", "hi").createOrReplaceTempView("tvx_iv")
+    val exSql = spark.sql(
+      """SELECT * FROM graft_interval_join(
+        |  TABLE(tvx_points), TABLE(tvx_iv), 'k', 'ik', 't', 'lo', 'hi', 'exists')""".stripMargin)
+    assert(exSql.columns.toSeq == Seq("k", "t", "matched"))
+    assert(exSql.count() == 60L, "interval exists mode must preserve every point once")
+    val exApi = Interval.intervalExistsJoin(
+      spark.table("tvx_points"), spark.table("tvx_iv"),
+      Seq("k"), Seq("ik"), "t", "lo", "hi")
+    assert(exSql.collect().map(_.toSeq).toSet == exApi.collect().map(_.toSeq).toSet)
+    val semi = spark.sql(
+      """SELECT * FROM graft_interval_join(
+        |  TABLE(tvx_points), TABLE(tvx_iv), 'k', 'ik', 't', 'lo', 'hi', 'semi')""".stripMargin)
+    assert(exSql.filter(col("matched")).drop("matched").collect().map(_.toSeq).toSet ==
+      semi.collect().map(_.toSeq).toSet)
+    val anti = spark.sql(
+      """SELECT * FROM graft_interval_join(
+        |  TABLE(tvx_points), TABLE(tvx_iv), 'k', 'ik', 't', 'lo', 'hi', 'anti')""".stripMargin)
+    assert(exSql.filter(!col("matched")).drop("matched").collect().map(_.toSeq).toSet ==
+      anti.collect().map(_.toSeq).toSet)
+    // ground truth on the tiny frame: k=0 points covered iff t ∈ [10,20]
+    val covered = exSql.filter(col("k") === 0L && col("matched")).select("t")
+      .collect().map(_.getLong(0)).toSet
+    assert(covered == (10L to 20L).filter(_ % 5 == 0).toSet)
+  }
+
   test("graft_interval_join TVF equals the DataFrame API") {
     import spark.implicits._
     (1L to 60L).map(i => (i % 5, i)).toDF("k", "t").createOrReplaceTempView("tvf_points")
