@@ -503,7 +503,47 @@ object ScaleStress {
     spark.conf.unset(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
 
-    val all = (builds ++ joins ++ spills ++ batchers ++ Seq(streamingTop1)).flatten
+    // ---- routed-compaction fan-out: pooled vs sequential rewrites ------
+    // The compactor's per-route-group rewrite jobs are independent and
+    // individually TINY (coalesce(1) over trigger-sized files) — a
+    // sequential pass serializes per-job scheduling overhead × groups,
+    // which is the wall-clock term at a 100-TB routed sink with many
+    // routes. Two identical 16-route × 8-batch roots, compacted once
+    // each: rewriteParallelism=1 (the old sequential pass) vs the
+    // default pool of 8 — the ratio is the measured fan-out win.
+    def mkRoutedRoot(tag: String): String = {
+      val root = s"/tmp/graft_stress_compact_$tag"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val routeNames = (0 until 16).map(i => s"r$i")
+      (0 until 8).foreach { b =>
+        val df = spark.range(b * 1000L, b * 1000L + 1000L)
+          .selectExpr("id AS v", "concat('r', id % 16) AS batcher")
+        graft.sinks.Sinks.routedManifestedComposite(df, routeNames, root, b.toLong)
+      }
+      root
+    }
+    val compacts =
+      if (!only.forall(_.exists(_.startsWith("compact_routed")))) Seq.empty
+      else {
+        val seqRoot = mkRoutedRoot("seq")
+        val parRoot = mkRoutedRoot("par")
+        Seq(
+          timed("compact_routed_seq") {
+            spark.conf.set("spark.graft.compact.rewriteParallelism", "1")
+            try graft.sinks.Sinks
+              .compactManifested(spark, seqRoot, targetBytes = 512L * 1024 * 1024).toLong
+            finally spark.conf.unset("spark.graft.compact.rewriteParallelism")
+          },
+          timed("compact_routed_par") {
+            graft.sinks.Sinks
+              .compactManifested(spark, parRoot, targetBytes = 512L * 1024 * 1024).toLong
+          }
+        )
+      }
+
+    val all = (builds ++ joins ++ spills ++ batchers ++ compacts ++ Seq(streamingTop1)).flatten
     val json = all.map { case (n, sec, rows) =>
       s""""$n":{"sec":${math.round(sec * 100) / 100.0},"rows":$rows}"""
     }.mkString(",")

@@ -133,6 +133,14 @@ object Pipeline {
             runProcessor(seqSorted(it))
           }
       case None =>
+        // it.toSeq materializes the partition: prepare_messages is a
+        // BATCH-wide callback (broadway.ex:234-258 hands the whole
+        // demand batch to the user), so the opaque typed path cannot
+        // stream row-by-row. The memory guard at scale is ADMISSION,
+        // not this Seq — maxOffsetsPerTrigger / maxFilesPerTrigger
+        // bound a micro-batch (and with it every partition's slice)
+        // exactly like Broadway's max_demand bounds the batch the
+        // reference hands its processors.
         ds.mapPartitions(it => runProcessor(it.toSeq))
     }
 

@@ -986,8 +986,14 @@ object Sinks {
     * failure) refuses loudly with [[CompactorLeaseHeldException]] instead
     * of interleaving snapshots, and a crashed holder's lease goes stale
     * after `leaseTimeoutMillis` (filesystem clock) so the next call takes
-    * over — no operator intervention. The publish rename remains a
-    * second, independent guard (attempt-verified) behind the lease.
+    * over — no operator intervention. The heartbeat refreshes after every
+    * per-group Spark rewrite, so size `leaseTimeoutMillis` above the
+    * longest SINGLE route group's rewrite (not the whole pass); the
+    * default 15 min covers a ~100 GB group at modest cluster throughput.
+    * The publish rename remains a second, independent guard
+    * (attempt-verified) behind the lease, so even a takeover from a
+    * stalled-but-alive holder resolves to exactly one published
+    * compaction (the loser aborts and deletes its own staging).
     *
     * `retainMillis` is the reader grace window (Delta-style retention):
     * retired manifests and their data dirs are reclaimed only once the
@@ -1068,8 +1074,44 @@ object Sinks {
     // the new manifest BY REFERENCE, unchanged on disk; only files below
     // half the target merge. Fewer than two small files in every route
     // group → nothing to merge → no-op (idempotent housekeeping loop).
-    val sized = liveFiles.map(f =>
-      f -> hfs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+    // Size census via ONE listStatus per distinct PARENT dir (pooled),
+    // not one getFileStatus per file: the census must stat every live
+    // file to partition small/full, and per-file serial RPCs make the
+    // pass cost ∝ corpus file count — at a 100-TB root (~800k files at
+    // the default target) that is the housekeeping bottleneck, and it
+    // breaks the pass-costs-∝-small-file-volume contract long before
+    // the rewrite does. Parent dirs are ~file-count/stride fewer (a
+    // compacted corpus concentrates full-size files in few dirs), and
+    // 16 concurrent listings hide per-RPC latency. Files the dir
+    // listing misses (racing external change) fall back to the old
+    // per-file stat, which throws the same FileNotFoundException the
+    // serial census did — no behavior change, just fewer round trips.
+    val sizeByPath: Map[String, Long] = {
+      val parents = liveFiles
+        .map(f => new org.apache.hadoop.fs.Path(f).getParent)
+        .distinctBy(_.toUri.getPath)
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(math.max(parents.size, 1), 16))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = parents.map { p =>
+          scala.concurrent.Future(
+            try hfs.listStatus(p).filter(_.isFile)
+              .map(s => s.getPath.toUri.getPath -> s.getLen).toSeq
+            catch { case _: java.io.FileNotFoundException => Seq.empty }
+          )
+        }
+        scala.concurrent.Await
+          .result(scala.concurrent.Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf)
+          .flatten.toMap
+      } finally pool.shutdown()
+    }
+    val sized = liveFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      f -> sizeByPath.getOrElse(p.toUri.getPath, hfs.getFileStatus(p).getLen)
+    }
     val (small, keptFull) = sized.partition(_._2 < targetBytes / 2)
     // route-aware grouping: a file under the composite layout sits in a
     // `route=<r>` dir; rewrites must never merge across routes
@@ -1105,20 +1147,68 @@ object Sinks {
     // deterministic where mixed per-file schemas were not. Per route
     // group (sorted, "" first so the flat group's dir-level Overwrite
     // cannot clobber a route subdir written before it).
-    var parts = 0
-    val newFiles = mergeGroups.toSeq.sortBy(_._1).flatMap { case (seg, grp) =>
+    val groupSpecs = mergeGroups.toSeq.sortBy(_._1).map { case (seg, grp) =>
       val gBytes = grp.map(_._2).sum
-      val gParts = (gBytes.toDouble / targetBytes).ceil.toInt.max(1)
-      parts += gParts
+      (seg, grp, (gBytes.toDouble / targetBytes).ceil.toInt.max(1))
+    }
+    val parts = groupSpecs.map(_._3).sum
+    def rewriteGroup(seg: String, grp: Seq[(String, Long)], gParts: Int): Seq[String] = {
       val outDir = if (seg.isEmpty) dataDir else s"$dataDir/$seg"
       spark.read.option("mergeSchema", "true").parquet(grp.map(_._1): _*).coalesce(gParts)
         .write.mode(SaveMode.Overwrite).parquet(outDir)
+      // the Spark rewrite is the long pole — heartbeat after EVERY
+      // completed group, so a multi-group backlog stays fenced as long
+      // as no single group's rewrite exceeds the lease timeout (without
+      // this, a pass whose total rewrite outlives the timeout invites a
+      // takeover mid-pass; the publish race would still pick one winner,
+      // but the loser's work is thrown away). Thread-safe: FileSystem
+      // clients are, and the worst interleaving touches a newer holder's
+      // mtime (extends their lease — benign, heartbeatLease's contract).
+      heartbeatLease(hfs, root, lease, holder)
       hfs.globStatus(new org.apache.hadoop.fs.Path(s"$outDir/*.parquet"))
-        .map(_.getPath.toString)
-    }.sorted
-    // the Spark rewrite is the long pole — refresh the lease heartbeat so
-    // a compaction outliving the timeout is not taken over mid-publish
-    heartbeatLease(hfs, root, lease, holder)
+        .map(_.getPath.toString).toSeq
+    }
+    // Route groups rewrite CONCURRENTLY through a bounded pool: each is
+    // an independent Spark job writing a DISJOINT output dir, and one
+    // small group's coalesce(gParts)-task job cannot fill a large
+    // cluster — the 100-TB routed-sink regime is MANY route groups of
+    // trigger-sized files, and running them 8 at a time keeps executors
+    // busy where the sequential loop left them idle between groups
+    // (concurrent job submission from driver threads is the documented
+    // Spark pattern for exactly this). The flat ("" seg) group writes to
+    // the dataDir ROOT with dir-level Overwrite, which would clobber
+    // route subdirs written concurrently — it runs FIRST, alone (the old
+    // sorted-""-first invariant, now structural). A failed group fails
+    // the pass (lease released in the caller's finally; the half-written
+    // attempt-unique dataDir is unreferenced by construction, so it is
+    // invisible to readers and vacuumUnmanifested reclaims it).
+    val (flatGroups, routeGroups) = groupSpecs.partition(_._1.isEmpty)
+    val flatFiles = flatGroups.flatMap { case (s, g, p) => rewriteGroup(s, g, p) }
+    // pool width: spark.graft.compact.rewriteParallelism (default 8) —
+    // the ops lever for clusters where 8 concurrent rewrite jobs
+    // over- or under-subscribe the executors; 1 restores the strictly
+    // sequential pass
+    val rewritePar = spark.conf
+      .getOption("spark.graft.compact.rewriteParallelism").map(_.toInt).getOrElse(8).max(1)
+    val routeFiles: Seq[String] =
+      if (routeGroups.sizeIs <= 1 || rewritePar == 1)
+        routeGroups.flatMap { case (s, g, p) => rewriteGroup(s, g, p) }
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(routeGroups.size, rewritePar))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val futs = routeGroups.map { case (s, g, p) =>
+            scala.concurrent.Future(rewriteGroup(s, g, p))
+          }
+          scala.concurrent.Await
+            .result(scala.concurrent.Future.sequence(futs),
+              scala.concurrent.duration.Duration.Inf)
+            .flatten
+        } finally pool.shutdown()
+      }
+    val newFiles = (flatFiles ++ routeFiles).sorted
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/compact-$gen")
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_manifests/.compact-$gen-$attempt.tmp")
     // kept (already-sized) files ride into the new manifest by reference:

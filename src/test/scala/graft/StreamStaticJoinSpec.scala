@@ -115,6 +115,65 @@ class StreamStaticJoinSpec extends SparkSpec {
     assert(semiGot.size + antiGot.size == 80)
   }
 
+  test("stream-static EXISTS modes == batch and split into the semi/anti sets") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the flagged-EXISTS cells of both lattices are stateless per left
+    // row against an immutable right by the same argument as semi/anti
+    // (the boolean is a property of (left row, static table) alone), so
+    // per-micro-batch execution is exact — one streamed pass yields both
+    // the covered and the uncovered set via the flag
+    val wins = (1L to 20L).map(i => (i % 3, i * 5, i * 5 + 12)).toDF("rk", "s", "e")
+    val ivStream = MemoryStream[(Long, Long)]
+    val ivJoined = Interval.intervalExistsJoin(
+      ivStream.toDS().toDF("k", "t"), wins, Seq("k"), Seq("rk"), "t", "s", "e")
+    assert(ivJoined.isStreaming, "interval exists over a streaming left must stay streaming")
+    val q1 = ivJoined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_ival_exists").start()
+    try {
+      ivStream.addData((1L to 40L).map(i => (i % 3, i * 4)))
+      q1.processAllAvailable()
+      ivStream.addData((41L to 80L).map(i => (i % 3, i * 4)))
+      q1.processAllAvailable()
+      val got = spark.table("ss_ival_exists").collect().map(_.toSeq.toString).sorted.toSeq
+      val batchDf = (1L to 80L).map(i => (i % 3, i * 4)).toDF("k", "t")
+      val expected = Interval.intervalExistsJoin(
+        batchDf, wins, Seq("k"), Seq("rk"), "t", "s", "e")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == expected && expected.nonEmpty,
+        s"interval exists: stream=${got.size} vs batch=${expected.size}")
+      // every streamed point exactly once, flag splitting onto semi/anti
+      assert(got.size == 80)
+      val streamedMatched = spark.table("ss_ival_exists")
+        .filter(col("matched")).drop("matched")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      val semi = Interval.intervalSemiJoin(batchDf, wins, Seq("k"), Seq("rk"), "t", "s", "e")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      assert(streamedMatched == semi)
+    } finally q1.stop()
+    // as-of exists (forward): "has a static version at or before t"
+    val vers = (1L to 40L).map(i => (i % 5, i * 3, i)).toDF("rk", "rt", "rv")
+    val aStream = MemoryStream[(Long, Long)]
+    val aJoined = AsOf.asofExistsJoin(
+      aStream.toDS().toDF("k", "t"), vers, Seq("k"), Seq("rk"), "t", "rt")
+    assert(aJoined.isStreaming, "as-of exists over a streaming left must stay streaming")
+    val q2 = aJoined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_asof_exists").start()
+    try {
+      aStream.addData((1L to 30L).map(i => (i % 5, i * 4)))
+      q2.processAllAvailable()
+      aStream.addData((31L to 60L).map(i => (i % 5, i * 4)))
+      q2.processAllAvailable()
+      val got = spark.table("ss_asof_exists").collect().map(_.toSeq.toString).sorted.toSeq
+      val expected = AsOf.asofExistsJoin(
+        (1L to 60L).map(i => (i % 5, i * 4)).toDF("k", "t"),
+        vers, Seq("k"), Seq("rk"), "t", "rt")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      assert(got == expected && expected.nonEmpty,
+        s"as-of exists: stream=${got.size} vs batch=${expected.size}")
+      assert(got.size == 60)
+    } finally q2.stop()
+  }
+
   test("stream-static interval enrich == batch over the union of micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ivals = (1L to 30L).map(i => (i % 4, i * 2, i * 2 + 9, i)).toDF("rk", "s", "e", "rv")
