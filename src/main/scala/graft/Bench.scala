@@ -447,7 +447,8 @@ object Bench {
             opStatePartitions = opParts)
         if (name == "asof_bounded") defaultStateBytes = acc0.stateMemMax
         val widthJson = opParts match {
-          case graft.streaming.EventTime.AutoStatePartitions => ""","width":"auto""""
+          case s if s.asInstanceOf[AnyRef] eq graft.streaming.EventTime.AutoStatePartitions =>
+            ""","width":"auto""""
           case Some(p) => s""","width":$p"""
           case None => ""
         }

@@ -529,6 +529,14 @@ object ScaleStress {
       else {
         val seqRoot = mkRoutedRoot("seq")
         val parRoot = mkRoutedRoot("par")
+        // untimed warmup on a throwaway root: the first compactManifested
+        // in a JVM pays the parquet-merge read/coalesce/write codegen and
+        // FileSystem metadata warmup — without this the sequential line
+        // (which runs first) absorbs it and the seq-vs-par ratio
+        // conflates parallelism with first-run charge (the same
+        // discipline as the bench's untimed scenario warmups)
+        val warmRoot = mkRoutedRoot("warm")
+        graft.sinks.Sinks.compactManifested(spark, warmRoot, targetBytes = 512L * 1024 * 1024)
         Seq(
           timed("compact_routed_seq") {
             spark.conf.set("spark.graft.compact.rewriteParallelism", "1")

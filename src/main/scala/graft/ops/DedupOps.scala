@@ -261,7 +261,10 @@ object DedupOps {
     * md5("<k/4>:" + shingle) — identical to the oracle's list formulation.
     */
   def minhashSignatures(s: SparkSession, d: String, numHashes: Int): DataFrame =
-    minhashFromShingles(shingleSets(s, d), numHashes)
+    // the HASHED frame: when the lshPairs chain has it cached this rides
+    // the same CacheManager entry (plan-keyed); when not cached, column
+    // pruning deletes the unused `h` projection, so it costs nothing
+    minhashFromShingles(shingleSetsHashed(s, d), numHashes)
 
   /** Signature aggregation over an existing (doc_id, s) shingle-set DF —
     * separated so callers can compute signatures from a persisted shingle
@@ -300,8 +303,7 @@ object DedupOps {
     * q101/…) gates the equality at sf0.01 and sf0.1 — same stance as
     * q226_minhash_error's estimator calibration.
     */
-  def jaccardHashed(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+  def jaccardHashed(a: Column, b: Column): Column = jaccard(a, b)
 
   /** MinHash-LSH candidate-pair pipeline: returns (doc_a, doc_b, jaccard)
     * for verified near-dup pairs at the given threshold.
@@ -2593,7 +2595,12 @@ object DedupOps {
     Q(
       "q226_minhash_error",
       (s, d) => {
-        val sh = Caches.buildScope("shingle_sets")(Caches.persisted(shingleSets(s, d)))
+        // the HASHED shingle frame, NOT the plain one: lshPairs/
+        // bandedCandidates persist shingleSetsHashed, and the CacheManager
+        // keys on the canonicalized plan — persisting the plain frame here
+        // would materialize the heavy string shingle arrays a SECOND time
+        // (~5 KB/doc each) instead of sharing the one entry
+        val sh = Caches.buildScope("shingle_sets")(Caches.persisted(shingleSetsHashed(s, d)))
         val sig = graft.functions.TextFunctions.minHashSig(col("s"), NumHashes)
         val sigsets = sh.select(
           col("doc_id") +: col("s").as("s") +:

@@ -106,11 +106,22 @@ object MultimodalOps {
     media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val session = decoder.open() // per-partition codec setup, once
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; session.close() }
+        // close() must fire even when the consumer stops pulling before
+        // exhaustion — limit/take and failed tasks abandon the iterator
+        // with hasNext never returning false, and a native codec context
+        // leaked per task accumulates in a long-lived executor (the real
+        // deployment this seam exists for). The task-completion listener
+        // is the guaranteed hook (runs on success, failure, and
+        // cancellation); the exhaustion close stays for promptness, the
+        // flag makes the pair idempotent.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[MediaFeatures] {
-          private var closed = false
           def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h && !closed) { closed = true; session.close() }
+            if (!h) closeOnce()
             h
           }
           def next(): MediaFeatures = {

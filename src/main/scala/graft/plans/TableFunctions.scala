@@ -86,26 +86,40 @@ object TableFunctions {
     // 'next_outer' | 'next_semi' | 'next_anti' | 'next_exists' — the
     // full AsOfJoinMode × direction lattice; a lone trailing string that
     // isn't a mode is the tie-break list. 'exists' emits every left row
-    // plus a boolean `matched` column (the flagged EXISTS form).
-    def existsMode(): AsOfJoinMode = AsOfJoinMode.Existence(
+    // plus a boolean `matched` column (the flagged EXISTS form);
+    // 'exists=<col>' / 'next_exists=<col>' renames the flag — the SQL
+    // twin of the DataFrame API's existsCol knob, needed when the left
+    // table already has a column named `matched` (otherwise SELECT *
+    // yields a duplicate name and every downstream reference is
+    // ambiguous). The flag name keeps the caller's case; only the mode
+    // word is case-normalized.
+    def existsMode(flag: String): AsOfJoinMode = AsOfJoinMode.Existence(
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
-        "matched", org.apache.spark.sql.types.BooleanType, nullable = false)())
+        flag, org.apache.spark.sql.types.BooleanType, nullable = false)())
     def modeOf(raw: Any): Option[(AsOfJoinMode, Boolean)] = raw match {
       case b: Boolean => Some((if (b) AsOfJoinMode.Outer else AsOfJoinMode.Inner, true))
       case s: String =>
         // Locale.ROOT: mode literals must parse identically under every
         // default locale (tr/az lowercase 'I' to a dotless ı)
-        s.toLowerCase(java.util.Locale.ROOT) match {
+        val (word, flag) = s.split("=", 2) match {
+          case Array(m, c) if c.trim.nonEmpty =>
+            (m.trim.toLowerCase(java.util.Locale.ROOT), c.trim)
+          case _ => (s.toLowerCase(java.util.Locale.ROOT), "matched")
+        }
+        word match {
+          case "inner" | "outer" | "semi" | "anti" | "next" | "next_outer" |
+              "next_semi" | "next_anti" if flag != "matched" =>
+            None // '=' rename is meaningful only for the exists forms
           case "inner"       => Some((AsOfJoinMode.Inner, true))
           case "outer"       => Some((AsOfJoinMode.Outer, true))
           case "semi"        => Some((AsOfJoinMode.Semi, true))
           case "anti"        => Some((AsOfJoinMode.Anti, true))
-          case "exists"      => Some((existsMode(), true))
+          case "exists"      => Some((existsMode(flag), true))
           case "next"        => Some((AsOfJoinMode.Inner, false))
           case "next_outer"  => Some((AsOfJoinMode.Outer, false))
           case "next_semi"   => Some((AsOfJoinMode.Semi, false))
           case "next_anti"   => Some((AsOfJoinMode.Anti, false))
-          case "next_exists" => Some((existsMode(), false))
+          case "next_exists" => Some((existsMode(flag), false))
           case _             => None
         }
       case _ => None
@@ -172,19 +186,29 @@ object TableFunctions {
           case Literal(b: Boolean, BooleanType) =>
             if (b) IntervalJoinMode.Outer else IntervalJoinMode.Inner
           case Literal(s: UTF8String, StringType) if s != null =>
-            s.toString.trim.toLowerCase(java.util.Locale.ROOT) match {
-              case "inner"                            => IntervalJoinMode.Inner
-              case "outer"                            => IntervalJoinMode.Outer
-              case "semi"                             => IntervalJoinMode.Semi
-              case "anti"                             => IntervalJoinMode.Anti
-              case "full" | "fullouter" | "full_outer" => IntervalJoinMode.FullOuter
-              case "exists" => // flagged EXISTS: every point + boolean `matched`
+            // 'exists=<col>' renames the flag column (the SQL twin of
+            // intervalExistsJoin's existsCol — see the as-of TVF's note);
+            // the flag keeps the caller's case, the mode word normalizes
+            val (word, flag) = s.toString.trim.split("=", 2) match {
+              case Array(m, c) if c.trim.nonEmpty =>
+                (m.trim.toLowerCase(java.util.Locale.ROOT), c.trim)
+              case _ => (s.toString.trim.toLowerCase(java.util.Locale.ROOT), "matched")
+            }
+            word match {
+              case "inner" if flag == "matched"        => IntervalJoinMode.Inner
+              case "outer" if flag == "matched"        => IntervalJoinMode.Outer
+              case "semi" if flag == "matched"         => IntervalJoinMode.Semi
+              case "anti" if flag == "matched"         => IntervalJoinMode.Anti
+              case "full" | "fullouter" | "full_outer" if flag == "matched" =>
+                IntervalJoinMode.FullOuter
+              case "exists" => // flagged EXISTS: every point + boolean flag
                 IntervalJoinMode.Existence(
                   org.apache.spark.sql.catalyst.expressions.AttributeReference(
-                    "matched", org.apache.spark.sql.types.BooleanType, nullable = false)())
+                    flag, org.apache.spark.sql.types.BooleanType, nullable = false)())
               case other =>
                 throw new IllegalArgumentException(
-                  s"$fn: mode must be one of inner/outer/semi/anti/full/exists, got '$other'")
+                  s"$fn: mode must be one of inner/outer/semi/anti/full/exists" +
+                    s"/'exists=<col>', got '$other'")
             }
           case other =>
             throw new IllegalArgumentException(

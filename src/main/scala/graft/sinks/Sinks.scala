@@ -737,10 +737,34 @@ object Sinks {
               s"(heartbeat age $age ms ≤ timeout $timeoutMillis ms) — run one " +
               "compactor at a time; a crashed holder's lease goes stale after " +
               "the timeout and the next call takes over")
-        // stale: exactly one racing taker wins this rename
+        // Stale: take over by renaming the lease away. The rename is by
+        // PATH, so between our staleness read and our rename another
+        // taker may have completed the whole takeover (rename + delete +
+        // re-create with ITS fresh token) — blindly deleting what we
+        // renamed would then destroy a LIVE lease and leave two
+        // compactors running under the "fenced" guarantee. So: record
+        // the stale holder's token at staleness-observation time, and
+        // after winning the rename VERIFY the tombstone still carries
+        // that token. Match → legitimate takeover, delete the tombstone
+        // and loop to create. Mismatch → we stole a fresh lease: rename
+        // it back (the path is empty — we just moved the only file
+        // there) and refuse loudly. If the restore itself loses a race
+        // (a third taker created meanwhile), delete the tombstone and
+        // refuse — the victim's heartbeat/release are token-guarded
+        // no-ops, and the publish race remains the final backstop.
+        val staleToken = leaseHolder(hfs, lease)
         val tomb =
           new org.apache.hadoop.fs.Path(s"$root/_manifests/.compactor-lease.stale-$holder")
-        if (hfs.rename(lease, tomb)) hfs.delete(tomb, false)
+        if (hfs.rename(lease, tomb)) {
+          val tombToken = leaseHolder(hfs, tomb)
+          if (tombToken == staleToken && staleToken.isDefined) hfs.delete(tomb, false)
+          else {
+            if (!hfs.rename(tomb, lease)) hfs.delete(tomb, false)
+            throw new CompactorLeaseHeldException(
+              s"compactor lease on $root was re-acquired by another compactor " +
+                "during a stale-lease takeover — run one compactor at a time")
+          }
+        }
       }
     }
     throw new CompactorLeaseHeldException(

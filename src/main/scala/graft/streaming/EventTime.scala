@@ -166,7 +166,7 @@ object EventTime {
   private def bindStatePartitions(df: DataFrame, statePartitions: Option[Int]): DataFrame =
     statePartitions match {
       case None => df
-      case AutoStatePartitions =>
+      case s if s.asInstanceOf[AnyRef] eq AutoStatePartitions =>
         // auto is meaningful only for STREAMING frames (stateful shuffle
         // width); a batch invocation of the same operator keeps the
         // session's width — AQE already sizes batch shuffles, and
@@ -192,8 +192,15 @@ object EventTime {
     * probe run's `state_mem_mb`. Pass `None` to inherit the session conf
     * (the pre-auto posture); existing checkpoints are unaffected either
     * way (width is pinned by the checkpoint's offset log at first start).
+    *
+    * The sentinel matches by IDENTITY (`eq`), not value: an equal-valued
+    * `Some` built elsewhere — a `Some(0)` or `Some(Int.MinValue)` wired
+    * from a misread config — is NOT auto and fails fast in
+    * `withStatePartitions` ("must be positive"), exactly like any other
+    * invalid width. Auto is requested only by passing THIS object (or by
+    * omitting the parameter).
     */
-  val AutoStatePartitions: Option[Int] = Some(0)
+  val AutoStatePartitions: Option[Int] = Some(Int.MinValue)
 
   /** The same binding as the operators' `statePartitions` parameter, for
     * ANY stateful frame (tumbling/session aggregations, dedup streams, a

@@ -600,6 +600,29 @@ class EventTimeSpec extends SparkSpec {
       s"asofJoinBounded self-join outer got $asof")
   }
 
+  test("AutoStatePartitions is identity-matched: an equal-valued Some from config still fails fast") {
+    // The auto sentinel must not swallow misconfiguration: Some(0) (a
+    // misread config wiring width = conf.getInt(...) = 0) and even an
+    // independently constructed Some(Int.MinValue) are NOT the sentinel
+    // object, so they hit withStatePartitions' positive check instead of
+    // silently auto-sizing. Only the AutoStatePartitions object itself
+    // (the parameter default) requests auto.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cs = MemoryStream[(Long, Timestamp)]
+    val bs = MemoryStream[(Long, Timestamp, Double)]
+    def joined(width: Option[Int]) = EventTime.intervalJoin(
+      cs.toDF().toDF("user_id", "cts"), "cts",
+      bs.toDF().toDF("user_id", "bts", "amount"), "bts",
+      Seq("user_id"), watermarkDelay = "10 minutes", within = "5 minutes",
+      statePartitions = width)
+    Seq(Some(0), Some(Int.MinValue), Some(-4)).foreach { w =>
+      val ex = intercept[IllegalArgumentException](joined(w))
+      assert(ex.getMessage.contains("must be positive"), s"$w: ${ex.getMessage}")
+    }
+    // the sentinel object itself binds auto (streaming frame → floor width)
+    assert(joined(EventTime.AutoStatePartitions).isStreaming)
+  }
+
   test("statePartitions binds THIS query's stateful width, leaves the session alone, and the checkpoint pins it") {
     // The r12 measurement (width 32→8 = 4.1× on the interval join) was
     // session-conf folklore: the caller had to set

@@ -119,6 +119,16 @@ class MultimodalSpec extends SparkSpec {
     assert(opens.value == 4, s"open() should run once per partition, ran ${opens.value}")
     assert(closes.value == opens.value,
       s"close() (${closes.value}) must pair with open() (${opens.value})")
+    // EARLY TERMINATION: limit() stops pulling before exhaustion, so the
+    // iterator's own end-of-input close never fires — the task-completion
+    // listener must close every opened session anyway (a real codec
+    // context leaked per task accumulates in a long-lived executor)
+    opens.reset(); closes.reset(); decodes.reset()
+    val few = MultimodalOps.extractFeatures(media, new CountingDecoder).limit(2).collect()
+    assert(few.length == 2)
+    assert(opens.value >= 1, "limit(2) should still open at least one partition's session")
+    assert(closes.value == opens.value,
+      s"early-terminated consumer leaked sessions: ${opens.value} opened, ${closes.value} closed")
     // the custom decoder's output flowed through (not the stub's)
     val one = out.head
     assert(one.height == 1 && one.featNorm == one.width.toDouble)

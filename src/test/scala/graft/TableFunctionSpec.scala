@@ -165,6 +165,21 @@ class TableFunctionSpec extends SparkSpec {
       clicks, spark.table("tvf_views"), Seq("user_id"), Seq("v_user"), "ts", "vts",
       existsCol = "has_view")
     assert(named.columns.last == "has_view")
+    // …and through the TVF mode literal ('exists=<col>' — the SQL twin;
+    // needed when the left table already carries a `matched` column)
+    val namedSql = spark.sql(
+      """SELECT * FROM graft_asof_join(TABLE(tvf_clicks), TABLE(tvf_views),
+        |  'user_id', 'v_user', 'ts', 'vts', 'exists=has_view')""".stripMargin)
+    assert(namedSql.columns.last == "has_view")
+    assert(namedSql.collect().map(_.toSeq).toSet == named.collect().map(_.toSeq).toSet)
+    // the '=' rename is exists-only: a renamed non-exists mode is not a
+    // mode literal (falls through to the tie-break/mode error path)
+    val badMode = intercept[IllegalArgumentException] {
+      spark.sql(
+        """SELECT * FROM graft_asof_join(TABLE(tvf_clicks), TABLE(tvf_views),
+          |  'user_id', 'v_user', 'ts', 'vts', '', 'semi=x')""".stripMargin).collect()
+    }
+    assert(badMode.getMessage.contains("argument 8"), badMode.getMessage)
   }
 
   test("graft_interval_join 'exists' mode: flagged coverage equals the API and splits into semi/anti") {
@@ -195,6 +210,13 @@ class TableFunctionSpec extends SparkSpec {
     val covered = exSql.filter(col("k") === 0L && col("matched")).select("t")
       .collect().map(_.getLong(0)).toSet
     assert(covered == (10L to 20L).filter(_ % 5 == 0).toSet)
+    // flag rename through the mode literal (SQL twin of existsCol)
+    val namedSql = spark.sql(
+      """SELECT * FROM graft_interval_join(
+        |  TABLE(tvx_points), TABLE(tvx_iv), 'k', 'ik', 't', 'lo', 'hi',
+        |  'exists=covered')""".stripMargin)
+    assert(namedSql.columns.toSeq == Seq("k", "t", "covered"))
+    assert(namedSql.collect().map(_.toSeq).toSet == exSql.collect().map(_.toSeq).toSet)
   }
 
   test("graft_interval_join TVF equals the DataFrame API") {
