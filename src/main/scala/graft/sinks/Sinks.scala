@@ -706,10 +706,18 @@ object Sinks {
     * takers wins (the rename source vanishes for everyone else) before
     * re-attempting the create. Returns (leasePath, holderToken).
     */
-  private def acquireCompactorLease(
+  /** `onStaleObserved` is a TEST seam (same discipline as
+    * [[compactManifestedHooked]]): it runs between the staleness
+    * observation (token read) and the takeover rename — the exact window
+    * in which a competing taker can complete an entire takeover, which
+    * the post-rename token verification exists to survive. Production
+    * callers never pass it.
+    */
+  private[graft] def acquireCompactorLease(
       hfs: org.apache.hadoop.fs.FileSystem,
       root: String,
-      timeoutMillis: Long
+      timeoutMillis: Long,
+      onStaleObserved: () => Unit = () => ()
   ): (org.apache.hadoop.fs.Path, String) = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     hfs.mkdirs(dir)
@@ -753,6 +761,7 @@ object Sinks {
         // refuse — the victim's heartbeat/release are token-guarded
         // no-ops, and the publish race remains the final backstop.
         val staleToken = leaseHolder(hfs, lease)
+        onStaleObserved()
         val tomb =
           new org.apache.hadoop.fs.Path(s"$root/_manifests/.compactor-lease.stale-$holder")
         if (hfs.rename(lease, tomb)) {

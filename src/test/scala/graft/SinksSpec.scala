@@ -964,6 +964,53 @@ class SinksSpec extends SparkSpec {
     assert(total() == (0 until 30).sum.toLong)
   }
 
+  test("compactor lease: takeover that raced a COMPLETED competing takeover restores the stolen lease and refuses") {
+    // The steal race (self-review finding #1): rename is by PATH, so
+    // between our staleness read and our rename a competing taker can
+    // finish an entire takeover (rename + delete + re-create with its
+    // fresh token). Our rename then moves the competitor's LIVE lease —
+    // the post-rename token verification must detect the mismatch,
+    // rename the stolen lease BACK, and refuse, leaving the competitor
+    // fenced. The onStaleObserved seam injects the competitor exactly
+    // inside that window.
+    val root = Files.createTempDirectory("graft-lease-steal").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.mkdirs(p(s"$root/_manifests"))
+    val lease = p(s"$root/_manifests/.compactor-lease")
+    val out0 = fs.create(lease, true)
+    out0.write("dead-holder".getBytes("UTF-8")); out0.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 3600L * 1000, -1)
+    val ex = intercept[graft.sinks.CompactorLeaseHeldException] {
+      Sinks.acquireCompactorLease(fs, root, 15L * 60 * 1000, onStaleObserved = () => {
+        // the competitor completes its ENTIRE takeover in our window
+        fs.delete(lease, false)
+        val out = fs.create(lease, false)
+        out.write("fresh-competitor".getBytes("UTF-8")); out.close()
+      })
+    }
+    assert(ex.getMessage.contains("re-acquired"), ex.getMessage)
+    // the competitor's fresh lease SURVIVED (restored after the steal) …
+    val in = fs.open(lease)
+    val tok = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    assert(tok == "fresh-competitor", s"stolen lease not restored: holder is '$tok'")
+    // … and no takeover tombstone leaked
+    assert(!fs.listStatus(p(s"$root/_manifests")).exists(_.getPath.getName.contains("stale-")),
+      "takeover tombstone leaked after the restore")
+    // sanity: with no competitor in the window, the same stale lease is
+    // taken over normally (the happy path the other spec covers e2e)
+    fs.delete(lease, false)
+    val out1 = fs.create(lease, true)
+    out1.write("dead-holder".getBytes("UTF-8")); out1.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 3600L * 1000, -1)
+    val (l2, h2) = Sinks.acquireCompactorLease(fs, root, 15L * 60 * 1000)
+    val in2 = fs.open(l2)
+    val tok2 = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString.trim finally in2.close()
+    assert(tok2 == h2, "takeover winner's token must be on disk")
+    fs.delete(l2, false)
+  }
+
   test("retention clock: original retirement time survives re-supersession (no per-pass reset)") {
     // ADVICE r15 (medium): every compaction supersedes EVERY manifest in
     // its listing (required for tombstone folding), so a clock based on
