@@ -444,7 +444,17 @@ object Sinks {
       retiredInGrace: Int,
       tombstoneRanges: Int,
       tombstonedBatches: Long,
-      orphanDirs: Int
+      orphanDirs: Int,
+      // Lease observability (defaults keep older positional constructions
+      // compiling): is a compactor holding the per-root lease right now —
+      // a live housekeeping pass OR a crashed holder's remains — and how
+      // old its heartbeat is on the FILESYSTEM clock (-1 when absent).
+      // age > the deployment's leaseTimeoutMillis means the next
+      // compactManifested will take over unattended; a held lease with a
+      // fresh age explains a CompactorLeaseHeldException without shell
+      // archaeology.
+      compactorLeaseHeld: Boolean = false,
+      compactorLeaseAgeMillis: Long = -1L
   )
 
   /** Compute [[ManifestStats]] for `root`. `targetBytes` only shapes the
@@ -481,6 +491,16 @@ object Sinks {
           c.isDirectory && referenced.contains(c.getPath.toUri.getPath))
         catch { case _: java.io.FileNotFoundException => false })
       }
+    // lease state: age on the filesystem clock (the same clock the
+    // takeover decision uses, so the reported age is directly comparable
+    // to leaseTimeoutMillis); fsNow's dot-probe write happens only when a
+    // lease actually exists
+    val (leaseHeld, leaseAge) =
+      try {
+        val ls = hfs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/_manifests/.compactor-lease"))
+        (true, fsNow(hfs, root) - ls.getModificationTime)
+      } catch { case _: java.io.FileNotFoundException => (false, -1L) }
     ManifestStats(
       liveManifests = st.live.size,
       liveFiles = liveFiles.size,
@@ -489,7 +509,9 @@ object Sinks {
       retiredInGrace = st.retired.size,
       tombstoneRanges = ranges.size,
       tombstonedBatches = ranges.map { case (lo, hi) => hi - lo + 1 }.sum,
-      orphanDirs = orphans
+      orphanDirs = orphans,
+      compactorLeaseHeld = leaseHeld,
+      compactorLeaseAgeMillis = leaseAge
     )
   }
 

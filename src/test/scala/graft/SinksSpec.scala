@@ -725,7 +725,24 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.compactManifested(spark, root, targetBytes = 512L * 1024 * 1024) == 0)
     // vacuum reclaims the orphan; the stats converge to steady state
     assert(Sinks.vacuumUnmanifested(spark, root) == 1)
-    assert(stats().orphanDirs == 0)
+    val s3 = stats()
+    assert(s3.orphanDirs == 0)
+    // lease observability: no compactor is running → not held
+    assert(!s3.compactorLeaseHeld && s3.compactorLeaseAgeMillis == -1L)
+    // a (crashed) holder's lease shows up with a filesystem-clock age an
+    // operator can compare to leaseTimeoutMillis
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/_manifests/.compactor-lease")
+    val lo = fs.create(lease, true)
+    lo.write("some-holder".getBytes("UTF-8")); lo.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 120000L, -1)
+    val s4 = stats()
+    assert(s4.compactorLeaseHeld, "hand-planted lease must census as held")
+    assert(s4.compactorLeaseAgeMillis >= 100000L,
+      s"lease age must reflect the heartbeat mtime, got ${s4.compactorLeaseAgeMillis}")
+    fs.delete(lease, false)
+    assert(!stats().compactorLeaseHeld)
   }
 
   test("randomized lifecycle model: any publish/replay/compact/vacuum interleaving keeps totals exact") {
