@@ -7,14 +7,22 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "256")
-      .getOrCreate()
+    // ad-hoc session confs for A/B runs, e.g.
+    // SPARK_GRAFT_PROF_CONF=spark.sql.codegen.cache.maxEntries=2000
+    sys.env.get("SPARK_GRAFT_PROF_CONF").foreach {
+      _.split(",").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     def time(tag: String)(f: => Long): Unit = {
@@ -111,6 +119,89 @@ object Prof {
       time("joins only (no dot)") { joinsOnly.count() }
       val candOnly = cand.agg(count(lit(1)))
       time("cand only") { candOnly.count() }
+    } else if (name == "q136parts") {
+      // persist-vs-recompute + join-restructure measurement for the q136
+      // collapsed (doc, source, gram, c_doc) frame (VERDICT r16 item 1b)
+      import org.apache.spark.sql.DataFrame
+      val docs = ops.Tables.documents(spark, sfDir)
+      def perDocF(): DataFrame = docs
+        .select(col("doc_id"), col("source"), ops.TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(
+          col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("gram"))
+        .groupBy(col("doc_id"), col("source"), col("gram"))
+        .agg(count(lit(1)).as("c_doc"))
+      def rollup(scored: DataFrame): DataFrame = scored
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("sum(c_doc * like_pm) div sum(c_doc)").as("score_pm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          expr("sum(score_pm) div count(*)").as("avg_like_pm"),
+          min(col("score_pm")).as("min_like_pm"),
+          max(col("score_pm")).as("max_like_pm"))
+        .orderBy(col("source"))
+      // current shape: two corpus-side joins (gram then pfx)
+      def current(perDoc: DataFrame): DataFrame = {
+        val cAb = perDoc.groupBy(col("gram")).agg(sum(col("c_doc")).as("c_ab"))
+        val cA = cAb.withColumn("pfx", split(col("gram"), " ").getItem(0))
+          .groupBy(col("pfx")).agg(sum(col("c_ab")).as("c_a"))
+        rollup(perDoc.join(cAb, Seq("gram"))
+          .withColumn("pfx", split(col("gram"), " ").getItem(0))
+          .join(cA, Seq("pfx"))
+          .withColumn("like_pm", expr("(c_ab * 1000) div c_a")))
+      }
+      // restructured: like_pm computed per distinct gram (vocab-scale),
+      // ONE corpus-side join
+      def restructured(perDoc: DataFrame): DataFrame = {
+        val cAb = perDoc.groupBy(col("gram")).agg(sum(col("c_doc")).as("c_ab"))
+        val withPfx = cAb.withColumn("pfx", split(col("gram"), " ").getItem(0))
+        val cA = withPfx.groupBy(col("pfx")).agg(sum(col("c_ab")).as("c_a"))
+        val gramScore = withPfx.join(cA, Seq("pfx"))
+          .select(col("gram"), expr("(c_ab * 1000) div c_a").as("like_pm"))
+        rollup(perDoc.join(gramScore, Seq("gram")))
+      }
+      def noop(df: DataFrame): Long = {
+        df.write.mode("overwrite").format("noop").save(); 0L
+      }
+      def variant(tag: String, persist: Boolean, shape: DataFrame => DataFrame): Unit = {
+        for (i <- 1 to 3) {
+          ops.Caches.invalidate()
+          spark.sharedState.cacheManager.clearCache()
+          val pd = if (persist) ops.Caches.persisted(perDocF()) else perDocF()
+          time(s"$tag run$i")(noop(shape(pd)))
+        }
+      }
+      variant("current/recompute", persist = false, current)
+      variant("current/persist", persist = true, current)
+      variant("restruct/recompute", persist = false, restructured)
+      variant("restruct/persist", persist = true, restructured)
+    } else if (name == "minisuite") {
+      // fixed 12-query mini-suite run bench-style (Caches.invalidate
+      // between queries) — the attribution harness for JVM-wide knobs like
+      // spark.sql.codegen.cache.maxEntries (pass it via SPARK_GRAFT_PROF_CONF)
+      val qs = Seq(
+        "q101_split_leakage", "q118_canonical_policy", "q136_bigram_likelihood",
+        "q146_cluster_sizes", "q151_source_overlap", "q152_embedding_drift",
+        "q153_dup_graph_triangles", "q34_dedup_kept", "q35_ngram_jaccard",
+        "q42_embedding_neardup", "q69_dedup_clusters", "q236_encoding_planner")
+      def compileNs(): Long =
+        org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compileTime
+      (1 to 2).foreach { pass =>
+        val cg0 = compileNs()
+        val t0 = System.nanoTime()
+        qs.foreach { q =>
+          ops.Caches.invalidate()
+          val fn = ops.QueryRegistry.byName(q).fn
+          val tq = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          println(f"[prof] pass$pass $q: ${(System.nanoTime() - tq) / 1e9}%.2f s")
+        }
+        ops.Caches.invalidate()
+        println(f"[prof] pass$pass TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+          s"janino ${(compileNs() - cg0) / 1000000L} ms")
+      }
     } else {
       val fn = ops.QueryRegistry.byName(name).fn
       for (i <- 1 to 3) {

@@ -134,15 +134,31 @@ object ScaleStress {
     }
     val genSec = (System.nanoTime() - tGen0) / 1e9
 
+    // per-line error markers: a failed line reports rows = -1 plus an
+    // "error" field in the JSON instead of aborting the sweep and
+    // discarding every previously collected line (ADVICE r16: the
+    // batcher_trickle stall guard threw OUT of the timed block, erasing
+    // the whole run — the guard still fails ITS line loudly, it just no
+    // longer takes the others with it)
+    val lineErrors = scala.collection.mutable.Map[String, String]()
     def timed(name: String)(body: => Long): Option[(String, Double, Long)] =
       if (only.exists(!_.contains(name))) None
       else {
         graft.ops.Caches.invalidate()
         val t0 = System.nanoTime()
-        val n = body
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[stress] $name: $sec%.2f s, $n rows")
-        Some((name, sec, n))
+        try {
+          val n = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[stress] $name: $sec%.2f s, $n rows")
+          Some((name, sec, n))
+        } catch {
+          case e: Throwable =>
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(
+              f"[stress] $name FAILED after $sec%.2f s: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            lineErrors(name) = e.getClass.getSimpleName
+            Some((name, sec, -1L))
+        }
       }
 
     // ---- shared-build family at 10× ------------------------------------
@@ -511,15 +527,15 @@ object ScaleStress {
     // routes. Two identical 16-route × 8-batch roots, compacted once
     // each: rewriteParallelism=1 (the old sequential pass) vs the
     // default pool of 8 — the ratio is the measured fan-out win.
-    def mkRoutedRoot(tag: String): String = {
+    def mkRoutedRoot(tag: String, routes: Int = 16): String = {
       val root = s"/tmp/graft_stress_compact_$tag"
       val hfs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
       hfs.delete(new org.apache.hadoop.fs.Path(root), true)
-      val routeNames = (0 until 16).map(i => s"r$i")
+      val routeNames = (0 until routes).map(i => s"r$i")
       (0 until 8).foreach { b =>
         val df = spark.range(b * 1000L, b * 1000L + 1000L)
-          .selectExpr("id AS v", "concat('r', id % 16) AS batcher")
+          .selectExpr("id AS v", s"concat('r', id % $routes) AS batcher")
         graft.sinks.Sinks.routedManifestedComposite(df, routeNames, root, b.toLong)
       }
       root
@@ -529,6 +545,11 @@ object ScaleStress {
       else {
         val seqRoot = mkRoutedRoot("seq")
         val parRoot = mkRoutedRoot("par")
+        // wider fan-out line (VERDICT r16 #8): 64 routes through the SAME
+        // default pool of 8 — confirms the pool cap still wins (not just
+        // breaks even) when groups outnumber the pool 8:1 and the
+        // flat-group-first barrier does not dominate at wide fan-out
+        val par64Root = mkRoutedRoot("par64", routes = 64)
         // untimed warmup on a throwaway root: the first compactManifested
         // in a JVM pays the parquet-merge read/coalesce/write codegen and
         // FileSystem metadata warmup — without this the sequential line
@@ -547,13 +568,18 @@ object ScaleStress {
           timed("compact_routed_par") {
             graft.sinks.Sinks
               .compactManifested(spark, parRoot, targetBytes = 512L * 1024 * 1024).toLong
+          },
+          timed("compact_routed_par64") {
+            graft.sinks.Sinks
+              .compactManifested(spark, par64Root, targetBytes = 512L * 1024 * 1024).toLong
           }
         )
       }
 
     val all = (builds ++ joins ++ spills ++ batchers ++ compacts ++ Seq(streamingTop1)).flatten
     val json = all.map { case (n, sec, rows) =>
-      s""""$n":{"sec":${math.round(sec * 100) / 100.0},"rows":$rows}"""
+      val err = lineErrors.get(n).map(e => s""","error":"$e"""").getOrElse("")
+      s""""$n":{"sec":${math.round(sec * 100) / 100.0},"rows":$rows$err}"""
     }.mkString(",")
     println(
       s"""{"stress_x":$x,"docs":$docN,"vecs":$vecN,"gen_sec":${math.round(genSec * 100) / 100.0},""" +

@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.maxFields", "256")
+      // generated-class cache sized to the query library (see Bench.scala
+      // for the measured rationale): the default 100-entry LRU recompiles
+      // identical Janino classes across the 259-query dump
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

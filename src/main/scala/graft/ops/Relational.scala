@@ -3559,45 +3559,48 @@ object Relational {
         ))
         val wLag = Window.partitionBy(col("pid")).orderBy(col("mid"))
         val lagged = stamped.select(
-          cols.map(c => col(c)) ++
+          Seq(col("pid"), col("mid")) ++ cols.map(c => col(c)) ++
             cols.map(c => lag(col(c), 1).over(wLag).as(s"prev_$c")): _*
         )
-        val within = lagged.agg(
-          sum(
-            (col(cols.head) =!= col(s"prev_${cols.head}")).cast("long")
-          ).as(s"w_${cols.head}"),
-          cols.tail.map(c => sum((col(c) =!= col(s"prev_$c")).cast("long")).as(s"w_$c")): _*
-        )
-        val bounds = stamped
+        // ONE pass over the cached frame yields BOTH the within-partition
+        // run-break counts AND the per-partition first/last metadata rows
+        // (r17 warm trim: the previous shape ran the window pass for the
+        // break sums and a SECOND full groupBy(pid) pass for the bounds —
+        // the per-pid grouping the window already established covers both)
+        val perPid = lagged
           .groupBy(col("pid"))
           .agg(
-            min_by(col(cols.head), col("mid")).as(s"first_${cols.head}"),
-            (cols.tail.map(c => min_by(col(c), col("mid")).as(s"first_$c")) ++
+            sum((col(cols.head) =!= col(s"prev_${cols.head}")).cast("long"))
+              .as(s"w_${cols.head}"),
+            (cols.tail.map(c => sum((col(c) =!= col(s"prev_$c")).cast("long")).as(s"w_$c")) ++
+              cols.map(c => min_by(col(c), col("mid")).as(s"first_$c")) ++
               cols.map(c => max_by(col(c), col("mid")).as(s"last_$c"))): _*
           )
+        // stitch the 32 partition-boundary pairs and fold them into the
+        // same tiny aggregate that totals the within-partition breaks —
+        // runs = breaks + 1, identical algebra to the previous
+        // within/boundary split, one linear chain instead of two subtrees
         val wPid = Window.orderBy(col("pid"))
-        val boundary = bounds
-          .select(
-            (col("pid") +: cols.map(c => col(s"first_$c"))) ++
-              cols.map(c => lag(col(s"last_$c"), 1).over(wPid).as(s"prevlast_$c")): _*
-          )
-          .agg(
+        val stitched = perPid.select(
+          (col("pid") +: cols.map(c => col(s"w_$c"))) ++
+            cols.map(c => col(s"first_$c")) ++
+            cols.map(c => lag(col(s"last_$c"), 1).over(wPid).as(s"prevlast_$c")): _*
+        )
+        def brk(c: String) =
+          (sum(col(s"w_$c")) +
             sum(
-              (col(s"prevlast_${cols.head}").isNotNull &&
-                col(s"first_${cols.head}") =!= col(s"prevlast_${cols.head}")).cast("long")
-            ).as(s"b_${cols.head}"),
-            cols.tail.map(c =>
-              sum(
-                (col(s"prevlast_$c").isNotNull && col(s"first_$c") =!= col(s"prevlast_$c"))
-                  .cast("long")
-              ).as(s"b_$c")
-            ): _*
-          )
-        val nd = base.agg(
+              (col(s"prevlast_$c").isNotNull && col(s"first_$c") =!= col(s"prevlast_$c"))
+                .cast("long")
+            )).as(s"b_$c")
+        val breaks = stitched.agg(brk(cols.head), cols.tail.map(brk): _*)
+        // distinct counts read the CACHED stamped frame, not the raw scan:
+        // same rows (repartition/sort reorder only), no second parquet
+        // decode of lineitem (r17 warm trim — this was a full re-scan)
+        val nd = stamped.agg(
           count(lit(1)).as("n"),
           cols.map(c => countDistinct(col(c)).as(s"nd_$c")): _*
         )
-        val one = within.crossJoin(broadcast(boundary)).crossJoin(broadcast(nd))
+        val one = breaks.crossJoin(broadcast(nd))
         // ONE plan, not a 4-arm union: the union form compiled four
         // whole-stage codegen passes over the same three aggregates (and
         // re-planned each aggregate per arm — 11.8 s measured Janino time,
@@ -3610,11 +3613,11 @@ object Relational {
               struct(
                 lit(c).as("col_name"),
                 col(s"nd_$c").as("n_distinct"),
-                (col(s"w_$c") + col(s"b_$c") + 1L).as("runs"),
-                expr(s"n div (w_$c + b_$c + 1L)").as("avg_run_len"),
+                (col(s"b_$c") + 1L).as("runs"),
+                expr(s"n div (b_$c + 1L)").as("avg_run_len"),
                 expr(s"(nd_$c * 10000L) div n").as("distinct_bp"),
                 expr(
-                  s"""CASE WHEN n div (w_$c + b_$c + 1L) >= 8L THEN 'rle'
+                  s"""CASE WHEN n div (b_$c + 1L) >= 8L THEN 'rle'
                      |     WHEN nd_$c * 100L <= n THEN 'dict'
                      |     ELSE 'plain' END""".stripMargin
                 ).as("encoding")

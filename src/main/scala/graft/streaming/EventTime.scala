@@ -172,7 +172,20 @@ object EventTime {
         // session's width — AQE already sizes batch shuffles, and
         // clamping a large batch job to the stateful floor would be a
         // parallelism regression
-        if (df.isStreaming) withStatePartitions(df, statePartitionsForVolume(0L)) else df
+        if (df.isStreaming) {
+          val width = statePartitionsForVolume(0L)
+          // observable-default log (ADVICE r16): the auto default CHANGES
+          // the width a session-conf deployment used to inherit — say so
+          // once per bind, with the revise knob, so "why is my stateful
+          // width 8" is answered by the log rather than a plan dig
+          org.slf4j.LoggerFactory.getLogger(EventTime.getClass).info(
+            s"statePartitions=auto: binding stateful shuffle width $width " +
+              s"(small-state floor) for this query; session " +
+              s"spark.sql.shuffle.partitions is NOT inherited. Pass " +
+              s"Some(statePartitionsForVolume(peakStateBytes)) for large " +
+              s"bounded state, or None to inherit the session conf.")
+          withStatePartitions(df, width)
+        } else df
       case Some(p) => withStatePartitions(df, p)
     }
 

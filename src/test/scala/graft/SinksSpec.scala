@@ -1028,6 +1028,54 @@ class SinksSpec extends SparkSpec {
     fs.delete(l2, false)
   }
 
+  test("compactor lease: background heartbeat keeps a pass longer than the timeout fenced; an unheartbeated lease still goes stale") {
+    // VERDICT r16 #3: the r16 per-completed-group heartbeat still let ONE
+    // group's rewrite exceed leaseTimeoutMillis and invite a takeover
+    // mid-rewrite. The background token-guarded heartbeat thread
+    // (withLeaseHeartbeat) removes the sizing obligation: this pass
+    // stalls (afterSnapshot — inside the lease window, before publish)
+    // for 3× the timeout, and a competing compactor probing DURING the
+    // stall must still be refused because the thread kept the heartbeat
+    // fresh. Liveness stays by construction: the thread dies with the
+    // JVM, so a lease nobody heartbeats (crashed holder) goes stale after
+    // the same timeout — asserted in the second leg.
+    val root = Files.createTempDirectory("graft-lease-heartbeat").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def total() = Sinks.readManifested(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    (0 until 3).foreach(b => Sinks.manifestedParquet(
+      ((b * 10) until (b * 10 + 10)).toDF("v"), root, batchId = b.toLong))
+    val timeout = 900L
+    var refusal: Option[Throwable] = None
+    val parts = Sinks.compactManifestedHooked(
+      spark, root, targetBytes = 512L * 1024 * 1024, retainMillis = 0L,
+      afterSnapshot = () => {
+        Thread.sleep(3 * timeout) // the "single rewrite longer than the timeout"
+        refusal = Some(intercept[graft.sinks.CompactorLeaseHeldException] {
+          Sinks.acquireCompactorLease(fs, root, timeout)
+        })
+      },
+      leaseTimeoutMillis = timeout)
+    assert(parts == 1, "pass outliving the timeout must still complete")
+    assert(refusal.exists(_.getMessage.contains("held by another")),
+      s"competitor was not refused during the over-timeout stall: $refusal")
+    assert(total() == (0 until 30).sum.toLong)
+    // crashed holder: same timeout, no heartbeat thread behind the lease —
+    // stale takeover must proceed (the thread is the liveness source, not
+    // the file)
+    val lease = p(s"$root/_manifests/.compactor-lease")
+    val out = fs.create(lease, true)
+    out.write("dead-holder".getBytes("UTF-8")); out.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 10 * timeout, -1)
+    val (l2, h2) = Sinks.acquireCompactorLease(fs, root, timeout)
+    val in2 = fs.open(l2)
+    val tok2 = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString.trim finally in2.close()
+    assert(tok2 == h2, "crashed holder's lease was not taken over")
+    fs.delete(l2, false)
+  }
+
   test("retention clock: original retirement time survives re-supersession (no per-pass reset)") {
     // ADVICE r15 (medium): every compaction supersedes EVERY manifest in
     // its listing (required for tombstone folding), so a clock based on
