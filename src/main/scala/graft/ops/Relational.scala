@@ -3294,30 +3294,39 @@ object Relational {
           ("custkey", col("o_custkey").cast("long")),
           ("totalprice", col("o_totalprice"))
         )
+        // The three per-layout RANK passes are inherently separate (three
+        // sort orders), but everything downstream of them is identical
+        // machinery — so the arms are stacked with a layout tag right
+        // after ranking and the join → per-file rollup → pruning filter →
+        // per-layout rollup chain plans and compiles ONCE over the tagged
+        // union, instead of three times + a 3-arm unionByName of finished
+        // aggregates (the q236 fold, applied here in r17: this was the
+        // suite's second-worst measured Janino charge). groupBy(layout)
+        // mirrors the oracle's `GROUP BY layout` exactly.
         layouts
           .map { case (name, key) =>
-            val ranks = QualityOps.globalRanks(
+            QualityOps.globalRanks(
               o.select(col("o_orderkey").as("doc_id"), key.as("v")),
               "v",
               "rk"
-            )
-            ranks
-              .join(o.select(col("o_orderkey").as("doc_id"), col("od")), Seq("doc_id"))
-              .crossJoin(broadcast(tot))
-              .select(expr("((rk - 1) * 32L) div n").as("file"), col("od"))
-              .groupBy(col("file"))
-              .agg(min(col("od")).as("min_d"), max(col("od")).as("max_d"), count(lit(1)).as("n_rows"))
-              .filter(!(col("max_d") < lit(lo) || col("min_d") > lit(hi)))
-              .agg(count(lit(1)).as("files_scanned"), sum(col("n_rows")).as("rows_scanned"))
-              .crossJoin(broadcast(tot))
-              .select(
-                lit(name).as("layout"),
-                col("files_scanned"),
-                col("rows_scanned"),
-                expr("(rows_scanned * 10000L) div n").as("scan_bp")
-              )
+            ).select(lit(name).as("layout"), col("doc_id"), col("rk"))
           }
           .reduce(_.unionByName(_))
+          .join(o.select(col("o_orderkey").as("doc_id"), col("od")), Seq("doc_id"))
+          .crossJoin(broadcast(tot))
+          .select(col("layout"), expr("((rk - 1) * 32L) div n").as("file"), col("od"))
+          .groupBy(col("layout"), col("file"))
+          .agg(min(col("od")).as("min_d"), max(col("od")).as("max_d"), count(lit(1)).as("n_rows"))
+          .filter(!(col("max_d") < lit(lo) || col("min_d") > lit(hi)))
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("files_scanned"), sum(col("n_rows")).as("rows_scanned"))
+          .crossJoin(broadcast(tot))
+          .select(
+            col("layout"),
+            col("files_scanned"),
+            col("rows_scanned"),
+            expr("(rows_scanned * 10000L) div n").as("scan_bp")
+          )
           .orderBy(col("layout"))
       },
       Some("""WITH o AS (
@@ -3427,43 +3436,49 @@ object Relational {
           "d_min + (d_max - d_min) * 75L div 100 AS dp_hi",
           "c_min + (c_max - c_min) * 15L div 100 AS cp_hi"
         )
+        // same arm-stacking fold as q232 (r17): three rank passes (three
+        // sort orders — irreducible), ONE tagged join → per-(layout, file)
+        // rollup → rectangle-pruning filter → per-layout rollup chain,
+        // planned and compiled once (this query carried the suite's worst
+        // measured Janino charge after the q236 fold). groupBy(layout)
+        // mirrors the oracle's `GROUP BY layout`.
         layouts
           .map { case (name, key) =>
-            val ranks = QualityOps.globalRanks(
+            QualityOps.globalRanks(
               norm.select(col("o_orderkey").as("doc_id"), col(key).as("v")),
               "v",
               "rk"
-            )
-            ranks
-              .join(
-                norm.select(col("o_orderkey").as("doc_id"), col("dk"), col("ck")),
-                Seq("doc_id")
-              )
-              .crossJoin(broadcast(stats.select(col("n"))))
-              .select(expr("((rk - 1) * 32L) div n").as("file"), col("dk"), col("ck"))
-              .groupBy(col("file"))
-              .agg(
-                min(col("dk")).as("d_lo"),
-                max(col("dk")).as("d_hi"),
-                min(col("ck")).as("c_lo"),
-                max(col("ck")).as("c_hi"),
-                count(lit(1)).as("n_rows")
-              )
-              .crossJoin(broadcast(stats.selectExpr("c_min" +: bands: _*)))
-              .filter(
-                !(col("d_hi") < col("dp_lo") || col("d_lo") > col("dp_hi")) &&
-                  !(col("c_hi") < col("c_min") || col("c_lo") > col("cp_hi"))
-              )
-              .agg(count(lit(1)).as("files_scanned"), sum(col("n_rows")).as("rows_scanned"))
-              .crossJoin(broadcast(stats.select(col("n"))))
-              .select(
-                lit(name).as("layout"),
-                col("files_scanned"),
-                col("rows_scanned"),
-                expr("(rows_scanned * 10000L) div n").as("scan_bp")
-              )
+            ).select(lit(name).as("layout"), col("doc_id"), col("rk"))
           }
           .reduce(_.unionByName(_))
+          .join(
+            norm.select(col("o_orderkey").as("doc_id"), col("dk"), col("ck")),
+            Seq("doc_id")
+          )
+          .crossJoin(broadcast(stats.select(col("n"))))
+          .select(col("layout"), expr("((rk - 1) * 32L) div n").as("file"), col("dk"), col("ck"))
+          .groupBy(col("layout"), col("file"))
+          .agg(
+            min(col("dk")).as("d_lo"),
+            max(col("dk")).as("d_hi"),
+            min(col("ck")).as("c_lo"),
+            max(col("ck")).as("c_hi"),
+            count(lit(1)).as("n_rows")
+          )
+          .crossJoin(broadcast(stats.selectExpr("c_min" +: bands: _*)))
+          .filter(
+            !(col("d_hi") < col("dp_lo") || col("d_lo") > col("dp_hi")) &&
+              !(col("c_hi") < col("c_min") || col("c_lo") > col("cp_hi"))
+          )
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("files_scanned"), sum(col("n_rows")).as("rows_scanned"))
+          .crossJoin(broadcast(stats.select(col("n"))))
+          .select(
+            col("layout"),
+            col("files_scanned"),
+            col("rows_scanned"),
+            expr("(rows_scanned * 10000L) div n").as("scan_bp")
+          )
           .orderBy(col("layout"))
       },
       Some {
