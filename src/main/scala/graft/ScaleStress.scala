@@ -157,7 +157,11 @@ object ScaleStress {
             System.err.println(
               f"[stress] $name FAILED after $sec%.2f s: ${e.getClass.getSimpleName}: ${e.getMessage}")
             lineErrors(name) = e.getClass.getSimpleName
-            Some((name, sec, -1L))
+            // sec = -1 on the JSON line (ADVICE r17): a reader keying on
+            // sec without checking rows/error must not mistake a fast
+            // failure for a fast run; the elapsed-until-failure time stays
+            // in the stderr log above for debugging
+            Some((name, -1.0, -1L))
         }
       }
 

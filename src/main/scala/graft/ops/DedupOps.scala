@@ -577,13 +577,25 @@ object DedupOps {
       .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct()
       .transform(Caches.persisted)
-    var labels = edges
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
-    if (!labels.isEmpty) {
-      var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // Fixpoint metrics ride the checkpoint job (guide §2.6: driver-bound
+    // fixed costs): each round used to run TWO jobs — the localCheckpoint
+    // materialization and a separate sum(lbl) aggregate over the fresh
+    // checkpoint (plus, before the loop, an isEmpty probe and the initial
+    // sum — two more). observe() folds the fixpoint aggregate into the
+    // SAME job that materializes the labels (CollectMetricsExec
+    // accumulates while the checkpoint consumes the rows), halving
+    // per-round job count. The per-round JOIN plan — the edge shuffle
+    // that dominates at 100 TB — is unchanged; only the convergence
+    // bookkeeping moved.
+    val fixpointMetrics = Seq(coalesce(sum(col("lbl")), lit(0L)), count(lit(1)))
+    var (labels, init) = checkpointObserved(
+      edges
+        .select(col("src").as("node"))
+        .distinct()
+        .withColumn("lbl", col("node")),
+      fixpointMetrics)
+    if (init(1) > 0L) {
+      var prevSum = init.head
       var rounds = 0
       var converged = false
       while (!converged && rounds < maxRounds) {
@@ -592,14 +604,16 @@ object DedupOps {
           .join(byDst, "dst")
           .groupBy(col("src").as("node"))
           .agg(min(col("dlbl")).as("plbl"))
-        labels = labels
-          .join(prop, Seq("node"), "left")
-          .select(
-            col("node"),
-            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl")
-          )
-          .localCheckpoint()
-        val sumNow = labels.agg(sum(col("lbl"))).head().getLong(0)
+        val (next, m) = checkpointObserved(
+          labels
+            .join(prop, Seq("node"), "left")
+            .select(
+              col("node"),
+              least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl")
+            ),
+          fixpointMetrics)
+        labels = next
+        val sumNow = m.head
         converged = sumNow == prevSum
         prevSum = sumNow
         rounds += 1
@@ -613,6 +627,43 @@ object DedupOps {
       }
     }
     labels
+  }
+
+  /** `localCheckpoint()` + long-typed aggregate metrics in ONE job: the
+    * metrics are attached with `observe()` below the checkpoint, so
+    * CollectMetricsExec accumulates them while the checkpoint action
+    * consumes the rows — no second pass over the just-materialized frame
+    * for an iterative loop's convergence check. Metric values arrive on
+    * the (asynchronous) listener bus right after the action returns; the
+    * bounded poll covers bus delivery, and the direct-aggregate fallback
+    * keeps convergence detection correct even if delivery never happens
+    * (one extra job in that pathological case — exactly the pre-fusion
+    * behavior). Every metric expression must be a LongType aggregate.
+    */
+  /** Times the one-job fusion missed the listener bus and re-aggregated
+    * (test observability: the fusion is pointless if this path runs).
+    */
+  private[graft] val observedFallbacks = new java.util.concurrent.atomic.AtomicLong()
+
+  private def checkpointObserved(
+      df: DataFrame,
+      metrics: Seq[org.apache.spark.sql.Column]
+  ): (DataFrame, Seq[Long]) = {
+    val named = metrics.zipWithIndex.map { case (c, i) => c.as(s"m$i") }
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, named.head, named.tail: _*).localCheckpoint()
+    val row =
+      try Some(scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(10, "seconds")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    val vals = row match {
+      case Some(r) => metrics.indices.map(i => r.getAs[Long](s"m$i"))
+      case None =>
+        observedFallbacks.incrementAndGet()
+        val r = out.agg(metrics.head, metrics.tail: _*).head()
+        metrics.indices.map(r.getLong)
+    }
+    (out, vals)
   }
 
   /** Connected components by alternating large-star/small-star (Kiveris
@@ -629,8 +680,8 @@ object DedupOps {
     * loop. Edges keep the (hi > lo) canonical orientation throughout;
     * the fixpoint is a star forest rooted at each component's minimum,
     * read off directly as the label table. Convergence is detected by an
-    * edge-set fingerprint (count + endpoint sums + xxhash64 sum — one
-    * tiny aggregate per round); `localCheckpoint` per round truncates
+    * edge-set fingerprint (count + two xxhash64 XOR folds, observed on
+    * the checkpoint job itself); `localCheckpoint` per round truncates
     * the iterative lineage exactly like the propagation loop (same
     * fault-tolerance caveat documented there).
     *
@@ -646,27 +697,24 @@ object DedupOps {
       .union(raw.select(col("v").as("node")))
       .distinct()
       .localCheckpoint()
-    var edges = raw
-      .filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
-      .distinct()
-      .localCheckpoint()
-
     // edge-set fingerprint: count + two order-independent XOR folds of
     // per-edge hashes (XOR, unlike sum, cannot overflow under ANSI
     // arithmetic; two hash seeds make a coincidental collision
     // negligible). Edges are distinct, so XOR cancellation of repeated
-    // rows cannot occur.
-    def fingerprint(e: DataFrame): Seq[Long] = {
-      val r = e.agg(
-        count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)),
-        coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L))
-      ).head()
-      (0 until 3).map(r.getLong)
-    }
-
-    var prev = fingerprint(edges)
+    // rows cannot occur. The fingerprint rides each round's checkpoint
+    // job via checkpointObserved — same one-job-per-round fusion as the
+    // propagation loop.
+    val fingerprintMetrics = Seq(
+      count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)),
+      coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L))
+    )
+    var (edges, prev) = checkpointObserved(
+      raw
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
+        .distinct(),
+      fingerprintMetrics)
     var rounds = 0
     var converged = prev.head == 0L
     while (!converged && rounds < maxRounds) {
@@ -688,15 +736,16 @@ object DedupOps {
       // small-star: over downward edges (hi → lo), every lo re-attaches
       // to min(N⁻(hi)), and hi itself attaches there too
       val smin = ls.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
-      edges = ls
-        .join(smin, "hi")
-        .select(col("lo").as("n"), col("mn"))
-        .union(smin.select(col("hi").as("n"), col("mn")))
-        .filter(col("n") =!= col("mn"))
-        .distinct()
-        .select(col("n").as("hi"), col("mn").as("lo"))
-        .localCheckpoint()
-      val now = fingerprint(edges)
+      val (next, now) = checkpointObserved(
+        ls
+          .join(smin, "hi")
+          .select(col("lo").as("n"), col("mn"))
+          .union(smin.select(col("hi").as("n"), col("mn")))
+          .filter(col("n") =!= col("mn"))
+          .distinct()
+          .select(col("n").as("hi"), col("mn").as("lo")),
+        fingerprintMetrics)
+      edges = next
       converged = now == prev
       prev = now
       rounds += 1

@@ -3302,7 +3302,13 @@ object Relational {
         // union, instead of three times + a 3-arm unionByName of finished
         // aggregates (the q236 fold, applied here in r17: this was the
         // suite's second-worst measured Janino charge). groupBy(layout)
-        // mirrors the oracle's `GROUP BY layout` exactly.
+        // mirrors the oracle's `GROUP BY layout` exactly — including the
+        // edge the fold changed (ADVICE r17): a layout whose files are ALL
+        // pruned now drops out of the output (GROUP BY semantics) where
+        // the old per-arm global aggregate emitted a files_scanned=0 row;
+        // oracle-consistent, and unreachable while the pruning window
+        // keeps ≥1 file per layout, but a real shape change if the window
+        // ever tightens to empty.
         layouts
           .map { case (name, key) =>
             QualityOps.globalRanks(
@@ -3441,7 +3447,10 @@ object Relational {
         // rollup → rectangle-pruning filter → per-layout rollup chain,
         // planned and compiled once (this query carried the suite's worst
         // measured Janino charge after the q236 fold). groupBy(layout)
-        // mirrors the oracle's `GROUP BY layout`.
+        // mirrors the oracle's `GROUP BY layout` — including the all-files-
+        // pruned edge: an empty layout drops from the output under GROUP BY
+        // where the pre-fold per-arm aggregate emitted a zero row (see the
+        // q232 comment; oracle-consistent, unreachable at current bands).
         layouts
           .map { case (name, key) =>
             QualityOps.globalRanks(
@@ -3724,31 +3733,41 @@ object Relational {
           )
           .crossJoin(broadcast(stats))
           .withColumn("part", expr("l_orderkey * 32L div (mk + 1L)"))
-        val keys = Seq(
-          ("l_returnflag", "l_returnflag"),
-          ("ship_month", "ship_month"),
-          ("l_partkey", "l_partkey")
-        )
-        keys
-          .map { case (name, k) =>
-            o.groupBy(col("part"), col(k))
-              .agg(count(lit(1)).as("rows_in"))
-              .agg(
-                count(lit(1)).as("mapside_rows"),
-                countDistinct(col(k)).as("n_groups"),
-                sum(col("rows_in")).as("n")
-              )
-              .select(
-                lit(name).as("group_key"),
-                col("n_groups"),
-                col("mapside_rows"),
-                expr("(mapside_rows * 10000L) div n").as("reduction_bp"),
-                expr(
-                  "CASE WHEN mapside_rows * 2L <= n THEN 'combine' ELSE 'skip' END"
-                ).as("verdict")
-              )
-          }
-          .reduce(_.unionByName(_))
+        // Arm-stacking fold (r18; the q232/q235/q236 playbook): the three
+        // candidate keys used to run as three separately planned+compiled
+        // scan → groupBy(part, k) → global-agg chains glued by unionByName
+        // — three passes over lineitem and the suite's 4th-worst Janino
+        // charge (942 ms measured at the r18 baseline). One pass now
+        // explodes each row into (group_key, k-as-string) and the whole
+        // chain plans/compiles ONCE, grouped by (group_key, part, k) then
+        // group_key. Casting k to string is injective per key type (date
+        // and bigint render uniquely; returnflag already a string), so
+        // group counts, distinct counts and rows_in are unchanged —
+        // oracle-verified at sf0.01 + sf0.1.
+        val keys = Seq("l_returnflag", "ship_month", "l_partkey")
+        o.select(
+            col("part"),
+            explode(array(keys.map(k =>
+              struct(lit(k).as("group_key"), col(k).cast("string").as("k"))): _*)).as("e")
+          )
+          .select(col("part"), col("e.group_key").as("group_key"), col("e.k").as("k"))
+          .groupBy(col("group_key"), col("part"), col("k"))
+          .agg(count(lit(1)).as("rows_in"))
+          .groupBy(col("group_key"))
+          .agg(
+            count(lit(1)).as("mapside_rows"),
+            countDistinct(col("k")).as("n_groups"),
+            sum(col("rows_in")).as("n")
+          )
+          .select(
+            col("group_key"),
+            col("n_groups"),
+            col("mapside_rows"),
+            expr("(mapside_rows * 10000L) div n").as("reduction_bp"),
+            expr(
+              "CASE WHEN mapside_rows * 2L <= n THEN 'combine' ELSE 'skip' END"
+            ).as("verdict")
+          )
           .orderBy(col("group_key"))
       },
       Some("""WITH mk AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mk FROM lineitem),
@@ -3807,21 +3826,31 @@ object Relational {
           varchars.foldLeft(lit(fixed).cast("long")) { (acc, c) =>
             acc + coalesce(length(col(c)).cast("long"), lit(0L))
           }
-        def stats(name: String, df: DataFrame, varchars: Seq[String]): DataFrame = {
+        // Stack-then-aggregate (r18; the q237 playbook adapted to six
+        // DIFFERENT source tables): the six dimension arms used to each
+        // plan+compile their own two-phase global aggregate (3rd-worst
+        // measured Janino at the r18 baseline, 1013 ms). The arms still
+        // scan their own tables — unavoidable — but each is now a trivial
+        // map-only (build_table, row_bytes) projection; ONE grouped
+        // aggregate over the union computes every table's count and byte
+        // sum in a single compiled chain. Per-table sums/counts are
+        // algebraically identical (no table is empty at any SF, so the
+        // GROUP BY emits the same six rows the per-arm global aggregates
+        // did). Oracle-verified at sf0.01 + sf0.1.
+        def tagged(name: String, df: DataFrame, varchars: Seq[String]): DataFrame = {
           val fixed = 8L + 8L * df.schema.size
-          df.agg(
-            count(lit(1)).as("n_rows"),
-            sum(bytesOf(fixed, varchars)).as("est_bytes")
-          ).select(lit(name).as("build_table"), col("n_rows"), col("est_bytes"))
+          df.select(lit(name).as("build_table"), bytesOf(fixed, varchars).as("row_bytes"))
         }
         val dims = Seq(
-          stats("customer", customer(s, d), Seq("c_name", "c_mktsegment")),
-          stats("nation", nation(s, d), Seq("n_name")),
-          stats("orders", orders(s, d), Seq("o_orderstatus", "o_orderpriority")),
-          stats("part", part(s, d), Seq("p_name", "p_brand", "p_type")),
-          stats("region", region(s, d), Seq("r_name")),
-          stats("supplier", supplier(s, d), Seq("s_name"))
+          tagged("customer", customer(s, d), Seq("c_name", "c_mktsegment")),
+          tagged("nation", nation(s, d), Seq("n_name")),
+          tagged("orders", orders(s, d), Seq("o_orderstatus", "o_orderpriority")),
+          tagged("part", part(s, d), Seq("p_name", "p_brand", "p_type")),
+          tagged("region", region(s, d), Seq("r_name")),
+          tagged("supplier", supplier(s, d), Seq("s_name"))
         ).reduce(_.unionByName(_))
+          .groupBy(col("build_table"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("row_bytes")).as("est_bytes"))
         val fact = lineitem(s, d)
           .agg(sum(bytesOf(8L + 8L * 11L, Seq("l_returnflag", "l_linestatus"))).as("fact_bytes"))
         dims
@@ -3986,36 +4015,45 @@ object Relational {
                 |     END""".stripMargin
             ).as("buckets")
           )
-        def audit(key: String) =
-          lineitem(s, d)
-            .select(col(key).cast("string").as("k"))
-            .crossJoin(broadcast(plan))
-            .select(
-              expr("cast(conv(substring(md5(k), 1, 4), 16, 10) as bigint) % buckets").as("b"),
-              col("buckets"),
-              col("total_bytes"),
-              col("need_files")
-            )
-            .groupBy(col("b"), col("buckets"), col("total_bytes"), col("need_files"))
-            .agg(count(lit(1)).as("rows_in"))
-            .groupBy(col("buckets"), col("total_bytes"), col("need_files"))
-            .agg(
-              count(lit(1)).as("nonempty_buckets"),
-              max(col("rows_in")).as("max_bucket_rows"),
-              sum(col("rows_in")).as("n")
-            )
-            .select(
-              lit(key).as("bucket_key"),
-              col("total_bytes"),
-              col("need_files"),
-              col("buckets"),
-              col("nonempty_buckets"),
-              col("max_bucket_rows"),
-              expr("n div buckets").as("avg_bucket_rows"),
-              expr("(max_bucket_rows * 10000L) div greatest(1L, n div buckets)").as("skew_bp")
-            )
-        audit("l_orderkey")
-          .unionByName(audit("l_partkey"))
+        // Arm-stacking fold (r18; the q237 playbook): the two candidate-key
+        // audits used to run as two separately planned+compiled scan →
+        // md5-bucket → two-level-agg chains (2nd-worst measured Janino at
+        // the r18 baseline, 1025 ms). One scan now explodes each row into
+        // (bucket_key, key-as-string) and the chain compiles once; the md5
+        // input is the same string cast the per-arm audit applied, so
+        // bucket assignments — and every downstream count — are unchanged.
+        // Oracle-verified at sf0.01 + sf0.1.
+        val auditKeys = Seq("l_orderkey", "l_partkey")
+        lineitem(s, d)
+          .select(explode(array(auditKeys.map(k =>
+            struct(lit(k).as("bucket_key"), col(k).cast("string").as("k"))): _*)).as("e"))
+          .select(col("e.bucket_key").as("bucket_key"), col("e.k").as("k"))
+          .crossJoin(broadcast(plan))
+          .select(
+            col("bucket_key"),
+            expr("cast(conv(substring(md5(k), 1, 4), 16, 10) as bigint) % buckets").as("b"),
+            col("buckets"),
+            col("total_bytes"),
+            col("need_files")
+          )
+          .groupBy(col("bucket_key"), col("b"), col("buckets"), col("total_bytes"), col("need_files"))
+          .agg(count(lit(1)).as("rows_in"))
+          .groupBy(col("bucket_key"), col("buckets"), col("total_bytes"), col("need_files"))
+          .agg(
+            count(lit(1)).as("nonempty_buckets"),
+            max(col("rows_in")).as("max_bucket_rows"),
+            sum(col("rows_in")).as("n")
+          )
+          .select(
+            col("bucket_key"),
+            col("total_bytes"),
+            col("need_files"),
+            col("buckets"),
+            col("nonempty_buckets"),
+            col("max_bucket_rows"),
+            expr("n div buckets").as("avg_bucket_rows"),
+            expr("(max_bucket_rows * 10000L) div greatest(1L, n div buckets)").as("skew_bp")
+          )
           .withColumn(
             "verdict",
             expr("CASE WHEN skew_bp > 12000L THEN 'salt' ELSE 'ok' END")

@@ -908,9 +908,13 @@ object Sinks {
     try {
       val out = hfs.create(probe, true)
       out.close()
-      val t = hfs.getFileStatus(probe).getModificationTime
-      hfs.delete(probe, false)
-      t
+      // delete in a finally (ADVICE r17): a getFileStatus throw after a
+      // successful create used to leak the probe file into _manifests/ —
+      // unboundedly, since every call probes a fresh unique name. The
+      // delete's own failure is swallowed (the fallback clock still
+      // answers); manifest listings skip dotfiles either way.
+      try hfs.getFileStatus(probe).getModificationTime
+      finally { try { hfs.delete(probe, false); () } catch { case _: Exception => () } }
     } catch { case _: Exception => System.currentTimeMillis() }
   }
 

@@ -138,6 +138,41 @@ class QueriesSpec extends SparkSpec {
     graft.ops.Caches.invalidate()
   }
 
+  test("connected components fixpoint metrics ride the checkpoint job (no fallback re-aggregate)") {
+    import graft.ops.DedupOps
+    // r18 fusion: the per-round sum(lbl) convergence check is observe()d
+    // on the localCheckpoint materialization instead of running as its
+    // own aggregate job. The fusion only pays off if the observed
+    // metrics actually arrive (the defensive fallback re-aggregates —
+    // correct, but exactly the pre-fusion second job): assert zero
+    // fallbacks across a multi-round propagation AND a star-fallback run.
+    // (Raw job counts are not asserted: AQE materializes every exchange
+    // as its own job, so they don't map 1:1 to loop iterations.)
+    val before = DedupOps.observedFallbacks.get()
+    val pairs = spark
+      .createDataFrame(Seq((2L, 1L), (2L, 3L), (3L, 4L)))
+      .toDF("doc_a", "doc_b")
+    val labels = DedupOps
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // star path too (diameter-4 chain with maxRounds=1 forces it)
+    val starPairs = spark
+      .createDataFrame(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+      .toDF("doc_a", "doc_b")
+    val starLabels = DedupOps
+      .connectedComponents(starPairs, maxRounds = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(starLabels == (1L to 5L).map(_ -> 1L).toMap)
+    assert(DedupOps.observedFallbacks.get() == before,
+      "observed metrics missed the listener bus and the loop re-aggregated")
+    graft.ops.Caches.invalidate()
+  }
+
   test("connected components of an empty pair set are empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
